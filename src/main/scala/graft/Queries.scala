@@ -1,0 +1,587 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Clean, Text, Vectors}
+import graft.operators.{Dedup, Relational, Sessionize, Similarity}
+import graft.sources.Tables
+
+/** The engine's query surface: one entry per operator of SURVEY.md §2
+  * (re-expressed over the harness tables) plus the training-data-pipeline
+  * operators (dedup / similarity / text analysis / sessionization).
+  *
+  * Every SQL-expressible query carries a DuckDB oracle. Cross-engine
+  * determinism rules used throughout:
+  *  - integer outputs cast to BIGINT on both sides;
+  *  - double aggregates rounded (sums of continuous values never land on
+  *    round boundaries, so rounding is stable across engines);
+  *  - ratios of integer counts are exact IEEE doubles on both sides;
+  *  - orderings always carry a unique tiebreaker key.
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     run: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private final class Ctx(s: SparkSession, d: String) {
+    def tbl(n: String): DataFrame = Tables(s, d, n)
+  }
+
+  /** Stopword list shared by quality scoring (and its oracle SQL). */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in")
+  private val StopSql = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Ordered language-marker table for langId (first match wins ties). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** DuckDB SQL for 3-gram word shingles of lower(text) — must mirror
+    * [[graft.functions.Text.shingles]] exactly. */
+  private val ShinglesSql =
+    """list_distinct(CASE WHEN len(string_split(lower(text),' ')) < 3
+      |  THEN string_split(lower(text),' ')
+      |  ELSE list_transform(range(1, len(string_split(lower(text),' '))-1),
+      |    i -> concat_ws(' ', string_split(lower(text),' ')[i],
+      |                        string_split(lower(text),' ')[i+1],
+      |                        string_split(lower(text),' ')[i+2])) END)""".stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+       |        len(a.sh) + len(b.sh) AS tot
+       |      FROM t a JOIN t b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
+       |FROM p WHERE inter / (tot - inter) >= $threshold""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ── §2.1/§2.2 scans, projection, filters ────────────────────────────
+
+    Q("q01_pruned_scan",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("lineitem").select(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").cast("long").as("line_no"),
+          col("l_quantity").as("qty"),
+          col("l_returnflag").as("rflag"))
+      },
+      Some("""SELECT l_orderkey AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
+             |l_quantity AS qty, l_returnflag AS rflag FROM lineitem""".stripMargin)),
+
+    Q("q02_filter_conjunctive",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("customer").filter(
+          col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+          col("c_acctbal").between(0, 5000) &&
+          col("c_name").like("%1%") &&
+          col("c_nationkey").isNotNull)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+             |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+             |  AND c_acctbal BETWEEN 0 AND 5000
+             |  AND c_name LIKE '%1%' AND c_nationkey IS NOT NULL""".stripMargin)),
+
+    // ── §2.3 \N-aware cleaning, lenient casts, bucketing ────────────────
+
+    Q("q03_null_clean_trycast",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val messyBrand = when(pmod(col("p_partkey"), lit(5)) === 0, lit("\\N"))
+          .when(pmod(col("p_partkey"), lit(5)) === 1, lit("  "))
+          .otherwise(col("p_brand"))
+        val messySize = when(pmod(col("p_partkey"), lit(3)) === 0, lit("\\N"))
+          .otherwise(col("p_size").cast("string"))
+        tbl("part").select(
+          col("p_partkey"),
+          Clean.nullify(messyBrand).as("brand_clean"),
+          Clean.tryCastClean(messySize, "long").as("size_try"))
+      },
+      Some("""WITH m AS (SELECT p_partkey,
+             |  CASE WHEN p_partkey % 5 = 0 THEN '\N'
+             |       WHEN p_partkey % 5 = 1 THEN '  ' ELSE p_brand END AS mb,
+             |  CASE WHEN p_partkey % 3 = 0 THEN '\N'
+             |       ELSE CAST(p_size AS VARCHAR) END AS ms
+             |  FROM part)
+             |SELECT p_partkey,
+             |  CASE WHEN mb IS NULL OR mb = '\N' OR length(trim(mb)) = 0
+             |       THEN NULL ELSE mb END AS brand_clean,
+             |  TRY_CAST(CASE WHEN ms IS NULL OR ms = '\N' OR length(trim(ms)) = 0
+             |       THEN NULL ELSE ms END AS BIGINT) AS size_try
+             |FROM m""".stripMargin)),
+
+    Q("q04_decade_case_buckets",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("orders").select(
+          Clean.decadeOf(year(col("o_orderdate"))).as("order_decade"),
+          Clean.caseBucket(Seq(
+            (col("o_totalprice") >= 100000) -> "high",
+            (col("o_totalprice") >= 50000)  -> "mid",
+            (col("o_totalprice") >= 10000)  -> "low"), "micro").as("price_bucket"),
+          Clean.caseBucket(Seq(
+            (col("o_orderstatus") === "F") -> "finished",
+            (col("o_orderstatus") === "O") -> "open"), "other").as("status_band"))
+          .groupBy("order_decade", "price_bucket", "status_band")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(floor(year(o_orderdate)/10)*10 AS BIGINT) AS order_decade,
+             |  CASE WHEN o_totalprice >= 100000 THEN 'high'
+             |       WHEN o_totalprice >= 50000 THEN 'mid'
+             |       WHEN o_totalprice >= 10000 THEN 'low' ELSE 'micro' END AS price_bucket,
+             |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
+             |       WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_band,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ── §2.4 joins ──────────────────────────────────────────────────────
+
+    Q("q05_join_left_enrich",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("orders").join(broadcast(tbl("customer")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("c_name"), col("c_mktsegment"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    Q("q06_join_inner_agg",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("lineitem").join(broadcast(tbl("part")),
+            col("l_partkey") === col("p_partkey"), "inner")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity")).as("sum_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty,
+             |round(avg(l_extendedprice), 4) AS avg_price
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)),
+
+    Q("q07_join_multiway",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("customer")
+          .join(broadcast(tbl("nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(tbl("region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_customers"),
+            round(avg(col("c_acctbal")), 6).as("avg_bal"))
+      },
+      Some("""SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
+    Q("q08_semi_flag",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Relational.flagJoin(tbl("customer"), col("c_custkey"),
+            tbl("orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("o_custkey"), "has_urgent")
+          .select(col("c_custkey"), col("has_urgent"))
+      },
+      Some("""SELECT c_custkey,
+             |  CAST(CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_urgent
+             |FROM customer LEFT JOIN
+             |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') u
+             |ON c_custkey = u.o_custkey""".stripMargin)),
+
+    Q("q09_join_anti",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("customer").join(tbl("orders"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ── §2.5 explode / lateral ──────────────────────────────────────────
+
+    Q("q10_explode_tokens",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("part").select(explode(split(col("p_type"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT word, count(*) AS cnt FROM
+             |(SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+             |GROUP BY word""".stripMargin)),
+
+    // ── §2.6 aggregations ───────────────────────────────────────────────
+
+    Q("q11_agg_rollup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |round(sum(l_extendedprice), 2) AS sum_base_price,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |round(avg(l_quantity), 6) AS avg_qty,
+             |round(avg(l_discount), 6) AS avg_disc,
+             |count(*) AS count_order,
+             |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q12_ordered_listagg",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Relational.orderedStringAgg(tbl("orders"),
+          groupCols = Seq(col("o_custkey")),
+          sortKeys = Seq(col("o_orderdate"), col("o_orderkey")),
+          payload = col("o_orderkey").cast("string"),
+          sep = ",", outName = "order_keys")
+      },
+      Some("""SELECT o_custkey,
+             |string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey)
+             |  AS order_keys
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    Q("q13_dq_snapshot",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Relational.dqSnapshot(tbl("orders"), "orders",
+          nullishCols = Seq("o_orderpriority"),
+          numericCols = Seq("o_totalprice"),
+          distinctCols = Seq("o_orderstatus", "o_custkey"),
+          approxDistinct = false)
+      },
+      Some("""SELECT count(*) AS row_count,
+             |CAST(sum(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = '\N'
+             |  OR length(trim(o_orderpriority)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS null_o_orderpriority,
+             |min(o_totalprice) AS min_o_totalprice, max(o_totalprice) AS max_o_totalprice,
+             |CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS distinct_o_orderstatus,
+             |CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_o_custkey,
+             |'orders' AS dataset FROM orders""".stripMargin)),
+
+    // ── §2.7 windows ────────────────────────────────────────────────────
+
+    Q("q14_window_topk_group",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Relational.topKPerGroup(tbl("customer"),
+            partitionCols = Seq(col("c_mktsegment")),
+            orderCols = Seq(col("c_acctbal").desc, col("c_custkey")), k = 5)
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rnk AS BIGINT) AS rnk FROM
+             |(SELECT c_mktsegment, c_custkey, c_acctbal,
+             |  row_number() OVER (PARTITION BY c_mktsegment
+             |    ORDER BY c_acctbal DESC, c_custkey) AS rnk
+             | FROM customer)
+             |WHERE rnk <= 5""".stripMargin)),
+
+    Q("q15_window_groupmax_flag",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Relational.withGroupMax(tbl("lineitem"),
+            Seq(col("l_orderkey")), col("l_linenumber"), "max_line")
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+            Clean.flag(col("l_linenumber") === col("max_line")).as("is_last_line"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+             |CAST(CASE WHEN l_linenumber = max(l_linenumber)
+             |  OVER (PARTITION BY l_orderkey) THEN 1 ELSE 0 END AS BIGINT) AS is_last_line
+             |FROM lineitem""".stripMargin)),
+
+    // ── §2.8 sort / limit / set ops ─────────────────────────────────────
+
+    Q("q16_global_topn",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q17_union_by_name",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val a = tbl("orders").agg(count(lit(1)).as("row_count"),
+            round(sum(col("o_totalprice")), 2).as("total_value"))
+          .withColumn("dataset", lit("orders"))
+        val b = tbl("part").agg(count(lit(1)).as("row_count"),
+            countDistinct(col("p_brand")).as("n_brands"))
+          .withColumn("dataset", lit("part"))
+        a.unionByName(b, allowMissingColumns = true)
+      },
+      Some("""SELECT count(*) AS row_count, round(sum(o_totalprice), 2) AS total_value,
+             |  'orders' AS dataset FROM orders
+             |UNION ALL BY NAME
+             |SELECT count(*) AS row_count, CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+             |  'part' AS dataset FROM part""".stripMargin)),
+
+    // ── §2.10 latest-slice / incremental semantics ──────────────────────
+
+    Q("q18_latest_slice",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Relational.latestSlice(
+            tbl("events").withColumn("day", to_date(col("ts"))), col("day"))
+          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+             |count(*) AS n FROM events
+             |WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ── §2.9 scalar functions ───────────────────────────────────────────
+
+    Q("q19_date_parts",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("orders").groupBy(
+            year(col("o_orderdate")).cast("long").as("order_year"),
+            quarter(col("o_orderdate")).cast("long").as("order_quarter"))
+          .agg(count(lit(1)).as("n"),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             |CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+             |count(*) AS n,
+             |strftime(CAST(min(o_orderdate) AS DATE), '%Y-%m-%d') AS first_day,
+             |strftime(CAST(max(o_orderdate) AS DATE), '%Y-%m-%d') AS last_day
+             |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    Q("q20_string_funcs",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("customer").select(
+          col("c_custkey"),
+          lower(col("c_name")).as("name_lower"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+          concat_ws("-", col("c_mktsegment"), trim(col("c_name"))).as("seg_name"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"))
+      },
+      Some("""SELECT c_custkey, lower(c_name) AS name_lower,
+             |lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+             |regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+             |concat_ws('-', c_mktsegment, trim(c_name)) AS seg_name,
+             |CAST(length(c_name) AS BIGINT) AS name_len,
+             |substring(c_name, 1, 8) AS name_prefix
+             |FROM customer""".stripMargin)),
+
+    Q("q21_json_extract",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("events")
+          .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(sum(col("k_val")).as("sum_k"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type,
+             |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |count(*) AS n FROM events GROUP BY event_type""".stripMargin)),
+
+    // ── training-data ops: dedup ────────────────────────────────────────
+
+    Q("q22_dedup_exact",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Dedup.exactGroups(tbl("documents"), "doc_id", "text")
+      },
+      Some("""SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |count(*) AS n_dups FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    Q("q23_dedup_jaccard",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Dedup.jaccardPairs(tbl("documents"), "doc_id", "text",
+          threshold = 0.6, shingleLen = 3)
+          .withColumnRenamed("id_a", "id_a")
+      },
+      Some(jaccardOracle(0.6))),
+
+    Q("q24_dedup_minhash_lsh",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Dedup.minhashLshPairs(tbl("documents"), "doc_id", "text",
+          threshold = 0.6, shingleLen = 3, bands = 32, rowsPerBand = 2)
+      },
+      // LSH + exact verify: at j ≥ 0.6 with 32 bands × 2 rows the miss
+      // probability is ≤ (1−0.36)^32 ≈ 6e-7, so the exact-Jaccard oracle
+      // is the expected result.
+      Some(jaccardOracle(0.6))),
+
+    Q("q25_dedup_simhash",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("documents").select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      },
+      None), // xxhash64-based signature: not expressible in DuckDB SQL
+
+    // ── training-data ops: similarity search ────────────────────────────
+
+    Q("q26_ann_cosine_topk",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val emb = tbl("embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |          FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             |      FROM embeddings),
+             |sc AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+             |       FROM q, c WHERE neighbor_id <> query_id),
+             |r AS (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+             |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+             |  round(cos, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
+
+    Q("q27_embedding_dup_pairs",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Dedup.embeddingDupPairs(tbl("embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.95)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin)),
+
+    // ── training-data ops: text analysis ────────────────────────────────
+
+    Q("q28_text_stats",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("documents").select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          round(Text.distinctTokenRatio(col("text")), 6).as("distinct_ratio"),
+          round(Text.avgTokenLength(col("text")), 6).as("avg_token_len"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |CAST(length(text) AS BIGINT) AS n_chars_calc,
+             |round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |  / len(string_split(text, ' ')), 6) AS distinct_ratio,
+             |round(CAST(list_sum(list_transform(string_split(text, ' '),
+             |  t -> length(t))) AS DOUBLE) / len(string_split(text, ' ')), 6)
+             |  AS avg_token_len
+             |FROM documents""".stripMargin)),
+
+    Q("q29_quality_score",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val score = Text.qualityScore(col("text"), Stopwords)
+        tbl("documents").select(col("doc_id"), score.as("quality"),
+          Clean.flag(score >= 0.5).as("is_quality"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id,
+              |  len(string_split(text, ' ')) AS n_tok,
+              |  len(list_distinct(string_split(text, ' '))) AS n_dis,
+              |  len(list_filter(string_split(text, ' '), t -> t IN ($StopSql))) AS n_sw,
+              |  length(text) AS n_ch,
+              |  length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+              |  FROM documents),
+              |sc AS (SELECT doc_id, round(
+              |  least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+              |  + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0) * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(n_ch - n_nopunct AS DOUBLE)
+              |      / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality FROM m)
+              |SELECT doc_id, quality,
+              |  CAST(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+              |FROM sc""".stripMargin)),
+
+    Q("q30_lang_id",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("documents").select(col("doc_id"),
+          Text.langId(lower(col("text")), LangMarkers).as("lang_pred"))
+      },
+      Some {
+        val scores = LangMarkers.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($lst))) AS s_$lang"
+        }.mkString(",\n  ")
+        val best = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = LangMarkers.map { case (l, _) =>
+          s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+        }.mkString("\n  ")
+        s"""WITH m AS (SELECT doc_id,
+           |  $scores
+           |  FROM documents)
+           |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM m""".stripMargin
+      }),
+
+    Q("q31_fingerprint",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("documents").select(col("doc_id"),
+          Text.canonicalFingerprint(lower(col("text"))).as("fingerprint"))
+      },
+      Some("""SELECT doc_id,
+             |md5(array_to_string(list_sort(list_distinct(
+             |  string_split(lower(text), ' '))), ' ')) AS fingerprint
+             |FROM documents""".stripMargin)),
+
+    // ── events: sessionization & windowed aggregation ───────────────────
+
+    Q("q32_sessionize",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        Sessionize.sessionSummary(tbl("events"), "user_id", "ts", "value",
+          gapSeconds = 7200)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+             |x AS (SELECT user_id, us, value,
+             |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 7200000000
+             |       THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |g AS (SELECT user_id, us, value,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  count(*) AS n_events,
+             |  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+             |  round(sum(value), 4) AS total_value
+             |FROM g GROUP BY user_id, session_id""".stripMargin)),
+
+    Q("q33_tumbling_window",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+             |count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("q34_event_pivot",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val aggs = Seq("click", "view", "purchase", "signup", "error").map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+        tbl("events").groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+      },
+      Some("""SELECT user_id,
+             |CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+             |CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+             |CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+             |CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+             |CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ── grouping sets ───────────────────────────────────────────────────
+
+    Q("q35_rollup_agg",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("customer")
+          .join(broadcast(tbl("nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(tbl("region")), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal")
+          .createOrReplaceTempView("__q35_base")
+        // SQL form: Dataset.rollup's Expand node trips Spark's
+        // ambiguous-self-join detection on the joined attributes
+        s.sql("""SELECT r_name, n_name, count(*) AS n,
+                |round(sum(c_acctbal), 2) AS sum_bal
+                |FROM __q35_base GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)))
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling.
+  *
+  * All column expressions (codegen'd built-ins + higher-order functions) —
+  * no UDFs, so they vectorize and survive a 1000-executor scale-up with no
+  * serialization overhead. Oracle-parity note: token operations use plain
+  * single-space splitting where a DuckDB oracle must reproduce them; the
+  * regex variants are library-side extras.
+  */
+object Text {
+
+  /** Whitespace tokens (exact single-space split — oracle-reproducible). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex word tokens — BPE-ish pre-tokenizer: word pieces, numbers, or
+    * single non-space symbols (library-side; mirrors GPT-2-style regex). */
+  def regexTokens(text: Column): Column =
+    filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"), t => length(trim(t)) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Distinct-token ratio — low values indicate repetitive/spammy text. */
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  def avgTokenLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(tokens(text))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t))).cast("double") /
+      greatest(size(tokens(text)), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length, lexical
+    * diversity and some stopword mass; penalizes punctuation soup. All
+    * integer-count arithmetic → deterministic across engines. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50d, lit(1d))
+    val divScore = distinctTokenRatio(text)
+    val swScore  = least(stopwordRatio(text, stopwords) * 5d, lit(1d))
+    val punPen   = greatest(lit(0d), lit(1d) - punctRatio(text) * 4d)
+    round(lenScore * 0.3 + divScore * 0.3 + swScore * 0.2 + punPen * 0.2, 6)
+  }
+
+  /** Per-language marker-word hit counts → argmax language ID. Pure
+    * integer counts so an ANSI-SQL oracle reproduces it exactly.
+    * `markers` is an ordered Seq: on ties the FIRST listed language wins,
+    * matching a CASE chain written in the same order. */
+  def langScores(text: Column, markers: Seq[(String, Seq[String])]): Seq[(String, Column)] =
+    markers.map { case (lang, words) =>
+      val w = array(words.map(lit): _*)
+      lang -> size(filter(tokens(text), t => array_contains(w, t))).cast("long")
+    }
+
+  def langId(text: Column, markers: Seq[(String, Seq[String])], default: String = "und"): Column = {
+    val scores = langScores(text, markers)
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit(default): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token
+    * set — stable under token reordering/duplication, so it catches
+    * shuffled near-duplicates that exact text hashing misses. */
+  def canonicalFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rabin–Karp rolling hash over tokens (poly accumulate, 64-bit wrap).
+    * Order-sensitive counterpart of [[canonicalFingerprint]]. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Word n-gram shingles (the MinHash/Jaccard unit). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array_distinct(toks)).otherwise(
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+/** Deduplication operators for training-data pipelines, each designed to
+  * scale: no O(n²) cross joins — candidate generation is always a
+  * key-partitioned shuffle (hash, token inverted index, or LSH band
+  * buckets), so the work distributes across executors and skewed buckets
+  * can be handled by AQE.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-aggregate, canonical survivor =
+    * min(id). At 100 TB this is a single shuffle on md5(text) — uniform
+    * keys, no skew. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact token-set Jaccard over all pairs ≥ threshold, WITHOUT a cross
+    * join: explode distinct tokens → self-join on token (inverted index)
+    * → co-occurrence count = |A∩B| → |A∪B| = |A|+|B|−|A∩B|.
+    * Pairs sharing no token have Jaccard 0 and are correctly absent.
+    * Scale note: very common tokens blow up the index; `maxDocFreq` drops
+    * tokens appearing in more than that fraction of docs (a standard
+    * prefix-filter; disabled when 1.0 for oracle-exact parity). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleLen: Int = 1,
+                   maxDocFreq: Double = 1.0): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      Text.shingles(lower(col(textCol)), shingleLen).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val inv0 = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    val inv =
+      if (maxDocFreq >= 1.0) inv0
+      else {
+        val nDocs = docs.count().toDouble
+        val hot = inv0.groupBy("tok").count()
+          .filter(col("count") > nDocs * maxDocFreq).select("tok")
+        inv0.join(broadcast(hot), Seq("tok"), "left_anti")
+      }
+    val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+    val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+    a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: `numHashes` permutations simulated by seeded
+    * xxhash64; sig[i] = min over shingles. Pure higher-order-function
+    * expression — computed in one narrow pass, no shuffle. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => aggregate(shingleSet, lit(Long.MaxValue),
+        (m, s) => least(m, xxhash64(s, i))))
+
+  /** MinHash + LSH banded near-dup pairs, verified with exact Jaccard.
+    *
+    * numHashes = bands × rowsPerBand. With rowsPerBand=2, bands=32 a pair
+    * at Jaccard j is missed with prob (1−j²)^32 — ≤ 7e-15 at j=0.8, so
+    * the verified output equals the exact-Jaccard result with
+    * overwhelming probability while candidate generation stays a banded
+    * hash shuffle instead of an O(n²) scan.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleLen: Int = 1,
+                      bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("id"),
+        array_distinct(Text.shingles(lower(col(textCol)), shingleLen)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // band value = hash of that band's slice of the signature
+    val banded = sig.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+          .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()   // dedup multi-band hits
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over token multiset: bit b of the output is the sign
+    * of Σ_tokens (±1 by bit b of xxhash64(token)). Near-dups differ in
+    * few bits; bucketing on bit-ranges gives the scale path. */
+  def simhash(text: Column): Column = {
+    val toks = Text.tokens(lower(text))
+    (0 until 64).map { b =>
+      val bitSum = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold via hyperplane-LSH
+    * bucketing (narrow signature pass + banded shuffle), exact cosine
+    * verify inside each bucket. `bands` buckets of `bitsPerBand` bits. */
+  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    val planes = bands * bitsPerBand
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", Vectors.hyperplaneSignature(col("v"), dim, planes))
+    val bandCols = (0 until bands).map(b =>
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND((1L << bitsPerBand) - 1))
+    val banded = sig.select(col("id"), col("v"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .withColumn("cos", Vectors.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

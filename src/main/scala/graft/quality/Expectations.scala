@@ -1,0 +1,66 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Native re-implementation of the reference's four validation layers
+  * (SURVEY §5): partition smoke counts, Great-Expectations-style
+  * range-with-`mostly` tolerances, and dbt-style not_null / unique —
+  * each evaluated as ONE aggregate over ONE scan (no per-expectation
+  * passes), returning a result row per expectation.
+  */
+object Expectations {
+
+  final case class Result(name: String, passed: Boolean, detail: String)
+
+  sealed trait Expectation { def name: String; def agg: Column }
+
+  /** ≥ `mostly` fraction of non-null rows satisfy `cond` (GE semantics:
+    * nulls are excluded from the denominator). */
+  final case class MostlySatisfies(name: String, cond: Column, nonNull: Column,
+                                   mostly: Double) extends Expectation {
+    def agg: Column = struct(
+      sum(when(nonNull && cond, 1L).otherwise(0L)).as("ok"),
+      sum(when(nonNull, 1L).otherwise(0L)).as("tot")).as(name)
+  }
+
+  object dsl {
+    def notNull(c: String): Expectation =
+      MostlySatisfies(s"not_null_$c", col(c).isNotNull, lit(true), 1.0)
+    def between(c: String, lo: Double, hi: Double, mostly: Double = 1.0): Expectation =
+      MostlySatisfies(s"between_$c", col(c) >= lo && col(c) <= hi, col(c).isNotNull, mostly)
+    def unique(c: String): Expectation = new Expectation {
+      val name = s"unique_$c"
+      def agg: Column = struct(
+        (count(lit(1)) - countDistinct(col(c))).as("dupes"), count(lit(1)).as("tot")).as(name)
+    }
+    def rowCountAtLeast(n: Long): Expectation = new Expectation {
+      val name = "row_count_at_least"
+      def agg: Column = struct(count(lit(1)).as("ok"), lit(n).as("tot")).as(name)
+    }
+  }
+
+  /** Evaluate all expectations in a single job; returns per-expectation
+    * results. Throws nothing — callers decide whether failures gate. */
+  def validate(df: DataFrame, expectations: Seq[Expectation]): Seq[Result] = {
+    val row = df.agg(expectations.head.agg, expectations.tail.map(_.agg): _*).head()
+    expectations.zipWithIndex.map {
+      case (e: MostlySatisfies, i) =>
+        val s = row.getStruct(i); val ok = s.getLong(0); val tot = s.getLong(1)
+        val frac = if (tot == 0) 1.0 else ok.toDouble / tot
+        Result(e.name, frac >= e.mostly, s"$ok/$tot ok (mostly=${e.mostly})")
+      case (e, i) if e.name.startsWith("unique_") =>
+        val s = row.getStruct(i)
+        Result(e.name, s.getLong(0) == 0, s"${s.getLong(0)} duplicate rows")
+      case (e, i) =>
+        val s = row.getStruct(i)
+        Result(e.name, s.getLong(0) >= s.getLong(1), s"count=${s.getLong(0)} min=${s.getLong(1)}")
+    }
+  }
+
+  def assertAll(df: DataFrame, expectations: Seq[Expectation]): Unit = {
+    val failed = validate(df, expectations).filterNot(_.passed)
+    require(failed.isEmpty, "expectations failed: " +
+      failed.map(r => s"${r.name} [${r.detail}]").mkString("; "))
+  }
+}
