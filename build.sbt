@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // headroom for whole-stage-codegen classes across a long query suite
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -15,7 +15,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink materializes every row (count() would let parquet
     // count-star shortcuts skip the actual work)
-    val results = Queries.all.map { q =>
+    val only = args.toSet // optional query-name filter (dev use)
+    val results = Queries.all.filter(q => only.isEmpty || only(q.name)).map { q =>
+      System.err.println(s"[bench] start ${q.name}")
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -436,7 +436,7 @@ object Queries {
     Q("q27_embedding_dup_pairs",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         Dedup.embeddingDupPairs(tbl("embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.95)
+          threshold = 0.95)
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -84,8 +84,15 @@ object Text {
     aggregate(tokens(text), lit(1125899906842597L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
 
-  /** Word n-gram shingles (the MinHash/Jaccard unit). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles, distinct (the MinHash/Jaccard unit). Native
+    * codegen'd expression — see graft.plans.WordShingles for why the
+    * HOF formulation ([[shinglesHof]]) is quadratic. */
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.exprs.wordShingles(text, n)
+
+  /** HOF shingles — executable spec for [[shingles]]; same output as a
+    * set (ordering of distinct elements also matches: first occurrence). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array_distinct(toks)).otherwise(
       array_distinct(transform(sequence(lit(0), size(toks) - n),

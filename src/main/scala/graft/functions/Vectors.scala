@@ -15,16 +15,23 @@ object Vectors {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Higher-order-function dot product — reference implementation; the
+    * hot path uses the codegen'd native expression below. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
-  def normSq(a: Column): Column = dot(a, a)
+  def normSq(a: Column): Column = dotHof(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** HOF cosine — kept as the executable spec for [[cosine]]; both
+    * accumulate sequentially in double, so they agree bitwise. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine (graft.plans.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column = graft.plans.exprs.cosineSim(a, b)
 
   /** Elementwise mean of a group of vectors — centroid for IVF routing.
     * Usage: `groupBy(...).agg(Vectors.centroid(col("embedding"), dim))`. */
@@ -34,20 +41,11 @@ object Vectors {
     array(sums.map(_ / n): _*)
   }
 
-  /** Random-hyperplane LSH bit signature (SimHash for vectors): sign of
-    * the projection onto `planes` deterministic pseudo-random hyperplanes.
-    * Plane weights derive from xxhash64(planeIdx, dimIdx) — seedless,
-    * reproducible, no driver-side randomness. */
-  def hyperplaneSignature(v: Column, dim: Int, planes: Int): Column = {
-    val vd = toDouble(v)
-    val bits = (0 until planes).map { p =>
-      val proj = (0 until dim).map { d =>
-        // hash → pseudo-random weight in [-1, 1)
-        val w = (xxhash64(lit(p * 7919 + d)) % 1000000L).cast("double") / 1000000.0
-        element_at(vd, d + 1) * w
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Random-hyperplane LSH bit signature: sign of the projection onto
+    * `planes` deterministic pseudo-random hyperplanes, packed in a long.
+    * Native codegen'd expression (graft.plans.HyperplaneSignature) — the
+    * equivalent built-in-function formulation is an O(planes×dim)-node
+    * expression tree that falls out of codegen and chokes the optimizer. */
+  def hyperplaneSignature(v: Column, planes: Int): Column =
+    graft.plans.exprs.hyperplaneSig(v, planes)
 }

@@ -53,13 +53,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: `numHashes` permutations simulated by seeded
-    * xxhash64; sig[i] = min over shingles. Pure higher-order-function
-    * expression — computed in one narrow pass, no shuffle. */
+  /** MinHash signature: `numHashes` hash families; sig[i] = min over
+    * shingles. Native one-pass expression (graft.plans.MinHashSig) —
+    * the HOF formulation (transform × aggregate) re-evaluates the
+    * shingle child per hash family after projection collapse. */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => aggregate(shingleSet, lit(Long.MaxValue),
-        (m, s) => least(m, xxhash64(s, i))))
+    graft.plans.exprs.minhashSig(shingleSet, numHashes)
 
   /** MinHash + LSH banded near-dup pairs, verified with exact Jaccard.
     *
@@ -73,19 +72,27 @@ object Dedup {
                       threshold: Double, shingleLen: Int = 1,
                       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(col(idCol).as("id"),
-        array_distinct(Text.shingles(lower(col(textCol)), shingleLen)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // band value = hash of that band's slice of the signature
-    val banded = sig.select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-          .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
+    val shingleSets = docs.select(col(idCol).as("id"),
+      array_distinct(Text.shingles(lower(col(textCol)), shingleLen)).as("sh"))
+    val sig = shingleSets.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // band value = hash of that band's slice of the signature.
+    // Candidate generation ships ONLY (band, bucket, id) — at 100 TB the
+    // shingle sets stay out of the banded shuffle and are re-joined by id
+    // for the verify step. Bands are built as a Scala-level array (many
+    // syntactic refs to `sig`) so CollapseProject keeps the signature in
+    // its own projection instead of inlining it per band.
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b)))
+    val banded = sig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()   // dedup multi-band hits
+      .select("id_a", "id_b").distinct()   // dedup multi-band hits
+    cand
+      .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -93,35 +100,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over token multiset: bit b of the output is the sign
-    * of Σ_tokens (±1 by bit b of xxhash64(token)). Near-dups differ in
-    * few bits; bucketing on bit-ranges gives the scale path. */
-  def simhash(text: Column): Column = {
-    val toks = Text.tokens(lower(text))
-    (0 until 64).map { b =>
-      val bitSum = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash over the token multiset: bit b of the output is the
+    * sign of Σ_tokens (±1 by bit b of hash(token)). Near-dups differ in
+    * few bits; bucketing on bit-ranges gives the scale path. Native
+    * codegen'd expression — one pass over the tokens per row. */
+  def simhash(text: Column): Column =
+    graft.plans.exprs.simhash64(Text.tokens(lower(text)))
 
   /** Embedding near-dup pairs: cosine ≥ threshold via hyperplane-LSH
     * bucketing (narrow signature pass + banded shuffle), exact cosine
     * verify inside each bucket. `bands` buckets of `bitsPerBand` bits. */
-  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     val planes = bands * bitsPerBand
+    require(planes <= 64, "bands × bitsPerBand must fit a 64-bit signature")
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", Vectors.hyperplaneSignature(col("v"), dim, planes))
+      .withColumn("sig", Vectors.hyperplaneSignature(col("v"), planes))
     val bandCols = (0 until bands).map(b =>
       shiftright(col("sig"), b * bitsPerBand).bitwiseAND((1L << bitsPerBand) - 1))
-    val banded = sig.select(col("id"), col("v"),
+    // id-only candidate pairs through the banded shuffle; vectors re-join
+    // by id for the exact-cosine verify (same discipline as MinHash-LSH)
+    val banded = sig.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("band", "bucket"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", Vectors.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{SparkSessionExtensions, functions => F}
+
+/** Custom scalar Catalyst expressions for dense-vector / fingerprint work
+  * where the built-in higher-order functions are too slow (interpreted
+  * per-element lambdas, or giant expression trees for per-plane sums).
+  *
+  * All three codegen by delegating to [[VectorOps]] statics, so they stay
+  * inside whole-stage codegen spans. Register for SQL via
+  * [[GraftExtensions]] (`graft_cosine`, `graft_hyperplane_sig`,
+  * `graft_simhash`) or use the Column API in [[exprs]].
+  */
+private[graft] object ExprUtil {
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+    }
+  private lazy val aF = ExprUtil.isFloatArray(left.dataType)
+  private lazy val bF = ExprUtil.isFloatArray(right.dataType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VectorOps.cosine($a, $b, $aF, $bF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class HyperplaneSignature(child: Expression, planes: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 64, "planes must be in [1, 64]")
+  override def dataType: DataType = LongType
+  private lazy val isF = ExprUtil.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.hyperplaneSignature(v.asInstanceOf[ArrayData], isF, planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.VectorOps.hyperplaneSignature($v, $isF, $planes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash64 over an array<string> of tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.simhash64($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word n-gram shingles of a single-space-tokenized string.
+  * Native replacement for the transform/slice/concat_ws HOF tree, which
+  * (a) interprets per element and (b) re-evaluates its `split` child per
+  * lambda iteration — O(tokens²) chars per row. This evaluates its child
+  * ONCE and builds shingles in O(total chars). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle length must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.wordShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.wordShingles($v, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** k-hash MinHash signature over an array<string>; elements hashed once,
+  * k seed-mixes each — one pass, no per-hash re-evaluation of the child. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 1024, "k must be in [1, 1024]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.minhashSig(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.minhashSig($v, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points for the custom expressions. */
+object exprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  def hyperplaneSig(v: Column, planes: Int): Column =
+    column(HyperplaneSignature(expression(v), planes))
+
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens)))
+
+  def wordShingles(text: Column, n: Int): Column =
+    column(WordShingles(expression(text), n))
+
+  def minhashSig(elems: Column, k: Int): Column =
+    column(MinHashSig(expression(elems), k))
+}
+
+/** `SparkSessionExtensions` hook: registers the custom expressions as SQL
+  * functions. Attach with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSignature(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the custom Catalyst expressions in this package.
+  * Generated code calls these statics directly (the `StaticInvoke`
+  * pattern), so the expressions stay inside whole-stage codegen while the
+  * per-row loop runs as plain JIT-compiled Java — no per-element lambda
+  * interpretation like the built-in higher-order functions.
+  */
+object VectorOps {
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Cosine similarity with strictly sequential double accumulation —
+    * bit-compatible with `aggregate(zip_with(...))` over the same data
+    * and with scalar SQL engines' loop implementations. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, aFloat); val y = elem(b, i, bFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += elem(a, i, aFloat) * elem(b, i, bFloat); i += 1 }
+    s
+  }
+
+  /** Deterministic pseudo-random hyperplane weights: plane p over dim d
+    * uses java.util.Random(p*7919+d) — spec-fixed LCG, identical on every
+    * JVM, no driver-side state to ship. */
+  @inline private def weight(p: Int, d: Int): Double =
+    new java.util.Random(p.toLong * 7919L + d.toLong).nextDouble() * 2.0 - 1.0
+
+  /** Sign-of-projection LSH signature over `planes` hyperplanes packed
+    * into one long (planes ≤ 64). One pass per plane over the vector —
+    * O(planes×dim) flops in a tight JIT loop. */
+  def hyperplaneSignature(v: ArrayData, isFloat: Boolean, planes: Int): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0; var d = 0
+      while (d < dim) { proj += elem(v, d, isFloat) * weight(p, d); d += 1 }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over a token array: per token one 64-bit hash
+    * (FNV-1a over UTF8 bytes — deterministic, allocation-free), ±1 into
+    * 64 counters, sign → bit. O(tokens × (len + 64)). */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Distinct word n-gram shingles of a single-space-tokenized string.
+    * Exactly mirrors: tokens = split(text, " ") (trailing empties kept);
+    * if #tokens < n → distinct tokens, else distinct windows of n tokens
+    * joined by " " — the same semantics as the DuckDB oracle's
+    * string_split + list_transform + list_distinct formulation. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) {
+      var i = 0
+      while (i < toks.length) { out.add(toks(i)); i += 1 }
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  private final val Golden = 0x9e3779b97f4a7c15L
+
+  @inline private def splitmix64(x0: Long): Long = {
+    var x = x0 + Golden
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signature: sig[i] = min over elements of h_i(elem), with
+    * h_i = splitmix64(fnv1a64(elem) ^ splitmix64(i)) — k independent
+    * hash families, evaluated in ONE pass over the element array
+    * (elements hashed once, then k cheap mixes each). */
+  def minhashSig(elems: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      if (!elems.isNullAt(i)) {
+        val base = fnv1a64(elems.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = splitmix64(base ^ splitmix64(j.toLong))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
