@@ -79,10 +79,11 @@ object Text {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
   /** Rabin–Karp rolling hash over tokens (poly accumulate, 64-bit wrap).
-    * Order-sensitive counterpart of [[canonicalFingerprint]]. */
+    * Order-sensitive counterpart of [[canonicalFingerprint]]. Native
+    * expression: wrapping multiply is not expressible under ANSI SQL
+    * arithmetic (overflow raises). */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(1125899906842597L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+    graft.plans.exprs.tokenRollingHash(tokens(text))
 
   /** Word n-gram shingles, distinct (the MinHash/Jaccard unit). Native
     * codegen'd expression — see graft.plans.WordShingles for why the

@@ -82,6 +82,16 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Order-sensitive rolling hash over an array<string> of tokens. */
+case class TokenRollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.tokenRollingHash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.tokenRollingHash($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** k-hash MinHash signature over an array<string>; elements hashed once,
   * k seed-mixes each — one pass, no per-hash re-evaluation of the child. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
@@ -112,6 +122,9 @@ object exprs {
 
   def minhashSig(elems: Column, k: Int): Column =
     column(MinHashSig(expression(elems), k))
+
+  def tokenRollingHash(tokens: Column): Column =
+    column(TokenRollingHash(expression(tokens)))
 }
 
 /** `SparkSessionExtensions` hook: registers the custom expressions as SQL

@@ -142,6 +142,21 @@ object VectorOps {
     ArrayData.toArrayData(sig)
   }
 
+  /** Order-sensitive Rabin–Karp rolling hash over a token array
+    * (wrapping 64-bit polynomial accumulate — not expressible with ANSI
+    * SQL arithmetic, which raises on overflow). */
+  def tokenRollingHash(tokens: ArrayData): Long = {
+    var acc = 1125899906842597L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (tokens.isNullAt(i)) 0L else fnv1a64(tokens.getUTF8String(i))
+      acc = acc * 31L + h
+      i += 1
+    }
+    acc
+  }
+
   def fnv1a64(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0xcbf29ce484222325L

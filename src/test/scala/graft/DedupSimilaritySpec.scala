@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exactGroups collapses identical texts to min id") {
+    val df = Seq((10L, "aaa"), (3L, "aaa"), (7L, "bbb")).toDF("doc_id", "text")
+    val got = Dedup.exactGroups(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(got.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).toSeq ==
+      Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("minhashLshPairs == exact jaccardPairs on real docs (verified LSH)") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleLen = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6, shingleLen = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"lsh-only=${lsh -- exact} exact-only=${exact -- lsh}")
+  }
+
+  test("jaccardPairs finds constructed near-dups, skips distinct docs") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),   // 7/9ish 3-gram overlap
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 0.5, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("embeddingDupPairs: finds an injected duplicate vector") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(100)
+    // duplicate vec 0 with a new id → cosine 1.0 pair must surface
+    val dup = emb.filter($"vec_id" === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val got = Dedup.embeddingDupPairs(emb.unionByName(dup), "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((0L, 100000L)), s"got ${got.toSeq}")
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, descending") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(200)
+    val got = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 4).collect()
+    assert(got.length == 12)
+    assert(got.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      val sims = sorted.map(_.getAs[Double]("cos"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivfTopK returns plausible neighbors (recall vs brute force)") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val cents = Similarity.trainCentroidsById(emb, "vec_id", "embedding", 64, cells = 8)
+    val ivf = Similarity.ivfTopK(emb, queries, cents, "vec_id", "embedding",
+      k = 10, nProbe = 4).collect()
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10).collect()
+    assert(ivf.nonEmpty)
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfSet = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivfSet & bfSet).size.toDouble / bfSet.size
+    assert(recall > 0.3, s"IVF recall $recall too low even for nProbe=4/8 cells")
+  }
+}

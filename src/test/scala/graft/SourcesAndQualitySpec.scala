@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.quality.Expectations
+import graft.sources.{ParquetSink, TsvSource}
+
+class SourcesAndQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TsvSource reads \\N as NULL, header, tabs") {
+    val dir = Files.createTempDirectory("graft_tsv").toFile
+    val f = new java.io.File(dir, "t.tsv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id\tname\tyear"); w.println("1\talpha\t1990")
+    w.println("2\t\\N\t\\N"); w.close()
+    val df = TsvSource(spark, f.getAbsolutePath)
+    val rows = df.orderBy("id").collect()
+    assert(df.columns.toSeq == Seq("id", "name", "year"))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
+  test("ParquetSink: append + dynamic partition overwrite slice reload") {
+    val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/t"
+    val d1 = Seq(("r1", "a", 1), ("r1", "b", 2)).toDF("run", "g", "v")
+    val d2 = Seq(("r2", "a", 3)).toDF("run", "g", "v")
+    ParquetSink.append(d1, out, Seq("run"))
+    ParquetSink.append(d2, out, Seq("run"))
+    assert(spark.read.parquet(out).count() == 3)
+    // idempotent reload of r1 with corrected data: only r1 replaced
+    val d1fix = Seq(("r1", "a", 10)).toDF("run", "g", "v")
+    ParquetSink.overwriteSlices(d1fix, out, Seq("run"))
+    val after = spark.read.parquet(out)
+    assert(after.count() == 2)
+    assert(after.filter($"run" === "r1").head().getAs[Int]("v") == 10)
+    assert(after.filter($"run" === "r2").count() == 1)
+  }
+
+  test("partition pruning: reading one slice scans one partition") {
+    val out = Files.createTempDirectory("graft_prune").toFile.getAbsolutePath + "/t"
+    ParquetSink.append(Seq(("r1", 1), ("r2", 2), ("r3", 3)).toDF("run", "v"), out, Seq("run"))
+    val plan = spark.read.parquet(out).filter($"run" === "r2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("r2"), plan.take(500))
+  }
+
+  test("Expectations DSL: single-pass validate with mostly semantics") {
+    import Expectations.dsl._
+    val df = Seq((1, 5.0), (2, 9.5), (3, 11.0), (4, 7.0), (5, 8.0))
+      .toDF("id", "rating")
+    val results = Expectations.validate(df, Seq(
+      notNull("id"), unique("id"),
+      between("rating", 0, 10, mostly = 0.75),
+      rowCountAtLeast(3)))
+    assert(results.forall(_.passed), results.mkString("; "))
+    val strict = Expectations.validate(df, Seq(between("rating", 0, 10, mostly = 0.95)))
+    assert(!strict.head.passed)
+    intercept[IllegalArgumentException] {
+      Expectations.assertAll(df, Seq(between("rating", 0, 10)))
+    }
+  }
+
+  test("unique expectation catches duplicates") {
+    import Expectations.dsl._
+    val df = Seq(1, 2, 2, 3).toDF("k")
+    assert(!Expectations.validate(df, Seq(unique("k"))).head.passed)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Text, Vectors}
+import graft.sources.Tables
+
+class TextAndVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native shingles == HOF shingles (as sets, on real docs)") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val diff = docs.select(
+        Text.shingles(lower(col("text")), 3).as("a"),
+        Text.shinglesHof(lower(col("text")), 3).as("b"))
+      .filter(size(array_except(col("a"), col("b"))) > 0 ||
+              size(array_except(col("b"), col("a"))) > 0)
+    assert(diff.count() == 0)
+  }
+
+  test("shingles edge cases: short text, duplicates") {
+    val df = Seq("a b", "a b c d", "x x x x").toDF("text")
+      .select(Text.shingles(col("text"), 3).as("s"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got(0) == Seq("a", "b"))              // < n tokens → distinct tokens
+    assert(got(1) == Seq("a b c", "b c d"))      // sliding windows
+    assert(got(2) == Seq("x x x"))               // distinct collapses repeats
+  }
+
+  test("native cosine == HOF cosine bitwise on real embeddings") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(50)
+    val a = emb.select(col("vec_id"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id") + 1 as "vec_id", col("embedding").as("v2"))
+    val joined = a.join(b, "vec_id")
+    val diff = joined.select(
+        Vectors.cosine(col("v1"), col("v2")).as("n"),
+        Vectors.cosineHof(col("v1"), col("v2")).as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(diff.count() == 0)
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(10)
+    val vals = emb.select(Vectors.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("quality score in [0,1]; langId deterministic") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val q = docs.select(Text.qualityScore(col("text"), Queries.Stopwords).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+    val l = docs.select(Text.langId(lower(col("text")), Queries.LangMarkers).as("l"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(l.subsetOf(Queries.LangMarkers.map(_._1).toSet + "und"))
+  }
+
+  test("canonical fingerprint invariant under token order; rollingHash is not") {
+    val df = Seq(("a b c", "c b a"), ("x y", "x y")).toDF("t1", "t2").select(
+      (Text.canonicalFingerprint(col("t1")) === Text.canonicalFingerprint(col("t2"))).as("cfEq"),
+      (Text.rollingHash(col("t1")) === Text.rollingHash(col("t2"))).as("rhEq"))
+    val rows = df.collect()
+    assert(rows(0).getBoolean(0) && !rows(0).getBoolean(1))
+    assert(rows(1).getBoolean(0) && rows(1).getBoolean(1))
+  }
+
+  test("hyperplane signature: deterministic, equal for equal vectors") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(20)
+    val s1 = emb.select(Vectors.hyperplaneSignature(col("embedding"), 64).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = emb.select(Vectors.hyperplaneSignature(col("embedding"), 64).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+  }
+
+  test("minhash signature estimates jaccard (property)") {
+    // two overlapping token sets with known jaccard 1/3
+    val df = Seq(("a b c d", "c d e f")).toDF("t1", "t2").select(
+      graft.plans.exprs.minhashSig(Text.shingles(col("t1"), 1), 256).as("s1"),
+      graft.plans.exprs.minhashSig(Text.shingles(col("t2"), 1), 256).as("s2"))
+    val r = df.select(
+      size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b), x => x)).as("eq")).head()
+    val est = r.getInt(0) / 256.0
+    assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est far from 1/3")
+  }
+
+  test("simhash: equal texts equal; near-dup texts close in hamming") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog and runs far away home",
+       "the quick brown fox jumps over the lazy dog and runs far away house"),
+      ("completely different words entirely unrelated content here now",
+       "the quick brown fox jumps over the lazy dog and runs far away home"))
+      .toDF("t1", "t2").select(
+        graft.operators.Dedup.simhash(col("t1")).as("h1"),
+        graft.operators.Dedup.simhash(col("t2")).as("h2"))
+    val rows = df.collect().map(r => java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(1)))
+    assert(rows(0) < rows(1), s"near-dup hamming ${rows(0)} !< unrelated ${rows(1)}")
+  }
+}
