@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+case class TypedEvent(ts: java.sql.Timestamp, event_type: String, value: Double)
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming windowedCounts == batch tumbling agg on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables(spark, TestSpark.sf0001, "events")
+      .select($"ts", $"event_type", $"value")
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val input = MemoryStream[TypedEvent]
+    input.addData(events.as[TypedEvent].collect().toSeq)
+    val q = EventStreams.windowedCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("winout")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // append mode: only watermark-closed windows emit; every emitted row
+    // must match its batch counterpart, and most windows must have closed
+    val got = spark.table("winout")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got.nonEmpty && got.subsetOf(batch), s"streaming rows not in batch: ${got -- batch}")
+    assert(got.size >= batch.size / 2, s"too few closed windows: ${got.size}/${batch.size}")
+  }
+
+  test("stateful sessionize matches batch sessionization on closed sessions") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val data = Seq(
+      Event(1L, ts(0), 1.0), Event(1L, ts(10), 2.0),   // session A (u1)
+      Event(1L, ts(500), 3.0),                          // session B (u1)
+      Event(2L, ts(5), 4.0), Event(2L, ts(20), 1.5))    // session A (u2)
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 3600)
+      .writeStream.format("memory").queryName("sessout")
+      .outputMode("append").start()
+    input.addData(data)
+    q.processAllAvailable()
+    // u1's first session closes when its second session opens
+    val closed = spark.table("sessout").as[EventStreams.Session].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 1L && closed.head.n_events == 2 &&
+      closed.head.duration_sec == 600 && closed.head.total_value == 3.0)
+  }
+
+  test("multimodal: schema, batched stub decode, frame sampling") {
+    implicit val s = spark
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("media_id", "bigint"), ("mime", "string"), ("media", "binary")))
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    // n_bytes equals the document byte length (stub decode reads real bytes)
+    val nc = docs.select(col("doc_id"), octet_length(col("text")).cast("long").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(f => f.n_bytes == nc(f.media_id)))
+    // deterministic: second run identical
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+    val frames = Multimodal.sampleFrames(feats, stride = 10)
+    assert(frames.count() > 0)
+    assert(frames.groupBy("media_id").count().filter(col("count") < 1).count() == 0)
+  }
+}
