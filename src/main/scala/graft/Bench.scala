@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,6 +13,9 @@ object Bench {
       .config(graft.sources.Tables.nanosConf._1, graft.sources.Tables.nanosConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the session (codegen, shuffle service, file index) so the
+    // first measured query doesn't absorb one-time init
+    spark.range(1000000).selectExpr("sum(id)").collect()
     // noop sink materializes every row (count() would let parquet
     // count-star shortcuts skip the actual work)
     val only = args.toSet // optional query-name filter (dev use)
