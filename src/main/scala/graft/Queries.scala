@@ -581,7 +581,180 @@ object Queries {
       Some("""SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)))
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+
+    // ── extended scalar/agg/window surface ──────────────────────────────
+
+    Q("q36_regex_tokens",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // BPE-ish pre-tokenization: alpha runs and digit runs as separate
+        // tokens (RE2-compatible pattern, shared verbatim with the oracle)
+        tbl("documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+"), lit(0)))
+            .cast("long").as("n_word_tokens"),
+          Text.tokenCount(col("text")).as("n_ws_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT)
+             |  AS n_word_tokens,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+             |FROM documents""".stripMargin)),
+
+    Q("q37_approx_distinct",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // HLL++ sketch vs exact count — the query asserts its own 5%
+        // accuracy bound, which IS the cross-engine-checkable property
+        // (raw sketch estimates are engine-specific)
+        tbl("lineitem").agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(Clean.flag(
+            abs(col("approx_orders") - col("exact_orders")).cast("double") /
+              col("exact_orders") <= 0.05).as("within_5pct"))
+      },
+      Some("SELECT CAST(1 AS BIGINT) AS within_5pct")),
+
+    Q("q38_sliding_window",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      },
+      Some("""SELECT window_start, event_type, count(*) AS n FROM (
+             |  SELECT unnest(list_value(
+             |    CAST(date_trunc('hour', ts) AS TIMESTAMP),
+             |    CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)))
+             |    AS window_start, event_type
+             |  FROM events)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q39_session_window",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Spark-native session_window generalizes Sessionize (q32)
+        tbl("events")
+          .groupBy(session_window(col("ts"), "2 hours").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+             |x AS (SELECT user_id, ts, us,
+             |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 7200000000
+             |       THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+             |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             |  count(*) AS n_events
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    Q("q40_intersect_except",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val building = tbl("customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val urgent = tbl("orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))
+        building.intersect(urgent)
+          .withColumn("src", lit("both"))
+          .unionByName(building.except(urgent).withColumn("src", lit("building_only")))
+      },
+      Some("""SELECT c_custkey, 'both' AS src FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT c_custkey, 'building_only' AS src FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    Q("q41_argmax",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // deterministic argmax: max value, then min key achieving it
+        val mx = tbl("lineitem").groupBy("l_returnflag")
+          .agg(max(col("l_extendedprice")).as("max_price"))
+        tbl("lineitem").join(broadcast(mx), Seq("l_returnflag"))
+          .filter(col("l_extendedprice") === col("max_price"))
+          .groupBy("l_returnflag", "max_price")
+          .agg(min(col("l_orderkey")).as("argmax_order"))
+          .select(col("l_returnflag"), col("max_price"), col("argmax_order"))
+      },
+      Some("""WITH mx AS (SELECT l_returnflag, max(l_extendedprice) AS max_price
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, mx.max_price,
+             |  min(l.l_orderkey) AS argmax_order
+             |FROM lineitem l JOIN mx ON l.l_returnflag = mx.l_returnflag
+             |  AND l.l_extendedprice = mx.max_price
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q42_lag_lead",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        tbl("events").select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+          .select(col("event_id"), col("user_id"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+            ((col("us") - lag(col("us"), 1).over(w)) / 1000000L).cast("long")
+              .as("gap_sec"))
+      },
+      Some("""SELECT event_id, user_id,
+             |lag(event_type, 1) OVER w AS prev_type,
+             |lead(event_type, 1) OVER w AS next_type,
+             |CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER w) // 1000000 AS BIGINT)
+             |  AS gap_sec
+             |FROM events WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY epoch_us(ts), event_id)""".stripMargin)),
+
+    Q("q43_running_sum",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        tbl("orders").select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 4)
+             |  AS running_total
+             |FROM orders""".stripMargin)),
+
+    Q("q44_percentiles",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("lineitem").groupBy("l_returnflag").agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      },
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    Q("q45_ntile",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        tbl("orders").select(col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("price_quartile"))
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+             |  AS price_quartile
+             |FROM orders""".stripMargin)),
+
+    Q("q46_ann_ivf",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // IVF ANN scale path: approximate by construction → rows-only
+        // check; recall vs brute force is asserted in DedupSimilaritySpec
+        val emb = tbl("embeddings")
+        val cents = Similarity.trainCentroidsById(emb, "vec_id", "embedding",
+          dim = 64, cells = 8)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), cents,
+          "vec_id", "embedding", k = 5, nProbe = 3)
+      },
+      None))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
