@@ -34,4 +34,19 @@ object ParquetSink {
       .partitionBy(partitionCols: _*)
       .mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** Bucketed catalog table: co-locates future joins/aggregations on
+    * `bucketCols` — two tables bucketed the same way join with NO
+    * exchange on either side (asserted in SourcesAndQualitySpec). The
+    * cluster-scale tool for repeated joins on the same key (e.g. facts ⋈
+    * facts on tconst): pay the shuffle once at write time, never again. */
+  def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+               numBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }
