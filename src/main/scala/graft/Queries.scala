@@ -744,6 +744,17 @@ object Queries {
              |  AS price_quartile
              |FROM orders""".stripMargin)),
 
+    Q("q47_file_metadata",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // S9: file-path metadata column — scan provenance survives into
+        // results (the reference's Athena "$path" / run_key extraction)
+        tbl("lineitem")
+          .groupBy(regexp_extract(input_file_name(), "([a-z]+\\.parquet)", 1)
+            .as("fname"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT 'lineitem.parquet' AS fname, count(*) AS n FROM lineitem")),
+
     Q("q46_ann_ivf",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // IVF ANN scale path: approximate by construction → rows-only

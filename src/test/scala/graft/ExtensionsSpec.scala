@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions registers the native expressions as SQL functions. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("graft_cosine / graft_simhash / graft_hyperplane_sig usable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       graft_simhash(array('a','b')) AS s,
+        |       graft_hyperplane_sig(array(1.0D, 2.0D), 16) AS h""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) != 0L)
+    assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 16))
+  }
+
+  test("SQL cosine == Column-API cosine on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings").limit(20)
+    emb.createOrReplaceTempView("__ext_emb")
+    val api = emb.select(graft.functions.Vectors.cosine(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0)).toSeq
+    val sql = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) FROM __ext_emb")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(api == sql)
+  }
+}

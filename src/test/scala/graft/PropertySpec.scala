@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Clean, Text}
+import graft.operators.Dedup
+
+/** Property-based checks (SURVEY §5 test plan): invariants over
+  * ScalaCheck-generated inputs, evaluated in one batch through the real
+  * Spark expressions.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, rng.Seed(42L + i)))
+  }
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val sentence: Gen[String] = Gen.choose(1, 30)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("decade: y - decade(y) in [0,10) and result divisible by 10") {
+    val ys = samples(Gen.choose(-3000, 3000), 200)
+    val rows = ys.toDF("y")
+      .select(col("y"), Clean.decadeOf(col("y")).as("d")).collect()
+    rows.foreach { r =>
+      val (y, d) = (r.getInt(0), r.getLong(1))
+      assert(d % 10 == 0 && y - d >= 0 && y - d < 10, s"y=$y d=$d")
+    }
+  }
+
+  test("shingles: bounded count, every shingle has n tokens") {
+    for (n <- 1 to 4) {
+      val ss = samples(sentence, 60)
+      val rows = ss.toDF("t")
+        .select(col("t"), Text.shingles(col("t"), n).as("sh")).collect()
+      rows.foreach { r =>
+        val toks = r.getString(0).split(" ", -1)
+        val sh = r.getSeq[String](1)
+        if (toks.length >= n) {
+          assert(sh.nonEmpty && sh.size <= toks.length - n + 1)
+          assert(sh.forall(_.split(" ", -1).length == n))
+        } else assert(sh.toSet == toks.toSet)
+      }
+    }
+  }
+
+  test("quality score always in [0,1]") {
+    val rows = samples(sentence, 150).toDF("t")
+      .select(Text.qualityScore(col("t"), Queries.Stopwords).as("q")).collect()
+    rows.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+  }
+
+  test("simhash deterministic; hamming(x,x)=0") {
+    val rows = samples(sentence, 100).toDF("t")
+      .select(Dedup.simhash(col("t")).as("a"), Dedup.simhash(col("t")).as("b")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("nullify idempotent; output is null xor non-nullish") {
+    val gen = Gen.oneOf(Gen.const("\\N"), Gen.const(""), Gen.const("   "),
+      Gen.const("\t"), word)
+    val rows = samples(gen, 120).toDF("v").select(
+      Clean.nullify(col("v")).as("once"),
+      Clean.nullify(Clean.nullify(col("v"))).as("twice"),
+      Clean.isNullish(Clean.nullify(col("v")).cast("string")).as("still_nullish"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) {
+        assert(r.getString(0) == r.getString(1))
+        assert(!r.getBoolean(2))
+      }
+    }
+  }
+
+  test("minhash jaccard estimate within 3 sigma for random set pairs") {
+    val pairGen = for {
+      shared <- Gen.choose(5, 30); onlyA <- Gen.choose(0, 20); onlyB <- Gen.choose(0, 20)
+    } yield (shared, onlyA, onlyB)
+    val k = 256
+    samples(pairGen, 12).zipWithIndex.foreach { case ((sh, oa, ob), i) =>
+      val a = ((0 until sh) ++ (100 until 100 + oa)).map(x => s"w${x}_$i").mkString(" ")
+      val b = ((0 until sh) ++ (200 until 200 + ob)).map(x => s"w${x}_$i").mkString(" ")
+      val trueJ = sh.toDouble / (sh + oa + ob)
+      val r = Seq((a, b)).toDF("a", "b").select(
+        graft.plans.exprs.minhashSig(Text.tokens(col("a")), k).as("sa"),
+        graft.plans.exprs.minhashSig(Text.tokens(col("b")), k).as("sb"))
+        .select(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          x => x)).as("eq")).head()
+      val est = r.getInt(0).toDouble / k
+      val sigma = math.sqrt(trueJ * (1 - trueJ) / k)
+      assert(math.abs(est - trueJ) <= 3 * sigma + 0.02,
+        s"est=$est true=$trueJ sigma=$sigma")
+    }
+  }
+}
