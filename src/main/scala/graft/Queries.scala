@@ -744,6 +744,33 @@ object Queries {
              |  AS price_quartile
              |FROM orders""".stripMargin)),
 
+    Q("q48_asof_join",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // for each error event: the most recent click (<=) by the same
+        // user — as-of join via single-shuffle union+window composition
+        val ev = tbl("events").select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("us"), col("us").as("click_us"))
+        operators.AsOfJoin.asOf(errors, clicks, "user_id", "us",
+          Seq("click_id", "click_us"))
+          .select(col("error_id"), col("user_id"), col("click_id"),
+            ((col("us") - col("click_us")) / 1000000L).cast("long").as("gap_sec"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+             |            FROM events),
+             |e AS (SELECT event_id AS error_id, user_id, us FROM ev
+             |      WHERE event_type = 'error'),
+             |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM ev
+             |      WHERE event_type = 'click')
+             |SELECT e.error_id, e.user_id, c.click_id,
+             |  CAST((e.us - c.click_us) // 1000000 AS BIGINT) AS gap_sec
+             |FROM e ASOF JOIN c
+             |  ON e.user_id = c.user_id AND e.us >= c.click_us""".stripMargin)),
+
     Q("q47_file_metadata",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // S9: file-path metadata column — scan provenance survives into
