@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Clean, Text, Vectors}
-import graft.operators.{Dedup, Relational, Sessionize, Similarity}
+import graft.operators.{Corpus, Dedup, Relational, Sessionize, Similarity}
 import graft.sources.Tables
 
 /** The engine's query surface: one entry per operator of SURVEY.md §2
@@ -781,6 +781,80 @@ object Queries {
           .agg(count(lit(1)).as("n"))
       },
       Some("SELECT 'lineitem.parquet' AS fname, count(*) AS n FROM lineitem")),
+
+    Q("q49_cube",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        tbl("orders")
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+          .createOrReplaceTempView("__q49_base")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                |round(sum(o_totalprice), 2) AS total
+                |FROM __q49_base GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    Q("q50_dedup_fingerprint",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // canonical-fingerprint dedup: catches token-reordered duplicates
+        // exact text hashing (q22) misses
+        tbl("documents")
+          .groupBy(Text.canonicalFingerprint(lower(col("text"))).as("fingerprint"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      },
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+             |  string_split(lower(text), ' '))), ' ')) AS fingerprint,
+             |CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_docs
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    Q("q51_corpus_prep",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // flagship composition: quality gate → lang gate → exact dedup →
+        // near-dup dedup, one declarative plan (operators.Corpus)
+        Corpus.prepare(tbl("documents"), "doc_id", "text",
+          Stopwords, LangMarkers, keepLangs = Set("en"),
+          minQuality = 0.5, nearDupThreshold = 0.6)
+      },
+      Some {
+        val scores = LangMarkers.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($lst))) AS s_$lang"
+        }.mkString(",\n    ")
+        val best = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = LangMarkers.map { case (l, _) =>
+          s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH m AS (SELECT doc_id, text,
+           |    len(string_split(text, ' ')) AS n_tok,
+           |    len(list_distinct(string_split(text, ' '))) AS n_dis,
+           |    len(list_filter(string_split(text, ' '), t -> t IN ($StopSql))) AS n_sw,
+           |    length(text) AS n_ch,
+           |    length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_np,
+           |    $scores
+           |  FROM documents),
+           |g AS (SELECT doc_id, text,
+           |    round(least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+           |      + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+           |      + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0) * 0.2
+           |      + greatest(0.0, 1.0 - (CAST(n_ch - n_np AS DOUBLE)
+           |          / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality,
+           |    CASE $cases ELSE 'und' END AS lang_pred
+           |  FROM m),
+           |f AS (SELECT * FROM g WHERE quality >= 0.5 AND lang_pred IN ('en')),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+           |e AS (SELECT f.* FROM f JOIN ek USING (doc_id)),
+           |t AS (SELECT doc_id, $ShinglesSql AS sh FROM e),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+           |        len(a.sh) + len(b.sh) AS tot
+           |      FROM t a JOIN t b ON a.doc_id < b.doc_id),
+           |dups AS (SELECT DISTINCT id_b AS doc_id FROM p
+           |         WHERE inter / (tot - inter) >= 0.6)
+           |SELECT e.doc_id, CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens,
+           |  e.quality, e.lang_pred
+           |FROM e WHERE e.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin
+      }),
 
     Q("q46_ann_ivf",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._

@@ -93,4 +93,12 @@ object EventStreams {
   def incrementalFileSource(spark: SparkSession, path: String,
                             schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** Exactly-once event dedup across batches: watermarked
+    * `dropDuplicates` keeps O(events-in-watermark) state per key —
+    * the streaming form of exact dedup (late duplicates beyond the
+    * watermark age out of state and are accepted; pick the watermark to
+    * bound both state size and re-delivery window). */
+  def dedupeStream(events: DataFrame, idCol: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
 }

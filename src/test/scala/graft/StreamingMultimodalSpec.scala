@@ -62,6 +62,25 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       closed.head.duration_sec == 600 && closed.head.total_value == 3.0)
   }
 
+  test("streaming dedup drops duplicate event ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    case class Ev(event_id: Long, ts: java.sql.Timestamp)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("event_id", "ts")
+    val q = EventStreams.dedupeStream(df, "event_id", "1 hour")
+      .writeStream.format("memory").queryName("dedupout")
+      .outputMode("append").start()
+    input.addData(Seq((1L, base), (2L, base), (1L, base)))   // dup within batch
+    q.processAllAvailable()
+    input.addData(Seq((2L, base), (3L, base)))               // dup across batches
+    q.processAllAvailable()
+    val got = spark.table("dedupout").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("multimodal: schema, batched stub decode, frame sampling") {
     implicit val s = spark
     val docs = Tables(spark, TestSpark.sf0001, "documents")
