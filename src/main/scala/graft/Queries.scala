@@ -96,22 +96,35 @@ object Queries {
           .otherwise(col("p_brand"))
         val messySize = when(pmod(col("p_partkey"), lit(3)) === 0, lit("\\N"))
           .otherwise(col("p_size").cast("string"))
+        // C7: bool-string lenient cast — numeric try_cast, falling back
+        // to lower(x)='true' (the reference's COALESCE(TRY_TO_NUMBER, IFF)
+        // Snowflake idiom)
+        val messyBool = when(pmod(col("p_partkey"), lit(4)) === 0, lit("true"))
+          .when(pmod(col("p_partkey"), lit(4)) === 1, lit("1"))
+          .otherwise(lit("no"))
         tbl("part").select(
           col("p_partkey"),
           Clean.nullify(messyBrand).as("brand_clean"),
-          Clean.tryCastClean(messySize, "long").as("size_try"))
+          Clean.tryCastClean(messySize, "long").as("size_try"),
+          coalesce(Clean.tryCastClean(messyBool, "long"),
+            when(lower(messyBool) === "true", 1L).otherwise(0L)).as("bool_flag"))
       },
       Some("""WITH m AS (SELECT p_partkey,
              |  CASE WHEN p_partkey % 5 = 0 THEN '\N'
              |       WHEN p_partkey % 5 = 1 THEN '  ' ELSE p_brand END AS mb,
              |  CASE WHEN p_partkey % 3 = 0 THEN '\N'
-             |       ELSE CAST(p_size AS VARCHAR) END AS ms
+             |       ELSE CAST(p_size AS VARCHAR) END AS ms,
+             |  CASE WHEN p_partkey % 4 = 0 THEN 'true'
+             |       WHEN p_partkey % 4 = 1 THEN '1' ELSE 'no' END AS mbo
              |  FROM part)
              |SELECT p_partkey,
              |  CASE WHEN mb IS NULL OR mb = '\N' OR length(trim(mb)) = 0
              |       THEN NULL ELSE mb END AS brand_clean,
              |  TRY_CAST(CASE WHEN ms IS NULL OR ms = '\N' OR length(trim(ms)) = 0
-             |       THEN NULL ELSE ms END AS BIGINT) AS size_try
+             |       THEN NULL ELSE ms END AS BIGINT) AS size_try,
+             |  coalesce(TRY_CAST(CASE WHEN mbo IS NULL OR mbo = '\N'
+             |       OR length(trim(mbo)) = 0 THEN NULL ELSE mbo END AS BIGINT),
+             |    CASE WHEN lower(mbo) = 'true' THEN 1 ELSE 0 END) AS bool_flag
              |FROM m""".stripMargin)),
 
     Q("q04_decade_case_buckets",

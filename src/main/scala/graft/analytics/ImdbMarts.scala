@@ -67,6 +67,18 @@ object ImdbMarts {
     seasonSummary.withColumn("SEASON_LABEL",
       lpad(col("seasonNumber").cast("string"), 2, "0"))
 
+  /** `Dim Series` dimension (README.md:146-148): one row per series,
+    * latest-run seriesStartYear, display label "Title (Year)". */
+  def dimSeries(episodeFacts: DataFrame): DataFrame =
+    Relational.latestSlice(episodeFacts, col("run_date"))
+      .filter(col("seriesId").isNotNull)
+      .groupBy(col("seriesId").as("SERIES_KEY"))
+      .agg(max(col("seriesTitle")).as("SERIES_TITLE"),
+        max(col("seriesStartYear")).as("SERIESSTARTYEAR"))
+      .withColumn("SERIES_LABEL",
+        concat(col("SERIES_TITLE"), lit(" ("),
+          coalesce(col("SERIESSTARTYEAR").cast("string"), lit("?")), lit(")")))
+
   // ── docs/ ad-hoc analytics ──────────────────────────────────────────
 
   /** Top movies by rating with a vote floor (ref

@@ -144,6 +144,10 @@ class ImdbPipelineSpec extends AnyFunSuite {
     assert(math.abs(finale.getAs[Double]("finale_delta") - 0.25) < 1e-9)
     val best = ImdbMarts.bestSeason(seasons).filter($"seriesId" === "sv1").head()
     assert(best.getAs[Int]("best_season") == 1)
+
+    val dim = ImdbMarts.dimSeries(episodes).collect()
+      .map(r => r.getAs[String]("SERIES_KEY") -> r.getAs[String]("SERIES_LABEL")).toMap
+    assert(dim == Map("sv1" -> "LongShow (2005)", "sv2" -> "OpenShow (2015)"))
   }
 
   test("pipeline runner end-to-end: gates, manifest, idempotent ingest") {
