@@ -869,6 +869,35 @@ object Queries {
            |FROM e WHERE e.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin
       }),
 
+    Q("q52_hash_sample",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // reproducible content-hash sampling: ~25% flat + stratified
+        // (en downsampled to ~12.5%, others kept at 50%)
+        val flat = operators.Sampling.hashSample(tbl("documents"), col("text"), 0.25)
+          .groupBy("lang").agg(count(lit(1)).as("n_flat"))
+        val strat = operators.Sampling.stratifiedHashSample(tbl("documents"),
+            col("text"), col("lang"), Map("en" -> 0.125), defaultRate = 0.5)
+          .groupBy("lang").agg(count(lit(1)).as("n_strat"))
+        flat.join(strat, Seq("lang"), "full")
+          .select(col("lang"),
+            coalesce(col("n_flat"), lit(0L)).as("n_flat"),
+            coalesce(col("n_strat"), lit(0L)).as("n_strat"))
+      },
+      Some {
+        def pfx(rate: Double) =
+          (0 until math.round(rate * 256).toInt).map(i => f"'$i%02x'").mkString(", ")
+        s"""WITH flat AS (SELECT lang, count(*) AS n_flat FROM documents
+           |  WHERE substr(md5(text), 1, 2) IN (${pfx(0.25)}) GROUP BY lang),
+           |strat AS (SELECT lang, count(*) AS n_strat FROM documents
+           |  WHERE CASE WHEN lang = 'en'
+           |    THEN substr(md5(text), 1, 2) IN (${pfx(0.125)})
+           |    ELSE substr(md5(text), 1, 2) IN (${pfx(0.5)}) END
+           |  GROUP BY lang)
+           |SELECT coalesce(flat.lang, strat.lang) AS lang,
+           |  coalesce(n_flat, 0) AS n_flat, coalesce(n_strat, 0) AS n_strat
+           |FROM flat FULL JOIN strat ON flat.lang = strat.lang""".stripMargin
+      }),
+
     Q("q46_ann_ivf",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // IVF ANN scale path: approximate by construction → rows-only
