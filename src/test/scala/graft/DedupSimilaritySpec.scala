@@ -36,6 +36,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("jaccardPairs maxDocFreq prefix-filter: drops hot tokens, output ⊆ exact") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    // unigram shingles on a ~40-word vocabulary: every token is hot at
+    // docFreq 0.5, so the filtered index must prune everything
+    val filtered = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+      shingleLen = 1, maxDocFreq = 0.5)
+    assert(filtered.count() == 0)
+    // 3-gram shingles are rare: a mild cap keeps the exact result
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleLen = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleLen = 3,
+        maxDocFreq = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+  }
+
   test("embeddingDupPairs: finds an injected duplicate vector") {
     val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(100)
     // duplicate vec 0 with a new id → cosine 1.0 pair must surface

@@ -30,6 +30,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.length == 2 && got.forall(_.getString(0) == "2024-01-02"))
   }
 
+  test("latestSlice plans a broadcast of the 1-row max, no fact re-shuffle") {
+    val df = graft.sources.Tables(spark, TestSpark.sf0001, "orders")
+    val plan = Relational.latestSlice(df.withColumn("d", to_date(col("o_orderdate"))),
+      col("d")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle for the scalar max")
+  }
+
   test("withGroupMax annotates without collapsing") {
     val df = Seq(("s1", 1), ("s1", 5), ("s2", 2)).toDF("g", "v")
     val got = Relational.withGroupMax(df, Seq(col("g")), col("v"), "mx")
