@@ -69,4 +69,27 @@ object Similarity {
                          dim: Int, cells: Int): DataFrame =
     corpus.groupBy(pmod(xxhash64(col(idCol)), lit(cells)).as("cell_id"))
       .agg(Vectors.centroid(col(vecCol), dim).as("centroid"))
+
+  /** Lloyd-iteration k-means on cosine similarity, DataFrame-only and
+    * deterministic (hash-bucket init, cell_id tiebreaks). Per iteration:
+    * one broadcast of the centroids + one shuffle on cell_id — at 100 TB
+    * that is iters × (scan + keyed shuffle), no driver-side vectors
+    * beyond the k×dim centroid table. */
+  def trainCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, cells: Int, iters: Int): DataFrame = {
+    var centroids = trainCentroidsById(corpus, idCol, vecCol, dim, cells)
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    for (_ <- 0 until iters) {
+      val c = broadcast(centroids.select(col("cell_id"), col("centroid")))
+      centroids = vecs.crossJoin(c)
+        .withColumn("sim", Vectors.cosine(col("__v"), col("centroid")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("__id")).orderBy(col("sim").desc, col("cell_id"))))
+        .filter(col("rnk") === 1)
+        .groupBy("cell_id")
+        .agg(Vectors.centroid(col("__v"), dim).as("centroid"))
+      // empty cells simply drop out; remaining cells re-balance
+    }
+    centroids
+  }
 }

@@ -76,6 +76,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("k-means centroids: deterministic, improve (or match) IVF recall") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val ivf = Similarity.ivfTopK(emb, queries, cents, "vec_id", "embedding",
+        k = 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ivf & bf).size.toDouble / bf.size
+    }
+    val km1 = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding", 64, 8, 3)
+    val km2 = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding", 64, 8, 3)
+    // deterministic across runs
+    assert(km1.orderBy("cell_id").collect().map(_.getSeq[Double](1)).toSeq ==
+      km2.orderBy("cell_id").collect().map(_.getSeq[Double](1)).toSeq)
+    val init = Similarity.trainCentroidsById(emb, "vec_id", "embedding", 64, 8)
+    assert(recall(km1) >= recall(init) - 0.11,
+      s"kmeans recall ${recall(km1)} much worse than init ${recall(init)}")
+  }
+
   test("ivfTopK returns plausible neighbors (recall vs brute force)") {
     val emb = Tables(spark, TestSpark.sf0001, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
