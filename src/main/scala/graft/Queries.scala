@@ -898,6 +898,37 @@ object Queries {
            |FROM flat FULL JOIN strat ON flat.lang = strat.lang""".stripMargin
       }),
 
+    Q("q53_skew_join",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // hybrid hot-key join: hot keys broadcast, tail shuffled —
+        // result provably identical to the plain join, so the plain
+        // join IS the oracle
+        val li = tbl("lineitem").select(col("l_partkey"), col("l_quantity"))
+        val part = tbl("part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        operators.Skew.hybridSkewJoin(li, part, "l_partkey", hotKeyThreshold = 40)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      },
+      Some("""SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)),
+
+    Q("q54_multimodal_meta",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // binary media plumbing end-to-end: encode → mapPartitions stub
+        // decode → typed metadata (checksum/dims excluded: engine-local)
+        operators.Multimodal.extractFeatures(
+            operators.Multimodal.mediaFromDocuments(tbl("documents")))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_bytes"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             |  ELSE 'video/mp4' END AS mime,
+             |CAST(strlen(text) AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin)),
+
     Q("q46_ann_ivf",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // IVF ANN scale path: approximate by construction → rows-only
