@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Clean, Text, Vectors}
+import graft.functions.{Clean, Text}
 import graft.operators.{Corpus, Dedup, Relational, Sessionize, Similarity}
 import graft.sources.Tables
 
@@ -406,7 +406,6 @@ object Queries {
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         Dedup.jaccardPairs(tbl("documents"), "doc_id", "text",
           threshold = 0.6, shingleLen = 3)
-          .withColumnRenamed("id_a", "id_a")
       },
       Some(jaccardOracle(0.6))),
 
