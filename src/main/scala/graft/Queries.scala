@@ -928,6 +928,26 @@ object Queries {
              |CAST(strlen(text) AS BIGINT) AS n_bytes
              |FROM documents""".stripMargin)),
 
+    Q("q55_first_last_value",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val full = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        tbl("events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+          .select(col("user_id"), col("event_id"),
+            first(col("event_type")).over(full).as("first_type"),
+            last(col("event_type")).over(full).as("last_type"))
+      },
+      Some("""SELECT user_id, event_id,
+             |first_value(event_type) OVER w AS first_type,
+             |last_value(event_type) OVER w AS last_type
+             |FROM events WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY epoch_us(ts), event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
     Q("q46_ann_ivf",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // IVF ANN scale path: approximate by construction → rows-only
