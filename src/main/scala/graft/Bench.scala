@@ -19,22 +19,36 @@ object Bench {
     // noop sink materializes every row (count() would let parquet
     // count-star shortcuts skip the actual work)
     val only = args.toSet // optional query-name filter (dev use)
-    // best-of-2 per query: absorbs transient host-interference stalls
-    // (observed multi-second bursts on this VM) and reports steady-state
-    val results = Queries.all.filter(q => only.isEmpty || only(q.name)).map { q =>
-      System.err.println(s"[bench] start ${q.name}")
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    // best-of-2 per query, INTERLEAVED (full pass over all queries, then
+    // a second pass): a single multi-minute host-interference stall can
+    // poison at most one sample of any query, so the per-query min stays
+    // a steady-state number (round-1 recorded 187 s for a ~42 s suite
+    // because back-to-back repeats put both samples inside one stall)
+    val queries = Queries.all.filter(q => only.isEmpty || only(q.name))
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (round <- 1 to 2; q <- queries) {
+      System.err.println(s"[bench] round $round ${q.name}")
+      val t0 = System.nanoTime()
+      try {
+        // noop sink materializes every row (count() would let parquet
+        // count-star shortcuts skip the actual work)
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(q.name) = math.min(dt, times.getOrElse(q.name, Double.MaxValue))
+      } catch {
+        case e: Throwable => // a failed attempt must NOT count as a time
+          errors(q.name) = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").replaceAll("[\"\\n\\r]", " ").take(200)
       }
-      q.name -> times.min
     }
+    val results = queries.map(q => q.name -> times.getOrElse(q.name, -1.0))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -421,9 +421,39 @@ object Queries {
 
     Q("q25_dedup_simhash",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
-        tbl("documents").select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        // the raw 64-bit signature is not expressible in DuckDB SQL, so
+        // assert the PROPERTY instead of the value (q37 pattern): planted
+        // near-dup texts (one appended token) must land close in Hamming
+        // space, unrelated texts far, identical texts identical — one
+        // boolean row the oracle can match exactly. Margins are wide and
+        // SF-stable: measured avg_near ≈ 2.4–2.5 bits, avg_far ≈
+        // 18.3–18.5 bits, avg popcount ≈ 28.2 at sf0.001/0.01/0.1 (the
+        // shared synthetic vocabulary compresses far distances below the
+        // 32-bit random-text expectation).
+        val sigs = tbl("documents").select(col("doc_id"), md5(col("text")).as("th"),
+            Dedup.simhash(col("text")).as("h"),
+            Dedup.simhash(concat(col("text"), lit(" zzgraftprobe"))).as("h_near"))
+        val nearAgg = sigs.agg(
+          avg(expr("bit_count(h ^ h_near)")).as("avg_near"),
+          avg(expr("bit_count(h)")).as("avg_pop"))
+        val farAgg = sigs.as("a")
+          .join(sigs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+          .filter(col("a.th") =!= col("b.th"))
+          .agg(avg(expr("bit_count(a.h ^ b.h)")).as("avg_far"))
+        val dupAgg = sigs.as("a")
+          .join(sigs.as("b"),
+            col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+          .agg(coalesce(max(expr("bit_count(a.h ^ b.h)")), lit(0)).as("max_dup_ham"))
+        nearAgg.crossJoin(farAgg).crossJoin(dupAgg).select(
+          Clean.flag(col("avg_near") <= 8.0).as("near_ok"),
+          Clean.flag(col("avg_far") >= 14.0).as("far_ok"),
+          Clean.flag(col("avg_near") + 10.0 <= col("avg_far")).as("sep_ok"),
+          Clean.flag(col("max_dup_ham") === 0).as("dup_ok"),
+          Clean.flag(col("avg_pop").between(16.0, 48.0)).as("bits_ok"))
       },
-      None), // xxhash64-based signature: not expressible in DuckDB SQL
+      Some("""SELECT CAST(1 AS BIGINT) AS near_ok, CAST(1 AS BIGINT) AS far_ok,
+             |CAST(1 AS BIGINT) AS sep_ok, CAST(1 AS BIGINT) AS dup_ok,
+             |CAST(1 AS BIGINT) AS bits_ok""".stripMargin)),
 
     // ── training-data ops: similarity search ────────────────────────────
 
@@ -447,10 +477,24 @@ object Queries {
 
     Q("q27_embedding_dup_pairs",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
-        Dedup.embeddingDupPairs(tbl("embeddings"), "vec_id", "embedding",
+        // plant scaled copies (2·v, new ids) of the first 5 vectors so the
+        // oracle compares NONZERO rows at every SF: cosine(v, 2v) = 1.0
+        // exactly, and positive scaling preserves every hyperplane sign,
+        // so the planted pairs collide in ALL bands — found with
+        // probability 1, no LSH flakiness in the gate
+        // float×2 is exact (exponent bump), so CAST-to-double on the
+        // oracle side sees bit-identical values
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val planted = emb.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        Dedup.embeddingDupPairs(emb.unionByName(planted), "vec_id", "embedding",
           threshold = 0.95)
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (SELECT * FROM e0 UNION ALL
+             |      SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0)
+             |      FROM e0 WHERE vec_id < 5)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -824,9 +868,12 @@ object Queries {
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // flagship composition: quality gate → lang gate → exact dedup →
         // near-dup dedup, one declarative plan (operators.Corpus)
+        // maxDocFreq = 1.0: oracle-exact mode (the production default is
+        // the capped prefix filter; CorpusSpec proves capped == exact on
+        // this corpus)
         Corpus.prepare(tbl("documents"), "doc_id", "text",
           Stopwords, LangMarkers, keepLangs = Set("en"),
-          minQuality = 0.5, nearDupThreshold = 0.6)
+          minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0)
       },
       Some {
         val scores = LangMarkers.map { case (lang, words) =>
@@ -950,15 +997,29 @@ object Queries {
 
     Q("q46_ann_ivf",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
-        // IVF ANN scale path: approximate by construction → rows-only
-        // check; recall vs brute force is asserted in DedupSimilaritySpec
+        // IVF ANN is approximate by construction, so the checkable
+        // cross-engine property is RECALL vs the exact brute-force top-k,
+        // computed in-plan (q37 pattern): one boolean row the oracle
+        // matches exactly. Deterministic: k-means init/tiebreaks are
+        // hash-based, no RNG.
         val emb = tbl("embeddings")
-        val cents = Similarity.trainCentroidsById(emb, "vec_id", "embedding",
-          dim = 64, cells = 8)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), cents,
+        val queries = emb.filter(col("vec_id") < 10)
+        val cents = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding",
+          dim = 64, cells = 8, iters = 2)
+        val ivf = Similarity.ivfTopK(emb, queries, cents,
           "vec_id", "embedding", k = 5, nProbe = 3)
+        val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        val hits = bf.select("query_id", "neighbor_id")
+          .join(ivf.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        val total = bf.agg(count(lit(1)).as("n_bf"))
+        hits.crossJoin(total).select(
+          Clean.flag(col("n_hit").cast("double") / col("n_bf") >= 0.6).as("recall_ok"),
+          Clean.flag(col("n_bf") === 50).as("bf_rows_ok"))
       },
-      None))
+      Some("""SELECT CAST(1 AS BIGINT) AS recall_ok,
+             |CAST(1 AS BIGINT) AS bf_rows_ok""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

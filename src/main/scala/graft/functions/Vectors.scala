@@ -45,7 +45,9 @@ object Vectors {
     * `planes` deterministic pseudo-random hyperplanes, packed in a long.
     * Native codegen'd expression (graft.plans.HyperplaneSignature) — the
     * equivalent built-in-function formulation is an O(planes×dim)-node
-    * expression tree that falls out of codegen and chokes the optimizer. */
-  def hyperplaneSignature(v: Column, planes: Int): Column =
-    graft.plans.exprs.hyperplaneSig(v, planes)
+    * expression tree that falls out of codegen and chokes the optimizer.
+    * `planeOffset` starts this word at global plane index `planeOffset`,
+    * so signatures wider than 64 planes compose as several long words. */
+  def hyperplaneSignature(v: Column, planes: Int, planeOffset: Int = 0): Column =
+    graft.plans.exprs.hyperplaneSig(v, planes, planeOffset)
 }

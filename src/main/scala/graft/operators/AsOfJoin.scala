@@ -31,25 +31,32 @@ object AsOfJoin {
     require(Seq("inner", "left").contains(joinType))
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__side", lit(1))
-    // carry the right timestamp too: it marks matched-ness even when all
-    // user payloads are legitimately null
-    val r = right.select((Seq(col(keyCol), col(timeCol),
-        col(timeCol).as("__p___mt")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+    // ALL payload columns ride in ONE struct, carried by a single
+    // last(ignoreNulls) — carrying each column independently would fill a
+    // null field of the newest right row from an OLDER right row, mixing
+    // fields of different right rows. The struct is never null on right
+    // rows (it always holds the right timestamp), so ignoreNulls skips
+    // exactly the left rows, and a matched row's payload is one coherent
+    // right row even when user payload fields are legitimately null.
+    val r = right.select(col(keyCol), col(timeCol),
+        struct(col(timeCol).as("__mt") +: payloadCols.map(col): _*).as("__p"))
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right rows (side=0) sort before left rows at equal time → inclusive
+    // right rows (side=0) sort before left rows at equal time → inclusive.
+    // __p as the final sort key is a deterministic tiebreaker among right
+    // rows at equal (key, time): the lexicographically-largest payload
+    // struct wins, on every run and partitioning (left rows have __p null,
+    // which sorts consistently and cannot interleave: __side separates).
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(col(timeCol), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = (payloadCols :+ "__mt").foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__asof",
+      last(col("__p"), ignoreNulls = true).over(w))
     val matched = carried.filter(col("__side") === 1)
     val filtered =
-      if (joinType == "inner") matched.filter(col("__asof___mt").isNotNull)
+      if (joinType == "inner") matched.filter(col("__asof").isNotNull)
       else matched
     filtered.select((leftCols.map(col) ++
-      payloadCols.map(c => col(s"__asof_$c").as(c))): _*)
+      payloadCols.map(c => col("__asof").getField(c).as(c))): _*)
   }
 }

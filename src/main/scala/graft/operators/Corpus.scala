@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Text
 
 /** Composed training-corpus preparation: the end-to-end shape of an LLM
@@ -19,27 +20,47 @@ import graft.functions.Text
   */
 object Corpus {
 
+  /** @param maxDocFreq prefix-filter knob forwarded to
+    *   [[Dedup.jaccardPairs]]: shingles present in more than this fraction
+    *   of docs are dropped from the inverted index before the pair join.
+    *   The DEFAULT is capped (0.5) — on web-scale text, stopword-grade
+    *   shingles otherwise produce postings lists whose pair counts square
+    *   (the 100 TB scale-killer). Near-dup pairs at a meaningful threshold
+    *   share many shingles, so dropping corpus-half-frequency ones loses a
+    *   pair only if ALL its shared shingles are that hot (CorpusSpec
+    *   proves capped == exact on the harness corpus); pass 1.0 for
+    *   oracle-exact mode. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
               keepLangs: Set[String], minQuality: Double,
-              nearDupThreshold: Double): DataFrame = {
+              nearDupThreshold: Double, maxDocFreq: Double = 0.5): DataFrame = {
     val id = col(idCol); val text = col(textCol)
 
+    // persisted: consumed by both the exact-keep aggregate and the
+    // exact-set semi join — without a materialization barrier the
+    // quality+lang scan re-runs per branch (~3× the corpus scan; at
+    // 100 TB that is two extra full passes). MEMORY_AND_DISK spills
+    // rather than recomputing; blocks are dropped by the ContextCleaner
+    // once the returned plan is unreferenced.
     val gated = docs
       .withColumn("quality", Text.qualityScore(text, stopwords))
       .withColumn("lang_pred", Text.langId(lower(text), langMarkers))
       .filter(col("quality") >= minQuality &&
         col("lang_pred").isin(keepLangs.toSeq.map(lit): _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // exact dedup: min id per content hash
     val exactKeep = gated.groupBy(md5(text).as("__h"))
       .agg(min(id).as(idCol))
       .select(idCol)
+    // persisted: consumed by the jaccard inverted index AND the final
+    // left_anti probe
     val exact = gated.join(exactKeep, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // near-dup dedup: drop docs with a smaller-id near-duplicate
     val dupOf = Dedup.jaccardPairs(exact, idCol, textCol,
-        nearDupThreshold, shingleLen = 3)
+        nearDupThreshold, shingleLen = 3, maxDocFreq = maxDocFreq)
       .select(col("id_b").as(idCol)).distinct()
     exact.join(dupOf, Seq(idCol), "left_anti")
       .select(id, Text.tokenCount(text).as("n_tokens"), col("quality"),

@@ -36,9 +36,12 @@ object Dedup {
     val inv =
       if (maxDocFreq >= 1.0) inv0
       else {
-        val nDocs = docs.count().toDouble
+        // corpus size computed IN-PLAN (1-row aggregate, broadcast) —
+        // no driver-side count() action at composition time
+        val total = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
         val hot = inv0.groupBy("tok").count()
-          .filter(col("count") > nDocs * maxDocFreq).select("tok")
+          .crossJoin(broadcast(total))
+          .filter(col("count") > col("__n_docs") * maxDocFreq).select("tok")
         inv0.join(broadcast(hot), Seq("tok"), "left_anti")
       }
     val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
@@ -109,15 +112,33 @@ object Dedup {
 
   /** Embedding near-dup pairs: cosine ≥ threshold via hyperplane-LSH
     * bucketing (narrow signature pass + banded shuffle), exact cosine
-    * verify inside each bucket. `bands` buckets of `bitsPerBand` bits. */
+    * verify inside each bucket. `bands` buckets of `bitsPerBand` bits;
+    * signatures wider than 64 planes span multiple long words (each word
+    * covers a distinct plane range via `planeOffset`).
+    *
+    * Recall math: a pair at cosine c agrees per plane with prob
+    * 1 − acos(c)/π; it is missed iff no band fully agrees, prob
+    * (1 − (1−acos(c)/π)^bitsPerBand)^bands. Defaults 32×8 give miss
+    * ≈ 2e-8 at c = 0.95 (the round-1 8×8 default was ≈ 1.2e-2 —
+    * flaky-by-construction against an exact-cosine oracle). Bucket
+    * granularity stays 2^8 per band, so candidate volume per band is
+    * unchanged; recall is bought with more bands, not coarser buckets. */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+                        threshold: Double, bands: Int = 32, bitsPerBand: Int = 8): DataFrame = {
+    require(64 % bitsPerBand == 0, "bitsPerBand must divide 64 (bands may not straddle words)")
     val planes = bands * bitsPerBand
-    require(planes <= 64, "bands × bitsPerBand must fit a 64-bit signature")
+    val nWords = (planes + 63) / 64
+    val sigCols = (0 until nWords).map { wd =>
+      Vectors.hyperplaneSignature(col("v"), math.min(64, planes - wd * 64), wd * 64)
+        .as(s"sig_$wd")
+    }
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", Vectors.hyperplaneSignature(col("v"), planes))
-    val bandCols = (0 until bands).map(b =>
-      shiftright(col("sig"), b * bitsPerBand).bitwiseAND((1L << bitsPerBand) - 1))
+      .select(col("id") +: col("v") +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      val word = b * bitsPerBand / 64
+      val shift = b * bitsPerBand % 64
+      shiftright(col(s"sig_$word"), shift).bitwiseAND((1L << bitsPerBand) - 1)
+    }
     // id-only candidate pairs through the banded shuffle; vectors re-join
     // by id for the exact-cosine verify (same discipline as MinHash-LSH)
     val banded = sig.select(col("id"),

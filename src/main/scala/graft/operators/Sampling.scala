@@ -14,14 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hex prefixes covering ⌊rate·256⌋ of the 256 two-char buckets. */
+  /** Hex prefixes covering round(rate·256) of the 256 two-char buckets. */
   private[operators] def prefixes(rate: Double): Seq[String] = {
     require(rate >= 0 && rate <= 1)
     val n = math.round(rate * 256).toInt
     (0 until n).map(i => f"$i%02x")
   }
 
-  /** Keep rows whose md5(keyCol) falls in the first ⌊rate·256⌋ buckets. */
+  /** Keep rows whose md5(keyCol) falls in the first round(rate·256) buckets. */
   def hashSample(df: DataFrame, keyCol: Column, rate: Double): DataFrame = {
     val p = prefixes(rate)
     if (p.isEmpty) df.limit(0)

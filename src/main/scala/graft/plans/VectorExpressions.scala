@@ -44,16 +44,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class HyperplaneSignature(child: Expression, planes: Int)
+case class HyperplaneSignature(child: Expression, planes: Int, planeOffset: Int = 0)
     extends UnaryExpression {
-  require(planes >= 1 && planes <= 64, "planes must be in [1, 64]")
+  require(planes >= 1 && planes <= 64, "planes must be in [1, 64] per signature word")
+  require(planeOffset >= 0, "planeOffset must be >= 0")
   override def dataType: DataType = LongType
   private lazy val isF = ExprUtil.isFloatArray(child.dataType)
   override protected def nullSafeEval(v: Any): Any =
-    VectorOps.hyperplaneSignature(v.asInstanceOf[ArrayData], isF, planes)
+    VectorOps.hyperplaneSignature(v.asInstanceOf[ArrayData], isF, planes, planeOffset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v =>
-      s"graft.plans.VectorOps.hyperplaneSignature($v, $isF, $planes)")
+      s"graft.plans.VectorOps.hyperplaneSignature($v, $isF, $planes, $planeOffset)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -111,8 +112,8 @@ object exprs {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
-  def hyperplaneSig(v: Column, planes: Int): Column =
-    column(HyperplaneSignature(expression(v), planes))
+  def hyperplaneSig(v: Column, planes: Int, planeOffset: Int = 0): Column =
+    column(HyperplaneSignature(expression(v), planes, planeOffset))
 
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))

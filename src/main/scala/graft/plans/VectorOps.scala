@@ -38,25 +38,53 @@ object VectorOps {
 
   /** Deterministic pseudo-random hyperplane weights: plane p over dim d
     * uses java.util.Random(p*7919+d) — spec-fixed LCG, identical on every
-    * JVM, no driver-side state to ship. */
-  @inline private def weight(p: Int, d: Int): Double =
-    new java.util.Random(p.toLong * 7919L + d.toLong).nextDouble() * 2.0 - 1.0
+    * JVM, no driver-side state to ship. Weight rows are memoized per
+    * (plane, dim): the values are pure functions of the seed, so caching
+    * changes nothing bit-wise, but avoids planes×dim Random constructions
+    * per ROW (4096/row at 64 planes × dim 64 — the round-1 hot-kernel
+    * bug). The cache is tiny (planes × dim doubles per distinct shape)
+    * and per-executor-JVM. */
+  private val planeWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Double]]()
+
+  private def planeWeights(p: Int, dim: Int): Array[Double] = {
+    val key = java.lang.Long.valueOf((p.toLong << 32) | (dim.toLong & 0xffffffffL))
+    var w = planeWeightCache.get(key)
+    if (w == null) {
+      w = new Array[Double](dim)
+      var d = 0
+      while (d < dim) {
+        w(d) = new java.util.Random(p.toLong * 7919L + d.toLong).nextDouble() * 2.0 - 1.0
+        d += 1
+      }
+      planeWeightCache.putIfAbsent(key, w)
+    }
+    w
+  }
 
   /** Sign-of-projection LSH signature over `planes` hyperplanes packed
-    * into one long (planes ≤ 64). One pass per plane over the vector —
-    * O(planes×dim) flops in a tight JIT loop. */
-  def hyperplaneSignature(v: ArrayData, isFloat: Boolean, planes: Int): Long = {
+    * into one long (planes ≤ 64 per word). `planeOffset` selects which
+    * global planes this word covers (offset, offset+1, …) so callers can
+    * build signatures wider than 64 planes as several words. One pass per
+    * plane over the vector — O(planes×dim) flops in a tight JIT loop over
+    * the memoized weight rows. */
+  def hyperplaneSignature(v: ArrayData, isFloat: Boolean, planes: Int,
+                          planeOffset: Int): Long = {
     val dim = v.numElements()
     var sig = 0L
     var p = 0
     while (p < planes) {
+      val w = planeWeights(planeOffset + p, dim)
       var proj = 0.0; var d = 0
-      while (d < dim) { proj += elem(v, d, isFloat) * weight(p, d); d += 1 }
+      while (d < dim) { proj += elem(v, d, isFloat) * w(d); d += 1 }
       if (proj >= 0) sig |= (1L << p)
       p += 1
     }
     sig
   }
+
+  def hyperplaneSignature(v: ArrayData, isFloat: Boolean, planes: Int): Long =
+    hyperplaneSignature(v, isFloat, planes, 0)
 
   /** 64-bit SimHash over a token array: per token one 64-bit hash
     * (FNV-1a over UTF8 bytes — deterministic, allocation-free), ±1 into
