@@ -41,25 +41,64 @@ object ImdbMarts {
         sum(col("numVotes")).as("total_votes"),
         count(lit(1)).as("n_episodes"))
 
-  /** Snowflake mart: renamed movie facts + label/bucket columns (ref
-    * airflow/dags/dbt/models/marts/movie_facts_anl.sql:1-41, C6). */
+  /** Snowflake mart: renamed movie facts + label/bucket columns, full
+    * documented contract (ref
+    * airflow/dags/dbt/models/marts/movie_facts_anl.sql:4-41, C6):
+    * MOVIE_KEY, ORIGINALTITLE, RUNTIME_MIN, AVG_RATING/NUM_VOTES, the
+    * crew/cast carry-columns, and RUN_DATE sourced from the DATE-typed
+    * run_date_dt. Bucket labels use the reference's exact strings
+    * (en-dash ranges). */
   def movieFactsAnl(movieFacts: DataFrame): DataFrame =
     movieFacts.select(
-      col("tconst").as("TCONST"), col("primaryTitle").as("PRIMARYTITLE"),
-      col("genre").as("GENRE"), col("decade").as("DECADE"),
-      col("averageRating").as("AVERAGERATING"), col("numVotes").as("NUMVOTES"),
-      col("oscarWinner").as("OSCARWINNER"), col("run_date").as("RUN_DATE"))
+      col("tconst").as("MOVIE_KEY"),
+      col("primaryTitle").as("PRIMARYTITLE"),
+      col("originalTitle").as("ORIGINALTITLE"),
+      col("startYear").as("STARTYEAR"),
+      col("decade").as("DECADE"),
+      col("runtimeMinutes").cast("int").as("RUNTIME_MIN"),
+      col("genre").as("GENRE"),
+      col("genres").as("GENRES"),
+      col("averageRating").cast("double").as("AVG_RATING"),
+      col("numVotes").cast("int").as("NUM_VOTES"),
+      col("directors").as("DIRECTORS"),
+      col("writers").as("WRITERS"),
+      col("topActors").as("TOPACTORS"),
+      col("topActors_nconst").as("TOPACTORS_NCONST"),
+      col("oscarWinner").as("OSCARWINNER"),
+      col("run_date_dt").as("RUN_DATE"))
       .withColumn("DECADE_LABEL", concat(col("DECADE").cast("string"), lit("s")))
       .withColumn("VOTE_BUCKET", Clean.caseBucket(Seq(
-        (col("NUMVOTES") >= 50000) -> "50k+",
-        (col("NUMVOTES") >= 10000) -> "10k-49k",
-        (col("NUMVOTES") >= 1000)  -> "1k-9k",
-        col("NUMVOTES").isNotNull  -> "<1k"), "unknown"))
+        (col("NUM_VOTES") >= 50000) -> "50k+",
+        (col("NUM_VOTES") >= 10000) -> "10k–49k",
+        (col("NUM_VOTES") >= 1000)  -> "1k–9k",
+        col("NUM_VOTES").isNotNull  -> "<1k"), "unknown"))
       .withColumn("RATING_BAND", Clean.caseBucket(Seq(
-        (col("AVERAGERATING") >= 8) -> "Excellent",
-        (col("AVERAGERATING") >= 7) -> "Great",
-        (col("AVERAGERATING") >= 6) -> "Good",
-        col("AVERAGERATING").isNotNull -> "OK"), "unknown"))
+        (col("AVG_RATING") >= 8) -> "Excellent",
+        (col("AVG_RATING") >= 7) -> "Great",
+        (col("AVG_RATING") >= 6) -> "Good",
+        col("AVG_RATING").isNotNull -> "OK"), "unknown"))
+
+  /** Snowflake mart: renamed episode facts, full documented contract (ref
+    * airflow/dags/dbt/models/marts/episode_facts_anl.sql:1-19) — pure
+    * rename/projection: EPISODE_KEY, SERIES_KEY, AVG_RATING, NUM_VOTES,
+    * RUN_DATE from run_date_dt. */
+  def episodeFactsAnl(episodeFacts: DataFrame): DataFrame =
+    episodeFacts.select(
+      col("tconst").as("EPISODE_KEY"),
+      col("seriesId").as("SERIES_KEY"),
+      col("seriesTitle").as("SERIESTITLE"),
+      col("seriesStartYear").as("SERIESSTARTYEAR"),
+      col("series_decade").as("SERIES_DECADE"),
+      col("seasonNumber").as("SEASONNUMBER"),
+      col("episodeNumber").as("EPISODENUMBER"),
+      col("episodeTitle").as("EPISODETITLE"),
+      col("episodeYear").as("EPISODEYEAR"),
+      col("averageRating").cast("double").as("AVG_RATING"),
+      col("numVotes").cast("int").as("NUM_VOTES"),
+      col("isPilot").as("ISPILOT"),
+      col("isFinale").as("ISFINALE"),
+      col("isSpecial").as("ISSPECIAL"),
+      col("run_date_dt").as("RUN_DATE"))
 
   /** Season mart label: zero-padded season (ref
     * series_season_summary_anl.sql:13). */

@@ -114,10 +114,42 @@ class ImdbPipelineSpec extends AnyFunSuite {
 
   test("marts: buckets, latest view, top-k, ad-hoc queries, BI measures") {
     val anl = ImdbMarts.movieFactsAnl(movies)
-    val m1 = anl.filter($"TCONST" === "m1").head()
-    assert(m1.getAs[String]("VOTE_BUCKET") == "10k-49k")
+    // full documented contract of movie_facts_anl.sql:4-41 (column names
+    // are the BI-facing API — a consumer of the reference mart must be
+    // able to read this one unchanged)
+    assert(anl.columns.toSeq == Seq("MOVIE_KEY", "PRIMARYTITLE",
+      "ORIGINALTITLE", "STARTYEAR", "DECADE", "RUNTIME_MIN", "GENRE",
+      "GENRES", "AVG_RATING", "NUM_VOTES", "DIRECTORS", "WRITERS",
+      "TOPACTORS", "TOPACTORS_NCONST", "OSCARWINNER", "RUN_DATE",
+      "DECADE_LABEL", "VOTE_BUCKET", "RATING_BAND"))
+    val m1 = anl.filter($"MOVIE_KEY" === "m1").head()
+    assert(m1.getAs[String]("VOTE_BUCKET") == "10k–49k")
     assert(m1.getAs[String]("RATING_BAND") == "Excellent")
     assert(m1.getAs[String]("DECADE_LABEL") == "1990s")
+    assert(m1.getAs[String]("ORIGINALTITLE") == "Alpha")
+    assert(m1.getAs[Int]("RUNTIME_MIN") == 120)
+    assert(m1.getAs[String]("DIRECTORS") == "d1,d2")
+    assert(m1.getAs[String]("TOPACTORS") == "Anna Actor, Bob Builder, Cara Costar")
+    assert(m1.getAs[java.sql.Date]("RUN_DATE").toString == "2024-01-01")
+    // NULL vote/rating rows land in the 'unknown' buckets (anl.sql CASE)
+    val m2a = anl.filter($"MOVIE_KEY" === "m2").head()
+    assert(m2a.getAs[String]("VOTE_BUCKET") == "<1k")
+    assert(m2a.getAs[String]("RATING_BAND") == "Great")
+
+    val epAnl = ImdbMarts.episodeFactsAnl(episodes)
+    assert(epAnl.columns.toSeq == Seq("EPISODE_KEY", "SERIES_KEY",
+      "SERIESTITLE", "SERIESSTARTYEAR", "SERIES_DECADE", "SEASONNUMBER",
+      "EPISODENUMBER", "EPISODETITLE", "EPISODEYEAR", "AVG_RATING",
+      "NUM_VOTES", "ISPILOT", "ISFINALE", "ISSPECIAL", "RUN_DATE"))
+    val e1a = epAnl.filter($"EPISODE_KEY" === "e1").head()
+    assert(e1a.getAs[String]("SERIES_KEY") == "sv1")
+    assert(e1a.getAs[String]("SERIESTITLE") == "LongShow")
+    assert(e1a.getAs[Int]("SERIES_DECADE") == 2000)
+    assert(e1a.getAs[Double]("AVG_RATING") == 7.5)
+    assert(e1a.getAs[Long]("ISPILOT") == 1L)
+    assert(e1a.getAs[java.sql.Date]("RUN_DATE").toString == "2024-01-01")
+    val e4a = epAnl.filter($"EPISODE_KEY" === "e4").head()
+    assert(e4a.getAs[Int]("SEASONNUMBER") == -1 && e4a.getAs[Long]("ISSPECIAL") == 1L)
 
     val view = ImdbMarts.movieFactsView(movies)
     assert(view.count() == 4) // single run, all rated
