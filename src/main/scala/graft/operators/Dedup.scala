@@ -23,16 +23,23 @@ object Dedup {
     * join: explode distinct tokens → self-join on token (inverted index)
     * → co-occurrence count = |A∩B| → |A∪B| = |A|+|B|−|A∩B|.
     * Pairs sharing no token have Jaccard 0 and are correctly absent.
-    * Scale note: very common tokens blow up the index; `maxDocFreq` drops
-    * tokens appearing in more than that fraction of docs (a standard
-    * prefix-filter; disabled when 1.0 for oracle-exact parity). */
+    * Scale notes: the inverted index ships 8-byte hashed token ids, not
+    * the token strings — counts are unchanged up to 64-bit collision
+    * odds (see VectorOps.hashTokens64); very common tokens blow up the
+    * index, so `maxDocFreq` drops tokens appearing in more than that
+    * fraction of docs (a standard prefix-filter; disabled when 1.0 for
+    * oracle-exact parity). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleLen: Int = 1,
                    maxDocFreq: Double = 1.0): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       Text.shingles(lower(col(textCol)), shingleLen).as("toks"))
       .withColumn("sz", size(col("toks")))
-    val inv0 = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    // hash BEFORE the index joins: every downstream shuffle keys on the
+    // 8-byte id instead of the shingle string (distinct strings stay
+    // distinct w.h.p., so |A∩B| and doc-frequency counts are unchanged)
+    val inv0 = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok_s"))
+      .select(col("id"), col("sz"), xxhash64(col("tok_s")).as("tok"))
     val inv =
       if (maxDocFreq >= 1.0) inv0
       else {
@@ -93,9 +100,14 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()   // dedup multi-band hits
+    // verify ships array<long> hashed shingle ids, not the strings —
+    // same |A∩B| / sizes w.h.p. (VectorOps.hashTokens64), a fraction of
+    // the shuffle bytes of word n-gram strings
+    val hashedSets = shingleSets.select(col("id"),
+      graft.plans.exprs.hashTokens64(col("sh")).as("shh"))
     cand
-      .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(hashedSets.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+      .join(hashedSets.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -93,6 +93,18 @@ case class TokenRollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-element 64-bit hash: array<string> → array<long>. Native one-pass
+  * expression (a `transform(arr, x => hash(x))` HOF would interpret per
+  * element and can re-evaluate an inlined child array per element). */
+case class HashTokens64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.hashTokens64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.hashTokens64($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** k-hash MinHash signature over an array<string>; elements hashed once,
   * k seed-mixes each — one pass, no per-hash re-evaluation of the child. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
@@ -123,6 +135,9 @@ object exprs {
 
   def minhashSig(elems: Column, k: Int): Column =
     column(MinHashSig(expression(elems), k))
+
+  def hashTokens64(tokens: Column): Column =
+    column(HashTokens64(expression(tokens)))
 
   def tokenRollingHash(tokens: Column): Column =
     column(TokenRollingHash(expression(tokens)))

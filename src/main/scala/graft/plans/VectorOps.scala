@@ -185,6 +185,22 @@ object VectorOps {
     acc
   }
 
+  /** fnv1a64 of each element: array<string> → array<long> in one pass.
+    * Lets dedup verify joins ship 8-byte shingle ids instead of the
+    * shingle strings (≈3-5× fewer shuffle bytes for word 3-grams);
+    * intersection counts are unchanged up to 64-bit collision odds
+    * (~n²/2⁶⁵ — ≈1e-9 even at 10⁵ distinct shingles per pair). */
+  def hashTokens64(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (tokens.isNullAt(i)) 0L else fnv1a64(tokens.getUTF8String(i))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   def fnv1a64(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0xcbf29ce484222325L
