@@ -20,6 +20,20 @@ import graft.functions.Text
   */
 object Corpus {
 
+  /** The prepared corpus plus a cache-lifecycle handle. The two persisted
+    * intermediates are registered in the session CacheManager, which
+    * holds them STRONGLY until unpersist()/clearCache() — they are NOT
+    * dropped when the plan goes unreferenced. Call [[release]] once `df`
+    * has been materialized (written/collected); in a long-lived session
+    * composing many corpora, skipping it accumulates cached blocks for
+    * the session lifetime. */
+  final case class PreparedCorpus(df: DataFrame,
+                                  private val cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist())
+    def isReleased: Boolean =
+      cached.forall(_.storageLevel == StorageLevel.NONE)
+  }
+
   /** @param maxDocFreq prefix-filter knob forwarded to
     *   [[Dedup.jaccardPairs]]: shingles present in more than this fraction
     *   of docs are dropped from the inverted index before the pair join.
@@ -27,21 +41,21 @@ object Corpus {
     *   shingles otherwise produce postings lists whose pair counts square
     *   (the 100 TB scale-killer). Near-dup pairs at a meaningful threshold
     *   share many shingles, so dropping corpus-half-frequency ones loses a
-    *   pair only if ALL its shared shingles are that hot (CorpusSpec
-    *   proves capped == exact on the harness corpus); pass 1.0 for
+    *   pair only if ALL its shared shingles are that hot (DedupSimilarity
+    *   specs prove capped == exact on the harness corpus); pass 1.0 for
     *   oracle-exact mode. */
-  def prepare(docs: DataFrame, idCol: String, textCol: String,
-              stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
-              keepLangs: Set[String], minQuality: Double,
-              nearDupThreshold: Double, maxDocFreq: Double = 0.5): DataFrame = {
+  def prepareManaged(docs: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
+                     keepLangs: Set[String], minQuality: Double,
+                     nearDupThreshold: Double, maxDocFreq: Double = 0.5): PreparedCorpus = {
     val id = col(idCol); val text = col(textCol)
 
     // persisted: consumed by both the exact-keep aggregate and the
     // exact-set semi join — without a materialization barrier the
     // quality+lang scan re-runs per branch (~3× the corpus scan; at
     // 100 TB that is two extra full passes). MEMORY_AND_DISK spills
-    // rather than recomputing; blocks are dropped by the ContextCleaner
-    // once the returned plan is unreferenced.
+    // rather than recomputing. Lifecycle: the caller releases via the
+    // returned handle.
     val gated = docs
       .withColumn("quality", Text.qualityScore(text, stopwords))
       .withColumn("lang_pred", Text.langId(lower(text), langMarkers))
@@ -62,8 +76,20 @@ object Corpus {
     val dupOf = Dedup.jaccardPairs(exact, idCol, textCol,
         nearDupThreshold, shingleLen = 3, maxDocFreq = maxDocFreq)
       .select(col("id_b").as(idCol)).distinct()
-    exact.join(dupOf, Seq(idCol), "left_anti")
+    val result = exact.join(dupOf, Seq(idCol), "left_anti")
       .select(id, Text.tokenCount(text).as("n_tokens"), col("quality"),
         col("lang_pred"))
+    PreparedCorpus(result, Seq(gated, exact))
   }
+
+  /** [[prepareManaged]] without the lifecycle handle — for one-shot jobs
+    * where the process exit (or an explicit spark.catalog.clearCache())
+    * reclaims the cached intermediates. Long-lived sessions composing
+    * many corpora should use [[prepareManaged]] and release. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
+              keepLangs: Set[String], minQuality: Double,
+              nearDupThreshold: Double, maxDocFreq: Double = 0.5): DataFrame =
+    prepareManaged(docs, idCol, textCol, stopwords, langMarkers, keepLangs,
+      minQuality, nearDupThreshold, maxDocFreq).df
 }

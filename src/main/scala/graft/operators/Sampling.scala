@@ -21,11 +21,13 @@ object Sampling {
     (0 until n).map(i => f"$i%02x")
   }
 
-  /** Keep rows whose md5(keyCol) falls in the first round(rate·256) buckets. */
+  /** Keep rows whose md5(keyCol) falls in the first round(rate·256)
+    * buckets. Non-string keys are cast to their canonical string form
+    * first (md5 takes binary/string input only). */
   def hashSample(df: DataFrame, keyCol: Column, rate: Double): DataFrame = {
     val p = prefixes(rate)
     if (p.isEmpty) df.limit(0)
-    else df.filter(substring(md5(keyCol), 1, 2).isin(p: _*))
+    else df.filter(substring(md5(keyCol.cast("string")), 1, 2).isin(p: _*))
   }
 
   /** Per-stratum rates (e.g. downsample dominant languages harder):
@@ -33,7 +35,7 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,
                            rates: Map[String, Double],
                            defaultRate: Double): DataFrame = {
-    val bucket = substring(md5(keyCol), 1, 2)
+    val bucket = substring(md5(keyCol.cast("string")), 1, 2)
     val pred = rates.toSeq.sortBy(_._1).foldRight(
       bucket.isin(prefixes(defaultRate): _*): Column) { case ((s, r), els) =>
       when(strataCol === s, bucket.isin(prefixes(r): _*)).otherwise(els)

@@ -30,7 +30,13 @@ final class Runner(spark: SparkSession, rawDir: String, outDir: String) {
   private def raw(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     TsvSource(spark, s"$rawDir/$name.tsv", schema)
 
-  def run(runDateArg: Option[String] = None, minRows: Long = 1): RunReport = {
+  /** @param validationSampleRate when set, the GE gates run on a
+    *   deterministic content-hash sample at this rate instead of the full
+    *   table (the reference's sampled-validation mode,
+    *   ge_validate_athena.py:25 — LIMIT 5000 — made reproducible). The
+    *   100 TB setting: gate cost becomes O(sample), not O(table). */
+  def run(runDateArg: Option[String] = None, minRows: Long = 1,
+          validationSampleRate: Option[Double] = None): RunReport = {
     val runDate = resolveRunDate(runDateArg)
 
     // ingest fingerprint gate (S4/S5/I1)
@@ -63,6 +69,11 @@ final class Runner(spark: SparkSession, rawDir: String, outDir: String) {
       Seq("run_date", "series_decade", "seasonNumber"))
     ParquetSink.append(seasons, s"$outDir/series_season_summary_v2",
       Seq("run_date", "series_decade"))
+    // materialized latest pointers (ref imdb_raw_ingest.py:199-200's
+    // latest/ copy): helper-less readers address the newest slice directly
+    Seq("analytics_movie_facts_v2", "analytics_episode_facts_v2",
+      "series_season_summary_v2").foreach(t =>
+      ParquetSink.writeLatestPointer(s"$outDir/$t", runDate))
 
     // DQ snapshots (one-row aggs, S3/A5) — movies measured post-explode,
     // matching the reference's grain choice (SURVEY §7.4.1)
@@ -83,13 +94,20 @@ final class Runner(spark: SparkSession, rawDir: String, outDir: String) {
     val smokeCount = published.count()
     require(smokeCount >= minRows, s"smoke gate: $smokeCount < $minRows rows")
 
-    // GE-layer gates (§5.3 semantics, tolerances from the reference)
-    Expectations.assertAll(published, Seq(
+    // GE-layer gates (§5.3 semantics, tolerances from the reference);
+    // optionally on a deterministic hash sample (§5.3 sampled mode)
+    def gate(df: DataFrame, keyCol: String,
+             exps: Seq[Expectations.Expectation]): Unit =
+      validationSampleRate match {
+        case Some(rate) => Expectations.assertAllSampled(df, exps, col(keyCol), rate)
+        case None => Expectations.assertAll(df, exps)
+      }
+    gate(published, "tconst", Seq(
       notNull("tconst"),
       between("averageRating", 0, 10, mostly = 0.995),
       between("numVotes", 0, Double.MaxValue, mostly = 1.0),
       between("runtimeMinutes", 1, Double.MaxValue, mostly = 0.98)))
-    Expectations.assertAll(episodes, Seq(
+    gate(episodes, "tconst", Seq(
       between("averageRating", 0, 10, mostly = 0.99)))
 
     // publish marts — idempotent slice reload (I4)
@@ -116,26 +134,59 @@ final class Runner(spark: SparkSession, rawDir: String, outDir: String) {
 final case class RunReport(runDate: String, movieFactRows: Long,
                            ingestStatus: Map[String, String])
 
-/** Control records for change-detected ingest (ref
-  * airflow/dags/imdb_raw_ingest.py:70-90,176-187): fingerprint =
-  * (length, mtime) — the local-file analogue of
-  * Last-Modified/Content-Length/ETag. `decide` → fetch | skip_unchanged. */
-final class IngestRegistry(controlDir: String) {
-  Files.createDirectories(Paths.get(controlDir))
-  private def ctl(name: String) = Paths.get(controlDir, s"$name.fp")
+/** The HTTP HEAD-compare triple the reference's control records carry
+  * (ref imdb_raw_ingest.py:70-90: Last-Modified / Content-Length / ETag,
+  * each possibly absent). */
+final case class RemoteMeta(etag: Option[String], lastModified: Option[String],
+                            contentLength: Option[Long])
 
-  private def fingerprint(f: java.io.File): String =
-    s"${f.length()}:${f.lastModified()}"
+/** Control records for change-detected ingest (ref
+  * airflow/dags/imdb_raw_ingest.py:70-90,176-187): each source stores a
+  * three-field control record (etag, last_modified, content_length).
+  * Matching the reference exactly, the skip decision compares
+  * last_modified + content_length ONLY — the etag is recorded but not
+  * compared (imdb_raw_ingest.py:181). `metaOf` is injectable so tests
+  * (and a real HTTP front-end) can vary each field independently; the
+  * default is the local-file analogue (no etag, mtime, length).
+  * `decide` → missing | fetch | skip_unchanged. */
+final class IngestRegistry(controlDir: String,
+    metaOf: java.io.File => RemoteMeta = IngestRegistry.localMeta) {
+  Files.createDirectories(Paths.get(controlDir))
+  private def ctl(name: String) = Paths.get(controlDir, s"$name.ctl.json")
+
+  private def render(m: RemoteMeta): String = {
+    def s(v: Option[String]) = v.map("\"" + _ + "\"").getOrElse("null")
+    s"""{"etag": ${s(m.etag)}, "last_modified": ${s(m.lastModified)},""" +
+      s""" "content_length": ${m.contentLength.map(_.toString).getOrElse("null")}}"""
+  }
+
+  /** Extract one field from our own control JSON (values are unescaped
+    * strings, numbers, or null — written by [[render]] above). */
+  private def field(json: String, key: String): Option[String] =
+    ("\"" + key + "\":\\s*(\"([^\"]*)\"|null|[0-9]+)").r.findFirstMatchIn(json)
+      .flatMap(m => Option(m.group(2)).orElse(Option(m.group(1)).filter(_ != "null")))
 
   def decide(name: String, f: java.io.File): String =
     if (!f.exists()) "missing"
-    else if (Files.exists(ctl(name)) &&
-      new String(Files.readAllBytes(ctl(name))) == fingerprint(f)) "skip_unchanged"
-    else "fetch"
+    else if (!Files.exists(ctl(name))) "fetch"
+    else {
+      val json = new String(Files.readAllBytes(ctl(name)))
+      val meta = metaOf(f)
+      val unchanged = field(json, "last_modified") == meta.lastModified &&
+        field(json, "content_length") == meta.contentLength.map(_.toString)
+      if (unchanged) "skip_unchanged" else "fetch"
+    }
 
   def record(name: String, f: java.io.File): Unit =
-    if (f.exists()) Files.write(ctl(name), fingerprint(f).getBytes,
+    if (f.exists()) Files.write(ctl(name), render(metaOf(f)).getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+}
+
+object IngestRegistry {
+  /** Local-file analogue of the HEAD triple: no etag offline; mtime and
+    * length stand in for Last-Modified / Content-Length. */
+  val localMeta: java.io.File => RemoteMeta =
+    f => RemoteMeta(None, Some(f.lastModified().toString), Some(f.length()))
 }
 
 /** Run manifest + _SUCCESS marker (ref imdb_raw_ingest.py:281-307). */

@@ -19,9 +19,11 @@ object Expectations {
     * nulls are excluded from the denominator). */
   final case class MostlySatisfies(name: String, cond: Column, nonNull: Column,
                                    mostly: Double) extends Expectation {
+    // coalesce: sum over ZERO rows is NULL (an empty table — or an empty
+    // sample in sampled mode — must read as 0/0 ok, not crash the gate)
     def agg: Column = struct(
-      sum(when(nonNull && cond, 1L).otherwise(0L)).as("ok"),
-      sum(when(nonNull, 1L).otherwise(0L)).as("tot")).as(name)
+      coalesce(sum(when(nonNull && cond, 1L).otherwise(0L)), lit(0L)).as("ok"),
+      coalesce(sum(when(nonNull, 1L).otherwise(0L)), lit(0L)).as("tot")).as(name)
   }
 
   object dsl {
@@ -58,8 +60,29 @@ object Expectations {
     }
   }
 
-  def assertAll(df: DataFrame, expectations: Seq[Expectation]): Unit = {
-    val failed = validate(df, expectations).filterNot(_.passed)
+  def assertAll(df: DataFrame, expectations: Seq[Expectation]): Unit =
+    requirePassed(validate(df, expectations))
+
+  /** GE sampled-validation mode (ref tests/ge_validate_athena.py:25,54 —
+    * the LIMIT 5000 gate, made deterministic): validate a content-keyed
+    * hash sample instead of the full table. At 100 TB a full-scan gate
+    * is the pipeline's most expensive no-op; `mostly` tolerances hold on
+    * a uniform sample up to sampling noise, and hash keying gates the
+    * SAME rows on every run and engine (LIMIT is
+    * partition-order-dependent — a different 5000 rows per run).
+    * Count-exact expectations (`unique`, `rowCountAtLeast`) are
+    * evaluated on the sample; use the full [[validate]] when those must
+    * be exact. */
+  def validateSampled(df: DataFrame, expectations: Seq[Expectation],
+                      sampleKey: Column, rate: Double): Seq[Result] =
+    validate(graft.operators.Sampling.hashSample(df, sampleKey, rate), expectations)
+
+  def assertAllSampled(df: DataFrame, expectations: Seq[Expectation],
+                       sampleKey: Column, rate: Double): Unit =
+    requirePassed(validateSampled(df, expectations, sampleKey, rate))
+
+  private def requirePassed(results: Seq[Result]): Unit = {
+    val failed = results.filterNot(_.passed)
     require(failed.isEmpty, "expectations failed: " +
       failed.map(r => s"${r.name} [${r.detail}]").mkString("; "))
   }

@@ -35,6 +35,26 @@ object ParquetSink {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Materialized latest-slice pointer (ref imdb_raw_ingest.py:199-200's
+    * `latest/` copy): a `_LATEST` file at the table root naming the
+    * newest run_date, so helper-less readers address the latest slice
+    * directly (`path/run_date=<value>`) without listing partitions or
+    * running the latestSlice window. Monotone: a rerun of an OLD
+    * run_date never moves the pointer backward. */
+  def writeLatestPointer(path: String, runDate: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    if (readLatestPointer(path).forall(_ <= runDate))
+      Files.write(Paths.get(path, "_LATEST"), runDate.getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def readLatestPointer(path: String): Option[String] = {
+    val p = java.nio.file.Paths.get(path, "_LATEST")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p)).trim).filter(_.nonEmpty)
+    else None
+  }
+
   /** Bucketed catalog table: co-locates future joins/aggregations on
     * `bucketCols` — two tables bucketed the same way join with NO
     * exchange on either side (asserted in SourcesAndQualitySpec). The

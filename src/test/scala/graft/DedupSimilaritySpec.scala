@@ -52,6 +52,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.subsetOf(exact))
   }
 
+  test("Corpus.prepareManaged: cache lifecycle — persisted until released") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val prepared = graft.operators.Corpus.prepareManaged(docs, "doc_id", "text",
+      stopwords = Seq("the", "and", "of"),
+      langMarkers = Seq("en" -> Seq("the", "and")), keepLangs = Set("en", "und"),
+      minQuality = 0.0, nearDupThreshold = 0.6)
+    prepared.df.count() // materialize (populates the two persisted stages)
+    assert(!prepared.isReleased, "intermediates should be cached pre-release")
+    prepared.release()
+    assert(prepared.isReleased, "release() must unpersist both intermediates")
+  }
+
   test("embeddingDupPairs: finds an injected duplicate vector") {
     val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(100)
     // duplicate vec 0 with a new id → cosine 1.0 pair must surface

@@ -206,5 +206,39 @@ class ImdbPipelineSpec extends AnyFunSuite {
     // marts hold only the latest slice per run_date partition (I4)
     val trends = spark.read.parquet(s"$outDir/marts_episode_season_trends")
     assert(trends.filter(col("run_date") === "20240102").count() > 0)
+    // materialized latest pointer followed the new slice
+    assert(graft.sources.ParquetSink
+      .readLatestPointer(s"$outDir/analytics_movie_facts_v2").contains("20240102"))
+
+    // third run in sampled-gate mode: GE layer on a deterministic sample
+    val report3 = runner.run(Some("20240103"), minRows = 4,
+      validationSampleRate = Some(0.5))
+    assert(report3.movieFactRows == 4)
+  }
+
+  test("ingest control triple: decision matches the reference's HEAD compare") {
+    import graft.pipeline.{IngestRegistry, RemoteMeta}
+    val dir = Files.createTempDirectory("graft_ctl").toFile.getAbsolutePath
+    val f = new java.io.File(rawDir, "title_basics.tsv")
+    var meta = RemoteMeta(Some("e1"), Some("lm1"), Some(100L))
+    val reg = new IngestRegistry(dir, _ => meta)
+    assert(reg.decide("x", f) == "fetch")            // no control record yet
+    reg.record("x", f)
+    assert(reg.decide("x", f) == "skip_unchanged")
+    // etag is RECORDED but NOT compared (imdb_raw_ingest.py:181)
+    meta = RemoteMeta(Some("different-etag"), Some("lm1"), Some(100L))
+    assert(reg.decide("x", f) == "skip_unchanged")
+    // last_modified and content_length each trigger a fetch independently
+    meta = RemoteMeta(Some("e1"), Some("lm2"), Some(100L))
+    assert(reg.decide("x", f) == "fetch")
+    meta = RemoteMeta(Some("e1"), Some("lm1"), Some(101L))
+    assert(reg.decide("x", f) == "fetch")
+    // absent headers (no Last-Modified) round-trip as null and still match
+    meta = RemoteMeta(None, None, Some(100L))
+    reg.record("x", f)
+    assert(reg.decide("x", f) == "skip_unchanged")
+    meta = RemoteMeta(None, Some("now-present"), Some(100L))
+    assert(reg.decide("x", f) == "fetch")
+    assert(reg.decide("x", new java.io.File(dir, "nope.tsv")) == "missing")
   }
 }

@@ -67,4 +67,39 @@ class SourcesAndQualitySpec extends AnyFunSuite {
     val df = Seq(1, 2, 2, 3).toDF("k")
     assert(!Expectations.validate(df, Seq(unique("k"))).head.passed)
   }
+
+  test("sampled validation: deterministic subset, same verdicts across runs") {
+    import Expectations.dsl._
+    val df = spark.range(2000).selectExpr("id", "CAST(id % 10 AS DOUBLE) AS rating")
+    // rate 1.0 == full validate
+    val full = Expectations.validate(df, Seq(notNull("id")))
+    val all = Expectations.validateSampled(df, Seq(notNull("id"), rowCountAtLeast(2000)),
+      col("id"), rate = 1.0)
+    assert(full.head.passed && all.forall(_.passed))
+    // a 25% sample gates a strict subset, and the SAME subset every run
+    // (content-hash keyed — partition-order independent, unlike LIMIT)
+    val s1 = Expectations.validateSampled(df, Seq(rowCountAtLeast(1)), col("id"), 0.25)
+    val s2 = Expectations.validateSampled(df.repartition(7), Seq(rowCountAtLeast(1)),
+      col("id"), 0.25)
+    assert(s1.head.detail == s2.head.detail, s"${s1.head.detail} vs ${s2.head.detail}")
+    val n = s1.head.detail.split("=| ")(1).toLong // "count=N min=1"
+    assert(n > 300 && n < 700, s"25% of 2000 sampled $n rows")
+    // a violation planted INSIDE the sample is caught by the sampled gate
+    val bad = df.withColumn("rating",
+      org.apache.spark.sql.functions.when($"id" < 1000, -5.0).otherwise($"rating"))
+    assert(!Expectations.validateSampled(bad, Seq(between("rating", 0, 10, mostly = 0.8)),
+      col("id"), 0.25).head.passed)
+  }
+
+  test("latest pointer: written, monotone, readable") {
+    val out = Files.createTempDirectory("graft_latest").toFile.getAbsolutePath + "/t"
+    ParquetSink.append(Seq(("20240101", 1)).toDF("run_date", "v"), out, Seq("run_date"))
+    ParquetSink.writeLatestPointer(out, "20240101")
+    assert(ParquetSink.readLatestPointer(out).contains("20240101"))
+    ParquetSink.writeLatestPointer(out, "20240105")
+    assert(ParquetSink.readLatestPointer(out).contains("20240105"))
+    // a rerun of an older slice never moves latest backward
+    ParquetSink.writeLatestPointer(out, "20240103")
+    assert(ParquetSink.readLatestPointer(out).contains("20240105"))
+  }
 }
