@@ -1028,7 +1028,36 @@ object Queries {
           Clean.flag(col("n_bf") === col("n_expected")).as("bf_rows_ok"))
       },
       Some("""SELECT CAST(1 AS BIGINT) AS recall_ok,
-             |CAST(1 AS BIGINT) AS bf_rows_ok""".stripMargin)))
+             |CAST(1 AS BIGINT) AS bf_rows_ok""".stripMargin)),
+
+    Q("q56_asof_bucketed",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // q48's as-of join through the time-bucketed variant: identical
+        // results (same oracle), but the carry window partitions on
+        // (user, hour bucket) so a hot user's history never sorts in one
+        // task — the 100 TB skew path, oracle-proven equivalent
+        val ev = tbl("events").select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("us"), col("us").as("click_us"))
+        operators.AsOfJoin.asOfBucketed(errors, clicks, "user_id", "us",
+          Seq("click_id", "click_us"), bucketWidth = 3600L * 1000000L)
+          .select(col("error_id"), col("user_id"), col("click_id"),
+            ((col("us") - col("click_us")) / 1000000L).cast("long").as("gap_sec"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+             |            FROM events),
+             |e AS (SELECT event_id AS error_id, user_id, us FROM ev
+             |      WHERE event_type = 'error'),
+             |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM ev
+             |      WHERE event_type = 'click')
+             |SELECT e.error_id, e.user_id, c.click_id,
+             |  CAST((e.us - c.click_us) // 1000000 AS BIGINT) AS gap_sec
+             |FROM e ASOF JOIN c
+             |  ON e.user_id = c.user_id AND e.us >= c.click_us""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

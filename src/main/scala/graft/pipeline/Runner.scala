@@ -119,6 +119,9 @@ final class Runner(spark: SparkSession, rawDir: String, outDir: String) {
         .withColumn("run_date", lit(runDate)),
       s"$outDir/marts_episode_season_trends", Seq("run_date"))
 
+    Seq("marts_top_movies_by_genre", "marts_episode_season_trends").foreach(t =>
+      ParquetSink.writeLatestPointer(s"$outDir/$t", runDate))
+
     // dbt-test layer (§5.4): not_null probes on the marts
     Expectations.assertAll(spark.read.parquet(s"$outDir/marts_episode_season_trends"),
       Seq(notNull("seasonNumber")))
