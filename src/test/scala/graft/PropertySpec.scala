@@ -99,4 +99,34 @@ class PropertySpec extends AnyFunSuite {
         s"est=$est true=$trueJ sigma=$sigma")
     }
   }
+
+  test("asOf and asOfBucketed match a brute-force reference on random data") {
+    import graft.operators.AsOfJoin
+    // clustered times guarantee plenty of exact collisions (the tiebreak
+    // path) and negative times exercise the bucket floor division
+    val rowGen = for {
+      key <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(-40L, 40L).map(_ * 5)
+      v <- Gen.choose(0, 999)
+    } yield (key, t, v)
+    val lRows = samples(rowGen, 120).zipWithIndex
+      .map { case ((k, t, v), i) => (k, t, s"L$i") }
+    val rRows = samples(rowGen, 80).map { case (k, t, v) => (k, t, s"P$v") }
+    val l = lRows.toDF("k", "t", "lid")
+    val r = rRows.toDF("k", "t", "p")
+    // brute force: max (time, payload) over right rows with t' <= t —
+    // the documented tiebreak (largest payload struct wins)
+    val expected = lRows.map { case (k, t, lid) =>
+      val cands = rRows.filter { case (rk, rt, _) => rk == k && rt <= t }
+      (k, t, lid, if (cands.isEmpty) null else cands.map { case (_, rt, p) => (rt, p) }.max._2)
+    }.toSet
+    val plain = AsOfJoin.asOf(l, r, "k", "t", Seq("p"), "left")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getString(3))).toSet
+    assert(plain == expected)
+    for (w <- Seq(1L, 13L, 64L, 1000L)) {
+      val b = AsOfJoin.asOfBucketed(l, r, "k", "t", Seq("p"), w, "left")
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getString(3))).toSet
+      assert(b == expected, s"bucketWidth=$w")
+    }
+  }
 }
