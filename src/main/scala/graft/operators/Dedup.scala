@@ -130,13 +130,21 @@ object Dedup {
     *
     * Recall math: a pair at cosine c agrees per plane with prob
     * 1 − acos(c)/π; it is missed iff no band fully agrees, prob
-    * (1 − (1−acos(c)/π)^bitsPerBand)^bands. Defaults 32×8 give miss
-    * ≈ 2e-8 at c = 0.95 (the round-1 8×8 default was ≈ 1.2e-2 —
-    * flaky-by-construction against an exact-cosine oracle). Bucket
-    * granularity stays 2^8 per band, so candidate volume per band is
-    * unchanged; recall is bought with more bands, not coarser buckets. */
+    * (1 − (1−acos(c)/π)^bitsPerBand)^bands. Defaults 64×16 give miss
+    * ≈ 3e-6 at c = 0.95.
+    *
+    * Why 16-bit bands: candidate volume for a NON-dup pair is
+    * 1−(1−p^bitsPerBand)^bands with p the pair's plane-agreement prob —
+    * and real embedding corpora are not isotropic (vectors share
+    * dominant directions), so p for unrelated pairs sits well above 0.5
+    * (measured ≈ 0.62 on the harness corpus). At 8-bit bands that made
+    * HALF of all pairs candidates (measured: ~1M of 2M at sf0.1) — a
+    * silent slide back to O(n²) verify. 16-bit bands cut non-dup
+    * collisions ~45× per band; recall is then bought back with more
+    * bands (64), whose per-band cost is only more signature words in the
+    * narrow codegen'd kernel pass. */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, bands: Int = 32, bitsPerBand: Int = 8): DataFrame = {
+                        threshold: Double, bands: Int = 64, bitsPerBand: Int = 16): DataFrame = {
     require(64 % bitsPerBand == 0, "bitsPerBand must divide 64 (bands may not straddle words)")
     val planes = bands * bitsPerBand
     val nWords = (planes + 63) / 64

@@ -36,14 +36,20 @@ object VectorOps {
     s
   }
 
-  /** Deterministic pseudo-random hyperplane weights: plane p over dim d
-    * uses java.util.Random(p*7919+d) — spec-fixed LCG, identical on every
-    * JVM, no driver-side state to ship. Weight rows are memoized per
-    * (plane, dim): the values are pure functions of the seed, so caching
-    * changes nothing bit-wise, but avoids planes×dim Random constructions
-    * per ROW (4096/row at 64 planes × dim 64 — the round-1 hot-kernel
-    * bug). The cache is tiny (planes × dim doubles per distinct shape)
-    * and per-executor-JVM. */
+  /** Deterministic pseudo-random hyperplane weights: component (p, d) is
+    * splitmix64((p << 32) | d) mapped to uniform [-1, 1) — pure long
+    * arithmetic, identical on every JVM, no driver-side state to ship.
+    * splitmix64's full avalanche makes components INDEPENDENT across
+    * adjacent (plane, dim) keys. (The previous
+    * `new java.util.Random(p*7919+d).nextDouble()` was a real bug: an
+    * LCG's first draw barely depends on the seed's low bits, so every
+    * plane collapsed to ±c·(1,1,…,1) — one effective bit per signature,
+    * and the LSH candidate stage silently degraded to ~all-pairs.)
+    * Weight rows are memoized per (plane, dim): pure function of the
+    * key, so caching changes nothing bit-wise, but avoids planes×dim
+    * generator calls per ROW (the round-1 hot-kernel bug). The cache is
+    * tiny (planes × dim doubles per distinct shape) and
+    * per-executor-JVM. */
   private val planeWeightCache =
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Double]]()
 
@@ -54,7 +60,8 @@ object VectorOps {
       w = new Array[Double](dim)
       var d = 0
       while (d < dim) {
-        w(d) = new java.util.Random(p.toLong * 7919L + d.toLong).nextDouble() * 2.0 - 1.0
+        val h = splitmix64((p.toLong << 32) | (d.toLong & 0xffffffffL))
+        w(d) = (h >>> 11).toDouble / (1L << 52).toDouble - 1.0 // uniform [-1, 1)
         d += 1
       }
       planeWeightCache.putIfAbsent(key, w)
