@@ -1057,7 +1057,32 @@ object Queries {
              |SELECT e.error_id, e.user_id, c.click_id,
              |  CAST((e.us - c.click_us) // 1000000 AS BIGINT) AS gap_sec
              |FROM e ASOF JOIN c
-             |  ON e.user_id = c.user_id AND e.us >= c.click_us""".stripMargin)))
+             |  ON e.user_id = c.user_id AND e.us >= c.click_us""".stripMargin)),
+
+    Q("q57_dedup_components",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // near-dup pairs → connected components: cluster-consistent dedup
+        // groups (rep = min doc_id per transitive cluster) — the survivor
+        // rule web-scale dedup uses instead of per-pair greediness. The
+        // oracle reproduces it as a recursive reachability closure.
+        val pairs = Dedup.jaccardPairs(tbl("documents"), "doc_id", "text",
+          threshold = 0.6, shingleLen = 3)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("rep"))
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+              |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+              |e AS (SELECT id_a AS u, id_b AS v FROM p
+              |      UNION ALL SELECT id_b, id_a FROM p),
+              |cc(id, lab) AS (
+              |  SELECT u, u FROM e
+              |  UNION
+              |  SELECT e.u, cc.lab FROM e JOIN cc ON cc.id = e.v)
+              |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS rep
+              |FROM cc GROUP BY id""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.{Text, Vectors}
 
 /** Deduplication operators for training-data pipelines, each designed to
@@ -113,6 +114,70 @@ object Dedup {
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Connected components over an undirected pair list — the clustering
+    * step that turns pairwise near-duplicates into dedup GROUPS, so
+    * survivor selection is consistent per cluster (transitive closure)
+    * instead of per pair. Returns one row per node appearing in `pairs`:
+    * (id, rep) with rep = min id in the node's component.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels; one keyed
+    * shuffle per round, converging in O(component diameter) rounds with
+    * a driver-side changed-count action as the loop condition (the
+    * standard coordination shape for iterative DataFrame algorithms —
+    * the per-round data stays distributed; only the scalar count comes
+    * to the driver). Near-dup clusters have single-digit diameters in
+    * practice; a pathological path-shaped component is bounded by
+    * `maxRounds`, and non-convergence throws rather than returning a
+    * silently-wrong clustering.
+    *
+    * Each round's labels are `localCheckpoint`ed (eager), NOT merely
+    * persisted: persist caches data but keeps the logical plan, so an
+    * iterative loop nests each round's plan inside the next and
+    * analysis/optimization cost grows without bound (measured: minutes
+    * of pure planning by round ~12). Checkpointing truncates the plan to
+    * the materialized blocks — every round stays O(1) to plan. On a
+    * cluster with executor churn, prefer `sparkContext.setCheckpointDir`
+    * + reliable `checkpoint()` for the same truncation with HDFS-backed
+    * blocks. */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+      .unionAll(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("v"), col("rep").as("nrep")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("nrep")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("rep").as("prev")), Seq("id"))
+        .filter(col("rep") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    if (changed != 0) {
+      labels.unpersist()
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(component diameter exceeds maxRounds - raise it)")
+    }
+    // result blocks are already materialized (eager checkpoint); callers
+    // unpersist() after consuming (same contract as Corpus.prepareManaged)
+    labels
   }
 
   /** 64-bit SimHash over the token multiset: bit b of the output is the

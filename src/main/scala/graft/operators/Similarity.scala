@@ -37,7 +37,10 @@ object Similarity {
     * `centroids` (broadcast), search only the `nProbe` closest cells per
     * query. Trades recall for a 1/(cells/nProbe) scan reduction — the
     * 100 TB path. Centroids come from [[trainCentroidsById]] or any
-    * external k-means. */
+    * external k-means. NOTE: `centroids` is referenced twice (corpus
+    * assignment + query probing) — when it is a non-trivial plan (e.g.
+    * the Lloyd chain from [[trainCentroidsKMeans]] over a large corpus),
+    * persist it first or both references re-execute the whole chain. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     def nearestCells(df: DataFrame, n: Int, outPrefix: String): DataFrame = {

@@ -52,6 +52,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.subsetOf(exact))
   }
 
+  test("connectedComponents == union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      // min-rep per component: union-find roots ARE the min since we
+      // always attach the larger root under the smaller
+      val df = edges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(df)
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.unpersist()
+      assert(gotMap == expected, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents: path graph exercises multi-round convergence") {
+    // a 12-node path: min label must walk the full diameter
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+    val m = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.unpersist()
+    assert(m == (0L to 11L).map(_ -> 0L).toMap)
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents((0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b"),
+        maxRounds = 2)
+    }
+  }
+
   test("Corpus.prepareManaged: cache lifecycle — persisted until released") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val prepared = graft.operators.Corpus.prepareManaged(docs, "doc_id", "text",
