@@ -99,6 +99,15 @@ object AsOfJoin {
     * integer floor division. Choose bucketWidth so a hot key's densest
     * bucket fits a task comfortably — e.g. for microsecond timestamps and
     * ~10⁶ rows/key/day, an hour (3.6e9) bounds buckets at ~4e4 rows.
+    *
+    * Unlike [[asOf]] (which tolerates null times — they sort first and a
+    * null-time right row is carried to every later row), this variant
+    * REQUIRES non-null times strictly above Long.MinValue + bucketWidth:
+    * a null time has no bucket (the carry chain would silently skip it),
+    * and times within bucketWidth of Long.MinValue overflow the
+    * negative-branch bucket expression and collide with the internal
+    * Long.MinValue seed sentinel. Violations raise a clear runtime error
+    * (in-plan guard) instead of returning silently-divergent results.
     */
   def asOfBucketed(left: DataFrame, right: DataFrame, keyCol: String,
                    timeCol: String, payloadCols: Seq[String],
@@ -115,18 +124,30 @@ object AsOfJoin {
       require(ok, s"asOfBucketed needs an integral time column, got " +
         df.schema(timeCol).dataType.simpleString)
     }
+    // in-plan time-domain guard (see scaladoc): nulls have no bucket and
+    // the Long.MinValue neighborhood overflows the negative-branch bucket
+    // expression / collides with the seed sentinel. raise_error is
+    // non-foldable, so the branch only fires on an actual bad row.
+    val minT = Long.MinValue + bucketWidth
+    def guardedT: Column = {
+      val t = col(timeCol).cast("long")
+      when(t.isNull || t < minT, raise_error(concat(
+        lit(s"asOfBucketed: time must be non-null and >= $minT "),
+        lit(s"(Long.MinValue + bucketWidth); got "),
+        coalesce(t.cast("string"), lit("null"))))).otherwise(t)
+    }
     // exact integer floor division on the pre-cast __t column (DIV
     // truncates toward zero → shift negatives)
     val bucketExpr = expr(s"CASE WHEN __t >= 0 THEN __t DIV $bucketWidth " +
       s"ELSE (__t - ${bucketWidth - 1}) DIV $bucketWidth END")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__side", lit(1))
-      .withColumn("__t", col(timeCol).cast("long"))
+      .withColumn("__t", guardedT)
       .withColumn("__b", bucketExpr)
     val r = right.select(col(keyCol), col(timeCol),
         struct(col(timeCol).as("__mt") +: payloadCols.map(col): _*).as("__p"))
       .withColumn("__side", lit(0))
-      .withColumn("__t", col(timeCol).cast("long"))
+      .withColumn("__t", guardedT)
       .withColumn("__b", bucketExpr)
 
     // latest right row per (key, bucket): max struct (time, payload) —

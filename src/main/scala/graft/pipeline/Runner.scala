@@ -158,16 +158,21 @@ final class IngestRegistry(controlDir: String,
   private def ctl(name: String) = Paths.get(controlDir, s"$name.ctl.json")
 
   private def render(m: RemoteMeta): String = {
-    def s(v: Option[String]) = v.map("\"" + _ + "\"").getOrElse("null")
+    // real HTTP ETags are quoted ('"abc-1"', ref imdb_raw_ingest.py
+    // _normalize strips them) — escape, or an HTTP-backed metaOf writes
+    // malformed JSON
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    def s(v: Option[String]) = v.map(x => "\"" + esc(x) + "\"").getOrElse("null")
     s"""{"etag": ${s(m.etag)}, "last_modified": ${s(m.lastModified)},""" +
       s""" "content_length": ${m.contentLength.map(_.toString).getOrElse("null")}}"""
   }
 
-  /** Extract one field from our own control JSON (values are unescaped
-    * strings, numbers, or null — written by [[render]] above). */
+  /** Extract one field from our own control JSON (string values may carry
+    * \"/\\ escapes — written by [[render]] above). */
   private def field(json: String, key: String): Option[String] =
-    ("\"" + key + "\":\\s*(\"([^\"]*)\"|null|[0-9]+)").r.findFirstMatchIn(json)
-      .flatMap(m => Option(m.group(2)).orElse(Option(m.group(1)).filter(_ != "null")))
+    ("\"" + key + "\":\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|null|[0-9]+)").r.findFirstMatchIn(json)
+      .flatMap(m => Option(m.group(2)).map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
+        .orElse(Option(m.group(1)).filter(_ != "null")))
 
   def decide(name: String, f: java.io.File): String =
     if (!f.exists()) "missing"

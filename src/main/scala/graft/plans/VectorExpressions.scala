@@ -17,8 +17,27 @@ import org.apache.spark.sql.{SparkSessionExtensions, functions => F}
   * `graft_simhash`) or use the Column API in [[exprs]].
   */
 private[graft] object ExprUtil {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Analysis-time input check (AsOfJoin.requireOrderable precedent): a
+    * mistyped child should fail analysis with a clear message, not throw
+    * ClassCastException inside an executor's generated code. */
+  def requireType(fn: String, dt: DataType, ok: DataType => Boolean,
+                  expected: String): TypeCheckResult =
+    if (ok(dt)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$fn expects $expected, got ${dt.simpleString}")
+
+  val isStringArray: DataType => Boolean = {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  val isNumericVector: DataType => Boolean = {
+    case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
   }
 }
@@ -49,6 +68,8 @@ case class HyperplaneSignature(child: Expression, planes: Int, planeOffset: Int 
   require(planes >= 1 && planes <= 64, "planes must be in [1, 64] per signature word")
   require(planeOffset >= 0, "planeOffset must be >= 0")
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("hyperplane_sig", child.dataType, ExprUtil.isNumericVector, "array<float|double>")
   private lazy val isF = ExprUtil.isFloatArray(child.dataType)
   override protected def nullSafeEval(v: Any): Any =
     VectorOps.hyperplaneSignature(v.asInstanceOf[ArrayData], isF, planes, planeOffset)
@@ -61,6 +82,8 @@ case class HyperplaneSignature(child: Expression, planes: Int, planeOffset: Int 
 /** SimHash64 over an array<string> of tokens. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("simhash", child.dataType, ExprUtil.isStringArray, "array<string>")
   override protected def nullSafeEval(v: Any): Any =
     VectorOps.simhash64(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -76,6 +99,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "shingle length must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("word_shingles", child.dataType, _ == StringType, "string")
   override protected def nullSafeEval(v: Any): Any =
     VectorOps.wordShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -86,6 +111,8 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 /** Order-sensitive rolling hash over an array<string> of tokens. */
 case class TokenRollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("token_rolling_hash", child.dataType, ExprUtil.isStringArray, "array<string>")
   override protected def nullSafeEval(v: Any): Any =
     VectorOps.tokenRollingHash(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -98,6 +125,8 @@ case class TokenRollingHash(child: Expression) extends UnaryExpression {
   * element and can re-evaluate an inlined child array per element). */
 case class HashTokens64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("hash_tokens64", child.dataType, ExprUtil.isStringArray, "array<string>")
   override protected def nullSafeEval(v: Any): Any =
     VectorOps.hashTokens64(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -110,6 +139,8 @@ case class HashTokens64(child: Expression) extends UnaryExpression {
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1 && k <= 1024, "k must be in [1, 1024]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("minhash_sig", child.dataType, ExprUtil.isStringArray, "array<string>")
   override protected def nullSafeEval(v: Any): Any =
     VectorOps.minhashSig(v.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -44,8 +44,12 @@ object Expectations {
 
   /** Evaluate all expectations in a single job; returns per-expectation
     * results. Throws nothing — callers decide whether failures gate. */
-  def validate(df: DataFrame, expectations: Seq[Expectation]): Seq[Result] = {
-    val row = df.agg(expectations.head.agg, expectations.tail.map(_.agg): _*).head()
+  def validate(df: DataFrame, expectations: Seq[Expectation]): Seq[Result] =
+    resultsFrom(df.agg(expectations.head.agg, expectations.tail.map(_.agg): _*).head(),
+      expectations)
+
+  private def resultsFrom(row: org.apache.spark.sql.Row,
+                          expectations: Seq[Expectation]): Seq[Result] =
     expectations.zipWithIndex.map {
       case (e: MostlySatisfies, i) =>
         val s = row.getStruct(i); val ok = s.getLong(0); val tot = s.getLong(1)
@@ -58,7 +62,6 @@ object Expectations {
         val s = row.getStruct(i)
         Result(e.name, s.getLong(0) >= s.getLong(1), s"count=${s.getLong(0)} min=${s.getLong(1)}")
     }
-  }
 
   def assertAll(df: DataFrame, expectations: Seq[Expectation]): Unit =
     requirePassed(validate(df, expectations))
@@ -72,10 +75,24 @@ object Expectations {
     * partition-order-dependent — a different 5000 rows per run).
     * Count-exact expectations (`unique`, `rowCountAtLeast`) are
     * evaluated on the sample; use the full [[validate]] when those must
-    * be exact. */
+    * be exact.
+    *
+    * An EMPTY sample of a non-empty table does NOT pass vacuously (every
+    * mostly-gate would read 0/0 ok — silently validating nothing): a
+    * small table at a low rate can legitimately hash-select zero rows, so
+    * the gate falls back to validating the FULL table in that corner.
+    * P(empty sample) ≈ e^(-rows×rate), so the fallback only triggers when
+    * rows×rate is tiny — i.e. the full pass it falls back to is cheap;
+    * the `df.isEmpty` probe that detects the corner is a LIMIT-1 scan. */
   def validateSampled(df: DataFrame, expectations: Seq[Expectation],
-                      sampleKey: Column, rate: Double): Seq[Result] =
-    validate(graft.operators.Sampling.hashSample(df, sampleKey, rate), expectations)
+                      sampleKey: Column, rate: Double): Seq[Result] = {
+    val sample = graft.operators.Sampling.hashSample(df, sampleKey, rate)
+    val aggs = expectations.map(_.agg) :+ count(lit(1)).as("__sample_rows")
+    val row = sample.agg(aggs.head, aggs.tail: _*).head()
+    if (row.getLong(expectations.size) == 0 && !df.isEmpty)
+      validate(df, expectations)
+    else resultsFrom(row, expectations)
+  }
 
   def assertAllSampled(df: DataFrame, expectations: Seq[Expectation],
                        sampleKey: Column, rate: Double): Unit =

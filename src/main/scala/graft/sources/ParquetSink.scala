@@ -42,10 +42,18 @@ object ParquetSink {
     * running the latestSlice window. Monotone: a rerun of an OLD
     * run_date never moves the pointer backward. */
   def writeLatestPointer(path: String, runDate: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
-    if (readLatestPointer(path).forall(_ <= runDate))
-      Files.write(Paths.get(path, "_LATEST"), runDate.getBytes,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    if (readLatestPointer(path).forall(_ <= runDate)) {
+      // write-temp + atomic rename: an in-place truncate+write exposes an
+      // empty/partial pointer to a concurrent reader (and to the next run
+      // if this one dies mid-write); ATOMIC_MOVE makes the swap all-or-
+      // nothing on POSIX filesystems (on object stores, pair the pointer
+      // with the manifest's _SUCCESS discipline instead)
+      val tmp = Files.createTempFile(Paths.get(path), "._LATEST.", ".tmp")
+      Files.write(tmp, runDate.getBytes)
+      Files.move(tmp, Paths.get(path, "_LATEST"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def readLatestPointer(path: String): Option[String] = {

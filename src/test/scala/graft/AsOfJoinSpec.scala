@@ -76,6 +76,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(maxBucket <= 256, s"bucket not bounded: $maxBucket")
   }
 
+  test("bucketed rejects null and near-Long.MinValue times with a clear error") {
+    // null time: asOf carries a null-time right row to all later rows;
+    // bucketed has no bucket for it — divergence must throw, not differ
+    val nullRight = Seq(("u1", Option(100L), "r100"), ("u1", Option.empty[Long], "rN"))
+      .toDF("k", "t", "ref")
+    val e1 = intercept[Exception] {
+      AsOfJoin.asOfBucketed(left, nullRight, "k", "t", Seq("ref"), 100L).collect()
+    }
+    assert(e1.getMessage.contains("non-null"), e1.getMessage)
+    // Long.MinValue neighborhood: negative-branch bucket arithmetic
+    // overflows and collides with the seed sentinel — guarded
+    val extremeLeft = Seq(("u1", Long.MinValue + 5L, "eX")).toDF("k", "t", "id")
+    val e2 = intercept[Exception] {
+      AsOfJoin.asOfBucketed(extremeLeft, right, "k", "t", Seq("ref"), 100L).collect()
+    }
+    assert(e2.getMessage.contains("Long.MinValue + bucketWidth"), e2.getMessage)
+    // guard is inert on healthy data (same rows as before)
+    assert(AsOfJoin.asOfBucketed(left, right, "k", "t", Seq("ref"), 100L)
+      .count() == 2)
+  }
+
   test("duplicate right timestamps: bucketed picks the same deterministic winner") {
     val dupRight = Seq(("u1", 100L, "rA"), ("u1", 100L, "rB"), ("u1", 100L, "rC"))
       .toDF("k", "t", "ref")

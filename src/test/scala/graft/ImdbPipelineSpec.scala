@@ -241,4 +241,24 @@ class ImdbPipelineSpec extends AnyFunSuite {
     assert(reg.decide("x", f) == "fetch")
     assert(reg.decide("x", new java.io.File(dir, "nope.tsv")) == "missing")
   }
+
+  test("ingest control JSON survives quoted/escaped header values") {
+    import graft.pipeline.{IngestRegistry, RemoteMeta}
+    val dir = Files.createTempDirectory("graft_ctl_esc").toFile.getAbsolutePath
+    val f = new java.io.File(rawDir, "title_basics.tsv")
+    // real HTTP ETags arrive quoted (RFC 9110: ETag: "xyzzy"), sometimes
+    // weak (W/"x\"y") — the control record must round-trip them, not
+    // write malformed JSON that mis-parses on the next decide()
+    var meta = RemoteMeta(Some("\"abc-123\""), Some("Mon, \"quoted\" GMT"), Some(7L))
+    val reg = new IngestRegistry(dir, _ => meta)
+    reg.record("x", f)
+    assert(reg.decide("x", f) == "skip_unchanged")
+    // backslash + quote soup still compares correctly field-by-field
+    meta = RemoteMeta(Some("W/\"a\\b\""), Some("""lm\"mix\\"""), Some(7L))
+    assert(reg.decide("x", f) == "fetch") // last_modified changed
+    reg.record("x", f)
+    assert(reg.decide("x", f) == "skip_unchanged")
+    meta = meta.copy(lastModified = Some("""lm\"mix"""))
+    assert(reg.decide("x", f) == "fetch")
+  }
 }

@@ -91,6 +91,23 @@ class SourcesAndQualitySpec extends AnyFunSuite {
       col("id"), 0.25).head.passed)
   }
 
+  test("empty sample of a non-empty table falls back to full validation") {
+    import Expectations.dsl._
+    // 3 rows at rate 1e-9: the hash sample is (deterministically) empty —
+    // a vacuous 0/0 pass would validate nothing; instead the gate falls
+    // back to the full table and CATCHES the planted violation
+    val bad3 = Seq((1, 5.0), (2, -99.0), (3, 7.0)).toDF("id", "rating")
+    intercept[IllegalArgumentException] {
+      Expectations.assertAllSampled(bad3, Seq(between("rating", 0, 10)), $"id", 1e-9)
+    }
+    // clean data still passes through the fallback path
+    val ok3 = Seq((1, 5.0), (2, 6.0), (3, 7.0)).toDF("id", "rating")
+    Expectations.assertAllSampled(ok3, Seq(between("rating", 0, 10)), $"id", 1e-9)
+    // an empty TABLE still passes vacuously (nothing to validate)
+    Expectations.assertAllSampled(ok3.filter($"id" < 0),
+      Seq(between("rating", 0, 10)), $"id", 1e-9)
+  }
+
   test("latest pointer: written, monotone, readable") {
     val out = Files.createTempDirectory("graft_latest").toFile.getAbsolutePath + "/t"
     ParquetSink.append(Seq(("20240101", 1)).toDF("run_date", "v"), out, Seq("run_date"))
@@ -101,5 +118,7 @@ class SourcesAndQualitySpec extends AnyFunSuite {
     // a rerun of an older slice never moves latest backward
     ParquetSink.writeLatestPointer(out, "20240103")
     assert(ParquetSink.readLatestPointer(out).contains("20240105"))
+    // atomic-rename discipline leaves no temp droppings behind
+    assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".tmp")))
   }
 }

@@ -98,4 +98,24 @@ class TextAndVectorSpec extends AnyFunSuite {
     val rows = df.collect().map(r => java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(1)))
     assert(rows(0) < rows(1), s"near-dup hamming ${rows(0)} !< unrelated ${rows(1)}")
   }
+
+  test("custom expressions fail ANALYSIS on mistyped input, not executor runtime") {
+    // every native kernel declares checkInputDataTypes: a wrong child type
+    // must surface as a clear analysis error (AsOfJoin.requireOrderable
+    // precedent), never a ClassCastException inside generated code
+    val df = Seq((1L, Array(1, 2, 3))).toDF("n", "ints")
+    def analysisFails(c: org.apache.spark.sql.Column, frag: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(c).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains(frag), e.getMessage)
+    }
+    analysisFails(graft.plans.exprs.hashTokens64(col("ints")), "array<string>")
+    analysisFails(graft.plans.exprs.minhashSig(col("n"), 16), "array<string>")
+    analysisFails(graft.plans.exprs.simhash64(col("ints")), "array<string>")
+    analysisFails(graft.plans.exprs.tokenRollingHash(col("n")), "array<string>")
+    analysisFails(graft.plans.exprs.wordShingles(col("n"), 2), "string")
+    analysisFails(graft.plans.exprs.hyperplaneSig(col("ints"), 8), "array<float|double>")
+    analysisFails(graft.plans.exprs.cosineSim(col("ints"), col("ints")), "array<float|double>")
+  }
 }
