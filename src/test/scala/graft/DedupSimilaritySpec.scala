@@ -79,7 +79,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("connectedComponents: path graph exercises multi-round convergence") {
-    // a 12-node path: min label must walk the full diameter
+    // a 12-node path: the worst per-node shape (diameter = n - 1)
     val edges = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(edges)
     val m = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -87,8 +87,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m == (0L to 11L).map(_ -> 0L).toMap)
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents((0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b"),
-        maxRounds = 2)
+        maxRounds = 0)
     }
+  }
+
+  test("connectedComponents: O(log n) rounds on a 1k-node path (scale property)") {
+    // a 1000-node PATH has diameter 999: min-label propagation would need
+    // ~999 rounds (~999 full-edge shuffles at 100 TB). Large-star/small-
+    // star roughly halves component depth per round — the round count
+    // must stay logarithmic, and the labels must still be exact.
+    val n = 1000L
+    // shuffled ids so the path is not id-monotone (adversarial ordering:
+    // min-label gains nothing from id order and neither should we)
+    val perm = new scala.util.Random(11).shuffle((0L until n).toVector)
+    val edges = (0 until (n - 1).toInt).map(i => (perm(i), perm(i + 1)))
+      .toDF("id_a", "id_b")
+    val (got, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    val labels = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.unpersist()
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      s"wrong labels: ${labels.filterNot(_._2 == 0L).take(5)}")
+    val logBound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt // 2·log2(n)
+    assert(rounds <= logBound, s"$rounds rounds > O(log n) bound $logBound")
   }
 
   test("Corpus.prepareManaged: cache lifecycle — persisted until released") {
