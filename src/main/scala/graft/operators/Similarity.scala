@@ -9,15 +9,19 @@ import graft.functions.Vectors
   *
   * Scale design: the query set is assumed small relative to the corpus
   * (the usual ANN shape), so queries are BROADCAST and the corpus is
-  * scanned once, partition-parallel, with per-partition top-k reduction
-  * before the final shuffle — never a corpus×corpus shuffle.
+  * scanned once, partition-parallel — never a corpus×corpus shuffle.
+  * IVF centroids are MODEL PARAMETERS (k×dim doubles), held on the
+  * driver and shipped into a native projection expression (the MLlib
+  * KMeansModel pattern) — so cell assignment never shuffles the corpus.
   */
 object Similarity {
 
   /** Exact brute-force top-k: broadcast queries × one corpus scan →
-    * per-(query) ranking window. The ranking shuffle moves only
-    * |corpus|×|queries| similarity rows; with the `knnPartial` variant
-    * below it moves only k×|queries| per partition. */
+    * per-query ranking window. Spark plans the `rnk <= k` filter as a
+    * WindowGroupLimit with a map-side PARTIAL phase (asserted in
+    * DedupSimilaritySpec), so each input partition forwards at most k
+    * rows per query into the ranking shuffle — the shuffle moves
+    * O(k×|queries|×partitions), not |corpus|×|queries|. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
@@ -33,28 +37,59 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest of
-    * `centroids` (broadcast), search only the `nProbe` closest cells per
-    * query. Trades recall for a 1/(cells/nProbe) scan reduction — the
-    * 100 TB path. Centroids come from [[trainCentroidsById]] or any
-    * external k-means. NOTE: `centroids` is referenced twice (corpus
-    * assignment + query probing) — when it is a non-trivial plan (e.g.
-    * the Lloyd chain from [[trainCentroidsKMeans]] over a large corpus),
-    * persist it first or both references re-execute the whole chain. */
+  /** Driver-side centroid matrix: ids + row-major k×dim doubles, sorted
+    * by cell id for deterministic tie-breaks. Collecting it is the ONE
+    * deliberate driver materialization in the ANN stack — k rows of
+    * model parameters, the same thing a broadcast would ship — and it
+    * cuts both the re-execution hazard (a referenced-twice Lloyd chain
+    * re-runs per reference; a collected matrix runs once) and the
+    * assignment shuffle (see [[assignCells]]). */
+  final case class CentroidSet(ids: Array[Long], matrix: Array[Double], dim: Int) {
+    def k: Int = ids.length
+  }
+
+  def collectCentroids(centroids: DataFrame): CentroidSet = {
+    val rows = centroids.select(col("cell_id").cast("long").as("cell_id"),
+      Vectors.toDouble(col("centroid")).as("centroid")).collect()
+    require(rows.nonEmpty, "empty centroid set")
+    val sorted = rows.sortBy(_.getLong(0))
+    val dim = sorted.head.getSeq[Double](1).length
+    val matrix = new Array[Double](sorted.length * dim)
+    var i = 0
+    sorted.foreach { r =>
+      val v = r.getSeq[Double](1)
+      require(v.length == dim, s"ragged centroid dims: ${v.length} vs $dim")
+      v.foreach { x => matrix(i) = x; i += 1 }
+    }
+    CentroidSet(sorted.map(_.getLong(0)), matrix, dim)
+  }
+
+  /** Map-only nearest-cell assignment: adds `cell_id` (nearest of `cs`
+    * by cosine, ties → smaller id) as a native projection — zero
+    * shuffle, stays inside whole-stage codegen. */
+  def assignCells(df: DataFrame, vecCol: String, cs: CentroidSet): DataFrame =
+    df.withColumn("cell_id",
+      element_at(graft.plans.exprs.nearestCells(col(vecCol), cs.ids, cs.matrix, 1), 1))
+
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    * centroid, search only the `nProbe` closest cells per query. Trades
+    * recall for a 1/(cells/nProbe) scan reduction — the 100 TB path.
+    * `centroids` is collected once up front (k×dim — see [[CentroidSet]]),
+    * then: corpus assignment is a zero-shuffle projection, probing is a
+    * broadcast join on cell_id, and the only exchange in the whole plan
+    * is the final per-query ranking window (map-side-limited to k rows
+    * per query per partition by partial WindowGroupLimit). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    def nearestCells(df: DataFrame, n: Int, outPrefix: String): DataFrame = {
-      val c = broadcast(centroids.select(col("cell_id"), col("centroid")))
-      df.crossJoin(c)
-        .withColumn("d", Vectors.cosine(col(vecCol), col("centroid")))
-        .withColumn("crnk", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("cell_id"))))
-        .filter(col("crnk") <= n)
-        .select(col(idCol).as(s"${outPrefix}_id"), col(vecCol).as(s"${outPrefix}_vec"),
-          col("cell_id"))
-    }
-    val assigned = nearestCells(corpus, 1, "neighbor")
-    val probed = broadcast(nearestCells(queries, nProbe, "query"))
+    val cs = collectCentroids(centroids)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+      "neighbor_vec", cs)
+    val probed = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+        .withColumn("cell_id", explode(
+          graft.plans.exprs.nearestCells(col("query_vec"), cs.ids, cs.matrix,
+            math.min(nProbe, cs.k)))))
     assigned.join(probed, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", Vectors.cosine(col("query_vec"), col("neighbor_vec")))
@@ -73,26 +108,77 @@ object Similarity {
     corpus.groupBy(pmod(xxhash64(col(idCol)), lit(cells)).as("cell_id"))
       .agg(Vectors.centroid(col(vecCol), dim).as("centroid"))
 
-  /** Lloyd-iteration k-means on cosine similarity, DataFrame-only and
-    * deterministic (hash-bucket init, cell_id tiebreaks). Per iteration:
-    * one broadcast of the centroids + one shuffle on cell_id — at 100 TB
-    * that is iters × (scan + keyed shuffle), no driver-side vectors
-    * beyond the k×dim centroid table. */
+  /** Lloyd-iteration k-means on cosine similarity, deterministic
+    * (hash-bucket init, smaller-cell-id tiebreaks). Each iteration
+    * collects the current k×dim centroid matrix to the driver (model
+    * parameters — materializing the chain so nothing re-executes), then
+    * runs ONE job: zero-shuffle native assignment + one keyed shuffle
+    * for the new means. At 100 TB that is iters × (scan + one shuffle)
+    * with no nested/re-executed plans and no per-row window — the
+    * earlier crossJoin+window formulation also left a 60+-Exchange plan
+    * when the unpersisted chain was referenced more than once. */
   def trainCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
                            dim: Int, cells: Int, iters: Int): DataFrame = {
     var centroids = trainCentroidsById(corpus, idCol, vecCol, dim, cells)
-    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = corpus.select(col(vecCol).as("__v"))
     for (_ <- 0 until iters) {
-      val c = broadcast(centroids.select(col("cell_id"), col("centroid")))
-      centroids = vecs.crossJoin(c)
-        .withColumn("sim", Vectors.cosine(col("__v"), col("centroid")))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("__id")).orderBy(col("sim").desc, col("cell_id"))))
-        .filter(col("rnk") === 1)
+      val cs = collectCentroids(centroids)
+      centroids = assignCells(vecs, "__v", cs)
         .groupBy("cell_id")
         .agg(Vectors.centroid(col("__v"), dim).as("centroid"))
       // empty cells simply drop out; remaining cells re-balance
     }
     centroids
+  }
+
+  /** IVF cell-balance: k-means under a SKEWED embedding distribution can
+    * collapse a dense region into one fat cell, concentrating every
+    * probe scan there (the IVF analogue of a hot shuffle key). Splits
+    * any cell holding more than `maxCellRows` corpus vectors by
+    * re-initializing it as `subCells` hash sub-buckets, then refining
+    * with `refineIters` full Lloyd passes; repeats until every cell is
+    * bounded or `maxRounds` is exhausted. Cell ids stay deterministic
+    * (old_id × subCells + bucket). Truly identical vectors cannot be
+    * separated by ANY centroid method (they tie to one nearest cell) —
+    * `maxRounds` bounds the attempt instead of looping forever.
+    * Per round: one assignment scan (zero shuffle) + one count shuffle
+    * + (1 + refineIters) centroid aggregations; only per-cell COUNTS
+    * reach the driver. */
+  def splitOversizedCells(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, centroids: DataFrame, maxCellRows: Long,
+                          subCells: Int = 2, refineIters: Int = 1,
+                          maxRounds: Int = 4): DataFrame = {
+    require(subCells >= 2, "subCells must be >= 2")
+    var cents = centroids
+    var round = 0
+    var bounded = false
+    while (!bounded && round < maxRounds) {
+      val cs = collectCentroids(cents)
+      val assigned = assignCells(
+        corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", cs)
+      val fat = assigned.groupBy("cell_id").count()
+        .filter(col("count") > maxCellRows).select("cell_id")
+      if (fat.isEmpty) bounded = true
+      else {
+        // fat cells explode into subCells hash buckets; others keep one
+        val rebucketed = assigned
+          .join(broadcast(fat.withColumn("__fat", lit(1))), Seq("cell_id"), "left")
+          .withColumn("cell_id",
+            when(col("__fat").isNotNull, col("cell_id") * subCells +
+              pmod(xxhash64(col("__id"), lit(round)), lit(subCells.toLong)))
+            .otherwise(col("cell_id") * subCells))
+        var next = rebucketed.groupBy("cell_id")
+          .agg(Vectors.centroid(col("__v"), dim).as("centroid"))
+        for (_ <- 0 until refineIters) {
+          val cs2 = collectCentroids(next)
+          next = assignCells(corpus.select(col(vecCol).as("__v")), "__v", cs2)
+            .groupBy("cell_id")
+            .agg(Vectors.centroid(col("__v"), dim).as("centroid"))
+        }
+        cents = next
+        round += 1
+      }
+    }
+    cents
   }
 }

@@ -148,6 +148,34 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-n nearest IVF cells of a vector, against a driver-collected
+  * centroid matrix embedded in the expression (k×dim doubles — model
+  * parameters, not row data; the MLlib KMeansModel shape). Returns
+  * array<long> of cell ids ordered by cosine desc, ties → smaller id.
+  * Makes corpus→cell assignment a zero-shuffle map projection; codegen
+  * ships the arrays once per task via `ctx.addReferenceObj`, not per row.
+  */
+case class NearestCells(child: Expression, cellIds: Array[Long],
+                        centers: Array[Double], n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  require(cellIds.nonEmpty, "centroid set must be non-empty")
+  require(centers.length % cellIds.length == 0,
+    s"centroid matrix length ${centers.length} not a multiple of k=${cellIds.length}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("nearest_cells", child.dataType, ExprUtil.isNumericVector, "array<float|double>")
+  private lazy val isF = ExprUtil.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.nearestCells(v.asInstanceOf[ArrayData], isF, cellIds, centers, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    val ctrRef = ctx.addReferenceObj("centers", centers, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.VectorOps.nearestCells($v, $isF, $idsRef, $ctrRef, $n)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -172,6 +200,10 @@ object exprs {
 
   def tokenRollingHash(tokens: Column): Column =
     column(TokenRollingHash(expression(tokens)))
+
+  def nearestCells(v: Column, cellIds: Array[Long], centers: Array[Double],
+                   n: Int): Column =
+    column(NearestCells(expression(v), cellIds, centers, n))
 }
 
 /** `SparkSessionExtensions` hook: registers the custom expressions as SQL

@@ -217,4 +217,51 @@ object VectorOps {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Top-`n` nearest centroids of `v` by cosine (ties → smaller cell id),
+    * over a driver-collected k×dim centroid matrix shipped to executors
+    * as codegen reference objects (the MLlib KMeansModel pattern: k×dim
+    * doubles, NOT row data). This is what makes IVF cell assignment a
+    * map-only PROJECTION — the crossJoin(centroids)+window alternative
+    * pays a full-corpus hash exchange just to pick a per-row argmax.
+    * A zero/degenerate vector's cosine is NaN → treated as -inf (never
+    * preferred), so selection is total and deterministic. */
+  def nearestCells(v: ArrayData, isFloat: Boolean, cellIds: Array[Long],
+                   centers: Array[Double], n: Int): ArrayData = {
+    val k = cellIds.length
+    val dim = if (k == 0) 0 else centers.length / k
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      val m = math.min(dim, v.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = elem(v, i, isFloat); val y = centers(base + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val s = dot / (math.sqrt(na) * math.sqrt(nb))
+      sims(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+      c += 1
+    }
+    val nn = math.min(n, k)
+    val out = new Array[Long](nn)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < nn) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && (best < 0 || sims(c2) > sims(best) ||
+            (sims(c2) == sims(best) && cellIds(c2) < cellIds(best)))) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(j) = cellIds(best)
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }

@@ -167,6 +167,69 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"kmeans recall ${recall(km1)} much worse than init ${recall(init)}")
   }
 
+  test("assignCells == crossJoin+window argmax reference (and zero-shuffle plan)") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(300)
+    val cents = Similarity.trainCentroidsById(emb, "vec_id", "embedding", 64, cells = 8)
+    val cs = Similarity.collectCentroids(cents)
+    // reference: the shuffling formulation this operator replaced
+    import org.apache.spark.sql.expressions.Window
+    val ref = emb.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+      .withColumn("d", graft.functions.Vectors.cosine($"embedding", $"centroid"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"d".desc, $"cell_id")))
+      .filter($"rnk" === 1).select($"vec_id", $"cell_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.assignCells(emb, "embedding", cs)
+      .select($"vec_id", $"cell_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    // the scale property: assignment is a PROJECTION — no exchange at all
+    val plan = Similarity.assignCells(emb, "embedding", cs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("top-k ranking is map-side limited (partial WindowGroupLimit in plan)") {
+    // multi-partition corpus (the cluster shape) — on a single partition
+    // Spark correctly skips the Partial phase, which is not the case
+    // being asserted here
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").repartition(5)
+    val bf = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 4)
+    val plan = bf.queryExecution.executedPlan.toString
+    // Spark 4 plans rnk<=k as WindowGroupLimit Partial (map side) +
+    // Final — each partition forwards at most k rows per query into the
+    // ranking shuffle instead of |corpus| rows
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert(plan.contains("Partial"), plan.take(1200))
+  }
+
+  test("splitOversizedCells bounds fat cells on a skewed corpus") {
+    // 900 vectors jammed in one tight region + 100 spread out: k-means
+    // with few cells collapses the dense region into one fat cell
+    val dim = 8
+    val rows = (0 until 1000).map { i =>
+      val v: Array[Float] =
+        if (i < 900) Array.tabulate(dim)(d => 10f + d + (i % 7) * 0.01f)
+        else Array.tabulate(dim)(d => ((i * 31 + d * 17) % 19 - 9).toFloat)
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents0 = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding", dim, 4, 2)
+    def maxCell(c: org.apache.spark.sql.DataFrame): Long =
+      Similarity.assignCells(emb, "embedding", Similarity.collectCentroids(c))
+        .groupBy("cell_id").count().agg(max("count")).head().getLong(0)
+    assert(maxCell(cents0) > 400, s"setup failed to produce a fat cell: ${maxCell(cents0)}")
+    val balanced = Similarity.splitOversizedCells(emb, "vec_id", "embedding", dim,
+      cents0, maxCellRows = 400, subCells = 2, refineIters = 1, maxRounds = 6)
+    assert(maxCell(balanced) <= 400, s"still fat after split: ${maxCell(balanced)}")
+    // determinism: same inputs, same centroid set
+    val balanced2 = Similarity.splitOversizedCells(emb, "vec_id", "embedding", dim,
+      cents0, maxCellRows = 400, subCells = 2, refineIters = 1, maxRounds = 6)
+    assert(balanced.orderBy("cell_id").collect().map(_.toSeq).toSeq ==
+      balanced2.orderBy("cell_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("ivfTopK returns plausible neighbors (recall vs brute force)") {
     val emb = Tables(spark, TestSpark.sf0001, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
