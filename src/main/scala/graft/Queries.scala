@@ -58,6 +58,46 @@ object Queries {
        |SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
        |FROM p WHERE inter / (tot - inter) >= $threshold""".stripMargin
 
+  /** Shared DuckDB oracle prefix for the corpus-prep compositions
+    * (q51 greedy / q58 cluster-consistent): quality + lang gates (m, g,
+    * f), exact dedup (ek, e), shingle sets (t), near-dup pair scores
+    * (p). Callers append their survivor-selection tail; `recursive`
+    * emits WITH RECURSIVE for tails using a recursive CTE. */
+  private def corpusPrepOracleCte(recursive: Boolean): String = {
+    val scores = LangMarkers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($lst))) AS s_$lang"
+    }.mkString(",\n    ")
+    val best = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = LangMarkers.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}m AS (SELECT doc_id, text,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    len(list_distinct(string_split(text, ' '))) AS n_dis,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($StopSql))) AS n_sw,
+       |    length(text) AS n_ch,
+       |    length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_np,
+       |    $scores
+       |  FROM documents),
+       |g AS (SELECT doc_id, text,
+       |    round(least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+       |      + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+       |      + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0) * 0.2
+       |      + greatest(0.0, 1.0 - (CAST(n_ch - n_np AS DOUBLE)
+       |          / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality,
+       |    CASE $cases ELSE 'und' END AS lang_pred
+       |  FROM m),
+       |f AS (SELECT * FROM g WHERE quality >= 0.5 AND lang_pred IN ('en')),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+       |e AS (SELECT f.* FROM f JOIN ek USING (doc_id)),
+       |t AS (SELECT doc_id, $ShinglesSql AS sh FROM e),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+       |        len(a.sh) + len(b.sh) AS tot
+       |      FROM t a JOIN t b ON a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── §2.1/§2.2 scans, projection, filters ────────────────────────────
@@ -878,45 +918,13 @@ object Queries {
           Stopwords, LangMarkers, keepLangs = Set("en"),
           minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0)
       },
-      Some {
-        val scores = LangMarkers.map { case (lang, words) =>
-          val lst = words.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($lst))) AS s_$lang"
-        }.mkString(",\n    ")
-        val best = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-        val cases = LangMarkers.map { case (l, _) =>
-          s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
-        }.mkString(" ")
-        s"""WITH m AS (SELECT doc_id, text,
-           |    len(string_split(text, ' ')) AS n_tok,
-           |    len(list_distinct(string_split(text, ' '))) AS n_dis,
-           |    len(list_filter(string_split(text, ' '), t -> t IN ($StopSql))) AS n_sw,
-           |    length(text) AS n_ch,
-           |    length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_np,
-           |    $scores
-           |  FROM documents),
-           |g AS (SELECT doc_id, text,
-           |    round(least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
-           |      + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
-           |      + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0) * 0.2
-           |      + greatest(0.0, 1.0 - (CAST(n_ch - n_np AS DOUBLE)
-           |          / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality,
-           |    CASE $cases ELSE 'und' END AS lang_pred
-           |  FROM m),
-           |f AS (SELECT * FROM g WHERE quality >= 0.5 AND lang_pred IN ('en')),
-           |ek AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
-           |e AS (SELECT f.* FROM f JOIN ek USING (doc_id)),
-           |t AS (SELECT doc_id, $ShinglesSql AS sh FROM e),
-           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-           |        len(a.sh) + len(b.sh) AS tot
-           |      FROM t a JOIN t b ON a.doc_id < b.doc_id),
-           |dups AS (SELECT DISTINCT id_b AS doc_id FROM p
-           |         WHERE inter / (tot - inter) >= 0.6)
-           |SELECT e.doc_id, CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens,
-           |  e.quality, e.lang_pred
-           |FROM e WHERE e.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin
-      }),
+      Some(corpusPrepOracleCte(recursive = false) +
+        """,
+          |dups AS (SELECT DISTINCT id_b AS doc_id FROM p
+          |         WHERE inter / (tot - inter) >= 0.6)
+          |SELECT e.doc_id, CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens,
+          |  e.quality, e.lang_pred
+          |FROM e WHERE e.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
 
     Q("q52_hash_sample",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
@@ -1058,6 +1066,33 @@ object Queries {
              |  CAST((e.us - c.click_us) // 1000000 AS BIGINT) AS gap_sec
              |FROM e ASOF JOIN c
              |  ON e.user_id = c.user_id AND e.us >= c.click_us""".stripMargin)),
+
+    Q("q58_corpus_prep_cc",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // q51's corpus prep with CLUSTER-CONSISTENT survivor selection:
+        // near-dup pairs → connected components → keep one doc per
+        // transitive dup cluster (greedy can keep two docs that are both
+        // near-dups of a third; this cannot). Oracle reproduces it with
+        // a recursive reachability closure over the same pair graph.
+        Corpus.prepare(tbl("documents"), "doc_id", "text",
+          Stopwords, LangMarkers, keepLangs = Set("en"),
+          minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0,
+          transitiveDedup = true)
+      },
+      Some(corpusPrepOracleCte(recursive = true) +
+        """,
+          |pp AS (SELECT id_a, id_b FROM p WHERE inter / (tot - inter) >= 0.6),
+          |ed AS (SELECT id_a AS u, id_b AS v FROM pp
+          |       UNION ALL SELECT id_b, id_a FROM pp),
+          |cc(id, lab) AS (
+          |  SELECT u, u FROM ed
+          |  UNION
+          |  SELECT ed.u, cc.lab FROM ed JOIN cc ON cc.id = ed.v),
+          |reps AS (SELECT id, min(lab) AS rep FROM cc GROUP BY id),
+          |drops AS (SELECT id AS doc_id FROM reps WHERE rep <> id)
+          |SELECT e.doc_id, CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens,
+          |  e.quality, e.lang_pred
+          |FROM e WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin)),
 
     Q("q57_dedup_components",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._

@@ -10,9 +10,11 @@ import graft.functions.Text
   * dedup — as one declarative plan.
   *
   * Dedup survivor policy: per exact-duplicate group keep min(id); then
-  * drop any doc that has a near-duplicate (3-gram Jaccard ≥ threshold)
-  * with a smaller id — the smallest member of each near-dup cluster
-  * survives (transitively greedy, deterministic).
+  * the near-dup stage (3-gram Jaccard ≥ threshold) selects survivors
+  * either GREEDILY (drop any doc with a smaller-id near-dup — the
+  * default) or CLUSTER-CONSISTENTLY (`transitiveDedup = true`: one
+  * survivor per connected component of the pair graph). Both are
+  * deterministic; see [[prepareManaged]] for the difference.
   *
   * Scale: each stage is one narrow projection or one keyed shuffle; the
   * near-dup stage reuses [[Dedup.jaccardPairs]]' inverted index (no O(n²)
@@ -43,11 +45,22 @@ object Corpus {
     *   share many shingles, so dropping corpus-half-frequency ones loses a
     *   pair only if ALL its shared shingles are that hot (DedupSimilarity
     *   specs prove capped == exact on the harness corpus); pass 1.0 for
-    *   oracle-exact mode. */
+    *   oracle-exact mode.
+    * @param transitiveDedup survivor-selection mode for the near-dup
+    *   stage. `false` (default): GREEDY — drop every doc with a
+    *   smaller-id near-duplicate. `true`: CLUSTER-CONSISTENT — run
+    *   [[Dedup.connectedComponents]] over the pair graph and keep only
+    *   each component's min id, the web-scale rule (greedy can keep two
+    *   docs that are both near-dups of a third but not of each other;
+    *   transitive closure keeps exactly one doc per dup cluster).
+    *   The cluster mode runs the iterative component computation EAGERLY
+    *   at composition time (it is a fixpoint of Spark jobs, not one
+    *   declarative plan); its labels join the managed cache lifecycle. */
   def prepareManaged(docs: DataFrame, idCol: String, textCol: String,
                      stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
                      keepLangs: Set[String], minQuality: Double,
-                     nearDupThreshold: Double, maxDocFreq: Double = 0.5): PreparedCorpus = {
+                     nearDupThreshold: Double, maxDocFreq: Double = 0.5,
+                     transitiveDedup: Boolean = false): PreparedCorpus = {
     val id = col(idCol); val text = col(textCol)
 
     // persisted: consumed by both the exact-keep aggregate and the
@@ -72,14 +85,22 @@ object Corpus {
     val exact = gated.join(exactKeep, Seq(idCol), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // near-dup dedup: drop docs with a smaller-id near-duplicate
-    val dupOf = Dedup.jaccardPairs(exact, idCol, textCol,
-        nearDupThreshold, shingleLen = 3, maxDocFreq = maxDocFreq)
-      .select(col("id_b").as(idCol)).distinct()
+    // near-dup dedup: greedy (drop docs with a smaller-id near-dup) or
+    // cluster-consistent (keep one survivor per transitive dup cluster)
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol,
+      nearDupThreshold, shingleLen = 3, maxDocFreq = maxDocFreq)
+    val (dupOf, extraCached) =
+      if (!transitiveDedup)
+        (pairs.select(col("id_b").as(idCol)).distinct(), Seq.empty[DataFrame])
+      else {
+        val labels = Dedup.connectedComponents(pairs)
+        (labels.filter(col("id") =!= col("rep")).select(col("id").as(idCol)),
+          Seq(labels))
+      }
     val result = exact.join(dupOf, Seq(idCol), "left_anti")
       .select(id, Text.tokenCount(text).as("n_tokens"), col("quality"),
         col("lang_pred"))
-    PreparedCorpus(result, Seq(gated, exact))
+    PreparedCorpus(result, Seq(gated, exact) ++ extraCached)
   }
 
   /** [[prepareManaged]] without the lifecycle handle — for one-shot jobs
@@ -89,7 +110,8 @@ object Corpus {
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
               keepLangs: Set[String], minQuality: Double,
-              nearDupThreshold: Double, maxDocFreq: Double = 0.5): DataFrame =
+              nearDupThreshold: Double, maxDocFreq: Double = 0.5,
+              transitiveDedup: Boolean = false): DataFrame =
     prepareManaged(docs, idCol, textCol, stopwords, langMarkers, keepLangs,
-      minQuality, nearDupThreshold, maxDocFreq).df
+      minQuality, nearDupThreshold, maxDocFreq, transitiveDedup).df
 }

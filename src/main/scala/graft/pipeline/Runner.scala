@@ -122,15 +122,32 @@ final class Runner(spark: SparkSession, rawDir: String, outDir: String) {
     Seq("marts_top_movies_by_genre", "marts_episode_season_trends").foreach(t =>
       ParquetSink.writeLatestPointer(s"$outDir/$t", runDate))
 
-    // dbt-test layer (§5.4): not_null probes on the marts
-    Expectations.assertAll(spark.read.parquet(s"$outDir/marts_episode_season_trends"),
-      Seq(notNull("seasonNumber")))
+    // dbt-test layer (§5.4): probes bind to the DECLARED relations (ref
+    // imdb_analytics/models/schema.yml:3-17 — marts_movie_facts_view
+    // {tconst, averageRating} and marts_episode_season_trends
+    // {seasonNumber}), not their upstream inputs
+    Runner.dbtNotNullProbes(mfv,
+      spark.read.parquet(s"$outDir/marts_episode_season_trends"))
 
     episodes.unpersist()
     val report = RunReport(runDate, smokeCount, statuses.toMap)
     Manifest.write(s"$outDir/_manifests/$runDate", report)                // S6
     sources.foreach(s => registry.record(s, new java.io.File(s"$rawDir/$s.tsv")))
     report
+  }
+}
+
+object Runner {
+  /** The dbt-test layer as a standalone gate so specs can aim it at
+    * crafted inputs. The reference's schema.yml declares its not_null
+    * contracts on the VIEW outputs — `marts_movie_facts_view.{tconst,
+    * averageRating}` and `marts_episode_season_trends.seasonNumber` —
+    * so the probes take the view DataFrames, not the pre-view published
+    * facts (which legitimately carry rating-null rows the view filters). */
+  def dbtNotNullProbes(movieFactsView: DataFrame, seasonTrends: DataFrame): Unit = {
+    Expectations.assertAll(movieFactsView,
+      Seq(notNull("tconst"), notNull("averageRating")))
+    Expectations.assertAll(seasonTrends, Seq(notNull("seasonNumber")))
   }
 }
 

@@ -111,6 +111,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rounds <= logBound, s"$rounds rounds > O(log n) bound $logBound")
   }
 
+  test("Corpus transitiveDedup: one survivor per dup CLUSTER, not per pair") {
+    // the shape where greedy and cluster-consistent dedup DIVERGE:
+    // a~c and b~c but a!~b (ids 1, 2, 3). Greedy drops only docs with a
+    // SMALLER near-dup (id 3) and keeps both 1 and 2; transitive closure
+    // keeps exactly one doc of the {1,2,3} cluster.
+    val c = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val a = c.replace("lima", "zulu")   // 3-gram jaccard(a,c)=9/11, (a,b)=8/12
+    val b = c.replace("alpha", "xray")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    def prep(transitive: Boolean): Set[Long] =
+      graft.operators.Corpus.prepare(docs, "doc_id", "text",
+        stopwords = Seq("the"), langMarkers = Seq("en" -> Seq("the")),
+        keepLangs = Set("und"), minQuality = 0.0, nearDupThreshold = 0.7,
+        maxDocFreq = 1.0, transitiveDedup = transitive)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(prep(transitive = false) == Set(1L, 2L))
+    assert(prep(transitive = true) == Set(1L))
+  }
+
   test("Corpus.prepareManaged: cache lifecycle — persisted until released") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val prepared = graft.operators.Corpus.prepareManaged(docs, "doc_id", "text",

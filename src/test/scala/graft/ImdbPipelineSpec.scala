@@ -242,6 +242,30 @@ class ImdbPipelineSpec extends AnyFunSuite {
     assert(reg.decide("x", new java.io.File(dir, "nope.tsv")) == "missing")
   }
 
+  test("dbt not_null probes bind to the VIEW output, not pre-view facts") {
+    import graft.pipeline.Runner
+    // published facts legitimately carry rating-null rows; the declared
+    // not_null(averageRating) contract is on marts_movie_facts_view,
+    // which filters them — so this must PASS through the view...
+    val published = Seq(
+      ("tt1", Some(7.5), 100L, "20240101"),
+      ("tt2", None, 50L, "20240101"))
+      .toDF("tconst", "averageRating", "numVotes", "run_date")
+    val trends = Seq(("s1", 1L)).toDF("seriesId", "seasonNumber")
+    Runner.dbtNotNullProbes(
+      graft.analytics.ImdbMarts.movieFactsView(published), trends)
+    // ...and FAIL when the probed relation itself violates the contract
+    val badView = Seq(("tt1", Option.empty[Double])).toDF("tconst", "averageRating")
+    intercept[IllegalArgumentException] {
+      Runner.dbtNotNullProbes(badView, trends)
+    }
+    val badTrends = Seq(("s1", Option.empty[Long])).toDF("seriesId", "seasonNumber")
+    intercept[IllegalArgumentException] {
+      Runner.dbtNotNullProbes(
+        graft.analytics.ImdbMarts.movieFactsView(published), badTrends)
+    }
+  }
+
   test("ingest control JSON survives quoted/escaped header values") {
     import graft.pipeline.{IngestRegistry, RemoteMeta}
     val dir = Files.createTempDirectory("graft_ctl_esc").toFile.getAbsolutePath
