@@ -162,12 +162,18 @@ object Dedup {
                                     idBCol: String = "id_b",
                                     maxRounds: Int = 50): (DataFrame, Int) = {
     val a = col(idACol); val b = col(idBCol)
-    // canonical down-edges (larger -> smaller); self-pairs drop here and
-    // resurface as singleton components in the final node join
-    var edges = pairs.filter(a =!= b)
-      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+    // Canonicalize ONCE and checkpoint BEFORE dropping self-pairs: every
+    // later reference (first round, convergence probe, the final node
+    // set) reads these blocks instead of re-executing the upstream pair
+    // pipeline — `pairs` is typically a full LSH/inverted-index plan,
+    // and a second reference to it would re-run that whole plan just to
+    // list node ids (measured ~2 s/extra pass on q57's input).
+    val canon = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
       .distinct()
       .localCheckpoint(true)
+    // down-edges (larger -> smaller); self-pairs drop here and resurface
+    // as singleton components in the final node join
+    var edges = canon.filter(col("u") =!= col("v"))
 
     // fixed-point probe: a star forest has (1) no node with two distinct
     // targets and (2) no 2-edge chain. Two aggregates over the (small,
@@ -210,18 +216,21 @@ object Dedup {
     }
     if (!converged) {
       edges.unpersist()
+      canon.unpersist()
       throw new IllegalArgumentException(
         s"connectedComponents did not converge in $maxRounds star rounds - " +
           "raise maxRounds")
     }
     // star edges ARE the labels for non-root nodes; roots and singleton
     // (self-pair-only) nodes map to themselves via the left join
-    val nodes = pairs.select(a.as("id")).unionAll(pairs.select(b.as("id"))).distinct()
+    val nodes = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id"))).distinct()
     val labels = nodes
       .join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
       .localCheckpoint(true)
     edges.unpersist()
+    canon.unpersist()
     (labels, round)
   }
 
