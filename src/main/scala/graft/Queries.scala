@@ -1094,6 +1094,32 @@ object Queries {
           |  e.quality, e.lang_pred
           |FROM e WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin)),
 
+    Q("q59_decontamination",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // eval-set decontamination: training docs containing ≥ 60% of an
+        // eval doc's 3-gram shingles (CONTAINMENT, not jaccard — a train
+        // doc embedding a whole eval doc must score 1.0 regardless of
+        // extra text). Eval set = every 7th doc, the benchmark-shaped
+        // small side; candidates come from the shingle-keyed inverted
+        // index, never a train×eval cross join.
+        val docs = tbl("documents")
+        Dedup.contaminationPairs(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", threshold = 0.6, shingleLen = 3)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+              |e AS (SELECT doc_id AS eval_id, sh AS sh_e FROM t
+              |      WHERE doc_id % 7 = 0),
+              |tr AS (SELECT doc_id AS train_id, sh AS sh_t FROM t
+              |       WHERE doc_id % 7 <> 0)
+              |SELECT train_id, eval_id,
+              |  round(CAST(len(list_intersect(sh_t, sh_e)) AS DOUBLE)
+              |    / len(sh_e), 6) AS containment
+              |FROM tr, e
+              |WHERE CAST(len(list_intersect(sh_t, sh_e)) AS DOUBLE)
+              |  / len(sh_e) >= 0.6""".stripMargin)),
+
     Q("q57_dedup_components",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // near-dup pairs → connected components: cluster-consistent dedup

@@ -115,6 +115,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Eval-set decontamination pairs: CONTAINMENT of an eval doc's
+    * shingle set in a training doc — |S(train) ∩ S(eval)| / |S(eval)| —
+    * at or above `threshold`. Asymmetric on purpose (the standard
+    * benchmark-decontamination metric): a training doc that embeds an
+    * entire eval doc scores 1.0 no matter how much extra text it
+    * carries, where Jaccard would dilute the signal toward 0.
+    *
+    * Same inverted-index discipline as [[jaccardPairs]]: both sides
+    * explode to 8-byte hashed shingle ids, candidates come from the
+    * shingle-keyed join (never a train×eval cross), and the grouped
+    * intersection count divides by the eval set size. The eval side is
+    * typically benchmark-scale (thousands of docs) — AQE broadcasts its
+    * index when it is; the plan stays correct either way. */
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                         textCol: String, threshold: Double,
+                         shingleLen: Int = 3): DataFrame = {
+    def index(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+          Text.shingles(lower(col(textCol)), shingleLen).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .select(col(out), col("sz"), explode(col("toks")).as("s"))
+        .select(col(out), col("sz"), xxhash64(col("s")).as("tok"))
+    val ti = index(train, "train_id").drop("sz")
+    val ei = index(evalDocs, "eval_id").withColumnRenamed("sz", "sz_e")
+    ti.join(ei, Seq("tok"))
+      .groupBy("train_id", "eval_id", "sz_e")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("sz_e"))
+      .filter(col("containment") >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** Drop training docs contaminated by `evalDocs` (containment ≥
+    * `threshold` against ANY eval doc) — the gate a training pipeline
+    * runs before an eval set can be trusted. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, threshold: Double,
+                    shingleLen: Int = 3): DataFrame = {
+    val bad = contaminationPairs(train, evalDocs, idCol, textCol, threshold,
+      shingleLen).select(col("train_id").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair list — the clustering
     * step that turns pairwise near-duplicates into dedup GROUPS, so
     * survivor selection is consistent per cluster (transitive closure)

@@ -111,6 +111,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rounds <= logBound, s"$rounds rounds > O(log n) bound $logBound")
   }
 
+  test("contamination is containment, not jaccard; decontaminate drops hits") {
+    // train doc 10 EMBEDS eval doc 100 verbatim inside extra text:
+    // containment must be 1.0 even though jaccard is diluted well below
+    val evalText = "alpha bravo charlie delta echo foxtrot"        // 4 shingles
+    val trainHit = s"intro words here $evalText trailing content tail" // superset
+    val trainClean = "one two three four five six seven eight nine ten"
+    val train = Seq((10L, trainHit), (11L, trainClean)).toDF("doc_id", "text")
+    val ev = Seq((100L, evalText)).toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(train, ev, "doc_id", "text",
+      threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((10L, 100L, 1.0)))
+    // jaccard at the same threshold would NOT flag it (diluted)
+    assert(Dedup.jaccardPairs(train.unionByName(ev), "doc_id", "text",
+      threshold = 0.9, shingleLen = 3).count() == 0)
+    val kept = Dedup.decontaminate(train, ev, "doc_id", "text", 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+  }
+
   test("Corpus transitiveDedup: one survivor per dup CLUSTER, not per pair") {
     // the shape where greedy and cluster-consistent dedup DIVERGE:
     // a~c and b~c but a!~b (ids 1, 2, 3). Greedy drops only docs with a
