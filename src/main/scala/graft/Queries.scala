@@ -1120,6 +1120,37 @@ object Queries {
               |WHERE CAST(len(list_intersect(sh_t, sh_e)) AS DOUBLE)
               |  / len(sh_e) >= 0.6""".stripMargin)),
 
+    Q("q60_repetition_filter",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Gopher-style repetition filters: per-doc fraction of tokens
+        // covered by the most frequent 2-/3-gram — the pretraining
+        // quality gate that catches looping/spammy text which length
+        // and stopword ratios miss
+        tbl("documents").select(
+          col("doc_id"),
+          round(Text.topNgramFrac(lower(col("text")), 2), 6).as("top2_frac"),
+          round(Text.topNgramFrac(lower(col("text")), 3), 6).as("top3_frac"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             |             FROM documents),
+             |g2 AS (SELECT doc_id, len(w) AS n_tok,
+             |         unnest(list_transform(range(1, len(w)),
+             |           i -> concat_ws(' ', w[i], w[i+1]))) AS ng
+             |       FROM tok WHERE len(w) >= 2),
+             |c2 AS (SELECT doc_id, least(1.0, max(c * 2.0 / n_tok)) AS frac FROM
+             |        (SELECT doc_id, n_tok, ng, count(*) AS c FROM g2
+             |         GROUP BY doc_id, n_tok, ng) GROUP BY doc_id),
+             |g3 AS (SELECT doc_id, len(w) AS n_tok,
+             |         unnest(list_transform(range(1, len(w) - 1),
+             |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS ng
+             |       FROM tok WHERE len(w) >= 3),
+             |c3 AS (SELECT doc_id, least(1.0, max(c * 3.0 / n_tok)) AS frac FROM
+             |        (SELECT doc_id, n_tok, ng, count(*) AS c FROM g3
+             |         GROUP BY doc_id, n_tok, ng) GROUP BY doc_id)
+             |SELECT t.doc_id, round(coalesce(c2.frac, 0.0), 6) AS top2_frac,
+             |  round(coalesce(c3.frac, 0.0), 6) AS top3_frac
+             |FROM tok t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)""".stripMargin)),
+
     Q("q57_dedup_components",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // near-dup pairs → connected components: cluster-consistent dedup

@@ -28,6 +28,12 @@ object Text {
   def distinctTokenRatio(text: Column): Column =
     size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
 
+  /** Gopher-style repetition signal: fraction of tokens covered by the
+    * single most frequent word n-gram (native one-pass kernel — a
+    * per-row count map no codegen'd built-in combination expresses). */
+  def topNgramFrac(text: Column, n: Int): Column =
+    graft.plans.exprs.topNgramFrac(text, n)
+
   def avgTokenLength(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
       size(tokens(text))

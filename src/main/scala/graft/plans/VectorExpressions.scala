@@ -148,6 +148,21 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fraction of a doc's tokens covered by its most frequent word n-gram
+  * (Gopher-style repetition filter). Needs a per-row count map — not
+  * expressible with codegen'd built-ins and pathological as an HOF. */
+case class TopNgramFrac(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("top_ngram_frac", child.dataType, _ == StringType, "string")
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.topNgramFrac(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.topNgramFrac($v, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Top-n nearest IVF cells of a vector, against a driver-collected
   * centroid matrix embedded in the expression (k×dim doubles — model
   * parameters, not row data; the MLlib KMeansModel shape). Returns
@@ -204,6 +219,9 @@ object exprs {
   def nearestCells(v: Column, cellIds: Array[Long], centers: Array[Double],
                    n: Int): Column =
     column(NearestCells(expression(v), cellIds, centers, n))
+
+  def topNgramFrac(text: Column, n: Int): Column =
+    column(TopNgramFrac(expression(text), n))
 }
 
 /** `SparkSessionExtensions` hook: registers the custom expressions as SQL

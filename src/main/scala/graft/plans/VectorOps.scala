@@ -218,6 +218,32 @@ object VectorOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Gopher-style repetition signal: fraction of the doc's tokens
+    * covered by the single most frequent word n-gram (count × n /
+    * tokens, capped at 1.0 — overlapping self-repeats like "x x x x"
+    * would otherwise exceed it). One pass + a per-row count map over
+    * the row's n-grams — a per-row GROUP BY no HOF combination can
+    * express. Splits on single spaces like [[wordShingles]]; fewer
+    * than n tokens → 0.0. */
+  def topNgramFrac(text: UTF8String, n: Int): Double = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return 0.0
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    var max = 0
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val k = sb.toString
+      val c = counts.merge(k, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    math.min(1.0, max.toDouble * n / toks.length)
+  }
+
   /** Top-`n` nearest centroids of `v` by cosine (ties → smaller cell id),
     * over a driver-collected k×dim centroid matrix shipped to executors
     * as codegen reference objects (the MLlib KMeansModel pattern: k×dim

@@ -99,6 +99,25 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(rows(0) < rows(1), s"near-dup hamming ${rows(0)} !< unrelated ${rows(1)}")
   }
 
+  test("topNgramFrac: repetition fraction of the dominant word n-gram") {
+    val df = Seq(
+      ("a b a b a b", 1.0),        // "a b" x3 of 5 bigrams covers 6/6 tokens
+      ("x y z", 2.0 / 3),          // all bigrams unique -> 2/3
+      ("x", 0.0),                  // fewer tokens than n
+      ("loop loop loop loop", 1.0) // degenerate self-repeat
+    ).toDF("t", "expected")
+    val rows = df.select(graft.plans.exprs.topNgramFrac(col("t"), 2).as("got"),
+      col("expected")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+      s"${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // trigram on a doc with a repeated phrase beats unrelated text
+    val tri = Seq(("the cat sat the cat sat the cat sat", "all words differ here now"))
+      .toDF("rep", "clean")
+      .select(graft.plans.exprs.topNgramFrac(col("rep"), 3).as("r"),
+        graft.plans.exprs.topNgramFrac(col("clean"), 3).as("c")).head()
+    assert(tri.getDouble(0) === 1.0 && tri.getDouble(1) < 0.7)
+  }
+
   test("custom expressions fail ANALYSIS on mistyped input, not executor runtime") {
     // every native kernel declares checkInputDataTypes: a wrong child type
     // must surface as a clear analysis error (AsOfJoin.requireOrderable
