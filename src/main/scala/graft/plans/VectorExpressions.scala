@@ -240,5 +240,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_top_ngram_frac"),
+      new ExpressionInfo(classOf[TopNgramFrac].getName, "graft_top_ngram_frac"),
+      (args: Seq[Expression]) => TopNgramFrac(args(0),
+        args(1).eval().asInstanceOf[Int])))
   }
 }

@@ -16,6 +16,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 16))
   }
 
+  test("graft_top_ngram_frac usable from SQL, equals the Column API") {
+    val r = spark.sql(
+      "SELECT graft_top_ngram_frac('a b a b a b', 2) AS f").head()
+    assert(r.getDouble(0) == 1.0)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents").limit(50)
+    docs.createOrReplaceTempView("__ext_docs")
+    val api = docs.select(graft.functions.Text.topNgramFrac(lower(col("text")), 3))
+      .collect().map(_.getDouble(0)).toSeq
+    val sql = spark.sql(
+      "SELECT graft_top_ngram_frac(lower(text), 3) FROM __ext_docs")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(api == sql)
+  }
+
   test("SQL cosine == Column-API cosine on real embeddings") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings").limit(20)
