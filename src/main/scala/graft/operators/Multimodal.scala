@@ -1,18 +1,23 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, batch feature extraction via `mapPartitions`.
   *
-  * The decode kernels are STUBBED (this environment ships no image/audio
-  * codecs): `decodeStub` derives deterministic fake dimensions/features
-  * from the bytes. Everything AROUND the stub — schema, Dataset encoders,
-  * partition-batched execution shape, feature schema — is the real
-  * production plumbing: swap `decodeStub` for a codec call and nothing
-  * else changes. At scale, `mapPartitions` amortizes codec init per
-  * partition (the reason it beats a per-row UDF for heavy decodes).
+  * The image path is REAL: [[imagesFromDocuments]] synthesizes actual
+  * PNG payloads (JDK `BufferedImage` → `ImageIO.write`) and
+  * [[extractFeatures]] decodes genuine width/height back out with
+  * `ImageIO.read` — a JDK-bundled codec (java.desktop), no external
+  * libraries. Audio/video mimes (no JDK codec exists) fall back to a
+  * deterministic fingerprint decode, clearly marked. At scale,
+  * `mapPartitions` amortizes codec setup per partition (the reason it
+  * beats a per-row UDF for heavy decodes).
   */
 object Multimodal {
 
@@ -22,8 +27,8 @@ object Multimodal {
                            checksum: Long)
 
   /** Build a media table from the documents table: encodes text bytes as
-    * the opaque payload (deterministic fake "image"), with a mime derived
-    * from the id. Real pipelines read the binary from parquet/object
+    * the opaque payload (mixed fake mimes — exercises the non-image
+    * fallback path). Real pipelines read the binary from parquet/object
     * storage the same way. */
   def mediaFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -35,29 +40,90 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode: deterministic fake media properties from the raw bytes.
-    * Replace with a real codec (e.g. javax.imageio / ffmpeg binding) —
-    * the signature is the contract. */
-  private[operators] def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.media.length
+  /** Deterministic image dimensions for a synthesized doc image — the
+    * q61 oracle recomputes the same arithmetic in SQL, so the decoded
+    * dims are externally checkable. */
+  def pngDims(docId: Long): (Int, Int) =
+    (8 + (docId % 16).toInt, 8 + ((docId / 16) % 16).toInt)
+
+  /** Encode a real PNG: deterministic per-pixel RGB from `seed`, written
+    * through the JDK's ImageIO PNG codec. */
+  def synthesizePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val h = seed * 1000003L + (y.toLong * width + x) * 0x9e3779b97f4a7c15L
+        img.setRGB(x, y, (h >>> 24).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of REAL PNG payloads, one per document, dimensions
+    * deterministic from doc_id ([[pngDims]]). Partition-parallel
+    * synthesis — the encode cost distributes like any decode would. */
+  def imagesFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ImageIO.setUseCache(false) // in-memory codec streams, no temp files
+      ids.map { id =>
+        val (w, h) = pngDims(id)
+        MediaRecord(id, "image/png", synthesizePng(w, h, id))
+      }
+    }
+  }
+
+  /** FNV-1a payload fingerprint — provenance column for all mimes. */
+  private def fnv64(bytes: Array[Byte]): Long = {
     var checksum = 0xcbf29ce484222325L
     var i = 0
-    while (i < n) { checksum ^= (r.media(i) & 0xffL); checksum *= 0x100000001b3L; i += 1 }
+    while (i < bytes.length) { checksum ^= (bytes(i) & 0xffL); checksum *= 0x100000001b3L; i += 1 }
+    checksum
+  }
+
+  /** FALLBACK decode for mimes without a JDK codec (audio/video) or
+    * undecodable image payloads: deterministic fake properties from the
+    * byte fingerprint. Replace with an ffmpeg-style binding where
+    * available — the signature is the contract. */
+  private[operators] def decodeStub(r: MediaRecord): MediaFeatures = {
+    val checksum = fnv64(r.media)
+    val n = r.media.length
     val w = 16 + (math.abs(checksum % 64)).toInt * 16
     val h = 16 + (math.abs((checksum >> 8) % 64)).toInt * 16
     val frames = if (r.mime.startsWith("video")) 1 + (n % 240) else 1
     MediaFeatures(r.media_id, r.mime, n.toLong, w, h, frames, checksum)
   }
 
-  /** Partition-batched feature extraction. One decoder context per
-    * partition (the `iter =>` prologue is where a real codec would init);
-    * rows stream through without materializing the partition. */
+  /** REAL decode: image mimes go through `ImageIO.read` and report the
+    * codec's decoded width/height; a payload ImageIO cannot parse (or a
+    * non-image mime) falls back to [[decodeStub]]. */
+  private[operators] def decode(r: MediaRecord): MediaFeatures = {
+    if (r.mime.startsWith("image/")) {
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(r.media))
+        catch { case _: java.io.IOException => null }
+      if (img != null)
+        return MediaFeatures(r.media_id, r.mime, r.media.length.toLong,
+          img.getWidth, img.getHeight, 1, fnv64(r.media))
+    }
+    decodeStub(r)
+  }
+
+  /** Partition-batched feature extraction. Codec setup happens once per
+    * partition in the `iter =>` prologue; rows stream through without
+    * materializing the partition. */
   def extractFeatures(media: Dataset[MediaRecord])(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { iter =>
-      // real impl: val codec = Codec.open() here, once per partition
-      iter.map(decodeStub)
+      ImageIO.setUseCache(false) // per-partition codec setup: no temp-file cache
+      iter.map(decode)
     }
   }
 
