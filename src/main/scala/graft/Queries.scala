@@ -986,6 +986,26 @@ object Queries {
              |CAST(strlen(text) AS BIGINT) AS n_bytes
              |FROM documents""".stripMargin)),
 
+    Q("q61_multimodal_decode",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // REAL image decode end-to-end: synthesize actual PNG payloads
+        // (BufferedImage → ImageIO PNG codec, dims deterministic from
+        // doc_id) and decode genuine width/height back out with
+        // ImageIO.read. The oracle recomputes the dimension arithmetic
+        // in SQL — a stub decode (checksum-derived dims) cannot pass.
+        operators.Multimodal.extractFeatures(
+            operators.Multimodal.imagesFromDocuments(tbl("documents")))
+          .toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(8 + doc_id % 16 AS BIGINT) AS width,
+             |CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS height
+             |FROM documents""".stripMargin)),
+
     Q("q55_first_last_value",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         val w = org.apache.spark.sql.expressions.Window

@@ -44,7 +44,8 @@ object Multimodal {
     * q61 oracle recomputes the same arithmetic in SQL, so the decoded
     * dims are externally checkable. */
   def pngDims(docId: Long): (Int, Int) =
-    (8 + (docId % 16).toInt, 8 + ((docId / 16) % 16).toInt)
+    (8 + math.floorMod(docId, 16L).toInt,
+     8 + math.floorMod(math.floorDiv(docId, 16L), 16L).toInt)
 
   /** Encode a real PNG: deterministic per-pixel RGB from `seed`, written
     * through the JDK's ImageIO PNG codec. */
@@ -91,7 +92,7 @@ object Multimodal {
     * undecodable image payloads: deterministic fake properties from the
     * byte fingerprint. Replace with an ffmpeg-style binding where
     * available — the signature is the contract. */
-  private[operators] def decodeStub(r: MediaRecord): MediaFeatures = {
+  private[graft] def decodeStub(r: MediaRecord): MediaFeatures = {
     val checksum = fnv64(r.media)
     val n = r.media.length
     val w = 16 + (math.abs(checksum % 64)).toInt * 16
@@ -100,14 +101,26 @@ object Multimodal {
     MediaFeatures(r.media_id, r.mime, n.toLong, w, h, frames, checksum)
   }
 
-  /** REAL decode: image mimes go through `ImageIO.read` and report the
-    * codec's decoded width/height; a payload ImageIO cannot parse (or a
-    * non-image mime) falls back to [[decodeStub]]. */
-  private[operators] def decode(r: MediaRecord): MediaFeatures = {
-    if (r.mime.startsWith("image/")) {
+  /** Cheap magic-prefix sniff (PNG / JPEG / GIF) so non-image bytes that
+    * merely carry an image mime skip the ImageIO reader-SPI scan. */
+  private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 &&
+      b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+    (b.length >= 3 &&
+      b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+    (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+
+  /** REAL decode: image mimes whose payload carries an image magic prefix
+    * go through `ImageIO.read` and report the codec's decoded
+    * width/height; anything else (non-image mime, non-image bytes, or a
+    * payload the codec rejects — JDK readers can throw unchecked
+    * exceptions on malformed input, hence NonFatal) falls back to
+    * [[decodeStub]]. */
+  private[graft] def decode(r: MediaRecord): MediaFeatures = {
+    if (r.mime.startsWith("image/") && looksLikeImage(r.media)) {
       val img =
         try ImageIO.read(new ByteArrayInputStream(r.media))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img != null)
         return MediaFeatures(r.media_id, r.mime, r.media.length.toLong,
           img.getWidth, img.getHeight, 1, fnv64(r.media))

@@ -81,6 +81,38 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("multimodal: real PNG decode round-trips pngDims, junk falls back to stub") {
+    implicit val s = spark
+    // local round-trip: synthesize → ImageIO decode == pngDims, incl. the
+    // negative-id floorMod path a sign-preserving % would break
+    for (id <- Seq(0L, 1L, 15L, 16L, 255L, -1L, -17L)) {
+      val (w, h) = Multimodal.pngDims(id)
+      assert(w >= 8 && h >= 8, s"non-positive dims for id=$id")
+      val rec = Multimodal.MediaRecord(id, "image/png", Multimodal.synthesizePng(w, h, id))
+      assert(Multimodal.looksLikeImage(rec.media))
+      val f = Multimodal.decode(rec)
+      assert((f.width, f.height) == (w, h), s"decode mismatch for id=$id")
+    }
+    // image mime with non-image bytes: sniff rejects, stub takes over
+    val junk = Multimodal.MediaRecord(7L, "image/png", "not a png".getBytes("UTF-8"))
+    assert(!Multimodal.looksLikeImage(junk.media))
+    assert(Multimodal.decode(junk) == Multimodal.decodeStub(junk))
+    // truncated payload WITH a valid PNG magic: reader throws, NonFatal
+    // fallback still lands on the stub instead of killing the task
+    val png = Multimodal.synthesizePng(8, 8, 1L)
+    val broken = Multimodal.MediaRecord(8L, "image/png", png.take(12))
+    assert(Multimodal.looksLikeImage(broken.media))
+    assert(Multimodal.decode(broken) == Multimodal.decodeStub(broken))
+    // distributed path: every decoded row matches the generator arithmetic
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val feats = Multimodal.extractFeatures(Multimodal.imagesFromDocuments(docs)).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall { f =>
+      val (w, h) = Multimodal.pngDims(f.media_id)
+      f.width == w && f.height == h && f.mime == "image/png"
+    })
+  }
+
   test("multimodal: schema, batched stub decode, frame sampling") {
     implicit val s = spark
     val docs = Tables(spark, TestSpark.sf0001, "documents")
