@@ -1171,6 +1171,43 @@ object Queries {
              |  round(coalesce(c3.frac, 0.0), 6) AS top3_frac
              |FROM tok t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)""".stripMargin)),
 
+    Q("q62_dedup_incremental",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // incremental cross-snapshot dedup: a new batch (doc_id % 3 == 0)
+        // checked against a signature store of the historical corpus —
+        // exact-hash anti-join + LSH candidate join against the store
+        // only, never a batch×store cross or a full re-cluster. The
+        // oracle recomputes the greedy semantics exactly (LSH verify
+        // makes the output exact-Jaccard w.h.p., the q24 argument).
+        val docs = tbl("documents")
+        val store = operators.Incremental.signatures(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        operators.Incremental.dedupAgainst(
+            docs.filter(col("doc_id") % 3 === 0), store,
+            "doc_id", "text", threshold = 0.6)
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, md5(text) AS h, $ShinglesSql AS sh
+              |           FROM documents),
+              |s AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+              |n AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+              |ne AS (SELECT n.doc_id, n.sh FROM n
+              |       JOIN (SELECT h, min(doc_id) AS k FROM n GROUP BY h) mk
+              |         ON n.h = mk.h AND n.doc_id = mk.k
+              |       WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.h = n.h)),
+              |dr AS (SELECT DISTINCT a.doc_id FROM ne a JOIN s b ON
+              |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh)
+              |              - len(list_intersect(a.sh, b.sh))) >= 0.6
+              |       UNION
+              |       SELECT DISTINCT b.doc_id FROM ne a JOIN ne b
+              |       ON a.doc_id < b.doc_id AND
+              |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh)
+              |              - len(list_intersect(a.sh, b.sh))) >= 0.6)
+              |SELECT doc_id FROM ne
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)),
+
     Q("q57_dedup_components",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // near-dup pairs → connected components: cluster-consistent dedup
