@@ -1208,6 +1208,44 @@ object Queries {
               |SELECT doc_id FROM ne
               |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)),
 
+    Q("q63_embedding_dup_clusters",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // cluster-consistent EMBEDDING dedup: cosine dup pairs →
+        // connected components (the q58 survivor rule, in embedding
+        // space). Two planted scaled copies per seed vector (2v at
+        // +1M, 4v at +2M — float scaling is exact, cosine exactly 1.0)
+        // make each seed a 3-node transitive cluster with rep = seed;
+        // the oracle reproduces the closure recursively (q57 pattern).
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val seeds = emb.filter(col("vec_id") < 5)
+        def planted(off: Int, scale: Float) = seeds.select(
+          (col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => x * lit(scale)).as("embedding"))
+        val pairs = Dedup.embeddingDupPairs(
+          emb.unionByName(planted(1000000, 2.0f)).unionByName(planted(2000000, 4.0f)),
+          "vec_id", "embedding", threshold = 0.95)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("vec_id"), col("rep"))
+      },
+      Some("""WITH RECURSIVE
+             |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (SELECT * FROM e0
+             |      UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0)
+             |      FROM e0 WHERE vec_id < 5
+             |      UNION ALL SELECT vec_id + 2000000, list_transform(v, x -> x * 4.0)
+             |      FROM e0 WHERE vec_id < 5),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |      WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+             |ed AS (SELECT id_a AS u, id_b AS w FROM p
+             |       UNION ALL SELECT id_b, id_a FROM p),
+             |cc(id, lab) AS (
+             |  SELECT u, u FROM ed
+             |  UNION
+             |  SELECT ed.u, cc.lab FROM ed JOIN cc ON cc.id = ed.w)
+             |SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS rep
+             |FROM cc GROUP BY id""".stripMargin)),
+
     Q("q57_dedup_components",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // near-dup pairs → connected components: cluster-consistent dedup

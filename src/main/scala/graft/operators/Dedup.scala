@@ -305,6 +305,21 @@ object Dedup {
     * collisions ~45× per band; recall is then bought back with more
     * bands (64), whose per-band cost is only more signature words in the
     * narrow codegen'd kernel pass. */
+  /** Cluster-consistent embedding dedup: [[embeddingDupPairs]] →
+    * [[connectedComponents]], so embedding-space dup clusters get the
+    * same one-survivor-per-transitive-cluster semantics as Jaccard
+    * clusters (q58). Returns (id, rep) per node in the pair graph;
+    * survivors are rows with id == rep — greedy per-pair selection can
+    * keep two docs that are both near-dups of a third but not of each
+    * other, the closure keeps exactly one. Same lifecycle contract as
+    * connectedComponents: labels are checkpointed, callers unpersist()
+    * after consuming. */
+  def embeddingDupClusters(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, bands: Int = 64,
+                           bitsPerBand: Int = 16): DataFrame =
+    connectedComponents(
+      embeddingDupPairs(emb, idCol, vecCol, threshold, bands, bitsPerBand))
+
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bands: Int = 64, bitsPerBand: Int = 16): DataFrame = {
     require(64 % bitsPerBand == 0, "bitsPerBand must divide 64 (bands may not straddle words)")

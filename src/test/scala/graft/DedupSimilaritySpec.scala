@@ -269,6 +269,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       balanced2.orderBy("cell_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("embeddingDupClusters: transitive closure where greedy pairs diverge") {
+    // a~c and b~c at cosine ≥ 0.95, but a!~b (cos 36° ≈ 0.81): greedy
+    // per-pair dedup keeps {a, b}; the cluster rule keeps exactly one
+    // survivor of {a, b, c}. 18°-rotations of e1 in the (e1, e2) plane,
+    // padded to 8 dims.
+    val th = math.toRadians(18)
+    def vec(angle: Double): Array[Float] =
+      Array(math.cos(angle).toFloat, math.sin(angle).toFloat) ++ Array.fill(6)(0.0f)
+    val emb = Seq(
+      (1L, vec(th)), (2L, vec(-th)), (3L, vec(0.0))).toDF("vec_id", "embedding")
+    val labels = Dedup.embeddingDupClusters(emb, "vec_id", "embedding", 0.95)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), m.toString)
+  }
+
   test("incremental dedupAgainst == full greedy recompute (plain and bucketed store)") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     // store ids strictly precede batch ids, so full-recompute greedy
