@@ -62,8 +62,10 @@ object Queries {
     * (q51 greedy / q58 cluster-consistent): quality + lang gates (m, g,
     * f), exact dedup (ek, e), shingle sets (t), near-dup pair scores
     * (p). Callers append their survivor-selection tail; `recursive`
-    * emits WITH RECURSIVE for tails using a recursive CTE. */
-  private def corpusPrepOracleCte(recursive: Boolean): String = {
+    * emits WITH RECURSIVE for tails using a recursive CTE; `source`
+    * substitutes the corpus relation (default: the documents table). */
+  private def corpusPrepOracleCte(recursive: Boolean,
+                                  source: String = "documents"): String = {
     val scores = LangMarkers.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($lst))) AS s_$lang"
@@ -79,7 +81,7 @@ object Queries {
        |    length(text) AS n_ch,
        |    length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_np,
        |    $scores
-       |  FROM documents),
+       |  FROM $source),
        |g AS (SELECT doc_id, text,
        |    round(least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
        |      + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
@@ -1207,6 +1209,39 @@ object Queries {
               |              - len(list_intersect(a.sh, b.sh))) >= 0.6)
               |SELECT doc_id FROM ne
               |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)),
+
+    Q("q64_corpus_prep_decontam",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the FULL production composition: quality gate → lang gate →
+        // exact dedup → near-dup dedup → eval-set DECONTAMINATION, one
+        // managed pipeline (decontamination last: checked on the docs
+        // that would actually ship). Train = non-7th docs, eval = every
+        // 7th (q59's split); containment ≥ 0.6 drops the doc.
+        val docs = tbl("documents")
+        Corpus.prepare(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          Stopwords, LangMarkers, keepLangs = Set("en"),
+          minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0,
+          evalDocs = Some(docs.filter(col("doc_id") % 7 === 0)),
+          contaminationThreshold = 0.6)
+      },
+      Some(corpusPrepOracleCte(recursive = false,
+          source = "(SELECT * FROM documents WHERE doc_id % 7 <> 0)") +
+        s""",
+           |dups AS (SELECT DISTINCT id_b AS doc_id FROM p
+           |         WHERE inter / (tot - inter) >= 0.6),
+           |surv AS (SELECT e.* FROM e
+           |         WHERE e.doc_id NOT IN (SELECT doc_id FROM dups)),
+           |ev AS (SELECT doc_id, $ShinglesSql AS sh FROM documents
+           |       WHERE doc_id % 7 = 0),
+           |ts AS (SELECT doc_id, $ShinglesSql AS sh FROM surv),
+           |bad AS (SELECT DISTINCT ts.doc_id FROM ts JOIN ev ON
+           |          CAST(len(list_intersect(ts.sh, ev.sh)) AS DOUBLE)
+           |            / len(ev.sh) >= 0.6)
+           |SELECT s.doc_id,
+           |  CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
+           |  s.quality, s.lang_pred
+           |FROM surv s WHERE s.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
+    ),
 
     Q("q63_embedding_dup_clusters",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._

@@ -55,12 +55,22 @@ object Corpus {
     *   transitive closure keeps exactly one doc per dup cluster).
     *   The cluster mode runs the iterative component computation EAGERLY
     *   at composition time (it is a fixpoint of Spark jobs, not one
-    *   declarative plan); its labels join the managed cache lifecycle. */
+    *   declarative plan); its labels join the managed cache lifecycle.
+    * @param evalDocs when set, a final DECONTAMINATION stage drops
+    *   surviving docs whose shingle containment against any eval doc
+    *   reaches `contaminationThreshold` ([[Dedup.decontaminate]]) — the
+    *   production order is gate → dedup → decontaminate, so eval overlap
+    *   is checked on the docs that would actually ship. The deduped set
+    *   joins the managed cache lifecycle (the stage references it twice).
+    * @param contaminationThreshold containment level at which a doc is
+    *   considered contaminated (only used with `evalDocs`). */
   def prepareManaged(docs: DataFrame, idCol: String, textCol: String,
                      stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
                      keepLangs: Set[String], minQuality: Double,
                      nearDupThreshold: Double, maxDocFreq: Double = 0.5,
-                     transitiveDedup: Boolean = false): PreparedCorpus = {
+                     transitiveDedup: Boolean = false,
+                     evalDocs: Option[DataFrame] = None,
+                     contaminationThreshold: Double = 0.8): PreparedCorpus = {
     val id = col(idCol); val text = col(textCol)
 
     // persisted: consumed by both the exact-keep aggregate and the
@@ -97,10 +107,22 @@ object Corpus {
         (labels.filter(col("id") =!= col("rep")).select(col("id").as(idCol)),
           Seq(labels))
       }
-    val result = exact.join(dupOf, Seq(idCol), "left_anti")
+    val deduped = exact.join(dupOf, Seq(idCol), "left_anti")
+    // optional eval-set decontamination, LAST: checked on the docs that
+    // survive dedup. Persisted when present — the stage references the
+    // deduped set twice (shingle inverted index + the anti-join), and
+    // each reference would otherwise re-run the whole near-dup pipeline.
+    val (cleaned, decontCached) = evalDocs match {
+      case None => (deduped, Seq.empty[DataFrame])
+      case Some(ev) =>
+        val d = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        (Dedup.decontaminate(d, ev, idCol, textCol, contaminationThreshold),
+          Seq(d))
+    }
+    val result = cleaned
       .select(id, Text.tokenCount(text).as("n_tokens"), col("quality"),
         col("lang_pred"))
-    PreparedCorpus(result, Seq(gated, exact) ++ extraCached)
+    PreparedCorpus(result, Seq(gated, exact) ++ extraCached ++ decontCached)
   }
 
   /** [[prepareManaged]] without the lifecycle handle — for one-shot jobs
@@ -111,7 +133,10 @@ object Corpus {
               stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
               keepLangs: Set[String], minQuality: Double,
               nearDupThreshold: Double, maxDocFreq: Double = 0.5,
-              transitiveDedup: Boolean = false): DataFrame =
+              transitiveDedup: Boolean = false,
+              evalDocs: Option[DataFrame] = None,
+              contaminationThreshold: Double = 0.8): DataFrame =
     prepareManaged(docs, idCol, textCol, stopwords, langMarkers, keepLangs,
-      minQuality, nearDupThreshold, maxDocFreq, transitiveDedup).df
+      minQuality, nearDupThreshold, maxDocFreq, transitiveDedup, evalDocs,
+      contaminationThreshold).df
 }

@@ -162,6 +162,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(prepared.isReleased, "release() must unpersist both intermediates")
   }
 
+  test("Corpus decontamination stage: composed == standalone, lifecycle covers it") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val train = docs.filter($"doc_id" % 7 =!= 0)
+    val ev = docs.filter($"doc_id" % 7 === 0)
+    // standalone reference: prepare without eval, then decontaminate the
+    // surviving docs (text re-attached by id — prepare's output drops it)
+    val base = graft.operators.Corpus.prepare(train, "doc_id", "text",
+      Queries.Stopwords, Queries.LangMarkers, Set("en"), 0.5, 0.6,
+      maxDocFreq = 1.0)
+    val survivors = docs.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
+    val refIds = Dedup.decontaminate(survivors, ev, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val composed = graft.operators.Corpus.prepareManaged(train, "doc_id", "text",
+      Queries.Stopwords, Queries.LangMarkers, Set("en"), 0.5, 0.6,
+      maxDocFreq = 1.0, evalDocs = Some(ev), contaminationThreshold = 0.6)
+    val got = composed.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == refIds, s"composed-only=${got -- refIds} ref-only=${refIds -- got}")
+    // the extra persisted branch (the deduped set) joins the lifecycle
+    assert(!composed.isReleased)
+    composed.release()
+    assert(composed.isReleased, "release() must also unpersist the decontam branch")
+  }
+
   test("embeddingDupPairs: finds an injected duplicate vector") {
     val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(100)
     // duplicate vec 0 with a new id → cosine 1.0 pair must surface
