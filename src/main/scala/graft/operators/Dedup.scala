@@ -177,11 +177,12 @@ object Dedup {
     * thousands of full-edge-set shuffles. Measured on id-shuffled paths:
     * 8 rounds at 1k nodes, 10 at 4k — vs a round per hop of distance
     * from the min for propagation.) The fixed point is a star
-    * forest — every node points at its component min — detected by a
-    * cheap two-aggregate probe (a star has no node with two distinct
-    * targets and no 2-edge chain), the only per-round driver action.
-    * Non-convergence within `maxRounds` throws rather than returning a
-    * silently-wrong clustering.
+    * forest — every node points at its component min — detected from
+    * the SAME node aggregate that feeds the large-star min (a star has
+    * no node with two distinct targets and no 2-edge chain; both
+    * counters ride the min's shuffle), so the probe adds no extra pass
+    * over the edge set. Non-convergence within `maxRounds` throws
+    * rather than returning a silently-wrong clustering.
     *
     * Each round's edge set is `localCheckpoint`ed (eager), NOT merely
     * persisted: persist caches data but keeps the logical plan, so an
@@ -218,51 +219,61 @@ object Dedup {
     // as singleton components in the final node join
     var edges = canon.filter(col("u") =!= col("v"))
 
-    // fixed-point probe: a star forest has (1) no node with two distinct
-    // targets and (2) no 2-edge chain. Two aggregates over the (small,
-    // checkpointed) edge set, one isEmpty action — no row data collected.
-    def isStarForest(e: DataFrame): Boolean = {
-      val multiTarget = e.groupBy("u").agg(countDistinct(col("v")).as("nd"))
-        .filter(col("nd") > 1).select(lit(1L).as("viol"))
-      val chain = e.select(col("v").as("k"))
-        .join(e.select(col("u").as("k")), Seq("k"))
-        .select(lit(1L).as("viol"))
-      multiTarget.unionAll(chain).isEmpty
-    }
-
+    // Per-round node stats, ONE aggregate over the symmetrized edges that
+    // serves BOTH the large-star min computation and the convergence
+    // probe. In a canonical down-edge set every smaller neighbor of n is
+    // one of n's targets and every larger neighbor points AT n, so from
+    // sym alone: `nds` = n's distinct target count and `hl` = whether n
+    // is itself a target. A star forest has no source with two distinct
+    // targets and no node that is both source and target (2-edge chain)
+    // — the probe is an isEmpty over this (checkpointed, node-sized)
+    // table, no extra pass over the edge set (the naive version cost two
+    // full-edge jobs per round: a groupBy-countDistinct plus a
+    // self-join — ~2 extra edge passes per round at 100 TB).
     var round = 0
-    var converged = isStarForest(edges)
-    while (!converged && round < maxRounds) {
-      // large-star over the symmetrized graph: for each center u with
-      // m = min(Γ(u) ∪ u), every LARGER neighbor v re-wires to (v, m).
-      // Both consumers of `sym` need hash(u) partitioning, so the union
-      // shuffles once and the second use is a ReusedExchange.
+    var converged = false
+    while (!converged) {
       val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val lsEdges = sym.join(lsMin, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-      // small-star over the now-directed down-edges: each node's smaller
-      // neighbors flatten under its minimum, plus the node itself.
-      val ssMin = lsEdges.groupBy("u").agg(min(col("v")).as("m"))
-      val next = lsEdges.join(ssMin, Seq("u"))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(ssMin.select(col("u"), col("m").as("v")))
-        .distinct()
+      val stats = sym.groupBy("u").agg(
+          min(col("v")).as("mn"),
+          countDistinct(when(col("v") < col("u"), col("v"))).as("nds"),
+          max((col("v") > col("u")).cast("int")).as("hl"))
         .localCheckpoint(true)
-      edges.unpersist()
-      edges = next
-      round += 1
-      converged = isStarForest(edges)
-    }
-    if (!converged) {
-      edges.unpersist()
-      canon.unpersist()
-      throw new IllegalArgumentException(
-        s"connectedComponents did not converge in $maxRounds star rounds - " +
-          "raise maxRounds")
+      converged = stats
+        .filter(col("nds") > 1 || (col("nds") >= 1 && col("hl") === 1))
+        .isEmpty
+      if (converged) {
+        stats.unpersist()
+      } else {
+        if (round >= maxRounds) {
+          stats.unpersist()
+          edges.unpersist()
+          canon.unpersist()
+          throw new IllegalArgumentException(
+            s"connectedComponents did not converge in $maxRounds star rounds - " +
+              "raise maxRounds")
+        }
+        // large-star: for each center u with m = min(Γ(u) ∪ u), every
+        // LARGER neighbor v re-wires to (v, m). The min comes from the
+        // materialized stats — node-sized, so AQE broadcasts it.
+        val lsMin = stats.select(col("u"), least(col("mn"), col("u")).as("m"))
+        val lsEdges = sym.join(lsMin, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        // small-star over the now-directed down-edges: each node's smaller
+        // neighbors flatten under its minimum, plus the node itself.
+        val ssMin = lsEdges.groupBy("u").agg(min(col("v")).as("m"))
+        val next = lsEdges.join(ssMin, Seq("u"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(ssMin.select(col("u"), col("m").as("v")))
+          .distinct()
+          .localCheckpoint(true)
+        stats.unpersist()
+        edges.unpersist()
+        edges = next
+        round += 1
+      }
     }
     // star edges ARE the labels for non-root nodes; roots and singleton
     // (self-pair-only) nodes map to themselves via the left join
