@@ -52,6 +52,12 @@ object Similarity {
     val rows = centroids.select(col("cell_id").cast("long").as("cell_id"),
       Vectors.toDouble(col("centroid")).as("centroid")).collect()
     require(rows.nonEmpty, "empty centroid set")
+    // a null cell_id would silently unbox to 0L and collide with a real
+    // cell 0 — fail loudly instead (same for a null centroid vector)
+    rows.foreach { r =>
+      require(!r.isNullAt(0), "null cell_id in centroid set")
+      require(!r.isNullAt(1), s"null centroid vector for cell ${r.getLong(0)}")
+    }
     val sorted = rows.sortBy(_.getLong(0))
     val dim = sorted.head.getSeq[Double](1).length
     val matrix = new Array[Double](sorted.length * dim)

@@ -188,6 +188,18 @@ case class NearestCells(child: Expression, cellIds: Array[Long],
     defineCodeGen(ctx, ev, v =>
       s"graft.plans.VectorOps.nearestCells($v, $isF, $idsRef, $ctrRef, $n)")
   }
+  // case-class equality on Array fields is reference-based, which defeats
+  // canonicalization/subexpression elimination across separately-collected
+  // (but identical) centroid sets — compare contents instead
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCells => child == o.child && n == o.n &&
+      java.util.Arrays.equals(cellIds, o.cellIds) &&
+      java.util.Arrays.equals(centers, o.centers)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(n), Integer.valueOf(java.util.Arrays.hashCode(cellIds)),
+    Integer.valueOf(java.util.Arrays.hashCode(centers)))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -256,14 +256,19 @@ object VectorOps {
                    centers: Array[Double], n: Int): ArrayData = {
     val k = cellIds.length
     val dim = if (k == 0) 0 else centers.length / k
+    // a wrong-dimension vector would otherwise get a plausible-but-wrong
+    // cell from a prefix dot product (ragged CENTROIDS already fail
+    // loudly at collect time) — reject it
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearestCells: vector dim ${v.numElements()} != centroid dim $dim")
     val sims = new Array[Double](k)
     var c = 0
     while (c < k) {
       val base = c * dim
-      val m = math.min(dim, v.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      while (i < m) {
+      while (i < dim) {
         val x = elem(v, i, isFloat); val y = centers(base + i)
         dot += x * y; na += x * x; nb += y * y
         i += 1

@@ -137,4 +137,34 @@ class TextAndVectorSpec extends AnyFunSuite {
     analysisFails(graft.plans.exprs.hyperplaneSig(col("ints"), 8), "array<float|double>")
     analysisFails(graft.plans.exprs.cosineSim(col("ints"), col("ints")), "array<float|double>")
   }
+
+  test("ANN input hardening: null cell_id, ragged vector, array-equality") {
+    import graft.operators.Similarity
+    // null cell_id must fail loudly, not unbox to 0L and collide with a
+    // real cell 0
+    val nullCell = Seq((Some(1L), Array(1.0, 0.0)), (None, Array(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.collectCentroids(nullCell)
+    }
+    assert(e1.getMessage.contains("null cell_id"), e1.getMessage)
+    // a wrong-dimension input vector must error, not silently score a
+    // prefix dot product into a plausible-but-wrong cell
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.VectorOps.nearestCells(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+        false, Array(0L, 1L), Array(1.0, 0.0, 0.0, 1.0), 1)
+    }
+    assert(e2.getMessage.contains("vector dim 3"), e2.getMessage)
+    // equality must be content-based so canonicalization/subexpression
+    // elimination works across separately-collected identical centroid sets
+    import org.apache.spark.sql.graftbridge.ColumnBridge.expression
+    val child = expression(col("v")) // shared: isolate the ARRAY fields
+    def mk(centers: Array[Double]) =
+      graft.plans.NearestCells(child, Array(0L, 1L), centers, 1)
+    val (a, b) = (mk(Array(1.0, 0.0, 0.0, 1.0)), mk(Array(1.0, 0.0, 0.0, 1.0)))
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    assert(a != mk(Array(1.0, 0.0, 0.0, 0.5)))
+  }
 }
