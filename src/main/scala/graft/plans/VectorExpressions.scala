@@ -256,5 +256,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopNgramFrac].getName, "graft_top_ngram_frac"),
       (args: Seq[Expression]) => TopNgramFrac(args(0),
         args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash_tokens"),
+      new ExpressionInfo(classOf[HashTokens64].getName, "graft_hash_tokens"),
+      (args: Seq[Expression]) => HashTokens64(args(0))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[TokenRollingHash].getName, "graft_rolling_hash"),
+      (args: Seq[Expression]) => TokenRollingHash(args(0))))
+    // model parameters (cell ids + row-major centroid matrix) arrive as
+    // foldable array literals and are evaluated once at resolution time
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      (args: Seq[Expression]) => NearestCells(args(0),
+        args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+        args(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+        args(3).eval().asInstanceOf[Int])))
   }
 }

@@ -31,6 +31,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(api == sql)
   }
 
+  test("remaining kernels usable from SQL: shingles/minhash/hash_tokens/rolling/nearest_cells") {
+    val r = spark.sql(
+      """SELECT graft_word_shingles('a b c d', 3) AS sh,
+        |       graft_minhash_sig(array('a','b','c'), 8) AS mh,
+        |       graft_hash_tokens(array('a','b')) AS ht,
+        |       graft_rolling_hash(array('a','b')) AS rh,
+        |       graft_nearest_cells(array(1.0D, 0.0D),
+        |         array(10L, 20L), array(1.0D, 0.0D, 0.0D, 1.0D), 1) AS nc""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](1).length == 8)
+    assert(r.getSeq[Long](2).length == 2)
+    assert(r.getLong(3) != 0L)
+    assert(r.getSeq[Long](4) == Seq(10L)) // (1,0) is exactly centroid 10
+    // SQL == Column API on real docs (the parity that matters)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents").limit(50)
+    docs.createOrReplaceTempView("__ext_docs2")
+    val api = docs.select(
+        graft.plans.exprs.minhashSig(graft.functions.Text.shingles(lower(col("text")), 3), 16))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val sql = spark.sql(
+      "SELECT graft_minhash_sig(graft_word_shingles(lower(text), 3), 16) FROM __ext_docs2")
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(api == sql)
+  }
+
   test("SQL cosine == Column-API cosine on real embeddings") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings").limit(20)
