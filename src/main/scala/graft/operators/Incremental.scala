@@ -43,16 +43,32 @@ object Incremental {
         graft.plans.exprs.hashTokens64(col("sh")).as("shh"),
         graft.plans.exprs.minhashSig(col("sh"), bands * rowsPerBand).as("sig"))
 
-  /** Materialize a signature store as a catalog table bucketed on
-    * `content_hash`: the per-batch exact anti-join then needs no
-    * exchange on the store side — the shuffle is paid once at write
-    * time (ParquetSink.bucketed contract). */
+  /** Exploded LSH band table of a [[signatures]] store: one (band,
+    * bucket, id) row per band per doc — the store-side input of the
+    * candidate join, in its join-key layout. */
+  def bandTable(store: DataFrame, bands: Int = 32, rowsPerBand: Int = 2): DataFrame =
+    store.select(col("id"),
+        posexplode(array(bandCols(col("sig"), bands, rowsPerBand): _*))
+          .as(Seq("band", "bucket")))
+      .select("band", "bucket", "id")
+
+  /** Materialize a signature store as TWO catalog tables, each bucketed
+    * on the key its per-batch join probes it with, so neither store
+    * reference ever shuffles again (the shuffles are paid once at write
+    * time — ParquetSink.bucketed contract):
+    *  - `table`, bucketed on `content_hash` → the exact anti-join;
+    *  - `table_bands` (exploded (band, bucket, id)), bucketed on
+    *    (band, bucket) → the LSH candidate join. Without it every batch
+    *    re-explodes and re-shuffles the WHOLE store's bands (~bands ×
+    *    20 B per store doc per batch — the incremental scale-killer). */
   def writeStore(docs: DataFrame, idCol: String, textCol: String,
                  table: String, numBuckets: Int, shingleLen: Int = 3,
-                 bands: Int = 32, rowsPerBand: Int = 2): Unit =
-    ParquetSink.bucketed(
-      signatures(docs, idCol, textCol, shingleLen, bands, rowsPerBand),
-      table, Seq("content_hash"), numBuckets)
+                 bands: Int = 32, rowsPerBand: Int = 2): Unit = {
+    val sig = signatures(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
+    ParquetSink.bucketed(sig, table, Seq("content_hash"), numBuckets)
+    ParquetSink.bucketed(bandTable(sig, bands, rowsPerBand),
+      s"${table}_bands", Seq("band", "bucket"), numBuckets)
+  }
 
   /** LSH band-bucket values for a signature column — band b's value is a
     * hash of its signature slice, salted by b (shared with
@@ -87,10 +103,17 @@ object Incremental {
     * consumers would otherwise re-run the signature kernels per
     * reference); the STORE is deliberately NOT — each of its three
     * references is a column-pruned scan of the materialized table, which
-    * at corpus scale beats copying the store into checkpoint storage. */
+    * at corpus scale beats copying the store into checkpoint storage.
+    *
+    * @param storeBands pre-materialized [[bandTable]] of the store
+    *   (typically `spark.table(s"${store}_bands")`). When absent the
+    *   bands are derived from the store's `sig` column in-plan — correct,
+    *   but the candidate join then shuffles the exploded store every
+    *   batch; the bucketed band table makes it exchange-free. */
   def dedupAgainst(newDocs: DataFrame, store: DataFrame, idCol: String,
                    textCol: String, threshold: Double, shingleLen: Int = 3,
-                   bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+                   bands: Int = 32, rowsPerBand: Int = 2,
+                   storeBands: Option[DataFrame] = None): DataFrame = {
     val nsig = signatures(newDocs, idCol, textCol, shingleLen, bands, rowsPerBand)
       .localCheckpoint(true)
     // exact stage: batch-internal min-id per hash, then store anti-join
@@ -106,7 +129,7 @@ object Incremental {
       posexplode(array(bandCols(col("sig"), bands, rowsPerBand): _*))
         .as(Seq("band", "bucket")))
     val nBand = banded(exact)
-    val sBand = banded(store)
+    val sBand = storeBands.getOrElse(bandTable(store, bands, rowsPerBand))
     val candVsStore = nBand.select(col("band"), col("bucket"), col("id").as("id_n"))
       .join(sBand.select(col("band"), col("bucket"), col("id").as("id_s")),
         Seq("band", "bucket"))

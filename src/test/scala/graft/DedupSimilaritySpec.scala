@@ -340,9 +340,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val viaTable = Incremental.dedupAgainst(batch, spark.table("sig_store"),
-          "doc_id", "text", 0.6)
+          "doc_id", "text", 0.6,
+          storeBands = Some(spark.table("sig_store_bands")))
         .select("doc_id")
       assert(viaTable.collect().map(_.getLong(0)).toSet == full)
+      // the LSH candidate join is in viaTable's lazy plan: its store side
+      // must read the pre-banded table through its (band, bucket) bucket
+      // layout instead of re-exploding and re-shuffling the store
+      val lshPlan = viaTable.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(lshPlan.contains("sig_store_bands") &&
+        lshPlan.contains("Bucketed: true"), lshPlan.take(1500))
       // the exact-stage anti-join itself runs inside dedupAgainst's eager
       // checkpoint, so assert bucketing on that join shape directly: the
       // store side must read its bucket layout (no store-side exchange)
@@ -357,6 +365,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE sig_store")
+      spark.sql("DROP TABLE sig_store_bands")
     }
   }
 
