@@ -70,6 +70,30 @@ object Incremental {
       s"${table}_bands", Seq("band", "bucket"), numBuckets)
   }
 
+  /** Append a batch's signatures to an existing [[writeStore]] store —
+    * the production loop: after a batch is processed its docs join the
+    * store so later batches dedup against them too. Appends preserve the
+    * bucket spec (Spark validates it against the existing tables), so
+    * both per-batch joins stay exchange-free as the store grows.
+    *
+    * Two valid policies, chosen by what you append:
+    *  - append the WHOLE batch → the multi-batch pipeline equals one full
+    *    greedy recompute (non-cascading: a dropped doc still suppresses
+    *    later near-dups) — spec-asserted;
+    *  - append only the batch's SURVIVORS → cascading greedy (a maximal
+    *    independent set in batch order): smaller store, and a doc dropped
+    *    as a near-dup of a dropped doc gets a second chance. */
+  def appendToStore(docs: DataFrame, idCol: String, textCol: String,
+                    table: String, numBuckets: Int, shingleLen: Int = 3,
+                    bands: Int = 32, rowsPerBand: Int = 2): Unit = {
+    val sig = signatures(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
+    ParquetSink.bucketed(sig, table, Seq("content_hash"), numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    ParquetSink.bucketed(bandTable(sig, bands, rowsPerBand),
+      s"${table}_bands", Seq("band", "bucket"), numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** LSH band-bucket values for a signature column — band b's value is a
     * hash of its signature slice, salted by b (shared with
     * [[Dedup.minhashLshPairs]]' banding). */

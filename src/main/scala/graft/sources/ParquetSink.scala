@@ -69,10 +69,11 @@ object ParquetSink {
     * cluster-scale tool for repeated joins on the same key (e.g. facts ⋈
     * facts on tconst): pay the shuffle once at write time, never again. */
   def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-               numBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+               numBuckets: Int, sortCols: Seq[String] = Seq.empty,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
     val w = df.write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .mode(SaveMode.Overwrite)
+      .mode(mode)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet")
       .saveAsTable(table)

@@ -292,6 +292,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       balanced2.orderBy("cell_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("incremental multi-batch loop with appendToStore == one full recompute") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val mx = docs.agg(max($"doc_id")).head.getLong(0)
+    val (s1, s2) = (mx / 3, 2 * mx / 3)   // three id-ordered batches
+    val b1 = docs.filter($"doc_id" < s1)
+    val b2 = docs.filter($"doc_id" >= s1 && $"doc_id" < s2)
+    val b3 = docs.filter($"doc_id" >= s2)
+    // full-recompute greedy reference restricted to batch-2/3 ids
+    val exactKeep = docs.groupBy(md5($"text")).agg(min($"doc_id").as("doc_id"))
+      .select("doc_id")
+    val exact = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    val dropped = Dedup.jaccardPairs(exact, "doc_id", "text", 0.6, shingleLen = 3)
+      .select($"id_b".as("doc_id")).distinct()
+    val full = exact.join(dropped, Seq("doc_id"), "left_anti")
+      .filter($"doc_id" >= s1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // production loop: seed store with b1, process b2, append b2, process b3
+    Incremental.writeStore(b1, "doc_id", "text", "loop_store", 8)
+    try {
+      def run(b: org.apache.spark.sql.DataFrame) =
+        Incremental.dedupAgainst(b, spark.table("loop_store"), "doc_id", "text",
+            0.6, storeBands = Some(spark.table("loop_store_bands")))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      val r2 = run(b2)
+      Incremental.appendToStore(b2, "doc_id", "text", "loop_store", 8)
+      val r3 = run(b3)
+      assert((r2 ++ r3) == full,
+        s"loop-only=${(r2 ++ r3) -- full} full-only=${full -- (r2 ++ r3)}")
+    } finally {
+      spark.sql("DROP TABLE loop_store")
+      spark.sql("DROP TABLE loop_store_bands")
+    }
+  }
+
   test("embeddingDupClusters: transitive closure where greedy pairs diverge") {
     // a~c and b~c at cosine ≥ 0.95, but a!~b (cos 36° ≈ 0.81): greedy
     // per-pair dedup keeps {a, b}; the cluster rule keeps exactly one
