@@ -292,6 +292,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       balanced2.orderBy("cell_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("incremental edges: empty batch and empty store") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val none = docs.filter($"doc_id" < 0)
+    val store = Incremental.signatures(docs, "doc_id", "text")
+    // first-ever batch (empty store): survivors = within-batch dedup only
+    val emptyStore = Incremental.signatures(none, "doc_id", "text")
+    val selfOnly = Incremental.dedupAgainst(docs, emptyStore, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactKeep = docs.groupBy(md5($"text")).agg(min($"doc_id").as("doc_id"))
+      .select("doc_id")
+    val exact = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    val dropped = Dedup.jaccardPairs(exact, "doc_id", "text", 0.6, shingleLen = 3)
+      .select($"id_b".as("doc_id")).distinct()
+    val ref = exact.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selfOnly == ref)
+    // empty batch: no rows, no crash
+    assert(Incremental.dedupAgainst(none, store, "doc_id", "text", 0.6).isEmpty)
+  }
+
   test("incremental multi-batch loop with appendToStore == one full recompute") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val mx = docs.agg(max($"doc_id")).head.getLong(0)
