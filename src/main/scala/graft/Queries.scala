@@ -1281,6 +1281,30 @@ object Queries {
              |SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS rep
              |FROM cc GROUP BY id""".stripMargin)),
 
+    Q("q65_simhash_dup_pairs",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // SimHash near-dup pairs via pigeonhole bit-band bucketing —
+        // recall is exact, so planted exact duplicates (same text →
+        // identical fingerprint, hamming 0) MUST all surface. The raw
+        // 64-bit signatures are engine-local (q25 pattern), so the gate
+        // asserts the planted recall count against an in-plan total;
+        // banded == brute-force equivalence is spec-asserted.
+        val docs0 = tbl("documents").select(col("doc_id"), col("text"))
+        val planted = docs0.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"))
+        val pairs = Dedup.simhashDupPairs(docs0.unionByName(planted),
+          "doc_id", "text", maxHamming = 3)
+        val found = pairs
+          .filter(col("id_b") === col("id_a") + 1000000 && col("hamming") === 0)
+          .agg(count(lit(1)).as("planted_found"))
+        val total = docs0.agg(count(lit(1)).as("n_docs"))
+        found.crossJoin(broadcast(total))
+          .select(col("planted_found"), col("n_docs"),
+            (col("planted_found") === col("n_docs")).as("all_planted_found"))
+      },
+      Some("""SELECT count(*) AS planted_found, count(*) AS n_docs,
+             |true AS all_planted_found FROM documents""".stripMargin)),
+
     Q("q57_dedup_components",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // near-dup pairs → connected components: cluster-consistent dedup

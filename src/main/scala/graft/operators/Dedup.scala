@@ -316,6 +316,44 @@ object Dedup {
     * collisions ~45× per band; recall is then bought back with more
     * bands (64), whose per-band cost is only more signature words in the
     * narrow codegen'd kernel pass. */
+  /** SimHash near-dup pairs within `maxHamming` bits WITHOUT an all-pairs
+    * scan (Manku et al., WWW'07): the 64-bit fingerprint splits into
+    * maxHamming+1 bit-bands — a pair differing in at most maxHamming
+    * bits matches EXACTLY on at least one band (pigeonhole), so
+    * candidates come from equality self-joins on (band, value), id-only
+    * through the banded shuffle, and are verified with an exact popcount
+    * re-joined by id (the LSH discipline of [[minhashLshPairs]]). Recall
+    * is EXACT (pigeonhole, not probabilistic). Candidate volume: random
+    * far pairs collide on a w-bit band with prob 2^-w — at maxHamming=3
+    * (4×16-bit bands) that is ~n²/2¹⁶ per band; for corpora where that
+    * grows too fat, trade shuffle for precision with Manku's rotation
+    * trick (more tables over permuted bits) before widening bands. */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val bandVals = (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) 64 - lo else width
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))
+    }
+    val banded = sig.select(col("id"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "bval")))
+    banded.select(col("band"), col("bval"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bval"), col("id").as("id_b")),
+        Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** Cluster-consistent embedding dedup: [[embeddingDupPairs]] →
     * [[connectedComponents]], so embedding-space dup clusters get the
     * same one-survivor-per-transitive-cluster semantics as Jaccard

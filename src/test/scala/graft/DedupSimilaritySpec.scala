@@ -292,6 +292,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       balanced2.orderBy("cell_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("simhashDupPairs == brute-force hamming filter (pigeonhole exactness)") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    for (k <- Seq(0, 3, 7)) {
+      val banded = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sig = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      val bf = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id",
+          expr("cast(bit_count(a.sh ^ b.sh) as int)").as("h"))
+        .filter($"h" <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == bf,
+        s"k=$k banded-only=${banded -- bf} bf-only=${bf -- banded}")
+    }
+  }
+
   test("incremental edges: empty batch and empty store") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val none = docs.filter($"doc_id" < 0)
