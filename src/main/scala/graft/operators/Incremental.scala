@@ -94,6 +94,32 @@ object Incremental {
       mode = org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Streaming ingest dedup: a `foreachBatch` body that dedups every
+    * micro-batch against the signature store, emits the survivors, then
+    * appends the batch so later micro-batches dedup against it — the
+    * continuous form of the [[dedupAgainst]]/[[appendToStore]] loop.
+    * Usage: `docsStream.writeStream.foreachBatch(Incremental.dedupSink(...)).start()`.
+    *
+    * `emit` MUST materialize the survivors (write/collect) before it
+    * returns — the append below it changes the store tables the
+    * survivors' lazy plan reads. On a foreachBatch RETRY the append can
+    * duplicate a batch's signature rows; duplicates are decision-neutral
+    * (same hashes and bands → same drops; candidate pairs are
+    * distinct-ed by id), so the sink stays effectively idempotent. */
+  def dedupSink(idCol: String, textCol: String, storeTable: String,
+                numBuckets: Int, threshold: Double,
+                emit: (DataFrame, Long) => Unit, shingleLen: Int = 3,
+                bands: Int = 32, rowsPerBand: Int = 2): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val survivors = dedupAgainst(batch, spark.table(storeTable), idCol,
+        textCol, threshold, shingleLen, bands, rowsPerBand,
+        storeBands = Some(spark.table(s"${storeTable}_bands")))
+      emit(survivors, batchId)
+      appendToStore(batch, idCol, textCol, storeTable, numBuckets, shingleLen,
+        bands, rowsPerBand)
+    }
+
   /** LSH band-bucket values for a signature column — band b's value is a
     * hash of its signature slice, salted by b (shared with
     * [[Dedup.minhashLshPairs]]' banding). */

@@ -81,6 +81,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming ingest dedup: micro-batches dedup against a growing store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Incremental
+    // seed store: doc 1 ("alpha beta gamma")
+    val seed = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    Incremental.writeStore(seed, "doc_id", "text", "stream_store", 4)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(Incremental.dedupSink("doc_id", "text", "stream_store", 4,
+          threshold = 0.9,
+          emit = (df, _) => got.synchronized {
+            got ++= df.select("doc_id").collect().map(_.getLong(0))
+          }))
+        .start()
+      // batch 1: 10 dups the SEED store exactly; 11+12 are exact twins
+      // (one survives); 13 is new
+      input.addData((10L, "alpha beta gamma"), (11L, "delta epsilon zeta"),
+        (12L, "delta epsilon zeta"), (13L, "eta theta iota"))
+      q.processAllAvailable()
+      // batch 2: 20 dups batch 1's SURVIVOR 11 (cross-batch, via the
+      // append); 21 is new
+      input.addData((20L, "delta epsilon zeta"), (21L, "kappa lambda mu"))
+      q.processAllAvailable()
+      q.stop()
+      assert(got.sorted == Seq(11L, 13L, 21L), got.toString)
+      // the store grew by both full batches
+      assert(spark.table("stream_store").count() == 1 + 4 + 2)
+    } finally {
+      spark.sql("DROP TABLE stream_store")
+      spark.sql("DROP TABLE stream_store_bands")
+    }
+  }
+
   test("multimodal: real PNG decode round-trips pngDims, junk falls back to stub") {
     implicit val s = spark
     // local round-trip: synthesize → ImageIO decode == pngDims, incl. the
