@@ -63,11 +63,23 @@ object Incremental {
     *    20 B per store doc per batch — the incremental scale-killer). */
   def writeStore(docs: DataFrame, idCol: String, textCol: String,
                  table: String, numBuckets: Int, shingleLen: Int = 3,
-                 bands: Int = 32, rowsPerBand: Int = 2): Unit = {
-    val sig = signatures(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
-    ParquetSink.bucketed(sig, table, Seq("content_hash"), numBuckets)
-    ParquetSink.bucketed(bandTable(sig, bands, rowsPerBand),
-      s"${table}_bands", Seq("band", "bucket"), numBuckets)
+                 bands: Int = 32, rowsPerBand: Int = 2): Unit =
+    writeBoth(signatures(docs, idCol, textCol, shingleLen, bands, rowsPerBand),
+      table, numBuckets, bands, rowsPerBand, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Write the signature + band tables from one persisted signature set —
+    * both writes consume `sig`, and without the barrier the second write
+    * re-runs the shingle/minhash kernels over the whole input. */
+  private def writeBoth(sig0: DataFrame, table: String, numBuckets: Int,
+                        bands: Int, rowsPerBand: Int,
+                        mode: org.apache.spark.sql.SaveMode): Unit = {
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ParquetSink.bucketed(sig, table, Seq("content_hash"), numBuckets,
+        mode = mode)
+      ParquetSink.bucketed(bandTable(sig, bands, rowsPerBand),
+        s"${table}_bands", Seq("band", "bucket"), numBuckets, mode = mode)
+    } finally sig.unpersist()
   }
 
   /** Append a batch's signatures to an existing [[writeStore]] store —
@@ -85,14 +97,9 @@ object Incremental {
     *    as a near-dup of a dropped doc gets a second chance. */
   def appendToStore(docs: DataFrame, idCol: String, textCol: String,
                     table: String, numBuckets: Int, shingleLen: Int = 3,
-                    bands: Int = 32, rowsPerBand: Int = 2): Unit = {
-    val sig = signatures(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
-    ParquetSink.bucketed(sig, table, Seq("content_hash"), numBuckets,
-      mode = org.apache.spark.sql.SaveMode.Append)
-    ParquetSink.bucketed(bandTable(sig, bands, rowsPerBand),
-      s"${table}_bands", Seq("band", "bucket"), numBuckets,
-      mode = org.apache.spark.sql.SaveMode.Append)
-  }
+                    bands: Int = 32, rowsPerBand: Int = 2): Unit =
+    writeBoth(signatures(docs, idCol, textCol, shingleLen, bands, rowsPerBand),
+      table, numBuckets, bands, rowsPerBand, org.apache.spark.sql.SaveMode.Append)
 
   /** Streaming ingest dedup: a `foreachBatch` body that dedups every
     * micro-batch against the signature store, emits the survivors, then
