@@ -1305,6 +1305,29 @@ object Queries {
       Some("""SELECT count(*) AS planted_found, count(*) AS n_docs,
              |true AS all_planted_found FROM documents""".stripMargin)),
 
+    Q("q66_sequence_packing",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // sequence packing (pack-then-split): shard-ordered token stream
+        // cut into 256-token chunks; each doc carries its shard-local
+        // offset and the first/last chunk it lands in. One shuffle (the
+        // per-shard window) — a GLOBAL order would collapse to a single
+        // partition, the running-total scale-killer.
+        operators.Packing.packChunks(tbl("documents"), "doc_id", "text",
+          "lang", tokenBudget = 256)
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |o AS (SELECT doc_id, lang, n_tok,
+             |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang
+             |    ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS tok_offset FROM t)
+             |SELECT doc_id, lang, n_tok, tok_offset,
+             |  tok_offset // 256 AS first_chunk,
+             |  (tok_offset + n_tok - 1) // 256 AS last_chunk
+             |FROM o""".stripMargin)),
+
     Q("q57_dedup_components",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // near-dup pairs → connected components: cluster-consistent dedup

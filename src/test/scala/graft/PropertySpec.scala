@@ -129,4 +129,31 @@ class PropertySpec extends AnyFunSuite {
       assert(b == expected, s"bucketWidth=$w")
     }
   }
+
+  test("packChunks: offsets are exact prefix sums, chunks gap-free per shard") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val budget = 64
+    val rows = graft.operators.Packing
+      .packChunks(docs, "doc_id", "text", "lang", budget)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("tok_offset"),
+        r.getAs[Long]("first_chunk"), r.getAs[Long]("last_chunk")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, shard) =>
+      val ordered = shard.sortBy(_._2)
+      // offsets: exact running sum starting at 0 — no token lost or
+      // double-counted anywhere in the shard's stream
+      ordered.foldLeft(0L) { case (expected, (_, id, n, off, fc, lc)) =>
+        assert(off == expected, s"$lang/$id: offset $off != $expected")
+        assert(fc == off / budget && lc == (off + n - 1) / budget,
+          s"$lang/$id: chunk ids inconsistent")
+        expected + n
+      }
+      // chunk coverage: every chunk id up to the last is hit (gap-free)
+      val tot = ordered.map(_._3).sum
+      val covered = ordered.flatMap(t => t._5 to t._6).toSet
+      assert(covered == (0L to (tot - 1) / budget).toSet, s"$lang: chunk gaps")
+    }
+  }
 }
