@@ -1328,6 +1328,28 @@ object Queries {
              |  (tok_offset + n_tok - 1) // 256 AS last_chunk
              |FROM o""".stripMargin)),
 
+    Q("q67_chunk_windows",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // overlapping token-window chunking (RAG grain change): 16-token
+        // windows every 8 tokens, chunk text re-materialized from the
+        // token slice — narrow ops only, zero shuffle at any scale
+        operators.Packing.chunkWindows(tbl("documents"), "doc_id", "text",
+          window = 16, stride = 8)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (SELECT doc_id, w, n,
+             |  unnest(range(0, CAST(1 + greatest(0, (n - 16 + 8 - 1) // 8)
+             |    AS BIGINT))) AS chunk_idx FROM t)
+             |SELECT doc_id, chunk_idx,
+             |  chunk_idx * 8 AS tok_start,
+             |  least(16, n - chunk_idx * 8) AS tok_len,
+             |  array_to_string(w[CAST(chunk_idx * 8 + 1 AS INT) :
+             |    CAST(chunk_idx * 8 + least(16, n - chunk_idx * 8) AS INT)],
+             |    ' ') AS chunk_text
+             |FROM c""".stripMargin)),
+
     Q("q57_dedup_components",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // near-dup pairs → connected components: cluster-consistent dedup

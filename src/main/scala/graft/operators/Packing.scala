@@ -38,4 +38,31 @@ object Packing {
       .withColumn("last_chunk",
         expr(s"(tok_offset + n_tok - 1) div $tokenBudget"))
   }
+
+  /** Overlapping token-window chunking (the RAG/embedding grain change):
+    * one row per `window`-token chunk every `stride` tokens, with the
+    * chunk text re-materialized from the token slice. Pure narrow ops —
+    * tokenize, arithmetic, explode, slice — no shuffle at any scale; the
+    * fan-out factor is ~n_tok/stride per doc. Every token is covered
+    * (the final chunk is short rather than dropped), and with
+    * stride == window the chunks concatenate back to the document
+    * (spec-asserted). */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        lit(1L) + greatest(lit(0L),
+          expr(s"(n_tok - $window + $stride - 1) div $stride")))
+      .select(col(idCol), col("toks"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_len", least(lit(window.toLong), col("n_tok") - col("tok_start")))
+      .select(col(idCol), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        array_join(slice(col("toks"), (col("tok_start") + 1).cast("int"),
+          col("tok_len").cast("int")), " ").as("chunk_text"))
+  }
 }

@@ -156,4 +156,30 @@ class PropertySpec extends AnyFunSuite {
       assert(covered == (0L to (tot - 1) / budget).toSet, s"$lang: chunk gaps")
     }
   }
+
+  test("chunkWindows: every token covered; stride==window reconstructs the text") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // overlapping windows: the union of [start, start+len) covers [0, n)
+    val over = graft.operators.Packing.chunkWindows(docs, "doc_id", "text", 16, 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("tok_len"), r.getAs[String]("chunk_text")))
+    over.groupBy(_._1).foreach { case (id, cs) =>
+      val n = texts(id).split(" ", -1).length.toLong
+      val covered = cs.flatMap(c => c._2 until (c._2 + c._3)).toSet
+      assert(covered == (0L until n).toSet, s"doc $id: uncovered tokens")
+      assert(cs.forall(c => c._3 > 0 && c._3 <= 16), s"doc $id: bad lengths")
+    }
+    // non-overlapping: chunks concatenate back to the exact document
+    val exact = graft.operators.Packing.chunkWindows(docs, "doc_id", "text", 32, 32)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_text")))
+    exact.groupBy(_._1).foreach { case (id, cs) =>
+      val rebuilt = cs.sortBy(_._2).map(_._3).mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id: reconstruction mismatch")
+    }
+  }
 }
