@@ -16,79 +16,122 @@ object Bench {
     // warm up the session (codegen, shuffle service, file index) so the
     // first measured query doesn't absorb one-time init
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // noop sink materializes every row (count() would let parquet
-    // count-star shortcuts skip the actual work)
     val only = args.toSet // optional query-name filter (dev use)
-    // best-of-2 per query, INTERLEAVED (full pass over all queries, then
-    // a second pass): a single multi-minute host-interference stall can
-    // poison at most one sample of any query, so the per-query min stays
-    // a steady-state number (round-1 recorded 187 s for a ~42 s suite
-    // because back-to-back repeats put both samples inside one stall)
     val queries = Queries.all.filter(q => only.isEmpty || only(q.name))
-    val times = scala.collection.mutable.Map.empty[String, Double]
+
+    // ALL samples are recorded and emitted (not just the min): a
+    // stall-poisoned sample is then visible in the artifact itself
+    // instead of silently deciding a query's reported time (round 7's
+    // artifact recorded 10-100x-poisoned minimums with no way to tell
+    // from the JSON — the round-8 top task)
+    val samples = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
-    // host-stall calibration: a fixed CPU-bound probe timed at every pass
-    // boundary. The probe's cost is invariant across rounds, so a slow
-    // sample pins host interference to a specific window of the run —
-    // making a stall-poisoned artifact identifiable from the JSON alone
-    // (round-4's artifact was uniformly 1.5-4x inflated and unfalsifiable)
-    def calibrate(): Double = {
+    val reruns = scala.collection.mutable.Map.empty[String, Int]
+
+    def runOnce(q: Queries.Q): Unit = {
+      // cold plans only: queries that persist() intermediates (q35, q51)
+      // register them in the CacheManager, so later samples of the
+      // identical plan would otherwise read an earlier sample's cache and
+      // report warm-cache times, not steady-state
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        // noop sink materializes every row (count() would let parquet
+        // count-star shortcuts skip the actual work)
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples.getOrElseUpdate(q.name, scala.collection.mutable.ArrayBuffer.empty) += dt
+        errors.remove(q.name) // a later success supersedes an earlier failure
+      } catch {
+        case e: Throwable => // a failed attempt must NOT count as a time
+          errors(q.name) = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")
+              .map(c => if (c >= ' ' && c <= '~' && c != '"' && c != '\\') c else ' ')
+              .take(200)
+      }
+    }
+
+    // host-stall calibration: a fixed CPU-bound probe, INTERLEAVED every
+    // `calEvery` queries (not just at pass boundaries — round 7's
+    // mid-pass stall sat invisibly between 3 boundary probes in a
+    // 17-minute run). The probe's cost is invariant across rounds, so a
+    // slow sample pins host interference to a specific window of the run,
+    // making a stall-poisoned artifact identifiable AND localizable from
+    // the JSON alone.
+    val calEvery = 10
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def calibrate(label: String): Unit = {
       val t0 = System.nanoTime()
       spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
+      calSamples += label -> (System.nanoTime() - t0) / 1e9
     }
-    val calSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     var maxPasses = 2
-    var round = 0
-    while (round < maxPasses) {
-      round += 1
-      calSamples += calibrate()
+    var pass = 0
+    while (pass < maxPasses) {
+      pass += 1
+      calibrate(s"p$pass.start")
       var passTotal = 0.0
-      for (q <- queries) {
-        System.err.println(s"[bench] round $round ${q.name}")
-        // cold plans only: queries that persist() intermediates (q35, q51)
-        // register them in the CacheManager, so round-2 samples of the
-        // identical plan would otherwise read round-1's cache and min-of-2
-        // would report warm-cache times, not steady-state
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          // noop sink materializes every row (count() would let parquet
-          // count-star shortcuts skip the actual work)
-          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          passTotal += dt
-          times(q.name) = math.min(dt, times.getOrElse(q.name, Double.MaxValue))
-          errors.remove(q.name) // a later success supersedes an earlier failure
-        } catch {
-          case e: Throwable => // a failed attempt must NOT count as a time
-            errors(q.name) = e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("")
-                .map(c => if (c >= ' ' && c <= '~' && c != '"' && c != '\\') c else ' ')
-                .take(200)
-        }
+      for ((q, i) <- queries.zipWithIndex) {
+        System.err.println(s"[bench] pass $pass ${q.name}")
+        val before = samples.get(q.name).map(_.sum).getOrElse(0.0)
+        runOnce(q)
+        passTotal += samples.get(q.name).map(_.sum).getOrElse(0.0) - before
+        if ((i + 1) % calEvery == 0 && i + 1 < queries.size)
+          calibrate(s"p$pass.q${i + 1}")
       }
+      calibrate(s"p$pass.end")
       passTotals += passTotal
-      // two samples that disagree >1.5x mean one pass absorbed a stall and
-      // min-of-2 may still hold poisoned samples for queries hit in BOTH
-      // passes — buy one clean pass (bounded: at most one extra)
-      if (round == 2 && maxPasses == 2 &&
+      // two passes that disagree >1.5x mean one pass absorbed a broad
+      // stall — buy one clean pass (bounded: at most one extra)
+      if (pass == 2 && maxPasses == 2 &&
           passTotals.max > 1.5 * passTotals.min) {
         System.err.println(s"[bench] pass totals diverge ${passTotals.mkString(", ")} — running a third pass")
         maxPasses = 3
       }
     }
-    calSamples += calibrate()
-    val results = queries.map(q => q.name -> times.getOrElse(q.name, -1.0))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    // per-query stall defense: samples that disagree >3x mean at least
+    // one sample is not a steady-state number — re-measure (bounded: 2
+    // extra samples per query) until the two FASTEST samples agree
+    // within 3x or the budget is spent. The emitted JSON keeps every
+    // sample, so an unexplained divergent pair is self-evident.
+    def divergent(ts: Seq[Double]): Boolean = {
+      val best = ts.sorted.take(2)
+      best.size == 2 && best(1) > 3 * best(0) && best(1) > 1.0
+    }
+    for (q <- queries) {
+      var extra = 0
+      while (extra < 2 && samples.get(q.name).exists(s => divergent(s.toSeq))) {
+        System.err.println(s"[bench] re-running ${q.name}: samples ${samples(q.name).mkString(", ")} diverge >3x")
+        calibrate(s"rerun.${q.name}.before")
+        runOnce(q)
+        extra += 1
+        reruns(q.name) = extra
+      }
+    }
+
+    val results = queries.map(q => q.name ->
+      samples.get(q.name).map(_.min).getOrElse(-1.0))
+    def fmtMap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = fmtMap(results.map { case (k, v) => k -> v.toString })
+    val samplesJson = fmtMap(queries.flatMap(q => samples.get(q.name).map(ts =>
+      q.name -> ts.map(v => f"$v%.3f").mkString("[", ",", "]"))))
+    val rerunsJson = fmtMap(reruns.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
     val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val calJson = calSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val calJson = calSamples
+      .map { case (l, v) => "{\"at\":\"" + l + "\",\"sec\":" + f"$v%.3f" + "}" }
+      .mkString("[", ",", "]")
+    // stall windows flagged in-artifact: any probe >3x the fastest probe
+    val calMin = if (calSamples.nonEmpty) calSamples.map(_._2).min else 0.0
+    val stallJson = calSamples.filter(_._2 > 3 * calMin)
+      .map { case (l, _) => "\"" + l + "\"" }.mkString("[", ",", "]")
     val passJson = passTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calibration":$calJson,"pass_totals":$passJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"reruns":$rerunsJson,"errors":$errJson,"calibration":$calJson,"stall_windows":$stallJson,"pass_totals":$passJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1373,7 +1373,170 @@ object Queries {
               |  UNION
               |  SELECT e.u, cc.lab FROM e JOIN cc ON cc.id = e.v)
               |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS rep
-              |FROM cc GROUP BY id""".stripMargin)))
+              |FROM cc GROUP BY id""".stripMargin)),
+
+    Q("q68_streaming_dedup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // streaming ingest dedup END-TO-END: a real file stream under
+        // Trigger.AvailableNow drives Incremental.dedupSink — each
+        // micro-batch dedups against the persisted signature store, emits
+        // survivors to parquet, then appends itself to the store. Two
+        // arriving files = two micro-batches (maxFilesPerTrigger=1, file
+        // order pinned by explicit mtimes). The post-stream survivor set
+        // is batch-expressible (signatures are deterministic), so the
+        // oracle recomputes the greedy semantics with store < batchA <
+        // batchB precedence — exactly the q62 contract, looped.
+        import java.nio.file.{Files, Paths}
+        import java.nio.file.attribute.FileTime
+        val docs = tbl("documents").select(col("doc_id"), col("text"))
+        val table = "q68_sig_store"
+        // a previous JVM's run leaves table DIRECTORIES the fresh
+        // in-memory catalog doesn't know about — saveAsTable then fails
+        // with LOCATION_ALREADY_EXISTS, so clear both name and location
+        for (t <- Seq(table, s"${table}_bands")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        operators.Incremental.writeStore(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", table, 8)
+        val dir = Files.createTempDirectory("graft_q68_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val st = dir.resolve("stage_" + name).toString
+          df.coalesce(1).write.mode("overwrite").parquet(st)
+          val part = Files.list(Paths.get(st)).filter(p =>
+            p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          val dst = src.resolve(name + ".parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+        }
+        val now = System.currentTimeMillis()
+        val streamed = docs.filter(col("doc_id") % 3 === 0)
+        stage(streamed.filter(expr("(doc_id div 3) % 2 = 0")), "batch_a", now - 120000)
+        stage(streamed.filter(expr("(doc_id div 3) % 2 = 1")), "batch_b", now - 60000)
+        val stream = s.readStream.schema(streamed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        val query = stream.writeStream
+          .foreachBatch(operators.Incremental.dedupSink("doc_id", "text", table, 8,
+            threshold = 0.6,
+            emit = (surv, batchId) =>
+              surv.write.mode("overwrite").parquet(s"$out/batch_$batchId")))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$out/*").select(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, md5(text) AS h, $ShinglesSql AS sh,
+              |  CASE WHEN doc_id % 3 <> 0 THEN 0
+              |       WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 2 END AS rk
+              |  FROM documents),
+              |ne AS (SELECT n.doc_id, n.sh, n.rk FROM t n
+              |  JOIN (SELECT h, rk, min(doc_id) AS k FROM t WHERE rk > 0
+              |        GROUP BY h, rk) mk
+              |    ON n.h = mk.h AND n.rk = mk.rk AND n.doc_id = mk.k
+              |  WHERE n.rk > 0
+              |    AND NOT EXISTS (SELECT 1 FROM t p WHERE p.rk < n.rk AND p.h = n.h)),
+              |dr AS (SELECT DISTINCT a.doc_id FROM ne a JOIN t b ON b.rk < a.rk
+              |         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+              |       UNION
+              |       SELECT DISTINCT b.doc_id FROM ne a JOIN ne b
+              |         ON a.rk = b.rk AND a.doc_id < b.doc_id
+              |         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
+              |SELECT doc_id FROM ne
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)),
+
+    Q("q69_audio_decode",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // REAL audio decode end-to-end: synthesize actual WAV payloads
+        // (AudioSystem WAVE codec, frame count / sample rate deterministic
+        // from doc_id) and decode genuine properties back with
+        // AudioSystem.getAudioInputStream. The oracle recomputes the
+        // arithmetic in SQL — a stub decode (checksum-derived properties)
+        // cannot pass. The q61 recipe, second modality.
+        operators.Multimodal.extractFeatures(
+            operators.Multimodal.audioFromDocuments(tbl("documents")))
+          .toDF()
+          .select(col("media_id"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(100 + doc_id % 900 AS BIGINT) AS n_frames,
+             |CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+             |CAST(1 AS BIGINT) AS channels
+             |FROM documents""".stripMargin)),
+
+    Q("q70_pack_chunk_rows",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // chunk-GRAIN packing: q66's doc coordinates exploded to one row
+        // per (shard, chunk, doc) with the doc-local token span — the
+        // materialized composition a training job reads per sequence.
+        // Narrow explode on top of q66's one window shuffle.
+        operators.Packing.packChunkRows(tbl("documents"), "doc_id", "text",
+          "lang", tokenBudget = 256)
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |o AS (SELECT doc_id, lang, n_tok,
+             |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang
+             |    ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS tok_offset FROM t),
+             |c AS (SELECT lang, doc_id, n_tok, tok_offset,
+             |  unnest(range(tok_offset // 256,
+             |    (tok_offset + n_tok - 1) // 256 + 1)) AS chunk_id FROM o)
+             |SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+             |  CAST(greatest(0, chunk_id * 256 - tok_offset) AS BIGINT)
+             |    AS doc_tok_start,
+             |  CAST(least(n_tok, (chunk_id + 1) * 256 - tok_offset)
+             |    - greatest(0, chunk_id * 256 - tok_offset) AS BIGINT)
+             |    AS chunk_tok_len
+             |FROM c""".stripMargin)),
+
+    Q("q71_embedding_incremental",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // incremental EMBEDDING dedup: a new vector batch (vec_id % 3 == 0
+        // plus planted scaled copies of store seeds — cosine exactly 1.0,
+        // found in every band) checked against a hyperplane-signature
+        // store of the history. Exchange-free store joins when the store
+        // is materialized (spec-asserted); the oracle recomputes the
+        // greedy cosine semantics exactly.
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val store = emb.filter(col("vec_id") % 3 =!= 0)
+        val batch = emb.filter(col("vec_id") % 3 === 0)
+          .unionByName(emb.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        operators.Incremental.dedupEmbeddingsAgainst(batch,
+            operators.Incremental.embeddingSignatures(store, "vec_id", "embedding"),
+            "vec_id", "embedding", threshold = 0.95)
+          .select(col("vec_id"))
+      },
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |            FROM embeddings),
+             |b AS (SELECT vec_id, v FROM e0 WHERE vec_id % 3 = 0
+             |      UNION ALL
+             |      SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0)
+             |      FROM e0 WHERE vec_id < 5),
+             |s AS (SELECT vec_id, v FROM e0 WHERE vec_id % 3 <> 0),
+             |dr AS (SELECT DISTINCT a.vec_id FROM b a JOIN s x
+             |         ON list_cosine_similarity(a.v, x.v) >= 0.95
+             |       UNION
+             |       SELECT DISTINCT y.vec_id FROM b a JOIN b y
+             |         ON a.vec_id < y.vec_id
+             |         AND list_cosine_similarity(a.v, y.v) >= 0.95)
+             |SELECT vec_id FROM b
+             |WHERE vec_id NOT IN (SELECT vec_id FROM dr)""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

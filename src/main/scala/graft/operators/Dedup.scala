@@ -333,7 +333,12 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nBands = maxHamming + 1
     val width = 64 / nBands
+    // eager checkpoint: three downstream consumers (banded explode + the
+    // two verify re-joins) would otherwise re-run the simhash kernel over
+    // the corpus per reference — the same discipline as
+    // [[Incremental.dedupAgainst]]'s signature checkpoint
     val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .localCheckpoint(true)
     val bandVals = (0 until nBands).map { b =>
       val lo = b * width
       val w = if (b == nBands - 1) 64 - lo else width
@@ -369,22 +374,36 @@ object Dedup {
     connectedComponents(
       embeddingDupPairs(emb, idCol, vecCol, threshold, bands, bitsPerBand))
 
-  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, bands: Int = 64, bitsPerBand: Int = 16): DataFrame = {
+  /** Hyperplane signature word columns (`sig_0..sig_{w-1}`) for `bands ×
+    * bitsPerBand` planes — shared between [[embeddingDupPairs]] and the
+    * incremental embedding store ([[Incremental.embeddingSignatures]]). */
+  private[operators] def hyperplaneSigCols(v: Column, bands: Int,
+                                           bitsPerBand: Int): Seq[Column] = {
     require(64 % bitsPerBand == 0, "bitsPerBand must divide 64 (bands may not straddle words)")
     val planes = bands * bitsPerBand
     val nWords = (planes + 63) / 64
-    val sigCols = (0 until nWords).map { wd =>
-      Vectors.hyperplaneSignature(col("v"), math.min(64, planes - wd * 64), wd * 64)
+    (0 until nWords).map { wd =>
+      Vectors.hyperplaneSignature(v, math.min(64, planes - wd * 64), wd * 64)
         .as(s"sig_$wd")
     }
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id") +: col("v") +: sigCols: _*)
-    val bandCols = (0 until bands).map { b =>
+  }
+
+  /** LSH band values over [[hyperplaneSigCols]]' words: band b is the
+    * `bitsPerBand`-bit slice of its word (bands never straddle words). */
+  private[operators] def hyperplaneBandCols(bands: Int,
+                                            bitsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
       val word = b * bitsPerBand / 64
       val shift = b * bitsPerBand % 64
       shiftright(col(s"sig_$word"), shift).bitwiseAND((1L << bitsPerBand) - 1)
     }
+
+  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bands: Int = 64, bitsPerBand: Int = 16): DataFrame = {
+    val sigCols = hyperplaneSigCols(col("v"), bands, bitsPerBand)
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id") +: col("v") +: sigCols: _*)
+    val bandCols = hyperplaneBandCols(bands, bitsPerBand)
     // id-only candidate pairs through the banded shuffle; vectors re-join
     // by id for the exact-cosine verify (same discipline as MinHash-LSH)
     val banded = sig.select(col("id"),

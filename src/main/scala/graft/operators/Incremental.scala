@@ -69,7 +69,15 @@ object Incremental {
 
   /** Write the signature + band tables from one persisted signature set —
     * both writes consume `sig`, and without the barrier the second write
-    * re-runs the shingle/minhash kernels over the whole input. */
+    * re-runs the shingle/minhash kernels over the whole input.
+    *
+    * The two `saveAsTable` calls are NOT atomic: a failure between them
+    * (notably on the Append path) leaves `_bands` missing the batch's
+    * rows, and later batches then silently lose LSH near-dup candidates
+    * against those docs (exact-hash dups are still caught — the exact
+    * stage reads only `table`). Recovery is cheap because `_bands` is
+    * pure derived state: [[rebuildBands]] re-derives it from `table` in
+    * one pass; [[validateStore]] detects the divergence. */
   private def writeBoth(sig0: DataFrame, table: String, numBuckets: Int,
                         bands: Int, rowsPerBand: Int,
                         mode: org.apache.spark.sql.SaveMode): Unit = {
@@ -81,6 +89,47 @@ object Incremental {
         s"${table}_bands", Seq("band", "bucket"), numBuckets, mode = mode)
     } finally sig.unpersist()
   }
+
+  /** True iff `table` and `table_bands` agree: every store id appears in
+    * the band table exactly `bands` times. A `false` means a partial
+    * [[writeBoth]] append died between the two writes — run
+    * [[rebuildBands]]. Cost: two column-pruned id scans, no text. */
+  def validateStore(spark: SparkSession, table: String,
+                    bands: Int = 32): Boolean = {
+    val storeIds = spark.table(table).groupBy("id")
+      .agg(count(lit(1)).as("n_sig"))
+    val bandIds = spark.table(s"${table}_bands").groupBy("id")
+      .agg(count(lit(1)).as("n_band"))
+    storeIds.join(bandIds, Seq("id"), "full_outer")
+      .filter(col("n_sig").isNull || col("n_band").isNull ||
+        col("n_band") =!= col("n_sig") * bands)
+      .isEmpty
+  }
+
+  /** Rebuild `table_bands` from `table` — the recovery path after a
+    * partial [[writeBoth]] append ([[validateStore]] == false). Safe to
+    * run any time: `_bands` is derived state, and the rebuild reads only
+    * the store's (id, sig) columns. */
+  def rebuildBands(spark: SparkSession, table: String, numBuckets: Int,
+                   bands: Int = 32, rowsPerBand: Int = 2): Unit =
+    ParquetSink.bucketed(
+      bandTable(spark.table(table).dropDuplicates("id"), bands, rowsPerBand),
+      s"${table}_bands", Seq("band", "bucket"), numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Rewrite the store with one row per id — compaction for rows
+    * accumulated by replayed appends (a [[dedupSink]] retry re-appends
+    * its batch). Duplicate rows are DECISION-neutral (identical hashes
+    * and bands → identical drops; candidate pairs are distinct-ed by
+    * id — spec-asserted), so compaction is a storage/scan optimization
+    * to run periodically, not a correctness requirement. The eager
+    * localCheckpoint breaks lineage to the tables being overwritten
+    * (Spark refuses to overwrite a table it is still reading from). */
+  def compactStore(spark: SparkSession, table: String, numBuckets: Int,
+                   bands: Int = 32, rowsPerBand: Int = 2): Unit =
+    writeBoth(spark.table(table).dropDuplicates("id").localCheckpoint(true),
+      table, numBuckets, bands, rowsPerBand,
+      org.apache.spark.sql.SaveMode.Overwrite)
 
   /** Append a batch's signatures to an existing [[writeStore]] store —
     * the production loop: after a batch is processed its docs join the
@@ -109,19 +158,37 @@ object Incremental {
     *
     * `emit` MUST materialize the survivors (write/collect) before it
     * returns — the append below it changes the store tables the
-    * survivors' lazy plan reads. On a foreachBatch RETRY the append can
-    * duplicate a batch's signature rows; duplicates are decision-neutral
-    * (same hashes and bands → same drops; candidate pairs are
-    * distinct-ed by id), so the sink stays effectively idempotent. */
+    * survivors' lazy plan reads.
+    *
+    * RETRY safety: a foreachBatch replay re-sees a batch whose own
+    * signatures may already be in the store (the first attempt's append
+    * succeeded, then the emit's downstream ack failed). Comparing the
+    * batch against its own stored rows would drop EVERY doc at the exact
+    * stage and emit an empty survivor set — so the store view anti-joins
+    * the batch's own ids out before dedup (ids must be globally unique
+    * across the stream, the natural contract for document ids). With
+    * that, a replay emits exactly the first attempt's survivors, and the
+    * duplicate signature rows the re-append leaves behind are
+    * decision-neutral for later batches (same hashes and bands → same
+    * drops; candidate pairs are distinct-ed by id — spec-asserted).
+    * [[compactStore]] reclaims the space. */
   def dedupSink(idCol: String, textCol: String, storeTable: String,
                 numBuckets: Int, threshold: Double,
                 emit: (DataFrame, Long) => Unit, shingleLen: Int = 3,
                 bands: Int = 32, rowsPerBand: Int = 2): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val survivors = dedupAgainst(batch, spark.table(storeTable), idCol,
+      // broadcast anti-join: one micro-batch of ids is small by
+      // construction, and broadcasting preserves the store tables'
+      // bucket layout (a shuffled anti-join would forfeit the
+      // exchange-free bucket joins the store is written for)
+      val batchIds = broadcast(batch.select(col(idCol).as("id")))
+      val store = spark.table(storeTable).join(batchIds, Seq("id"), "left_anti")
+      val storeBands = spark.table(s"${storeTable}_bands")
+        .join(batchIds, Seq("id"), "left_anti")
+      val survivors = dedupAgainst(batch, store, idCol,
         textCol, threshold, shingleLen, bands, rowsPerBand,
-        storeBands = Some(spark.table(s"${storeTable}_bands")))
+        storeBands = Some(storeBands))
       emit(survivors, batchId)
       appendToStore(batch, idCol, textCol, storeTable, numBuckets, shingleLen,
         bands, rowsPerBand)
@@ -211,6 +278,119 @@ object Incremental {
 
     newDocs.join(
       exact.select(col("id").as(idCol)).join(dropped.select(col("id").as(idCol)),
+        Seq(idCol), "left_anti"),
+      Seq(idCol), "left_semi")
+  }
+
+  // ── incremental EMBEDDING dedup: the same store pattern over ─────────
+  //    hyperplane-LSH signatures (Dedup.embeddingDupPairs supplies the
+  //    signature kernel and its recall math)
+
+  /** One embedding-signature row per vector: (id, v, sig_0..sig_w).
+    * The vector itself is stored — it IS the verify stage's input
+    * (exact cosine has no shingle-set analogue), and at `bands ×
+    * bitsPerBand` = 64×16 the signature words add only 128 B/row on top
+    * of it. Column pruning keeps the candidate join reading just
+    * (band, bucket, id) from the band table; `v` is read only by the
+    * id-keyed verify join. */
+  def embeddingSignatures(emb: DataFrame, idCol: String, vecCol: String,
+                          bands: Int = 64, bitsPerBand: Int = 16): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id") +: col("v") +:
+        Dedup.hyperplaneSigCols(col("v"), bands, bitsPerBand): _*)
+
+  /** Exploded (band, bucket, id) table of an [[embeddingSignatures]]
+    * store — the store-side input of the candidate join in its join-key
+    * layout (the embedding analogue of [[bandTable]]). */
+  def embeddingBandTable(store: DataFrame, bands: Int = 64,
+                         bitsPerBand: Int = 16): DataFrame =
+    store.select(col("id"),
+        posexplode(array(Dedup.hyperplaneBandCols(bands, bitsPerBand): _*))
+          .as(Seq("band", "bucket")))
+      .select("band", "bucket", "id")
+
+  /** Materialize an embedding-signature store as two bucketed catalog
+    * tables, mirroring [[writeStore]]:
+    *  - `table` (id, v, sig words), bucketed on `id` → the exchange-free
+    *    store side of the verify re-join;
+    *  - `table_bands` (band, bucket, id), bucketed on (band, bucket) →
+    *    the exchange-free LSH candidate join. */
+  def writeEmbeddingStore(emb: DataFrame, idCol: String, vecCol: String,
+                          table: String, numBuckets: Int, bands: Int = 64,
+                          bitsPerBand: Int = 16): Unit =
+    writeEmbeddingBoth(embeddingSignatures(emb, idCol, vecCol, bands, bitsPerBand),
+      table, numBuckets, bands, bitsPerBand, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Append a batch's embedding signatures to an existing
+    * [[writeEmbeddingStore]] store — same whole-batch-vs-survivors policy
+    * trade-off as [[appendToStore]]. */
+  def appendToEmbeddingStore(emb: DataFrame, idCol: String, vecCol: String,
+                             table: String, numBuckets: Int, bands: Int = 64,
+                             bitsPerBand: Int = 16): Unit =
+    writeEmbeddingBoth(embeddingSignatures(emb, idCol, vecCol, bands, bitsPerBand),
+      table, numBuckets, bands, bitsPerBand, org.apache.spark.sql.SaveMode.Append)
+
+  /** Non-atomicity and recovery mirror [[writeBoth]]: `_bands` is derived
+    * state — rebuild it from `table` via [[embeddingBandTable]] after a
+    * partial append. */
+  private def writeEmbeddingBoth(sig0: DataFrame, table: String,
+                                 numBuckets: Int, bands: Int, bitsPerBand: Int,
+                                 mode: org.apache.spark.sql.SaveMode): Unit = {
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ParquetSink.bucketed(sig, table, Seq("id"), numBuckets, mode = mode)
+      ParquetSink.bucketed(embeddingBandTable(sig, bands, bitsPerBand),
+        s"${table}_bands", Seq("band", "bucket"), numBuckets, mode = mode)
+    } finally sig.unpersist()
+  }
+
+  /** Rows of `newEmb` that survive greedy cosine dedup against the
+    * historical `store` (an [[embeddingSignatures]]-schema DataFrame)
+    * AND within the batch: drop a batch vector with cosine ≥ `threshold`
+    * against ANY store vector, or against a smaller-id batch vector
+    * (non-cascading greedy — the [[dedupAgainst]] rule without the exact
+    * stage, which has no meaning for float vectors: an exact copy is a
+    * cosine-1.0 near-dup and the LSH finds it in every band).
+    *
+    * Candidates come from hyperplane band buckets, id-only through the
+    * shuffle; vectors re-join by id for the exact-cosine verify. With
+    * `storeBands` (the bucketed `_bands` table) the candidate join is
+    * exchange-free on the store side; per-batch cost is proportional to
+    * the BATCH, and the store never ships vectors except for verified
+    * candidates' rows. Recall: a true pair at cosine c is missed with
+    * prob (1 − (1−acos(c)/π)^bitsPerBand)^bands ≈ 3e-6 at c = 0.95 with
+    * the 64×16 defaults (math in [[Dedup.embeddingDupPairs]]). */
+  def dedupEmbeddingsAgainst(newEmb: DataFrame, store: DataFrame,
+                             idCol: String, vecCol: String, threshold: Double,
+                             bands: Int = 64, bitsPerBand: Int = 16,
+                             storeBands: Option[DataFrame] = None): DataFrame = {
+    val nsig = embeddingSignatures(newEmb, idCol, vecCol, bands, bitsPerBand)
+      .localCheckpoint(true)
+    val bandCols = Dedup.hyperplaneBandCols(bands, bitsPerBand)
+    val nBand = nsig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val sBand = storeBands.getOrElse(embeddingBandTable(store, bands, bitsPerBand))
+    val candVsStore = nBand.select(col("band"), col("bucket"), col("id").as("id_n"))
+      .join(sBand.select(col("band"), col("bucket"), col("id").as("id_s")),
+        Seq("band", "bucket"))
+      .select("id_n", "id_s").distinct()
+    val candInBatch = nBand.select(col("band"), col("bucket"), col("id").as("id_n"))
+      .join(nBand.select(col("band"), col("bucket"), col("id").as("id_s")),
+        Seq("band", "bucket"))
+      .filter(col("id_s") < col("id_n"))   // greedy: smaller id survives
+      .select("id_n", "id_s").distinct()
+
+    def verified(cand: DataFrame, side: DataFrame) = cand
+      .join(nsig.select(col("id").as("id_n"), col("v").as("v_n")), Seq("id_n"))
+      .join(side.select(col("id").as("id_s"), col("v").as("v_s")), Seq("id_s"))
+      .filter(graft.functions.Vectors.cosine(col("v_n"), col("v_s")) >= threshold)
+      .select(col("id_n").as("id"))
+    val dropped = verified(candVsStore, store)
+      .unionAll(verified(candInBatch, nsig))
+      .distinct()
+
+    newEmb.join(
+      nsig.select(col("id").as(idCol)).join(dropped.select(col("id").as(idCol)),
         Seq(idCol), "left_anti"),
       Seq(idCol), "left_semi")
   }

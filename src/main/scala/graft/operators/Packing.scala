@@ -39,6 +39,30 @@ object Packing {
         expr(s"(tok_offset + n_tok - 1) div $tokenBudget"))
   }
 
+  /** Chunk-GRAIN packing output: one row per (shard, chunk, doc) with the
+    * doc-local token span that chunk takes — the materialized composition
+    * a training pipeline reads to assemble each fixed-budget sequence
+    * (q66's [[packChunks]] coordinates, exploded to the chunk grain).
+    *
+    * For a doc at shard offset o with n tokens, chunk c covers the
+    * doc-local half-open span [max(0, c·B − o), min(n, (c+1)·B − o)).
+    * Narrow on top of packChunks' one window shuffle — the explode fans
+    * out ~n_tok/tokenBudget rows per doc with no further exchange.
+    * Invariant (spec-asserted): per (shard, chunk), chunk_tok_len sums to
+    * exactly `tokenBudget` except the final chunk of each shard. */
+  def packChunkRows(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, tokenBudget: Int): DataFrame =
+    packChunks(docs, idCol, textCol, shardCol, tokenBudget)
+      .select(col(idCol), col(shardCol), col("n_tok"), col("tok_offset"),
+        explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk_id"))
+      .withColumn("doc_tok_start",
+        greatest(lit(0L), col("chunk_id") * tokenBudget - col("tok_offset")))
+      .withColumn("chunk_tok_len",
+        least(col("n_tok"), (col("chunk_id") + 1) * tokenBudget - col("tok_offset"))
+          - col("doc_tok_start"))
+      .select(col(shardCol), col("chunk_id"), col(idCol),
+        col("doc_tok_start"), col("chunk_tok_len"))
+
   /** Overlapping token-window chunking (the RAG/embedding grain change):
     * one row per `window`-token chunk every `stride` tokens, with the
     * chunk text re-materialized from the token slice. Pure narrow ops —

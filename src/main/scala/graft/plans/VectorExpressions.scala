@@ -241,6 +241,16 @@ object exprs {
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // parameter args (band counts, k, model arrays) are evaluated once at
+  // resolution time, so they must be foldable — guard before eval() so a
+  // column argument fails with a clear analysis-time message instead of
+  // AttributeReference.eval's raw UnsupportedOperationException
+  private def litArg(args: Seq[Expression], i: Int, fn: String,
+                     param: String): Any = {
+    require(args(i).foldable, s"$fn: $param must be a literal")
+    args(i).eval()
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -248,22 +258,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
       (args: Seq[Expression]) => HyperplaneSignature(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        litArg(args, 1, "graft_hyperplane_sig", "planes").asInstanceOf[Int])))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_top_ngram_frac"),
       new ExpressionInfo(classOf[TopNgramFrac].getName, "graft_top_ngram_frac"),
       (args: Seq[Expression]) => TopNgramFrac(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        litArg(args, 1, "graft_top_ngram_frac", "n").asInstanceOf[Int])))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (args: Seq[Expression]) => WordShingles(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        litArg(args, 1, "graft_word_shingles", "n").asInstanceOf[Int])))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        litArg(args, 1, "graft_minhash_sig", "k").asInstanceOf[Int])))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash_tokens"),
       new ExpressionInfo(classOf[HashTokens64].getName, "graft_hash_tokens"),
       (args: Seq[Expression]) => HashTokens64(args(0))))
@@ -275,8 +285,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
       (args: Seq[Expression]) => NearestCells(args(0),
-        args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
-        args(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
-        args(3).eval().asInstanceOf[Int])))
+        litArg(args, 1, "graft_nearest_cells", "cellIds")
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+        litArg(args, 2, "graft_nearest_cells", "centers")
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+        litArg(args, 3, "graft_nearest_cells", "n").asInstanceOf[Int])))
   }
 }

@@ -439,6 +439,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental embedding dedup == full greedy recompute (plain and bucketed store)") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val split = emb.agg(max($"vec_id")).head.getLong(0) / 2
+    val store = emb.filter($"vec_id" < split)
+    // batch: the upper half plus planted scaled copies of store vectors
+    // (cosine exactly 1.0) so cross-store drops exist at any SF
+    val batch = emb.filter($"vec_id" >= split)
+      .unionByName(store.filter($"vec_id" < 3)
+        .select(($"vec_id" + 1000000).as("vec_id"),
+          transform($"embedding", x => x * lit(2.0f)).as("embedding")))
+    // full-recompute greedy reference: dup pairs over store ∪ batch,
+    // drop every id_b (store ids all precede batch ids), restricted to
+    // batch ids
+    val all = store.unionByName(batch)
+    val dropped = Dedup.embeddingDupPairs(all, "vec_id", "embedding", 0.95)
+      .select($"id_b".as("vec_id")).distinct()
+    val full = all.join(dropped, Seq("vec_id"), "left_anti")
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val inc = Incremental.dedupEmbeddingsAgainst(batch,
+        Incremental.embeddingSignatures(store, "vec_id", "embedding"),
+        "vec_id", "embedding", 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(inc == full, s"inc-only=${inc -- full} full-only=${full -- inc}")
+    assert((full -- inc).isEmpty && full.nonEmpty)
+    // the planted copies must all be dropped (cosine 1.0 vs the store)
+    assert(inc.forall(_ < 1000000), s"planted survived: ${inc.filter(_ >= 1000000)}")
+    // same result through a materialized bucketed store; the LSH
+    // candidate join must read the pre-banded table through its
+    // (band, bucket) bucket layout (broadcast disabled — at corpus scale
+    // the store is the BIG side, same rationale as the minhash spec)
+    Incremental.writeEmbeddingStore(store, "vec_id", "embedding", "emb_store", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaTable = Incremental.dedupEmbeddingsAgainst(batch,
+        spark.table("emb_store"), "vec_id", "embedding", 0.95,
+        storeBands = Some(spark.table("emb_store_bands")))
+      assert(viaTable.select("vec_id").collect().map(_.getLong(0)).toSet == full)
+      val plan = viaTable.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("emb_store_bands") && plan.contains("Bucketed: true"),
+        plan.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE emb_store")
+      spark.sql("DROP TABLE emb_store_bands")
+    }
+  }
+
   test("ivfTopK returns plausible neighbors (recall vs brute force)") {
     val emb = Tables(spark, TestSpark.sf0001, "embeddings")
     val queries = emb.filter($"vec_id" < 5)

@@ -157,6 +157,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packChunkRows: chunk sums == tokenBudget except final chunk per shard") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val budget = 64
+    val rows = graft.operators.Packing
+      .packChunkRows(docs, "doc_id", "text", "lang", budget)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("doc_tok_start"),
+        r.getAs[Long]("chunk_tok_len")))
+    assert(rows.nonEmpty)
+    // chunk grain: every non-final chunk of a shard holds exactly
+    // tokenBudget tokens; the final one holds the remainder
+    rows.groupBy(_._1).foreach { case (lang, shard) =>
+      val lastChunk = shard.map(_._2).max
+      shard.groupBy(_._2).foreach { case (chunk, cs) =>
+        val tot = cs.map(_._5).sum
+        if (chunk < lastChunk) assert(tot == budget, s"$lang/$chunk: $tot")
+        else assert(tot > 0 && tot <= budget, s"$lang/$chunk (final): $tot")
+      }
+    }
+    // doc grain: each doc's spans are contiguous, start at 0, and sum to
+    // its token count — the explode loses and invents nothing
+    val nTok = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).length.toLong)
+      .toMap
+    rows.groupBy(_._3).foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.head._4 == 0L, s"doc $id: first span starts at ${ordered.head._4}")
+      ordered.foldLeft(0L) { case (pos, (_, _, _, start, len)) =>
+        assert(start == pos, s"doc $id: span gap at $start != $pos")
+        start + len
+      }
+      assert(cs.map(_._5).sum == nTok(id), s"doc $id: token sum")
+    }
+  }
+
   test("chunkWindows: every token covered; stride==window reconstructs the text") {
     val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
     val texts = docs.select("doc_id", "text").collect()

@@ -118,6 +118,90 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSink replay is retry-safe; duplicate store rows are decision-neutral") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val emitted = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    val sink = Incremental.dedupSink("doc_id", "text", "retry_store", 4,
+      threshold = 0.9,
+      emit = (df, bid) => emitted.synchronized {
+        emitted(bid) = df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      })
+    Incremental.writeStore(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", "retry_store", 4)
+    try {
+      val b1 = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      sink(b1, 0L)
+      assert(emitted(0L) == Seq(11L), emitted.toString)
+      // foreachBatch RETRY: the first attempt's append already put b1's
+      // own signatures in the store — a replay must re-emit the SAME
+      // survivors, not self-suppress to an empty set
+      sink(b1, 0L)
+      assert(emitted(0L) == Seq(11L), s"replay self-suppressed: ${emitted(0L)}")
+      // the re-append duplicated b1's rows; later batches must decide
+      // identically (same hashes/bands → same drops)
+      assert(spark.table("retry_store").count() == 1 + 2 + 2)
+      val b2 = Seq((20L, "delta epsilon zeta"), (21L, "nu xi omicron"))
+        .toDF("doc_id", "text")
+      sink(b2, 1L)
+      assert(emitted(1L) == Seq(21L), emitted.toString)
+      // compaction rewrites one row per id and changes no decision
+      Incremental.compactStore(spark, "retry_store", 4)
+      assert(spark.table("retry_store").count() == 5) // 1, 10, 11, 20, 21
+      assert(Incremental.validateStore(spark, "retry_store"))
+      val again = Incremental.dedupAgainst(
+          Seq((30L, "delta epsilon zeta"), (31L, "pi rho sigma"))
+            .toDF("doc_id", "text"),
+          spark.table("retry_store"), "doc_id", "text", 0.9,
+          storeBands = Some(spark.table("retry_store_bands")))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(again == Seq(31L), again.toString)
+      // partial writeBoth failure simulated: a batch lands in the store
+      // but not in _bands → validateStore flags it, rebuildBands recovers
+      graft.sources.ParquetSink.bucketed(
+        Incremental.signatures(Seq((40L, "tau upsilon phi")).toDF("doc_id", "text"),
+          "doc_id", "text"),
+        "retry_store", Seq("content_hash"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      assert(!Incremental.validateStore(spark, "retry_store"))
+      Incremental.rebuildBands(spark, "retry_store", 4)
+      assert(Incremental.validateStore(spark, "retry_store"))
+    } finally {
+      spark.sql("DROP TABLE retry_store")
+      spark.sql("DROP TABLE retry_store_bands")
+    }
+  }
+
+  test("multimodal: real WAV decode round-trips wavSpec, junk falls back to stub") {
+    implicit val s = spark
+    // local round-trip: synthesize → AudioSystem decode == wavSpec
+    for (id <- Seq(0L, 1L, 2L, 899L, 900L, 12345L)) {
+      val (frames, sr) = Multimodal.wavSpec(id)
+      val rec = Multimodal.MediaRecord(id, "audio/wav",
+        Multimodal.synthesizeWav(frames, sr, id))
+      val f = Multimodal.decode(rec)
+      assert((f.n_frames, f.sample_rate, f.channels) == (frames, sr, 1),
+        s"decode mismatch for id=$id: $f")
+    }
+    // audio mime with non-audio bytes: codec rejects, stub takes over
+    val junk = Multimodal.MediaRecord(7L, "audio/wav", "not a wav".getBytes("UTF-8"))
+    assert(Multimodal.decode(junk) == Multimodal.decodeStub(junk))
+    // truncated payload with a valid RIFF header: NonFatal fallback
+    val wav = Multimodal.synthesizeWav(100, 8000, 1L)
+    val broken = Multimodal.MediaRecord(8L, "audio/wav", wav.take(16))
+    assert(Multimodal.decode(broken) == Multimodal.decodeStub(broken))
+    // distributed path: every decoded row matches the generator arithmetic
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val feats = Multimodal.extractFeatures(Multimodal.audioFromDocuments(docs)).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall { f =>
+      val (frames, sr) = Multimodal.wavSpec(f.media_id)
+      f.n_frames == frames && f.sample_rate == sr && f.channels == 1 &&
+        f.mime == "audio/wav"
+    })
+  }
+
   test("multimodal: real PNG decode round-trips pngDims, junk falls back to stub") {
     implicit val s = spark
     // local round-trip: synthesize → ImageIO decode == pngDims, incl. the
@@ -126,20 +210,26 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       val (w, h) = Multimodal.pngDims(id)
       assert(w >= 8 && h >= 8, s"non-positive dims for id=$id")
       val rec = Multimodal.MediaRecord(id, "image/png", Multimodal.synthesizePng(w, h, id))
-      assert(Multimodal.looksLikeImage(rec.media))
       val f = Multimodal.decode(rec)
       assert((f.width, f.height) == (w, h), s"decode mismatch for id=$id")
     }
-    // image mime with non-image bytes: sniff rejects, stub takes over
+    // image mime with non-image bytes: reader finds no codec, stub takes over
     val junk = Multimodal.MediaRecord(7L, "image/png", "not a png".getBytes("UTF-8"))
-    assert(!Multimodal.looksLikeImage(junk.media))
     assert(Multimodal.decode(junk) == Multimodal.decodeStub(junk))
     // truncated payload WITH a valid PNG magic: reader throws, NonFatal
     // fallback still lands on the stub instead of killing the task
     val png = Multimodal.synthesizePng(8, 8, 1L)
     val broken = Multimodal.MediaRecord(8L, "image/png", png.take(12))
-    assert(Multimodal.looksLikeImage(broken.media))
     assert(Multimodal.decode(broken) == Multimodal.decodeStub(broken))
+    // a non-PNG/JPEG/GIF format the JDK still decodes (BMP): the decode
+    // must go through ImageIO for EVERY image/* mime, not a magic list
+    val bmpImg = new java.awt.image.BufferedImage(5, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bmpBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bmpImg, "bmp", bmpBos)
+    val bmp = Multimodal.MediaRecord(9L, "image/bmp", bmpBos.toByteArray)
+    val bf = Multimodal.decode(bmp)
+    assert((bf.width, bf.height) == (5, 9), s"BMP decode fell back: $bf")
     // distributed path: every decoded row matches the generator arithmetic
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val feats = Multimodal.extractFeatures(Multimodal.imagesFromDocuments(docs)).collect()
