@@ -126,9 +126,15 @@ object Bench {
     val calJson = calSamples
       .map { case (l, v) => "{\"at\":\"" + l + "\",\"sec\":" + f"$v%.3f" + "}" }
       .mkString("[", ",", "]")
-    // stall windows flagged in-artifact: any probe >3x the fastest probe
-    val calMin = if (calSamples.nonEmpty) calSamples.map(_._2).min else 0.0
-    val stallJson = calSamples.filter(_._2 > 3 * calMin)
+    // stall windows flagged in-artifact: any probe >3x the MEDIAN probe
+    // AND at least 1 s over it — the median is robust to the probe's own
+    // sub-second jitter (a min baseline flagged ordinary 0.1→0.5 s
+    // variance), while a genuine host stall (the r7 poison was 10-100x
+    // on multi-second queries) shows up as a multi-second probe
+    val calSorted = calSamples.map(_._2).sorted
+    val calMed = if (calSorted.isEmpty) 0.0 else calSorted(calSorted.size / 2)
+    val stallJson = calSamples
+      .filter { case (_, v) => v > 3 * calMed && v > calMed + 1.0 }
       .map { case (l, _) => "\"" + l + "\"" }.mkString("[", ",", "]")
     val passJson = passTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"reruns":$rerunsJson,"errors":$errJson,"calibration":$calJson,"stall_windows":$stallJson,"pass_totals":$passJson,"sf":"$sfDir"}""")
