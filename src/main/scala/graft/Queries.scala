@@ -1536,7 +1536,34 @@ object Queries {
              |         ON a.vec_id < y.vec_id
              |         AND list_cosine_similarity(a.v, y.v) >= 0.95)
              |SELECT vec_id FROM b
-             |WHERE vec_id NOT IN (SELECT vec_id FROM dr)""".stripMargin)))
+             |WHERE vec_id NOT IN (SELECT vec_id FROM dr)""".stripMargin)),
+
+    Q("q72_pack_no_split",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // NO-SPLIT greedy packing: whole docs into 256-token chunks, new
+        // chunk on overflow — the stateful scan windows can't express
+        // (a running sum can't reset), done as a per-shard mapPartitions
+        // fold. The oracle replays the same fold as a recursive CTE.
+        operators.Packing.packGreedyNoSplit(tbl("documents"), "doc_id",
+          "text", "lang", tokenBudget = 256)
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |o AS (SELECT doc_id, lang, n_tok,
+             |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM t),
+             |rec(lang, rn, doc_id, n_tok, chunk_id, fill) AS (
+             |  SELECT lang, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.lang, o.rn, o.doc_id, o.n_tok,
+             |    CASE WHEN rec.fill + o.n_tok <= 256 THEN rec.chunk_id
+             |         ELSE rec.chunk_id + 1 END,
+             |    CASE WHEN rec.fill + o.n_tok <= 256 THEN rec.fill + o.n_tok
+             |         ELSE o.n_tok END
+             |  FROM o JOIN rec ON o.lang = rec.lang AND o.rn = rec.rn + 1)
+             |SELECT doc_id, lang, n_tok, chunk_id FROM rec""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -63,6 +63,48 @@ object Packing {
       .select(col(shardCol), col("chunk_id"), col(idCol),
         col("doc_tok_start"), col("chunk_tok_len"))
 
+  /** NO-SPLIT greedy packing: docs in shard order are appended to the
+    * current chunk unless they would overflow `tokenBudget`, in which
+    * case a new chunk starts — the packing regime for training recipes
+    * that never straddle a document across sequences (a doc longer than
+    * the budget gets a chunk of its own). Returns one row per doc:
+    * (id, shard, n_tok, chunk_id).
+    *
+    * The sequential fold (chunk fill carries across rows with a reset)
+    * is NOT window-expressible — a running sum can't reset on overflow —
+    * so this is the documented `mapPartitions` case: repartition by
+    * shard, sort within partitions by (shard, id), then a per-partition
+    * stateful scan. ONE shuffle, same as [[packChunks]]; a partition
+    * holds whole shards (hash-partitioned), the scan resets its state at
+    * each shard boundary, and rows stream through without materializing
+    * the partition. Skew bound: the hottest shard bounds a task — the
+    * same shard-width knob as [[packChunks]] (documented there). */
+  def packGreedyNoSplit(docs: DataFrame, idCol: String, textCol: String,
+                        shardCol: String, tokenBudget: Int): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(shardCol).cast("string"),
+        Text.tokenCount(col(textCol)).as("n_tok"))
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(idCol))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        var shard: String = null
+        var chunk = 0L
+        var fill = 0L
+        var empty = true // nothing packed yet in the current shard
+        it.map { case (id, sh, n) =>
+          if (sh != shard) { shard = sh; chunk = 0L; fill = 0L; empty = true }
+          if (!empty && fill + n > tokenBudget) { chunk += 1; fill = 0L }
+          fill += n; empty = false
+          (id, sh, n, chunk)
+        }
+      }
+      .toDF(idCol, shardCol, "n_tok", "chunk_id")
+  }
+
   /** Overlapping token-window chunking (the RAG/embedding grain change):
     * one row per `window`-token chunk every `stride` tokens, with the
     * chunk text re-materialized from the token slice. Pure narrow ops —

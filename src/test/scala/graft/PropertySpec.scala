@@ -160,9 +160,13 @@ class PropertySpec extends AnyFunSuite {
   test("packChunkRows: chunk sums == tokenBudget except final chunk per shard") {
     val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
     val budget = 64
-    val rows = graft.operators.Packing
+    val df = graft.operators.Packing
       .packChunkRows(docs, "doc_id", "text", "lang", budget)
-      .collect()
+    // the explode is narrow: still only packChunks' one window exchange
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert("Exchange".r.findAllIn(plan).length == 1, plan.take(800))
+    val rows = df.collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("chunk_id"),
         r.getAs[Long]("doc_id"), r.getAs[Long]("doc_tok_start"),
         r.getAs[Long]("chunk_tok_len")))
@@ -190,6 +194,39 @@ class PropertySpec extends AnyFunSuite {
         start + len
       }
       assert(cs.map(_._5).sum == nTok(id), s"doc $id: token sum")
+    }
+  }
+
+  test("packGreedyNoSplit == driver-side fold; budget respected; one shuffle") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val budget = 64
+    val df = graft.operators.Packing
+      .packGreedyNoSplit(docs, "doc_id", "text", "lang", budget)
+    // exactly ONE exchange: the shard repartition (the stateful scan
+    // itself is narrow) — same shuffle budget as packChunks
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert("Exchange".r.findAllIn(plan).length == 1, plan.take(800))
+    val rows = df.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("chunk_id")))
+    assert(rows.nonEmpty)
+    // reference: sequential fold per shard in doc_id order
+    val byShard = rows.groupBy(_._1)
+    byShard.foreach { case (lang, shard) =>
+      var chunk = 0L; var fill = 0L; var empty = true
+      shard.sortBy(_._2).foreach { case (_, id, n, got) =>
+        if (!empty && fill + n > budget) { chunk += 1; fill = 0L }
+        fill += n; empty = false
+        assert(got == chunk, s"$lang/$id: chunk $got != $chunk")
+      }
+    }
+    // invariant: a chunk over budget can only be a single oversized doc
+    byShard.foreach { case (lang, shard) =>
+      shard.groupBy(_._4).foreach { case (c, cs) =>
+        val tot = cs.map(_._3).sum
+        assert(tot <= budget || cs.length == 1, s"$lang/$c: $tot over budget")
+      }
     }
   }
 
