@@ -1563,7 +1563,37 @@ object Queries {
              |    CASE WHEN rec.fill + o.n_tok <= 256 THEN rec.fill + o.n_tok
              |         ELSE o.n_tok END
              |  FROM o JOIN rec ON o.lang = rec.lang AND o.rn = rec.rn + 1)
-             |SELECT doc_id, lang, n_tok, chunk_id FROM rec""".stripMargin)))
+             |SELECT doc_id, lang, n_tok, chunk_id FROM rec""".stripMargin)),
+
+    Q("q73_epoch_shuffle_pack",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // epoch shuffle → pack, the full training-order pipeline: a
+        // reproducible md5 permutation (seed 42) sharded on the key's
+        // last hex digit, then pack-then-split in SHUFFLED order — the
+        // permutation is realized as 8 independent sorted streams, never
+        // a global sort. The oracle replays the identical permutation
+        // (md5 is engine-reproducible), window and all.
+        val shuffled = operators.Packing.epochShuffle(tbl("documents"),
+          "doc_id", seed = 42L, numShards = 8)
+        operators.Packing.packChunks(shuffled, "epoch_key", "text",
+          "epoch_shard", tokenBudget = 256)
+      },
+      Some("""WITH t AS (SELECT
+             |  md5(doc_id::VARCHAR || ':42') AS epoch_key,
+             |  CAST((strpos('0123456789abcdef',
+             |    substr(md5(doc_id::VARCHAR || ':42'), 32, 1)) - 1) % 8
+             |    AS BIGINT) AS epoch_shard,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |o AS (SELECT epoch_key, epoch_shard, n_tok,
+             |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY epoch_shard
+             |    ORDER BY epoch_key
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS tok_offset FROM t)
+             |SELECT epoch_key, epoch_shard, n_tok, tok_offset,
+             |  tok_offset // 256 AS first_chunk,
+             |  (tok_offset + n_tok - 1) // 256 AS last_chunk
+             |FROM o""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -63,6 +63,30 @@ object Packing {
       .select(col(shardCol), col("chunk_id"), col(idCol),
         col("doc_tok_start"), col("chunk_tok_len"))
 
+  /** Deterministic EPOCH SHUFFLE: every row gets a reproducible
+    * pseudo-random sort key (md5 over id + seed — engine-reproducible,
+    * so an oracle can replay the exact permutation) and a bounded shard
+    * from the key's last hex digit. This is the "globally shuffle the
+    * corpus before packing" step of a training pipeline WITHOUT a global
+    * sort bottleneck: downstream packing windows on (epoch_shard,
+    * epoch_key), so the permutation is realized as `numShards`
+    * independent sorted streams — exactly the multi-worker data-order
+    * contract, and the key hash balances shards uniformly. A new seed is
+    * a new epoch permutation; columns pass through, so the output feeds
+    * [[packChunks]]/[[packGreedyNoSplit]] directly with
+    * idCol = "epoch_key", shardCol = "epoch_shard". */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+                   numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 16,
+      "numShards must be in [1, 16] (sharded on one hex digit)")
+    docs
+      .withColumn("epoch_key",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("epoch_shard",
+        pmod(expr("locate(substring(epoch_key, 32, 1), '0123456789abcdef') - 1"),
+          lit(numShards)).cast("long"))
+  }
+
   /** NO-SPLIT greedy packing: docs in shard order are appended to the
     * current chunk unless they would overflow `tokenBudget`, in which
     * case a new chunk starts — the packing regime for training recipes

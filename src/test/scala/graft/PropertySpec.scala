@@ -230,6 +230,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("epochShuffle: reproducible permutation, bounded shards, seed-sensitive") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    def run(seed: Long) = graft.operators.Packing
+      .epochShuffle(docs, "doc_id", seed, 8)
+      .select("doc_id", "epoch_key", "epoch_shard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val a = run(42L)
+    // deterministic: identical on re-run
+    assert(a.sortBy(_._1).sameElements(run(42L).sortBy(_._1)))
+    // keys unique (it IS a permutation) and shards bounded
+    assert(a.map(_._2).distinct.length == a.length)
+    assert(a.forall(t => t._3 >= 0 && t._3 < 8))
+    // every shard populated (uniform hash — 8 shards over 50+ docs)
+    assert(a.map(_._3).distinct.length == 8, a.map(_._3).distinct.mkString(","))
+    // a new seed is a new permutation (order changes for some pair)
+    val b = run(43L).sortBy(_._1)
+    val aSorted = a.sortBy(_._1)
+    assert(aSorted.zip(b).exists { case ((_, ka, _), (_, kb, _)) => ka != kb })
+  }
+
   test("chunkWindows: every token covered; stride==window reconstructs the text") {
     val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
     val texts = docs.select("doc_id", "text").collect()
