@@ -1593,7 +1593,40 @@ object Queries {
              |SELECT epoch_key, epoch_shard, n_tok, tok_offset,
              |  tok_offset // 256 AS first_chunk,
              |  (tok_offset + n_tok - 1) // 256 AS last_chunk
-             |FROM o""".stripMargin)))
+             |FROM o""".stripMargin)),
+
+    Q("q74_assemble_chunks",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the packing pipeline's OUTPUT artifact: q70's spans sliced out
+        // of each doc's token array and concatenated in doc order per
+        // (shard, chunk) — one row per chunk with its exact training
+        // text. Per-chunk group size is bounded by the token budget, so
+        // the ordered concat is O(budget) memory per group at any scale.
+        operators.Packing.assembleChunks(tbl("documents"), "doc_id",
+          "text", "lang", tokenBudget = 256)
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |o AS (SELECT doc_id, lang, w, n_tok,
+             |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang
+             |    ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS tok_offset FROM t),
+             |c AS (SELECT lang, doc_id, w, n_tok, tok_offset,
+             |  unnest(range(tok_offset // 256,
+             |    (tok_offset + n_tok - 1) // 256 + 1)) AS chunk_id FROM o),
+             |p AS (SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id, doc_id, w,
+             |  greatest(0, chunk_id * 256 - tok_offset) AS st,
+             |  least(n_tok, (chunk_id + 1) * 256 - tok_offset)
+             |    - greatest(0, chunk_id * 256 - tok_offset) AS ln
+             |  FROM c)
+             |SELECT lang, chunk_id,
+             |  string_agg(array_to_string(w[CAST(st + 1 AS INT) :
+             |    CAST(st + ln AS INT)], ' '), ' ' ORDER BY doc_id)
+             |    AS chunk_text,
+             |  CAST(sum(ln) AS BIGINT) AS n_tok
+             |FROM p GROUP BY lang, chunk_id""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

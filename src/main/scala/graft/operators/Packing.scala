@@ -63,6 +63,32 @@ object Packing {
       .select(col(shardCol), col("chunk_id"), col(idCol),
         col("doc_tok_start"), col("chunk_tok_len"))
 
+  /** Materialized training sequences: [[packChunkRows]]' spans re-joined
+    * with the document text, each span sliced out of its doc's token
+    * array, and the pieces concatenated in doc order per (shard, chunk) —
+    * one row per chunk with the exact `tokenBudget`-token text a trainer
+    * reads (final chunk of each shard shorter). This is the output
+    * artifact of the packing pipeline.
+    *
+    * Scale: the span join ships each doc's text ONCE (id-keyed join, the
+    * verify-re-join discipline); the per-chunk ordered concat is the
+    * [[Relational.orderedStringAgg]] shape — group size is bounded by
+    * tokenBudget (a chunk holds at most tokenBudget one-token docs), so
+    * per-group memory is O(budget) regardless of corpus size. Two
+    * shuffles total: the packing window and the chunk groupBy. */
+  def assembleChunks(docs: DataFrame, idCol: String, textCol: String,
+                     shardCol: String, tokenBudget: Int): DataFrame =
+    packChunkRows(docs, idCol, textCol, shardCol, tokenBudget)
+      .join(docs.select(col(idCol), split(col(textCol), " ").as("toks")), Seq(idCol))
+      .withColumn("piece",
+        array_join(slice(col("toks"), (col("doc_tok_start") + 1).cast("int"),
+          col("chunk_tok_len").cast("int")), " "))
+      .groupBy(col(shardCol), col("chunk_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col(idCol), col("piece")))),
+          x => x.getField("piece")), " ").as("chunk_text"),
+        sum(col("chunk_tok_len")).as("n_tok"))
+
   /** Deterministic EPOCH SHUFFLE: every row gets a reproducible
     * pseudo-random sort key (md5 over id + seed — engine-reproducible,
     * so an oracle can replay the exact permutation) and a bounded shard

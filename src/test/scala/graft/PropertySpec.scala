@@ -230,6 +230,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("assembleChunks: chunk texts reconstruct each shard's token stream") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val budget = 64
+    val rows = graft.operators.Packing
+      .assembleChunks(docs, "doc_id", "text", "lang", budget)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tok")))
+    assert(rows.nonEmpty)
+    val stream = docs.select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    rows.groupBy(_._1).foreach { case (lang, chunks) =>
+      val ordered = chunks.sortBy(_._2)
+      // pack-then-split loses nothing: concatenating the chunks in chunk
+      // order rebuilds the shard's full doc-ordered token stream
+      assert(ordered.map(_._3).mkString(" ") == stream(lang),
+        s"$lang: stream reconstruction mismatch")
+      // every chunk is exactly the budget except the shard's final one
+      ordered.init.foreach { case (_, c, _, n) =>
+        assert(n == budget, s"$lang/$c: $n tokens")
+      }
+      assert(ordered.last._4 <= budget && ordered.last._4 > 0)
+      // text length == claimed token count
+      ordered.foreach { case (_, c, txt, n) =>
+        assert(txt.split(" ", -1).length == n, s"$lang/$c: text/token mismatch")
+      }
+    }
+  }
+
   test("epochShuffle: reproducible permutation, bounded shards, seed-sensitive") {
     val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
     def run(seed: Long) = graft.operators.Packing
