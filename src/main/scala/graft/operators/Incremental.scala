@@ -344,6 +344,30 @@ object Incremental {
     } finally sig.unpersist()
   }
 
+  /** Streaming ingest dedup for EMBEDDINGS: the [[dedupSink]] loop over
+    * the hyperplane store — dedup each micro-batch of vectors against
+    * the store, emit survivors, append the batch. Same contracts:
+    * `emit` must materialize before returning, ids globally unique, and
+    * the self-id anti-join makes foreachBatch replays emit-identical
+    * (duplicate store rows are decision-neutral; compact with a
+    * [[compactStore]]-style `dropDuplicates("id")` rewrite). */
+  def embeddingDedupSink(idCol: String, vecCol: String, storeTable: String,
+                         numBuckets: Int, threshold: Double,
+                         emit: (DataFrame, Long) => Unit, bands: Int = 64,
+                         bitsPerBand: Int = 16): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val batchIds = broadcast(batch.select(col(idCol).as("id")))
+      val store = spark.table(storeTable).join(batchIds, Seq("id"), "left_anti")
+      val storeBands = spark.table(s"${storeTable}_bands")
+        .join(batchIds, Seq("id"), "left_anti")
+      val survivors = dedupEmbeddingsAgainst(batch, store, idCol, vecCol,
+        threshold, bands, bitsPerBand, storeBands = Some(storeBands))
+      emit(survivors, batchId)
+      appendToEmbeddingStore(batch, idCol, vecCol, storeTable, numBuckets,
+        bands, bitsPerBand)
+    }
+
   /** Rows of `newEmb` that survive greedy cosine dedup against the
     * historical `store` (an [[embeddingSignatures]]-schema DataFrame)
     * AND within the batch: drop a batch vector with cosine ≥ `threshold`

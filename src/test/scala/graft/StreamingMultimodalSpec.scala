@@ -173,6 +173,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming embedding dedup: micro-batches dedup vectors against a growing store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Incremental
+    def v(x: Float, y: Float): Array[Float] = Array(x, y) ++ Array.fill(6)(0.0f)
+    // seed store: one unit vector along e1
+    Incremental.writeEmbeddingStore(
+      Seq((1L, v(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "estream_store", 4)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = input.toDF().toDF("vec_id", "embedding")
+        .writeStream
+        .foreachBatch(Incremental.embeddingDedupSink("vec_id", "embedding",
+          "estream_store", 4, threshold = 0.95,
+          emit = (df, _) => got.synchronized {
+            got ++= df.select("vec_id").collect().map(_.getLong(0))
+          }))
+        .start()
+      // batch 1: 10 is a scaled copy of the seed (cosine 1.0, dropped);
+      // 11+12 are twins along e2 (one survives); 13 is new (diagonal,
+      // cos 45° ≈ 0.71 to both axes — below threshold)
+      input.addData((10L, v(3.0f, 0.0f)), (11L, v(0.0f, 1.0f)),
+        (12L, v(0.0f, 2.0f)), (13L, v(1.0f, 1.0f)))
+      q.processAllAvailable()
+      // batch 2: 20 dups batch 1's survivor 11 via the append; 21 is new
+      input.addData((20L, v(0.0f, 5.0f)), (21L, v(-1.0f, 1.0f)))
+      q.processAllAvailable()
+      q.stop()
+      assert(got.sorted == Seq(11L, 13L, 21L), got.toString)
+      assert(spark.table("estream_store").count() == 1 + 4 + 2)
+    } finally {
+      spark.sql("DROP TABLE estream_store")
+      spark.sql("DROP TABLE estream_store_bands")
+    }
+  }
+
   test("multimodal: real WAV decode round-trips wavSpec, junk falls back to stub") {
     implicit val s = spark
     // local round-trip: synthesize → AudioSystem decode == wavSpec
