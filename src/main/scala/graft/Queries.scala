@@ -1626,7 +1626,40 @@ object Queries {
              |    CAST(st + ln AS INT)], ' '), ' ' ORDER BY doc_id)
              |    AS chunk_text,
              |  CAST(sum(ln) AS BIGINT) AS n_tok
-             |FROM p GROUP BY lang, chunk_id""".stripMargin)))
+             |FROM p GROUP BY lang, chunk_id""".stripMargin)),
+
+    Q("q75_pii_redaction",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // PII redaction scrub: emails → <EMAIL>, 6+-digit runs → <NUM>.
+        // Each doc is deterministically augmented with a synthetic email
+        // and account number so the redaction does real work at every SF
+        // (both engines apply the identical augmentation + RE2-safe
+        // patterns). Narrow regexp_replace chain, zero shuffle.
+        val aug = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com ref "),
+          (col("doc_id") * 1000003L + 123456789L).cast("string"))
+        tbl("documents").select(
+          col("doc_id"),
+          Text.redactPii(aug).as("redacted"),
+          size(regexp_extract_all(aug, lit(Text.EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(aug, lit(Text.LongNumRe), lit(0)))
+            .cast("long").as("n_long_nums"))
+      },
+      Some(s"""WITH a AS (SELECT doc_id,
+              |  text || ' contact user' || doc_id::VARCHAR
+              |    || '@example.com ref '
+              |    || (doc_id * 1000003 + 123456789)::VARCHAR AS aug
+              |  FROM documents)
+              |SELECT doc_id,
+              |  regexp_replace(regexp_replace(aug,
+              |    '${Text.EmailRe}', '<EMAIL>', 'g'),
+              |    '${Text.LongNumRe}', '<NUM>', 'g') AS redacted,
+              |  CAST(len(regexp_extract_all(aug, '${Text.EmailRe}'))
+              |    AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(aug, '${Text.LongNumRe}'))
+              |    AS BIGINT) AS n_long_nums
+              |FROM a""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

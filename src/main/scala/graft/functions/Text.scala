@@ -105,4 +105,20 @@ object Text {
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
+
+  /** PII patterns, RE2-compatible (shared verbatim with the oracle SQL —
+    * no backreferences/lookaround, so Java and RE2 agree exactly). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII redaction — the pretraining scrub step: emails → `<EMAIL>`,
+    * 6+-digit runs (phone/account/ID shapes) → `<NUM>`. Narrow codegen'd
+    * `regexp_replace` chain, zero shuffle at any scale; extend the chain
+    * per deployment's PII taxonomy. Email first: a redacted email's
+    * local part can contain digit runs, masking them twice is harmless,
+    * but numbers first could split an address before the email pattern
+    * sees it. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
 }

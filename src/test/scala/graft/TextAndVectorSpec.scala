@@ -118,6 +118,24 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(tri.getDouble(0) === 1.0 && tri.getDouble(1) < 0.7)
   }
 
+  test("redactPii: emails and long digit runs masked, short numbers kept") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a.user+tag@sub.example.co.uk now",     // full rfc-ish address
+      "acct 123456789 and pin 12345",              // 6+ digits vs 5 digits
+      "two a@b.io b@c.io hits",                    // multiple matches
+      "clean text with no pii at all",             // identity
+      "edge 999999@example.com done")              // digits inside an email
+      .toDF("t").select(graft.functions.Text.redactPii($"t")).as[String].collect()
+    assert(rows(0) == "mail <EMAIL> now")
+    assert(rows(1) == "acct <NUM> and pin 12345")
+    assert(rows(2) == "two <EMAIL> <EMAIL> hits")
+    assert(rows(3) == "clean text with no pii at all")
+    // email-first ordering: the digits are consumed by the email mask,
+    // not split into a partial <NUM> that breaks the address pattern
+    assert(rows(4) == "edge <EMAIL> done")
+  }
+
   test("custom expressions fail ANALYSIS on mistyped input, not executor runtime") {
     // every native kernel declares checkInputDataTypes: a wrong child type
     // must surface as a clear analysis error (AsOfJoin.requireOrderable
