@@ -93,7 +93,10 @@ object Incremental {
   /** True iff `table` and `table_bands` agree: every store id appears in
     * the band table exactly `bands` times. A `false` means a partial
     * [[writeBoth]] append died between the two writes — run
-    * [[rebuildBands]]. Cost: two column-pruned id scans, no text. */
+    * [[rebuildBands]]. Cost: two column-pruned id scans, no text.
+    * Works for BOTH store kinds (minhash and embedding — pass the
+    * embedding store's band count); the embedding rebuild path is
+    * [[embeddingBandTable]] through the same bucketed overwrite. */
   def validateStore(spark: SparkSession, table: String,
                     bands: Int = 32): Boolean = {
     val storeIds = spark.table(table).groupBy("id")
