@@ -1407,9 +1407,11 @@ object Queries {
         def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
           val st = dir.resolve("stage_" + name).toString
           df.coalesce(1).write.mode("overwrite").parquet(st)
-          val part = Files.list(Paths.get(st)).filter(p =>
+          val listing = Files.list(Paths.get(st))
+          val part = try listing.filter(p =>
             p.getFileName.toString.startsWith("part-") &&
             p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          finally listing.close()
           val dst = src.resolve(name + ".parquet")
           Files.move(part, dst)
           Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
@@ -1659,7 +1661,40 @@ object Queries {
               |    AS BIGINT) AS n_emails,
               |  CAST(len(regexp_extract_all(aug, '${Text.LongNumRe}'))
               |    AS BIGINT) AS n_long_nums
-              |FROM a""".stripMargin)))
+              |FROM a""".stripMargin)),
+
+    Q("q76_jsonl_ingest",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // JSONL ingest with schema pinning + corrupt-record quarantine:
+        // the documents table staged as JSONL shards plus one
+        // deliberately malformed line; the schema-pinned PERMISSIVE read
+        // quarantines the bad line and every good field round-trips
+        // (per-lang doc and token totals match the parquet originals).
+        import java.nio.file.{Files, Paths}
+        val docs = tbl("documents").select(col("doc_id"), col("lang"), col("text"))
+        val dir = Files.createTempDirectory("graft_q76_")
+        val data = dir.resolve("data").toString
+        docs.write.mode("overwrite").json(data)
+        Files.writeString(Paths.get(data, "corrupt.json"),
+          """{"doc_id": 1, "lang": "en", "text": unterminated""" + "\n")
+        // lifecycle: the shared parsed scan stays cached through the
+        // driver's materialization of this result (bench clears caches
+        // between queries; library callers invoke q.release())
+        val q = sources.JsonlSource.quarantine(
+          sources.JsonlSource.read(s, data,
+            org.apache.spark.sql.types.StructType(docs.schema.fields)))
+        q.good.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(Text.tokenCount(col("text"))).as("n_tok"))
+          .unionByName(q.corrupt.agg(count(lit(1)).as("n_docs"))
+            .select(lit("_corrupt").as("lang"), col("n_docs"),
+              lit(0L).as("n_tok")))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+             |FROM documents GROUP BY lang
+             |UNION ALL
+             |SELECT '_corrupt', 1, 0""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -108,6 +108,32 @@ class SourcesAndQualitySpec extends AnyFunSuite {
       Seq(between("rating", 0, 10)), $"id", 1e-9)
   }
 
+  test("JsonlSource: schema-pinned read, corrupt lines quarantined, values round-trip") {
+    import graft.sources.JsonlSource
+    val dir = Files.createTempDirectory("graft_jsonl_").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
+      """{"doc_id": 1, "lang": "en", "text": "alpha beta"}
+        |{"doc_id": 2, "lang": "de", "text": "gamma"}
+        |{"doc_id": 3, "lang": "en", "text": not json
+        |{"doc_id": 4, "lang": "fr", "text": "delta epsilon zeta"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, text STRING")
+    val q = JsonlSource.quarantine(JsonlSource.read(spark, dir, schema))
+    try {
+      // quarantine: the malformed line is captured raw, not fatal, and
+      // does not leak into the good rows
+      val bad = q.corrupt.collect().map(_.getString(0))
+      assert(bad.length == 1 && bad.head.contains("not json"))
+      val rows = q.good.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, "en", "alpha beta"), (2L, "de", "gamma"),
+        (4L, "fr", "delta epsilon zeta")))
+      // good rows carry no quarantine column
+      assert(!q.good.columns.contains(JsonlSource.CorruptCol))
+    } finally q.release()
+  }
+
   test("latest pointer: written, monotone, readable") {
     val out = Files.createTempDirectory("graft_latest").toFile.getAbsolutePath + "/t"
     ParquetSink.append(Seq(("20240101", 1)).toDF("run_date", "v"), out, Seq("run_date"))
