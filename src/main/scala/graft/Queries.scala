@@ -1694,7 +1694,29 @@ object Queries {
              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
              |FROM documents GROUP BY lang
              |UNION ALL
-             |SELECT '_corrupt', 1, 0""".stripMargin)))
+             |SELECT '_corrupt', 1, 0""".stripMargin)),
+
+    Q("q77_ngram_vocab",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // corpus vocabulary: top-20 bigrams by frequency. ONE narrow
+        // native kernel pass (all n-grams with multiplicity — shingles
+        // would dedup within docs and undercount) + a partially-combined
+        // aggregate + TakeOrderedAndProject: the exchange carries one
+        // (ngram, partial count) per distinct ngram per partition, never
+        // the exploded stream. Deterministic tiebreak on the ngram.
+        tbl("documents")
+          .select(explode(Text.ngrams(lower(col("text")), 2)).as("ngram"))
+          .groupBy("ngram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram")).limit(20)
+      },
+      Some("""WITH g AS (SELECT unnest(list_transform(
+             |    range(1, len(string_split(lower(text), ' '))),
+             |    i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+             |                        string_split(lower(text), ' ')[i+1])))
+             |    AS ngram
+             |  FROM documents)
+             |SELECT ngram, count(*) AS n FROM g
+             |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -97,6 +97,12 @@ object Text {
   def shingles(text: Column, n: Int): Column =
     graft.plans.exprs.wordShingles(text, n)
 
+  /** ALL word n-grams in order with multiplicity — the vocabulary/
+    * frequency-analysis unit ([[shingles]] dedups, which is right for
+    * set similarity but loses counts). Fewer than n tokens → empty. */
+  def ngrams(text: Column, n: Int): Column =
+    graft.plans.exprs.wordNgrams(text, n)
+
   /** HOF shingles — executable spec for [[shingles]]; same output as a
     * set (ordering of distinct elements also matches: first occurrence). */
   def shinglesHof(text: Column, n: Int): Column = {

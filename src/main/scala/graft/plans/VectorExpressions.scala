@@ -108,6 +108,21 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ALL word n-grams of a single-space-tokenized string, in order with
+  * multiplicity — the counting counterpart of [[WordShingles]] (which
+  * dedups for set similarity). Same native one-pass rationale. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram length must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("word_ngrams", child.dataType, _ == StringType, "string")
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.wordNgrams(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.wordNgrams($v, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Order-sensitive rolling hash over an array<string> of tokens. */
 case class TokenRollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -219,6 +234,9 @@ object exprs {
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
 
+  def wordNgrams(text: Column, n: Int): Column =
+    column(WordNgrams(expression(text), n))
+
   def minhashSig(elems: Column, k: Int): Column =
     column(MinHashSig(expression(elems), k))
 
@@ -270,6 +288,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (args: Seq[Expression]) => WordShingles(args(0),
         litArg(args, 1, "graft_word_shingles", "n").asInstanceOf[Int])))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (args: Seq[Expression]) => WordNgrams(args(0),
+        litArg(args, 1, "graft_word_ngrams", "n").asInstanceOf[Int])))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0),

@@ -144,6 +144,28 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** ALL word n-grams in order, multiplicity preserved — the vocabulary/
+    * frequency-analysis unit ([[wordShingles]] dedups, which is right
+    * for set similarity but loses counts). Fewer than n tokens → empty
+    * (no n-gram exists; the shingle fallback-to-tokens is a set-overlap
+    * convention, wrong for counting). */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val arr = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   private final val Golden = 0x9e3779b97f4a7c15L
 
   @inline private def splitmix64(x0: Long): Long = {

@@ -31,6 +31,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(api == sql)
   }
 
+  test("graft_word_ngrams: multiplicity kept, order kept, short text empty; SQL == API") {
+    val r = spark.sql(
+      """SELECT graft_word_ngrams('a b a b', 2) AS g,
+        |       graft_word_ngrams('a', 2) AS short""".stripMargin).head()
+    // multiplicity preserved ('a b' twice) — shingles would dedup
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(r.getSeq[String](1) == Seq.empty)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents").limit(50)
+    docs.createOrReplaceTempView("__ng_docs")
+    val api = docs.select(graft.functions.Text.ngrams(lower(col("text")), 2))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val sql = spark.sql("SELECT graft_word_ngrams(lower(text), 2) FROM __ng_docs")
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(api == sql)
+    // counting identity: Σ per-doc ngram counts == Σ max(0, n_tok - 1)
+    val total = docs.select(size(graft.functions.Text.ngrams(col("text"), 2)))
+      .collect().map(_.getInt(0)).sum
+    val expected = docs.select(greatest(lit(0),
+        size(split(col("text"), " ")) - 1))
+      .collect().map(_.getInt(0)).sum
+    assert(total == expected)
+  }
+
   test("remaining kernels usable from SQL: shingles/minhash/hash_tokens/rolling/nearest_cells") {
     val r = spark.sql(
       """SELECT graft_word_shingles('a b c d', 3) AS sh,
