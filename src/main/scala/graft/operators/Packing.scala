@@ -91,26 +91,37 @@ object Packing {
 
   /** Deterministic EPOCH SHUFFLE: every row gets a reproducible
     * pseudo-random sort key (md5 over id + seed — engine-reproducible,
-    * so an oracle can replay the exact permutation) and a bounded shard
-    * from the key's last hex digit. This is the "globally shuffle the
-    * corpus before packing" step of a training pipeline WITHOUT a global
-    * sort bottleneck: downstream packing windows on (epoch_shard,
-    * epoch_key), so the permutation is realized as `numShards`
-    * independent sorted streams — exactly the multi-worker data-order
-    * contract, and the key hash balances shards uniformly. A new seed is
-    * a new epoch permutation; columns pass through, so the output feeds
-    * [[packChunks]]/[[packGreedyNoSplit]] directly with
-    * idCol = "epoch_key", shardCol = "epoch_shard". */
+    * so an oracle can replay the exact permutation) and a shard from the
+    * key's LAST SIX hex digits (a 16^6 = 16.7M domain, so `numShards`
+    * can track executor count at any cluster size — the per-shard
+    * packing window sorts one shard per task, and a wide shard domain is
+    * what keeps that task bounded as the corpus grows). This is the
+    * "globally shuffle the corpus before packing" step of a training
+    * pipeline WITHOUT a global sort bottleneck: downstream packing
+    * windows on (epoch_shard, epoch_key), so the permutation is realized
+    * as `numShards` independent sorted streams — exactly the
+    * multi-worker data-order contract, and the key hash balances shards
+    * uniformly. A new seed is a new epoch permutation; columns pass
+    * through, so the output feeds [[packChunks]]/[[packGreedyNoSplit]]
+    * directly with idCol = "epoch_key", shardCol = "epoch_shard".
+    *
+    * The digit→int map goes through `locate` over the literal hex
+    * alphabet (not conv/unhex) so a SQL oracle on another engine can
+    * replay the shard assignment exactly; for numShards dividing 16 the
+    * value mod numShards equals the last digit mod numShards (16 ≡ 0),
+    * so pre-widening assignments are unchanged. */
   def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
                    numShards: Int): DataFrame = {
-    require(numShards >= 1 && numShards <= 16,
-      "numShards must be in [1, 16] (sharded on one hex digit)")
+    require(numShards >= 1 && numShards <= (1 << 24),
+      "numShards must be in [1, 16^6] (sharded on six hex digits)")
+    val hexVal = (0 until 6).map(i =>
+      s"(locate(substring(epoch_key, ${32 - i}, 1), '0123456789abcdef') - 1) * ${1 << (4 * i)}")
+      .mkString(" + ")
     docs
       .withColumn("epoch_key",
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .withColumn("epoch_shard",
-        pmod(expr("locate(substring(epoch_key, 32, 1), '0123456789abcdef') - 1"),
-          lit(numShards)).cast("long"))
+        pmod(expr(hexVal), lit(numShards)).cast("long"))
   }
 
   /** NO-SPLIT greedy packing: docs in shard order are appended to the
@@ -128,31 +139,41 @@ object Packing {
     * holds whole shards (hash-partitioned), the scan resets its state at
     * each shard boundary, and rows stream through without materializing
     * the partition. Skew bound: the hottest shard bounds a task — the
-    * same shard-width knob as [[packChunks]] (documented there). */
+    * same shard-width knob as [[packChunks]] (documented there).
+    *
+    * Id and shard columns pass through with their ORIGINAL types (the
+    * scan is Row-encoded, sorted on the raw columns) — a long doc_id and
+    * an [[epochShuffle]] md5 `epoch_key` both work; the sort order is
+    * whatever the column's native ordering is. */
   def packGreedyNoSplit(docs: DataFrame, idCol: String, textCol: String,
                         shardCol: String, tokenBudget: Int): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(shardCol).cast("string"),
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val prepared = docs
+      .select(col(idCol), col(shardCol),
         Text.tokenCount(col(textCol)).as("n_tok"))
       .repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(idCol))
-      .as[(Long, String, Long)]
-      .mapPartitions { it =>
-        var shard: String = null
-        var chunk = 0L
-        var fill = 0L
-        var empty = true // nothing packed yet in the current shard
-        it.map { case (id, sh, n) =>
-          if (sh != shard) { shard = sh; chunk = 0L; fill = 0L; empty = true }
-          if (!empty && fill + n > tokenBudget) { chunk += 1; fill = 0L }
-          fill += n; empty = false
-          (id, sh, n, chunk)
+    val outSchema = StructType(prepared.schema.fields :+
+      StructField("chunk_id", LongType, nullable = false))
+    prepared.mapPartitions { it =>
+      var shard: Any = null
+      var started = false // distinguishes "no shard yet" from a null shard
+      var chunk = 0L
+      var fill = 0L
+      var empty = true // nothing packed yet in the current shard
+      it.map { r =>
+        val sh = r.get(1)
+        if (!started || sh != shard) {
+          started = true; shard = sh; chunk = 0L; fill = 0L; empty = true
         }
+        val n = r.getLong(2)
+        if (!empty && fill + n > tokenBudget) { chunk += 1; fill = 0L }
+        fill += n; empty = false
+        Row(r.get(0), sh, n, chunk)
       }
-      .toDF(idCol, shardCol, "n_tok", "chunk_id")
+    }(Encoders.row(outSchema))
   }
 
   /** Overlapping token-window chunking (the RAG/embedding grain change):
