@@ -1761,7 +1761,100 @@ object Queries {
              |         ELSE o.n_tok END
              |  FROM o JOIN rec ON o.epoch_shard = rec.epoch_shard
              |    AND o.rn = rec.rn + 1)
-             |SELECT epoch_key, epoch_shard, n_tok, chunk_id FROM rec""".stripMargin)))
+             |SELECT epoch_key, epoch_shard, n_tok, chunk_id FROM rec""".stripMargin)),
+
+    Q("q79_streaming_embedding_dedup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // streaming EMBEDDING dedup END-TO-END — the q68 recipe on the
+        // second modality: a real file stream under Trigger.AvailableNow
+        // drives Incremental.embeddingDedupSink; each micro-batch dedups
+        // its vectors against the persisted hyperplane store, emits
+        // survivors, appends itself. Planted scaled copies (x2.0f —
+        // exact in float, cosine exactly 1.0 both engines) exercise both
+        // drop paths: batch A carries copies of STORE seeds, batch B
+        // carries copies of BATCH-A vectors (in the store by then via
+        // the whole-batch append). The post-stream survivor set is
+        // batch-expressible, so the oracle replays the greedy cosine
+        // semantics with store < batchA < batchB precedence.
+        import java.nio.file.{Files, Paths}
+        import java.nio.file.attribute.FileTime
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val table = "q79_emb_store"
+        for (t <- Seq(table, s"${table}_bands")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        operators.Incremental.writeEmbeddingStore(
+          emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", table, 8)
+        def scaled(src: org.apache.spark.sql.DataFrame, offset: Long) =
+          src.select((col("vec_id") + offset).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val streamed = emb.filter(col("vec_id") % 3 === 0)
+        val batchA = streamed.filter(expr("(vec_id div 3) % 2 = 0"))
+          .unionByName(scaled(
+            emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") < 7), 1000000L))
+        val batchB = streamed.filter(expr("(vec_id div 3) % 2 = 1"))
+          .unionByName(scaled(
+            streamed.filter(expr("(vec_id div 3) % 2 = 0 AND vec_id < 20")),
+            2000000L))
+        val dir = Files.createTempDirectory("graft_q79_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val st = dir.resolve("stage_" + name).toString
+          df.coalesce(1).write.mode("overwrite").parquet(st)
+          val listing = Files.list(Paths.get(st))
+          val part = try listing.filter(p =>
+            p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          finally listing.close()
+          val dst = src.resolve(name + ".parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+        }
+        val now = System.currentTimeMillis()
+        stage(batchA, "batch_a", now - 120000)
+        stage(batchB, "batch_b", now - 60000)
+        val stream = s.readStream.schema(batchA.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        val query = stream.writeStream
+          .foreachBatch(operators.Incremental.embeddingDedupSink(
+            "vec_id", "embedding", table, 8, threshold = 0.95,
+            emit = (surv, batchId) =>
+              surv.write.mode("overwrite").parquet(s"$out/batch_$batchId")))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$out/*").select(col("vec_id"))
+      },
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |            FROM embeddings),
+             |t AS (SELECT vec_id, v, 0 AS rk FROM e0 WHERE vec_id % 3 <> 0
+             |      UNION ALL
+             |      SELECT vec_id, v, 1 FROM e0
+             |      WHERE vec_id % 3 = 0 AND (vec_id // 3) % 2 = 0
+             |      UNION ALL
+             |      SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0), 1
+             |      FROM e0 WHERE vec_id % 3 <> 0 AND vec_id < 7
+             |      UNION ALL
+             |      SELECT vec_id, v, 2 FROM e0
+             |      WHERE vec_id % 3 = 0 AND (vec_id // 3) % 2 = 1
+             |      UNION ALL
+             |      SELECT vec_id + 2000000, list_transform(v, x -> x * 2.0), 2
+             |      FROM e0
+             |      WHERE vec_id % 3 = 0 AND (vec_id // 3) % 2 = 0 AND vec_id < 20),
+             |b AS (SELECT vec_id, v, rk FROM t WHERE rk > 0),
+             |dr AS (SELECT DISTINCT a.vec_id FROM b a JOIN t x ON x.rk < a.rk
+             |         AND list_cosine_similarity(a.v, x.v) >= 0.95
+             |       UNION
+             |       SELECT DISTINCT y.vec_id FROM b a JOIN b y ON a.rk = y.rk
+             |         AND a.vec_id < y.vec_id
+             |         AND list_cosine_similarity(a.v, y.v) >= 0.95)
+             |SELECT vec_id FROM b
+             |WHERE vec_id NOT IN (SELECT vec_id FROM dr)""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
