@@ -1632,36 +1632,69 @@ object Queries {
 
     Q("q75_pii_redaction",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
-        // PII redaction scrub: emails → <EMAIL>, 6+-digit runs → <NUM>.
-        // Each doc is deterministically augmented with a synthetic email
-        // and account number so the redaction does real work at every SF
-        // (both engines apply the identical augmentation + RE2-safe
-        // patterns). Narrow regexp_replace chain, zero shuffle.
+        // PII redaction scrub over the full taxonomy: emails → <EMAIL>,
+        // dotted quads → <IP>, SSN shapes → <SSN>, separator phones →
+        // <PHONE>, bare 6+-digit runs → <NUM>. Each doc is
+        // deterministically augmented with one synthetic instance of
+        // every category so the whole chain does real work at every SF
+        // (both engines apply the identical augmentation; the SQL chain
+        // below is GENERATED from Text.PiiTaxonomy, so the patterns and
+        // their order are shared verbatim). Narrow regexp_replace chain,
+        // zero shuffle.
         val aug = concat(col("text"), lit(" contact user"),
           col("doc_id").cast("string"), lit("@example.com ref "),
-          (col("doc_id") * 1000003L + 123456789L).cast("string"))
+          (col("doc_id") * 1000003L + 123456789L).cast("string"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".42."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" call 555-"), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-"), (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" ssn "), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-"), (col("doc_id") % 90 + 10).cast("string"),
+          lit("-"), (col("doc_id") % 9000 + 1000).cast("string"))
         tbl("documents").select(
           col("doc_id"),
           Text.redactPii(aug).as("redacted"),
           size(regexp_extract_all(aug, lit(Text.EmailRe), lit(0)))
             .cast("long").as("n_emails"),
+          size(regexp_extract_all(aug, lit(Text.Ipv4Re), lit(0)))
+            .cast("long").as("n_ips"),
+          size(regexp_extract_all(aug, lit(Text.SsnRe), lit(0)))
+            .cast("long").as("n_ssns"),
+          size(regexp_extract_all(aug, lit(Text.PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
           size(regexp_extract_all(aug, lit(Text.LongNumRe), lit(0)))
             .cast("long").as("n_long_nums"))
       },
-      Some(s"""WITH a AS (SELECT doc_id,
-              |  text || ' contact user' || doc_id::VARCHAR
-              |    || '@example.com ref '
-              |    || (doc_id * 1000003 + 123456789)::VARCHAR AS aug
-              |  FROM documents)
-              |SELECT doc_id,
-              |  regexp_replace(regexp_replace(aug,
-              |    '${Text.EmailRe}', '<EMAIL>', 'g'),
-              |    '${Text.LongNumRe}', '<NUM>', 'g') AS redacted,
-              |  CAST(len(regexp_extract_all(aug, '${Text.EmailRe}'))
-              |    AS BIGINT) AS n_emails,
-              |  CAST(len(regexp_extract_all(aug, '${Text.LongNumRe}'))
-              |    AS BIGINT) AS n_long_nums
-              |FROM a""".stripMargin)),
+      Some {
+        val chain = Text.PiiTaxonomy.foldLeft("aug") { case (e, (re, tag)) =>
+          s"regexp_replace($e, '$re', '$tag', 'g')"
+        }
+        s"""WITH a AS (SELECT doc_id,
+           |  text || ' contact user' || doc_id::VARCHAR
+           |    || '@example.com ref '
+           |    || (doc_id * 1000003 + 123456789)::VARCHAR
+           |    || ' ip 10.' || (doc_id % 256)::VARCHAR
+           |    || '.42.' || ((doc_id * 7) % 256)::VARCHAR
+           |    || ' call 555-' || (doc_id % 900 + 100)::VARCHAR
+           |    || '-' || (doc_id % 9000 + 1000)::VARCHAR
+           |    || ' ssn ' || (doc_id % 900 + 100)::VARCHAR
+           |    || '-' || (doc_id % 90 + 10)::VARCHAR
+           |    || '-' || (doc_id % 9000 + 1000)::VARCHAR AS aug
+           |  FROM documents)
+           |SELECT doc_id,
+           |  $chain AS redacted,
+           |  CAST(len(regexp_extract_all(aug, '${Text.EmailRe}'))
+           |    AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(aug, '${Text.Ipv4Re}'))
+           |    AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(aug, '${Text.SsnRe}'))
+           |    AS BIGINT) AS n_ssns,
+           |  CAST(len(regexp_extract_all(aug, '${Text.PhoneRe}'))
+           |    AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(aug, '${Text.LongNumRe}'))
+           |    AS BIGINT) AS n_long_nums
+           |FROM a""".stripMargin
+      }),
 
     Q("q76_jsonl_ingest",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._

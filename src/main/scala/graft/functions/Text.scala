@@ -113,18 +113,34 @@ object Text {
   }
 
   /** PII patterns, RE2-compatible (shared verbatim with the oracle SQL —
-    * no backreferences/lookaround, so Java and RE2 agree exactly). */
+    * no backreferences/lookaround; `\b` is the ASCII word boundary in
+    * both Java and RE2, and `(?:…)` grouping is common to both — the
+    * full chain was validated to produce byte-identical output from
+    * java.util.regex and DuckDB's RE2 on adversarial inputs like
+    * `1234.5.6.7890`, `x555-123-4567y`, `v1.2.3.4`). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
   val LongNumRe = "[0-9]{6,}"
 
-  /** PII redaction — the pretraining scrub step: emails → `<EMAIL>`,
-    * 6+-digit runs (phone/account/ID shapes) → `<NUM>`. Narrow codegen'd
-    * `regexp_replace` chain, zero shuffle at any scale; extend the chain
-    * per deployment's PII taxonomy. Email first: a redacted email's
-    * local part can contain digit runs, masking them twice is harmless,
-    * but numbers first could split an address before the email pattern
-    * sees it. */
+  /** The redaction taxonomy in application order: emails → `<EMAIL>`,
+    * dotted quads → `<IP>`, SSN shapes (3-2-4) → `<SSN>`, separator
+    * phones (3-3-4) → `<PHONE>`, bare 6+-digit runs → `<NUM>`. Order
+    * matters and is part of the contract: email first (its local part
+    * can contain digit runs a later pattern would split), structured
+    * digit shapes before the bare-run catch-all. SSN vs phone cannot
+    * both match one span (group widths differ), so their relative order
+    * only decides labels, not coverage. */
+  val PiiTaxonomy: Seq[(String, String)] = Seq(
+    EmailRe -> "<EMAIL>", Ipv4Re -> "<IP>", SsnRe -> "<SSN>",
+    PhoneRe -> "<PHONE>", LongNumRe -> "<NUM>")
+
+  /** PII redaction — the pretraining scrub step: the [[PiiTaxonomy]]
+    * chain as nested codegen'd `regexp_replace`s. Narrow, zero shuffle
+    * at any scale; extend the taxonomy per deployment. */
   def redactPii(text: Column): Column =
-    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
-      LongNumRe, "<NUM>")
+    PiiTaxonomy.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
 }

@@ -136,6 +136,27 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(rows(4) == "edge <EMAIL> done")
   }
 
+  test("redactPii taxonomy: ip/ssn/phone shapes masked, boundary guards hold") {
+    import spark.implicits._
+    val rows = Seq(
+      "srv 10.0.42.7 up",                           // dotted quad
+      "ssn 234-56-7890 ok",                         // 3-2-4
+      "call 555-123-4567 now",                      // 3-3-4 with dashes
+      "dot 555.123.4567 form",                      // 3-3-4 with dots
+      "ver v1.2.3.4 and 1234.5.6.7890 kept",        // \b guards: no match
+      "x555-123-4567y glued kept",                  // \b guards: no match
+      "mix u7@x.io 10.1.2.3 111-22-3333 222-333-4444 9876543 end")
+      .toDF("t").select(graft.functions.Text.redactPii($"t")).as[String].collect()
+    assert(rows(0) == "srv <IP> up")
+    assert(rows(1) == "ssn <SSN> ok")
+    assert(rows(2) == "call <PHONE> now")
+    assert(rows(3) == "dot <PHONE> form")
+    assert(rows(4) == "ver v1.2.3.4 and 1234.5.6.7890 kept")
+    assert(rows(5) == "x555-123-4567y glued kept")
+    // every category in one string, each matched by its own tag
+    assert(rows(6) == "mix <EMAIL> <IP> <SSN> <PHONE> <NUM> end")
+  }
+
   test("custom expressions fail ANALYSIS on mistyped input, not executor runtime") {
     // every native kernel declares checkInputDataTypes: a wrong child type
     // must surface as a clear analysis error (AsOfJoin.requireOrderable
