@@ -137,7 +137,21 @@ object Bench {
       .filter { case (_, v) => v > 3 * calMed && v > calMed + 1.0 }
       .map { case (l, _) => "\"" + l + "\"" }.mkString("[", ",", "]")
     val passJson = passTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"reruns":$rerunsJson,"errors":$errJson,"calibration":$calJson,"stall_windows":$stallJson,"pass_totals":$passJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"reruns":$rerunsJson,"errors":$errJson,"calibration":$calJson,"stall_windows":$stallJson,"pass_totals":$passJson,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's per-round artifact keeps only the run's last 2000
+    // output chars, which truncates the per-query JSON every round — so
+    // the complete line is ALSO written into the repo, making the bench
+    // artifact self-contained regardless of driver capture limits
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/docs/bench_full.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, json + "\n")
+      System.err.println(s"[bench] full JSON written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist full JSON: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
