@@ -1887,7 +1887,57 @@ object Queries {
              |         AND a.vec_id < y.vec_id
              |         AND list_cosine_similarity(a.v, y.v) >= 0.95)
              |SELECT vec_id FROM b
-             |WHERE vec_id NOT IN (SELECT vec_id FROM dr)""".stripMargin)))
+             |WHERE vec_id NOT IN (SELECT vec_id FROM dr)""".stripMargin)),
+
+    Q("q80_epoch_assemble",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the FULL training-sequence pipeline in one plan: epoch shuffle
+        // (seed-42 permutation, 6 shards — indivisible by 16, so the
+        // wide shard arithmetic is replayed) → pack-then-split →
+        // assembled chunk text in SHUFFLED order. Also exercises the
+        // string-id path through packChunkRows' span re-join and the
+        // per-chunk ordered concat (epoch_key is the join and sort key).
+        // Three exchanges total: packing window, span join, chunk
+        // groupBy — same budget as q74 plus the id-keyed join.
+        val shuffled = operators.Packing.epochShuffle(tbl("documents"),
+          "doc_id", seed = 42L, numShards = 6)
+        operators.Packing.assembleChunks(shuffled, "epoch_key", "text",
+          "epoch_shard", tokenBudget = 256)
+      },
+      Some("""WITH k AS (SELECT md5(doc_id::VARCHAR || ':42') AS epoch_key,
+             |  text FROM documents),
+             |t AS (SELECT epoch_key,
+             |  CAST((
+             |    (strpos('0123456789abcdef', substr(epoch_key, 32, 1)) - 1)
+             |    + (strpos('0123456789abcdef', substr(epoch_key, 31, 1)) - 1) * 16
+             |    + (strpos('0123456789abcdef', substr(epoch_key, 30, 1)) - 1) * 256
+             |    + (strpos('0123456789abcdef', substr(epoch_key, 29, 1)) - 1) * 4096
+             |    + (strpos('0123456789abcdef', substr(epoch_key, 28, 1)) - 1) * 65536
+             |    + (strpos('0123456789abcdef', substr(epoch_key, 27, 1)) - 1) * 1048576
+             |  ) % 6 AS BIGINT) AS epoch_shard,
+             |  string_split(text, ' ') AS w,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM k),
+             |o AS (SELECT epoch_key, epoch_shard, w, n_tok,
+             |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY epoch_shard
+             |    ORDER BY epoch_key
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS tok_offset FROM t),
+             |c AS (SELECT epoch_shard, epoch_key, w, n_tok, tok_offset,
+             |  unnest(range(tok_offset // 256,
+             |    (tok_offset + n_tok - 1) // 256 + 1)) AS chunk_id FROM o),
+             |p AS (SELECT epoch_shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  epoch_key, w,
+             |  greatest(0, chunk_id * 256 - tok_offset) AS st,
+             |  least(n_tok, (chunk_id + 1) * 256 - tok_offset)
+             |    - greatest(0, chunk_id * 256 - tok_offset) AS ln
+             |  FROM c)
+             |SELECT epoch_shard, chunk_id,
+             |  string_agg(array_to_string(w[CAST(st + 1 AS INT) :
+             |    CAST(st + ln AS INT)], ' '), ' ' ORDER BY epoch_key)
+             |    AS chunk_text,
+             |  CAST(sum(ln) AS BIGINT) AS n_tok
+             |FROM p GROUP BY epoch_shard, chunk_id""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

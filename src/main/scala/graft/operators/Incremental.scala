@@ -347,13 +347,43 @@ object Incremental {
     } finally sig.unpersist()
   }
 
+  /** Rebuild `table_bands` from an EMBEDDING store — the embedding
+    * analogue of [[rebuildBands]] (same recovery contract: `_bands` is
+    * derived state; [[validateStore]] works unchanged for this store
+    * kind — pass the embedding band count). The generic [[rebuildBands]]
+    * must NOT be pointed at an embedding store: it derives bands from a
+    * minhash `sig` column this schema doesn't have. */
+  def rebuildEmbeddingBands(spark: SparkSession, table: String,
+                            numBuckets: Int, bands: Int = 64,
+                            bitsPerBand: Int = 16): Unit =
+    ParquetSink.bucketed(
+      embeddingBandTable(spark.table(table).dropDuplicates("id"),
+        bands, bitsPerBand),
+      s"${table}_bands", Seq("band", "bucket"), numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Rewrite an embedding store with one row per id — the embedding
+    * analogue of [[compactStore]]: replayed [[embeddingDedupSink]]
+    * appends leave duplicate rows that are decision-neutral (identical
+    * vectors and signature words → identical drops; candidates are
+    * distinct-ed by id), so compaction is a periodic storage/scan
+    * optimization, not a correctness requirement. */
+  def compactEmbeddingStore(spark: SparkSession, table: String,
+                            numBuckets: Int, bands: Int = 64,
+                            bitsPerBand: Int = 16): Unit =
+    writeEmbeddingBoth(
+      spark.table(table).dropDuplicates("id").localCheckpoint(true),
+      table, numBuckets, bands, bitsPerBand,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
   /** Streaming ingest dedup for EMBEDDINGS: the [[dedupSink]] loop over
     * the hyperplane store — dedup each micro-batch of vectors against
     * the store, emit survivors, append the batch. Same contracts:
     * `emit` must materialize before returning, ids globally unique, and
     * the self-id anti-join makes foreachBatch replays emit-identical
-    * (duplicate store rows are decision-neutral; compact with a
-    * [[compactStore]]-style `dropDuplicates("id")` rewrite). */
+    * (duplicate store rows are decision-neutral — spec-asserted;
+    * [[compactEmbeddingStore]] reclaims the space, [[validateStore]] /
+    * [[rebuildEmbeddingBands]] recover a partial append). */
   def embeddingDedupSink(idCol: String, vecCol: String, storeTable: String,
                          numBuckets: Int, threshold: Double,
                          emit: (DataFrame, Long) => Unit, bands: Int = 64,

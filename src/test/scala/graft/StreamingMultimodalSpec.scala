@@ -173,6 +173,65 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingDedupSink replay is retry-safe; compaction and band rebuild recover") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    def v(x: Float, y: Float): Array[Float] = Array(x, y) ++ Array.fill(6)(0.0f)
+    val emitted = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    val sink = Incremental.embeddingDedupSink("vec_id", "embedding",
+      "eretry_store", 4, threshold = 0.95,
+      emit = (df, bid) => emitted.synchronized {
+        emitted(bid) = df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      })
+    Incremental.writeEmbeddingStore(
+      Seq((1L, v(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "eretry_store", 4)
+    try {
+      // 10 is a scaled copy of the seed (cosine 1.0, dropped); 11 is new
+      val b1 = Seq((10L, v(2.0f, 0.0f)), (11L, v(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      sink(b1, 0L)
+      assert(emitted(0L) == Seq(11L), emitted.toString)
+      // foreachBatch RETRY: the first attempt's append already put b1's
+      // own signatures in the store — a replay must re-emit the SAME
+      // survivors, not self-suppress to an empty set
+      sink(b1, 0L)
+      assert(emitted(0L) == Seq(11L), s"replay self-suppressed: ${emitted(0L)}")
+      assert(spark.table("eretry_store").count() == 1 + 2 + 2)
+      // duplicate rows are decision-neutral for later batches
+      val b2 = Seq((20L, v(0.0f, 3.0f)), (21L, v(-1.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      sink(b2, 1L)
+      assert(emitted(1L) == Seq(21L), emitted.toString)
+      // compaction rewrites one row per id and changes no decision
+      Incremental.compactEmbeddingStore(spark, "eretry_store", 4)
+      assert(spark.table("eretry_store").count() == 5) // 1, 10, 11, 20, 21
+      assert(Incremental.validateStore(spark, "eretry_store", bands = 64))
+      val again = Incremental.dedupEmbeddingsAgainst(
+          Seq((30L, v(0.0f, 7.0f)), (31L, v(1.0f, -1.0f)))
+            .toDF("vec_id", "embedding"),
+          spark.table("eretry_store"), "vec_id", "embedding", 0.95,
+          storeBands = Some(spark.table("eretry_store_bands")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(again == Seq(31L), again.toString)
+      // partial writeEmbeddingBoth failure: a batch lands in the store
+      // but not in _bands → validateStore flags it, the EMBEDDING
+      // rebuild (hyperplane band derivation) recovers
+      graft.sources.ParquetSink.bucketed(
+        Incremental.embeddingSignatures(
+          Seq((40L, v(3.0f, 3.0f))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding"),
+        "eretry_store", Seq("id"), 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      assert(!Incremental.validateStore(spark, "eretry_store", bands = 64))
+      Incremental.rebuildEmbeddingBands(spark, "eretry_store", 4)
+      assert(Incremental.validateStore(spark, "eretry_store", bands = 64))
+    } finally {
+      spark.sql("DROP TABLE eretry_store")
+      spark.sql("DROP TABLE eretry_store_bands")
+    }
+  }
+
   test("streaming embedding dedup: micro-batches dedup vectors against a growing store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
