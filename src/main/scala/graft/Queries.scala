@@ -1650,7 +1650,9 @@ object Queries {
           lit("-"), (col("doc_id") % 9000 + 1000).cast("string"),
           lit(" ssn "), (col("doc_id") % 900 + 100).cast("string"),
           lit("-"), (col("doc_id") % 90 + 10).cast("string"),
-          lit("-"), (col("doc_id") % 9000 + 1000).cast("string"))
+          lit("-"), (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" card 4111-1111-1111-"),
+          (col("doc_id") % 9000 + 1000).cast("string"))
         tbl("documents").select(
           col("doc_id"),
           Text.redactPii(aug).as("redacted"),
@@ -1658,6 +1660,8 @@ object Queries {
             .cast("long").as("n_emails"),
           size(regexp_extract_all(aug, lit(Text.Ipv4Re), lit(0)))
             .cast("long").as("n_ips"),
+          size(regexp_extract_all(aug, lit(Text.CardRe), lit(0)))
+            .cast("long").as("n_cards"),
           size(regexp_extract_all(aug, lit(Text.SsnRe), lit(0)))
             .cast("long").as("n_ssns"),
           size(regexp_extract_all(aug, lit(Text.PhoneRe), lit(0)))
@@ -1679,7 +1683,9 @@ object Queries {
            |    || '-' || (doc_id % 9000 + 1000)::VARCHAR
            |    || ' ssn ' || (doc_id % 900 + 100)::VARCHAR
            |    || '-' || (doc_id % 90 + 10)::VARCHAR
-           |    || '-' || (doc_id % 9000 + 1000)::VARCHAR AS aug
+           |    || '-' || (doc_id % 9000 + 1000)::VARCHAR
+           |    || ' card 4111-1111-1111-'
+           |    || (doc_id % 9000 + 1000)::VARCHAR AS aug
            |  FROM documents)
            |SELECT doc_id,
            |  $chain AS redacted,
@@ -1687,6 +1693,8 @@ object Queries {
            |    AS BIGINT) AS n_emails,
            |  CAST(len(regexp_extract_all(aug, '${Text.Ipv4Re}'))
            |    AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(aug, '${Text.CardRe}'))
+           |    AS BIGINT) AS n_cards,
            |  CAST(len(regexp_extract_all(aug, '${Text.SsnRe}'))
            |    AS BIGINT) AS n_ssns,
            |  CAST(len(regexp_extract_all(aug, '${Text.PhoneRe}'))
@@ -1937,7 +1945,39 @@ object Queries {
              |    CAST(st + ln AS INT)], ' '), ' ' ORDER BY epoch_key)
              |    AS chunk_text,
              |  CAST(sum(ln) AS BIGINT) AS n_tok
-             |FROM p GROUP BY epoch_shard, chunk_id""".stripMargin)))
+             |FROM p GROUP BY epoch_shard, chunk_id""".stripMargin)),
+
+    Q("q81_repeated_spans",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // substring-level dedup signal: per doc, the count and fraction
+        // of its 8-token windows shared with at least one OTHER doc
+        // (boilerplate/templated-text detector — catches what whole-doc
+        // similarity misses). One narrow kernel pass, spans hashed to
+        // 8 bytes before any exchange; the oracle recomputes with the
+        // exact window strings, so a hash collision would fail the gate.
+        operators.Dedup.duplicatedSpans(tbl("documents"), "doc_id", "text",
+            spanLen = 8)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(
+             |    range(1, len(w) - 8 + 2),
+             |    i -> array_to_string(w[i:i+7], ' '))) AS sp
+             |  FROM w WHERE len(w) >= 8),
+             |d AS (SELECT sp FROM (SELECT sp, count(DISTINCT doc_id) AS nd
+             |        FROM g GROUP BY sp) WHERE nd >= 2),
+             |tot AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY doc_id),
+             |dup AS (SELECT doc_id, count(*) AS n_dup_spans
+             |  FROM g JOIN d USING (sp) GROUP BY doc_id)
+             |SELECT w.doc_id,
+             |  CAST(coalesce(tot.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(dup.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             |  round(CASE WHEN coalesce(tot.n_spans, 0) = 0 THEN 0.0
+             |    ELSE CAST(coalesce(dup.n_dup_spans, 0) AS DOUBLE)
+             |      / tot.n_spans END, 6) AS dup_frac
+             |FROM w LEFT JOIN tot USING (doc_id)
+             |LEFT JOIN dup USING (doc_id)""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -120,21 +120,23 @@ object Text {
     * `1234.5.6.7890`, `x555-123-4567y`, `v1.2.3.4`). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val CardRe = "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b"
   val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
   val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
   val LongNumRe = "[0-9]{6,}"
 
   /** The redaction taxonomy in application order: emails → `<EMAIL>`,
-    * dotted quads → `<IP>`, SSN shapes (3-2-4) → `<SSN>`, separator
-    * phones (3-3-4) → `<PHONE>`, bare 6+-digit runs → `<NUM>`. Order
-    * matters and is part of the contract: email first (its local part
-    * can contain digit runs a later pattern would split), structured
-    * digit shapes before the bare-run catch-all. SSN vs phone cannot
-    * both match one span (group widths differ), so their relative order
-    * only decides labels, not coverage. */
+    * dotted quads → `<IP>`, dashed 4-4-4-4 card shapes → `<CARD>`, SSN
+    * shapes (3-2-4) → `<SSN>`, separator phones (3-3-4) → `<PHONE>`,
+    * bare 6+-digit runs → `<NUM>`. Order matters and is part of the
+    * contract: email first (its local part can contain digit runs a
+    * later pattern would split), structured digit shapes before the
+    * bare-run catch-all. The dashed shapes (card/ssn/phone) have
+    * pairwise-distinct group widths, so no span matches two of them —
+    * their relative order only decides labels, not coverage. */
   val PiiTaxonomy: Seq[(String, String)] = Seq(
-    EmailRe -> "<EMAIL>", Ipv4Re -> "<IP>", SsnRe -> "<SSN>",
-    PhoneRe -> "<PHONE>", LongNumRe -> "<NUM>")
+    EmailRe -> "<EMAIL>", Ipv4Re -> "<IP>", CardRe -> "<CARD>",
+    SsnRe -> "<SSN>", PhoneRe -> "<PHONE>", LongNumRe -> "<NUM>")
 
   /** PII redaction — the pretraining scrub step: the [[PiiTaxonomy]]
     * chain as nested codegen'd `regexp_replace`s. Narrow, zero shuffle

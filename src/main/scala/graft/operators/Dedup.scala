@@ -159,6 +159,52 @@ object Dedup {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Cross-document REPEATED-SPAN profile — the substring-level dedup
+    * signal (the "repeated n-token span" filter of C4/RefinedWeb-style
+    * corpus prep, which catches boilerplate and templated text that
+    * whole-document similarity misses): for every doc, how many of its
+    * `spanLen`-token windows also occur in at least one OTHER document.
+    * Returns one row per doc: (id, n_spans, n_dup_spans, dup_frac) —
+    * the fraction feeds a quality gate (drop or trim docs above a
+    * boilerplate threshold).
+    *
+    * Shape: one narrow [[graft.plans.exprs.wordNgrams]] kernel pass
+    * (multiplicity preserved — a window repeated WITHIN a doc counts
+    * each occurrence, but only cross-doc sharing marks it duplicated),
+    * hashed to 8-byte span ids before any exchange (the
+    * [[jaccardPairs]] hashing discipline: distinct spans stay distinct
+    * w.h.p., counts unchanged). The cross-doc test is an aggregate on
+    * the span hash — count DISTINCT docs per span, keep spans with ≥ 2
+    * — then a semi-join back tags each doc's duplicated windows. Every
+    * shuffle ships (hash, id) pairs only; the window STRINGS never
+    * leave their partition. At 100 TB the span-hash aggregate is the
+    * [[exactGroups]] shape (uniform 8-byte keys, no skew); hot
+    * boilerplate spans concentrate ids per hash, bounded by the doc
+    * count holding that span — the same bound the inverted-index ops
+    * carry. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      spanLen: Int): DataFrame = {
+    require(spanLen >= 1, "spanLen must be positive")
+    val spans = docs.select(col(idCol).as("id"),
+        explode(graft.plans.exprs.wordNgrams(lower(col(textCol)), spanLen))
+          .as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+    val dupH = spans.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dupH, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast("double") / col("n_spans")), 6))
+  }
+
   /** Connected components over an undirected pair list — the clustering
     * step that turns pairwise near-duplicates into dedup GROUPS, so
     * survivor selection is consistent per cluster (transitive closure)

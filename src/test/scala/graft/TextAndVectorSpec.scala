@@ -145,7 +145,9 @@ class TextAndVectorSpec extends AnyFunSuite {
       "dot 555.123.4567 form",                      // 3-3-4 with dots
       "ver v1.2.3.4 and 1234.5.6.7890 kept",        // \b guards: no match
       "x555-123-4567y glued kept",                  // \b guards: no match
-      "mix u7@x.io 10.1.2.3 111-22-3333 222-333-4444 9876543 end")
+      "pay 4111-1111-1111-1234 card",               // 4-4-4-4 dashed
+      "over 4111-1111-1111-12345 kept",             // 5-digit tail: no match
+      "mix u7@x.io 10.1.2.3 5555-4444-3333-2222 111-22-3333 222-333-4444 9876543 end")
       .toDF("t").select(graft.functions.Text.redactPii($"t")).as[String].collect()
     assert(rows(0) == "srv <IP> up")
     assert(rows(1) == "ssn <SSN> ok")
@@ -153,8 +155,10 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(rows(3) == "dot <PHONE> form")
     assert(rows(4) == "ver v1.2.3.4 and 1234.5.6.7890 kept")
     assert(rows(5) == "x555-123-4567y glued kept")
+    assert(rows(6) == "pay <CARD> card")
+    assert(rows(7) == "over 4111-1111-1111-12345 kept")
     // every category in one string, each matched by its own tag
-    assert(rows(6) == "mix <EMAIL> <IP> <SSN> <PHONE> <NUM> end")
+    assert(rows(8) == "mix <EMAIL> <IP> <CARD> <SSN> <PHONE> <NUM> end")
   }
 
   test("custom expressions fail ANALYSIS on mistyped input, not executor runtime") {
