@@ -1977,7 +1977,43 @@ object Queries {
              |    ELSE CAST(coalesce(dup.n_dup_spans, 0) AS DOUBLE)
              |      / tot.n_spans END, 6) AS dup_frac
              |FROM w LEFT JOIN tot USING (doc_id)
-             |LEFT JOIN dup USING (doc_id)""".stripMargin)))
+             |LEFT JOIN dup USING (doc_id)""".stripMargin)),
+
+    Q("q82_temperature_mixture",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // training-mixture resampling: language proportions flattened to
+        // p^0.5 (rare langs upweighted — the multilingual sampling rule),
+        // corpus downsampled to half its rows at the flattened
+        // distribution via per-group rates and a deterministic md5 coin.
+        // The corpus is never shuffled: a |langs|-row count aggregate
+        // broadcasts rates back onto the scan, the gate is a narrow
+        // filter. alpha=0.5 routes through sqrt (correctly-rounded IEEE
+        // in both engines), and the coin replays through ascii() digit
+        // arithmetic, so the oracle reproduces the exact survivor set.
+        operators.Sampling.temperatureMixture(
+            tbl("documents").select(col("doc_id"), col("lang")),
+            "doc_id", "lang", alpha = 0.5, targetFrac = 0.5)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some {
+        val uTerms = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n    + ")
+        s"""WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+           |t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |w AS (SELECT lang, n_g / n AS p_g, sqrt(n_g / n) AS w_g FROM c, t),
+           |s AS (SELECT sum(w_g) AS wsum FROM w),
+           |r AS (SELECT lang, least(1.0, 0.5 * (w_g / wsum) / p_g) AS rate_g
+           |      FROM w, s),
+           |u AS (SELECT doc_id, lang, md5(doc_id::VARCHAR || ':mix') AS h
+           |      FROM documents),
+           |v AS (SELECT doc_id, lang,
+           |  CAST($uTerms AS DOUBLE) / 16777216.0 AS u
+           |  FROM u)
+           |SELECT v.doc_id, v.lang FROM v JOIN r USING (lang)
+           |WHERE v.u < r.rate_g""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

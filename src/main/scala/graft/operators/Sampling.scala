@@ -42,4 +42,58 @@ object Sampling {
     }
     df.filter(pred)
   }
+
+  /** Uniform-in-[0,1) derived from the first six hex digits of
+    * md5(key + salt) — the deterministic coin for rate gates whose rates
+    * are computed IN-PLAN (the 1/256 prefix trick needs a driver-side
+    * rate). Granularity 16^-6 ≈ 6e-8; digit→int goes through `ascii`
+    * (identical in Spark and DuckDB, so a SQL oracle replays the value
+    * exactly — the Packing.epochShuffle replayability discipline). */
+  private[operators] def hashUniform(keyCol: Column, salt: String): Column = {
+    val h = md5(concat(keyCol.cast("string"), lit(salt)))
+    val v = (0 until 6).map { i =>
+      val c = ascii(substring(h, i + 1, 1))
+      when(c >= 97, c - 87).otherwise(c - 48) * lit(1 << (4 * (5 - i)))
+    }.reduce(_ + _)
+    v.cast("double") / lit((1 << 24).toDouble)
+  }
+
+  /** TEMPERATURE-REWEIGHTED mixture resampling — the data-mixing step of
+    * training-corpus assembly: group proportions p_g are flattened to
+    * q_g ∝ p_g^alpha (alpha < 1 upweights rare languages/sources — the
+    * multilingual-sampling rule of the XLM-R / mT5 recipes), and the
+    * corpus is downsampled to `targetFrac` of its rows with the flattened
+    * distribution, via per-group rates r_g = min(1, targetFrac·q_g/p_g)
+    * and a deterministic content-hash coin (same row kept on every run,
+    * engine, and partitioning).
+    *
+    * Scale shape: the corpus is NEVER shuffled — one tiny per-group
+    * count aggregate (|groups| rows) broadcasts its rates back onto the
+    * scan, and the gate itself is a narrow filter. At 100 TB this is a
+    * single pass. alpha = 0.5 routes through `sqrt` (correctly-rounded
+    * IEEE on every engine — exact oracle parity); other alphas use `pow`
+    * (≤ 1 ulp, boundary-flip odds vs the 16^-6 coin grid ≈ 0).
+    *
+    * Note r_g is exact only when rows-per-group ≫ 1/r_g (hash-gate
+    * binomial variance; the q52 contract). Groups needing UPsampling
+    * (r_g > 1) are clamped — repetition factors are a separate op. */
+  def temperatureMixture(docs: DataFrame, idCol: String, groupCol: String,
+                         alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val tot = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val weighted = counts.crossJoin(broadcast(tot))
+      .withColumn("p_g", col("n_g") / col("__n"))
+      .withColumn("w_g",
+        if (alpha == 0.5) sqrt(col("p_g")) else pow(col("p_g"), lit(alpha)))
+    val wsum = weighted.agg(sum(col("w_g")).as("__wsum"))
+    val rates = weighted.crossJoin(broadcast(wsum))
+      .withColumn("rate_g",
+        least(lit(1.0), lit(targetFrac) * (col("w_g") / col("__wsum")) / col("p_g")))
+      .select(col(groupCol), col("rate_g"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(hashUniform(col(idCol), ":mix") < col("rate_g"))
+      .drop("rate_g")
+  }
 }

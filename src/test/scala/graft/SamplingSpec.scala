@@ -43,4 +43,41 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(big))
   }
+
+  test("temperatureMixture: flattens the group distribution, never shuffles the corpus") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val mixed = Sampling.temperatureMixture(docs, "doc_id", "lang",
+      alpha = 0.5, targetFrac = 0.5)
+    // deterministic: identical survivor set on re-run
+    val ids = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Sampling.temperatureMixture(docs, "doc_id", "lang", 0.5, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(ids.nonEmpty && ids.size < docs.count())
+    // flattening: every group's realized sampling rate is within the
+    // hash-coin tolerance of its analytic rate, and rarer groups get
+    // strictly higher rates than dominant ones
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = before.values.sum.toDouble
+    val wsum = before.values.map(c => math.sqrt(c / n)).sum
+    val after = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (g, c) =>
+      val rate = math.min(1.0, 0.5 * (math.sqrt(c / n) / wsum) / (c / n))
+      val got = after.getOrElse(g, 0L).toDouble / c
+      // binomial tolerance: 4 sigma + granularity slack on small groups
+      val tol = 4 * math.sqrt(rate * (1 - rate) / c) + 0.02
+      assert(math.abs(got - rate) <= tol, s"$g: got $got want $rate ± $tol")
+    }
+    val rateOf = before.map { case (g, c) =>
+      g -> math.min(1.0, 0.5 * (math.sqrt(c / n) / wsum) / (c / n)) }
+    val (rare, _) = before.minBy(_._2); val (dom, _) = before.maxBy(_._2)
+    assert(rateOf(rare) > rateOf(dom), s"$rateOf")
+    // scale contract: the corpus side of the plan has NO exchange — the
+    // only exchanges belong to the |groups|-row rate aggregate, and the
+    // rates come back via a broadcast join
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
 }
