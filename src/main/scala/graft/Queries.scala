@@ -2013,6 +2013,43 @@ object Queries {
            |  FROM u)
            |SELECT v.doc_id, v.lang FROM v JOIN r USING (lang)
            |WHERE v.u < r.rate_g""".stripMargin
+      }),
+
+    Q("q83_repetition_upsample",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the upsampling half of mixture assembly: rare-language rows
+        // repeat rate_g = 1.5·q_g/p_g times in expectation (floor copies
+        // + a deterministic-coin extra), each copy tagged rep_idx so the
+        // epoch shuffle can separate them. Same no-corpus-shuffle shape
+        // as q82 plus a narrow sequence-explode.
+        operators.Sampling.repetitionUpsample(
+            tbl("documents").select(col("doc_id"), col("lang")),
+            "doc_id", "lang", alpha = 0.5, targetFactor = 1.5)
+          .select(col("doc_id"), col("lang"), col("rep_idx"))
+      },
+      Some {
+        val uTerms = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n    + ")
+        s"""WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+           |t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |w AS (SELECT lang, n_g / n AS p_g, sqrt(n_g / n) AS w_g FROM c, t),
+           |s AS (SELECT sum(w_g) AS wsum FROM w),
+           |r AS (SELECT lang, 1.5 * (w_g / wsum) / p_g AS rate_g FROM w, s),
+           |u AS (SELECT doc_id, lang, md5(doc_id::VARCHAR || ':rep') AS h
+           |      FROM documents),
+           |v AS (SELECT doc_id, lang,
+           |  CAST($uTerms AS DOUBLE) / 16777216.0 AS u
+           |  FROM u),
+           |k AS (SELECT v.doc_id, v.lang,
+           |  CAST(floor(r.rate_g) AS BIGINT)
+           |    + CASE WHEN v.u < r.rate_g - floor(r.rate_g)
+           |           THEN 1 ELSE 0 END AS n_copies
+           |  FROM v JOIN r USING (lang))
+           |SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT)
+           |  AS rep_idx
+           |FROM k WHERE n_copies > 0""".stripMargin
       }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -96,4 +96,41 @@ object Sampling {
       .filter(hashUniform(col(idCol), ":mix") < col("rate_g"))
       .drop("rate_g")
   }
+
+  /** Repetition-factor UPSAMPLING — the other half of mixture assembly
+    * ([[temperatureMixture]] clamps rates at 1): each row of group g is
+    * materialized `rate_g = targetFactor·q_g/p_g` times in expectation,
+    * as floor(rate_g) guaranteed copies plus one more when the row's
+    * deterministic coin lands under the fractional part. Output carries
+    * `rep_idx` (0-based copy index) so downstream epoch shuffling can
+    * keep copies apart ([[graft.operators.Packing.epochShuffle]] on
+    * id + rep_idx gives each copy its own position).
+    *
+    * Same no-corpus-shuffle shape as [[temperatureMixture]]: a
+    * |groups|-row rate aggregate broadcasts back, then a NARROW
+    * sequence-explode fans each row out n_copies times — no exchange
+    * touches the corpus, and the fan-out is exactly the emitted rows. */
+  def repetitionUpsample(docs: DataFrame, idCol: String, groupCol: String,
+                         alpha: Double, targetFactor: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    require(targetFactor > 0, "targetFactor must be positive")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val tot = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val weighted = counts.crossJoin(broadcast(tot))
+      .withColumn("p_g", col("n_g") / col("__n"))
+      .withColumn("w_g",
+        if (alpha == 0.5) sqrt(col("p_g")) else pow(col("p_g"), lit(alpha)))
+    val wsum = weighted.agg(sum(col("w_g")).as("__wsum"))
+    val rates = weighted.crossJoin(broadcast(wsum))
+      .withColumn("rate_g",
+        lit(targetFactor) * (col("w_g") / col("__wsum")) / col("p_g"))
+      .select(col(groupCol), col("rate_g"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .withColumn("n_copies", floor(col("rate_g")).cast("long") +
+        (hashUniform(col(idCol), ":rep") < (col("rate_g") - floor(col("rate_g"))))
+          .cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(docs.columns.map(col) :+
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("rep_idx"): _*)
+  }
 }

@@ -80,4 +80,32 @@ class SamplingSpec extends AnyFunSuite {
     val plan = mixed.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
   }
+
+  test("repetitionUpsample: expected blow-up, contiguous copy indices, deterministic") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val up = Sampling.repetitionUpsample(docs, "doc_id", "lang",
+      alpha = 0.5, targetFactor = 1.5)
+    val rows = up.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("rep_idx")))
+    // deterministic
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq ==
+      Sampling.repetitionUpsample(docs, "doc_id", "lang", 0.5, 1.5).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          r.getAs[Long]("rep_idx"))).sortBy(r => (r._1, r._3)).toSeq)
+    // total row count ≈ targetFactor × corpus (coin variance bounded)
+    val n = docs.count().toDouble
+    assert(math.abs(rows.length - 1.5 * n) < 0.15 * n, s"${rows.length} vs ${1.5 * n}")
+    // per doc: rep_idx is exactly 0..k-1
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._3).sorted.toSeq == (0L until cs.length).toSeq, s"doc $id")
+    }
+    // flattening upsamples the rarest group harder than the dominant one
+    val perLangFactor = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (rare, _) = before.minBy(_._2); val (dom, _) = before.maxBy(_._2)
+    assert(perLangFactor(rare).toDouble / before(rare) >
+      perLangFactor(dom).toDouble / before(dom))
+  }
 }
