@@ -181,7 +181,10 @@ object Dedup {
     * [[exactGroups]] shape (uniform 8-byte keys, no skew); hot
     * boilerplate spans concentrate ids per hash, bounded by the doc
     * count holding that span — the same bound the inverted-index ops
-    * carry. */
+    * carry. The per-doc window TOTAL never touches an exchange: it is
+    * arithmetic on the token count (max(0, n_tok − spanLen + 1), the
+    * kernel's own output size), so only DUPLICATED windows are ever
+    * aggregated per doc. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       spanLen: Int): DataFrame = {
     require(spanLen >= 1, "spanLen must be positive")
@@ -192,13 +195,13 @@ object Dedup {
     val dupH = spans.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("h")
-    val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
     val dupPerDoc = spans.join(dupH, Seq("h"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
-    docs.select(col(idCol).as("id"))
-      .join(perDoc, Seq("id"), "left")
+    docs.select(col(idCol).as("id"),
+        greatest(lit(0L),
+          Text.tokenCount(col(textCol)) - (spanLen - 1)).as("n_spans"))
       .join(dupPerDoc, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+      .select(col("id"), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
       .withColumn("dup_frac",
         round(when(col("n_spans") === 0, lit(0.0))
