@@ -2050,7 +2050,40 @@ object Queries {
            |SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT)
            |  AS rep_idx
            |FROM k WHERE n_copies > 0""".stripMargin
-      }))
+      }),
+
+    Q("q84_bm25_rank",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // BM25 ranking: top-50 docs for a 3-term probe query (Okapi
+        // formulation, k1=1.2 b=0.75). The token stream is filtered to
+        // the query terms BEFORE any exchange; corpus stats and the
+        // |Q|-row idf table broadcast. Deterministic: scores rounded to
+        // 6 decimals on BOTH sides before the order-by, doc_id tiebreak.
+        operators.Retrieval.bm25(tbl("documents"), "doc_id", "text",
+            Seq("hash", "filter", "customer"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+             |  string_split(lower(text), ' ') AS w FROM documents),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+             |       FROM p),
+             |tf AS (SELECT doc_id, dl, t AS term,
+             |    CAST(count(*) AS DOUBLE) AS f
+             |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM p)
+             |  WHERE t IN ('hash', 'filter', 'customer')
+             |  GROUP BY doc_id, dl, t),
+             |idf AS (SELECT term,
+             |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+             |  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df
+             |        FROM tf GROUP BY term), st)
+             |SELECT tf.doc_id,
+             |  round(sum(idf.idf * tf.f * 2.2 / (tf.f + 1.2 *
+             |    (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+             |FROM tf JOIN idf USING (term)
+             |GROUP BY tf.doc_id
+             |ORDER BY score DESC, tf.doc_id LIMIT 50""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -161,6 +161,32 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(rows(8) == "mix <EMAIL> <IP> <CARD> <SSN> <PHONE> <NUM> end")
   }
 
+  test("bm25: matches a driver-side reference; rare terms outrank common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash hash hash pad"),   // tf=3 on a common term
+      (2L, "hash pad pad pad"),     // tf=1, same dl → lower than doc 1
+      (3L, "rare pad pad pad"),     // tf=1 on a term only here → idf boost
+      (4L, "pad pad pad pad"))      // no query term → absent from output
+      .toDF("doc_id", "text")
+    val got = graft.operators.Retrieval
+      .bm25(docs, "doc_id", "text", Seq("hash", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(4L))
+    // driver-side reference, same formula
+    val (k1, b, n, avgdl) = (1.2, 0.75, 4.0, 4.0)
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def part(i: Double, f: Double, dl: Double) =
+      i * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(part(idf(2), 3, 4)), got.toString)
+    assert(got(2L) == r6(part(idf(2), 1, 4)), got.toString)
+    assert(got(3L) == r6(part(idf(1), 1, 4)), got.toString)
+    assert(got(1L) > got(2L))
+    // equal tf and dl: the rarer term scores strictly higher
+    assert(got(3L) > got(2L))
+  }
+
   test("custom expressions fail ANALYSIS on mistyped input, not executor runtime") {
     // every native kernel declares checkInputDataTypes: a wrong child type
     // must surface as a clear analysis error (AsOfJoin.requireOrderable
