@@ -2083,7 +2083,43 @@ object Queries {
              |    (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
              |FROM tf JOIN idf USING (term)
              |GROUP BY tf.doc_id
-             |ORDER BY score DESC, tf.doc_id LIMIT 50""".stripMargin)))
+             |ORDER BY score DESC, tf.doc_id LIMIT 50""".stripMargin)),
+
+    Q("q85_span_removal",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // exact substring dedup (Lee et al. 2022 semantics): every
+        // 8-token window occurring in >= 2 docs keeps its min-id
+        // occurrence; other docs have the window's tokens trimmed
+        // (overlaps union; a fully-covered doc becomes ''). Only
+        // matched windows fan out to removal rows — the token stream
+        // itself is rebuilt narrowly. The oracle reconstructs the
+        // removal sets with exact window strings, so both the candidate
+        // machinery AND the positional trim are under oracle.
+        operators.Dedup.removeDuplicatedSpans(tbl("documents"), "doc_id",
+            "text", spanLen = 8)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents),
+             |gs AS (SELECT doc_id, pos,
+             |    array_to_string(w[pos + 1 : pos + 8], ' ') AS sp
+             |  FROM (SELECT doc_id, w,
+             |          unnest(range(0, greatest(len(w) - 8 + 1, 0))) AS pos
+             |        FROM p)),
+             |k AS (SELECT sp, min(doc_id) AS keeper
+             |  FROM (SELECT DISTINCT doc_id, sp FROM gs)
+             |  GROUP BY sp HAVING count(*) >= 2),
+             |rem AS (SELECT DISTINCT doc_id, ti FROM
+             |  (SELECT gs.doc_id, unnest(range(gs.pos + 1, gs.pos + 9)) AS ti
+             |   FROM gs JOIN k USING (sp) WHERE gs.doc_id <> k.keeper)),
+             |r2 AS (SELECT doc_id, list(ti) AS rem, count(*) AS n_removed
+             |  FROM rem GROUP BY doc_id)
+             |SELECT p.doc_id,
+             |  coalesce(array_to_string(list_filter(p.w,
+             |    (x, i) -> NOT list_contains(coalesce(r2.rem, []), i)), ' '),
+             |    '') AS cleaned_text,
+             |  CAST(coalesce(r2.n_removed, 0) AS BIGINT) AS n_removed
+             |FROM p LEFT JOIN r2 USING (doc_id)""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -208,6 +208,58 @@ object Dedup {
           .otherwise(col("n_dup_spans").cast("double") / col("n_spans")), 6))
   }
 
+  /** Cross-document REPEATED-SPAN REMOVAL — the repair to
+    * [[duplicatedSpans]]' diagnosis (exact substring dedup in the style
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated long spans are memorization fuel, and
+    * TRIMMING them keeps the surrounding novel text that whole-document
+    * dropping would discard). For every `spanLen`-token window occurring
+    * in ≥ 2 documents, the MIN-id document keeps its text; every other
+    * document has the window's token positions removed. Overlapping
+    * removals union (a token is removed once), and a fully-covered doc
+    * comes back as an empty string, not a dropped row. Returns one row
+    * per doc: (id, cleaned_text, n_removed).
+    *
+    * Shape: the [[duplicatedSpans]] candidate machinery with positions —
+    * windows hash to 8 bytes before the exchange, the keeper aggregate
+    * rides the same (hash)-keyed shuffle, and only MATCHED windows fan
+    * out to (id, token-index) removal rows (∝ duplicated volume, not
+    * corpus volume). The text itself is rebuilt NARROWLY: the removal
+    * index set joins back by id and a positional array filter drops the
+    * covered tokens — the token stream never enters an exchange. The
+    * per-doc filter is an interpreted HOF over (n_tok × |removals|) —
+    * fine at document grain (SCALE.md's HOF caveat targets per-row hot
+    * kernels, not once-per-doc output assembly); a corpus dominated by
+    * near-total removals would warrant a native sorted-lookup kernel. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            spanLen: Int): DataFrame = {
+    require(spanLen >= 1, "spanLen must be positive")
+    val spans = docs.select(col(idCol).as("id"),
+        posexplode(graft.plans.exprs.wordNgrams(lower(col(textCol)), spanLen))
+          .as(Seq("pos", "g")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("g")).as("h"))
+    val keepers = spans.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"), min(col("id")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select("h", "keeper")
+    val removed = spans.join(keepers, Seq("h"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("ti"))
+      .distinct()
+      .groupBy("id").agg(collect_set(col("ti")).as("rem"))
+    docs.select(col(idCol).as("id"),
+        graft.functions.Text.tokens(lower(col(textCol))).as("toks"))
+      .join(removed, Seq("id"), "left")
+      .select(col("id"),
+        array_join(filter(col("toks"),
+          (_, i) => !array_contains(
+            coalesce(col("rem"), lit(Array.emptyLongArray)), i.cast("long"))),
+          " ").as("cleaned_text"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** Connected components over an undirected pair list — the clustering
     * step that turns pairwise near-duplicates into dedup GROUPS, so
     * survivor selection is consistent per cluster (transitive closure)

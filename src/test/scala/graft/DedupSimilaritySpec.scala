@@ -505,4 +505,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = (ivfSet & bfSet).size.toDouble / bfSet.size
     assert(recall > 0.3, s"IVF recall $recall too low even for nProbe=4/8 cells")
   }
+
+  test("removeDuplicatedSpans: min-id keeps, overlaps union, full coverage → empty") {
+    val L = 4
+    val docs = Seq(
+      (1L, "a b c d x1 x2"),       // keeper of span "a b c d"
+      (2L, "z a b c d w"),         // loses positions 1..4 → "z w"
+      (3L, "p q r s t u"),         // untouched
+      (4L, "a b c d"),             // fully covered → empty
+      (5L, "m b c d e n"),         // keeper of "b c d e"
+      (6L, "b c d e"))             // fully covered by 5's span → empty
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", L)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("cleaned_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(got(1L) == ("a b c d x1 x2", 0L)) // min-id occurrence untouched
+    assert(got(2L) == ("z w", 4L))
+    assert(got(3L) == ("p q r s t u", 0L))
+    assert(got(4L) == ("", 4L))
+    assert(got(5L) == ("m b c d e n", 0L))
+    assert(got(6L) == ("", 4L))
+    // overlap union: doc 8 shares BOTH "a b c d" (keeper 1) and
+    // "b c d e" (keeper 5) via overlapping windows — 5 distinct tokens
+    // removed, not 8
+    val got2 = Dedup.removeDuplicatedSpans(
+        docs.unionByName(Seq((8L, "a b c d e tail1 tail2 tail3"))
+          .toDF("doc_id", "text")),
+        "doc_id", "text", L)
+      .filter($"id" === 8L).collect()
+      .map(r => (r.getAs[String]("cleaned_text"), r.getAs[Long]("n_removed")))
+      .head
+    assert(got2 == ("tail1 tail2 tail3", 5L), got2.toString)
+  }
 }
