@@ -2119,7 +2119,53 @@ object Queries {
              |    (x, i) -> NOT list_contains(coalesce(r2.rem, []), i)), ' '),
              |    '') AS cleaned_text,
              |  CAST(coalesce(r2.n_removed, 0) AS BIGINT) AS n_removed
-             |FROM p LEFT JOIN r2 USING (doc_id)""".stripMargin)))
+             |FROM p LEFT JOIN r2 USING (doc_id)""".stripMargin)),
+
+    Q("q86_corpus_prep_substring",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the q51 composition extended one stage: quality gate → lang
+        // gate → exact dedup → near-dup dedup → SUBSTRING trim — span
+        // removal runs on the SURVIVOR set (production order: whole-doc
+        // dedup first, so only genuinely partial overlap remains for
+        // the trimmer). Output is the trim accounting per surviving
+        // doc; n_tok_clean is integer arithmetic on both sides (no
+        // empty-string token edge cases).
+        val prepared = Corpus.prepare(tbl("documents"), "doc_id", "text",
+          Stopwords, LangMarkers, keepLangs = Set("en"),
+          minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0)
+        val survivors = tbl("documents").select(col("doc_id"), col("text"))
+          .join(prepared.select("doc_id"), Seq("doc_id"), "left_semi")
+        val trimmed = operators.Dedup.removeDuplicatedSpans(survivors,
+            "doc_id", "text", spanLen = 8)
+          .withColumnRenamed("id", "doc_id")
+        survivors
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tok"))
+          .join(trimmed.select(col("doc_id"), col("n_removed")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_removed"),
+            (col("n_tok") - col("n_removed")).as("n_tok_clean"))
+      },
+      Some(corpusPrepOracleCte(recursive = false) +
+        """,
+          |dups AS (SELECT DISTINCT id_b AS doc_id FROM p
+          |         WHERE inter / (tot - inter) >= 0.6),
+          |s AS (SELECT e.doc_id, string_split(lower(e.text), ' ') AS w
+          |      FROM e WHERE e.doc_id NOT IN (SELECT doc_id FROM dups)),
+          |gs AS (SELECT doc_id, pos,
+          |    array_to_string(w[pos + 1 : pos + 8], ' ') AS sp
+          |  FROM (SELECT doc_id, w,
+          |          unnest(range(0, greatest(len(w) - 8 + 1, 0))) AS pos
+          |        FROM s)),
+          |k2 AS (SELECT sp, min(doc_id) AS keeper
+          |  FROM (SELECT DISTINCT doc_id, sp FROM gs)
+          |  GROUP BY sp HAVING count(*) >= 2),
+          |rem AS (SELECT DISTINCT doc_id, ti FROM
+          |  (SELECT gs.doc_id, unnest(range(gs.pos + 1, gs.pos + 9)) AS ti
+          |   FROM gs JOIN k2 USING (sp) WHERE gs.doc_id <> k2.keeper)),
+          |r2 AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id)
+          |SELECT s.doc_id,
+          |  CAST(coalesce(r2.n_removed, 0) AS BIGINT) AS n_removed,
+          |  CAST(len(s.w) - coalesce(r2.n_removed, 0) AS BIGINT) AS n_tok_clean
+          |FROM s LEFT JOIN r2 USING (doc_id)""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
