@@ -108,4 +108,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(perLangFactor(rare).toDouble / before(rare) >
       perLangFactor(dom).toDouble / before(dom))
   }
+
+  test("repetitionUpsample → epochShuffle composes: copies land apart") {
+    // the scaladoc-advertised composition (epoch-shuffle on id + rep_idx
+    // so repeated copies don't sit adjacent in training order) must
+    // actually run and separate copies — the q78 lesson, applied here
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val up = Sampling.repetitionUpsample(docs, "doc_id", "lang",
+        alpha = 0.5, targetFactor = 2.0)
+      .withColumn("copy_key", concat_ws("#",
+        col("doc_id").cast("string"), col("rep_idx").cast("string")))
+    val shuffled = graft.operators.Packing.epochShuffle(up, "copy_key",
+        seed = 7L, numShards = 8)
+      .select("doc_id", "rep_idx", "epoch_key", "epoch_shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // every copy gets a distinct position key
+    assert(shuffled.map(_._3).distinct.length == shuffled.length)
+    // copies of the same doc do not all share a shard: for docs with
+    // >= 2 copies, at least one lands in a different shard somewhere
+    // (md5 over the composite key decorrelates copies)
+    val multi = shuffled.groupBy(_._1).filter(_._2.length >= 2)
+    assert(multi.nonEmpty)
+    assert(multi.exists { case (_, cs) => cs.map(_._4).distinct.length > 1 },
+      "all copies of every doc landed in the same shard")
+  }
 }
