@@ -2170,7 +2170,37 @@ object Queries {
           |SELECT s.doc_id,
           |  CAST(coalesce(r2.n_removed, 0) AS BIGINT) AS n_removed,
           |  CAST(len(s.w) - coalesce(r2.n_removed, 0) AS BIGINT) AS n_tok_clean
-          |FROM s LEFT JOIN r2 USING (doc_id)""".stripMargin)))
+          |FROM s LEFT JOIN r2 USING (doc_id)""".stripMargin)),
+
+    Q("q87_length_quantiles",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // corpus length telemetry: per-language token-count percentiles
+        // (the numbers that size packing budgets and spot truncation/
+        // boilerplate tails). Spark `percentile` and DuckDB
+        // `quantile_cont` both implement R-7 linear interpolation, and
+        // the interpolation arithmetic on integer inputs is exact IEEE —
+        // the oracle matches without tolerance. Exact percentile
+        // aggregates buffer one (value → count) map per group: groups
+        // are languages (bounded) and distinct doc lengths are bounded
+        // by the length range, so per-group state stays small at any
+        // corpus size (switch to approx_percentile only if value
+        // domains explode).
+        tbl("documents")
+          .select(col("lang"), Text.tokenCount(col("text")).as("n_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(percentile(col("n_tok"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("n_tok"), lit(0.9)), 6).as("p90"),
+            round(percentile(col("n_tok"), lit(0.99)), 6).as("p99"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  round(quantile_cont(n_tok, 0.5), 6) AS p50,
+             |  round(quantile_cont(n_tok, 0.9), 6) AS p90,
+             |  round(quantile_cont(n_tok, 0.99), 6) AS p99
+             |FROM (SELECT lang,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |      FROM documents)
+             |GROUP BY lang""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
