@@ -2200,7 +2200,43 @@ object Queries {
              |FROM (SELECT lang,
              |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
              |      FROM documents)
-             |GROUP BY lang""".stripMargin)))
+             |GROUP BY lang""".stripMargin)),
+
+    Q("q88_quantize_int8",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // int8 embedding quantization — the ANN storage-compression
+        // path (float32 corpus → ~4× smaller before indexing). Purely
+        // narrow double arithmetic (float inputs cast exactly), so the
+        // quantized codes, the per-vector scale, AND the max
+        // dequantization error replay bit-for-bit in the oracle — no
+        // tolerance anywhere.
+        import graft.functions.Vectors
+        val dv = transform(col("embedding"), x => x.cast("double"))
+        val scale = Vectors.quantScale(col("embedding"))
+        tbl("embeddings").select(
+          col("vec_id"),
+          scale.as("scale"),
+          array_join(transform(Vectors.quantizeInt8(col("embedding")),
+            _.cast("string")), ",").as("q_str"),
+          when(scale === 0d, lit(0.0)).otherwise(
+            array_max(transform(dv, x =>
+              abs(x - round(x * 127d / scale) * scale / lit(127d)))))
+            .as("max_err"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |            FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |  list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+             |SELECT vec_id, scale,
+             |  array_to_string(CASE WHEN scale = 0
+             |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             |    ELSE list_transform(v, x ->
+             |      CAST(round(x * 127 / scale) AS BIGINT)) END, ',') AS q_str,
+             |  CASE WHEN scale = 0 THEN 0.0
+             |    ELSE list_max(list_transform(v, x ->
+             |      abs(x - round(x * 127 / scale) * scale / 127))) END
+             |    AS max_err
+             |FROM m""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

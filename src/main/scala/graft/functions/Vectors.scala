@@ -50,4 +50,24 @@ object Vectors {
     * so signatures wider than 64 planes compose as several long words. */
   def hyperplaneSignature(v: Column, planes: Int, planeOffset: Int = 0): Column =
     graft.plans.exprs.hyperplaneSig(v, planes, planeOffset)
+
+  /** Per-vector symmetric int8 quantization — the ANN storage path
+    * (a float32 corpus shrinks ~4× before the IVF/LSH index is built;
+    * recall impact is bounded by the ~0.4%-of-max rounding error per
+    * dim). Scale = max |x_i| (the vector's own dynamic range);
+    * q_i = round(127·x_i / scale) ∈ [−127, 127]. Dequantize with
+    * q_i·scale/127. Purely NARROW arithmetic — no shuffle, no state;
+    * all-zero vectors quantize to zeros (scale 0 guarded). All
+    * arithmetic runs in double (float inputs cast exactly), so an
+    * external SQL oracle replays the quantized values bit-for-bit. */
+  def quantizeInt8(v: Column): Column = {
+    val dv = toDouble(v)
+    val scale = array_max(transform(dv, x => abs(x)))
+    when(scale === 0d, transform(dv, _ => lit(0L)))
+      .otherwise(transform(dv, x => round(x * 127d / scale).cast("long")))
+  }
+
+  /** The [[quantizeInt8]] scale term (max |x_i| as double), stored next
+    * to the quantized vector for dequantization. */
+  def quantScale(v: Column): Column = array_max(transform(toDouble(v), x => abs(x)))
 }

@@ -187,6 +187,31 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(got(3L) > got(2L))
   }
 
+  test("quantizeInt8: codes bounded, extremes pinned, error within half-step, zeros safe") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),  // max-abs element → ±127
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),    // all-zero: scale 0 guard
+      (3L, Array(1e-8f, -1e-8f, 1e-8f, 0.0f)))  // tiny but nonzero scale
+      .toDF("vec_id", "v")
+    val rows = df.select(col("vec_id"), Vectors.quantScale(col("v")).as("s"),
+        Vectors.quantizeInt8(col("v")).as("q"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2), r.getSeq[Float](3)))
+    rows.foreach { case (id, s, q, v) =>
+      assert(q.forall(x => x >= -127 && x <= 127), s"$id: $q")
+      // roundtrip error bounded by half a quantization step
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x.toDouble - (if (s == 0) 0.0 else qi * s / 127)) <=
+          (if (s == 0) 0.0 else s / 254 + 1e-12), s"$id: $x vs $qi")
+      }
+    }
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m(1L)._3 == Seq(64L, -127L, 32L, 0L))
+    assert(m(2L)._3 == Seq(0L, 0L, 0L, 0L) && m(2L)._2 == 0.0)
+    assert(m(3L)._3.max == 127L)
+  }
+
   test("custom expressions fail ANALYSIS on mistyped input, not executor runtime") {
     // every native kernel declares checkInputDataTypes: a wrong child type
     // must surface as a clear analysis error (AsOfJoin.requireOrderable
