@@ -506,6 +506,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall $recall too low even for nProbe=4/8 cells")
   }
 
+  test("quantized ANN: int8-dequantized brute-force keeps high recall vs float") {
+    import graft.functions.Vectors
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    val dequant = emb.select($"vec_id",
+      transform(Vectors.quantizeInt8($"embedding"),
+        q => (q * Vectors.quantScale($"embedding") / lit(127d)).cast("float"))
+        .as("embedding"))
+    val queries = emb.filter($"vec_id" < 5)
+    def top(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top(emb)
+    val viaQuant = top(dequant)
+    val recall = (exact & viaQuant).size.toDouble / exact.size
+    // ~0.4%-of-max per-dim rounding error must not reorder neighbors much
+    assert(recall >= 0.9, s"quantized recall $recall")
+  }
+
   test("removeDuplicatedSpans: min-id keeps, overlaps union, full coverage → empty") {
     val L = 4
     val docs = Seq(
