@@ -2236,7 +2236,65 @@ object Queries {
              |    ELSE list_max(list_transform(v, x ->
              |      abs(x - round(x * 127 / scale) * scale / 127))) END
              |    AS max_err
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    Q("q89_streaming_window_agg",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // streaming WINDOWED AGGREGATION end-to-end — the q68/q79
+        // discipline applied to the aggregation path: a real file
+        // stream (two micro-batches, pinned order) drives
+        // EventStreams.windowedCounts (watermarked tumbling windows,
+        // append mode); after AvailableNow terminates, the emitted set
+        // is exactly the windows the final watermark (global max ts −
+        // 1 h) closed — the last hour's windows stay open and are
+        // deterministically absent. The oracle recomputes the batch
+        // aggregation and applies the same watermark cut; max(ts) is
+        // mid-hour at every SF, so the cut is boundary-unambiguous.
+        import java.nio.file.{Files, Paths}
+        import java.nio.file.attribute.FileTime
+        val ev = tbl("events").select(col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        val dir = Files.createTempDirectory("graft_q89_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val st = dir.resolve("stage_" + name).toString
+          df.coalesce(1).write.mode("overwrite").parquet(st)
+          val listing = Files.list(Paths.get(st))
+          val part = try listing.filter(p =>
+            p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          finally listing.close()
+          val dst = src.resolve(name + ".parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+        }
+        val now = System.currentTimeMillis()
+        stage(ev.filter(col("event_id") % 2 === 0), "batch_a", now - 120000)
+        stage(ev.filter(col("event_id") % 2 === 1), "batch_b", now - 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        val query = streaming.EventStreams
+          .windowedCounts(stream.drop("event_id"), "1 hour", "1 hour")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(out)
+          .select(col("window_start"), col("event_type"),
+            col("n").cast("long").as("n"), col("total_value"))
+      },
+      Some("""WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             |    AS window_start, event_type,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    round(sum(value), 4) AS total_value
+             |  FROM events GROUP BY 1, 2),
+             |c AS (SELECT max(ts) - INTERVAL 1 HOUR AS cut FROM events)
+             |SELECT window_start, event_type, n, total_value
+             |FROM b, c
+             |WHERE window_start + INTERVAL 1 HOUR <= cut""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
