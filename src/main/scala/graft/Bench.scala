@@ -144,8 +144,12 @@ object Bench {
     // the complete line is ALSO written into the repo, making the bench
     // artifact self-contained regardless of driver capture limits
     try {
+      // repo-relative default: the bench runs from the checkout root
+      // (both the harness driver and the verify recipe do), so the
+      // artifact follows the working copy instead of a hardcoded machine
+      // path; override with SPARK_GRAFT_BENCH_OUT for other layouts
       val out = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "/root/repo/docs/bench_full.json"))
+        "SPARK_GRAFT_BENCH_OUT", "docs/bench_full.json"))
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(out, json + "\n")
       System.err.println(s"[bench] full JSON written to $out")

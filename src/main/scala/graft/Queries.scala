@@ -28,6 +28,27 @@ object Queries {
     def tbl(n: String): DataFrame = Tables(s, d, n)
   }
 
+  /** Stage `df` as ONE parquet file at `srcDir/name.parquet` with a
+    * pinned mtime — the file-stream fixture shared by the streaming
+    * oracles (q68/q79/q89): under maxFilesPerTrigger=1 the file source
+    * orders files by mtime, so pinning it makes micro-batch order
+    * deterministic. */
+  private def stageStreamFile(df: DataFrame, srcDir: java.nio.file.Path,
+                              name: String, mtime: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val st = srcDir.resolveSibling("stage_" + name).toString
+    df.coalesce(1).write.mode("overwrite").parquet(st)
+    val listing = Files.list(Paths.get(st))
+    val part = try listing.filter(p =>
+      p.getFileName.toString.startsWith("part-") &&
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    finally listing.close()
+    val dst = srcDir.resolve(name + ".parquet")
+    Files.move(part, dst)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+  }
+
   /** Stopword list shared by quality scoring (and its oracle SQL). */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in")
   private val StopSql = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -1404,22 +1425,12 @@ object Queries {
         val dir = Files.createTempDirectory("graft_q68_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
-        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-          val st = dir.resolve("stage_" + name).toString
-          df.coalesce(1).write.mode("overwrite").parquet(st)
-          val listing = Files.list(Paths.get(st))
-          val part = try listing.filter(p =>
-            p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          finally listing.close()
-          val dst = src.resolve(name + ".parquet")
-          Files.move(part, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-        }
         val now = System.currentTimeMillis()
         val streamed = docs.filter(col("doc_id") % 3 === 0)
-        stage(streamed.filter(expr("(doc_id div 3) % 2 = 0")), "batch_a", now - 120000)
-        stage(streamed.filter(expr("(doc_id div 3) % 2 = 1")), "batch_b", now - 60000)
+        stageStreamFile(streamed.filter(expr("(doc_id div 3) % 2 = 0")), src,
+          "batch_a", now - 120000)
+        stageStreamFile(streamed.filter(expr("(doc_id div 3) % 2 = 1")), src,
+          "batch_b", now - 60000)
         val stream = s.readStream.schema(streamed.schema)
           .option("maxFilesPerTrigger", 1).parquet(src.toString)
         val query = stream.writeStream
@@ -1843,21 +1854,9 @@ object Queries {
         val dir = Files.createTempDirectory("graft_q79_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
-        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-          val st = dir.resolve("stage_" + name).toString
-          df.coalesce(1).write.mode("overwrite").parquet(st)
-          val listing = Files.list(Paths.get(st))
-          val part = try listing.filter(p =>
-            p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          finally listing.close()
-          val dst = src.resolve(name + ".parquet")
-          Files.move(part, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-        }
         val now = System.currentTimeMillis()
-        stage(batchA, "batch_a", now - 120000)
-        stage(batchB, "batch_b", now - 60000)
+        stageStreamFile(batchA, src, "batch_a", now - 120000)
+        stageStreamFile(batchB, src, "batch_b", now - 60000)
         val stream = s.readStream.schema(batchA.schema)
           .option("maxFilesPerTrigger", 1).parquet(src.toString)
         val query = stream.writeStream
@@ -2099,8 +2098,8 @@ object Queries {
             "text", spanLen = 8)
           .withColumnRenamed("id", "doc_id")
       },
-      Some("""WITH p AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-             |  FROM documents),
+      Some("""WITH p AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
+             |  string_split(text, ' ') AS wo FROM documents),
              |gs AS (SELECT doc_id, pos,
              |    array_to_string(w[pos + 1 : pos + 8], ' ') AS sp
              |  FROM (SELECT doc_id, w,
@@ -2115,7 +2114,7 @@ object Queries {
              |r2 AS (SELECT doc_id, list(ti) AS rem, count(*) AS n_removed
              |  FROM rem GROUP BY doc_id)
              |SELECT p.doc_id,
-             |  coalesce(array_to_string(list_filter(p.w,
+             |  coalesce(array_to_string(list_filter(p.wo,
              |    (x, i) -> NOT list_contains(coalesce(r2.rem, []), i)), ' '),
              |    '') AS cleaned_text,
              |  CAST(coalesce(r2.n_removed, 0) AS BIGINT) AS n_removed
@@ -2213,15 +2212,21 @@ object Queries {
         import graft.functions.Vectors
         val dv = transform(col("embedding"), x => x.cast("double"))
         val scale = Vectors.quantScale(col("embedding"))
-        tbl("embeddings").select(
-          col("vec_id"),
-          scale.as("scale"),
-          array_join(transform(Vectors.quantizeInt8(col("embedding")),
-            _.cast("string")), ",").as("q_str"),
-          when(scale === 0d, lit(0.0)).otherwise(
-            array_max(transform(dv, x =>
-              abs(x - round(x * 127d / scale) * scale / lit(127d)))))
-            .as("max_err"))
+        // max_err derives from the SAME quantized codes reported in
+        // q_str (zip_with against the q column) — one source of truth,
+        // so a future quantizer change can't silently leave the error
+        // column measuring the old formula
+        tbl("embeddings")
+          .select(col("vec_id"), scale.as("scale"), dv.as("dv"),
+            Vectors.quantizeInt8(col("embedding")).as("q"))
+          .select(
+            col("vec_id"),
+            col("scale"),
+            array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
+            when(col("scale") === 0d, lit(0.0)).otherwise(
+              array_max(zip_with(col("dv"), col("q"), (x, qi) =>
+                abs(x - qi * col("scale") / lit(127d)))))
+              .as("max_err"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |            FROM embeddings),
@@ -2257,21 +2262,11 @@ object Queries {
         val dir = Files.createTempDirectory("graft_q89_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
-        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-          val st = dir.resolve("stage_" + name).toString
-          df.coalesce(1).write.mode("overwrite").parquet(st)
-          val listing = Files.list(Paths.get(st))
-          val part = try listing.filter(p =>
-            p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          finally listing.close()
-          val dst = src.resolve(name + ".parquet")
-          Files.move(part, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-        }
         val now = System.currentTimeMillis()
-        stage(ev.filter(col("event_id") % 2 === 0), "batch_a", now - 120000)
-        stage(ev.filter(col("event_id") % 2 === 1), "batch_b", now - 60000)
+        stageStreamFile(ev.filter(col("event_id") % 2 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(ev.filter(col("event_id") % 2 === 1), src,
+          "batch_b", now - 60000)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(src.toString)
         val query = streaming.EventStreams

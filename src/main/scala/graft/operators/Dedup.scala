@@ -250,7 +250,12 @@ object Dedup {
       .distinct()
       .groupBy("id").agg(collect_set(col("ti")).as("rem"))
     docs.select(col(idCol).as("id"),
-        graft.functions.Text.tokens(lower(col(textCol))).as("toks"))
+        // ORIGINAL casing: matching is case-insensitive (windows hash
+        // over lower(text), the corpus-dedup convention), but the trim
+        // must not case-fold the surviving text — lowercasing preserves
+        // the delimiter structure, so token positions align and the
+        // removal indices transfer to the original tokens
+        graft.functions.Text.tokens(col(textCol)).as("toks"))
       .join(removed, Seq("id"), "left")
       .select(col("id"),
         array_join(filter(col("toks"),

@@ -165,7 +165,11 @@ object Packing {
       var empty = true // nothing packed yet in the current shard
       it.map { r =>
         val sh = r.get(1)
-        if (!started || sh != shard) {
+        // deepEquals: structural comparison for every shard type — a
+        // BinaryType shard deserializes to a fresh Array[Byte] per row,
+        // and Any.!= would compare those by reference (every row would
+        // look like a new shard and silently reset the fold)
+        if (!started || !java.util.Objects.deepEquals(sh, shard)) {
           started = true; shard = sh; chunk = 0L; fill = 0L; empty = true
         }
         val n = r.getLong(2)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic content-hash sampling for training corpora.
@@ -77,21 +78,36 @@ object Sampling {
     * Note r_g is exact only when rows-per-group ≫ 1/r_g (hash-gate
     * binomial variance; the q52 contract). Groups needing UPsampling
     * (r_g > 1) are clamped — repetition factors are a separate op. */
+  /** Per-group temperature rates rate_g = targetFactor·q_g/p_g
+    * (UNclamped), with q_g ∝ p_g^alpha — the shared derivation behind
+    * [[temperatureMixture]] (which clamps at 1) and
+    * [[repetitionUpsample]] (which materializes rates above 1 as
+    * copies). ONE corpus aggregate: the total and the q-normalizer are
+    * windows over the |groups|-row result (a deliberate single-task
+    * window — the group domain is languages/sources, bounded by design,
+    * not data). alpha = 0.5 routes through `sqrt` (correctly-rounded
+    * IEEE on every engine — exact oracle parity); other alphas use
+    * `pow` (≤ 1 ulp; boundary-flip odds against the 16^-6 coin grid
+    * are measure-zero). */
+  private def temperatureRates(docs: DataFrame, groupCol: String,
+                               alpha: Double, targetFactor: Double): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .withColumn("p_g", col("n_g") / sum(col("n_g")).over(all).cast("double"))
+      .withColumn("w_g",
+        if (alpha == 0.5) sqrt(col("p_g")) else pow(col("p_g"), lit(alpha)))
+      .withColumn("rate_g",
+        lit(targetFactor) * (col("w_g") / sum(col("w_g")).over(all)) / col("p_g"))
+      .select(col(groupCol), col("rate_g"))
+  }
+
   def temperatureMixture(docs: DataFrame, idCol: String, groupCol: String,
                          alpha: Double, targetFrac: Double): DataFrame = {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
     require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
-    val tot = docs.agg(count(lit(1)).cast("double").as("__n"))
-    val weighted = counts.crossJoin(broadcast(tot))
-      .withColumn("p_g", col("n_g") / col("__n"))
-      .withColumn("w_g",
-        if (alpha == 0.5) sqrt(col("p_g")) else pow(col("p_g"), lit(alpha)))
-    val wsum = weighted.agg(sum(col("w_g")).as("__wsum"))
-    val rates = weighted.crossJoin(broadcast(wsum))
-      .withColumn("rate_g",
-        least(lit(1.0), lit(targetFrac) * (col("w_g") / col("__wsum")) / col("p_g")))
-      .select(col(groupCol), col("rate_g"))
+    val rates = temperatureRates(docs, groupCol, alpha, targetFrac)
+      .withColumn("rate_g", least(lit(1.0), col("rate_g")))
     docs.join(broadcast(rates), Seq(groupCol))
       .filter(hashUniform(col(idCol), ":mix") < col("rate_g"))
       .drop("rate_g")
@@ -114,17 +130,7 @@ object Sampling {
                          alpha: Double, targetFactor: Double): DataFrame = {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
     require(targetFactor > 0, "targetFactor must be positive")
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
-    val tot = docs.agg(count(lit(1)).cast("double").as("__n"))
-    val weighted = counts.crossJoin(broadcast(tot))
-      .withColumn("p_g", col("n_g") / col("__n"))
-      .withColumn("w_g",
-        if (alpha == 0.5) sqrt(col("p_g")) else pow(col("p_g"), lit(alpha)))
-    val wsum = weighted.agg(sum(col("w_g")).as("__wsum"))
-    val rates = weighted.crossJoin(broadcast(wsum))
-      .withColumn("rate_g",
-        lit(targetFactor) * (col("w_g") / col("__wsum")) / col("p_g"))
-      .select(col(groupCol), col("rate_g"))
+    val rates = temperatureRates(docs, groupCol, alpha, targetFactor)
     docs.join(broadcast(rates), Seq(groupCol))
       .withColumn("n_copies", floor(col("rate_g")).cast("long") +
         (hashUniform(col(idCol), ":rep") < (col("rate_g") - floor(col("rate_g"))))

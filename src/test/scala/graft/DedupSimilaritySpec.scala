@@ -527,23 +527,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("removeDuplicatedSpans: min-id keeps, overlaps union, full coverage → empty") {
     val L = 4
     val docs = Seq(
-      (1L, "a b c d x1 x2"),       // keeper of span "a b c d"
+      (1L, "a B c d x1 x2"),       // keeper of span "a b c d" (mixed case)
       (2L, "z a b c d w"),         // loses positions 1..4 → "z w"
       (3L, "p q r s t u"),         // untouched
       (4L, "a b c d"),             // fully covered → empty
       (5L, "m b c d e n"),         // keeper of "b c d e"
-      (6L, "b c d e"))             // fully covered by 5's span → empty
+      (6L, "b c d e"),             // fully covered by 5's span → empty
+      (9L, "A B C D"))             // case-insensitive match, fully covered
       .toDF("doc_id", "text")
     val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", L)
       .collect()
       .map(r => r.getAs[Long]("id") ->
         (r.getAs[String]("cleaned_text"), r.getAs[Long]("n_removed"))).toMap
-    assert(got(1L) == ("a b c d x1 x2", 0L)) // min-id occurrence untouched
+    // min-id occurrence untouched AND original casing preserved (the
+    // trim must not case-fold the surviving text; matching is
+    // case-insensitive, the rebuild is not)
+    assert(got(1L) == ("a B c d x1 x2", 0L))
     assert(got(2L) == ("z w", 4L))
     assert(got(3L) == ("p q r s t u", 0L))
     assert(got(4L) == ("", 4L))
     assert(got(5L) == ("m b c d e n", 0L))
     assert(got(6L) == ("", 4L))
+    assert(got(9L) == ("", 4L)) // matched through lower(), trimmed anyway
     // overlap union: doc 8 shares BOTH "a b c d" (keeper 1) and
     // "b c d e" (keeper 5) via overlapping windows — 5 distinct tokens
     // removed, not 8
