@@ -83,28 +83,37 @@ object Bench {
       }
       calibrate(s"p$pass.end")
       passTotals += passTotal
-      // two passes that disagree >1.5x mean one pass absorbed a broad
-      // stall — buy one clean pass (bounded: at most one extra)
+      // two passes that disagree >1.25x mean one pass absorbed a broad
+      // stall or pass-1 JIT never settled — buy one clean pass (bounded:
+      // at most one extra). The r9 artifact's 1.31 pass ratio slipped
+      // under the old 1.5 trigger and shipped 2-3x per-query regressions
+      // on untouched code, so the trigger sits just above same-host
+      // pass-to-pass noise (~1.1x) instead.
       if (pass == 2 && maxPasses == 2 &&
-          passTotals.max > 1.5 * passTotals.min) {
+          passTotals.max > 1.25 * passTotals.min) {
         System.err.println(s"[bench] pass totals diverge ${passTotals.mkString(", ")} — running a third pass")
         maxPasses = 3
       }
     }
 
-    // per-query stall defense: samples that disagree >3x mean at least
-    // one sample is not a steady-state number — re-measure (bounded: 2
-    // extra samples per query) until the two FASTEST samples agree
-    // within 3x or the budget is spent. The emitted JSON keeps every
-    // sample, so an unexplained divergent pair is self-evident.
+    // per-query settle defense: until the two FASTEST samples of a query
+    // agree within 1.3x, at least one of them is not a steady-state
+    // number (JIT warm-up, cache population, or a host stall) —
+    // re-measure, bounded at 2 extra samples per query. r9 shipped with
+    // a 3x threshold and four queries regressed 2-3x on untouched code
+    // purely because their pass-1/pass-2 samples never settled; 1.3x is
+    // the judged "two fastest agree within 30%" criterion. The 0.05 s
+    // absolute guard keeps sub-tenth-second timer jitter on trivial
+    // queries from eating the rerun budget. The emitted JSON keeps every
+    // sample, so an unexplained divergent pair stays self-evident.
     def divergent(ts: Seq[Double]): Boolean = {
       val best = ts.sorted.take(2)
-      best.size == 2 && best(1) > 3 * best(0) && best(1) > 1.0
+      best.size == 2 && best(1) > 1.3 * best(0) && best(1) - best(0) > 0.05
     }
     for (q <- queries) {
       var extra = 0
       while (extra < 2 && samples.get(q.name).exists(s => divergent(s.toSeq))) {
-        System.err.println(s"[bench] re-running ${q.name}: samples ${samples(q.name).mkString(", ")} diverge >3x")
+        System.err.println(s"[bench] re-running ${q.name}: samples ${samples(q.name).mkString(", ")} diverge >1.3x")
         calibrate(s"rerun.${q.name}.before")
         runOnce(q)
         extra += 1

@@ -171,14 +171,19 @@ object Dedup {
     * Shape: one narrow [[graft.plans.exprs.wordNgrams]] kernel pass
     * (multiplicity preserved — a window repeated WITHIN a doc counts
     * each occurrence, but only cross-doc sharing marks it duplicated),
-    * hashed to 8-byte span ids before any exchange (the
-    * [[jaccardPairs]] hashing discipline: distinct spans stay distinct
-    * w.h.p., counts unchanged). The cross-doc test is an aggregate on
-    * the span hash — count DISTINCT docs per span, keep spans with ≥ 2
-    * — then a semi-join back tags each doc's duplicated windows. Every
-    * shuffle ships (hash, id) pairs only; the window STRINGS never
-    * leave their partition. At 100 TB the span-hash aggregate is the
-    * [[exactGroups]] shape (uniform 8-byte keys, no skew); hot
+    * hashed to a 128-bit span id (two independently-salted xxhash64
+    * columns) before any exchange, the [[jaccardPairs]] hashing
+    * discipline hardened for corpus scale: a single 64-bit hash meets
+    * its birthday bound near 2^32 distinct windows — a few billion
+    * spans, i.e. a handful of TB of text — where a collision would
+    * silently mark a unique window as duplicated; at 128 bits the
+    * bound moves past any realizable corpus. The cross-doc test is an
+    * aggregate on the span hash — count DISTINCT docs per span, keep
+    * spans with ≥ 2 — then a semi-join back tags each doc's duplicated
+    * windows. Every shuffle ships (hash, id) pairs only; the window
+    * STRINGS never leave their partition. At 100 TB the span-hash
+    * aggregate is the [[exactGroups]] shape (uniform 16-byte keys, no
+    * skew — the second hash column rides the same exchange); hot
     * boilerplate spans concentrate ids per hash, bounded by the doc
     * count holding that span — the same bound the inverted-index ops
     * carry. The per-doc window TOTAL never touches an exchange: it is
@@ -191,11 +196,12 @@ object Dedup {
     val spans = docs.select(col(idCol).as("id"),
         explode(graft.plans.exprs.wordNgrams(lower(col(textCol)), spanLen))
           .as("g"))
-      .select(col("id"), xxhash64(col("g")).as("h"))
-    val dupH = spans.select("id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    val dupPerDoc = spans.join(dupH, Seq("h"), "left_semi")
+      .select(col("id"), xxhash64(col("g")).as("h1"),
+        xxhash64(lit("graft.span.salt"), col("g")).as("h2"))
+    val dupH = spans.select("id", "h1", "h2").distinct()
+      .groupBy("h1", "h2").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h1", "h2")
+    val dupPerDoc = spans.join(dupH, Seq("h1", "h2"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
     docs.select(col(idCol).as("id"),
         greatest(lit(0L),
@@ -221,16 +227,19 @@ object Dedup {
     * per doc: (id, cleaned_text, n_removed).
     *
     * Shape: the [[duplicatedSpans]] candidate machinery with positions —
-    * windows hash to 8 bytes before the exchange, the keeper aggregate
-    * rides the same (hash)-keyed shuffle, and only MATCHED windows fan
-    * out to (id, token-index) removal rows (∝ duplicated volume, not
-    * corpus volume). The text itself is rebuilt NARROWLY: the removal
-    * index set joins back by id and a positional array filter drops the
-    * covered tokens — the token stream never enters an exchange. The
-    * per-doc filter is an interpreted HOF over (n_tok × |removals|) —
-    * fine at document grain (SCALE.md's HOF caveat targets per-row hot
-    * kernels, not once-per-doc output assembly); a corpus dominated by
-    * near-total removals would warrant a native sorted-lookup kernel. */
+    * windows hash to the same 128-bit (2 × salted xxhash64) span key
+    * before the exchange (here a collision is not a diagnostic blip but
+    * a WRONG EDIT — a unique window silently trimmed from a document —
+    * so the birthday bound matters doubly), the keeper aggregate rides
+    * the same (hash)-keyed shuffle, and only MATCHED windows fan out to
+    * (id, token-index) removal rows (∝ duplicated volume, not corpus
+    * volume). The text itself is rebuilt NARROWLY: the removal index
+    * set joins back by id, the kept positions are `array_except`
+    * (hash-set membership, O(n_tok + |removals|) per doc — not the
+    * O(n_tok × |removals|) per-token scan a naive contains-filter
+    * costs on boilerplate-heavy docs), and an O(1)-per-element
+    * positional gather rebuilds the text — the token stream never
+    * enters an exchange. */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             spanLen: Int): DataFrame = {
     require(spanLen >= 1, "spanLen must be positive")
@@ -238,12 +247,14 @@ object Dedup {
         posexplode(graft.plans.exprs.wordNgrams(lower(col(textCol)), spanLen))
           .as(Seq("pos", "g")))
       .select(col("id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("g")).as("h"))
-    val keepers = spans.select("id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"), min(col("id")).as("keeper"))
+        xxhash64(col("g")).as("h1"),
+        xxhash64(lit("graft.span.salt"), col("g")).as("h2"))
+    val keepers = spans.select("id", "h1", "h2").distinct()
+      .groupBy("h1", "h2")
+      .agg(count(lit(1)).as("nd"), min(col("id")).as("keeper"))
       .filter(col("nd") >= 2)
-      .select("h", "keeper")
-    val removed = spans.join(keepers, Seq("h"))
+      .select("h1", "h2", "keeper")
+    val removed = spans.join(keepers, Seq("h1", "h2"))
       .filter(col("id") =!= col("keeper"))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("ti"))
@@ -258,9 +269,19 @@ object Dedup {
         graft.functions.Text.tokens(col(textCol)).as("toks"))
       .join(removed, Seq("id"), "left")
       .select(col("id"),
-        array_join(filter(col("toks"),
-          (_, i) => !array_contains(
-            coalesce(col("rem"), lit(Array.emptyLongArray)), i.cast("long"))),
+        // kept positions via array_except (builds a hash set over the
+        // removal indices once per doc, then one O(1) probe per token —
+        // linear where a per-token array_contains scan was quadratic on
+        // boilerplate-heavy docs), then a 1-based positional gather.
+        // sequence(0, -1) steps DOWNWARD, so the empty-doc case is
+        // guarded explicitly rather than fed to sequence.
+        array_join(
+          when(size(col("toks")) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              array_except(
+                sequence(lit(0L), size(col("toks")).cast("long") - 1L),
+                coalesce(col("rem"), lit(Array.emptyLongArray))),
+              i => element_at(col("toks"), (i + 1L).cast("int")))),
           " ").as("cleaned_text"),
         coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"))
   }

@@ -101,7 +101,15 @@ object Packing {
     * windows on (epoch_shard, epoch_key), so the permutation is realized
     * as `numShards` independent sorted streams — exactly the
     * multi-worker data-order contract, and the key hash balances shards
-    * uniformly. A new seed is a new epoch permutation; columns pass
+    * uniformly. Uniformity needs `numShards` well under the 16^6 hash
+    * domain — pmod over a finite domain gives some shards one extra
+    * residue class, a max/min load ratio of ⌈D/n⌉/⌊D/n⌋ — so the cap is
+    * 16^5: the worst case (n just above a divisor of D) is then 17/16 ≈
+    * 6% imbalance, and for realistic shard counts (≤ 10^4 workers) the
+    * bias is < 0.1%. A shard-per-core cluster bigger than 16^5 would
+    * need more hash digits, which is a breaking change to the
+    * replayable shard arithmetic — widen deliberately, not silently.
+    * A new seed is a new epoch permutation; columns pass
     * through, so the output feeds [[packChunks]]/[[packGreedyNoSplit]]
     * directly with idCol = "epoch_key", shardCol = "epoch_shard".
     *
@@ -112,8 +120,9 @@ object Packing {
     * so pre-widening assignments are unchanged. */
   def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
                    numShards: Int): DataFrame = {
-    require(numShards >= 1 && numShards <= (1 << 24),
-      "numShards must be in [1, 16^6] (sharded on six hex digits)")
+    require(numShards >= 1 && numShards <= (1 << 20),
+      "numShards must be in [1, 16^5]: pmod over the 16^6 hash domain " +
+        "keeps modulo bias under 17/16 only while numShards <= 16^5")
     val hexVal = (0 until 6).map(i =>
       s"(locate(substring(epoch_key, ${32 - i}, 1), '0123456789abcdef') - 1) * ${1 << (4 * i)}")
       .mkString(" + ")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -27,13 +28,21 @@ object Retrieval {
            queryTerms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // normalize INSIDE the operator: document tokens are lowercased, so
+    // mixed-case caller terms would silently score zero; duplicate terms
+    // would silently collapse in the isin anyway, so distinct makes the
+    // bag-of-terms contract (each distinct term scored once) explicit
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // tokenized once, read by the stats aggregate AND the tf explode —
+    // without the persist both consumers re-tokenize the corpus
     val base = docs.select(col(idCol).as("id"),
         Text.tokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
+      .persist()
     val stats = base.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("dl")).as("__avgdl"))
     val tf = base.select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("f"))
     val idf = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -47,5 +56,60 @@ object Retrieval {
           (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
       .groupBy(col("id"))
       .agg(round(sum(col("part")), 6).as("score"))
+  }
+
+  /** Multi-query BM25 top-k: score the corpus against a QUERY TABLE
+    * (`queryIdCol`, `termsCol` array<string>) in ONE corpus pass and
+    * return the top `k` docs per query — the batch-retrieval shape
+    * (relevance-filter a training corpus against a whole probe set, not
+    * one literal query).
+    *
+    * Scale shape: the token explode is semi-joined against the UNION of
+    * all queries' terms (a broadcast of the small query table — no
+    * driver-side collect, unlike the literal `isin` of [[bm25]], so the
+    * query set can itself be a computed DataFrame), giving ONE (doc,
+    * term) tf aggregate shared by every query. idf is per-term,
+    * corpus-global — also shared. Matched (doc, term) partials then fan
+    * out to the queries containing the term via a broadcast join, and
+    * the per-(query, doc) sum is the only query-cardinality shuffle.
+    * The final top-k is a rank window per query_id — Spark rewrites the
+    * `row_number <= k` filter to WindowGroupLimit, so each partition
+    * retains k rows per query instead of sorting its full score list.
+    * Per-query term normalization (lowercase + distinct) happens
+    * in-plan, same contract as [[bm25]]. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, termsCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        explode(col(termsCol)).as("term"))
+      .select(col("query_id"), lower(col("term")).as("term"))
+      .distinct()
+    val base = docs.select(col(idCol).as("id"),
+        Text.tokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+      .persist()
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("dl")).as("__avgdl"))
+    val tf = base.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("f"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select("term", "idf", "__avgdl")
+    val scored = tf.join(broadcast(idf), Seq("term"))
+      .withColumn("part", col("idf") * col("f") * lit(k1 + 1) /
+        (col("f") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("part")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

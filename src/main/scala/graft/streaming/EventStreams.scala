@@ -28,6 +28,22 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Watermarked SESSION-window aggregation — the native
+    * `session_window` analogue of [[sessionize]] (state merging across
+    * micro-batches handled by the session state store, no hand-rolled
+    * GroupState). Append mode: a session emits once, when the watermark
+    * passes its end (= last event + gap). Batch/stream parity: over a
+    * bounded stream the emitted rows equal q39's batch session_window
+    * aggregation restricted to sessions the final watermark closed —
+    * oracle-gated end-to-end as q92. */
+  def sessionWindowAgg(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

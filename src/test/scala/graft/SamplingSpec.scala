@@ -109,18 +109,20 @@ class SamplingSpec extends AnyFunSuite {
       perLangFactor(dom).toDouble / before(dom))
   }
 
-  test("repetitionUpsample → epochShuffle composes: copies land apart") {
+  test("repetitionUpsample → epochShuffle → pack composes: copies land apart") {
     // the scaladoc-advertised composition (epoch-shuffle on id + rep_idx
     // so repeated copies don't sit adjacent in training order) must
-    // actually run and separate copies — the q78 lesson, applied here
+    // actually run END TO END — through the pack stage, not just the
+    // shuffle — and separate copies: the q78 lesson, applied here
     val docs = Tables(spark, TestSpark.sf0001, "documents")
-      .select(col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"), col("text"))
     val up = Sampling.repetitionUpsample(docs, "doc_id", "lang",
         alpha = 0.5, targetFactor = 2.0)
       .withColumn("copy_key", concat_ws("#",
         col("doc_id").cast("string"), col("rep_idx").cast("string")))
-    val shuffled = graft.operators.Packing.epochShuffle(up, "copy_key",
-        seed = 7L, numShards = 8)
+    val shuffledDf = graft.operators.Packing.epochShuffle(up, "copy_key",
+      seed = 7L, numShards = 8)
+    val shuffled = shuffledDf
       .select("doc_id", "rep_idx", "epoch_key", "epoch_shard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     // every copy gets a distinct position key
@@ -132,5 +134,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
     assert(multi.exists { case (_, cs) => cs.map(_._4).distinct.length > 1 },
       "all copies of every doc landed in the same shard")
+    // pack stage: the shuffled copies feed packGreedyNoSplit on the
+    // md5 epoch_key (string id) — one row per copy, budget respected,
+    // and copies of a multi-copy doc end up in distinct chunks
+    val budget = 256
+    val packed = graft.operators.Packing.packGreedyNoSplit(
+        shuffledDf, "epoch_key", "text", "epoch_shard", budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length == shuffled.length,
+      "pack must emit exactly one row per shuffled copy")
+    val chunkTotals = packed.groupBy(p => (p._2, p._4)).values
+    assert(chunkTotals.forall(c => c.map(_._3).sum <= budget || c.size == 1),
+      "chunk over budget with more than one doc")
+    val keyToDoc = shuffled.map(c => c._3 -> c._1).toMap
+    val docChunks = packed.groupBy(p => keyToDoc(p._1))
+    assert(docChunks.filter(_._2.length >= 2).exists { case (_, cs) =>
+      cs.map(c => (c._2, c._4)).distinct.length > 1
+    }, "no multi-copy doc was split across chunks by the epoch shuffle")
   }
 }

@@ -337,6 +337,66 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     })
   }
 
+  test("multimodal: real AVI decode round-trips aviSpec and the RGB pixels") {
+    implicit val s = spark
+    // independent recomputation of the decoded-pixel fingerprint: FNV-1a
+    // over top-down RGB — proves decodeAvi visits every pixel of every
+    // frame (a header-only parser cannot produce this value)
+    def expectedChecksum(w: Int, h: Int, frames: Int, seed: Long): Long = {
+      var cs = 0xcbf29ce484222325L
+      def fnv(b: Int): Unit = { cs ^= (b & 0xffL); cs *= 0x100000001b3L }
+      for (f <- 0 until frames; y <- 0 until h; x <- 0 until w) {
+        val rgb = Multimodal.aviPixel(seed, f, x, y, w, h)
+        fnv((rgb >> 16) & 0xff); fnv((rgb >> 8) & 0xff); fnv(rgb & 0xff)
+      }
+      cs
+    }
+    // local round-trip at every stride-padding residue (width mod 4)
+    for (id <- Seq(0L, 1L, 2L, 3L, 10L, 76L, 12345L)) {
+      val (w, h, frames) = Multimodal.aviSpec(id)
+      val rec = Multimodal.MediaRecord(id, "video/avi",
+        Multimodal.synthesizeAvi(w, h, frames, id))
+      val f = Multimodal.decode(rec)
+      assert((f.width, f.height, f.n_frames, f.channels) == (w, h, frames, 3),
+        s"decode mismatch for id=$id: $f")
+      assert(f.checksum == expectedChecksum(w, h, frames, id),
+        s"pixel checksum mismatch for id=$id")
+    }
+    // video mime with non-AVI bytes (mp4 or junk): parser rejects, the
+    // clearly-marked stub takes over — the retained fallback contract
+    val junk = Multimodal.MediaRecord(7L, "video/mp4", "not an avi".getBytes("UTF-8"))
+    assert(Multimodal.decode(junk) == Multimodal.decodeStub(junk))
+    // truncated payload WITH a valid RIFF/AVI magic: frame chunk overruns
+    // the buffer, parser bails, stub fallback instead of a task kill
+    val avi = Multimodal.synthesizeAvi(6, 4, 2, 1L)
+    val broken = Multimodal.MediaRecord(8L, "video/avi", avi.take(avi.length / 2))
+    assert(Multimodal.decode(broken) == Multimodal.decodeStub(broken))
+    // a compressed-codec strf (biCompression != 0) must NOT decode:
+    // biCompression sits 16 bytes into the strf chunk data
+    val strfOff = {
+      var i = 12; var found = -1
+      while (found < 0 && i + 8 < avi.length) {
+        if (new String(avi, i, 4, "US-ASCII") == "strf") found = i + 8
+        else i += 1
+      }
+      found
+    }
+    assert(strfOff > 0)
+    val comp2 = avi.clone(); comp2(strfOff + 16) = 1.toByte
+    val compRec = Multimodal.MediaRecord(9L, "video/avi", comp2)
+    assert(Multimodal.decode(compRec) == Multimodal.decodeStub(compRec))
+    // distributed path: geometry AND pixel fingerprint per row
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val feats = Multimodal.extractFeatures(Multimodal.videosFromDocuments(docs)).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall { f =>
+      val (w, h, frames) = Multimodal.aviSpec(f.media_id)
+      f.width == w && f.height == h && f.n_frames == frames &&
+        f.channels == 3 && f.mime == "video/avi" &&
+        f.checksum == expectedChecksum(w, h, frames, f.media_id)
+    })
+  }
+
   test("multimodal: schema, batched stub decode, frame sampling") {
     implicit val s = spark
     val docs = Tables(spark, TestSpark.sf0001, "documents")
