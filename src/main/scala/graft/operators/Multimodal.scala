@@ -289,23 +289,33 @@ object Multimodal {
       }
       frames += 1
     }
-    // walk a chunk run [off, end): plain chunks and LIST recursion
+    // walk a chunk run [off, end): plain chunks and LIST recursion.
+    // All size comparisons are in subtracted form (size > end - off - 8)
+    // so a corrupt/adversarial 2^31-scale size field cannot overflow the
+    // int arithmetic past the guard and drive the cursor negative
     def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
       var off = off0
       while (valid && off + 8 <= end) {
         val id = fourcc(off)
         val size = buf.getInt(off + 4)
-        if (size < 0 || off + 8 + size > end) { valid = false; return }
+        if (size < 0 || size > end - off - 8) { valid = false; return }
         if (id == "LIST" && size >= 4) {
           val listType = fourcc(off + 8)
-          walk(off + 12, off + 8 + size, inMovi = listType == "movi")
+          // frames may be grouped in 'rec ' LISTs inside 'movi'
+          // (standard interleaved layout) — stay in movi mode there
+          walk(off + 12, off + 8 + size,
+            inMovi = listType == "movi" || (inMovi && listType == "rec "))
         } else if (id == "strf") readStrf(off + 8, size)
         else if (inMovi && (id == "00db" || id == "00dc"))
           readFrame(off + 8, size)
         off += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, math.min(bytes.length, 8 + buf.getInt(4)), inMovi = false)
+    val riffSize = buf.getInt(4)
+    val riffEnd =
+      if (riffSize < 0) bytes.length
+      else math.min(bytes.length.toLong, 8L + riffSize).toInt
+    walk(12, riffEnd, inMovi = false)
     if (valid && width > 0 && frames > 0)
       Some((width, height, frames, checksum))
     else None
@@ -346,7 +356,12 @@ object Multimodal {
     * exceptions, hence NonFatal — falls back to [[decodeStub]]. */
   private[graft] def decode(r: MediaRecord): MediaFeatures = {
     if (r.mime.startsWith("video/")) {
-      decodeAvi(r.media) match {
+      // NonFatal: the parser bounds-checks internally, but a malformed
+      // payload must land on the stub, never kill the task — the same
+      // containment contract as the image/audio branches
+      val avi = try decodeAvi(r.media)
+                catch { case scala.util.control.NonFatal(_) => None }
+      avi match {
         case Some((w, h, frames, pixelChecksum)) =>
           return MediaFeatures(r.media_id, r.mime, r.media.length.toLong,
             w, h, frames, 0, 3, pixelChecksum)

@@ -15,76 +15,26 @@ import graft.functions.Text
   * idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))   (Robertson–Spärck
   * Jones, the Okapi BM25 formulation).
   *
-  * Scale shape: the token explode is filtered to the |Q| query terms
-  * BEFORE any exchange (an `isin` over a literal set — at 100 TB the
-  * stream that shuffles is only matching (doc, term) occurrences, a
-  * vanishing fraction of the corpus token count). Corpus stats (N,
-  * avgdl) are a 1-row aggregate and the per-term idf table has |Q|
-  * rows — both broadcast. Two exchanges total: the (doc, term) tf
-  * aggregate and the per-doc score sum. */
+  * Scale shape (shared by both entry points — ONE scoring pipeline, so
+  * the formula cannot drift between them): the token explode is
+  * semi-joined against the broadcast union of query terms BEFORE any
+  * exchange — at 100 TB the stream that shuffles is only matching
+  * (doc, term) occurrences, a vanishing fraction of the corpus token
+  * count. Corpus stats (N, avgdl) are a 1-row aggregate and the
+  * per-term idf table has |terms| rows — both broadcast. The tokenized
+  * corpus is persisted (two consumers: the stats aggregate and the tf
+  * explode would otherwise re-tokenize) under the repo-wide cache
+  * lifecycle contract: the bench clears caches between queries, and
+  * library callers own `spark.catalog.clearCache()`/unpersist — the
+  * q76/q86 convention. */
 object Retrieval {
 
-  def bm25(docs: DataFrame, idCol: String, textCol: String,
-           queryTerms: Seq[String], k1: Double = 1.2,
-           b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    // normalize INSIDE the operator: document tokens are lowercased, so
-    // mixed-case caller terms would silently score zero; duplicate terms
-    // would silently collapse in the isin anyway, so distinct makes the
-    // bag-of-terms contract (each distinct term scored once) explicit
-    val terms = queryTerms.map(_.toLowerCase).distinct
-    // tokenized once, read by the stats aggregate AND the tf explode —
-    // without the persist both consumers re-tokenize the corpus
-    val base = docs.select(col(idCol).as("id"),
-        Text.tokens(lower(col(textCol))).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
-      .persist()
-    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
-      avg(col("dl")).as("__avgdl"))
-    val tf = base.select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("f"))
-    val idf = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
-      .select("term", "idf", "__avgdl")
-    tf.join(broadcast(idf), Seq("term"))
-      .withColumn("part", col("idf") * col("f") * lit(k1 + 1) /
-        (col("f") + lit(k1) *
-          (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
-      .groupBy(col("id"))
-      .agg(round(sum(col("part")), 6).as("score"))
-  }
-
-  /** Multi-query BM25 top-k: score the corpus against a QUERY TABLE
-    * (`queryIdCol`, `termsCol` array<string>) in ONE corpus pass and
-    * return the top `k` docs per query — the batch-retrieval shape
-    * (relevance-filter a training corpus against a whole probe set, not
-    * one literal query).
-    *
-    * Scale shape: the token explode is semi-joined against the UNION of
-    * all queries' terms (a broadcast of the small query table — no
-    * driver-side collect, unlike the literal `isin` of [[bm25]], so the
-    * query set can itself be a computed DataFrame), giving ONE (doc,
-    * term) tf aggregate shared by every query. idf is per-term,
-    * corpus-global — also shared. Matched (doc, term) partials then fan
-    * out to the queries containing the term via a broadcast join, and
-    * the per-(query, doc) sum is the only query-cardinality shuffle.
-    * The final top-k is a rank window per query_id — Spark rewrites the
-    * `row_number <= k` filter to WindowGroupLimit, so each partition
-    * retains k rows per query instead of sorting its full score list.
-    * Per-query term normalization (lowercase + distinct) happens
-    * in-plan, same contract as [[bm25]]. */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, queryIdCol: String, termsCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, "k must be positive")
-    val q = queries.select(col(queryIdCol).as("query_id"),
-        explode(col(termsCol)).as("term"))
-      .select(col("query_id"), lower(col("term")).as("term"))
-      .distinct()
+  /** Shared Okapi scoring: `q` is a normalized (query_id, term) table;
+    * returns one (query_id, id, score) row per query × matching doc,
+    * score rounded to 6 decimals (the cross-engine determinism
+    * contract). */
+  private def scores(docs: DataFrame, idCol: String, textCol: String,
+                     q: DataFrame, k1: Double, b: Double): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
         Text.tokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
@@ -100,16 +50,61 @@ object Retrieval {
       .withColumn("idf",
         log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
       .select("term", "idf", "__avgdl")
-    val scored = tf.join(broadcast(idf), Seq("term"))
+    tf.join(broadcast(idf), Seq("term"))
       .withColumn("part", col("idf") * col("f") * lit(k1 + 1) /
         (col("f") + lit(k1) *
           (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
       .join(broadcast(q), Seq("term"))
       .groupBy(col("query_id"), col("id"))
       .agg(round(sum(col("part")), 6).as("score"))
+  }
+
+  /** Single-query BM25: one (id, score) row per doc matching ≥ 1 term.
+    * Terms are normalized INSIDE the operator (lowercase + distinct):
+    * document tokens are lowercased, so mixed-case caller terms would
+    * silently score zero, and duplicate terms would silently collapse —
+    * distinct makes the bag-of-terms contract (each distinct term
+    * scored once) explicit. Expressed as [[scores]] over a one-query
+    * table. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(t => (0L, t.toLowerCase)).distinct
+      .toDF("query_id", "term")
+    scores(docs, idCol, textCol, q, k1, b).select("id", "score")
+  }
+
+  /** Multi-query BM25 top-k: score the corpus against a QUERY TABLE
+    * (`queryIdCol`, `termsCol` array<string>) in ONE corpus pass and
+    * return the top `k` docs per query — the batch-retrieval shape
+    * (relevance-filter a training corpus against a whole probe set, not
+    * one literal query). The query set can itself be a computed
+    * DataFrame — no driver-side collect anywhere.
+    *
+    * One shared (doc, term) tf aggregate and corpus-global idf serve
+    * every query; matched partials fan out to the queries containing
+    * the term via a broadcast join, and the per-(query, doc) sum is the
+    * only query-cardinality shuffle. The final top-k is a rank window
+    * per query_id — Spark rewrites the `row_number <= k` filter to
+    * WindowGroupLimit, so each partition retains k rows per query
+    * instead of sorting its full score list. Per-query term
+    * normalization (lowercase + distinct) happens in-plan, same
+    * contract as [[bm25]]. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, termsCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        explode(col(termsCol)).as("term"))
+      .select(col("query_id"), lower(col("term")).as("term"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    scores(docs, idCol, textCol, q, k1, b)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 }

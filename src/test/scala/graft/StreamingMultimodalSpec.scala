@@ -385,6 +385,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val comp2 = avi.clone(); comp2(strfOff + 16) = 1.toByte
     val compRec = Multimodal.MediaRecord(9L, "video/avi", comp2)
     assert(Multimodal.decode(compRec) == Multimodal.decodeStub(compRec))
+    // adversarial 2^31-scale chunk size behind a valid RIFF/AVI magic:
+    // must route to the stub, not crash the task (the int-overflow
+    // guard — off + 8 + size wrapped negative before the subtracted
+    // comparison form)
+    val evil = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")); evil.putInt(0x7FFFFFF0)
+    evil.put("AVI ".getBytes("US-ASCII"))
+    evil.put("LIST".getBytes("US-ASCII")); evil.putInt(0x7FFFFFF0)
+    val evilRec = Multimodal.MediaRecord(10L, "video/avi", evil.array())
+    assert(Multimodal.decode(evilRec) == Multimodal.decodeStub(evilRec))
+    // frames grouped in a 'rec ' LIST inside 'movi' (standard
+    // interleaved layout): still a real decode, not a stub fallback
+    val orig = Multimodal.synthesizeAvi(6, 4, 2, 3L)
+    val ob = java.nio.ByteBuffer.wrap(orig).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var mov = -1; var i = 12
+    while (mov < 0 && i + 12 < orig.length) {
+      if (new String(orig, i, 4, "US-ASCII") == "LIST" &&
+          new String(orig, i + 8, 4, "US-ASCII") == "movi") mov = i else i += 1
+    }
+    assert(mov > 0)
+    val moviSize = ob.getInt(mov + 4)
+    val frameChunks = java.util.Arrays.copyOfRange(orig, mov + 12, mov + 8 + moviSize)
+    val rw = java.nio.ByteBuffer.allocate(orig.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rw.put(orig, 0, mov)
+    rw.put("LIST".getBytes("US-ASCII")); rw.putInt(moviSize + 12)
+    rw.put("movi".getBytes("US-ASCII"))
+    rw.put("LIST".getBytes("US-ASCII")); rw.putInt(4 + frameChunks.length)
+    rw.put("rec ".getBytes("US-ASCII"))
+    rw.put(frameChunks)
+    val recBytes = rw.array()
+    java.nio.ByteBuffer.wrap(recBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, recBytes.length - 8)
+    val recRec = Multimodal.MediaRecord(11L, "video/avi", recBytes)
+    val rf = Multimodal.decode(recRec)
+    assert((rf.width, rf.height, rf.n_frames) == (6, 4, 2),
+      s"rec-wrapped frames not decoded: $rf")
+    assert(rf.checksum == expectedChecksum(6, 4, 2, 3L),
+      "rec-wrapped pixel checksum mismatch")
     // distributed path: geometry AND pixel fingerprint per row
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val feats = Multimodal.extractFeatures(Multimodal.videosFromDocuments(docs)).collect()
