@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Clean, Text}
-import graft.operators.{Corpus, Dedup, Relational, Sessionize, Similarity}
+import graft.operators.{Corpus, Dedup, Relational, Selection, Sessionize, Similarity}
 import graft.sources.Tables
 
 /** The engine's query surface: one entry per operator of SURVEY.md §2
@@ -2563,7 +2563,191 @@ object Queries {
              |  CAST(1 AS BIGINT) AS ok
              |FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
              |      FROM documents GROUP BY lang)
-             |CROSS JOIN (VALUES (0.5), (0.9), (0.99)) v(p)""".stripMargin)))
+             |CROSS JOIN (VALUES (0.5), (0.9), (0.99)) v(p)""".stripMargin)),
+
+    Q("q95_block_dedup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // CCNet-style line dedup at 16-token block granularity: every
+        // distinct block keeps its first (doc_id, pos) occurrence
+        // corpus-wide, docs rebuild from surviving blocks. The engine
+        // keys blocks on a 128-bit salted hash pair (block text never
+        // shuffles); the oracle recomputes with exact block STRINGS —
+        // so a hash collision, or a winner picked by anything other
+        // than lexicographic-min (doc, pos), fails the hash compare.
+        Dedup.blockDedup(tbl("documents"), "doc_id", "text", 16)
+          .select(col("id").as("doc_id"), col("n_tok_clean"),
+            col("text_clean"))
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w,
+             |             string_split(lower(text), ' ') AS lw
+             |           FROM documents),
+             |b AS (SELECT s.doc_id, u.pos,
+             |        array_to_string(s.lw[u.pos*16+1 :
+             |          least(len(s.lw), (u.pos+1)*16)], ' ') AS blk,
+             |        s.w[u.pos*16+1 : least(len(s.w), (u.pos+1)*16)]
+             |          AS otoks
+             |      FROM s, unnest(range(0, (len(s.lw)+15)//16)) AS u(pos)),
+             |k AS (SELECT doc_id, pos, otoks, row_number() OVER
+             |        (PARTITION BY blk ORDER BY doc_id, pos) AS rn
+             |      FROM b),
+             |agg AS (SELECT doc_id,
+             |          CAST(sum(len(otoks)) AS BIGINT) AS n_tok_clean,
+             |          string_agg(array_to_string(otoks, ' '), ' '
+             |            ORDER BY pos) AS text_clean
+             |        FROM k WHERE rn = 1 GROUP BY doc_id)
+             |SELECT s.doc_id,
+             |  coalesce(a.n_tok_clean, CAST(0 AS BIGINT)) AS n_tok_clean,
+             |  coalesce(a.text_clean, '') AS text_clean
+             |FROM s LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    Q("q96_budget_selection",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // corpus curation to a token budget: quality-rank the pool and
+        // keep the best documents until 10k tokens are spent. The
+        // engine runs the two-phase parallel prefix sum (range
+        // partitions → |partitions|-row offset window → parallel
+        // per-partition cumsums — no global single-task window); the
+        // oracle IS the global window, so the phased arithmetic must
+        // reproduce it to the token. cum_tok is emitted: the oracle
+        // checks the running total itself, not just the survivor set.
+        val score = Text.qualityScore(col("text"), Stopwords)
+        val pool = tbl("documents").select(col("doc_id"),
+          score.as("quality"), Text.tokenCount(col("text")).as("n_tok"))
+        Selection.takeByBudget(pool,
+            Seq(col("quality").desc, col("doc_id")), col("n_tok"), 10000L)
+          .select(col("doc_id"), col("quality"), col("n_tok"),
+            col("cum_cost").as("cum_tok"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id,
+              |  len(string_split(text, ' ')) AS n_tok,
+              |  len(list_distinct(string_split(text, ' '))) AS n_dis,
+              |  len(list_filter(string_split(text, ' '),
+              |      t -> t IN ($StopSql))) AS n_sw,
+              |  length(text) AS n_ch,
+              |  length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+              |    AS n_nopunct
+              |  FROM documents),
+              |sc AS (SELECT doc_id, round(
+              |  least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+              |  + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0)
+              |      * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(n_ch - n_nopunct AS DOUBLE)
+              |      / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality,
+              |  CAST(n_tok AS BIGINT) AS n_tok FROM m),
+              |c AS (SELECT doc_id, quality, n_tok,
+              |        sum(n_tok) OVER (ORDER BY quality DESC, doc_id)
+              |          AS cum_tok
+              |      FROM sc)
+              |SELECT doc_id, quality, n_tok, CAST(cum_tok AS BIGINT)
+              |  AS cum_tok
+              |FROM c WHERE cum_tok <= 10000""".stripMargin)),
+
+    Q("q97_source_quota",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // per-source quota: no source contributes more than its 10 best
+        // documents — the deterministic counterpart of q82's temperature
+        // rebalancing. WindowGroupLimit plan shape is spec-asserted.
+        val score = Text.qualityScore(col("text"), Stopwords)
+        Selection.quotaPerGroup(
+            tbl("documents").select(col("doc_id"), col("source"),
+              score.as("quality")),
+            col("source"), Seq(col("quality").desc, col("doc_id")), 10)
+          .select(col("source"), col("doc_id"), col("quality"), col("rank"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, source,
+              |  len(string_split(text, ' ')) AS n_tok,
+              |  len(list_distinct(string_split(text, ' '))) AS n_dis,
+              |  len(list_filter(string_split(text, ' '),
+              |      t -> t IN ($StopSql))) AS n_sw,
+              |  length(text) AS n_ch,
+              |  length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+              |    AS n_nopunct
+              |  FROM documents),
+              |sc AS (SELECT doc_id, source, round(
+              |  least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+              |  + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0)
+              |      * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(n_ch - n_nopunct AS DOUBLE)
+              |      / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality FROM m),
+              |r AS (SELECT source, doc_id, quality, CAST(row_number() OVER
+              |        (PARTITION BY source ORDER BY quality DESC, doc_id)
+              |        AS BIGINT) AS rank
+              |      FROM sc)
+              |SELECT source, doc_id, quality, rank
+              |FROM r WHERE rank <= 10""".stripMargin)),
+
+    Q("q98_text_store_maintenance",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STORE MAINTENANCE under a live TEXT stream — q91's discipline
+        // on the minhash/signature modality (q91 proved the embedding
+        // store): q68's streaming ingest dedup halted mid-sequence for
+        // compactStore + rebuildBands, then resumed from the
+        // checkpoint. The oracle is q68's VERBATIM — maintenance must
+        // be decision-invisible for the text store too. validateStore
+        // gates the rebuilt store in-plan.
+        import java.nio.file.Files
+        val docs = tbl("documents").select(col("doc_id"), col("text"))
+        val table = "q98_sig_store"
+        for (t <- Seq(table, s"${table}_bands")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        operators.Incremental.writeStore(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", table, 8)
+        val dir = Files.createTempDirectory("graft_q98_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        val streamed = docs.filter(col("doc_id") % 3 === 0)
+        def runStream(): Unit = {
+          val stream = s.readStream.schema(streamed.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          val query = stream.writeStream
+            .foreachBatch(operators.Incremental.dedupSink("doc_id", "text",
+              table, 8, threshold = 0.6,
+              emit = (surv, batchId) =>
+                surv.write.mode("overwrite").parquet(s"$out/batch_$batchId")))
+            .option("checkpointLocation", dir.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          query.awaitTermination()
+        }
+        stageStreamFile(streamed.filter(expr("(doc_id div 3) % 2 = 0")), src,
+          "batch_a", now - 120000)
+        runStream() // processes batch A, appends it to the store
+        operators.Incremental.compactStore(s, table, 8)
+        operators.Incremental.rebuildBands(s, table, 8)
+        require(operators.Incremental.validateStore(s, table),
+          "store/bands diverged after maintenance")
+        stageStreamFile(streamed.filter(expr("(doc_id div 3) % 2 = 1")), src,
+          "batch_b", now - 60000)
+        runStream() // checkpoint resume: batch B only, maintained store
+        s.read.parquet(s"$out/*").select(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, md5(text) AS h, $ShinglesSql AS sh,
+              |  CASE WHEN doc_id % 3 <> 0 THEN 0
+              |       WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 2 END AS rk
+              |  FROM documents),
+              |ne AS (SELECT n.doc_id, n.sh, n.rk FROM t n
+              |  JOIN (SELECT h, rk, min(doc_id) AS k FROM t WHERE rk > 0
+              |        GROUP BY h, rk) mk
+              |    ON n.h = mk.h AND n.rk = mk.rk AND n.doc_id = mk.k
+              |  WHERE n.rk > 0
+              |    AND NOT EXISTS (SELECT 1 FROM t p WHERE p.rk < n.rk AND p.h = n.h)),
+              |dr AS (SELECT DISTINCT a.doc_id FROM ne a JOIN t b ON b.rk < a.rk
+              |         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+              |       UNION
+              |       SELECT DISTINCT b.doc_id FROM ne a JOIN ne b
+              |         ON a.rk = b.rk AND a.doc_id < b.doc_id
+              |         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
+              |SELECT doc_id FROM ne
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -286,6 +286,62 @@ object Dedup {
         coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"))
   }
 
+  /** BLOCK-level exact dedup — the CCNet/C4 "line dedup" pass re-expressed
+    * for token streams: the dedup unit is a non-overlapping run of
+    * `blockTokens` consecutive tokens (the line analogue when documents
+    * carry no newline structure), each distinct block keeps its FIRST
+    * occurrence (min (doc, position)) corpus-wide, every later copy is
+    * dropped, and documents are rebuilt from their surviving blocks in
+    * order. Coarser and cheaper than [[removeDuplicatedSpans]] (which
+    * matches every sliding window): one candidate row per B tokens
+    * instead of one per token, the shape used to strip shared
+    * boilerplate headers/footers before the heavier span pass. Returns
+    * one row per input doc: (id, n_tok_clean, text_clean) — a doc whose
+    * every block is a repeat comes back as an empty string, not a
+    * dropped row.
+    *
+    * Shape ([[duplicatedSpans]]' discipline at block granularity):
+    * blocks hash to a 128-bit key (2 × salted xxhash64 — a collision
+    * here is a WRONG EDIT, so the birthday-bound hardening applies) and
+    * only (key, id, pos) rows enter the winner exchange — block STRINGS
+    * never leave their partition. Non-winning copies (∝ duplicated
+    * volume, not corpus volume) aggregate to a per-doc drop set that
+    * joins back by id; the rebuild is narrow per-token arithmetic on
+    * the original token array (array_except over block indices + an
+    * O(1) positional gather), preserving original casing — matching is
+    * case-insensitive, the corpus-dedup convention. */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+                 blockTokens: Int): DataFrame = {
+    require(blockTokens >= 1, "blockTokens must be positive")
+    val nblk = floor((size(col("t")) - 1) / lit(blockTokens)).cast("long") + 1L
+    val blocks = docs.select(col(idCol).as("id"),
+        Text.tokens(lower(col(textCol))).as("t"))
+      .select(col("id"), posexplode(transform(
+          sequence(lit(0L), nblk - 1L),
+          i => concat_ws(" ", slice(col("t"),
+            (i * blockTokens + 1L).cast("int"), lit(blockTokens)))))
+        .as(Seq("pos", "blk")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("blk")).as("h1"),
+        xxhash64(lit("graft.block.salt"), col("blk")).as("h2"))
+    val winners = blocks.groupBy("h1", "h2")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val dropped = blocks.join(winners, Seq("h1", "h2"))
+      .filter(!(col("id") === col("w.id") && col("pos") === col("w.pos")))
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("drop_pos"))
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .join(dropped, Seq("id"), "left")
+      .withColumn("kept", flatten(transform(
+        array_except(
+          sequence(lit(0L),
+            floor((size(col("toks")) - 1) / lit(blockTokens)).cast("long")),
+          coalesce(col("drop_pos"), lit(Array.emptyLongArray))),
+        p => slice(col("toks"), (p * blockTokens + 1L).cast("int"),
+          lit(blockTokens)))))
+      .select(col("id"), size(col("kept")).cast("long").as("n_tok_clean"),
+        array_join(col("kept"), " ").as("text_clean"))
+  }
+
   /** Connected components over an undirected pair list — the clustering
     * step that turns pairwise near-duplicates into dedup GROUPS, so
     * survivor selection is consistent per cluster (transitive closure)

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Selection}
+import graft.sources.Tables
+
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("takeByBudget: phased prefix sum equals the global window exactly") {
+    import spark.implicits._
+    // enough rows to span many range partitions, adversarial ordering
+    val rows = (1 to 5000).map(i => ((i * 2654435761L) % 997, i.toLong, (i % 37) + 1L))
+    val df = rows.toDF("score", "id", "cost").repartition(17)
+    val got = Selection.takeByBudget(df,
+        Seq(col("score").desc, col("id")), col("cost"), 40000L)
+      .select("id", "cum_cost").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the naive global window
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("cum", sum(col("cost")).over(w))
+      .filter(col("cum") <= 40000L)
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref, s"phased ${got.size} rows vs global ${ref.size}")
+    assert(got.nonEmpty && got.size < rows.size, "budget should bite")
+  }
+
+  test("takeByBudget: inclusive boundary — a row is kept only if fully funded") {
+    import spark.implicits._
+    val df = Seq((3L, 1L, 10L), (2L, 2L, 10L), (1L, 3L, 10L))
+      .toDF("score", "id", "cost")
+    val keep = Selection.takeByBudget(df,
+      Seq(col("score").desc, col("id")), col("cost"), 20L)
+    assert(keep.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L), "exactly two rows fit a budget of 20")
+    // budget 19: the second row would overrun — only the first survives
+    val tight = Selection.takeByBudget(df,
+      Seq(col("score").desc, col("id")), col("cost"), 19L)
+    assert(tight.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Selection.takeByBudget(df,
+      Seq(col("score").desc, col("id")), col("cost"), 9L).count() == 0)
+  }
+
+  test("takeByBudget: no unbounded single-task window in the plan") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toLong, 1L))
+      .toDF("score", "id", "cost")
+    val plan = Selection.takeByBudget(df,
+        Seq(col("score").desc, col("id")), col("cost"), 50L)
+      .queryExecution.executedPlan.toString
+    // every Window over row data must be partitioned (by __pid); the one
+    // empty-partitionSpec window may only run over the |partitions|-row
+    // subtotal aggregate, never the input rows
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.exists(_.contains("__pid")),
+      s"expected the pid-partitioned cumsum window:\n$plan")
+  }
+
+  test("quotaPerGroup: caps each group, WindowGroupLimit plan shape") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val capped = Selection.quotaPerGroup(
+      docs.select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), Seq(col("n_chars").desc, col("doc_id")), 5)
+    val counts = capped.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ <= 5))
+    // top-5 of a 20-source corpus: the best n_chars per source survive
+    val best = docs.orderBy(col("n_chars").desc, col("doc_id"))
+      .select("doc_id").limit(1).collect().head.getLong(0)
+    assert(capped.filter(col("doc_id") === best).count() == 1,
+      "the globally best row must survive its group cap")
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=n should rewrite to WindowGroupLimit:\n$plan")
+  }
+
+  test("blockDedup: first occurrence wins, casing preserved, empty-doc contract") {
+    import spark.implicits._
+    val blk1 = (1 to 4).map(i => s"alpha$i").mkString(" ")   // 4-token block
+    val blk2 = (1 to 4).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$blk1 $blk2"),                 // doc 1: both blocks original
+      (2L, s"${blk1.toUpperCase} gamma1 gamma2 gamma3 gamma4"), // case-insensitive dup of blk1
+      (3L, s"$blk2"),                       // fully duplicated doc
+      (4L, "delta1 delta2")                 // short doc, one partial block
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (8L, s"$blk1 $blk2"))
+    // doc 2 loses the upper-cased copy of blk1 but keeps ITS casing rules:
+    // the surviving gamma block is untouched original text
+    assert(out(2L) == (4L, "gamma1 gamma2 gamma3 gamma4"))
+    // doc 3's only block is a repeat of doc 1's second block → empty, kept
+    assert(out(3L) == (0L, ""))
+    assert(out(4L) == (2L, "delta1 delta2"))
+  }
+
+  test("blockDedup: token conservation across the corpus") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val out = Dedup.blockDedup(docs, "doc_id", "text", 16)
+    assert(out.count() == docs.count(), "one row per input doc")
+    val cleanTok = out.agg(sum("n_tok_clean")).collect().head.getLong(0)
+    val origTok = docs.select(functions.Text.tokenCount(col("text")).as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(cleanTok <= origTok && cleanTok > 0)
+    // rebuilt text token counts agree with the reported n_tok_clean
+    val mismatch = out.filter(col("n_tok_clean") =!= 0 &&
+      size(split(col("text_clean"), " ")).cast("long") =!= col("n_tok_clean"))
+    assert(mismatch.isEmpty, "text_clean must carry exactly n_tok_clean tokens")
+  }
+}
