@@ -2747,7 +2747,85 @@ object Queries {
               |         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
               |SELECT doc_id FROM ne
-              |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)))
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)),
+
+    Q("q99_curation_pipeline",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the CURATION flagship: the full selection funnel a training
+        // run actually executes, end-to-end under one oracle —
+        // block-dedup the corpus (q95), RE-score quality on the cleaned
+        // text (dedup changes the ratios — scoring the raw text would
+        // promote boilerplate-heavy docs), cap each source at its 10
+        // best (q97), then spend a 5k-token budget best-first (q96).
+        // Every stage is individually oracled; this query pins the
+        // COMPOSITION: stage coupling (rescore-after-dedup, quota-
+        // before-budget) is exactly what per-stage oracles cannot see.
+        // The doc_id→source enrichment is an id-keyed join kept
+        // explicit here; at 100 TB you'd carry source through the
+        // dedup rebuild instead of re-joining (one wide column per
+        // doc, no extra exchange) — the join stands in for any
+        // metadata store lookup.
+        val clean = Dedup.blockDedup(tbl("documents"), "doc_id", "text", 16)
+          .filter(col("n_tok_clean") > 0)
+          .withColumnRenamed("id", "doc_id")
+        val scored = clean
+          .join(tbl("documents").select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_tok_clean"),
+            Text.qualityScore(col("text_clean"), Stopwords).as("quality"))
+        val capped = Selection.quotaPerGroup(scored, col("source"),
+          Seq(col("quality").desc, col("doc_id")), 10).drop("rank")
+        Selection.takeByBudget(capped,
+            Seq(col("quality").desc, col("doc_id")), col("n_tok_clean"),
+            5000L)
+          .select(col("source"), col("doc_id"), col("quality"),
+            col("n_tok_clean"), col("cum_cost").as("cum_tok"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+              |             string_split(lower(text), ' ') AS lw
+              |           FROM documents),
+              |b AS (SELECT s.doc_id, u.pos,
+              |        array_to_string(s.lw[u.pos*16+1 :
+              |          least(len(s.lw), (u.pos+1)*16)], ' ') AS blk,
+              |        s.w[u.pos*16+1 : least(len(s.w), (u.pos+1)*16)]
+              |          AS otoks
+              |      FROM s, unnest(range(0, (len(s.lw)+15)//16)) AS u(pos)),
+              |k AS (SELECT doc_id, pos, otoks, row_number() OVER
+              |        (PARTITION BY blk ORDER BY doc_id, pos) AS rn
+              |      FROM b),
+              |cl AS (SELECT doc_id,
+              |         CAST(sum(len(otoks)) AS BIGINT) AS n_tok_clean,
+              |         string_agg(array_to_string(otoks, ' '), ' '
+              |           ORDER BY pos) AS text_clean
+              |       FROM k WHERE rn = 1 GROUP BY doc_id
+              |       HAVING sum(len(otoks)) > 0),
+              |m AS (SELECT cl.doc_id, s.source, cl.n_tok_clean,
+              |  len(string_split(text_clean, ' ')) AS n_tok,
+              |  len(list_distinct(string_split(text_clean, ' '))) AS n_dis,
+              |  len(list_filter(string_split(text_clean, ' '),
+              |      t -> t IN ($StopSql))) AS n_sw,
+              |  length(text_clean) AS n_ch,
+              |  length(regexp_replace(text_clean, '[[:punct:]]', '', 'g'))
+              |    AS n_nopunct
+              |  FROM cl JOIN s USING (doc_id)),
+              |sc AS (SELECT doc_id, source, n_tok_clean, round(
+              |  least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+              |  + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0)
+              |      * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(n_ch - n_nopunct AS DOUBLE)
+              |      / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality FROM m),
+              |cap AS (SELECT doc_id, source, n_tok_clean, quality FROM
+              |  (SELECT *, row_number() OVER (PARTITION BY source
+              |     ORDER BY quality DESC, doc_id) AS rk FROM sc)
+              |  WHERE rk <= 10),
+              |sel AS (SELECT source, doc_id, quality, n_tok_clean,
+              |          sum(n_tok_clean) OVER
+              |            (ORDER BY quality DESC, doc_id) AS cum_tok
+              |        FROM cap)
+              |SELECT source, doc_id, quality, n_tok_clean,
+              |  CAST(cum_tok AS BIGINT) AS cum_tok
+              |FROM sel WHERE cum_tok <= 5000""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

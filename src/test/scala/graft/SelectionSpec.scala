@@ -45,6 +45,20 @@ class SelectionSpec extends AnyFunSuite {
       Seq(col("score").desc, col("id")), col("cost"), 9L).count() == 0)
   }
 
+  test("takeByBudget: selections nest — smaller budget is a prefix of larger") {
+    import spark.implicits._
+    val rows = (1 to 1000).map(i => ((i * 48271L) % 211, i.toLong, (i % 13) + 1L))
+    val df = rows.toDF("score", "id", "cost").repartition(7)
+    val small = Selection.takeByBudget(df,
+        Seq(col("score").desc, col("id")), col("cost"), 1000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val large = Selection.takeByBudget(df,
+        Seq(col("score").desc, col("id")), col("cost"), 3000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large), "greedy prefix: smaller budget ⊆ larger")
+    assert(small.size < large.size)
+  }
+
   test("takeByBudget: no unbounded single-task window in the plan") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i.toLong, 1L))
