@@ -2825,7 +2825,50 @@ object Queries {
               |        FROM cap)
               |SELECT source, doc_id, quality, n_tok_clean,
               |  CAST(cum_tok AS BIGINT) AS cum_tok
-              |FROM sel WHERE cum_tok <= 5000""".stripMargin)))
+              |FROM sel WHERE cum_tok <= 5000""".stripMargin)),
+
+    Q("q100_lang_budget",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // per-LANGUAGE token budgets — how multilingual mixtures are
+        // actually specified ("2k tokens per language, best-first").
+        // Each language's greedy prefix runs under its own total order
+        // and cum_tok restarts per language; the phased prefix sum
+        // partitions by (range partition, lang), so a dominant language
+        // still spreads across executors where the naive per-group
+        // window would serialize it through one task. The oracle is the
+        // naive partitioned window — phased must match it to the token.
+        val score = Text.qualityScore(col("text"), Stopwords)
+        val pool = tbl("documents").select(col("doc_id"), col("lang"),
+          score.as("quality"), Text.tokenCount(col("text")).as("n_tok"))
+        Selection.takeByBudgetPerGroup(pool, "lang",
+            Seq(col("quality").desc, col("doc_id")), col("n_tok"), 2000L)
+          .select(col("lang"), col("doc_id"), col("quality"),
+            col("n_tok"), col("cum_cost").as("cum_tok"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, lang,
+              |  len(string_split(text, ' ')) AS n_tok,
+              |  len(list_distinct(string_split(text, ' '))) AS n_dis,
+              |  len(list_filter(string_split(text, ' '),
+              |      t -> t IN ($StopSql))) AS n_sw,
+              |  length(text) AS n_ch,
+              |  length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+              |    AS n_nopunct
+              |  FROM documents),
+              |sc AS (SELECT doc_id, lang, round(
+              |  least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+              |  + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0)
+              |      * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(n_ch - n_nopunct AS DOUBLE)
+              |      / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality,
+              |  CAST(n_tok AS BIGINT) AS n_tok FROM m),
+              |c AS (SELECT doc_id, lang, quality, n_tok,
+              |        sum(n_tok) OVER (PARTITION BY lang
+              |          ORDER BY quality DESC, doc_id) AS cum_tok
+              |      FROM sc)
+              |SELECT lang, doc_id, quality, n_tok,
+              |  CAST(cum_tok AS BIGINT) AS cum_tok
+              |FROM c WHERE cum_tok <= 2000""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

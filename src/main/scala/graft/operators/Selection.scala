@@ -6,65 +6,91 @@ import org.apache.spark.sql.functions._
 
 /** Corpus SELECTION under global constraints — the curation step that
   * turns a scored candidate pool into the corpus that actually trains:
-  * "take the best documents until the token budget is spent" and "cap
-  * any one source at N documents" (the knobs behind every published
-  * data-mixture card; ref analogue: the reference's vote-threshold
-  * top-N marts, `docs/top_movies.sql:4-9`, re-expressed as corpus
-  * curation).
+  * "take the best documents until the token budget is spent" (globally
+  * or per language — how multilingual mixture cards are specified) and
+  * "cap any one source at N documents" (the knobs behind every
+  * published data-mixture card; ref analogue: the reference's
+  * vote-threshold top-N marts, `docs/top_movies.sql:4-9`, re-expressed
+  * as corpus curation).
   */
 object Selection {
+
+  /** Shared two-phase parallel prefix sum over `groupCols`-scoped total
+    * orders (global when `groupCols` is empty). The naive plan — one
+    * `sum() OVER (PARTITION BY group ORDER BY …)` window — serializes
+    * every group through a single task, and a GROUP here is a language
+    * at 100 TB, not a bounded slice. Phases:
+    *  1. `repartitionByRange` on (groups, sort key): a total order
+    *     across partitions WITHIN each group, fully parallel
+    *     partitions;
+    *  2. per-(partition, group) subtotals — |partitions × groups
+    *     present| rows — pass through ONE bounded single-task window to
+    *     become prefix offsets (bounded by design: the
+    *     [[Sampling.temperatureMixture]] |groups|-row discipline);
+    *  3. offsets broadcast back; every partition computes its
+    *     within-partition running sums in parallel.
+    * offset + within-partition sum equals the naive window EXACTLY
+    * (range boundaries respect each group's total order; costs are
+    * integer-summed). The ranged input is persisted — the subtotal
+    * aggregate and the final cumsum both read it — under the repo-wide
+    * cache lifecycle contract (bench clears between queries; library
+    * callers own unpersist — the q76/q86 convention). */
+  private def phasedCumsum(df: DataFrame, groupCols: Seq[String],
+                           orderBy: Seq[Column], costCol: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val ranged = df.withColumn("__cost", costCol.cast("long"))
+      .repartitionByRange(grp ++ orderBy: _*)
+      .sortWithinPartitions(grp ++ orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val keys = "__pid" +: groupCols
+    val parts = ranged.groupBy(keys.map(col): _*)
+      .agg(sum(col("__cost")).as("__psum"))
+    // |partitions × groups| rows through a single-task window — bounded
+    val offs = parts.withColumn("__off",
+        coalesce(sum(col("__psum")).over(
+          Window.partitionBy(grp: _*).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((col("__off") +: keys.map(col)): _*)
+    // the (pid, groups)-partitioned window re-exchanges, but each
+    // bucket is a slice of exactly one ranged partition — same
+    // parallelism, no new skew beyond the range partitioner's balance
+    val w = Window.partitionBy(col("__pid") +: grp: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offs), keys)
+      .withColumn("cum_cost", col("__off") + sum(col("__cost")).over(w))
+      .drop("__pid", "__off", "__cost")
+  }
 
   /** Greedy budget selection: order rows by `orderBy` (a TOTAL order —
     * give it a unique tiebreaker) and keep the maximal prefix whose
     * running `costCol` sum stays ≤ `budget` (inclusive: a row is kept
     * only if the budget covers it entirely). Appends the running total
     * as `cum_cost` — callers (and the oracle) see the exact prefix-sum
-    * arithmetic, not just the survivor set.
-    *
-    * Scale shape — the naive plan (one global `sum() OVER (ORDER BY …)`
-    * window) serializes 100 TB through a single task. This is the
-    * classic two-phase parallel prefix sum instead:
-    *  1. `repartitionByRange` on the sort key gives a total order
-    *     ACROSS partitions with fully parallel partitions;
-    *  2. per-partition subtotals (|partitions| rows) pass through ONE
-    *     bounded single-task window to become prefix offsets — bounded
-    *     by the partition count by design, the same |groups|-row
-    *     discipline as [[Sampling.temperatureMixture]]'s rate
-    *     aggregate;
-    *  3. the offsets broadcast back and every partition computes its
-    *     within-partition running sum in parallel.
-    * offset + within-partition sum equals the global window EXACTLY
-    * (range partition boundaries respect the total order; costs are
-    * integer-summed), with no unbounded single task anywhere. The
-    * ranged input is persisted — the subtotal aggregate and the final
-    * cumsum both read it — under the repo-wide cache lifecycle
-    * contract (bench clears between queries; library callers own
-    * unpersist — the q76/q86 convention). */
+    * arithmetic, not just the survivor set. Runs the [[phasedCumsum]]
+    * two-phase prefix sum — no unbounded single-task window. */
   def takeByBudget(df: DataFrame, orderBy: Seq[Column], costCol: Column,
                    budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
-    val ranged = df.withColumn("__cost", costCol.cast("long"))
-      .repartitionByRange(orderBy: _*)
-      .sortWithinPartitions(orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    val parts = ranged.groupBy(col("__pid"))
-      .agg(sum(col("__cost")).as("__psum"))
-    // |partitions| rows through a single-task window — bounded by design
-    val offs = parts.withColumn("__off",
-        coalesce(sum(col("__psum")).over(
-          Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    // the pid-partitioned window re-exchanges by __pid, but each pid
-    // bucket is exactly one ranged partition — same parallelism, no new
-    // skew beyond the range partitioner's own balance
-    val w = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offs), Seq("__pid"))
-      .withColumn("cum_cost", col("__off") + sum(col("__cost")).over(w))
+    phasedCumsum(df, Nil, orderBy, costCol)
       .filter(col("cum_cost") <= budget)
-      .drop("__pid", "__off", "__cost")
+  }
+
+  /** Per-group budget selection — [[takeByBudget]] with an independent
+    * budget per `groupCol` value: "2M tokens of French, 10M of English"
+    * is how multilingual mixtures are actually specified (the budget
+    * realizes the mixture weights [[Sampling.temperatureMixture]]
+    * computes). Each group's prefix runs under ITS own total order;
+    * `cum_cost` restarts per group. The phased prefix sum partitions by
+    * (range partition, group), so a 100 TB language still spreads over
+    * all executors — the naive per-group window would serialize it
+    * through one task. */
+  def takeByBudgetPerGroup(df: DataFrame, groupCol: String,
+                           orderBy: Seq[Column], costCol: Column,
+                           budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    phasedCumsum(df, Seq(groupCol), orderBy, costCol)
+      .filter(col("cum_cost") <= budget)
   }
 
   /** Per-group quota cap: keep the top `n` rows of each `groupCol`

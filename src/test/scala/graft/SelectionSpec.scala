@@ -59,6 +59,33 @@ class SelectionSpec extends AnyFunSuite {
     assert(small.size < large.size)
   }
 
+  test("takeByBudgetPerGroup: equals the naive partitioned window; groups independent") {
+    import spark.implicits._
+    val rows = (1 to 4000).map(i =>
+      (s"g${i % 5}", (i * 2654435761L) % 997, i.toLong, (i % 29) + 1L))
+    val df = rows.toDF("grp", "score", "id", "cost").repartition(11)
+    val got = Selection.takeByBudgetPerGroup(df, "grp",
+        Seq(col("score").desc, col("id")), col("cost"), 3000L)
+      .select("id", "cum_cost").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("cum", sum(col("cost")).over(w))
+      .filter(col("cum") <= 3000L)
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref, s"phased ${got.size} rows vs naive ${ref.size}")
+    assert(got.nonEmpty && got.size < rows.size, "budget should bite")
+    // independence: dropping every other group leaves g0's selection alone
+    val solo = Selection.takeByBudgetPerGroup(df.filter(col("grp") === "g0"),
+        "grp", Seq(col("score").desc, col("id")), col("cost"), 3000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val g0ids = df.filter(col("grp") === "g0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(solo == got.keySet.intersect(g0ids))
+  }
+
   test("takeByBudget: no unbounded single-task window in the plan") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i.toLong, 1L))
