@@ -2652,7 +2652,7 @@ object Queries {
         Selection.quotaPerGroup(
             tbl("documents").select(col("doc_id"), col("source"),
               score.as("quality")),
-            col("source"), Seq(col("quality").desc, col("doc_id")), 10)
+            "source", Seq(col("quality").desc, col("doc_id")), 10)
           .select(col("source"), col("doc_id"), col("quality"), col("rank"))
       },
       Some(s"""WITH m AS (SELECT doc_id, source,
@@ -2773,7 +2773,7 @@ object Queries {
             Seq("doc_id"))
           .select(col("doc_id"), col("source"), col("n_tok_clean"),
             Text.qualityScore(col("text_clean"), Stopwords).as("quality"))
-        val capped = Selection.quotaPerGroup(scored, col("source"),
+        val capped = Selection.quotaPerGroup(scored, "source",
           Seq(col("quality").desc, col("doc_id")), 10).drop("rank")
         Selection.takeByBudget(capped,
             Seq(col("quality").desc, col("doc_id")), col("n_tok_clean"),

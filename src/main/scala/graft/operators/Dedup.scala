@@ -338,8 +338,13 @@ object Dedup {
           coalesce(col("drop_pos"), lit(Array.emptyLongArray))),
         p => slice(col("toks"), (p * blockTokens + 1L).cast("int"),
           lit(blockTokens)))))
-      .select(col("id"), size(col("kept")).cast("long").as("n_tok_clean"),
-        array_join(col("kept"), " ").as("text_clean"))
+      .select(col("id"),
+        // NULL text propagates null through tokens → kept; the contract
+        // is (0, "") — a row is never dropped and never carries nulls.
+        // (size(toks) == 0 is unreachable — split always yields ≥ 1
+        // token — so the sequence bounds stay ascending.)
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_tok_clean"),
+        coalesce(array_join(col("kept"), " "), lit("")).as("text_clean"))
   }
 
   /** Connected components over an undirected pair list — the clustering

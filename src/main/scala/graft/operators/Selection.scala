@@ -31,10 +31,16 @@ object Selection {
     *     within-partition running sums in parallel.
     * offset + within-partition sum equals the naive window EXACTLY
     * (range boundaries respect each group's total order; costs are
-    * integer-summed). The ranged input is persisted — the subtotal
-    * aggregate and the final cumsum both read it — under the repo-wide
-    * cache lifecycle contract (bench clears between queries; library
-    * callers own unpersist — the q76/q86 convention). */
+    * integer-summed). The persist on the ranged input is LOAD-BEARING,
+    * not a cache optimization: the offsets pass and the final cumsum
+    * must see the SAME range boundaries and partition ids, and an
+    * unpersisted lineage re-evaluation may resample different
+    * boundaries (RangePartitioner seeds per RDD instance) — offsets
+    * would then be joined against a different partitioning. The cached
+    * handle is internal; applications running many selections per
+    * session reclaim it with `spark.catalog.clearCache()` (the bench
+    * does so between queries), and at 100 TB the ranged input would be
+    * checkpointed or written to a table instead. */
   private def phasedCumsum(df: DataFrame, groupCols: Seq[String],
                            orderBy: Seq[Column], costCol: Column): DataFrame = {
     val grp = groupCols.map(col)
@@ -57,7 +63,17 @@ object Selection {
     // parallelism, no new skew beyond the range partitioner's balance
     val w = Window.partitionBy(col("__pid") +: grp: _*).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offs), keys)
+    // null-safe join: a NULL group value is a legitimate group (the
+    // naive PARTITION BY window keeps it) — a plain equality join
+    // would silently drop every null-group row. The right side's key
+    // columns are re-aliased (fresh attribute ids) so the explicit
+    // condition can't trip the ambiguous-self-join check (offs derives
+    // from ranged and grouping columns keep their expression ids).
+    val offsR = offs.select(
+      (col("__off") +: keys.map(k => col(k).as(s"${k}__r"))): _*)
+    val cond = keys.map(k => col(k) <=> col(s"${k}__r")).reduce(_ && _)
+    ranged.join(broadcast(offsR), cond)
+      .drop(keys.map(k => s"${k}__r"): _*)
       .withColumn("cum_cost", col("__off") + sum(col("__cost")).over(w))
       .drop("__pid", "__off", "__cost")
   }
@@ -102,10 +118,10 @@ object Selection {
     * partition retains n rows per group instead of sorting full
     * groups — the W3 top-k discipline applied to the curation
     * surface. */
-  def quotaPerGroup(df: DataFrame, groupCol: Column, orderBy: Seq[Column],
+  def quotaPerGroup(df: DataFrame, groupCol: String, orderBy: Seq[Column],
                     n: Int): DataFrame = {
     require(n >= 1, "n must be positive")
-    val w = Window.partitionBy(groupCol).orderBy(orderBy: _*)
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }

@@ -95,17 +95,44 @@ class SelectionSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     // every Window over row data must be partitioned (by __pid); the one
     // empty-partitionSpec window may only run over the |partitions|-row
-    // subtotal aggregate, never the input rows
+    // subtotal aggregate (identified by __psum), never the input rows
     val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
     assert(windows.exists(_.contains("__pid")),
       s"expected the pid-partitioned cumsum window:\n$plan")
+    val unbounded = windows.filterNot(_.contains("partitionBy"))
+      .filterNot(w => w.contains("__pid") || w.contains("__psum"))
+    assert(unbounded.isEmpty,
+      s"global window over row data (single-task bottleneck):\n$unbounded")
+  }
+
+  test("takeByBudgetPerGroup: NULL group values are a kept group, not dropped") {
+    import spark.implicits._
+    val df = Seq((Some("g1"), 5L, 1L, 10L), (None, 4L, 2L, 10L),
+      (None, 3L, 3L, 10L), (Some("g1"), 2L, 4L, 10L))
+      .toDF("grp", "score", "id", "cost")
+    val got = Selection.takeByBudgetPerGroup(df, "grp",
+        Seq(col("score").desc, col("id")), col("cost"), 15L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // each group's budget of 15 funds exactly its best row — including
+    // the NULL group's (a plain equality join would lose ids 2 and 3)
+    assert(got == Set(1L, 2L))
+  }
+
+  test("blockDedup: NULL text comes back as (0, \"\"), not nulls") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (2L, "alpha beta"))
+    assert(out(2L) == (0L, ""))
   }
 
   test("quotaPerGroup: caps each group, WindowGroupLimit plan shape") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val capped = Selection.quotaPerGroup(
       docs.select(col("doc_id"), col("source"), col("n_chars")),
-      col("source"), Seq(col("n_chars").desc, col("doc_id")), 5)
+      "source", Seq(col("n_chars").desc, col("doc_id")), 5)
     val counts = capped.groupBy("source").count().collect().map(_.getLong(1))
     assert(counts.nonEmpty && counts.forall(_ <= 5))
     // top-5 of a 20-source corpus: the best n_chars per source survive
