@@ -351,4 +351,61 @@ class PropertySpec extends AnyFunSuite {
       assert(rebuilt == texts(id), s"doc $id: reconstruction mismatch")
     }
   }
+
+  test("blockDedup: survivors are an ordered token subsequence; block multiset shrinks to distinct") {
+    // short words from a 4-letter alphabet → heavy cross-doc block
+    // collisions, the adversarial case for winner selection
+    val smallWord = Gen.choose(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val denseDoc = Gen.choose(4, 40)
+      .flatMap(n => Gen.listOfN(n, smallWord).map(_.mkString(" ")))
+    val texts = samples(denseDoc, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    val B = 4
+    val out = Dedup.blockDedup(docs, "doc_id", "text", B).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val byId = texts.toMap
+    // per doc: clean text is a prefix-aligned subsequence of WHOLE blocks
+    out.foreach { case (id, (n, clean)) =>
+      val orig = byId(id).split(" ", -1)
+      val blocks = orig.grouped(B).map(_.mkString(" ")).toSeq
+      val cleanToks = if (clean.isEmpty) Array.empty[String]
+        else clean.split(" ", -1)
+      assert(cleanToks.length == n, s"doc $id: count mismatch")
+      // the clean text must be the concatenation of SOME ordered
+      // subsequence of the doc's blocks (reachability DP — greedy
+      // matching can false-fail when a dropped block equals a kept one)
+      var reach = Set(0)
+      blocks.foreach { b =>
+        val bt = b.split(" ", -1).toSeq
+        reach = reach ++ reach
+          .filter(p => p + bt.size <= cleanToks.length &&
+            cleanToks.slice(p, p + bt.size).toSeq == bt)
+          .map(_ + bt.size)
+      }
+      assert(reach.contains(cleanToks.length),
+        s"doc $id: clean text is not an ordered block subsequence")
+    }
+    // corpus-wide: every distinct (lowercased) block value survives
+    // EXACTLY once — first occurrence kept, all copies dropped
+    val allBlocks = texts.flatMap { case (id, t) =>
+      t.toLowerCase.split(" ", -1).grouped(B).map(_.mkString(" ")).map((id, _))
+    }
+    val survivors = out.toSeq.filter(_._2._1 > 0).flatMap { case (id, (_, c)) =>
+      c.toLowerCase.split(" ", -1).grouped(B).map(_.mkString(" ")).map((id, _))
+    }
+    // survivor blocks re-chunk at fresh boundaries, so compare VALUES
+    // only for docs that lost nothing (their boundaries are unchanged)
+    val intact = out.filter { case (id, (n, _)) =>
+      n == byId(id).split(" ", -1).length }.keySet
+    val distinctVals = allBlocks.map(_._2).distinct.toSet
+    val intactSurvivorVals = survivors.filter(p => intact(p._1)).map(_._2)
+    // an intact doc holds the FIRST occurrence of every one of its
+    // blocks; two equal values can't both be first occurrences, so no
+    // value may appear twice across (or within) intact docs
+    assert(intactSurvivorVals.distinct.size == intactSurvivorVals.size,
+      "a block value survived twice across intact docs")
+    assert(intactSurvivorVals.toSet.subsetOf(distinctVals))
+  }
 }
