@@ -2868,7 +2868,34 @@ object Queries {
               |      FROM sc)
               |SELECT lang, doc_id, quality, n_tok,
               |  CAST(cum_tok AS BIGINT) AS cum_tok
-              |FROM c WHERE cum_tok <= 2000""".stripMargin)))
+              |FROM c WHERE cum_tok <= 2000""".stripMargin)),
+
+    Q("q101_image_resize",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // REAL image resize to a model resolution (8×6) over real PNG
+        // payloads — the q61/q90 recipe applied to the resize transform:
+        // src dims come from the DECODE of each synthesized PNG and the
+        // oracle replays the pngDims generator arithmetic, so a stubbed
+        // or pass-through "resize" that never decodes fails the gate;
+        // the pixel-level nearest-neighbor mapping and the lossless
+        // PNG round-trip are spec-gated (StreamingMultimodalSpec) —
+        // checksums aren't SQL-expressible.
+        implicit val sp: SparkSession = s
+        val media = operators.Multimodal.imagesFromDocuments(
+          tbl("documents"))
+        operators.Multimodal.resizeImages(media, 8, 6)
+          .select(col("media_id").as("doc_id"),
+            col("src_w").cast("long").as("src_w"),
+            col("src_h").cast("long").as("src_h"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8 + doc_id % 16 AS BIGINT) AS src_w,
+             |  CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS src_h,
+             |  CAST(8 AS BIGINT) AS width,
+             |  CAST(6 AS BIGINT) AS height
+             |FROM documents""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -409,4 +409,65 @@ object Multimodal {
       .filter(col("mime").startsWith("video"))
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** REAL image resize — the normalization step of an image-training
+    * pipeline (every input scaled to one model resolution before
+    * feature extraction / embedding). Decodes through ImageIO (any
+    * JDK-readable format), maps destination pixel (x, y) to source
+    * pixel (x·srcW/dstW, y·srcH/dstH) — deliberately NEAREST-NEIGHBOR
+    * with pure integer arithmetic, not Graphics2D filtering: filtered
+    * interpolation is implementation-defined across JVM versions, and
+    * a training pipeline needs byte-stable outputs for cache keys and
+    * dedup. Re-encodes through the PNG codec (lossless, so the pixel
+    * checksum survives a decode round-trip — spec-asserted).
+    *
+    * One row per DECODED image: (media_id, src_w, src_h, width, height,
+    * resized_png, checksum); checksum is FNV-64 over the resized RGB
+    * raster (row-major, 3 bytes/pixel). Non-image mimes and
+    * undecodable payloads are dropped — this is the post-quarantine
+    * transform stage; [[extractFeatures]]' stub path is where they get
+    * flagged. `mapPartitions` amortizes codec setup per partition (the
+    * [[extractFeatures]] contract); each row's work is O(dstW·dstH),
+    * embarrassingly parallel, zero shuffle. */
+  def resizeImages(media: Dataset[MediaRecord], dstW: Int, dstH: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(dstW >= 1 && dstH >= 1, "target dims must be positive")
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      ImageIO.setUseCache(false)
+      iter.flatMap { r =>
+        if (!r.mime.startsWith("image/")) None
+        else {
+          val img = try ImageIO.read(new ByteArrayInputStream(r.media))
+                    catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) None
+          else {
+            val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+            val raster = new Array[Byte](dstW * dstH * 3)
+            var y = 0
+            while (y < dstH) {
+              val sy = y * img.getHeight / dstH
+              var x = 0
+              while (x < dstW) {
+                val sx = x * img.getWidth / dstW
+                val rgb = img.getRGB(sx, sy) & 0xffffff
+                out.setRGB(x, y, rgb)
+                val base = (y * dstW + x) * 3
+                raster(base) = ((rgb >> 16) & 0xff).toByte
+                raster(base + 1) = ((rgb >> 8) & 0xff).toByte
+                raster(base + 2) = (rgb & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            Some((r.media_id, img.getWidth, img.getHeight, dstW, dstH,
+              bos.toByteArray, fnv64(raster)))
+          }
+        }
+      }
+    }.toDF("media_id", "src_w", "src_h", "width", "height",
+      "resized_png", "checksum")
+  }
 }

@@ -457,4 +457,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(frames.count() > 0)
     assert(frames.groupBy("media_id").count().filter(col("count") < 1).count() == 0)
   }
+
+  test("resizeImages: exact nearest-neighbor pixels, lossless round-trip, drops non-images") {
+    implicit val s = spark
+    import s.implicits._
+    val (dstW, dstH) = (8, 6)
+    // one real PNG, one non-image mime, one corrupt payload under an
+    // image mime — only the real PNG may survive
+    val (w0, h0, seed) = (13, 9, 42L)
+    val png = Multimodal.synthesizePng(w0, h0, seed)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", png),
+      Multimodal.MediaRecord(2L, "audio/wav", png),
+      Multimodal.MediaRecord(3L, "image/png", Array[Byte](1, 2, 3))
+    ).toDS()
+    val out = Multimodal.resizeImages(media, dstW, dstH).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val row = out.head
+    assert((row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) ==
+      (w0, h0, dstW, dstH))
+    // independently computed nearest-neighbor reference over the
+    // DECODED source image (same integer mapping)
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val expected = for (y <- 0 until dstH; x <- 0 until dstW)
+      yield src.getRGB(x * w0 / dstW, y * h0 / dstH) & 0xffffff
+    // lossless round-trip: decode resized_png, pixels must equal the
+    // reference exactly (PNG is lossless; NN resize is deterministic)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("resized_png")))
+    assert((resized.getWidth, resized.getHeight) == (dstW, dstH))
+    val got = for (y <- 0 until dstH; x <- 0 until dstW)
+      yield resized.getRGB(x, y) & 0xffffff
+    assert(got == expected, "resized pixels diverge from the NN reference")
+    // checksum matches an FNV-64 over the expected RGB raster
+    var h = 0xcbf29ce484222325L
+    expected.foreach { rgb =>
+      Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff).foreach { b =>
+        h ^= b; h *= 0x100000001b3L
+      }
+    }
+    assert(row.getAs[Long]("checksum") == h, "raster checksum mismatch")
+  }
 }
