@@ -2895,6 +2895,36 @@ object Queries {
              |  CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS src_h,
              |  CAST(8 AS BIGINT) AS width,
              |  CAST(6 AS BIGINT) AS height
+             |FROM documents""".stripMargin)),
+
+    Q("q102_audio_resample",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // REAL audio resample to a model rate (16 kHz) over real WAV
+        // payloads — q101's recipe on the second modality: src rate and
+        // frame count come from the DECODE of each synthesized WAV, and
+        // the output frame count is ⌊srcFrames·16000/srcRate⌋, so the
+        // oracle replaying the wavSpec generator arithmetic catches a
+        // stubbed or pass-through "resample" that never decodes. The
+        // corpus spans all three source rates (8/16/24 kHz), so the
+        // upsample, identity, and downsample index mappings all run;
+        // sample-exact mapping + lossless WAV round-trip are spec-gated
+        // (StreamingMultimodalSpec) — checksums aren't SQL-expressible.
+        implicit val sp: SparkSession = s
+        val media = operators.Multimodal.audioFromDocuments(
+          tbl("documents"))
+        operators.Multimodal.resampleAudio(media, 16000)
+          .select(col("media_id").as("doc_id"),
+            col("src_rate").cast("long").as("src_rate"),
+            col("src_frames").cast("long").as("src_frames"),
+            col("rate").cast("long").as("rate"),
+            col("n_frames").cast("long").as("n_frames"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS src_rate,
+             |  CAST(100 + doc_id % 900 AS BIGINT) AS src_frames,
+             |  CAST(16000 AS BIGINT) AS rate,
+             |  CAST(((100 + doc_id % 900) * 16000)
+             |       // (8000 * (1 + doc_id % 3)) AS BIGINT) AS n_frames
              |FROM documents""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -470,4 +470,74 @@ object Multimodal {
     }.toDF("media_id", "src_w", "src_h", "width", "height",
       "resized_png", "checksum")
   }
+
+  /** REAL audio resample — the rate-normalization step of an
+    * audio-training pipeline ([[resizeImages]]'s contract on the second
+    * modality: every clip brought to one model rate before feature
+    * extraction). Decodes through `AudioSystem`, resamples 16-bit mono
+    * PCM by the same pure-integer nearest-neighbor mapping as the image
+    * path — output frame i reads source frame i·srcRate/dstRate, and
+    * the output length is ⌊srcFrames·dstRate/srcRate⌋ (so the mapped
+    * index provably stays in range) — then re-encodes through the WAVE
+    * codec (PCM is lossless, so the sample checksum survives a decode
+    * round-trip — spec-asserted). Integer NN, not windowed-sinc, for
+    * the same reason as the image path: byte-stable outputs for cache
+    * keys and dedup, no float or codec-library variance.
+    *
+    * One row per DECODED clip: (media_id, src_rate, src_frames, rate,
+    * n_frames, resampled_wav, checksum); checksum is FNV-64 over the
+    * resampled little-endian PCM bytes. Non-audio mimes, undecodable
+    * payloads, and formats outside the 16-bit signed mono PCM contract
+    * are dropped — post-quarantine semantics, like [[resizeImages]].
+    * `mapPartitions` amortizes codec setup; per-row work is
+    * O(dstFrames), embarrassingly parallel, zero shuffle. */
+  def resampleAudio(media: Dataset[MediaRecord], dstRate: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(dstRate >= 1, "target rate must be positive")
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { r =>
+        if (!r.mime.startsWith("audio/")) None
+        else {
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.media))
+            try {
+              val f = ais.getFormat
+              val srcFrames = ais.getFrameLength.toInt
+              val srcRate = f.getSampleRate.toInt
+              if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+                  f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+                  f.isBigEndian || srcFrames < 1 || srcRate < 1) None
+              else {
+                val pcm = ais.readAllBytes()
+                val dstFrames =
+                  (srcFrames.toLong * dstRate / srcRate).toInt
+                if (dstFrames < 1) None
+                else {
+                  val out = new Array[Byte](dstFrames * 2)
+                  var i = 0
+                  while (i < dstFrames) {
+                    val s = (i.toLong * srcRate / dstRate).toInt
+                    out(2 * i) = pcm(2 * s)
+                    out(2 * i + 1) = pcm(2 * s + 1)
+                    i += 1
+                  }
+                  val fmt = new AudioFormat(dstRate.toFloat, 16, 1, true, false)
+                  val res = new AudioInputStream(
+                    new ByteArrayInputStream(out), fmt, dstFrames.toLong)
+                  val bos = new ByteArrayOutputStream()
+                  try AudioSystem.write(res, AudioFileFormat.Type.WAVE, bos)
+                  finally res.close()
+                  Some((r.media_id, srcRate, srcFrames, dstRate, dstFrames,
+                    bos.toByteArray, fnv64(out)))
+                }
+              }
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }.toDF("media_id", "src_rate", "src_frames", "rate", "n_frames",
+      "resampled_wav", "checksum")
+  }
 }

@@ -499,4 +499,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
     assert(row.getAs[Long]("checksum") == h, "raster checksum mismatch")
   }
+
+  test("resampleAudio: sample-exact NN mapping, lossless round-trip, drops non-audio") {
+    implicit val s = spark
+    import s.implicits._
+    val dstRate = 16000
+    // downsample (24 kHz, the non-trivial 3/2 index mapping) and
+    // upsample (8 kHz, sample doubling); plus a non-audio mime and a
+    // corrupt payload under an audio mime — only real clips survive
+    val (fr24, fr8) = (301, 150)
+    val wav24 = Multimodal.synthesizeWav(fr24, 24000, 7L)
+    val wav8 = Multimodal.synthesizeWav(fr8, 8000, 9L)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio/wav", wav24),
+      Multimodal.MediaRecord(2L, "audio/wav", wav8),
+      Multimodal.MediaRecord(3L, "image/png", wav24),
+      Multimodal.MediaRecord(4L, "audio/wav", Array[Byte](1, 2, 3))
+    ).toDS()
+    val out = Multimodal.resampleAudio(media, dstRate)
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    for ((row, srcRate, srcFrames, src) <-
+           Seq((out(0), 24000, fr24, wav24), (out(1), 8000, fr8, wav8))) {
+      val dstFrames = (srcFrames.toLong * dstRate / srcRate).toInt
+      assert((row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) ==
+        (srcRate, srcFrames, dstRate, dstFrames))
+      // independently recomputed NN reference over the DECODED source
+      // PCM (same integer index mapping)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(src))
+      val pcm = try ais.readAllBytes() finally ais.close()
+      val expected = (0 until dstFrames).flatMap { i =>
+        val sIdx = (i.toLong * srcRate / dstRate).toInt
+        Seq(pcm(2 * sIdx), pcm(2 * sIdx + 1))
+      }
+      // lossless round-trip: decode resampled_wav, PCM must equal the
+      // reference exactly (PCM WAV is lossless; NN is deterministic)
+      val res = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("resampled_wav")))
+      val got = try res.readAllBytes() finally res.close()
+      assert(res.getFormat.getSampleRate.toInt == dstRate)
+      assert(got.toSeq == expected, "resampled PCM diverges from the NN reference")
+      // checksum matches an FNV-64 over the expected PCM bytes
+      var h = 0xcbf29ce484222325L
+      expected.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      assert(row.getAs[Long]("checksum") == h, "PCM checksum mismatch")
+    }
+  }
 }
