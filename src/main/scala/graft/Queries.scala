@@ -2925,7 +2925,37 @@ object Queries {
              |  CAST(16000 AS BIGINT) AS rate,
              |  CAST(((100 + doc_id % 900) * 16000)
              |       // (8000 * (1 + doc_id % 3)) AS BIGINT) AS n_frames
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    Q("q103_video_frame_sample",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // REAL video frame sampling over real AVI payloads — the
+        // frame-extraction fan-out with DECODED bytes: every 2nd frame
+        // of each clip materializes its RGB raster (q90's parser, but
+        // emitting the sampled frames instead of a stream checksum).
+        // The oracle replays the aviSpec geometry AND the stride
+        // arithmetic (a lateral range() per clip), so the row grain
+        // itself — which frames exist — is externally checked; the
+        // raster bytes and per-frame checksums are spec-gated
+        // (StreamingMultimodalSpec) since pixel hashes aren't
+        // SQL-expressible. Stride 2 with frame counts 2..8 exercises
+        // both parities of the last sampled index.
+        implicit val ss = s
+        operators.Multimodal.extractVideoFrames(
+            operators.Multimodal.videosFromDocuments(tbl("documents")), 2)
+          .select(col("media_id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("frame_idx").cast("long").as("frame_idx"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(6 + doc_id % 11 AS BIGINT) AS width,
+             |  CAST(4 + (doc_id // 11) % 9 AS BIGINT) AS height,
+             |  CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
+             |  CAST(u.f AS BIGINT) AS frame_idx
+             |FROM documents,
+             |  unnest(range(0, CAST(2 + doc_id % 7 AS BIGINT), 2)) AS u(f)""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -244,6 +244,45 @@ object Multimodal {
     * containers), which [[decode]] routes to the clearly-marked
     * [[decodeStub]] fallback. */
   private[graft] def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    var checksum = 0xcbf29ce484222325L
+    parseAvi(bytes) { (w, h, _, off) =>
+      val rgb = frameRgb(bytes, off, w, h)
+      var i = 0
+      while (i < rgb.length) {
+        checksum ^= (rgb(i) & 0xffL); checksum *= 0x100000001b3L; i += 1
+      }
+    }.map { case (w, h, n) => (w, h, n, checksum) }
+  }
+
+  /** Decode one bottom-up BGR DIB frame chunk at `off` into a top-down
+    * row-major RGB raster (3 bytes/pixel) — the caller ([[parseAvi]])
+    * has already validated the chunk size against the DIB stride. */
+  private def frameRgb(bytes: Array[Byte], off: Int, w: Int, h: Int): Array[Byte] = {
+    val stride = (3 * w + 3) / 4 * 4
+    val out = new Array[Byte](3 * w * h)
+    var y = 0; var i = 0
+    while (y < h) {
+      val row = off + (h - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < w) {
+        out(i) = bytes(row + 3 * x + 2)     // R
+        out(i + 1) = bytes(row + 3 * x + 1) // G
+        out(i + 2) = bytes(row + 3 * x)     // B
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Walk a RIFF 'AVI ' chunk tree and visit every size-validated
+    * BI_RGB frame chunk: `onFrame(width, height, frameIdx, dataOff)` in
+    * stream order. Returns Some((width, height, nFrames)) iff the
+    * container is a well-formed uncompressed AVI with at least one
+    * frame — shared by [[decodeAvi]] (whole-stream pixel checksum) and
+    * [[extractVideoFrames]] (sampled raster gather). */
+  private def parseAvi(bytes: Array[Byte])(
+      onFrame: (Int, Int, Int, Int) => Unit): Option[(Int, Int, Int)] = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(off: Int): String =
@@ -253,10 +292,6 @@ object Multimodal {
       return None
     var width = 0; var height = 0; var valid = true
     var frames = 0
-    var checksum = 0xcbf29ce484222325L
-    def fnvByte(b: Int): Unit = {
-      checksum ^= (b & 0xffL); checksum *= 0x100000001b3L
-    }
     // parse strf's BITMAPINFOHEADER: geometry + the BI_RGB/24-bit
     // contract every frame chunk is validated against
     def readStrf(off: Int, size: Int): Unit =
@@ -268,25 +303,12 @@ object Multimodal {
           width = w; height = h
         } else valid = false
       } else valid = false
-    // decode one bottom-up BGR DIB frame into the top-down RGB
-    // checksum — visiting every pixel is what makes the decode real
     def readFrame(off: Int, size: Int): Unit = {
       val stride = (3 * width + 3) / 4 * 4
       if (width == 0 || size != stride * height || off + size > bytes.length) {
         valid = false; return
       }
-      var y = 0
-      while (y < height) {
-        val row = off + (height - 1 - y) * stride // bottom-up storage
-        var x = 0
-        while (x < width) {
-          fnvByte(bytes(row + 3 * x + 2)) // R
-          fnvByte(bytes(row + 3 * x + 1)) // G
-          fnvByte(bytes(row + 3 * x))     // B
-          x += 1
-        }
-        y += 1
-      }
+      onFrame(width, height, frames, off)
       frames += 1
     }
     // walk a chunk run [off, end): plain chunks and LIST recursion.
@@ -317,7 +339,7 @@ object Multimodal {
       else math.min(bytes.length.toLong, 8L + riffSize).toInt
     walk(12, riffEnd, inMovi = false)
     if (valid && width > 0 && frames > 0)
-      Some((width, height, frames, checksum))
+      Some((width, height, frames))
     else None
   }
 
@@ -539,5 +561,48 @@ object Multimodal {
       }
     }.toDF("media_id", "src_rate", "src_frames", "rate", "n_frames",
       "resampled_wav", "checksum")
+  }
+
+  /** REAL video frame sampling — the frame-extraction stage of a
+    * video-training pipeline: every `stride`-th frame of each clip is
+    * DECODED to its RGB raster (vision models train on sampled frames,
+    * not full streams). Where [[sampleFrames]] fans out frame INDICES
+    * from decoded metadata, this emits the frame BYTES: the RIFF walk
+    * ([[parseAvi]]) yields each validated BI_RGB chunk and the sampled
+    * ones are materialized through [[frameRgb]] — so a stub that never
+    * touched the pixel data cannot produce the raster or its checksum
+    * (spec-asserted against independently recomputed pixels).
+    *
+    * One row per sampled frame of each DECODED clip: (media_id, width,
+    * height, n_frames, frame_idx, frame_rgb, checksum); frame_rgb is
+    * the top-down row-major RGB raster, checksum its FNV-64. Non-video
+    * mimes and undecodable containers are dropped — post-quarantine
+    * semantics like [[resizeImages]]/[[resampleAudio]]. The fan-out is
+    * NARROW (rows multiply inside the partition, no exchange), per-row
+    * work is O(sampled pixels), and the raster column keeps downstream
+    * stages (resize, patching, embedding) shuffle-free on the frame
+    * grain. */
+  def extractVideoFrames(media: Dataset[MediaRecord], stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(stride >= 1, "stride must be positive")
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { r =>
+        if (!r.mime.startsWith("video/")) Iterator.empty
+        else {
+          val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+          parseAvi(r.media) { (w, h, idx, off) =>
+            if (idx % stride == 0) sampled += ((idx, frameRgb(r.media, off, w, h)))
+          } match {
+            case Some((w, h, n)) =>
+              sampled.iterator.map { case (idx, rgb) =>
+                (r.media_id, w, h, n, idx, rgb, fnv64(rgb))
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "frame_idx",
+      "frame_rgb", "checksum")
   }
 }

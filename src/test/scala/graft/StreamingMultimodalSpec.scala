@@ -546,4 +546,45 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       assert(row.getAs[Long]("checksum") == h, "PCM checksum mismatch")
     }
   }
+
+  test("extractVideoFrames: sampled rasters match aviPixel, drops non-video and corrupt") {
+    implicit val s = spark
+    import s.implicits._
+    // id 5: w=11 (DIB stride padding), h=4, 7 frames -> stride-2 sample
+    // {0,2,4,6}; id 14: w=9, h=5, 2 frames -> {0}. Plus a non-video
+    // mime and a corrupt payload under a video mime — both dropped.
+    val specs = Seq(5L, 14L).map(id => id -> Multimodal.aviSpec(id)).toMap
+    val media = Seq(
+      Multimodal.MediaRecord(5L, "video/avi",
+        { val (w, h, f) = specs(5L); Multimodal.synthesizeAvi(w, h, f, 5L) }),
+      Multimodal.MediaRecord(14L, "video/avi",
+        { val (w, h, f) = specs(14L); Multimodal.synthesizeAvi(w, h, f, 14L) }),
+      Multimodal.MediaRecord(3L, "audio/wav",
+        { val (w, h, f) = specs(5L); Multimodal.synthesizeAvi(w, h, f, 3L) }),
+      Multimodal.MediaRecord(4L, "video/avi", Array[Byte](82, 73, 70, 70))
+    ).toDS()
+    val out = Multimodal.extractVideoFrames(media, 2)
+      .collect().sortBy(r => (r.getLong(0), r.getInt(4)))
+    assert(out.map(r => (r.getLong(0), r.getInt(4))).toSeq ==
+      Seq((5L, 0), (5L, 2), (5L, 4), (5L, 6), (14L, 0)))
+    for (row <- out) {
+      val id = row.getLong(0)
+      val (w, h, f) = specs(id)
+      assert((row.getInt(1), row.getInt(2), row.getInt(3)) == (w, h, f))
+      val idx = row.getInt(4)
+      // independently recomputed top-down row-major RGB raster
+      val expected = (0 until h).flatMap { y =>
+        (0 until w).flatMap { x =>
+          val rgb = Multimodal.aviPixel(id, idx, x, y, w, h)
+          Seq(((rgb >> 16) & 0xff).toByte, ((rgb >> 8) & 0xff).toByte,
+            (rgb & 0xff).toByte)
+        }
+      }
+      assert(row.getAs[Array[Byte]]("frame_rgb").toSeq == expected,
+        s"raster mismatch for clip $id frame $idx")
+      var ck = 0xcbf29ce484222325L
+      expected.foreach { b => ck ^= (b & 0xffL); ck *= 0x100000001b3L }
+      assert(row.getAs[Long]("checksum") == ck, "frame checksum mismatch")
+    }
+  }
 }
