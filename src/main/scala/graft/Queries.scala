@@ -2955,7 +2955,171 @@ object Queries {
              |  CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
              |  CAST(u.f AS BIGINT) AS frame_idx
              |FROM documents,
-             |  unnest(range(0, CAST(2 + doc_id % 7 AS BIGINT), 2)) AS u(f)""".stripMargin)))
+             |  unnest(range(0, CAST(2 + doc_id % 7 AS BIGINT), 2)) AS u(f)""".stripMargin)),
+
+    Q("q104_gopher_gate",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Gopher-style rule GATE (Rae et al. 2021 §A1.1) — the
+        // accept/reject decision layer over the raw quality signals:
+        // hard per-rule bounds, a doc fails if ANY rule fires, and
+        // every rule's 0/1 flag is emitted alongside the conjunction
+        // (corpus cards report per-rule failure fractions). Distinct
+        // from q29 (a weighted composite SCORE) and q60 (the raw
+        // repetition signals): this is the published decision
+        // procedure. All metrics rounded before comparison, so no
+        // threshold sits on an ulp; one narrow codegen'd projection,
+        // zero shuffle.
+        operators.Quality.gopherGate(
+            tbl("documents"), "doc_id", "text", Stopwords)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""WITH m AS (SELECT doc_id,
+              |    string_split(lower(text), ' ') AS lw,
+              |    len(string_split(text, ' ')) AS n_tok,
+              |    length(replace(text, ' ', '')) AS n_ch
+              |  FROM documents),
+              |g2 AS (SELECT doc_id, len(lw) AS n_tok,
+              |         unnest(list_transform(range(1, len(lw)),
+              |           i -> concat_ws(' ', lw[i], lw[i+1]))) AS ng
+              |       FROM m WHERE len(lw) >= 2),
+              |c2 AS (SELECT doc_id, least(1.0, max(c * 2.0 / n_tok)) AS frac
+              |       FROM (SELECT doc_id, n_tok, ng, count(*) AS c FROM g2
+              |             GROUP BY doc_id, n_tok, ng)
+              |       GROUP BY doc_id),
+              |r AS (SELECT m.doc_id,
+              |    CAST(m.n_tok AS BIGINT) AS n_words,
+              |    round(CAST(m.n_ch AS DOUBLE) / m.n_tok, 6) AS mean_word_len,
+              |    round(coalesce(c2.frac, 0.0), 6) AS top2_frac,
+              |    round(CAST(m.n_tok - len(list_distinct(m.lw)) AS DOUBLE)
+              |          / m.n_tok, 6) AS dup_frac,
+              |    CAST(len(list_filter(m.lw, t -> t IN ($StopSql))) AS BIGINT)
+              |      AS n_stop
+              |  FROM m LEFT JOIN c2 ON m.doc_id = c2.doc_id)
+              |SELECT doc_id, n_words, mean_word_len, top2_frac, dup_frac,
+              |  n_stop,
+              |  CAST(CASE WHEN n_words BETWEEN 30 AND 80
+              |       THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+              |  CAST(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0
+              |       THEN 1 ELSE 0 END AS BIGINT) AS r_word_len,
+              |  CAST(CASE WHEN n_stop >= 2
+              |       THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+              |  CAST(CASE WHEN top2_frac <= 0.1
+              |       THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+              |  CAST(CASE WHEN dup_frac <= 0.55
+              |       THEN 1 ELSE 0 END AS BIGINT) AS r_dup,
+              |  CAST(CASE WHEN n_words BETWEEN 30 AND 80
+              |        AND mean_word_len BETWEEN 3.0 AND 10.0
+              |        AND n_stop >= 2 AND top2_frac <= 0.1
+              |        AND dup_frac <= 0.55
+              |       THEN 1 ELSE 0 END AS BIGINT) AS passes
+              |FROM r""".stripMargin)),
+
+    Q("q105_perplexity_buckets",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+        // every doc under a corpus-trained unigram LM, split at the
+        // corpus terciles — low perplexity = "head", the slice CCNet
+        // keeps. The oracle retrains the SAME LM in SQL (count/total
+        // over the same tokens) and replays the tercile quantiles over
+        // the same rounded perplexities, so a wrong vocab count, a
+        // dropped token, or a boundary off by one rank all hash-fail.
+        // Unigram stands in for KenLM (no model artifacts here); the
+        // train→score→bucket shape is the published pipeline.
+        implicit val ss = s
+        operators.Quality.perplexityBuckets(tbl("documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl"), col("bucket"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+             |tot AS (SELECT sum(cnt) AS total FROM v),
+             |sc AS (SELECT doc_id,
+             |    round(exp(-avg(ln(cnt / total))), 6) AS ppl
+             |  FROM tok JOIN v USING (tok), tot GROUP BY doc_id),
+             |b AS (SELECT quantile_cont(ppl, 1.0/3) AS t33,
+             |             quantile_cont(ppl, 2.0/3) AS t66 FROM sc)
+             |SELECT doc_id, ppl,
+             |  CASE WHEN ppl <= t33 THEN 'head'
+             |       WHEN ppl <= t66 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM sc, b""".stripMargin)),
+
+    Q("q106_hybrid_rrf",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        import s.implicits._
+        // HYBRID retrieval: reciprocal-rank fusion of the BM25 ranker
+        // (q93's pipeline, same probe terms) and the embedding cosine
+        // ranker (q26's, query vectors = the probes' embeddings) — the
+        // standard sparse+dense combiner, and the hard-negative-mining
+        // shape. The oracle replays BOTH rankers end-to-end AND the
+        // fusion arithmetic, so a wrong rank on either side, a dropped
+        // one-sided doc (the full-outer edge), or a fusion tie broken
+        // by anything but doc_id all hash-fail. rrf is two fixed-order
+        // IEEE divisions, rounded before the re-rank.
+        val probes = Seq(
+          (1L, Seq("hash", "filter", "customer")),
+          (2L, Seq("Stream", "STREAM", "window")),
+          (3L, Seq("training", "data", "quality"))
+        ).toDF("query_id", "terms")
+        val sparse = operators.Retrieval.bm25TopK(tbl("documents"),
+          "doc_id", "text", probes, "query_id", "terms", k = 10)
+        val emb = tbl("embeddings")
+        val dense = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id").as("id"),
+            col("rnk").as("rank"))
+        operators.Retrieval.rrfFuse(sparse, dense, kRrf = 60, topK = 10)
+          .select(col("query_id"), col("id").as("doc_id"),
+            col("rrf"), col("rank"))
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |  (1, 'hash'), (1, 'filter'), (1, 'customer'),
+             |  (2, 'stream'), (2, 'window'),
+             |  (3, 'training'), (3, 'data'), (3, 'quality')),
+             |p AS (SELECT doc_id,
+             |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+             |  string_split(lower(text), ' ') AS w FROM documents),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+             |       FROM p),
+             |tf AS (SELECT doc_id, dl, t AS term,
+             |    CAST(count(*) AS DOUBLE) AS f
+             |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM p)
+             |  WHERE t IN (SELECT term FROM q)
+             |  GROUP BY doc_id, dl, t),
+             |idf AS (SELECT term,
+             |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+             |  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df
+             |        FROM tf GROUP BY term), st),
+             |sc AS (SELECT q.query_id, tf.doc_id,
+             |    round(sum(idf.idf * tf.f * 2.2 / (tf.f + 1.2 *
+             |      (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+             |  FROM tf JOIN idf USING (term) JOIN q ON q.term = tf.term
+             |  GROUP BY q.query_id, tf.doc_id),
+             |sp AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS r
+             |  FROM sc QUALIFY r <= 10),
+             |qv AS (SELECT vec_id AS query_id,
+             |    CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+             |cv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+             |       FROM embeddings),
+             |dn AS (SELECT query_id, nid,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, nid) AS r
+             |  FROM qv, cv WHERE nid <> query_id QUALIFY r <= 10),
+             |f AS (SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+             |    coalesce(sp.doc_id, dn.nid) AS doc_id,
+             |    round(coalesce(1.0 / (60 + sp.r), 0)
+             |        + coalesce(1.0 / (60 + dn.r), 0), 6) AS rrf
+             |  FROM sp FULL JOIN dn
+             |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.nid)
+             |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+             |FROM f QUALIFY rank <= 10""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -107,4 +107,36 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of a
+    * sparse and a dense ranking — the standard hybrid-retrieval
+    * combiner (and the hard-negative-mining shape: lexical and
+    * embedding rankers disagree exactly where the hard negatives
+    * live). Each input carries (query_id, id, rank) — top-k lists from
+    * [[bm25TopK]] and an ANN ranker; rrf = Σ_r 1/(kRrf + rank_r) over
+    * the lists that ranked the doc, re-ranked per query with the id as
+    * the deterministic tiebreaker (symmetric rank pairs tie exactly).
+    *
+    * Scale: both inputs are top-k lists — |queries|·k rows — so the
+    * full-outer merge and the re-rank window run on bounded data no
+    * matter the corpus size; the heavy lifting stays in the upstream
+    * rankers, which keep their own scale shapes. The fused score is
+    * two IEEE divisions and one add in fixed order, bit-reproducible
+    * across engines; it is ROUNDED (6 places) before the re-rank so
+    * no ordering decision sits on an ulp. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame,
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(kRrf >= 1 && topK >= 1, "kRrf and topK must be positive")
+    val s = sparse.select(col("query_id"), col("id"), col("rank").as("r_sparse"))
+    val d = dense.select(col("query_id"), col("id"), col("rank").as("r_dense"))
+    val fused = s.join(d, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_dense")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("id"), col("rrf"), col("rank"))
+  }
 }

@@ -147,4 +147,71 @@ class SourcesAndQualitySpec extends AnyFunSuite {
     // atomic-rename discipline leaves no temp droppings behind
     assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".tmp")))
   }
+
+  test("gopherGate: each rule fails independently, conjunction gates") {
+    // one doc per rule, constructed to violate exactly that rule,
+    // plus one clean doc. Interactions matter: short docs inflate
+    // top2_frac (2/n), adjacent duplicates inflate it further — so
+    // the dup-heavy doc spreads its duplicates de-Bruijn-style (all
+    // 16 ordered pairs of its 4 symbols once: every 2-gram unique).
+    val sw = Seq("the", "a")
+    val docs = Seq(
+      ("ok", "the word count here lands inside every bound because " +
+        "a normal sentence mixes common and rare words"),
+      ("short", "the a quick brown foxes jumped high"),   // 7 words < 8
+      ("thin", "the a ab cd ef gh ij kl mn op qr st"),    // mean len 2.0
+      ("nostop", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("loop", "the a " + ("spammy hammer " * 6) + "x y z w"), // r_rep
+      ("dupes", "the the blue the lime the gold blue blue lime " +
+        "blue gold lime lime gold gold the")              // 4/17 distinct
+    ).toDF("id", "text")
+    // bounds tightened to the fixture's scale; structure is what's tested
+    val out = operators.Quality.gopherGate(docs, "id", "text", sw,
+        minWords = 8, maxWords = 60, minMeanLen = 3.0, maxMeanLen = 10.0,
+        minStopwords = 2, maxTop2Frac = 0.3, maxDupFrac = 0.7)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val flags = Seq("r_words", "r_word_len", "r_stop", "r_rep", "r_dup")
+    assert(flags.forall(f => out("ok").getAs[Long](f) == 1L))
+    assert(out("ok").getAs[Long]("passes") == 1L)
+    for ((id, failing) <- Seq("short" -> "r_words", "thin" -> "r_word_len",
+           "nostop" -> "r_stop", "loop" -> "r_rep", "dupes" -> "r_dup")) {
+      assert(out(id).getAs[Long](failing) == 0L, s"$id should fail $failing")
+      assert(out(id).getAs[Long]("passes") == 0L, s"$id should not pass")
+      assert(flags.filter(_ != failing)
+        .forall(f => out(id).getAs[Long](f) == 1L),
+        s"$id should fail ONLY $failing")
+    }
+  }
+
+  test("perplexityBuckets: unigram ppl matches hand recompute, terciles split") {
+    implicit val s = spark
+    // 6 docs over a 3-word vocab with known counts: rare-word-heavy docs
+    // must land in 'tail', common-word docs in 'head'
+    val docs = Seq(
+      ("d1", "x x x x"), ("d2", "x x x y"), ("d3", "x x y y"),
+      ("d4", "x y y z"), ("d5", "y z z z"), ("d6", "z z z z")
+    ).toDF("id", "text")
+    val out = operators.Quality.perplexityBuckets(docs, "id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // vocab over all 24 tokens: x=10, y=6, z=8
+    val p = Map("x" -> 10.0 / 24, "y" -> 6.0 / 24, "z" -> 8.0 / 24)
+    def ppl(toks: String*): Double = {
+      val m = toks.map(t => math.log(p(t))).sum / toks.size
+      BigDecimal(math.exp(-m)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val expected = Map(
+      "d1" -> ppl("x", "x", "x", "x"), "d2" -> ppl("x", "x", "x", "y"),
+      "d3" -> ppl("x", "x", "y", "y"), "d4" -> ppl("x", "y", "y", "z"),
+      "d5" -> ppl("y", "z", "z", "z"), "d6" -> ppl("z", "z", "z", "z"))
+    for ((id, e) <- expected)
+      assert(out(id).getAs[Double]("ppl") == e, s"ppl mismatch for $id")
+    // terciles: the two lowest-ppl docs are head, the two highest tail
+    val byPpl = expected.toSeq.sortBy(_._2).map(_._1)
+    for (id <- byPpl.take(2))
+      assert(out(id).getAs[String]("bucket") == "head", s"$id should be head")
+    for (id <- byPpl.takeRight(2))
+      assert(out(id).getAs[String]("bucket") == "tail", s"$id should be tail")
+    docs.sparkSession.catalog.clearCache() // reclaim the operator's persist
+  }
 }

@@ -187,6 +187,26 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(got(3L) > got(2L))
   }
 
+  test("rrfFuse: both-list docs outrank one-list docs, symmetric ties break by id") {
+    import spark.implicits._
+    // q1: doc 10 in both lists, 11 sparse-only, 12 dense-only; docs 11
+    // and 12 hold SYMMETRIC ranks (2 sparse / 2 dense) → exact rrf tie,
+    // broken by id. q2: dense-only — the full-outer edge.
+    val sparse = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "id", "rank")
+    val dense = Seq((1L, 10L, 3L), (1L, 12L, 2L), (2L, 21L, 1L))
+      .toDF("query_id", "id", "rank")
+    val got = graft.operators.Retrieval.rrfFuse(sparse, dense, kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 10L)) == (r6(1.0 / 61 + 1.0 / 63), 1L)) // both lists win
+    assert(got((1L, 11L)) == (r6(1.0 / 62), 2L)) // tie with 12: lower id first
+    assert(got((1L, 12L)) == (r6(1.0 / 62), 3L))
+    assert(got((2L, 20L))._2 == 1L && got((2L, 21L))._2 == 2L) // tie: 20 < 21
+    assert(got.size == 5)
+  }
+
   test("quantizeInt8: codes bounded, extremes pinned, error within half-step, zeros safe") {
     import spark.implicits._
     import graft.functions.Vectors
