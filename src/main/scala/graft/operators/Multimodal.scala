@@ -245,11 +245,27 @@ object Multimodal {
     * [[decodeStub]] fallback. */
   private[graft] def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     var checksum = 0xcbf29ce484222325L
+    def fnvByte(b: Int): Unit = {
+      checksum ^= (b & 0xffL); checksum *= 0x100000001b3L
+    }
+    // hash the bottom-up BGR rows in top-down RGB order IN PLACE — the
+    // whole-corpus decode path (q90/q61) visits every frame and must
+    // not allocate a raster per frame just to hash and discard it
+    // (real video frames are megabytes); [[frameRgb]] materializes
+    // only in [[extractVideoFrames]], which emits the raster
     parseAvi(bytes) { (w, h, _, off) =>
-      val rgb = frameRgb(bytes, off, w, h)
-      var i = 0
-      while (i < rgb.length) {
-        checksum ^= (rgb(i) & 0xffL); checksum *= 0x100000001b3L; i += 1
+      val stride = (3 * w + 3) / 4 * 4
+      var y = 0
+      while (y < h) {
+        val row = off + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          fnvByte(bytes(row + 3 * x + 2)) // R
+          fnvByte(bytes(row + 3 * x + 1)) // G
+          fnvByte(bytes(row + 3 * x))     // B
+          x += 1
+        }
+        y += 1
       }
     }.map { case (w, h, n) => (w, h, n, checksum) }
   }
@@ -304,8 +320,15 @@ object Multimodal {
         } else valid = false
       } else valid = false
     def readFrame(off: Int, size: Int): Unit = {
-      val stride = (3 * width + 3) / 4 * 4
-      if (width == 0 || size != stride * height || off + size > bytes.length) {
+      // long arithmetic: a crafted strf geometry (biWidth ~2^30) wraps
+      // 32-bit stride*height to a value that can match a tiny chunk
+      // size, and the decode then indexes far past the buffer — the
+      // size check must agree with the TRUE product, so no adversarial
+      // geometry reaches the pixel loops (both callers are covered
+      // here, not per-caller)
+      val stride = (3L * width + 3) / 4 * 4
+      if (width == 0 || size.toLong != stride * height ||
+          off + size > bytes.length) {
         valid = false; return
       }
       onFrame(width, height, frames, off)

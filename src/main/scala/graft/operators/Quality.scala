@@ -86,13 +86,14 @@ object Quality {
     * the token if it ever is not), the token total rides the vocab
     * table as a 1-row aggregate, and the tercile boundaries come back
     * through the broadcast-1-row gate — the scored corpus is never
-    * reshuffled to be bucketed. TWO tables persist, both small and
-    * both with two consumers: the vocab (|V| rows — the total
-    * aggregate and the broadcast join; unpersisted, the 1-row total
-    * would re-tokenize and re-aggregate the whole corpus) and the
-    * scored set (|docs| rows — the boundary aggregate and the final
-    * projection). The caller's between-query `clearCache()` reclaims
-    * them (the q76/q86 contract). Perplexities
+    * reshuffled to be bucketed. THREE tables persist, each with two
+    * consumers: the exploded tokens (the vocab aggregate and the
+    * scoring join — unpersisted, the corpus would tokenize twice; the
+    * [[Retrieval]] `scores` convention), the vocab (|V| rows — the
+    * 1-row total and the broadcast join), and the scored set (|docs|
+    * rows — the boundary aggregate and the final projection). The
+    * caller's between-query `clearCache()` reclaims them (the
+    * q76/q86 contract). Perplexities
     * are ROUNDED (6 places) before the boundary quantile AND the
     * comparison, so both engines interpolate identical inputs (R-7 on
     * both, exact IEEE on equal inputs — the q87 argument) and no
@@ -101,6 +102,7 @@ object Quality {
       implicit spark: SparkSession): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
+      .persist()
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
     val total = vocab.agg(sum("cnt").as("total"))
     val scored = toks.join(broadcast(vocab), Seq("tok"))

@@ -567,6 +567,18 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .collect().sortBy(r => (r.getLong(0), r.getInt(4)))
     assert(out.map(r => (r.getLong(0), r.getInt(4))).toSeq ==
       Seq((5L, 0), (5L, 2), (5L, 4), (5L, 6), (14L, 0)))
+    // adversarial geometry: biWidth 0x55555556 makes the 32-bit DIB
+    // stride wrap to 4, so a 12-byte frame chunk matches the wrapped
+    // stride*height — the long-arithmetic size check must reject it
+    // (not crash the task indexing past the buffer)
+    val crafted = Multimodal.synthesizeAvi(1, 3, 1, 5L) // stride 4, h 3
+    val bb = java.nio.ByteBuffer.wrap(crafted)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(176) == 1 && bb.getInt(180) == 3) // strf biWidth/biHeight
+    bb.putInt(176, 0x55555556)
+    val evil = Seq(Multimodal.MediaRecord(99L, "video/avi", crafted)).toDS()
+    assert(Multimodal.extractVideoFrames(evil, 1).count() == 0)
+    assert(Multimodal.decodeAvi(crafted).isEmpty)
     for (row <- out) {
       val id = row.getLong(0)
       val (w, h, f) = specs(id)
