@@ -166,10 +166,14 @@ class SourcesAndQualitySpec extends AnyFunSuite {
         "blue gold lime lime gold gold the")              // 4/17 distinct
     ).toDF("id", "text")
     // bounds tightened to the fixture's scale; structure is what's tested
-    val out = operators.Quality.gopherGate(docs, "id", "text", sw,
-        minWords = 8, maxWords = 60, minMeanLen = 3.0, maxMeanLen = 10.0,
-        minStopwords = 2, maxTop2Frac = 0.3, maxDupFrac = 0.7)
-      .collect().map(r => r.getString(0) -> r).toMap
+    val gated = operators.Quality.gopherGate(docs, "id", "text", sw,
+      minWords = 8, maxWords = 60, minMeanLen = 3.0, maxMeanLen = 10.0,
+      minStopwords = 2, maxTop2Frac = 0.3, maxDupFrac = 0.7)
+    // the scale claim IS the plan shape: one narrow projection, no
+    // exchange anywhere
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    val out = gated.collect().map(r => r.getString(0) -> r).toMap
     val flags = Seq("r_words", "r_word_len", "r_stop", "r_rep", "r_dup")
     assert(flags.forall(f => out("ok").getAs[Long](f) == 1L))
     assert(out("ok").getAs[Long]("passes") == 1L)
@@ -191,8 +195,12 @@ class SourcesAndQualitySpec extends AnyFunSuite {
       ("d1", "x x x x"), ("d2", "x x x y"), ("d3", "x x y y"),
       ("d4", "x y y z"), ("d5", "y z z z"), ("d6", "z z z z")
     ).toDF("id", "text")
-    val out = operators.Quality.perplexityBuckets(docs, "id", "text")
-      .collect().map(r => r.getString(0) -> r).toMap
+    val bucketed = operators.Quality.perplexityBuckets(docs, "id", "text")
+    // tercile bounds must come back through the broadcast-1-row gate,
+    // not a corpus reshuffle
+    assert(bucketed.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val out = bucketed.collect().map(r => r.getString(0) -> r).toMap
     // vocab over all 24 tokens: x=10, y=6, z=8
     val p = Map("x" -> 10.0 / 24, "y" -> 6.0 / 24, "z" -> 8.0 / 24)
     def ppl(toks: String*): Double = {
