@@ -726,9 +726,13 @@ object Queries {
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // HLL++ sketch vs exact count — the query asserts its own 5%
         // accuracy bound, which IS the cross-engine-checkable property
-        // (raw sketch estimates are engine-specific)
+        // (raw sketch estimates are engine-specific). The sketch runs
+        // at rsd=0.01, not the 0.05 default: a gate at the sketch's
+        // own expected rsd is a coin flip (the realized error exceeded
+        // 5% at sf0.001), while a 1%-rsd sketch leaves the 5% gate a
+        // 5-sigma margin at every SF
         tbl("lineitem").agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
           .select(Clean.flag(
             abs(col("approx_orders") - col("exact_orders")).cast("double") /
