@@ -3123,7 +3123,55 @@ object Queries {
              |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf,
              |  CAST(row_number() OVER (PARTITION BY query_id
              |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-             |FROM f QUALIFY rank <= 10""".stripMargin)))
+             |FROM f QUALIFY rank <= 10""".stripMargin)),
+
+    Q("q107_bigram_perplexity",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // q105's CCNet recipe upgraded to the HIGHER-ORDER LM its
+        // scaladoc promised: a corpus-trained bigram with
+        // Jelinek-Mercer interpolation (λ=0.75, both interpolands
+        // exact binary doubles). The oracle retrains BOTH models in
+        // SQL — bigram counts, context totals, unigram backoff — and
+        // replays the interpolation with the identical operand order,
+        // so a wrong c(v,w), a context total derived from the wrong
+        // side, a dropped first-token unigram term, or a tercile off
+        // by one rank all hash-fail.
+        implicit val ss = s
+        operators.Quality.bigramPerplexityBuckets(
+            tbl("documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl"), col("bucket"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+             |v AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+             |tot AS (SELECT sum(c1) AS total FROM v),
+             |bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+             |        FROM t)),
+             |b2 AS (SELECT prev, cur, count(*) AS c2 FROM bg
+             |       GROUP BY prev, cur),
+             |cx AS (SELECT prev, sum(c2) AS cctx FROM b2 GROUP BY prev),
+             |s2 AS (SELECT bg.doc_id,
+             |    sum(-ln(0.75 * (c2 / cctx) + 0.25 * (c1 / total))) AS s2,
+             |    count(*) AS n2
+             |  FROM bg JOIN b2 USING (prev, cur) JOIN cx USING (prev)
+             |    JOIN v ON v.tok = bg.cur, tot
+             |  GROUP BY bg.doc_id),
+             |s1 AS (SELECT f.doc_id, -ln(c1 / total) AS s1
+             |  FROM (SELECT doc_id, w[1] AS tok FROM t) f
+             |    JOIN v USING (tok), tot),
+             |sc AS (SELECT s1.doc_id,
+             |    round(exp((s1.s1 + coalesce(s2.s2, 0)) /
+             |              (1 + coalesce(s2.n2, 0))), 6) AS ppl
+             |  FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id),
+             |b AS (SELECT quantile_cont(ppl, 1.0/3) AS t33,
+             |             quantile_cont(ppl, 2.0/3) AS t66 FROM sc)
+             |SELECT doc_id, ppl,
+             |  CASE WHEN ppl <= t33 THEN 'head'
+             |       WHEN ppl <= t66 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM sc, b""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

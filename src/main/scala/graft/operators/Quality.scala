@@ -120,4 +120,81 @@ object Quality {
           .when(col("ppl") <= col("t66"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** The higher-order LM [[perplexityBuckets]]'s scaladoc promises:
+    * a corpus-trained BIGRAM language model with Jelinek-Mercer
+    * interpolation against the unigram —
+    * P(w|v) = λ·c(v,w)/c(v,·) + (1−λ)·c(w)/N — scored as perplexity
+    * per document and bucketed at the corpus terciles exactly like
+    * the unigram path (first token scores under the unigram alone;
+    * single-token documents degrade to pure unigram perplexity).
+    * λ defaults to 0.75 because 0.75 and its complement 0.25 are
+    * EXACT binary doubles: both engines of a cross-engine replay
+    * compute bit-identical interpolands, so no bucket boundary can
+    * sit on a decimal-literal ulp (the 1−0.8 trap).
+    *
+    * Scale plan — the unigram plan plus one bigram-keyed shuffle:
+    * bigram positions come from a NARROW `zip_with(slice,slice)`
+    * fan-out (no per-document window sort), the bigram vocabulary is
+    * one map-side-combined aggregate, and the context totals c(v,·)
+    * derive from that vocabulary (|V₂| rows), never from a second
+    * corpus pass. Scoring joins broadcast (a natural-language bigram
+    * vocabulary is executor-memory-bounded; switch to sort-merge on
+    * the pair if it ever is not), and the terciles ride the
+    * broadcast-1-row gate — the corpus is never reshuffled to be
+    * bucketed. Persisted: the token-array base (3 consumers), the
+    * bigram positions (2), the unigram vocab (3), the bigram vocab
+    * (2), the scored set (2); the caller's between-query
+    * `clearCache()` reclaims them (the q76/q86 contract). */
+  def bigramPerplexityBuckets(docs: DataFrame, idCol: String,
+                              textCol: String, lambda: Double = 0.75)(
+      implicit spark: SparkSession): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.Text.tokens(lower(col(textCol))).as("w")).persist()
+    val toks = base.select(col("id"), explode(col("w")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1")).persist()
+    val total = uni.agg(sum("c1").as("total"))
+    val pairs = base.select(col("id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col("id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .persist()
+    val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      .persist()
+    val ctx = bi.groupBy("prev").agg(sum("c2").as("cctx"))
+    // operand order mirrors the SQL replay verbatim: coeff * (ratio),
+    // ratios first (int/int division is an exact IEEE double on every
+    // engine), then one multiply, one add — all deterministic
+    val interp = lit(lambda) * (col("c2").cast("double") / col("cctx")) +
+      (lit(1.0) - lit(lambda)) * (col("c1").cast("double") / col("total"))
+    val s2 = pairs
+      .join(broadcast(bi), Seq("prev", "cur"))
+      .join(broadcast(ctx), Seq("prev"))
+      .join(broadcast(uni.withColumnRenamed("tok", "cur")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum(-log(interp)).as("s2"), count(lit(1)).as("n2"))
+    val s1 = base.select(col("id"), element_at(col("w"), 1).as("tok"))
+      .join(broadcast(uni), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        (-log(col("c1").cast("double") / col("total"))).as("s1"))
+    val scored = s1.join(s2, Seq("id"), "left")
+      .select(col("id"), round(exp(
+        (col("s1") + coalesce(col("s2"), lit(0.0))) /
+          (lit(1L) + coalesce(col("n2"), lit(0L))).cast("double")), 6)
+        .as("ppl"))
+      .persist()
+    val bounds = scored.agg(
+      percentile(col("ppl"), lit(1.0 / 3)).as("t33"),
+      percentile(col("ppl"), lit(2.0 / 3)).as("t66"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("id"), col("ppl"),
+        when(col("ppl") <= col("t33"), "head")
+          .when(col("ppl") <= col("t66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

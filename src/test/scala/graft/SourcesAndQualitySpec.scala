@@ -222,4 +222,47 @@ class SourcesAndQualitySpec extends AnyFunSuite {
       assert(out(id).getAs[String]("bucket") == "tail", s"$id should be tail")
     docs.sparkSession.catalog.clearCache() // reclaim the operator's persist
   }
+
+  test("bigramPerplexityBuckets: JM bigram ppl matches hand recompute") {
+    implicit val s = spark
+    val raw = Seq(
+      ("d1", "x x x x"), ("d2", "x x x y"), ("d3", "x x y y"),
+      ("d4", "x y y z"), ("d5", "y z z z"), ("d6", "z z z z"))
+    val docs = raw.toDF("id", "text")
+    val bucketed =
+      operators.Quality.bigramPerplexityBuckets(docs, "id", "text")
+    // tercile bounds ride the broadcast-1-row gate, never a reshuffle
+    assert(bucketed.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val out = bucketed.collect().map(r => r.getString(0) -> r).toMap
+    // independent recompute: train the same unigram + bigram counts
+    // from the raw strings, score with the same λ=0.75 interpolation
+    val toks = raw.map { case (id, t) => id -> t.split(" ").toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val total = toks.map(_._2.size).sum.toDouble
+    val pairsAll = toks.flatMap(_._2.sliding(2).collect { case Seq(a, b) => (a, b) })
+    val big = pairsAll.groupBy(identity).map { case (k, v) => k -> v.size }
+    val ctx = pairsAll.groupBy(_._1).map { case (k, v) => k -> v.size }
+    def ppl(ws: Seq[String]): Double = {
+      val s1 = -math.log(uni(ws.head) / total)
+      val s2 = ws.sliding(2).collect { case Seq(a, b) =>
+        -math.log(0.75 * (big((a, b)).toDouble / ctx(a)) +
+          0.25 * (uni(b) / total))
+      }.sum
+      BigDecimal(math.exp((s1 + s2) / ws.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = toks.map { case (id, ws) => id -> ppl(ws) }.toMap
+    for ((id, e) <- expected)
+      assert(out(id).getAs[Double]("ppl") == e, s"ppl mismatch for $id")
+    // d6 "z z z z" repeats the corpus's strongest bigram (z,z occurs
+    // 5× in a 5-wide z context) — the bigram model must rank it head
+    // even though unigram-wise z is not the most common token
+    val byPpl = expected.toSeq.sortBy(_._2).map(_._1)
+    for (id <- byPpl.take(2))
+      assert(out(id).getAs[String]("bucket") == "head", s"$id should be head")
+    for (id <- byPpl.takeRight(2))
+      assert(out(id).getAs[String]("bucket") == "tail", s"$id should be tail")
+    docs.sparkSession.catalog.clearCache()
+  }
 }
