@@ -3171,7 +3171,122 @@ object Queries {
              |  CASE WHEN ppl <= t33 THEN 'head'
              |       WHEN ppl <= t66 THEN 'middle'
              |       ELSE 'tail' END AS bucket
-             |FROM sc, b""".stripMargin)))
+             |FROM sc, b""".stripMargin)),
+
+    Q("q108_importance_select",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // DSIR importance resampling (Xie et al. 2023): pick the 50 raw
+        // docs most target-like under hashed-ngram bag models, via
+        // Gumbel-top-k on the importance weights — target = the English
+        // slice, raw = the whole pool. The oracle retrains BOTH bucket
+        // multinomials (same md5 buckets, same Laplace smoothing),
+        // replays the per-occurrence log-ratio sum, the Gumbel coin,
+        // and the top-k cut, so a wrong bucket count, a missed
+        // smoothing term, a biased coin, or an off-by-one rank all
+        // hash-fail.
+        val docs = tbl("documents")
+        operators.Selection.importanceSelect(docs,
+            docs.filter(col("lang") === "en"), "doc_id", "text", k = 50)
+          .select(col("id").as("doc_id"), col("logw"), col("gkey"),
+            col("rank"))
+      },
+      Some("""WITH r AS (SELECT doc_id, lang,
+             |    string_split(lower(text), ' ') AS w FROM documents),
+             |f AS (SELECT doc_id, lang, unnest(w) AS f FROM r
+             |      UNION ALL
+             |      SELECT doc_id, lang, concat_ws(' ', w[i], w[i+1]) AS f
+             |      FROM (SELECT doc_id, lang, w,
+             |            unnest(range(1, len(w))) AS i FROM r)),
+             |fb AS (SELECT doc_id, lang,
+             |    ((strpos('0123456789abcdef',
+             |        substr(md5(f || ':dsir'), 1, 1)) - 1) * 1048576
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(f || ':dsir'), 2, 1)) - 1) * 65536
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(f || ':dsir'), 3, 1)) - 1) * 4096
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(f || ':dsir'), 4, 1)) - 1) * 256
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(f || ':dsir'), 5, 1)) - 1) * 16
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(f || ':dsir'), 6, 1)) - 1)) % 256 AS b
+             |  FROM f),
+             |rb AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+             |tb AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en'
+             |       GROUP BY b),
+             |nr AS (SELECT sum(cr) AS nr FROM rb),
+             |nt AS (SELECT sum(ct) AS nt FROM tb),
+             |lr AS (SELECT rb.b,
+             |    ln((coalesce(ct, 0) + 1.0) / (nt + 256))
+             |      - ln((cr + 1.0) / (nr + 256)) AS lr
+             |  FROM rb LEFT JOIN tb USING (b), nt, nr),
+             |sc AS (SELECT doc_id, round(sum(lr), 6) AS logw
+             |  FROM fb JOIN lr USING (b) GROUP BY doc_id),
+             |g AS (SELECT doc_id, logw, round(logw + (-ln(-ln(
+             |    (((strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':dsir:g'), 1, 1)) - 1)
+             |          * 1048576
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':dsir:g'), 2, 1)) - 1)
+             |          * 65536
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':dsir:g'), 3, 1)) - 1)
+             |          * 4096
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':dsir:g'), 4, 1)) - 1)
+             |          * 256
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':dsir:g'), 5, 1)) - 1)
+             |          * 16
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':dsir:g'), 6, 1)) - 1))
+             |     + 0.5) / 16777216.0))), 6) AS gkey
+             |  FROM sc)
+             |SELECT doc_id, logw, gkey,
+             |  CAST(row_number() OVER (ORDER BY gkey DESC, doc_id)
+             |    AS BIGINT) AS rank
+             |FROM g QUALIFY rank <= 50""".stripMargin)),
+
+    Q("q109_waterfill_budget",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // UniMax water-filling (Chung et al. 2023): split a 30k-token
+        // budget across languages as evenly as their 3-epoch caps
+        // allow. The oracle replays the whole closed form — ascending
+        // cap ranking, the prefix-closed saturation probe, the last
+        // saturated rank s, θ = (budget − satSum)/(n − s) — so a wrong
+        // cap, a saturation flag off by one, or a θ computed over the
+        // wrong remainder all hash-fail.
+        operators.Selection.waterFillBudget(tbl("documents"), "lang",
+          graft.functions.Text.tokenCount(col("text")),
+          budget = 30000L, maxEpochs = 3)
+      },
+      Some("""WITH g AS (SELECT lang,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |      AS group_tokens
+             |  FROM documents GROUP BY lang),
+             |c AS (SELECT lang, group_tokens,
+             |    CAST(group_tokens * 3 AS BIGINT) AS cap FROM g),
+             |n AS (SELECT count(*) AS n FROM c),
+             |r AS (SELECT lang, group_tokens, cap,
+             |    row_number() OVER (ORDER BY cap, lang) AS rn,
+             |    CAST(sum(cap) OVER (ORDER BY cap, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS prefix
+             |  FROM c),
+             |f AS (SELECT r.*, n.n,
+             |    cap * (n - rn + 1) <= 30000 - (prefix - cap) AS sat_here
+             |  FROM r, n),
+             |s AS (SELECT coalesce(max(CASE WHEN sat_here THEN rn END), 0)
+             |        AS s FROM f),
+             |ss AS (SELECT coalesce(max(CASE WHEN rn = s.s THEN prefix END),
+             |         0) AS sat_sum FROM f, s),
+             |a AS (SELECT lang, group_tokens, cap,
+             |    round(CASE WHEN rn <= s.s THEN CAST(cap AS DOUBLE)
+             |          ELSE (30000 - ss.sat_sum) / (n - s.s) END, 6) AS alloc
+             |  FROM f, s, ss)
+             |SELECT lang, group_tokens, cap, alloc,
+             |  round(alloc / group_tokens, 6) AS epochs
+             |FROM a""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

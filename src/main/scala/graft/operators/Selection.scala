@@ -125,4 +125,160 @@ object Selection {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }
+
+  /** Deterministic uniform coin in (0, 1) keyed on a column — the
+    * [[Sampling.hashUniform]] md5 recipe shifted off the closed
+    * endpoint: (v + 0.5)/16^6 with v the hash's first six hex digits,
+    * so ln(u) and ln(1−u) are both finite for the Gumbel transform.
+    * Every term is an exact binary double ((2v+1)/2^25 has a 25-bit
+    * significand), so both engines of a cross-engine replay land on
+    * the identical u. */
+  private def openCoin(keyCol: Column, salt: String): Column = {
+    val h = md5(concat(keyCol.cast("string"), lit(salt)))
+    val v = (0 until 6).map { i =>
+      val c = ascii(substring(h, i + 1, 1))
+      (when(c >= 97, c - 87).otherwise(c - 48)) * lit(1 << (4 * (5 - i)))
+    }.reduce(_ + _)
+    (v.cast("double") + lit(0.5)) / lit((1 << 24).toDouble)
+  }
+
+  /** Hashed-feature bucket id in [0, numBuckets): first six md5 hex
+    * digits mod numBuckets. Callers must pass a power-of-two
+    * numBuckets ≤ 2^24 so the modulus divides the 16^6 hash domain
+    * exactly — any other choice has modulo bias across buckets. */
+  private def featureBucket(f: Column, salt: String, numBuckets: Int): Column = {
+    val h = md5(concat(f, lit(salt)))
+    val v = (0 until 6).map { i =>
+      val c = ascii(substring(h, i + 1, 1))
+      (when(c >= 97, c - 87).otherwise(c - 48)) * lit(1 << (4 * (5 - i)))
+    }.reduce(_ + _)
+    pmod(v, lit(numBuckets)).cast("long")
+  }
+
+  /** Per-occurrence hashed n-gram features (unigrams + bigrams) of a
+    * document corpus: one row per feature OCCURRENCE, bucketed into
+    * `numBuckets` hashed bins — the DSIR feature space. Entirely
+    * narrow: a token split, two slice/zip fan-outs, a hash. Bigrams
+    * join their tokens with a single space, which cannot collide with
+    * a unigram (tokens are space-split, so never contain one). */
+  private def hashedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                           salt: String, numBuckets: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.Text.tokens(lower(col(textCol))).as("w"))
+    val unis = base.select(col("id"), explode(col("w")).as("f"))
+    val bis = base.select(col("id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("f"))
+    unis.unionByName(bis)
+      .select(col("id"), featureBucket(col("f"), salt, numBuckets).as("b"))
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much likelier its hashed n-gram features are
+    * under a TARGET corpus' bag-of-ngrams model than under the raw
+    * pool's own — log w(x) = Σ_f (ln p_t(b_f) − ln p_r(b_f)) summed
+    * over feature occurrences, with Laplace-smoothed bucket
+    * multinomials p(b) = (c_b + 1)/(N + B) — then draw k documents
+    * WITHOUT replacement ∝ softmax(log w) via the Gumbel-top-k trick
+    * (key = log w + Gumbel(0,1)), reproducible because the Gumbel's
+    * uniform is a deterministic per-doc md5 coin. Output: the k chosen
+    * docs with `logw`, the perturbed `gkey`, and their 1-based `rank`.
+    *
+    * Scale shape: the corpus never sees a wide operation it doesn't
+    * need. Feature fan-out is narrow; the raw and target bucket
+    * histograms are map-side-combined aggregates that emit ≤ B rows
+    * each; the B-row log-ratio table broadcasts back onto the feature
+    * stream; scoring is ONE corpus shuffle (groupBy doc id, partially
+    * aggregated); the global top-k is TakeOrderedAndProject (per-
+    * partition heads, no global sort), and the rank window runs over
+    * the k selected rows only. Summing ln-ratios per occurrence (vs
+    * c·ln-ratio per distinct bucket) differs by ≤ c·ε rounding — both
+    * engines replay the same per-occurrence sum, and the 6-decimal
+    * round absorbs partial-sum order. */
+  def importanceSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, k: Int, numBuckets: Int = 256,
+                       salt: String = ":dsir"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(numBuckets >= 2 && numBuckets <= (1 << 24) &&
+      (numBuckets & (numBuckets - 1)) == 0,
+      "numBuckets must be a power of two in [2, 2^24] (unbiased modulus)")
+    val rawF = hashedNgrams(raw, idCol, textCol, salt, numBuckets).persist()
+    val rb = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tb = hashedNgrams(target, idCol, textCol, salt, numBuckets)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val nr = rb.agg(sum("cr").as("nr"))
+    val nt = tb.agg(sum("ct").as("nt"))
+    // ≤ B rows: the smoothed log-likelihood ratio per bucket. A bucket
+    // unseen in the target keeps its smoothing mass 1/(Nt + B).
+    val lr = rb.join(tb, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+             (col("nt") + lit(numBuckets))) -
+         log((col("cr").cast("double") + lit(1.0)) /
+             (col("nr") + lit(numBuckets)))).as("lr"))
+    val scored = rawF.join(broadcast(lr), Seq("b"))
+      .groupBy("id").agg(round(sum(col("lr")), 6).as("logw"))
+      .withColumn("gkey", round(col("logw") +
+        (-log(-log(openCoin(col("id"), salt + ":g")))), 6))
+    val picked = scored.orderBy(col("gkey").desc, col("id")).limit(k)
+    picked.withColumn("rank",
+      row_number().over(Window.orderBy(col("gkey").desc, col("id")))
+        .cast("long"))
+  }
+
+  /** UniMax-style budget allocation (Chung et al. 2023): split a total
+    * token `budget` across groups as EVENLY as possible, except no
+    * group may contribute more than `maxEpochs` passes over its own
+    * data — the fairness rule that stops low-resource languages being
+    * over-epoched. This is exact water-filling: each group gets
+    * min(cap_g, θ) with cap_g = tokens_g·maxEpochs and the water level
+    * θ chosen so the allocations sum to the budget. Closed form, no
+    * iteration: sort caps ascending — the saturated groups are a
+    * PREFIX of that order (if a cap fits under the equal share of the
+    * remaining budget, every smaller cap did too) — find the last
+    * saturated rank s, then θ = (budget − Σ_{i≤s} cap_i)/(n − s).
+    * Output: one row per group with `group_tokens`, `cap`, the
+    * allocated `alloc`, and `epochs` = alloc/tokens.
+    *
+    * Scale shape: the corpus collapses to |groups| rows in one
+    * map-side-combined aggregate; everything after — ranking, prefix
+    * sums, the s/θ probes — is |groups|-row work on that bounded set
+    * (the [[Sampling.temperatureMixture]] discipline), stitched with
+    * broadcast-1-row gates. Arithmetic stays integral until θ, whose
+    * single division both engines of a replay round identically. */
+  def waterFillBudget(docs: DataFrame, groupCol: String, costCol: Column,
+                      budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxEpochs >= 1, "maxEpochs must be positive")
+    val sizes = docs.groupBy(col(groupCol))
+      .agg(sum(costCol.cast("long")).as("group_tokens"))
+      .withColumn("cap", col("group_tokens") * maxEpochs)
+    val n1 = sizes.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("cap").asc, col(groupCol).asc)
+    val ranked = sizes.crossJoin(broadcast(n1))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sat_here",
+        col("cap") * (col("n") - col("rn") + lit(1L)) <=
+          lit(budget) - (col("prefix") - col("cap")))
+      .persist()
+    val s1 = ranked.agg(
+      coalesce(max(when(col("sat_here"), col("rn"))), lit(0L)).as("s"))
+    val withS = ranked.crossJoin(broadcast(s1))
+    val satSum = withS.agg(coalesce(
+      max(when(col("rn") === col("s"), col("prefix"))), lit(0L))
+      .as("sat_sum"))
+    withS.crossJoin(broadcast(satSum))
+      .withColumn("alloc", round(
+        when(col("rn") <= col("s"), col("cap").cast("double"))
+          .otherwise((lit(budget) - col("sat_sum")).cast("double") /
+            (col("n") - col("s"))), 6))
+      .withColumn("epochs", round(col("alloc") / col("group_tokens"), 6))
+      .select(col(groupCol), col("group_tokens"), col("cap"),
+        col("alloc"), col("epochs"))
+  }
 }

@@ -166,6 +166,69 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(4L) == (2L, "delta1 delta2"))
   }
 
+  test("waterFillBudget: closed-form water level on hand caps") {
+    import spark.implicits._
+    // groups a/b/c hold 10/20/100 tokens; maxEpochs=2 → caps 20/40/200
+    val docs = Seq(("a", 4L), ("a", 6L), ("b", 20L), ("c", 60L), ("c", 40L))
+      .toDF("g", "cost")
+    def run(budget: Long) =
+      Selection.waterFillBudget(docs, "g", col("cost"), budget, maxEpochs = 2)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // budget 100: a saturates (cap 20), b saturates EXACTLY at the
+    // boundary (40·2 = 80 ≤ 100−20), c gets the θ=40 remainder
+    val m = run(100L)
+    assert(m("a") == ((20L, 20.0, 2.0)), s"a got ${m("a")}")
+    assert(m("b") == ((40L, 40.0, 2.0)), s"b got ${m("b")}")
+    assert(m("c") == ((200L, 40.0, 0.4)), s"c got ${m("c")}")
+    assert(m.values.map(_._2).sum == 100.0, "allocs must spend the budget")
+    // budget 1000: everything saturates at its cap
+    val all = run(1000L)
+    assert(all.values.map(_._2).toSeq.sorted == Seq(20.0, 40.0, 200.0))
+    // budget 30: nothing saturates — pure equal split θ=10
+    val none = run(30L)
+    assert(none.values.map(_._2).forall(_ == 10.0), s"θ split: $none")
+    assert(none("c")._3 == 0.1, "epochs = alloc / group_tokens")
+    spark.catalog.clearCache()
+  }
+
+  test("importanceSelect: target-like docs dominate, deterministic top-k") {
+    import spark.implicits._
+    // 10 target-vocab docs vs 10 disjoint-vocab junk docs, both long
+    // enough that the per-occurrence log-ratio sum dwarfs Gumbel noise
+    val targetText = Seq.fill(30)("alpha beta").mkString(" ")
+    val junkText = Seq.fill(30)("zzz qqq").mkString(" ")
+    val raw = ((1L to 10L).map(i => (i, targetText)) ++
+      (11L to 20L).map(i => (i, junkText))).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") <= 5) // held-out style subset
+    val out = Selection.importanceSelect(raw, target, "doc_id", "text",
+      k = 10)
+    // global top-k must be TakeOrderedAndProject, not a full sort
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val rows = out.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 10L).toSeq,
+      "ranks must be 1..k")
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 10L).toSeq,
+      "every target-like doc must beat every junk doc")
+    val byRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      "gkey must be non-increasing in rank")
+    // logw sign: target-like positive, junk negative
+    val junkScored = Selection.importanceSelect(raw, target, "doc_id",
+      "text", k = 20).collect()
+    assert(junkScored.filter(_.getLong(0) <= 10).forall(_.getDouble(1) > 0))
+    assert(junkScored.filter(_.getLong(0) > 10).forall(_.getDouble(1) < 0))
+    // reproducible: same corpus, same coin, same selection
+    val again = Selection.importanceSelect(raw, target, "doc_id", "text",
+      k = 10).collect()
+    assert(again.map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+      .toSet == rows.map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+      .toSet)
+    spark.catalog.clearCache()
+  }
+
   test("blockDedup: token conservation across the corpus") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val out = Dedup.blockDedup(docs, "doc_id", "text", 16)
