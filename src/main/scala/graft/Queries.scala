@@ -3286,7 +3286,68 @@ object Queries {
              |  FROM f, s, ss)
              |SELECT lang, group_tokens, cap, alloc,
              |  round(alloc / group_tokens, 6) AS epochs
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    Q("q110_alloc_then_select",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the allocator feeding the selector — the REAL mixture
+        // pipeline: q109's water-filled per-language token allocations
+        // (floored to integer budgets) become each language's
+        // selection budget, and each language keeps its longest-docs-
+        // first prefix under that budget. The oracle replays the whole
+        // chain — water level, floor, per-group prefix sums, the
+        // inclusive boundary — so an alloc off by one token or a
+        // budget joined onto the wrong group all hash-fail.
+        val docs = tbl("documents")
+        val budgets = operators.Selection.waterFillBudget(docs, "lang",
+            graft.functions.Text.tokenCount(col("text")),
+            budget = 30000L, maxEpochs = 3)
+          .select(col("lang"), floor(col("alloc")).cast("long").as("budget"))
+        operators.Selection.takeByBudgets(
+            docs.select(col("doc_id"), col("lang"), col("n_chars"),
+              graft.functions.Text.tokenCount(col("text")).as("n_tok")),
+            "lang", Seq(col("n_chars").desc, col("doc_id")), col("n_tok"),
+            budgets)
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            col("cum_cost"), col("budget"))
+      },
+      Some("""WITH g AS (SELECT lang,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |      AS group_tokens
+             |  FROM documents GROUP BY lang),
+             |c AS (SELECT lang, group_tokens,
+             |    CAST(group_tokens * 3 AS BIGINT) AS cap FROM g),
+             |n AS (SELECT count(*) AS n FROM c),
+             |r AS (SELECT lang, group_tokens, cap,
+             |    row_number() OVER (ORDER BY cap, lang) AS rn,
+             |    CAST(sum(cap) OVER (ORDER BY cap, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS prefix
+             |  FROM c),
+             |f AS (SELECT r.*, n.n,
+             |    cap * (n - rn + 1) <= 30000 - (prefix - cap) AS sat_here
+             |  FROM r, n),
+             |s AS (SELECT coalesce(max(CASE WHEN sat_here THEN rn END), 0)
+             |        AS s FROM f),
+             |ss AS (SELECT coalesce(max(CASE WHEN rn = s.s THEN prefix END),
+             |         0) AS sat_sum FROM f, s),
+             |b AS (SELECT lang, CAST(floor(
+             |    round(CASE WHEN rn <= s.s THEN CAST(cap AS DOUBLE)
+             |          ELSE (30000 - ss.sat_sum) / (n - s.s) END, 6))
+             |    AS BIGINT) AS budget
+             |  FROM f, s, ss),
+             |dd AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    n_chars
+             |  FROM documents),
+             |o AS (SELECT doc_id, lang, n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_cost
+             |  FROM dd)
+             |SELECT doc_id, lang, n_tok, cum_cost, budget
+             |FROM o JOIN b USING (lang) WHERE cum_cost <= budget""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

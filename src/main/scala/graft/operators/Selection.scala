@@ -126,6 +126,27 @@ object Selection {
       .filter(col("rank") <= n)
   }
 
+  /** [[takeByBudgetPerGroup]] with a DIFFERENT budget per group,
+    * supplied as a (group, budget) table — the shape a mixture
+    * allocator actually hands the selector ([[waterFillBudget]]'s
+    * output feeds straight in): each group keeps the maximal prefix of
+    * its own total order whose running cost stays within ITS budget.
+    * The budget table is |groups| rows and broadcasts; the prefix sums
+    * run through the same phased two-phase cumsum (no per-group
+    * single-task window). Null-safe on the group key, like the
+    * single-budget path — a NULL group with a NULL-keyed budget row is
+    * selected, not dropped. Output appends `cum_cost` and the group's
+    * `budget`. */
+  def takeByBudgets(df: DataFrame, groupCol: String, orderBy: Seq[Column],
+                    costCol: Column, budgets: DataFrame): DataFrame = {
+    val b = budgets.select(col(groupCol).as(s"${groupCol}__b"),
+      col("budget").cast("long").as("budget"))
+    phasedCumsum(df, Seq(groupCol), orderBy, costCol)
+      .join(broadcast(b), col(groupCol) <=> col(s"${groupCol}__b"))
+      .drop(s"${groupCol}__b")
+      .filter(col("cum_cost") <= col("budget"))
+  }
+
   /** Deterministic uniform coin in (0, 1) keyed on a column — the
     * [[Sampling.hashUniform]] md5 recipe shifted off the closed
     * endpoint: (v + 0.5)/16^6 with v the hash's first six hex digits,

@@ -166,6 +166,24 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(4L) == (2L, "delta1 delta2"))
   }
 
+  test("takeByBudgets: per-group budget table, null-safe group key") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), 1L, 10L), (Option("a"), 2L, 10L), (Option("a"), 3L, 10L),
+      (Option("b"), 4L, 5L), (Option("b"), 5L, 5L),
+      (Option.empty[String], 6L, 7L), (Option.empty[String], 7L, 7L)
+    ).toDF("g", "id", "cost")
+    val budgets = Seq((Option("a"), 20L), (Option("b"), 100L),
+      (Option.empty[String], 7L)).toDF("g", "budget")
+    val out = Selection.takeByBudgets(df, "g", Seq(col("id")), col("cost"),
+        budgets)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // a: ids 1,2 (third overruns 20); b: both fit 100; NULL group's
+    // NULL-keyed budget row funds exactly its first row
+    assert(out == Seq(1L, 2L, 4L, 5L, 6L), s"got $out")
+    spark.catalog.clearCache()
+  }
+
   test("waterFillBudget: closed-form water level on hand caps") {
     import spark.implicits._
     // groups a/b/c hold 10/20/100 tokens; maxEpochs=2 → caps 20/40/200
