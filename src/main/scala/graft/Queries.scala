@@ -3347,7 +3347,69 @@ object Queries {
              |      AS BIGINT) AS cum_cost
              |  FROM dd)
              |SELECT doc_id, lang, n_tok, cum_cost, budget
-             |FROM o JOIN b USING (lang) WHERE cum_cost <= budget""".stripMargin)))
+             |FROM o JOIN b USING (lang) WHERE cum_cost <= budget""".stripMargin)),
+
+    Q("q111_split_assign",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // deterministic 80/10/10 corpus split: every doc's md5 coin
+        // against INTEGER thresholds on the 16^6 grid (13421773 =
+        // round(0.8·16^6), 15099494 = round(0.9·16^6)) — no float ever
+        // crosses an engine boundary. The oracle replays the hex
+        // arithmetic and the same two integer cuts, so a biased digit,
+        // a wrong threshold rounding, or a reordered when-chain all
+        // hash-fail. Assignment is per-row content hash: growing the
+        // corpus never reassigns an existing doc (eval stability).
+        operators.Sampling.assignSplit(tbl("documents"), col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("lang"), col("split"))
+      },
+      Some("""WITH v AS (SELECT doc_id, lang,
+             |    ((strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':split'), 1, 1)) - 1)
+             |          * 1048576
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':split'), 2, 1)) - 1)
+             |          * 65536
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':split'), 3, 1)) - 1)
+             |          * 4096
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':split'), 4, 1)) - 1)
+             |          * 256
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':split'), 5, 1)) - 1)
+             |          * 16
+             |     + (strpos('0123456789abcdef',
+             |        substr(md5(doc_id::VARCHAR || ':split'), 6, 1)) - 1))
+             |      AS v
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |  CASE WHEN v < 13421773 THEN 'train'
+             |       WHEN v < 15099494 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM v""".stripMargin)),
+
+    Q("q112_heavy_hitters",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // top-20 tokens via per-partition Misra-Gries sketches + exact
+        // recount of the candidate union. The result is EXACT (not an
+        // estimate) whenever the 20th true count clears N/(m+1) — at
+        // m=4096 that's a ~0.024% frequency floor, orders under the
+        // observed 20th share at every test SF — so the oracle can
+        // demand the true top-20 outright: a sketch that evicts a real
+        // hitter, a candidate set that misses a partition, or a
+        // recount that isn't exact all hash-fail.
+        operators.Frequency.heavyHitters(tbl("documents"), "text",
+          m = 4096, k = 20)
+      },
+      Some("""WITH t AS (SELECT
+             |    unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+             |SELECT tok, cnt,
+             |  CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+             |    AS BIGINT) AS rank
+             |FROM c QUALIFY rank <= 20""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frequency summaries over UNBOUNDED token domains.
+  *
+  * An exact vocabulary count ([[graft.plans.VectorOps]]' n-gram path,
+  * q77) shuffles one row per distinct term — fine for word vocabularies,
+  * ruinous when the domain is open (URLs, n-grams, user ids: 10^10+
+  * distinct keys at 100 TB). The sketch path here bounds the exchange by
+  * the SKETCH size instead of the domain size, at the price of a
+  * frequency threshold below which items may be missed — the classic
+  * heavy-hitters trade (Misra & Gries 1982; the merge argument is the
+  * standard distributed summaries result, e.g. Agarwal et al. 2013,
+  * "Mergeable Summaries").
+  */
+object Frequency {
+
+  /** Top-k tokens by EXACT count, found via a per-partition Misra-Gries
+    * sketch of `m` counters + an exact recount of the surviving
+    * candidates. Guarantee: an item with global count > N/(m+1) must
+    * exceed N_p/(m+1) in at least one partition p (if it lost everywhere,
+    * summing the per-partition bounds caps its total at N/(m+1)), and
+    * MG(m) never evicts a local (m+1)-fraction item — so the candidate
+    * union contains every global heavy hitter, and after the exact
+    * recount the returned top-k IS the true top-k whenever the k-th true
+    * count clears N/(m+1). Size `m` accordingly: m ≈ k/θ for the
+    * smallest expected k-th frequency share θ (Zipf corpora clear this
+    * with small m; a uniform domain is the adversarial case and needs
+    * m ≈ domain size — at which point use the exact path).
+    *
+    * Scale shape: the token stream is touched twice, both times
+    * narrowly — once through the in-partition sketch (bounded memory: m
+    * counters, no matter how many distinct tokens stream past), once
+    * through a broadcast semi-join against the ≤ m·|partitions|
+    * candidates. The only shuffles move candidate rows: the distinct on
+    * the sketch output and the partially-aggregated recount, both
+    * bounded by the candidate set, never the domain. Top-k is
+    * TakeOrderedAndProject; the rank window sees k rows. Output:
+    * (tok, cnt, rank) — counts are exact, not sketch estimates. */
+  def heavyHitters(docs: DataFrame, textCol: String, m: Int,
+                   k: Int): DataFrame = {
+    require(m >= 1, "m must be positive")
+    require(k >= 1, "k must be positive")
+    import docs.sparkSession.implicits._
+    val toks = docs.select(explode(
+      graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(v) => counts(t) = v + 1
+          case None if counts.size < m => counts(t) = 1L
+          case None => // full table, new item: the MG decrement step
+            counts.mapValuesInPlace((_, v) => v - 1)
+            counts.filterInPlace((_, v) => v > 0)
+        }
+      }
+      counts.keysIterator
+    }.toDF("tok").distinct()
+    toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+  }
+}

@@ -44,20 +44,56 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** The integer behind the coin: the first six hex digits of
+    * md5(key + salt) as an int in [0, 16^6) — digit→int goes through
+    * `ascii` (identical in Spark and DuckDB, so a SQL oracle replays
+    * the value exactly — the Packing.epochShuffle replayability
+    * discipline). Gates that can phrase their thresholds as integers
+    * on this grid ([[assignSplit]]) compare HERE and never touch a
+    * float. */
+  private[operators] def hexInt(keyCol: Column, salt: String): Column = {
+    val h = md5(concat(keyCol.cast("string"), lit(salt)))
+    (0 until 6).map { i =>
+      val c = ascii(substring(h, i + 1, 1))
+      (when(c >= 97, c - 87).otherwise(c - 48)) * lit(1 << (4 * (5 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** Deterministic train/val/test split assignment — the corpus-split
+    * step every training pipeline runs before anything else. Each row's
+    * content-hash coin is compared against the splits' CUMULATIVE
+    * weights, but the comparison happens on the 16^6 integer grid:
+    * thresholds are `round(cum·16^6)` computed ONCE at plan build, so
+    * any weight vector (0.8/0.1/0.1 included — sums that are not exact
+    * binary doubles) is realized exactly, identically on every run,
+    * engine, and partitioning, with quantization error ≤ 6e-8 per
+    * split. Pure narrow filter — no shuffle touches the corpus, and a
+    * row's assignment never depends on other rows, so splits stay
+    * stable under corpus growth (the property that keeps eval sets
+    * uncontaminated across dataset versions). Appends `split`. */
+  def assignSplit(df: DataFrame, keyCol: Column,
+                  splits: Seq[(String, Double)],
+                  salt: String = ":split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cums.init.map(c => math.round(c * (1 << 24)))
+    val v = hexInt(keyCol, salt)
+    val split = splits.init.zip(thresholds).foldRight(
+      lit(splits.last._1)) { case (((name, _), t), els) =>
+      when(v < t, name).otherwise(els)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Uniform-in-[0,1) derived from the first six hex digits of
     * md5(key + salt) — the deterministic coin for rate gates whose rates
     * are computed IN-PLAN (the 1/256 prefix trick needs a driver-side
-    * rate). Granularity 16^-6 ≈ 6e-8; digit→int goes through `ascii`
-    * (identical in Spark and DuckDB, so a SQL oracle replays the value
-    * exactly — the Packing.epochShuffle replayability discipline). */
-  private[operators] def hashUniform(keyCol: Column, salt: String): Column = {
-    val h = md5(concat(keyCol.cast("string"), lit(salt)))
-    val v = (0 until 6).map { i =>
-      val c = ascii(substring(h, i + 1, 1))
-      when(c >= 97, c - 87).otherwise(c - 48) * lit(1 << (4 * (5 - i)))
-    }.reduce(_ + _)
-    v.cast("double") / lit((1 << 24).toDouble)
-  }
+    * rate). Granularity 16^-6 ≈ 6e-8. */
+  private[operators] def hashUniform(keyCol: Column, salt: String): Column =
+    hexInt(keyCol, salt).cast("double") / lit((1 << 24).toDouble)
 
   /** TEMPERATURE-REWEIGHTED mixture resampling — the data-mixing step of
     * training-corpus assembly: group proportions p_g are flattened to

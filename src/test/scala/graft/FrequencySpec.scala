@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Frequency
+
+class FrequencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("heavyHitters: exact top-k through an m=4 sketch under planted skew") {
+    import spark.implicits._
+    // a/b dominate; 100 distinct rare tokens force constant evictions
+    // at m=4 — the decrement path runs, yet a and b must survive
+    // (count > N/(m+1): N=480, floor 96; a=200, b=150)
+    val words = Seq.fill(200)("a") ++ Seq.fill(150)("b") ++
+      Seq.fill(30)("c") ++ (1 to 100).map(i => s"rare$i")
+    val docs = scala.util.Random.shuffle(words)
+      .grouped(10).map(_.mkString(" ")).toSeq
+      .toDF("text").repartition(3)
+    val out = Frequency.heavyHitters(docs, "text", m = 4, k = 2).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 200L, 1L), ("b", 150L, 2L)),
+      s"got ${out.mkString(",")}")
+  }
+
+  test("heavyHitters: matches the exact vocabulary top-k when m is ample") {
+    import spark.implicits._
+    val docs = (1 to 500)
+      .map(i => s"tok${i % 37} tok${i % 11} tok${i % 11} filler$i")
+      .toDF("text").repartition(7)
+    val got = Frequency.heavyHitters(docs, "text", m = 4096, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = docs
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), (i + 1).toLong) }
+      .toSeq
+    assert(got == exact)
+  }
+}

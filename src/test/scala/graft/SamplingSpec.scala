@@ -153,4 +153,34 @@ class SamplingSpec extends AnyFunSuite {
       cs.map(c => (c._2, c._4)).distinct.length > 1
     }, "no multi-copy doc was split across chunks by the epoch shuffle")
   }
+
+  test("assignSplit: integer-grid thresholds, md5 recompute, stability") {
+    import spark.implicits._
+    val ids = (1L to 4000L).toDF("id")
+    val out = Sampling.assignSplit(ids, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent JVM recompute of the coin and the integer cuts
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(id: Long): String = {
+      val hex = mdig.digest(s"$id:split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val v = java.lang.Integer.parseInt(hex, 16)
+      if (v < 13421773) "train" else if (v < 15099494) "val" else "test"
+    }
+    for (id <- 1L to 4000L)
+      assert(out(id) == splitOf(id), s"split mismatch for id $id")
+    // ballpark proportions
+    val frac = out.values.count(_ == "train").toDouble / out.size
+    assert(frac > 0.77 && frac < 0.83, s"train fraction $frac")
+    // growth stability: adding rows never reassigns an existing id
+    val grown = Sampling.assignSplit((1L to 8000L).toDF("id"), col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 4000L).forall(id => grown(id) == out(id)))
+    // malformed weights rejected
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
