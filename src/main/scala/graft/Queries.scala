@@ -730,10 +730,17 @@ object Queries {
         // at rsd=0.01, not the 0.05 default: a gate at the sketch's
         // own expected rsd is a coin flip (the realized error exceeded
         // 5% at sf0.001), while a 1%-rsd sketch leaves the 5% gate a
-        // 5-sigma margin at every SF
-        tbl("lineitem").agg(
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        // 5-sigma margin at every SF. The two counts run as SEPARATE
+        // 1-row aggregates joined by a broadcast gate: a combined
+        // agg(approx, countDistinct) trips the distinct rewrite
+        // (Expand + group-by-value partial), which allocates the
+        // 1%-sketch's ~20 KB register buffer PER DISTINCT KEY instead
+        // of per partition — measured 8x on this query at sf0.1.
+        val approx = tbl("lineitem").agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        val exact = tbl("lineitem").agg(
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx.crossJoin(broadcast(exact))
           .select(Clean.flag(
             abs(col("approx_orders") - col("exact_orders")).cast("double") /
               col("exact_orders") <= 0.05).as("within_5pct"))
@@ -3409,7 +3416,43 @@ object Queries {
              |SELECT tok, cnt,
              |  CAST(row_number() OVER (ORDER BY cnt DESC, tok)
              |    AS BIGINT) AS rank
-             |FROM c QUALIFY rank <= 20""".stripMargin)))
+             |FROM c QUALIFY rank <= 20""".stripMargin)),
+
+    Q("q113_embedding_decontam",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // dense decontamination: flag corpus vectors within cosine 0.95
+        // of a held-out eval set — here planted ×2-scaled copies of
+        // every 101st vector (float ×2 is an exponent bump: cosine with
+        // the original is exactly 1.0, hit on BOTH engines' arithmetic,
+        // and always LSH-found since every sign bit matches). The
+        // oracle recomputes exact all-pairs cosine against the same
+        // eval set, so a missed band join, a wrong verify threshold, or
+        // a flag joined onto the wrong row all hash-fail. Fixture
+        // measured: max NATURAL corpus-eval cosine ≈ 0.47 at sf0.01/0.1
+        // — no pair sits near the 0.95 boundary, so LSH recall vs the
+        // oracle's exact scan cannot diverge (the q79 epsilon-gap
+        // discipline).
+        val emb = tbl("embeddings")
+        val evalSet = emb.filter(col("vec_id") % 101 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        operators.Dedup.embeddingDecontaminate(emb, evalSet,
+            "vec_id", "embedding", threshold = 0.95)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("contaminated"))
+      },
+      Some("""WITH ev AS (SELECT vec_id + 1000000 AS eval_id,
+             |    CAST(list_transform(embedding, x -> x * 2) AS DOUBLE[])
+             |      AS ev
+             |  FROM embeddings WHERE vec_id % 101 = 0),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+             |      FROM embeddings),
+             |hits AS (SELECT DISTINCT c.vec_id FROM c, ev
+             |  WHERE list_cosine_similarity(c.v, ev.ev) >= 0.95)
+             |SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
+             |  CAST(CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END
+             |    AS BIGINT) AS contaminated
+             |FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -608,4 +608,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Dense-vector eval-set DECONTAMINATION — the embedding counterpart
+    * of the n-gram [[decontaminate]]: flag every corpus vector whose
+    * cosine to ANY held-out eval vector clears `threshold`, so eval
+    * examples that leaked into the training pool (verbatim or
+    * re-encoded) are dropped before training. Same 64×16
+    * hyperplane-LSH discipline as [[embeddingDupPairs]], banded ACROSS
+    * the two sides: a corpus row becomes a candidate only by sharing a
+    * (band, bucket) with an eval row.
+    *
+    * Scale shape: the eval set is the SMALL side by construction
+    * (thousands of rows vs a 100 TB pool), so its banded form and its
+    * vectors both broadcast — the corpus is never shuffled; the only
+    * exchange is the candidate-pair distinct, bounded by actual bucket
+    * collisions. Exact-duplicate leakage (cosine 1.0 — the common
+    * case) has identical sign bits in EVERY band and is never missed;
+    * a natural pair sitting exactly at the threshold carries the usual
+    * LSH miss probability (1−s^bits)^bands — callers gating compliance
+    * rather than curation should run the brute-force verify
+    * ([[Similarity.bruteForceTopK]]) instead. Output: every corpus row
+    * plus a 0/1 `contaminated` flag (drop or audit downstream). */
+  def embeddingDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                             idCol: String, vecCol: String, threshold: Double,
+                             bands: Int = 64, bitsPerBand: Int = 16): DataFrame = {
+    val sigCols = hyperplaneSigCols(col("v"), bands, bitsPerBand)
+    val bandCols = hyperplaneBandCols(bands, bitsPerBand)
+    def banded(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id") +: col("v") +: sigCols: _*)
+      .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cand = banded(corpus)
+      .join(broadcast(banded(evalSet)
+        .select(col("band"), col("bucket"), col("id").as("eval_id"))),
+        Seq("band", "bucket"))
+      .select(col("id"), col("eval_id")).distinct()
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val ev = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("ev"))
+    val hits = cand.join(cv, Seq("id")).join(broadcast(ev), Seq("eval_id"))
+      .filter(Vectors.cosine(col("v"), col("ev")) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(hits.withColumn("contaminated", lit(1L)), Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(0L)))
+  }
 }

@@ -195,6 +195,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.contains((0L, 100000L)), s"got ${got.toSeq}")
   }
 
+  test("embeddingDecontaminate: planted eval leaks flagged, eval side broadcast") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(100)
+    // eval set = scaled copies of vecs 3 and 7 (cosine exactly 1.0)
+    val evalSet = emb.filter($"vec_id".isin(3L, 7L))
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val out = Dedup.embeddingDecontaminate(emb, evalSet,
+      "vec_id", "embedding", threshold = 0.95)
+    // both sides of the band join and the verify must broadcast the
+    // eval set — the corpus is never shuffled for candidates
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val flags = out.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("contaminated"))
+      .toMap
+    assert(flags.size == 100, "every corpus row must come back, flagged")
+    assert(flags(3L) == 1L && flags(7L) == 1L, s"leaks missed: $flags")
+    assert(flags.values.sum == 2L,
+      "only the planted leaks may be flagged at this fixture's gaps")
+  }
+
   test("bruteForceTopK: k rows per query, self excluded, descending") {
     val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(200)
     val got = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
