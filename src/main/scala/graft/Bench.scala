@@ -1,5 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint with host-contention defense.
+  *
+  * Measurement protocol (evolved over rounds 7-11):
+  *   - every sample is recorded and emitted (r8): a poisoned sample is
+  *     visible in the artifact instead of silently deciding a min;
+  *   - per-query settle (r9): a query's two fastest samples must agree
+  *     within 1.3x or it is re-measured (bounded);
+  *   - stall windows that actually trip (r11): a fixed CPU-bound probe
+  *     interleaved every `calEvery` queries is compared against the
+  *     run's *fastest* probe — the probe's work is invariant, so only
+  *     host interference can inflate it. A probe >1.5x the baseline
+  *     marks the segment it closes (everything measured since the
+  *     previous probe) as a stall window; samples inside it are
+  *     QUARANTINED (kept in the artifact under `tainted_samples`,
+  *     excluded from the reported min) and their queries are requeued
+  *     for clean samples. Classification is RETROACTIVE: the baseline
+  *     is the min over all probes so far, and every segment is
+  *     re-judged whenever the baseline drops — a stall at the START of
+  *     the run (before the true baseline is known) still quarantines.
+  *     The r10 artifact ran passes 60% apart with `stall_windows: []`
+  *     because the old rule (3x median AND +1s) never fired — the
+  *     median itself was contaminated and the absolute guard was sized
+  *     for r7's 10-100x stalls, not 2-9x contention.
+  *
+  * The artifact self-reports trustworthiness: `artifact_ok` is false
+  * when >25% of measurement attempts landed in stall windows, any
+  * query ended with only tainted samples, or any query errored — a
+  * contended-only run can no longer masquerade as a clean one.
+  *
+  * Limit: a PERFECTLY uniform stall spanning the whole run inflates
+  * the baseline too and is undetectable from inside; `pass_totals`
+  * divergence and cross-round comparison remain the backstop for that
+  * case. SPARK_GRAFT_PROBE_BASELINE pins the baseline externally
+  * (seconds) when a cross-run reference is available.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,16 +55,15 @@ object Bench {
     val only = args.toSet // optional query-name filter (dev use)
     val queries = Queries.all.filter(q => only.isEmpty || only(q.name))
 
-    // ALL samples are recorded and emitted (not just the min): a
-    // stall-poisoned sample is then visible in the artifact itself
-    // instead of silently deciding a query's reported time (round 7's
-    // artifact recorded 10-100x-poisoned minimums with no way to tell
-    // from the JSON — the round-8 top task)
-    val samples = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    // every measurement is (query, seconds, closing-probe label): the
+    // probe that CLOSES a segment decides — retroactively re-decidable —
+    // whether its samples were clean or contended
+    val measurements = scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
     val errors = scala.collection.mutable.Map.empty[String, String]
     val reruns = scala.collection.mutable.Map.empty[String, Int]
+    val segment = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
-    def runOnce(q: Queries.Q): Unit = {
+    def runOnce(q: Queries.Q): Double = {
       // cold plans only: queries that persist() intermediates (q35, q51)
       // register them in the CacheManager, so later samples of the
       // identical plan would otherwise read an earlier sample's cache and
@@ -40,34 +75,82 @@ object Bench {
         // count-star shortcuts skip the actual work)
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        samples.getOrElseUpdate(q.name, scala.collection.mutable.ArrayBuffer.empty) += dt
+        segment += q.name -> dt
         errors.remove(q.name) // a later success supersedes an earlier failure
+        dt
       } catch {
         case e: Throwable => // a failed attempt must NOT count as a time
           errors(q.name) = e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("")
               .map(c => if (c >= ' ' && c <= '~' && c != '"' && c != '\\') c else ' ')
               .take(200)
+          0.0
       }
     }
 
     // host-stall calibration: a fixed CPU-bound probe, INTERLEAVED every
     // `calEvery` queries (not just at pass boundaries — round 7's
     // mid-pass stall sat invisibly between 3 boundary probes in a
-    // 17-minute run). The probe's cost is invariant across rounds, so a
-    // slow sample pins host interference to a specific window of the run,
-    // making a stall-poisoned artifact identifiable AND localizable from
-    // the JSON alone.
+    // 17-minute run). Sized ~0.5 s so scheduler jitter is small RELATIVE
+    // to the probe (the old 0.2 s probe showed 1.7x jitter on an idle
+    // host — indistinguishable from real 1.5x contention).
     val calEvery = 10
     val calSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def calibrate(label: String): Unit = {
+    val pinnedBaseline = sys.env.get("SPARK_GRAFT_PROBE_BASELINE").map(_.toDouble)
+    def timeProbeOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
-      calSamples += label -> (System.nanoTime() - t0) / 1e9
+      spark.range(1200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // each probe is the MIN of two back-to-back runs: a transient JVM
+    // event (a GC pause right after a heavy query — measured: an
+    // otherwise-idle full run flagged 45% of its probes, pass totals
+    // agreeing within 5%, because heap pressure peaks exactly at the
+    // probe points) hits one run and not the other, while genuine host
+    // contention — the thing the probe exists to catch — spans both
+    def timeProbe(): Double = math.min(timeProbeOnce(), timeProbeOnce())
+    // probe plan codegen + C2 compilation are one-time; warm untimed
+    // (twice — the second run typically lands the steady-state tier) so
+    // timed probes measure host state, not JIT state
+    timeProbeOnce(); timeProbeOnce()
+
+    /** Close the pending segment under `label`'s probe. */
+    def calibrate(label: String): Unit = {
+      val t = timeProbe()
+      calSamples += label -> t
+      for ((name, dt) <- segment) measurements += ((name, dt, label))
+      segment.clear()
+    }
+
+    def probeBaseline: Double = {
+      val m = if (calSamples.isEmpty) Double.MaxValue else calSamples.map(_._2).min
+      math.min(pinnedBaseline.getOrElse(Double.MaxValue), m)
+    }
+    /** Labels of probes currently judged contended (vs the running-min
+      * baseline — monotonically tightens, so a clean verdict can flip to
+      * stalled later, never the reverse once the min is final). */
+    def stalledLabels: Set[String] = {
+      val base = probeBaseline
+      calSamples.filter { case (_, t) => t > 1.5 * base && t > base + 0.25 }
+        .map(_._1).toSet
+    }
+    /** (clean, tainted) samples per query under the current baseline. */
+    def classify(): (Map[String, Seq[Double]], Map[String, Seq[Double]]) = {
+      val bad = stalledLabels
+      val (t, c) = measurements.partition { case (_, _, l) => bad(l) }
+      (c.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq },
+       t.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq })
+    }
+    def needingClean(want: Int): Seq[Queries.Q] = {
+      val clean = classify()._1
+      queries.filter(q => !errors.contains(q.name) &&
+        clean.get(q.name).map(_.size).getOrElse(0) < want)
     }
 
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var maxPasses = 2
+    // dev knob: floor-finding runs (e.g. root-causing one query's settle
+    // point) want more in-JVM passes than the 2-pass default
+    var maxPasses = sys.env.get("SPARK_GRAFT_MIN_PASSES").map(_.toInt).getOrElse(2)
     var pass = 0
     while (pass < maxPasses) {
       pass += 1
@@ -75,9 +158,7 @@ object Bench {
       var passTotal = 0.0
       for ((q, i) <- queries.zipWithIndex) {
         System.err.println(s"[bench] pass $pass ${q.name}")
-        val before = samples.get(q.name).map(_.sum).getOrElse(0.0)
-        runOnce(q)
-        passTotal += samples.get(q.name).map(_.sum).getOrElse(0.0) - before
+        passTotal += runOnce(q)
         if ((i + 1) % calEvery == 0 && i + 1 < queries.size)
           calibrate(s"p$pass.q${i + 1}")
       }
@@ -96,57 +177,101 @@ object Bench {
       }
     }
 
-    // per-query settle defense: until the two FASTEST samples of a query
-    // agree within 1.3x, at least one of them is not a steady-state
-    // number (JIT warm-up, cache population, or a host stall) —
-    // re-measure, bounded at 2 extra samples per query. r9 shipped with
-    // a 3x threshold and four queries regressed 2-3x on untouched code
-    // purely because their pass-1/pass-2 samples never settled; 1.3x is
-    // the judged "two fastest agree within 30%" criterion. The 0.05 s
-    // absolute guard keeps sub-tenth-second timer jitter on trivial
-    // queries from eating the rerun budget. The emitted JSON keeps every
-    // sample, so an unexplained divergent pair stays self-evident.
+    // requeue sweeps: queries whose samples were quarantined by a stall
+    // window get re-measured until each has at least one clean sample —
+    // bounded at 2 sweeps so sustained contention terminates with the
+    // artifact honestly marked not-ok rather than looping forever
+    var sweep = 0
+    while (sweep < 2 && needingClean(1).nonEmpty) {
+      sweep += 1
+      val todo = needingClean(1)
+      System.err.println(s"[bench] requeue sweep $sweep (${todo.size} contended): ${todo.map(_.name).mkString(", ")}")
+      for ((q, i) <- todo.zipWithIndex) {
+        runOnce(q)
+        if ((i + 1) % 5 == 0 || i + 1 == todo.size)
+          calibrate(s"requeue$sweep.${q.name}")
+      }
+    }
+
+    // per-query settle defense: until the two FASTEST clean samples of a
+    // query agree within 1.3x, at least one of them is not a steady-state
+    // number (JIT warm-up, cache population, or a sub-probe-resolution
+    // stall) — re-measure, bounded at 2 extra samples per query. The
+    // 0.05 s absolute guard keeps sub-tenth-second timer jitter on
+    // trivial queries from eating the rerun budget. Each rerun is closed
+    // by its own probe so a contended rerun quarantines instead of
+    // committing.
     def divergent(ts: Seq[Double]): Boolean = {
       val best = ts.sorted.take(2)
       best.size == 2 && best(1) > 1.3 * best(0) && best(1) - best(0) > 0.05
     }
+    // still-improving chase: iterative driver-bound queries (q63's CC
+    // loop plans ~10 rounds per run) keep JIT-improving for ~5 in-JVM
+    // runs — each consecutive pair agrees within 1.3x, so the divergence
+    // rule alone freezes them ~20% above their floor (measured: q63
+    // samples 6.2, 2.5, 2.0, 2.1, 1.8, 1.74, 1.71, 1.77 — r10 shipped
+    // the 2.1 and flagged a phantom regression vs r8's 1.69). While the
+    // LATEST sample improves the running min by >7%, the query has not
+    // settled; keep measuring. Bounded at 4 extra samples total.
+    def stillImproving(ts: Seq[Double]): Boolean =
+      ts.size >= 2 && ts.last < ts.init.min * 0.93 && ts.init.min - ts.last > 0.05
     for (q <- queries) {
       var extra = 0
-      while (extra < 2 && samples.get(q.name).exists(s => divergent(s.toSeq))) {
-        System.err.println(s"[bench] re-running ${q.name}: samples ${samples(q.name).mkString(", ")} diverge >1.3x")
-        calibrate(s"rerun.${q.name}.before")
+      while (extra < 4 && classify()._1.get(q.name).exists(ts =>
+          divergent(ts) || stillImproving(ts)) &&
+          (extra < 2 || classify()._1.get(q.name).exists(stillImproving))) {
+        System.err.println(s"[bench] re-running ${q.name}: clean samples ${classify()._1(q.name).mkString(", ")} (diverge >1.3x or still improving)")
         runOnce(q)
+        calibrate(s"rerun.${q.name}.$extra")
         extra += 1
         reruns(q.name) = extra
       }
     }
 
-    val results = queries.map(q => q.name ->
-      samples.get(q.name).map(_.min).getOrElse(-1.0))
+    // final classification under the final (tightest) baseline
+    val (clean, taintedM) = classify()
+    val stalls = stalledLabels
+    val requeuedCounts = taintedM.map { case (k, v) => k -> v.size }
+    // a query with zero clean samples falls back to its tainted min so
+    // the artifact still covers it — flagged in `tainted_only` AND it
+    // forces artifact_ok=false
+    val taintedOnly = queries.map(_.name).filter(n =>
+      !errors.contains(n) && clean.get(n).forall(_.isEmpty) && taintedM.get(n).exists(_.nonEmpty))
+    val results = queries.map { q =>
+      val c = clean.get(q.name).filter(_.nonEmpty).map(_.min)
+      val d = taintedM.get(q.name).filter(_.nonEmpty).map(_.min)
+      q.name -> c.orElse(d).getOrElse(-1.0)
+    }
+    val attempts = measurements.size
+    val taintedCount = taintedM.values.map(_.size).sum
+    val taintedPct = if (attempts == 0) 0.0 else 100.0 * taintedCount / attempts
+    val artifactOk = taintedPct <= 25.0 && taintedOnly.isEmpty && errors.isEmpty
+    if (!artifactOk)
+      System.err.println(f"[bench] ARTIFACT NOT OK: $taintedPct%.1f%% samples contended, ${taintedOnly.size} queries tainted-only, ${errors.size} errors")
+    if (stalls.nonEmpty)
+      System.err.println(s"[bench] stall windows: ${stalls.mkString(", ")}")
+
     def fmtMap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = fmtMap(results.map { case (k, v) => k -> v.toString })
-    val samplesJson = fmtMap(queries.flatMap(q => samples.get(q.name).map(ts =>
-      q.name -> ts.map(v => f"$v%.3f").mkString("[", ",", "]"))))
+    def samplesOf(m: Map[String, Seq[Double]]) =
+      fmtMap(queries.flatMap(q => m.get(q.name).filter(_.nonEmpty).map(ts =>
+        q.name -> ts.map(v => f"$v%.3f").mkString("[", ",", "]"))))
+    val samplesJson = samplesOf(clean)
+    val taintedJson = samplesOf(taintedM)
     val rerunsJson = fmtMap(reruns.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
+    val requeuedJson = fmtMap(requeuedCounts.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val calJson = calSamples
       .map { case (l, v) => "{\"at\":\"" + l + "\",\"sec\":" + f"$v%.3f" + "}" }
       .mkString("[", ",", "]")
-    // stall windows flagged in-artifact: any probe >3x the MEDIAN probe
-    // AND at least 1 s over it — the median is robust to the probe's own
-    // sub-second jitter (a min baseline flagged ordinary 0.1→0.5 s
-    // variance), while a genuine host stall (the r7 poison was 10-100x
-    // on multi-second queries) shows up as a multi-second probe
-    val calSorted = calSamples.map(_._2).sorted
-    val calMed = if (calSorted.isEmpty) 0.0 else calSorted(calSorted.size / 2)
-    val stallJson = calSamples
-      .filter { case (_, v) => v > 3 * calMed && v > calMed + 1.0 }
-      .map { case (l, _) => "\"" + l + "\"" }.mkString("[", ",", "]")
+    val stallJson = calSamples.map(_._1).filter(stalls)
+      .map(l => "\"" + l + "\"").mkString("[", ",", "]")
+    val taintedOnlyJson = taintedOnly.map(l => "\"" + l + "\"").mkString("[", ",", "]")
     val passJson = passTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"reruns":$rerunsJson,"errors":$errJson,"calibration":$calJson,"stall_windows":$stallJson,"pass_totals":$passJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"stall_windows":$stallJson,"pass_totals":$passJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's per-round artifact keeps only the run's last 2000
     // output chars, which truncates the per-query JSON every round — so

@@ -3452,7 +3452,105 @@ object Queries {
              |SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
              |  CAST(CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END
              |    AS BIGINT) AS contaminated
-             |FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id""".stripMargin)))
+             |FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id""".stripMargin)),
+
+    Q("q114_kn_trigram_perplexity",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the KenLM-class top of the perplexity-bucketing hierarchy
+        // (q105 unigram → q107 bigram JM → interpolated Kneser-Ney
+        // trigram, D=0.75). The oracle retrains the ENTIRE model in
+        // SQL — trigram types, both continuation-count margins, both
+        // context totals — and replays the two-level interpolation
+        // with identical operand order, so a raw-frequency count where
+        // a continuation count belongs (the KN-defining distinction),
+        // a wrong margin, a dropped discount, a missed unseen-guard at
+        // positions 1-2, or a tercile off by one rank all hash-fail.
+        implicit val ss = s
+        operators.Quality.knTrigramPerplexityBuckets(
+            tbl("documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl"), col("bucket"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents),
+             |tri AS (SELECT doc_id, w[i] AS u, w[i+1] AS v, w[i+2] AS wd
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+             |        FROM t)),
+             |t3 AS (SELECT u, v, wd, count(*) AS c3 FROM tri
+             |       GROUP BY u, v, wd),
+             |cx3 AS (SELECT u, v, sum(c3) AS cuv, count(*) AS n3 FROM t3
+             |        GROUP BY u, v),
+             |cb AS (SELECT v, wd, count(*) AS cbw FROM t3 GROUP BY v, wd),
+             |cx2 AS (SELECT v, sum(cbw) AS scv, count(*) AS n2 FROM cb
+             |        GROUP BY v),
+             |cu AS (SELECT wd, count(*) AS cw FROM cb GROUP BY wd),
+             |tt AS (SELECT count(*) AS tt FROM cb),
+             |s3 AS (SELECT tri.doc_id,
+             |    sum(-ln(greatest(c3 - 0.75, 0) / cuv
+             |        + ((0.75 * n3) / cuv)
+             |          * (greatest(cbw - 0.75, 0) / scv
+             |             + ((0.75 * n2) / scv) * (cw / tt.tt)))) AS s3,
+             |    count(*) AS n3cnt
+             |  FROM tri JOIN t3 USING (u, v, wd) JOIN cx3 USING (u, v)
+             |    JOIN cb USING (v, wd) JOIN cx2 USING (v)
+             |    JOIN cu USING (wd), tt
+             |  GROUP BY tri.doc_id),
+             |s2 AS (SELECT f.doc_id,
+             |    -ln(CASE WHEN scv IS NULL THEN coalesce(cw, 0.5) / tt.tt
+             |        ELSE greatest(coalesce(cbw, 0) - 0.75, 0) / scv
+             |          + ((0.75 * n2) / scv)
+             |            * (coalesce(cw, 0.5) / tt.tt) END) AS s2
+             |  FROM (SELECT doc_id, w[1] AS v, w[2] AS wd FROM t
+             |        WHERE len(w) >= 2) f
+             |    LEFT JOIN cb USING (v, wd) LEFT JOIN cx2 USING (v)
+             |    LEFT JOIN cu USING (wd), tt),
+             |s1 AS (SELECT f.doc_id,
+             |    -ln(coalesce(cw, 0.5) / tt.tt) AS s1
+             |  FROM (SELECT doc_id, w[1] AS wd FROM t) f
+             |    LEFT JOIN cu USING (wd), tt),
+             |sc AS (SELECT s1.doc_id,
+             |    round(exp((s1.s1 + coalesce(s2.s2, 0) + coalesce(s3.s3, 0))
+             |        / (1 + CASE WHEN s2.s2 IS NULL THEN 0 ELSE 1 END
+             |             + coalesce(s3.n3cnt, 0))), 6) AS ppl
+             |  FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+             |    LEFT JOIN s3 ON s1.doc_id = s3.doc_id),
+             |b AS (SELECT quantile_cont(ppl, 1.0/3) AS t33,
+             |             quantile_cont(ppl, 2.0/3) AS t66 FROM sc)
+             |SELECT doc_id, ppl,
+             |  CASE WHEN ppl <= t33 THEN 'head'
+             |       WHEN ppl <= t66 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM sc, b""".stripMargin)),
+
+    Q("q115_mjpeg_decode",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // COMPRESSED video decode end-to-end: synthesize real
+        // motion-JPEG AVIs (RIFF container, 'MJPG' codec, one complete
+        // JFIF payload per '00dc' chunk, geometry deterministic from
+        // doc_id) and decode genuine width/height/frame-count back —
+        // the RIFF walker yields each frame chunk and the JDK JPEG
+        // codec decodes it, rejecting any frame whose geometry
+        // contradicts the strf header. The oracle recomputes the
+        // arithmetic in SQL; frame counts only emerge from actually
+        // walking variable-size chunks (no fixed stride to infer
+        // from), so a stub or a walker that skips chunks cannot pass.
+        // The q90 recipe on the compressed-codec path — decodeStub's
+        // video domain is now genuinely exotic codecs only.
+        operators.Multimodal.extractFeatures(
+            operators.Multimodal.mjpegVideosFromDocuments(tbl("documents")))
+          .toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("channels").cast("long").as("channels"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(8 + doc_id % 9 AS BIGINT) AS width,
+             |CAST(6 + (doc_id // 9) % 7 AS BIGINT) AS height,
+             |CAST(1 + doc_id % 5 AS BIGINT) AS n_frames,
+             |CAST(3 AS BIGINT) AS channels
+             |FROM documents""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -232,19 +232,122 @@ object Multimodal {
     }
   }
 
+  /** Deterministic geometry for a synthesized MJPEG clip — the q115
+    * oracle recomputes the same arithmetic in SQL ([[aviSpec]]'s
+    * recipe on the compressed-codec path). */
+  def mjpegSpec(docId: Long): (Int, Int, Int) =
+    (8 + math.floorMod(docId, 9L).toInt,                    // width
+     6 + math.floorMod(math.floorDiv(docId, 9L), 7L).toInt, // height
+     1 + math.floorMod(docId, 5L).toInt)                    // frames
+
+  /** Encode a real MOTION-JPEG AVI: the same RIFF 'AVI ' container as
+    * [[synthesizeAvi]], but strh/strf declare the 'MJPG' codec and
+    * every '00dc' frame chunk is a complete JFIF payload written
+    * through the JDK's ImageIO JPEG encoder (frame pixels from
+    * [[aviPixel]], same hash family as the uncompressed path). Chunk
+    * sizes vary per frame — exactly the property that distinguishes
+    * the MJPEG walk from the fixed-stride DIB walk. */
+  def synthesizeMjpegAvi(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+    val jpegs = (0 until frames).map { f =>
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, aviPixel(seed, f, x, y, width, height))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val maxFrame = jpegs.map(_.length).max
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(33333)               // dwMicroSecPerFrame (30 fps)
+    buf.putInt(maxFrame * 30)       // dwMaxBytesPerSec
+    buf.putInt(0)                   // dwPaddingGranularity
+    buf.putInt(0)                   // dwFlags
+    buf.putInt(frames)              // dwTotalFrames
+    buf.putInt(0)                   // dwInitialFrames
+    buf.putInt(1)                   // dwStreams
+    buf.putInt(maxFrame)            // dwSuggestedBufferSize
+    buf.putInt(width); buf.putInt(height)
+    (0 until 4).foreach(_ => buf.putInt(0)) // dwReserved
+    fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    buf.putInt(0); buf.putInt(0)    // dwFlags, wPriority+wLanguage
+    buf.putInt(0)                   // dwInitialFrames
+    buf.putInt(1); buf.putInt(30)   // dwScale / dwRate = 30 fps
+    buf.putInt(0); buf.putInt(frames) // dwStart, dwLength
+    buf.putInt(maxFrame)            // dwSuggestedBufferSize
+    buf.putInt(-1)                  // dwQuality
+    buf.putInt(0)                   // dwSampleSize
+    buf.putShort(0); buf.putShort(0) // rcFrame left, top
+    buf.putShort(width.toShort); buf.putShort(height.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40)                  // biSize
+    buf.putInt(width); buf.putInt(height)
+    buf.putShort(1); buf.putShort(24)     // biPlanes, biBitCount
+    buf.putInt(MJPG)                // biCompression = 'MJPG'
+    buf.putInt(maxFrame)            // biSizeImage (advisory for MJPG)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    for (j <- jpegs) {
+      fourcc("00dc"); buf.putInt(j.length)
+      buf.put(j)
+      if ((j.length & 1) == 1) buf.put(0.toByte) // word alignment
+    }
+    buf.array()
+  }
+
+  /** Media table of REAL MJPEG payloads, one per document, geometry
+    * deterministic from doc_id ([[mjpegSpec]]). Partition-parallel
+    * synthesis, like [[videosFromDocuments]]. */
+  def mjpegVideosFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ImageIO.setUseCache(false)
+      ids.map { id =>
+        val (w, h, frames) = mjpegSpec(id)
+        MediaRecord(id, "video/avi", synthesizeMjpegAvi(w, h, frames, id))
+      }
+    }
+  }
+
+  /** biCompression fourcc for motion-JPEG ('MJPG' little-endian). */
+  private val MJPG = 0x47504a4d
+
   /** REAL video decode: a pure-JDK RIFF/AVI parser for uncompressed
-    * BI_RGB DIB streams — walks the chunk tree (hdrl → strh/strf for
-    * the 'vids' geometry, movi for the frame chunks), validates every
-    * frame chunk's size against the DIB stride, and DECODES the frames:
-    * the returned checksum is FNV-1a over the decoded top-down RGB
-    * pixel stream (not the container bytes), so a parser that skipped
-    * the pixel data could not produce it — spec-asserted against
-    * independently recomputed pixels. Returns None for anything that
-    * is not a well-formed uncompressed AVI (compressed codecs, other
-    * containers), which [[decode]] routes to the clearly-marked
-    * [[decodeStub]] fallback. */
+    * BI_RGB DIB streams AND motion-JPEG ('MJPG') streams — walks the
+    * chunk tree (hdrl → strh/strf for the 'vids' geometry, movi for
+    * the frame chunks), validates every frame chunk (size against the
+    * DIB stride for BI_RGB; SOI marker + in-bounds for MJPG, whose
+    * chunk sizes vary per frame), and DECODES the frames: BI_RGB by
+    * direct DIB byte walk, MJPG through the JDK's ImageIO JPEG codec
+    * (each frame chunk is a complete JFIF payload — the MJPEG
+    * contract), rejecting any frame whose decoded geometry contradicts
+    * the strf header. The returned checksum is FNV-1a over the decoded
+    * top-down RGB pixel stream (not the container bytes), so a parser
+    * that skipped the pixel data could not produce it — spec-asserted
+    * against independently recomputed pixels. Returns None for
+    * anything else (other compression fourccs, other containers),
+    * which [[decode]] routes to the clearly-marked [[decodeStub]]
+    * fallback — after this round the stub's video domain is genuinely
+    * exotic codecs (cinepak/h264/... — no JDK decoder exists). */
   private[graft] def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     var checksum = 0xcbf29ce484222325L
+    var ok = true
     def fnvByte(b: Int): Unit = {
       checksum ^= (b & 0xffL); checksum *= 0x100000001b3L
     }
@@ -253,21 +356,43 @@ object Multimodal {
     // not allocate a raster per frame just to hash and discard it
     // (real video frames are megabytes); [[frameRgb]] materializes
     // only in [[extractVideoFrames]], which emits the raster
-    parseAvi(bytes) { (w, h, _, off) =>
-      val stride = (3 * w + 3) / 4 * 4
-      var y = 0
-      while (y < h) {
-        val row = off + (h - 1 - y) * stride
-        var x = 0
-        while (x < w) {
-          fnvByte(bytes(row + 3 * x + 2)) // R
-          fnvByte(bytes(row + 3 * x + 1)) // G
-          fnvByte(bytes(row + 3 * x))     // B
-          x += 1
+    parseAvi(bytes) { (codec, w, h, _, off, size) =>
+      if (ok && codec == 0) {
+        val stride = (3 * w + 3) / 4 * 4
+        var y = 0
+        while (y < h) {
+          val row = off + (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            fnvByte(bytes(row + 3 * x + 2)) // R
+            fnvByte(bytes(row + 3 * x + 1)) // G
+            fnvByte(bytes(row + 3 * x))     // B
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+      } else if (ok) {
+        val img = try ImageIO.read(new ByteArrayInputStream(bytes, off, size))
+                  catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth != w || img.getHeight != h) ok = false
+        else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              fnvByte((rgb >> 16) & 0xff); fnvByte((rgb >> 8) & 0xff)
+              fnvByte(rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+        }
       }
-    }.map { case (w, h, n) => (w, h, n, checksum) }
+    } match {
+      case Some((w, h, n, _)) if ok => Some((w, h, n, checksum))
+      case _ => None
+    }
   }
 
   /** Decode one bottom-up BGR DIB frame chunk at `off` into a top-down
@@ -291,14 +416,15 @@ object Multimodal {
     out
   }
 
-  /** Walk a RIFF 'AVI ' chunk tree and visit every size-validated
-    * BI_RGB frame chunk: `onFrame(width, height, frameIdx, dataOff)` in
-    * stream order. Returns Some((width, height, nFrames)) iff the
-    * container is a well-formed uncompressed AVI with at least one
-    * frame — shared by [[decodeAvi]] (whole-stream pixel checksum) and
+  /** Walk a RIFF 'AVI ' chunk tree and visit every validated frame
+    * chunk: `onFrame(codec, width, height, frameIdx, dataOff, size)` in
+    * stream order, codec = 0 (BI_RGB DIB) or [[MJPG]]. Returns
+    * Some((width, height, nFrames, codec)) iff the container is a
+    * well-formed AVI in one of those codecs with at least one frame —
+    * shared by [[decodeAvi]] (whole-stream pixel checksum) and
     * [[extractVideoFrames]] (sampled raster gather). */
   private def parseAvi(bytes: Array[Byte])(
-      onFrame: (Int, Int, Int, Int) => Unit): Option[(Int, Int, Int)] = {
+      onFrame: (Int, Int, Int, Int, Int, Int) => Unit): Option[(Int, Int, Int, Int)] = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(off: Int): String =
@@ -307,16 +433,19 @@ object Multimodal {
     if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
       return None
     var width = 0; var height = 0; var valid = true
+    var codec = 0
     var frames = 0
-    // parse strf's BITMAPINFOHEADER: geometry + the BI_RGB/24-bit
-    // contract every frame chunk is validated against
+    // parse strf's BITMAPINFOHEADER: geometry + the codec contract every
+    // frame chunk is validated against (BI_RGB 24-bit, or MJPG whose
+    // bitCount field is advisory)
     def readStrf(off: Int, size: Int): Unit =
       if (size >= 40 && off + 40 <= bytes.length) {
         val w = buf.getInt(off + 4); val h = buf.getInt(off + 8)
         val bitCount = buf.getShort(off + 14).toInt
         val compression = buf.getInt(off + 16)
-        if (w > 0 && h > 0 && bitCount == 24 && compression == 0) {
-          width = w; height = h
+        if (w > 0 && h > 0 &&
+            ((bitCount == 24 && compression == 0) || compression == MJPG)) {
+          width = w; height = h; codec = compression
         } else valid = false
       } else valid = false
     def readFrame(off: Int, size: Int): Unit = {
@@ -325,13 +454,18 @@ object Multimodal {
       // size, and the decode then indexes far past the buffer — the
       // size check must agree with the TRUE product, so no adversarial
       // geometry reaches the pixel loops (both callers are covered
-      // here, not per-caller)
+      // here, not per-caller). MJPG chunk sizes vary per frame: the
+      // walker checks bounds + the JPEG SOI marker; full validation is
+      // the decoder's (ImageIO rejects truncated payloads).
       val stride = (3L * width + 3) / 4 * 4
-      if (width == 0 || size.toLong != stride * height ||
-          off + size > bytes.length) {
+      val sizeOk =
+        if (codec == MJPG)
+          size >= 2 && bytes(off) == 0xff.toByte && bytes(off + 1) == 0xd8.toByte
+        else size.toLong == stride * height
+      if (width == 0 || !sizeOk || off + size > bytes.length) {
         valid = false; return
       }
-      onFrame(width, height, frames, off)
+      onFrame(codec, width, height, frames, off, size)
       frames += 1
     }
     // walk a chunk run [off, end): plain chunks and LIST recursion.
@@ -362,7 +496,7 @@ object Multimodal {
       else math.min(bytes.length.toLong, 8L + riffSize).toInt
     walk(12, riffEnd, inMovi = false)
     if (valid && width > 0 && frames > 0)
-      Some((width, height, frames))
+      Some((width, height, frames, codec))
     else None
   }
 
@@ -614,14 +748,42 @@ object Multimodal {
         if (!r.mime.startsWith("video/")) Iterator.empty
         else {
           val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
-          parseAvi(r.media) { (w, h, idx, off) =>
-            if (idx % stride == 0) sampled += ((idx, frameRgb(r.media, off, w, h)))
+          var ok = true
+          parseAvi(r.media) { (codec, w, h, idx, off, size) =>
+            if (ok && idx % stride == 0) {
+              if (codec == 0) sampled += ((idx, frameRgb(r.media, off, w, h)))
+              else {
+                // MJPG: decode the sampled frame's JFIF payload to a
+                // top-down RGB raster through the JDK JPEG codec
+                val img = try ImageIO.read(
+                    new ByteArrayInputStream(r.media, off, size))
+                  catch { case scala.util.control.NonFatal(_) => null }
+                if (img == null || img.getWidth != w || img.getHeight != h)
+                  ok = false
+                else {
+                  val out = new Array[Byte](3 * w * h)
+                  var y = 0; var i = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      out(i) = ((rgb >> 16) & 0xff).toByte
+                      out(i + 1) = ((rgb >> 8) & 0xff).toByte
+                      out(i + 2) = (rgb & 0xff).toByte
+                      i += 3; x += 1
+                    }
+                    y += 1
+                  }
+                  sampled += ((idx, out))
+                }
+              }
+            }
           } match {
-            case Some((w, h, n)) =>
+            case Some((w, h, n, _)) if ok =>
               sampled.iterator.map { case (idx, rgb) =>
                 (r.media_id, w, h, n, idx, rgb, fnv64(rgb))
               }
-            case None => Iterator.empty
+            case _ => Iterator.empty
           }
         }
       }

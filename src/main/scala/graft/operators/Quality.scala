@@ -121,9 +121,10 @@ object Quality {
           .otherwise("tail").as("bucket"))
   }
 
-  /** The higher-order LM [[perplexityBuckets]]'s scaladoc promises:
-    * a corpus-trained BIGRAM language model with Jelinek-Mercer
-    * interpolation against the unigram —
+  /** A corpus-trained BIGRAM language model with Jelinek-Mercer
+    * interpolation against the unigram (the first step up the LM
+    * hierarchy from [[perplexityBuckets]]; the KenLM-class top end is
+    * [[knTrigramPerplexityBuckets]]) —
     * P(w|v) = λ·c(v,w)/c(v,·) + (1−λ)·c(w)/N — scored as perplexity
     * per document and bucketed at the corpus terciles exactly like
     * the unigram path (first token scores under the unigram alone;
@@ -186,6 +187,137 @@ object Quality {
       .select(col("id"), round(exp(
         (col("s1") + coalesce(col("s2"), lit(0.0))) /
           (lit(1L) + coalesce(col("n2"), lit(0L))).cast("double")), 6)
+        .as("ppl"))
+      .persist()
+    val bounds = scored.agg(
+      percentile(col("ppl"), lit(1.0 / 3)).as("t33"),
+      percentile(col("ppl"), lit(2.0 / 3)).as("t66"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("id"), col("ppl"),
+        when(col("ppl") <= col("t33"), "head")
+          .when(col("ppl") <= col("t66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Interpolated Kneser-Ney TRIGRAM perplexity bucketing — the
+    * KenLM-class smoothing [[bigramPerplexityBuckets]]' scaladoc
+    * promised, on the same n-gram-keyed plan (Chen & Goodman 1999's
+    * interpolated KN, the smoothing inside CCNet's KenLM scorer).
+    * Discount D = 0.75 (exact binary double, the 1−0.8 argument).
+    *
+    * Every model table derives from ONE trigram-type table t3 =
+    * {(u,v,w) → c3}; the lower orders use CONTINUATION counts — the
+    * number of distinct contexts an n-gram completes, not its raw
+    * frequency (the KN insight: "Francisco" is frequent but only ever
+    * follows "San"):
+    *   - trigram level:  P(w|u,v) = max(c3−D,0)/c(u,v)
+    *                     + D·N1+(u,v,·)/c(u,v) · P(w|v)
+    *     with c(u,v) = Σ_w c3 and N1+(u,v,·) = distinct w after (u,v);
+    *   - bigram level:   counts are c'(v,w) = N1+(·,v,w) = distinct u
+    *     preceding (v,w) — i.e. count(*) over t3 at the (v,w) margin:
+    *     P(w|v) = max(c'(v,w)−D,0)/N1+(·,v,·)
+    *              + D·N1+(v,·)/N1+(·,v,·) · Pcont(w);
+    *   - unigram level:  Pcont(w) = N1+(·,w)/N1+(··) (distinct
+    *     predecessors over total bigram continuation types).
+    * Token positions score under the highest order their context
+    * allows: position 1 under Pcont, position 2 under the bigram
+    * level, positions ≥3 under the trigram level. Scoring the
+    * training corpus itself, every position-≥3 event is IN t3 by
+    * construction, so that path's joins are all inner-safe; only
+    * positions 1-2 can hit unseen events (a token that never appears
+    * trigram-final anywhere — e.g. only ever in 2-token documents),
+    * guarded by half-a-type mass (0.5/N1+(··), exact) and, for an
+    * unseen bigram context, full backoff to Pcont.
+    *
+    * Scale plan — [[bigramPerplexityBuckets]]' shape one order up:
+    * the trigram fan-out is a NARROW element_at transform (no window
+    * sort), t3 is one map-side-combined aggregate, and every lower-
+    * order table (ctx3, continuation-bigrams, ctx2, continuation-
+    * unigrams, the 1-row type total) derives from t3 / its margins —
+    * the corpus is touched wide exactly once. Scoring joins on the
+    * trigram and continuation-bigram tables are LEFT UNHINTED: a
+    * 100 TB trigram vocabulary is not executor-memory-bounded, so the
+    * planner picks sort-merge there (AQE broadcasts at small SF),
+    * while the |V|-bounded unigram tables and the 1-row total ride
+    * broadcasts. Arithmetic operand order mirrors the SQL replay
+    * verbatim (integer counts → exact-double ratios → one multiply
+    * chain), so both engines agree to the 6-place rounding the
+    * tercile boundaries compare at. Persisted: the token-array base
+    * (3 consumers), the trigram occurrences (2), t3 (3), the (v,w)
+    * continuation table (4), the scored set (2); the caller's
+    * between-query `clearCache()` reclaims them. */
+  def knTrigramPerplexityBuckets(docs: DataFrame, idCol: String,
+                                 textCol: String, discount: Double = 0.75)(
+      implicit spark: SparkSession): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val dD = lit(discount)
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.Text.tokens(lower(col(textCol))).as("w")).persist()
+    // narrow trigram fan-out; <3-token docs contribute no trigrams (the
+    // sequence guard keeps bounds ascending — the q85 discipline)
+    val tri = base.select(col("id"), explode(
+        when(size(col("w")) >= 3, transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i).as("u"),
+            element_at(col("w"), i + 1).as("v"),
+            element_at(col("w"), i + 2).as("wd"))))
+          .otherwise(array().cast("array<struct<u:string,v:string,wd:string>>")))
+        .as("t"))
+      .select(col("id"), col("t.u").as("u"), col("t.v").as("v"),
+        col("t.wd").as("wd"))
+      .persist()
+    val t3 = tri.groupBy("u", "v", "wd").agg(count(lit(1)).as("c3")).persist()
+    val ctx3 = t3.groupBy("u", "v")
+      .agg(sum("c3").as("cuv"), count(lit(1)).as("n3"))
+    // continuation counts: one row per (v,w) trigram margin, its count =
+    // distinct preceding u (t3 rows are distinct types)
+    val cb = t3.groupBy(col("v"), col("wd"))
+      .agg(count(lit(1)).as("cbw")).persist()
+    val ctx2 = cb.groupBy("v").agg(sum("cbw").as("scv"), count(lit(1)).as("n2"))
+    val cu = cb.groupBy("wd").agg(count(lit(1)).as("cw"))
+    val tt = cb.agg(count(lit(1)).as("tt"))
+    // positions >= 3: trigram KN; every join inner (events are in-model)
+    val pc3 = col("cw").cast("double") / col("tt")
+    val p2of3 = greatest(col("cbw") - dD, lit(0.0)) / col("scv") +
+      ((dD * col("n2")) / col("scv")) * pc3
+    val s3 = tri
+      .join(t3, Seq("u", "v", "wd"))
+      .join(ctx3, Seq("u", "v"))
+      .join(cb, Seq("v", "wd"))
+      .join(broadcast(ctx2), Seq("v"))
+      .join(broadcast(cu), Seq("wd"))
+      .crossJoin(broadcast(tt))
+      .groupBy("id")
+      .agg(sum(-log(
+        greatest(col("c3") - dD, lit(0.0)) / col("cuv") +
+          ((dD * col("n3")) / col("cuv")) * p2of3)).as("s3"),
+        count(lit(1)).as("n3cnt"))
+    // position 2: bigram KN with unseen guards (left joins)
+    val pcG = coalesce(col("cw").cast("double"), lit(0.5)) / col("tt")
+    val s2 = base.filter(size(col("w")) >= 2)
+      .select(col("id"), element_at(col("w"), 1).as("v"),
+        element_at(col("w"), 2).as("wd"))
+      .join(cb, Seq("v", "wd"), "left")
+      .join(broadcast(ctx2), Seq("v"), "left")
+      .join(broadcast(cu), Seq("wd"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("id"), (-log(
+        when(col("scv").isNull, pcG).otherwise(
+          greatest(coalesce(col("cbw"), lit(0L)) - dD, lit(0.0)) / col("scv") +
+            ((dD * col("n2")) / col("scv")) * pcG))).as("s2"))
+    // position 1: unigram continuation probability, same unseen guard
+    val s1 = base.select(col("id"), element_at(col("w"), 1).as("wd"))
+      .join(broadcast(cu), Seq("wd"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("id"), (-log(pcG)).as("s1"))
+    val scored = s1
+      .join(s2, Seq("id"), "left")
+      .join(s3, Seq("id"), "left")
+      .select(col("id"), round(exp(
+        (col("s1") + coalesce(col("s2"), lit(0.0)) +
+          coalesce(col("s3"), lit(0.0))) /
+          (lit(1L) + when(col("s2").isNull, 0L).otherwise(1L) +
+            coalesce(col("n3cnt"), lit(0L))).cast("double")), 6)
         .as("ppl"))
       .persist()
     val bounds = scored.agg(

@@ -265,4 +265,69 @@ class SourcesAndQualitySpec extends AnyFunSuite {
       assert(out(id).getAs[String]("bucket") == "tail", s"$id should be tail")
     docs.sparkSession.catalog.clearCache()
   }
+
+  test("knTrigramPerplexityBuckets: interpolated KN matches hand recompute") {
+    implicit val s = spark
+    // the unigram/bigram corpora plus two docs that exercise the
+    // unseen-event guards: d7's context 'w' is never a trigram middle
+    // (full backoff to Pcont) and 'q' is never trigram-final anywhere
+    // (the half-a-type guard, positions 1 AND 2)
+    val raw = Seq(
+      ("d1", "x x x x"), ("d2", "x x x y"), ("d3", "x x y y"),
+      ("d4", "x y y z"), ("d5", "y z z z"), ("d6", "z z z z"),
+      ("d7", "w q"), ("d8", "q"))
+    val docs = raw.toDF("id", "text")
+    val bucketed =
+      operators.Quality.knTrigramPerplexityBuckets(docs, "id", "text")
+    // tercile bounds ride the broadcast-1-row gate, never a reshuffle
+    assert(bucketed.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val out = bucketed.collect().map(r => r.getString(0) -> r).toMap
+    // independent recompute: the full interpolated-KN model from raw
+    // strings — trigram types, both continuation margins, D = 0.75 —
+    // with the identical double operand order as the operator
+    val toks = raw.map { case (id, t) => id -> t.split(" ").toSeq }
+    val tris = toks.flatMap(_._2.sliding(3).collect {
+      case Seq(a, b, c) => (a, b, c) })
+    val t3 = tris.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cx3 = t3.groupBy { case ((u, v, _), _) => (u, v) }
+      .map { case (k, m) => k -> (m.values.sum, m.size.toLong) }
+    val cb = t3.keys.groupBy { case (_, v, w) => (v, w) }
+      .map { case (k, ts) => k -> ts.size.toLong }
+    val cx2 = cb.groupBy(_._1._1)
+      .map { case (k, m) => k -> (m.values.sum, m.size.toLong) }
+    val cu = cb.keys.groupBy(_._2).map { case (k, vs) => k -> vs.size.toLong }
+    val tT = cb.size.toLong
+    def pcont(w: String): Double =
+      cu.get(w).map(_.toDouble).getOrElse(0.5) / tT
+    def p2(v: String, w: String): Double = cx2.get(v) match {
+      case None => pcont(w)
+      case Some((scv, n2)) =>
+        math.max(cb.getOrElse((v, w), 0L) - 0.75, 0.0) / scv +
+          ((0.75 * n2) / scv) * pcont(w)
+    }
+    def p3(u: String, v: String, w: String): Double = {
+      val (cuv, n3) = cx3((u, v))
+      math.max(t3((u, v, w)) - 0.75, 0.0) / cuv +
+        ((0.75 * n3) / cuv) * p2(v, w)
+    }
+    def ppl(ws: Seq[String]): Double = {
+      val s1 = -math.log(pcont(ws.head))
+      val s2 = if (ws.size >= 2) -math.log(p2(ws(0), ws(1))) else 0.0
+      val s3 = ws.sliding(3).collect { case Seq(a, b, c) =>
+        -math.log(p3(a, b, c)) }.sum
+      BigDecimal(math.exp((s1 + s2 + s3) / ws.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = toks.map { case (id, ws) => id -> ppl(ws) }.toMap
+    for ((id, e) <- expected)
+      assert(out(id).getAs[Double]("ppl") == e, s"ppl mismatch for $id")
+    // buckets are monotone in ppl and all three occur (8 docs)
+    val byBucket = out.values.groupBy(_.getAs[String]("bucket"))
+      .map { case (b, rs) => b -> rs.map(_.getAs[Double]("ppl")) }
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    docs.sparkSession.catalog.clearCache()
+  }
 }
