@@ -3405,18 +3405,27 @@ object Queries {
         // observed 20th share at every test SF — so the oracle can
         // demand the true top-20 outright: a sketch that evicts a real
         // hitter, a candidate set that misses a partition, or a
-        // recount that isn't exact all hash-fail.
+        // recount that isn't exact all hash-fail. The `exact` flag is
+        // the guarantee's precondition checked at RUNTIME (k-th count
+        // clears N/(m+1)); the oracle recomputes it from true counts,
+        // so a flag that lies about the regime hash-fails too.
         operators.Frequency.heavyHitters(tbl("documents"), "text",
           m = 4096, k = 20)
       },
       Some("""WITH t AS (SELECT
              |    unnest(string_split(lower(text), ' ')) AS tok
              |  FROM documents),
-             |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
-             |SELECT tok, cnt,
-             |  CAST(row_number() OVER (ORDER BY cnt DESC, tok)
-             |    AS BIGINT) AS rank
-             |FROM c QUALIFY rank <= 20""".stripMargin)),
+             |n AS (SELECT count(*) AS n FROM t),
+             |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+             |top AS (SELECT tok, cnt,
+             |    CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+             |      AS BIGINT) AS rank
+             |  FROM c QUALIFY rank <= 20)
+             |SELECT tok, cnt, rank,
+             |  CAST(CASE WHEN (SELECT min(cnt) FROM top) * 4097
+             |         > (SELECT n FROM n) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS exact
+             |FROM top""".stripMargin)),
 
     Q("q113_embedding_decontam",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._

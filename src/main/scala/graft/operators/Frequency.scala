@@ -39,7 +39,16 @@ object Frequency {
     * the sketch output and the partially-aggregated recount, both
     * bounded by the candidate set, never the domain. Top-k is
     * TakeOrderedAndProject; the rank window sees k rows. Output:
-    * (tok, cnt, rank) — counts are exact, not sketch estimates. */
+    * (tok, cnt, rank, exact) — counts are exact, not sketch
+    * estimates, and `exact` (0/1, same value on every row) is the
+    * RUNTIME check of the guarantee's precondition: 1 iff the
+    * smallest returned count clears N/(m+1) (compared as
+    * cnt·(m+1) > N — integer arithmetic, no division ulp). When it
+    * is 0, the returned rows are still exactly-counted candidates,
+    * but an undiscovered token could in principle outrank them —
+    * callers gate on the flag instead of trusting the guarantee
+    * blind. The total-N aggregate rides the existing token pass
+    * (1-row broadcast gate); the min rides the k-row rank window. */
   def heavyHitters(docs: DataFrame, textCol: String, m: Int,
                    k: Int): DataFrame = {
     require(m >= 1, "m must be positive")
@@ -60,10 +69,17 @@ object Frequency {
       }
       counts.keysIterator
     }.toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("__n"))
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     toks.join(broadcast(candidates), Seq("tok"), "left_semi")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("exact",
+        (min(col("cnt")).over(wAll) * (m + 1) > col("__n")).cast("long"))
+      .drop("__n")
   }
 }

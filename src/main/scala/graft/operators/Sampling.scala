@@ -50,7 +50,9 @@ object Sampling {
     * the value exactly — the Packing.epochShuffle replayability
     * discipline). Gates that can phrase their thresholds as integers
     * on this grid ([[assignSplit]]) compare HERE and never touch a
-    * float. */
+    * float. This is the package's SINGLE definition of the
+    * replay-critical digit arithmetic — [[Selection]]'s openCoin and
+    * featureBucket derive from it rather than restating it. */
   private[operators] def hexInt(keyCol: Column, salt: String): Column = {
     val h = md5(concat(keyCol.cast("string"), lit(salt)))
     (0 until 6).map { i =>

@@ -31,16 +31,21 @@ object Selection {
     *     within-partition running sums in parallel.
     * offset + within-partition sum equals the naive window EXACTLY
     * (range boundaries respect each group's total order; costs are
-    * integer-summed). The persist on the ranged input is LOAD-BEARING,
-    * not a cache optimization: the offsets pass and the final cumsum
-    * must see the SAME range boundaries and partition ids, and an
-    * unpersisted lineage re-evaluation may resample different
-    * boundaries (RangePartitioner seeds per RDD instance) — offsets
-    * would then be joined against a different partitioning. The cached
-    * handle is internal; applications running many selections per
-    * session reclaim it with `spark.catalog.clearCache()` (the bench
-    * does so between queries), and at 100 TB the ranged input would be
-    * checkpointed or written to a table instead. */
+    * integer-summed). The ranged input is `localCheckpoint`ed
+    * (eager) — a RELIABLE materialization, not a cache hint: the
+    * offsets pass and the final cumsum must see the SAME range
+    * boundaries and partition ids, and a plain persist() keeps the
+    * lineage alive, so losing a cached block silently RE-EVALUATES
+    * it — the RangePartitioner may resample different boundaries and
+    * offsets would join against a different partitioning, corrupting
+    * cum_cost without any error. Checkpointing truncates the lineage:
+    * a lost block is an explicit job failure, never a silent
+    * re-partition. On a cluster with executor churn, reliable
+    * `checkpoint()` (HDFS-backed) or a staging table gives the same
+    * truncation with replayable blocks — the localCheckpoint call is
+    * where that swap happens. Blocks free when the plan's RDD is
+    * GC'd (the ContextCleaner), same lifecycle as
+    * [[Dedup.connectedComponents]]' round states. */
   private def phasedCumsum(df: DataFrame, groupCols: Seq[String],
                            orderBy: Seq[Column], costCol: Column): DataFrame = {
     val grp = groupCols.map(col)
@@ -48,7 +53,7 @@ object Selection {
       .repartitionByRange(grp ++ orderBy: _*)
       .sortWithinPartitions(grp ++ orderBy: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val keys = "__pid" +: groupCols
     val parts = ranged.groupBy(keys.map(col): _*)
       .agg(sum(col("__cost")).as("__psum"))
@@ -135,46 +140,45 @@ object Selection {
     * run through the same phased two-phase cumsum (no per-group
     * single-task window). Null-safe on the group key, like the
     * single-budget path — a NULL group with a NULL-keyed budget row is
-    * selected, not dropped. Output appends `cum_cost` and the group's
-    * `budget`. */
+    * selected, not dropped. Every group present in `df` MUST have a
+    * budget row: the join is left + fail-fast (`raise_error`), so a
+    * truncated or malformed allocator output surfaces as a loud job
+    * failure instead of silently vanishing groups (an intentional
+    * zero allocation is an explicit budget-0 row, which selects
+    * nothing but errors nothing). Output appends `cum_cost` and the
+    * group's `budget`. */
   def takeByBudgets(df: DataFrame, groupCol: String, orderBy: Seq[Column],
                     costCol: Column, budgets: DataFrame): DataFrame = {
     val b = budgets.select(col(groupCol).as(s"${groupCol}__b"),
       col("budget").cast("long").as("budget"))
     phasedCumsum(df, Seq(groupCol), orderBy, costCol)
-      .join(broadcast(b), col(groupCol) <=> col(s"${groupCol}__b"))
+      .join(broadcast(b), col(groupCol) <=> col(s"${groupCol}__b"), "left")
+      .withColumn("budget", when(col("budget").isNull,
+          raise_error(concat(lit("takeByBudgets: no budget row for group "),
+            coalesce(col(groupCol).cast("string"), lit("NULL")))))
+        .otherwise(col("budget")))
       .drop(s"${groupCol}__b")
       .filter(col("cum_cost") <= col("budget"))
   }
 
-  /** Deterministic uniform coin in (0, 1) keyed on a column — the
-    * [[Sampling.hashUniform]] md5 recipe shifted off the closed
-    * endpoint: (v + 0.5)/16^6 with v the hash's first six hex digits,
-    * so ln(u) and ln(1−u) are both finite for the Gumbel transform.
-    * Every term is an exact binary double ((2v+1)/2^25 has a 25-bit
-    * significand), so both engines of a cross-engine replay land on
-    * the identical u. */
-  private def openCoin(keyCol: Column, salt: String): Column = {
-    val h = md5(concat(keyCol.cast("string"), lit(salt)))
-    val v = (0 until 6).map { i =>
-      val c = ascii(substring(h, i + 1, 1))
-      (when(c >= 97, c - 87).otherwise(c - 48)) * lit(1 << (4 * (5 - i)))
-    }.reduce(_ + _)
-    (v.cast("double") + lit(0.5)) / lit((1 << 24).toDouble)
-  }
+  /** Deterministic uniform coin in (0, 1) keyed on a column —
+    * [[Sampling.hexInt]] (the package's ONE md5-hex6 definition)
+    * shifted off the closed endpoint: (v + 0.5)/16^6, so ln(u) and
+    * ln(1−u) are both finite for the Gumbel transform. Every term is
+    * an exact binary double ((2v+1)/2^25 has a 25-bit significand),
+    * so both engines of a cross-engine replay land on the
+    * identical u. */
+  private def openCoin(keyCol: Column, salt: String): Column =
+    (Sampling.hexInt(keyCol, salt).cast("double") + lit(0.5)) /
+      lit((1 << 24).toDouble)
 
-  /** Hashed-feature bucket id in [0, numBuckets): first six md5 hex
-    * digits mod numBuckets. Callers must pass a power-of-two
-    * numBuckets ≤ 2^24 so the modulus divides the 16^6 hash domain
-    * exactly — any other choice has modulo bias across buckets. */
-  private def featureBucket(f: Column, salt: String, numBuckets: Int): Column = {
-    val h = md5(concat(f, lit(salt)))
-    val v = (0 until 6).map { i =>
-      val c = ascii(substring(h, i + 1, 1))
-      (when(c >= 97, c - 87).otherwise(c - 48)) * lit(1 << (4 * (5 - i)))
-    }.reduce(_ + _)
-    pmod(v, lit(numBuckets)).cast("long")
-  }
+  /** Hashed-feature bucket id in [0, numBuckets):
+    * [[Sampling.hexInt]] mod numBuckets. Callers must pass a
+    * power-of-two numBuckets ≤ 2^24 so the modulus divides the 16^6
+    * hash domain exactly — any other choice has modulo bias across
+    * buckets. */
+  private def featureBucket(f: Column, salt: String, numBuckets: Int): Column =
+    pmod(Sampling.hexInt(f, salt), lit(numBuckets)).cast("long")
 
   /** Per-occurrence hashed n-gram features (unigrams + bigrams) of a
     * document corpus: one row per feature OCCURRENCE, bucketed into
