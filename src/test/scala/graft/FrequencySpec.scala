@@ -23,6 +23,30 @@ class FrequencySpec extends AnyFunSuite {
       s"got ${out.mkString(",")}")
   }
 
+  test("heavyHitters: shuffles are bounded by candidates, never the domain") {
+    import spark.implicits._
+    // the scaladoc's scale claim as a plan pin: 3 shuffle exchanges —
+    // the candidate distinct (≤ m·|partitions| sketch survivors), the
+    // exact recount (partial-aggregated candidate counts), and the
+    // 1-row token total behind the `exact` flag. The raw token stream
+    // itself NEVER hits an exchange (it flows through the in-partition
+    // sketch and a broadcast semi-join); a fourth exchange means
+    // someone shuffled the domain.
+    val docs = (1 to 200).map(i => s"w${i % 13} w${i % 7}").toDF("text")
+    val df = Frequency.heavyHitters(docs, "text", m = 64, k = 5)
+    val txt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val shuffles = "(?<!Broadcast)Exchange \\((\\d+)\\)".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    assert(shuffles.size == 3, s"exchange budget changed:\n$txt")
+    // the candidate set and the 1-row total both ride broadcasts
+    assert("BroadcastExchange".r.findAllIn(txt).size >= 2,
+      s"candidates + total must broadcast:\n$txt")
+    // runtime sanity with the new regime flag: ample m → exact=1
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Long]("exact") == 1L))
+  }
+
   test("heavyHitters: matches the exact vocabulary top-k when m is ample") {
     import spark.implicits._
     val docs = (1 to 500)

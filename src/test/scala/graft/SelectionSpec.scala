@@ -247,6 +247,36 @@ class SelectionSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("importanceSelect: paper-scale B=65536 keeps the broadcast plan shape") {
+    // DSIR's published configs hash into 10^4-10^5 buckets; the q108
+    // oracle runs B=256 for SQL-replay brevity. The scale contract is
+    // that B only changes the ≤B-row log-ratio table's SIZE, never the
+    // plan: the LR table still broadcasts (65536 rows is nowhere near
+    // executor memory) and the corpus still shuffles exactly as often.
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val target = docs.filter(col("lang") === "en")
+    def planOf(b: Int): String = {
+      val df = Selection.importanceSelect(docs, target, "doc_id", "text",
+        k = 50, numBuckets = b)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      spark.catalog.clearCache()
+      txt
+    }
+    def shuffles(plan: String): Int =
+      "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(plan)
+        .matchData.map(_.matched).toSet.size
+    val big = planOf(65536)
+    // the bucket-count log-ratio join rides a broadcast, not a shuffle
+    assert(big.contains("BroadcastHashJoin"),
+      s"LR table must broadcast at B=65536:\n${big.take(2000)}")
+    assert(big.contains("TakeOrderedAndProject"),
+      "top-k must stay TakeOrderedAndProject at B=65536")
+    // plan shape is B-invariant: same shuffle-exchange count as B=256
+    assert(shuffles(big) == shuffles(planOf(256)),
+      "B must size the broadcast table, never add an exchange")
+  }
+
   test("blockDedup: token conservation across the corpus") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val out = Dedup.blockDedup(docs, "doc_id", "text", 16)

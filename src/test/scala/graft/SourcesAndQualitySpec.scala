@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.quality.Expectations
-import graft.sources.{ParquetSink, TsvSource}
+import graft.sources.{ParquetSink, Tables, TsvSource}
 
 class SourcesAndQualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -329,5 +329,58 @@ class SourcesAndQualitySpec extends AnyFunSuite {
     assert(byBucket("head").max <= byBucket("middle").min)
     assert(byBucket("middle").max <= byBucket("tail").min)
     docs.sparkSession.catalog.clearCache()
+  }
+
+  // -- scale-claim plan pins ------------------------------------------
+  // The perplexity operators' scaladocs make exchange-budget claims
+  // ("one bigram-keyed shuffle", "the corpus is touched wide exactly
+  // once"). These specs pin the PLANNED exchange structure so a
+  // regression that sneaks in an extra corpus reshuffle (a lost
+  // persist, a join that stopped broadcasting, a derivation that
+  // re-reads the corpus instead of a vocab margin) fails loudly.
+
+  private def shuffleKeys(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val txt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val lines = txt.linesIterator.toSeq
+    val ids = "(?<!Broadcast)Exchange \\((\\d+)\\)".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    for {
+      i <- lines.indices.toSeq
+      id <- ids if lines(i).startsWith(s"($id) Exchange")
+      arg <- lines.drop(i).find(_.trim.startsWith("Arguments:"))
+    } yield arg.trim
+  }
+
+  test("bigramPerplexityBuckets: exactly one bigram-keyed corpus shuffle") {
+    implicit val s = spark
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val keys = shuffleKeys(
+      operators.Quality.bigramPerplexityBuckets(docs, "doc_id", "text"))
+    // 8 planned exchanges: token vocab (tok), bigram vocab (prev, cur),
+    // ctx totals (prev — |V₂|-row derivation, not a corpus pass), the
+    // per-doc scoring aggregate + its s1⋈s2 join (id × 2), and three
+    // 1-row gates (vocab total, context total, tercile bounds)
+    assert(keys.size == 8, s"exchange budget changed:\n${keys.mkString("\n")}")
+    assert(keys.count(k => k.contains("hashpartitioning(prev#") &&
+      k.contains("cur#")) == 1,
+      s"exactly ONE bigram-keyed shuffle:\n${keys.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
+  test("knTrigramPerplexityBuckets: the corpus goes wide exactly once") {
+    implicit val s = spark
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val keys = shuffleKeys(
+      operators.Quality.knTrigramPerplexityBuckets(docs, "doc_id", "text"))
+    // 15 planned exchanges; the scale claim is that only ONE is keyed
+    // on the full trigram (the t3 type table) — every other hash
+    // exchange derives from t3 or its margins ((v,wd), (u,v), v, wd —
+    // type-table-sized) or is per-doc (id) / a 1-row gate
+    assert(keys.size == 15, s"exchange budget changed:\n${keys.mkString("\n")}")
+    assert(keys.count(k => k.contains("hashpartitioning(u#") &&
+      k.contains("v#") && k.contains("wd#")) == 1,
+      s"exactly ONE trigram-keyed corpus shuffle:\n${keys.mkString("\n")}")
+    spark.catalog.clearCache()
   }
 }
