@@ -3559,7 +3559,193 @@ object Queries {
              |CAST(6 + (doc_id // 9) % 7 AS BIGINT) AS height,
              |CAST(1 + doc_id % 5 AS BIGINT) AS n_frames,
              |CAST(3 AS BIGINT) AS channels
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    Q("q116_countmin_freq",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Count-Min point-frequency estimates (4×1024 sketch) probed at
+        // the exact top-30 tokens, next to their exact counts. The
+        // sketch is DETERMINISTIC (cells through the md5-hex6 coin), so
+        // the oracle rebuilds the identical 4096 counters in SQL and
+        // replays every estimate exactly — a wrong cell address, a lost
+        // counter, or a min over the wrong row set all hash-fail; the
+        // CMS overestimate guarantee (est ≥ cnt always) is visible in
+        // the oracle-checked `overcount ≥ 0` column rather than
+        // asserted blind.
+        val docs = tbl("documents")
+        val sketch = operators.Frequency.countMinBuild(docs, "text",
+          depth = 4, width = 1024)
+        val toks = docs.select(explode(
+          Text.tokens(lower(col("text")))).as("tok"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(30)
+        val est = operators.Frequency.countMinEstimate(sketch, exact, "tok",
+          depth = 4, width = 1024)
+        exact.join(est, Seq("tok"))
+          .select(col("tok"), col("cnt"), col("est"),
+            (col("est") - col("cnt")).as("overcount"))
+      },
+      Some {
+        val uTerms = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        val build = (0 until 4).map { sd =>
+          s"""SELECT $sd AS seed, ($uTerms) % 1024 AS bucket
+             |  FROM (SELECT md5(tok || ':cms$sd') AS h FROM t)""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        val probe = (0 until 4).map { sd =>
+          s"""SELECT tok, $sd AS seed, ($uTerms) % 1024 AS bucket
+             |  FROM (SELECT tok, md5(tok || ':cms$sd') AS h FROM ex)""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+           |  FROM documents),
+           |ex AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+           |       ORDER BY cnt DESC, tok LIMIT 30),
+           |cell AS (SELECT seed, bucket, count(*) AS scnt
+           |  FROM ($build) GROUP BY seed, bucket),
+           |qc AS ($probe),
+           |est AS (SELECT tok, min(scnt) AS est FROM qc
+           |        JOIN cell USING (seed, bucket) GROUP BY tok)
+           |SELECT ex.tok, ex.cnt, est.est, est.est - ex.cnt AS overcount
+           |FROM ex JOIN est USING (tok)""".stripMargin
+      }),
+
+    Q("q117_weighted_sample",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+        // top-10 docs per language by key u^(1/w), w = token count —
+        // token-budget-fair sampling. u replays exactly cross-engine
+        // (open md5 coin, exact binary doubles); pow agrees to ≤ 1 ulp
+        // and distinct coins on the 6e-8 grid keep key gaps orders
+        // above ulp, so the oracle reproduces the EXACT sample and
+        // ranks — a wrong key transform, a closed-endpoint coin, or a
+        // with-replacement scheme all hash-fail.
+        val docs = tbl("documents")
+          .withColumn("w", size(Text.tokens(lower(col("text")))).cast("double"))
+        operators.Sampling.weightedSampleTopK(docs, "doc_id", "lang",
+            col("w"), k = 10)
+          .select(col("doc_id"), col("lang"), col("rank"))
+      },
+      Some {
+        val uTerms = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n    + ")
+        s"""WITH w AS (SELECT doc_id, lang,
+           |    len(string_split(lower(text), ' ')) AS wt,
+           |    md5(doc_id::VARCHAR || ':aes') AS h
+           |  FROM documents),
+           |k AS (SELECT doc_id, lang,
+           |    pow((($uTerms) + 0.5) / 16777216.0, 1.0 / wt) AS key
+           |  FROM w),
+           |r AS (SELECT doc_id, lang,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+           |  FROM k)
+           |SELECT doc_id, lang, rank FROM r WHERE rank <= 10""".stripMargin
+      }),
+
+    Q("q118_semantic_dedup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // SemDeDup: cluster-then-prune semantic dedup over planted
+        // ×2-scaled copies of every 101st vector. Scaling by a power of
+        // two is EXACT per float op and cosine is scale-invariant under
+        // it bit-for-bit, so a planted copy lands in its original's
+        // cluster (identical centroid similarities, identical
+        // tie-break) with intra-cluster cosine exactly 1.0 — pruned
+        // with certainty, no LSH/threshold flakiness. Natural pairwise
+        // cosines top out ≈ 0.47 on this fixture (q113 margin
+        // discipline), far under τ=0.95, so the dup set must be
+        // EXACTLY the planted ids: all three flags are sharp. Checked
+        // in-plan (k-means cells aren't SQL-replayable — the q46
+        // pattern): every planted row pruned, nothing else pruned, one
+        // output row per input.
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val planted = emb.filter(col("vec_id") % 101 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val all = emb.unionByName(planted)
+        val cents = Similarity.trainCentroidsKMeans(all, "vec_id", "embedding",
+          dim = 64, cells = 8, iters = 2)
+        val dd = Dedup.semanticDedup(all, "vec_id", "embedding", cents,
+          threshold = 0.95)
+        val stats = dd.agg(
+          sum(when(col("vec_id") >= 1000000L, col("semdup"))
+            .otherwise(lit(0L))).as("planted_dup"),
+          sum(when(col("vec_id") >= 1000000L, lit(1L))
+            .otherwise(lit(0L))).as("n_planted"),
+          sum(col("semdup")).as("n_dup"),
+          count(lit(1)).as("n_rows"))
+        stats.crossJoin(broadcast(emb.agg(count(lit(1)).as("n_corpus"))))
+          .select(
+            Clean.flag(col("planted_dup") === col("n_planted")).as("planted_pruned_ok"),
+            Clean.flag(col("n_dup") === col("n_planted")).as("only_planted_ok"),
+            Clean.flag(col("n_rows") === col("n_corpus") + col("n_planted")).as("rows_ok"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS planted_pruned_ok,
+             |CAST(1 AS BIGINT) AS only_planted_ok,
+             |CAST(1 AS BIGINT) AS rows_ok""".stripMargin)),
+
+    Q("q119_embedding_gram",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // upper-triangle Gram matrix of the embedding corpus — the
+        // second-moment input to PCA/whitening. The oracle recomputes
+        // every Σ x_i·x_j from the same doubles; float sum order
+        // differs across engines/partitionings by ~1e-13 relative, so
+        // entries round to 4 decimals (the cosine discipline). A
+        // dropped row, a transposed index, or a 1-based off-by-one all
+        // hash-fail on 2,080 checked cells.
+        operators.Embeddings.gram(tbl("embeddings"), "embedding")
+          .select(col("i"), col("j"), round(col("g"), 4).as("g"))
+      },
+      Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |a AS (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e),
+             |b AS (SELECT i, v, unnest(range(1, len(v) + 1)) AS j FROM a),
+             |g AS (SELECT i, j, sum(v[i] * v[j]) AS g FROM b
+             |      WHERE j >= i GROUP BY i, j)
+             |SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+             |  round(g, 4) AS g
+             |FROM g""".stripMargin)),
+
+    Q("q120_pca_project",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // PCA (top-8 of 64 dims): one distributed Gram+mean pass, a
+        // driver Jacobi eigensolve (dim×dim model params — the IVF
+        // centroid division of labor), then a narrow literal-matrix
+        // projection. The eigensolve isn't SQL-replayable, so the
+        // oracle checks PCA's DEFINING invariants in-plan (q46
+        // pattern), each sharp enough that a wrong eigensolver fails:
+        // the variance of projection c must equal eigenvalue c (to
+        // float noise — THE eigenpair property), variances must
+        // descend, and distinct projections must be uncorrelated.
+        val emb = tbl("embeddings")
+        val model = operators.Embeddings.pcaFit(emb, "embedding", p = 8)
+        val proj = operators.Embeddings.pcaProject(emb, "embedding", model)
+        val vars = (0 until 8).map(c =>
+          var_pop(element_at(col("pc"), c + 1)).as(s"v$c"))
+        val covs = for (a <- 0 until 8; b <- a + 1 until 8) yield
+          covar_pop(element_at(col("pc"), a + 1),
+            element_at(col("pc"), b + 1)).as(s"c${a}_$b")
+        val agg = proj.agg(vars.head, (vars.tail ++ covs): _*)
+        val eigOk = (0 until 8).map(c =>
+          abs(col(s"v$c") - lit(model.eigenvalues(c))) <=
+            lit(1e-6) * greatest(lit(model.eigenvalues(c)), lit(1e-9)))
+          .reduce(_ && _)
+        val orderOk = (0 until 7).map(c =>
+          col(s"v$c") >= col(s"v${c + 1}") - lit(1e-9)).reduce(_ && _)
+        val orthOk = (for (a <- 0 until 8; b <- a + 1 until 8) yield
+          abs(col(s"c${a}_$b")) <=
+            lit(1e-6) * sqrt(col(s"v$a") * col(s"v$b")) + lit(1e-9))
+          .reduce(_ && _)
+        agg.select(Clean.flag(eigOk).as("eig_ok"),
+          Clean.flag(orderOk).as("order_ok"),
+          Clean.flag(orthOk).as("orth_ok"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS eig_ok,
+             |CAST(1 AS BIGINT) AS order_ok,
+             |CAST(1 AS BIGINT) AS orth_ok""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -651,4 +651,47 @@ object Dedup {
     corpus.join(hits.withColumn("contaminated", lit(1L)), Seq(idCol), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(0L)))
   }
+
+  /** SemDeDup — SEMANTIC deduplication by cluster-then-prune (Abbas et
+    * al. 2023, arXiv:2303.09540): assign every vector to its nearest
+    * k-means centroid, then inside each cluster drop any vector whose
+    * cosine to a LOWER-ID cluster-mate clears `threshold`. Where
+    * [[embeddingDupPairs]] finds near-EXACT duplicates (LSH needs high
+    * cosine to collide reliably), the cluster route prunes at the looser
+    * thresholds of semantic redundancy (paraphrases, templated text) —
+    * candidate generation is the centroid assignment itself, recall
+    * within a cluster is exact at ANY threshold, and only cross-cluster
+    * near-boundary pairs are missed (the paper's accepted
+    * approximation).
+    *
+    * The keep rule — drop x iff some same-cluster y < x (by id) has
+    * cos(x,y) ≥ τ — is pairwise-local and order-free, so it
+    * parallelizes without the sequential-greedy chain dependency, and
+    * it is deterministic: the survivor set replays exactly given the
+    * same centroids (which are themselves deterministic,
+    * [[Similarity.trainCentroidsKMeans]]).
+    *
+    * Scale shape: assignment is a zero-shuffle native projection
+    * (centroids are k×dim driver model params); the intra-cluster
+    * self-join co-partitions both sides on cell_id — pair work is
+    * Σ|cell|², bounded by capping cell sizes up front
+    * ([[Similarity.splitOversizedCells]], the same knob that bounds IVF
+    * probe scans); the final flag join moves ids only. Output: every
+    * input row + `cell_id` + 0/1 `semdup` (1 = prunable). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    val cs = Similarity.collectCentroids(centroids)
+    val assigned = Similarity.assignCells(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", cs)
+    val dupIds = assigned.select(col("cell_id"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(assigned.select(col("cell_id"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("cell_id"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(Vectors.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a").as("id")).distinct()
+    emb.join(assigned.select(col("id").as(idCol), col("cell_id")), Seq(idCol))
+      .join(dupIds.select(col("id").as(idCol)).withColumn("semdup", lit(1L)),
+        Seq(idCol), "left")
+      .withColumn("semdup", coalesce(col("semdup"), lit(0L)))
+  }
 }

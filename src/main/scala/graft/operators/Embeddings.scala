@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Second-moment statistics and PCA over an embedding column — the
+  * linear-algebra step of embedding curation (whitening / dimension
+  * reduction before dedup, ANN indexing, or clustering; e.g. the PCA
+  * rotation most IVF-PQ pipelines apply first).
+  *
+  * Division of labor (the [[Similarity.CentroidSet]] pattern): the
+  * CORPUS-sized work — accumulating the dim×dim Gram/covariance and
+  * projecting rows — is distributed and shuffle-bounded by dim², never
+  * by row count; the dim×dim eigensolve is MODEL-PARAMETER work and
+  * runs on the driver (a 64×64 symmetric eigenproblem is microseconds —
+  * distributing it would ship more bytes in task metadata than the
+  * matrix itself).
+  */
+object Embeddings {
+
+  /** Upper-triangle Gram matrix Σ v·vᵀ as (i, j, g) rows, 0-based,
+    * j ≥ i. Declarative formulation: each row fans out to its
+    * dim·(dim+1)/2 index pairs through two stacked `posexplode`
+    * generators feeding a partial hash aggregate — the generator
+    * streams into the map-side combine (never materialized per row),
+    * the aggregate holds dim²/2 cells, and the ONLY exchange carries
+    * ≤ dim²/2 rows per partition regardless of corpus size. The
+    * arithmetic (dim² multiply-adds per row) is the Gram matrix's own
+    * lower bound; all accumulation in double. */
+  def gram(emb: DataFrame, vecCol: String): DataFrame = {
+    val rows = emb.select(Vectors.toDouble(col(vecCol)).as("__v"))
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "x")))
+      .select(col("i"), col("x"), posexplode(col("__v")).as(Seq("j", "y")))
+      .filter(col("j") >= col("i"))
+    rows.groupBy("i", "j")
+      .agg(sum(col("x") * col("y")).as("g"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("g"))
+  }
+
+  /** PCA model: top-p principal axes of the covariance (rows of
+    * `components`, unit-norm, variance-descending), their eigenvalues,
+    * and the data mean. Driver-held model parameters, shipped into the
+    * projection as literals. */
+  final case class PcaModel(components: Array[Array[Double]],
+                            eigenvalues: Array[Double],
+                            mean: Array[Double]) {
+    def p: Int = components.length
+    def dim: Int = mean.length
+  }
+
+  /** Classical cyclic-Jacobi eigendecomposition of a symmetric matrix
+    * (public-domain numerics, e.g. Golub & Van Loan §8.5): rotate away
+    * the largest off-diagonal entries sweep by sweep until the
+    * off-diagonal Frobenius mass is ~0. Deterministic: fixed sweep
+    * order, no pivoting randomness. Returns (eigenvalues, eigenvectors
+    * as columns of v). O(dim³) per sweep — driver-side by design. */
+  private[graft] def jacobiEigen(aIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-22 && sweep < 64) {
+      sweep += 1
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t = math.signum(theta) match {
+              case 0 => 1.0 / (theta + math.sqrt(theta * theta + 1))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Fit PCA: ONE distributed pass builds the Gram matrix and the mean
+    * (dim² + dim doubles reach the driver — model parameters, the same
+    * bytes a broadcast would ship), covariance = Gram/n − mean·meanᵀ,
+    * then the driver Jacobi-solves it and keeps the top `p` axes.
+    * Sign fixed deterministically (largest-|entry| coordinate made
+    * positive, ties → lowest index) so the model replays bit-stable
+    * across refits of identical data. */
+  def pcaFit(emb: DataFrame, vecCol: String, p: Int): PcaModel = {
+    val g = gram(emb, vecCol)
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2))).toMap
+    require(g.nonEmpty, "pcaFit: empty corpus")
+    val dim = g.keys.map(_._2).max + 1
+    require(p >= 1 && p <= dim, s"p must be in [1, $dim]")
+    val mn = emb.agg(Vectors.centroid(col(vecCol), dim).as("m"))
+      .select(col("m")).head().getSeq[Double](0).toArray
+    val n = emb.count().toDouble
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val key = if (i <= j) (i, j) else (j, i)
+      g(key) / n - mn(i) * mn(j)
+    }
+    val (eig, vecs) = jacobiEigen(cov)
+    val order = eig.indices.sortBy(i => (-eig(i), i)).take(p)
+    val comps = order.map { c =>
+      val axis = Array.tabulate(dim)(r => vecs(r)(c))
+      val lead = axis.indices.maxBy(i => (math.abs(axis(i)), -i))
+      if (axis(lead) < 0) axis.map(-_) else axis
+    }.toArray
+    PcaModel(comps, order.map(eig).toArray, mn)
+  }
+
+  /** Project rows onto the model's axes: appends `pc`, an array of
+    * `model.p` doubles, pc_c = (v − mean)·axis_c — computed as
+    * v·axis_c − (mean·axis_c) with the scalar offset folded at plan
+    * build, so the whole projection is a NARROW codegen'd expression
+    * (p HOF dot products per row), zero shuffle, zero state. */
+  def pcaProject(emb: DataFrame, vecCol: String, model: PcaModel): DataFrame = {
+    val pcs = model.components.map { axis =>
+      val offset = axis.zip(model.mean).map { case (a, m) => a * m }.sum
+      Vectors.dotHof(col(vecCol), typedLit(axis.toSeq)) - lit(offset)
+    }
+    emb.withColumn("pc", array(pcs.toIndexedSeq: _*))
+  }
+}

@@ -82,4 +82,58 @@ object Frequency {
         (min(col("cnt")).over(wAll) * (m + 1) > col("__n")).cast("long"))
       .drop("__n")
   }
+
+  /** The d×(seed,bucket) cell coordinates of one token — the fan-out
+    * shared by [[countMinBuild]] and [[countMinEstimate]] (build and
+    * probe MUST hash identically or estimates are garbage). Buckets go
+    * through [[Sampling.hexInt]] (the package's single md5-hex6 coin),
+    * so an external SQL engine replays every cell address exactly. */
+  private def cmsCells(tok: org.apache.spark.sql.Column, depth: Int,
+                       width: Int) =
+    explode(array((0 until depth).map { s =>
+      struct(lit(s.toLong).as("seed"),
+        pmod(Sampling.hexInt(tok, ":cms" + s), lit(width)).cast("long")
+          .as("bucket"))
+    }: _*))
+
+  /** Count-Min sketch build (Cormode & Muthukrishnan 2005): `depth`
+    * hash rows × `width` counters over the token stream. Where
+    * [[heavyHitters]] answers "which items are frequent", the CMS
+    * answers point queries — "how often did THIS item occur" — for any
+    * item, with a bounded overestimate, in O(depth·width) space.
+    *
+    * Scale shape: one narrow pass — each token instance fans out to its
+    * `depth` cells as a codegen'd projection, then a partial-aggregated
+    * groupBy whose exchange carries at most depth·width counter rows no
+    * matter how many distinct tokens stream past (the same
+    * domain-vs-sketch bound as the MG sketch above). Guarantee:
+    * estimate ≥ true count always (collisions only add), and
+    * ≤ true + e·N/width with probability 1 − e^−depth per query.
+    * Returns (seed, bucket, cnt) — mergeable across corpora by summing
+    * cells, the property that makes the sketch a streaming/incremental
+    * citizen. */
+  def countMinBuild(docs: DataFrame, textCol: String, depth: Int,
+                    width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    docs.select(explode(
+        graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
+      .select(cmsCells(col("tok"), depth, width).as("c"))
+      .select(col("c.seed").as("seed"), col("c.bucket").as("bucket"))
+      .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinBuild]] sketch: for each
+    * query token, min over its `depth` cells. The sketch (≤ depth·width
+    * rows — counters, not corpus) is BROADCAST, so probing any number of
+    * query tokens is a map-side join plus a |queries|-bounded aggregate;
+    * the corpus is not touched at all. Tokens absent from the corpus
+    * estimate as ≥ 0 (empty cells count 0 via the left join). */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame,
+                       tokCol: String, depth: Int, width: Int): DataFrame =
+    queries.select(col(tokCol).as("tok")).distinct()
+      .select(col("tok"), cmsCells(col("tok"), depth, width).as("c"))
+      .select(col("tok"), col("c.seed").as("seed"), col("c.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

@@ -97,6 +97,14 @@ object Sampling {
   private[operators] def hashUniform(keyCol: Column, salt: String): Column =
     hexInt(keyCol, salt).cast("double") / lit((1 << 24).toDouble)
 
+  /** [[hashUniform]] shifted off the closed endpoint — uniform in
+    * (0, 1), so ln(u) / u^(1/w) are finite: (v + 0.5)/16^6, every term
+    * an exact binary double ((2v+1)/2^25 has a 25-bit significand).
+    * The coin for transforms that blow up at 0 (Gumbel, A-ES keys). */
+  private[operators] def openCoin(keyCol: Column, salt: String): Column =
+    (hexInt(keyCol, salt).cast("double") + lit(0.5)) /
+      lit((1 << 24).toDouble)
+
   /** TEMPERATURE-REWEIGHTED mixture resampling — the data-mixing step of
     * training-corpus assembly: group proportions p_g are flattened to
     * q_g ∝ p_g^alpha (alpha < 1 upweights rare languages/sources — the
@@ -176,5 +184,41 @@ object Sampling {
       .filter(col("n_copies") > 0)
       .select(docs.columns.map(col) :+
         explode(sequence(lit(0L), col("n_copies") - 1)).as("rep_idx"): _*)
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): the `k` rows per group with the largest keys
+    * u^(1/w) — u the row's deterministic [[openCoin]], w its weight —
+    * are distributed exactly as sequential weighted draws without
+    * replacement. The probabilistic-quality step of curation pipelines
+    * ([[hashSample]] is the uniform special case w ≡ 1): sample by
+    * quality score without the deterministic-top-k failure mode of
+    * always keeping the same head.
+    *
+    * Scale shape: the key is a NARROW projection (coin + one pow); the
+    * per-group top-k plans as a rank window with a map-side partial
+    * WindowGroupLimit, so each input partition forwards at most k rows
+    * per group into the single ranking exchange — never the corpus.
+    * Determinism: u replays exactly cross-engine (exact binary
+    * doubles); pow agrees to ≤ 1 ulp, and distinct u on the 6e-8 coin
+    * grid keep key gaps orders above ulp, so the selected set and
+    * ranks replay exactly (rank ties broken by `idCol`). Rows with
+    * weight ≤ 0 or NULL are excluded up front — A-ES is undefined
+    * there, and silently keying them NaN would sort them
+    * nondeterministically. Appends `rank` (1-based, by key desc). */
+  def weightedSampleTopK(df: DataFrame, idCol: String, groupCol: String,
+                         weightCol: Column, k: Int,
+                         salt: String = ":aes"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val key = pow(openCoin(col(idCol), salt),
+      lit(1.0) / weightCol.cast("double"))
+    df.filter(weightCol.isNotNull && weightCol.cast("double") > 0)
+      .withColumn("__key", key)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__key").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__key")
   }
 }

@@ -161,16 +161,11 @@ object Selection {
       .filter(col("cum_cost") <= col("budget"))
   }
 
-  /** Deterministic uniform coin in (0, 1) keyed on a column —
-    * [[Sampling.hexInt]] (the package's ONE md5-hex6 definition)
-    * shifted off the closed endpoint: (v + 0.5)/16^6, so ln(u) and
-    * ln(1−u) are both finite for the Gumbel transform. Every term is
-    * an exact binary double ((2v+1)/2^25 has a 25-bit significand),
-    * so both engines of a cross-engine replay land on the
-    * identical u. */
+  /** Deterministic uniform coin in (0, 1) — [[Sampling.openCoin]]
+    * (the package's one open-interval coin over its one md5-hex6
+    * definition), finite ln(u)/ln(1−u) for the Gumbel transform. */
   private def openCoin(keyCol: Column, salt: String): Column =
-    (Sampling.hexInt(keyCol, salt).cast("double") + lit(0.5)) /
-      lit((1 << 24).toDouble)
+    Sampling.openCoin(keyCol, salt)
 
   /** Hashed-feature bucket id in [0, numBuckets):
     * [[Sampling.hexInt]] mod numBuckets. Callers must pass a

@@ -582,4 +582,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .head
     assert(got2 == ("tail1 tail2 tail3", 5L), got2.toString)
   }
+
+  test("semanticDedup: prunes by lowest-id within cluster, threshold-gated") {
+    import spark.implicits._
+    // two well-separated clusters around e1 and e2; ids 1,2 identical
+    // (cos 1.0 → 2 pruned, 1 kept), id 3 same cluster but only ~0.89
+    // to either (under τ=0.95 → kept); ids 10,11 in the other cluster,
+    // near-identical (11 pruned). Cross-cluster pairs never compared.
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),          // cos(1,2)=1.0
+      (3L, Array(0.9f, 0.45f, 0f, 0f)),     // cos to e1 ≈ 0.894
+      (10L, Array(0f, 0f, 1f, 0f)),
+      (11L, Array(0f, 0.01f, 1f, 0f)))      // cos(10,11) ≈ 0.99995
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 0.0, 1.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+        threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell_id"), r.getAs[Long]("semdup"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    assert(out(1L) == (0L, 0L) && out(2L) == (0L, 1L), out.toString)
+    assert(out(3L) == (0L, 0L), "sub-threshold cluster-mate must survive")
+    assert(out(10L) == (1L, 0L) && out(11L) == (1L, 1L), out.toString)
+    // tighter τ=0.9999999: only the exact duplicate still prunes
+    val strict = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+        threshold = 0.9999999)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("semdup")).toMap
+    assert(strict.values.sum == 1L && strict(2L) == 1L, strict.toString)
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Embeddings
+
+class EmbeddingsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("gram: hand-checked on a 2×2, one bounded exchange in the plan") {
+    import spark.implicits._
+    val df = Seq(Array(1f, 2f), Array(3f, 4f)).toDF("embedding")
+      .repartition(3)
+    val got = Embeddings.gram(df, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Σ v·vᵀ over [1,2],[3,4]: (0,0)=1+9, (0,1)=2+12, (1,1)=4+16
+    assert(got == Map((0L, 0L) -> 10.0, (0L, 1L) -> 14.0, (1L, 1L) -> 20.0))
+    val txt = Embeddings.gram(df, "embedding").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val shuffles = "(?<!Broadcast)Exchange \\((\\d+)\\)".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    // one exchange — the dim²-bounded cell aggregate (plus the test's
+    // own repartition); the row fan-out itself must never shuffle
+    assert(shuffles.size <= 2, s"exchange budget changed:\n$txt")
+    assert(txt.contains("HashAggregate"), txt.take(800))
+  }
+
+  test("jacobiEigen: known symmetric matrices") {
+    val (e1, v1) = Embeddings.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(e1.sorted.zip(Array(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // eigenvector of λ=3 is (1,1)/√2 up to sign
+    val i3 = e1.indexWhere(x => math.abs(x - 3.0) < 1e-12)
+    val ax = Array(v1(0)(i3), v1(1)(i3))
+    assert(math.abs(math.abs(ax(0)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(ax(0) - ax(1)) < 1e-12 || math.abs(ax(0) + ax(1)) < 1e-12)
+    // diagonal matrix: eigenvalues are the diagonal, vectors axis-aligned
+    val (e2, _) = Embeddings.jacobiEigen(
+      Array(Array(5.0, 0.0, 0.0), Array(0.0, -1.0, 0.0), Array(0.0, 0.0, 2.0)))
+    assert(e2.sorted.zip(Array(-1.0, 2.0, 5.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("pcaFit/pcaProject: recovers the principal axis of collinear data") {
+    import spark.implicits._
+    // points along (1,1): covariance [[v,v],[v,v]] → λ1=2v (axis
+    // (1,1)/√2, sign fixed positive), λ2=0
+    val ts = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+    val df = ts.map(t => Array(t.toFloat, t.toFloat)).toDF("embedding")
+    val m = Embeddings.pcaFit(df, "embedding", p = 2)
+    val v = ts.map(t => t * t).sum / ts.length // population variance of t
+    assert(math.abs(m.eigenvalues(0) - 2 * v) < 1e-9, m.eigenvalues.toSeq.toString)
+    assert(math.abs(m.eigenvalues(1)) < 1e-9)
+    assert(math.abs(m.components(0)(0) - math.sqrt(0.5)) < 1e-9)
+    assert(math.abs(m.components(0)(1) - math.sqrt(0.5)) < 1e-9)
+    // projections: pc1 = t·√2 (mean is 0), pc2 ≈ 0
+    val pcs = Embeddings.pcaProject(df, "embedding", m)
+      .select(col("pc")).collect().map(_.getSeq[Double](0))
+    pcs.zip(ts).foreach { case (pc, t) =>
+      assert(math.abs(pc(0) - t * math.sqrt(2)) < 1e-6, s"pc1 of $t: ${pc(0)}")
+      assert(math.abs(pc(1)) < 1e-6)
+    }
+    // projected variance equals the eigenvalue (the eigenpair property)
+    val varPc = Embeddings.pcaProject(df, "embedding", m)
+      .agg(var_pop(element_at(col("pc"), 1))).head().getDouble(0)
+    assert(math.abs(varPc - m.eigenvalues(0)) < 1e-9)
+  }
+
+  test("pcaFit: mean-centering — a constant offset changes nothing") {
+    import spark.implicits._
+    val base = Seq(Array(1f, 0f), Array(-1f, 0f), Array(0f, 2f), Array(0f, -2f))
+    val shifted = base.map(v => Array(v(0) + 10f, v(1) - 7f))
+    val m1 = Embeddings.pcaFit(base.toDF("embedding"), "embedding", p = 2)
+    val m2 = Embeddings.pcaFit(shifted.toDF("embedding"), "embedding", p = 2)
+    m1.eigenvalues.zip(m2.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+    }
+    m1.components.zip(m2.components).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+  }
+}

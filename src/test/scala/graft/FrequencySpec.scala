@@ -63,4 +63,64 @@ class FrequencySpec extends AnyFunSuite {
       .toSeq
     assert(got == exact)
   }
+
+  test("countMin: overestimate invariant, per-seed mass, bounded sketch") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => s"w${i % 23} w${i % 5} u$i")
+      .toDF("text").repartition(5)
+    val sketch = Frequency.countMinBuild(docs, "text", depth = 4, width = 64)
+    val cells = sketch.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // ≤ depth·width cells, seeds exactly 0..3, every counter positive
+    assert(cells.size <= 4 * 64)
+    assert(cells.keys.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    assert(cells.values.forall(_ > 0))
+    // each seed row partitions the full token stream: mass = N per seed
+    val n = 300 * 3
+    (0L to 3L).foreach { s =>
+      assert(cells.collect { case ((`s`, _), c) => c }.sum == n.toLong,
+        s"seed $s mass")
+    }
+    // est >= exact for EVERY distinct token (collisions only add)
+    val exact = docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val est = Frequency.countMinEstimate(sketch, exact, "tok",
+        depth = 4, width = 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ex = exact.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ex.keySet == est.keySet)
+    ex.foreach { case (t, c) => assert(est(t) >= c, s"underestimate on $t") }
+    // a token the corpus never saw still answers (min over its cells)
+    val ghost = Frequency.countMinEstimate(sketch,
+      Seq("zzz-never-seen").toDF("tok"), "tok", depth = 4, width = 64)
+      .collect()
+    assert(ghost.length == 1 && ghost(0).getLong(1) >= 0L)
+  }
+
+  test("countMin: sketches merge by summing cells (distributive build)") {
+    import spark.implicits._
+    val a = (1 to 150).map(i => s"w${i % 11} x$i").toDF("text")
+    val b = (151 to 300).map(i => s"w${i % 11} x$i").toDF("text")
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      Frequency.countMinBuild(df, "text", depth = 4, width = 32).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = cellMap(a.unionByName(b))
+    val merged = (cellMap(a).toSeq ++ cellMap(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(whole == merged)
+  }
+
+  test("countMin: build shuffles sketch cells, never the domain") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => s"w${i % 13} w${i % 7}").toDF("text")
+    val txt = Frequency.countMinBuild(docs, "text", depth = 4, width = 1024)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val shuffles = "(?<!Broadcast)Exchange \\((\\d+)\\)".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    // ONE exchange — the partial-aggregated cell groupBy (≤ depth·width
+    // rows per partition); a second means the token stream shuffled
+    assert(shuffles.size == 1, s"exchange budget changed:\n$txt")
+    assert(txt.contains("partial_count") || txt.contains("Partial"),
+      s"cell aggregate must combine map-side:\n$txt")
+  }
 }

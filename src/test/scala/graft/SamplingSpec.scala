@@ -183,4 +183,51 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.assignSplit(ids, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("weightedSampleTopK: k per group, deterministic, weight-dominant") {
+    import spark.implicits._
+    // 50 groups × (1 heavy w=1e9 + 9 light w=1). The A-ES key u^(1/w)
+    // makes this DETERMINISTIC, not just likely: the heavy key is at
+    // least (3e-8)^(1e-9) ≈ 1 − 1.7e-8 (the coin's smallest u is
+    // 0.5/2^24), while a light key is at most (2^24 − 0.5)/2^24 ≈
+    // 1 − 3e-8 < it — so the heavy row wins rank 1 in EVERY group, for
+    // any salt.
+    val rows = for (g <- 0 until 50; i <- 0 until 10) yield
+      (g.toLong * 100 + i, s"g$g", if (i == 0) 1e9 else 1.0)
+    val df = rows.toDF("id", "grp", "w").repartition(7)
+    val out = Sampling.weightedSampleTopK(df, "id", "grp", col("w"), k = 3)
+    val got = out.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSeq
+    // exactly k rows per group, ranks 1..k, no id repeats (no replacement)
+    assert(got.length == 150)
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._3).sorted == Seq(1L, 2L, 3L), s"ranks in $g")
+      assert(rs.map(_._2).distinct.length == 3, s"replacement in $g")
+    }
+    // heavy row is rank 1 in every group
+    got.filter(_._3 == 1L).foreach { case (g, id, _) =>
+      assert(id % 100 == 0, s"group $g rank-1 was light row $id")
+    }
+    // byte-identical on re-run (deterministic coin)
+    val again = Sampling.weightedSampleTopK(df, "id", "grp", col("w"), k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSeq
+    assert(got.sorted == again.sorted)
+    // non-positive / null weights are excluded, not NaN-sorted
+    val bad = (Seq((900L, "gx", 0.0), (901L, "gx", -2.0)).toDF("id", "grp", "w")
+      unionByName Seq((902L, "gx", 5.0)).toDF("id", "grp", "w"))
+    val kept = Sampling.weightedSampleTopK(bad, "id", "grp", col("w"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(902L))
+  }
+
+  test("weightedSampleTopK: per-group top-k is map-side limited") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 5}", i.toDouble))
+      .toDF("id", "grp", "w")
+    val plan = Sampling.weightedSampleTopK(df, "id", "grp", col("w"), k = 4)
+      .queryExecution.executedPlan.toString
+    // rank<=k must plan as WindowGroupLimit so each partition forwards
+    // ≤ k rows per group into the single ranking exchange
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
 }
