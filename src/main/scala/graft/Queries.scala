@@ -3745,7 +3745,133 @@ object Queries {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS eig_ok,
              |CAST(1 AS BIGINT) AS order_ok,
-             |CAST(1 AS BIGINT) AS orth_ok""".stripMargin)))
+             |CAST(1 AS BIGINT) AS orth_ok""".stripMargin)),
+
+    Q("q121_pq_ann",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Product quantization ANN (Jégou et al. 2011): per-subspace L2
+        // Lloyd codebooks, map-only m-code encoding, per-query LUT +
+        // m-add ADC ranking — the memory-bound 100 TB ANN path (m small
+        // ints per vector instead of dim floats). The codebook isn't
+        // SQL-replayable, so the oracle checks PQ's DEFINING invariants
+        // in-plan (the q46/q120 pattern), each sharp against a specific
+        // break: Lloyd error must be non-increasing (wrong assign/update
+        // step fails); for a planted exact twin of a corpus vector, the
+        // ADC top-1 distance must equal the query's own quantization
+        // error bit-for-bit (encode picks the per-subspace argmin, so
+        // Σ_j min_c lut_j[c] is the global ADC minimum and the twin
+        // attains it — a wrong LUT layout, a cosine/L2 mix-up, or a
+        // broken tie-break all fail); and every corpus row must encode
+        // to exactly m in-range codes.
+        val emb = tbl("embeddings")
+        val (model, errs) = Similarity.pqTrain(emb, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        val monotone = errs.sliding(2).forall(p => p(1) <= p(0) + 1e-9)
+        val twins = emb.filter(col("vec_id") % 101 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val top1 = Similarity.pqTopK(emb, twins, "vec_id", "embedding",
+          model, k = 1)
+        val selfErr = Similarity.pqEncode(twins, "embedding", model)
+          .select(col("vec_id").as("query_id"),
+            graft.plans.exprs.pqAdc(col("codes"),
+              graft.plans.exprs.pqLut(graft.functions.Vectors.toDouble(col("embedding")),
+                model.codebooks, model.m, model.ksub), model.ksub).as("self_adc"))
+        val perQuery = top1.join(selfErr, Seq("query_id"))
+        val codes = Similarity.pqEncode(emb, "embedding", model)
+        val codeStats = codes.agg(
+          min(size(col("codes"))).as("min_len"), max(size(col("codes"))).as("max_len"),
+          min(array_min(col("codes"))).as("min_code"),
+          max(array_max(col("codes"))).as("max_code"))
+        val qStats = perQuery.agg(
+          count(lit(1)).as("n_q"),
+          sum(when(col("adc") === col("self_adc"), lit(0L)).otherwise(lit(1L)))
+            .as("n_bad"))
+        val expected = emb.filter(col("vec_id") % 101 === 0)
+          .agg(count(lit(1)).as("n_twins"))
+        qStats.crossJoin(broadcast(codeStats)).crossJoin(broadcast(expected))
+          .select(
+            Clean.flag(lit(monotone)).as("train_monotone_ok"),
+            Clean.flag(col("n_bad") === 0 && col("n_q") === col("n_twins") &&
+              col("n_q") > 0).as("twin_top1_ok"),
+            Clean.flag(col("min_len") === 8 && col("max_len") === 8 &&
+              col("min_code") >= 0 && col("max_code") < 16).as("codes_ok"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS train_monotone_ok,
+             |CAST(1 AS BIGINT) AS twin_top1_ok,
+             |CAST(1 AS BIGINT) AS codes_ok""".stripMargin)),
+
+    Q("q122_bloom_decontam",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Bloom-filter decontamination screen: the eval set's 8-gram
+        // shingles compress to a fixed 2 MB bit array (6 md5-hex6
+        // coins, 2^24 bits) and the training corpus is screened by a
+        // narrow bit-probe — zero corpus-side joins or n-gram shuffles,
+        // the scale path q59's exact inverted index can't offer. The
+        // coin is the package-wide md5-hex6 recipe, so the oracle
+        // rebuilds the IDENTICAL bit set in SQL and replays every
+        // verdict exactly — false positives included (a doc flagged by
+        // bloom but absent from the exact join is CORRECT bloom
+        // behavior, and hash-checked as such). exact_hit=1 ⇒
+        // bloom_hit=1 rows double as the no-false-negative guarantee.
+        val docs = tbl("documents")
+        val train = docs.filter(col("doc_id") % 7 =!= 0)
+        val evalSet = docs.filter(col("doc_id") % 7 === 0)
+        val evalSh = evalSet.select(explode(graft.plans.exprs.wordShingles(
+          lower(col("text")), 8)).as("ng")).distinct()
+        val mBits = 1 << 24
+        val bitmap = operators.Bloom.buildBitmap(evalSh, "ng", mBits, kHashes = 6)
+        val screened = operators.Bloom.screen(train, "doc_id", "text",
+          bitmap, mBits, kHashes = 6, shingleLen = 8)
+        val exact = train.select(col("doc_id"),
+            explode(graft.plans.exprs.wordShingles(lower(col("text")), 8)).as("ng"))
+          .join(broadcast(evalSh), Seq("ng"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("__exact", lit(1L))
+        screened.join(exact, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("bloom_hit"),
+            coalesce(col("__exact"), lit(0L)).as("exact_hit"),
+            when(col("bloom_hit") === 1L && col("__exact").isNull, 1L)
+              .otherwise(0L).as("false_pos"))
+      },
+      Some {
+        val sh8 =
+          """list_distinct(CASE WHEN len(t) < 8 THEN t
+            |  ELSE list_transform(range(1, len(t) - 6),
+            |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+            |                        t[i+4], t[i+5], t[i+6], t[i+7])) END)""".stripMargin
+        def uTerms(h: String): String = (0 until 6).map { i =>
+          val dig = s"ascii(substr($h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        val evalPos = (0 until 6).map { sd =>
+          s"""SELECT (${uTerms(s"md5(ng || ':bf$sd')")}) % 16777216 AS pos FROM e"""
+        }.mkString("\n  UNION ")
+        val trainPos = (0 until 6).map { sd =>
+          s"""SELECT doc_id, ng, $sd AS s,
+             |  (${uTerms(s"md5(ng || ':bf$sd')")}) % 16777216 AS pos FROM tn""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH w AS (SELECT doc_id, $sh8 AS sh
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+           |        FROM documents)),
+           |e AS (SELECT DISTINCT unnest(sh) AS ng FROM w WHERE doc_id % 7 = 0),
+           |tn AS (SELECT doc_id, unnest(sh) AS ng FROM w WHERE doc_id % 7 <> 0),
+           |bits AS ($evalPos),
+           |tp AS ($trainPos),
+           |hit AS (SELECT doc_id, ng FROM tp JOIN bits USING (pos)
+           |        GROUP BY doc_id, ng HAVING count(*) = 6),
+           |bloom AS (SELECT w.doc_id,
+           |    CAST(CASE WHEN count(h.ng) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           |      AS bloom_hit
+           |  FROM w LEFT JOIN hit h ON w.doc_id = h.doc_id
+           |  WHERE w.doc_id % 7 <> 0 GROUP BY w.doc_id),
+           |ex AS (SELECT DISTINCT tn.doc_id FROM tn JOIN e USING (ng))
+           |SELECT b.doc_id, b.bloom_hit,
+           |  CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |    AS exact_hit,
+           |  CAST(CASE WHEN b.bloom_hit = 1 AND ex.doc_id IS NULL
+           |       THEN 1 ELSE 0 END AS BIGINT) AS false_pos
+           |FROM bloom b LEFT JOIN ex ON b.doc_id = ex.doc_id""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -187,4 +187,125 @@ object Similarity {
     }
     cents
   }
+
+  /** Product-quantization model: `m` subspaces × `ksub` codewords ×
+    * `subDim` dims, flattened row-major — m×ksub×subDim doubles of model
+    * parameters (the [[CentroidSet]] division of labor: the codebook
+    * lives on the driver / in codegen reference objects; row data never
+    * does). A codeword slot that never received members is NaN-marked;
+    * [[graft.plans.VectorOps.pqEncode]] skips dead slots, so encoding
+    * stays total and deterministic. */
+  final case class PqModel(m: Int, ksub: Int, subDim: Int,
+                           codebooks: Array[Double]) {
+    require(codebooks.length == m * ksub * subDim, "codebook shape mismatch")
+    def dim: Int = m * subDim
+  }
+
+  private def collectCodebooks(cells: DataFrame, m: Int, ksub: Int,
+                               subDim: Int, prev: Option[Array[Double]]): Array[Double] = {
+    val next = prev.map(_.clone()).getOrElse(
+      Array.fill(m * ksub * subDim)(Double.NaN))
+    cells.select(col("j").cast("int"), col("c").cast("int"), col("centroid"))
+      .collect().foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1)
+        require(j >= 0 && j < m && c >= 0 && c < ksub,
+          s"codebook cell ($j,$c) out of range")
+        val v = r.getSeq[Double](2)
+        require(v.length == subDim, s"ragged codeword dims: ${v.length} vs $subDim")
+        var i = 0
+        v.foreach { x => next((j * ksub + c) * subDim + i) = x; i += 1 }
+      }
+    next
+  }
+
+  /** Per-row subspace explosion: (j, c, subvec) for each of the m
+    * subspaces, with the code taken from `codeFor(j)`. The one exchange
+    * of each Lloyd pass is the groupBy over these m×ksub keys. */
+  private def subspaceCells(vecs: DataFrame, m: Int, subDim: Int,
+                            codeFor: Int => Column): DataFrame = {
+    val subs = (0 until m).map { j =>
+      struct(lit(j).as("j"), codeFor(j).as("c"),
+        slice(col("__v"), j * subDim + 1, subDim).as("sv"))
+    }
+    vecs.select(explode(array(subs: _*)).as("s"))
+      .select(col("s.j").as("j"), col("s.c").as("c"), col("s.sv").as("sv"))
+  }
+
+  /** Train a PQ codebook with per-subspace L2 Lloyd iterations — all m
+    * subspaces in lock-step, so each iteration is exactly one zero-
+    * shuffle encode scan + one m×ksub-group mean shuffle + one error
+    * aggregate (Jégou, Douze, Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011). Init is the deterministic hash-
+    * bucket assignment of [[trainCentroidsById]]. Returns the model and
+    * the mean quantization error after init and after every iteration —
+    * Lloyd guarantees the sequence non-increasing, and q121 asserts it.
+    * At 100 TB you train on a SAMPLE (codebooks are ≪ data, like the
+    * IVF centroids); encoding the full corpus stays map-only. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int, ksub: Int, iters: Int): (PqModel, Seq[Double]) = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val vecs = corpus.select(col(idCol).as("__id"),
+      Vectors.toDouble(col(vecCol)).as("__v")).persist()
+    try {
+      val init = subspaceCells(vecs, m, subDim,
+        j => pmod(xxhash64(col("__id"), lit(j)), lit(ksub.toLong)))
+        .groupBy("j", "c")
+        .agg(Vectors.centroid(col("sv"), subDim).as("centroid"))
+      var cb = collectCodebooks(init, m, ksub, subDim, None)
+      val errs = scala.collection.mutable.ArrayBuffer[Double]()
+      def meanErr(): Double = vecs.select(
+        graft.plans.exprs.pqAdc(
+          graft.plans.exprs.pqEncode(col("__v"), cb, m, ksub),
+          graft.plans.exprs.pqLut(col("__v"), cb, m, ksub), ksub).as("e"))
+        .agg(avg(col("e"))).head().getDouble(0)
+      errs += meanErr()
+      for (_ <- 0 until iters) {
+        val codes = vecs.withColumn("__codes",
+          graft.plans.exprs.pqEncode(col("__v"), cb, m, ksub))
+        val updated = subspaceCells(codes, m, subDim,
+          j => element_at(col("__codes"), j + 1))
+          .groupBy("j", "c")
+          .agg(Vectors.centroid(col("sv"), subDim).as("centroid"))
+        // empty cells keep their previous codeword (standard dead-unit
+        // handling; keeps the model total and the error monotone)
+        cb = collectCodebooks(updated, m, ksub, subDim, Some(cb))
+        errs += meanErr()
+      }
+      (PqModel(m, ksub, subDim, cb), errs.toSeq)
+    } finally vecs.unpersist()
+  }
+
+  /** Map-only PQ encoding: appends `codes` (array of m codeword ids).
+    * This is the 100 TB compression step — m small ints replace the
+    * full vector for every downstream distance computation. */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    df.withColumn("codes", graft.plans.exprs.pqEncode(
+      Vectors.toDouble(col(vecCol)), model.codebooks, model.m, model.ksub))
+
+  /** PQ top-k by asymmetric distance: encode the corpus (map-only),
+    * broadcast the queries with their per-query LUT (m×ksub partial
+    * distances, computed ONCE per query), rank candidates by the
+    * m-add ADC sum. The only exchange is the final per-query ranking
+    * window, map-side-limited by partial WindowGroupLimit like
+    * [[bruteForceTopK]] — and each candidate carries m codes instead of
+    * the full vector, so the scan side reads/ships dim/subDim× less. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, model: PqModel, k: Int): DataFrame = {
+    val enc = pqEncode(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", model).drop("__cv")
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"),
+        graft.plans.exprs.pqLut(Vectors.toDouble(col(vecCol)),
+          model.codebooks, model.m, model.ksub).as("lut")))
+    enc.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", graft.plans.exprs.pqAdc(col("codes"), col("lut"), model.ksub))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").cast("long").as("rnk"), col("adc"))
+  }
 }

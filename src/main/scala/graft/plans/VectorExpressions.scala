@@ -219,6 +219,87 @@ case class NearestCells(child: Expression, cellIds: Array[Long],
 }
 
 /** Column-API entry points for the custom expressions. */
+/** Product-quantization encode (see [[VectorOps.pqEncode]]): m codes of
+  * the squared-L2-nearest codeword per subspace. The codebook ships as a
+  * codegen reference object (m×ksub×subDim doubles — model params, the
+  * [[NearestCells]] pattern), so encoding is a map-only projection. */
+case class PqEncode(child: Expression, codebooks: Array[Double],
+                    m: Int, ksub: Int) extends UnaryExpression {
+  require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+  require(codebooks.length % (m * ksub) == 0 && codebooks.length > 0,
+    s"codebook length ${codebooks.length} not a positive multiple of m*ksub=${m * ksub}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("pq_encode", child.dataType, ExprUtil.isNumericVector, "array<float|double>")
+  private lazy val isF = ExprUtil.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.pqEncode(v.asInstanceOf[ArrayData], isF, codebooks, m, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.VectorOps.pqEncode($v, $isF, $cbRef, $m, $ksub)")
+  }
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncode => child == o.child && m == o.m && ksub == o.ksub &&
+      java.util.Arrays.equals(codebooks, o.codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(m), Integer.valueOf(ksub),
+    Integer.valueOf(java.util.Arrays.hashCode(codebooks)))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query ADC lookup table (see [[VectorOps.pqLut]]). */
+case class PqLut(child: Expression, codebooks: Array[Double],
+                 m: Int, ksub: Int) extends UnaryExpression {
+  require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+  require(codebooks.length % (m * ksub) == 0 && codebooks.length > 0,
+    s"codebook length ${codebooks.length} not a positive multiple of m*ksub=${m * ksub}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("pq_lut", child.dataType, ExprUtil.isNumericVector, "array<float|double>")
+  private lazy val isF = ExprUtil.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.pqLut(v.asInstanceOf[ArrayData], isF, codebooks, m, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.VectorOps.pqLut($v, $isF, $cbRef, $m, $ksub)")
+  }
+  override def equals(other: Any): Boolean = other match {
+    case o: PqLut => child == o.child && m == o.m && ksub == o.ksub &&
+      java.util.Arrays.equals(codebooks, o.codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(m), Integer.valueOf(ksub),
+    Integer.valueOf(java.util.Arrays.hashCode(codebooks)))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC distance: codes (array<long>) × lut (array<double>) → double
+  * (see [[VectorOps.pqAdc]]). */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  require(ksub >= 1, "ksub must be >= 1")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (array<bigint>, array<double>), got ${left.dataType} / ${right.dataType}")
+    }
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorOps.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (codes, lut) =>
+      s"graft.plans.VectorOps.pqAdc($codes, $lut, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -252,6 +333,15 @@ object exprs {
 
   def topNgramFrac(text: Column, n: Int): Column =
     column(TopNgramFrac(expression(text), n))
+
+  def pqEncode(v: Column, codebooks: Array[Double], m: Int, ksub: Int): Column =
+    column(PqEncode(expression(v), codebooks, m, ksub))
+
+  def pqLut(v: Column, codebooks: Array[Double], m: Int, ksub: Int): Column =
+    column(PqLut(expression(v), codebooks, m, ksub))
+
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    column(PqAdc(expression(codes), expression(lut), ksub))
 }
 
 /** `SparkSessionExtensions` hook: registers the custom expressions as SQL

@@ -266,6 +266,99 @@ object VectorOps {
     math.min(1.0, max.toDouble * n / toks.length)
   }
 
+  /** Product-quantization encode: split `v` into `m` contiguous
+    * subvectors of `codebooks.length / (m*ksub)` dims and pick, per
+    * subspace, the squared-L2-nearest codeword (ties → smaller code; a
+    * NaN-marked dead codeword is never chosen). Returns the `m` codes —
+    * the whole 100 TB compression story is that these m bytes replace
+    * the full vector in every downstream distance computation. Codebook
+    * layout is row-major `[j][c][i]` (subspace, code, dim). */
+  def pqEncode(v: ArrayData, isFloat: Boolean, codebooks: Array[Double],
+               m: Int, ksub: Int): ArrayData = {
+    val subDim = codebooks.length / (m * ksub)
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pqEncode: vector dim ${v.numElements()} != m*subDim ${m * subDim}")
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = elem(v, j * subDim + i, isFloat) - codebooks(base + i)
+          d += diff * diff
+          i += 1
+        }
+        // NaN codeword → d is NaN → comparison false → never selected
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      if (best < 0) throw new IllegalStateException(
+        s"pqEncode: no live codeword in subspace $j")
+      out(j) = best.toLong
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: squared L2 distance from each of `v`'s
+    * m subvectors to every codeword, flattened `[j*ksub + c]`. Computed
+    * once per QUERY row (the broadcast side), so the per-candidate cost
+    * in [[pqAdc]] collapses to m array reads + adds. Dead (NaN)
+    * codewords surface as +inf — encode never emits their codes. */
+  def pqLut(v: ArrayData, isFloat: Boolean, codebooks: Array[Double],
+            m: Int, ksub: Int): ArrayData = {
+    val subDim = codebooks.length / (m * ksub)
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pqLut: vector dim ${v.numElements()} != m*subDim ${m * subDim}")
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = elem(v, j * subDim + i, isFloat) - codebooks(base + i)
+          d += diff * diff
+          i += 1
+        }
+        out(j * ksub + c) = if (java.lang.Double.isNaN(d)) Double.PositiveInfinity else d
+        c += 1
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Asymmetric-distance computation: Σ_j lut[j*ksub + codes(j)] — the
+    * approximate squared L2 between the (exact) query behind `lut` and
+    * the (quantized) candidate behind `codes`. Strictly sequential sum
+    * over j, so identical code vectors produce bit-identical distances. */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m * ksub)
+      throw new IllegalArgumentException(
+        s"pqAdc: lut length ${lut.numElements()} != m*ksub ${m * ksub}")
+    var d = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getLong(j)
+      if (c < 0 || c >= ksub) throw new IllegalArgumentException(
+        s"pqAdc: code $c out of range [0,$ksub)")
+      d += lut.getDouble(j * ksub + c.toInt)
+      j += 1
+    }
+    d
+  }
+
   /** Top-`n` nearest centroids of `v` by cosine (ties → smaller cell id),
     * over a driver-collected k×dim centroid matrix shipped to executors
     * as codegen reference objects (the MLlib KMeansModel pattern: k×dim

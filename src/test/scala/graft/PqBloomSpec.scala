@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Bloom, Similarity}
+import graft.sources.Tables
+
+class PqBloomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- product quantization ----
+
+  test("pqEncode/pqLut/pqAdc agree with hand computation on a known codebook") {
+    // m=2 subspaces × ksub=2 codewords × subDim=2:
+    //   j=0: c0=(0,0), c1=(10,10);  j=1: c0=(0,0), c1=(-10,-10)
+    val cb = Array[Double](0, 0, 10, 10, 0, 0, -10, -10)
+    val df = Seq((1L, Array(9.0, 9.0, 1.0, 1.0))).toDF("id", "v")
+    val enc = df.select(graft.plans.exprs.pqEncode($"v", cb, 2, 2).as("codes"))
+      .head().getSeq[Long](0)
+    assert(enc == Seq(1L, 0L)) // (9,9) nearer (10,10); (1,1) nearer (0,0)
+    val lut = df.select(graft.plans.exprs.pqLut($"v", cb, 2, 2).as("lut"))
+      .head().getSeq[Double](0)
+    // [j=0: to c0 = 81+81, to c1 = 1+1, j=1: to c0 = 1+1, to c1 = 121+121]
+    assert(lut == Seq(162.0, 2.0, 2.0, 242.0))
+    val adc = df
+      .select(graft.plans.exprs.pqAdc(
+        graft.plans.exprs.pqEncode($"v", cb, 2, 2),
+        graft.plans.exprs.pqLut($"v", cb, 2, 2), 2).as("adc"))
+      .head().getDouble(0)
+    assert(adc == 4.0) // 2.0 + 2.0: per-subspace minima
+  }
+
+  test("pqEncode skips NaN-marked dead codewords") {
+    val cb = Array[Double](Double.NaN, Double.NaN, 5, 5)   // m=1, ksub=2: c0 dead
+    val df = Seq((1L, Array(0.0, 0.0))).toDF("id", "v")
+    val enc = df.select(graft.plans.exprs.pqEncode($"v", cb, 1, 2).as("codes"))
+      .head().getSeq[Long](0)
+    assert(enc == Seq(1L)) // c0 would be nearer but is dead
+  }
+
+  test("pqTrain: monotone Lloyd error, full model shape, planted twin is ADC top-1") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    val (model, errs) = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2)
+    assert(model.codebooks.length == 8 * 16 * 8)
+    assert(errs.length == 3)
+    errs.sliding(2).foreach { p => assert(p(1) <= p(0) + 1e-9, errs.toString) }
+    // planted exact twin: its ADC distance to the original equals its own
+    // quantization error (the per-subspace argmin sum — the global min)
+    val twin = emb.filter($"vec_id" === 0)
+      .select(lit(999999L).as("vec_id"), $"embedding")
+    val top1 = Similarity.pqTopK(emb, twin, "vec_id", "embedding", model, k = 1)
+      .head()
+    val selfAdc = Similarity.pqEncode(twin, "embedding", model)
+      .select(graft.plans.exprs.pqAdc($"codes",
+        graft.plans.exprs.pqLut(graft.functions.Vectors.toDouble($"embedding"),
+          model.codebooks, model.m, model.ksub), model.ksub))
+      .head().getDouble(0)
+    assert(top1.getAs[Double]("adc") == selfAdc)
+  }
+
+  test("pqEncode is a zero-exchange projection; pqTopK broadcasts queries " +
+       "and map-side-limits the ranking") {
+    val raw = Tables(spark, TestSpark.sf0001, "embeddings")
+    val emb = raw.repartition(5) // multi-partition corpus = the cluster shape
+    val (model, _) = Similarity.pqTrain(raw, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 1)
+    val encPlan = Similarity.pqEncode(raw, "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), encPlan.take(800))
+    val topPlan = Similarity.pqTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", model, k = 4).queryExecution.executedPlan.toString
+    assert(topPlan.contains("Broadcast"), topPlan.take(1200))
+    assert(topPlan.contains("WindowGroupLimit"), topPlan.take(1200))
+    assert(topPlan.contains("Partial"), topPlan.take(1200))
+  }
+
+  // ---- bloom decontamination ----
+
+  test("bloom membership: no false negatives, deterministic verdicts") {
+    val mBits = 1 << 16
+    val elems = (0 until 500).map(i => s"elem $i word$i").toDF("ng")
+    val bitmap = Bloom.buildBitmap(elems, "ng", mBits, kHashes = 6)
+    // every inserted element tests positive
+    val neg = elems.filter(!Bloom.mightContain($"ng", bitmap, mBits, 6)).count()
+    assert(neg == 0L)
+    // two builds of the same set are bit-identical (md5 coin, no RNG)
+    val bitmap2 = Bloom.buildBitmap(elems, "ng", mBits, kHashes = 6)
+    assert(java.util.Arrays.equals(bitmap, bitmap2))
+  }
+
+  test("screen: superset of the exact join, zero corpus-side joins in plan") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val train = docs.filter($"doc_id" % 7 =!= 0)
+    val evalSh = docs.filter($"doc_id" % 7 === 0)
+      .select(explode(graft.plans.exprs.wordShingles(lower($"text"), 8)).as("ng"))
+      .distinct()
+    val mBits = 1 << 24
+    val bitmap = Bloom.buildBitmap(evalSh, "ng", mBits, kHashes = 6)
+    val flagged = Bloom.screen(train, "doc_id", "text", bitmap, mBits, 6, 8)
+      .filter($"bloom_hit" === 1L)
+      .collect().map(_.getLong(0)).toSet
+    val exact = train
+      .select($"doc_id", explode(graft.plans.exprs.wordShingles(
+        lower($"text"), 8)).as("ng"))
+      .join(evalSh, Seq("ng"), "left_semi").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"false negatives: ${exact -- flagged}") // bloom's defining guarantee
+    // scale property: the screen is scan + bit-probe + one doc-level agg —
+    // no join operator anywhere in the plan
+    val plan = Bloom.screen(train, "doc_id", "text", bitmap, mBits, 6, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+}
