@@ -45,8 +45,13 @@ object Bloom {
     require(mBits > 0 && (1 << 24) % mBits == 0,
       s"mBits $mBits must divide 16^6 for a uniform md5-hex6 coin")
     require(kHashes >= 1, "kHashes must be >= 1")
-    val pos = elems.select(explode(array(
-      positions(col(elemCol), mBits, kHashes): _*)).as("pos"))
+    // positions are computed in a PROJECT, then exploded: expressions
+    // under a Generate miss whole-stage codegen's subexpression
+    // elimination (the Frequency.cmsCells lesson — ~17× slower there)
+    val pos = elems
+      .select(positions(col(elemCol), mBits, kHashes).zipWithIndex
+        .map { case (p, i) => p.as(s"__p$i") }: _*)
+      .select(explode(array((0 until kHashes).map(i => col(s"__p$i")): _*)).as("pos"))
     val words = pos
       .select((col("pos") / lit(64)).cast("int").as("w"),
         element_at(typedlit(WordMasks.toSeq), pmod(col("pos"), lit(64)) + 1).as("m"))

