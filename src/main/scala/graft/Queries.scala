@@ -3871,7 +3871,83 @@ object Queries {
            |  CAST(CASE WHEN b.bloom_hit = 1 AND ex.doc_id IS NULL
            |       THEN 1 ELSE 0 END AS BIGINT) AS false_pos
            |FROM bloom b LEFT JOIN ex ON b.doc_id = ex.doc_id""".stripMargin
-      }))
+      }),
+
+    Q("q123_ivfpq_ann",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // IVF-PQ (Jégou et al. 2011 IVFADC): coarse cell routing + PQ
+        // codes in one zero-exchange projection, broadcast probes,
+        // ADC ranking over only the probed cells' m-byte codes. Like
+        // q121 the models aren't SQL-replayable, so the oracle checks
+        // the composition's DEFINING exactness contracts in-plan:
+        // (a) at nProbe = cells IVF-PQ must equal plain PQ top-k
+        // ROW-FOR-ROW (identical candidates → identical ADC and
+        // tie-breaks — any routing loss, dropped cell, or probe-side
+        // LUT drift fails); (b) an exact-twin query is recalled at
+        // nProbe=1 with ADC equal to its own quantization error (the
+        // twin routes to its original's cell by argmax determinism);
+        // (c) the nProbe=1 candidate set is a strict reduction
+        // (Σ_q |cell(q)| < |corpus|·|queries| requires ≥2 populated
+        // cells — the index actually partitions).
+        val emb = tbl("embeddings")
+        val (model, _) = Similarity.pqTrain(emb, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        val cents = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding",
+          dim = 64, cells = 8, iters = 2)
+        val twins = emb.filter(col("vec_id") % 101 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        // (a) full-probe equivalence, k=5
+        val full = Similarity.ivfPqTopK(emb, twins, cents, "vec_id", "embedding",
+          model, k = 5, nProbe = 8)
+        val pq = Similarity.pqTopK(emb, twins, "vec_id", "embedding", model, k = 5)
+        val eqStats = full.withColumnRenamed("neighbor_id", "n_ivf")
+          .withColumnRenamed("adc", "adc_ivf")
+          .join(pq.withColumnRenamed("neighbor_id", "n_pq")
+            .withColumnRenamed("adc", "adc_pq"), Seq("query_id", "rnk"), "full")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("n_ivf") === col("n_pq") &&
+              col("adc_ivf") === col("adc_pq"), lit(0L)).otherwise(lit(1L)))
+              .as("n_diff"))
+        // (b) twin recall at nProbe = 1
+        val p1 = Similarity.ivfPqTopK(emb, twins, cents, "vec_id", "embedding",
+          model, k = 1, nProbe = 1)
+        val selfErr = Similarity.pqEncode(twins, "embedding", model)
+          .select(col("vec_id").as("query_id"),
+            graft.plans.exprs.pqAdc(col("codes"),
+              graft.plans.exprs.pqLut(graft.functions.Vectors.toDouble(col("embedding")),
+                model.codebooks, model.m, model.ksub), model.ksub).as("self_adc"))
+        val recallStats = p1.join(selfErr, Seq("query_id"))
+          .agg(count(lit(1)).as("n_p1"),
+            sum(when(col("adc") === col("self_adc"), lit(0L)).otherwise(lit(1L)))
+              .as("n_missed"))
+        val nTwins = emb.filter(col("vec_id") % 101 === 0)
+          .agg(count(lit(1)).as("n_twins"))
+        // (c) probe reduction: Σ_q |cell(q)| vs |corpus|·|queries|
+        val cs = Similarity.collectCentroids(cents)
+        val cellSizes = Similarity.assignCells(
+            emb.select(col("embedding").as("__v")), "__v", cs)
+          .groupBy("cell_id").agg(count(lit(1)).as("cell_n"))
+        val probedSize = Similarity.assignCells(
+            twins.select(col("vec_id").as("query_id"), col("embedding").as("__v")),
+            "__v", cs)
+          .join(broadcast(cellSizes), Seq("cell_id"))
+          .agg(sum(col("cell_n")).as("probed"), count(lit(1)).as("n_q"))
+        val corpusN = emb.agg(count(lit(1)).as("n_corpus"))
+        eqStats.crossJoin(broadcast(recallStats))
+          .crossJoin(broadcast(nTwins))
+          .crossJoin(broadcast(probedSize))
+          .crossJoin(broadcast(corpusN))
+          .select(
+            Clean.flag(col("n_diff") === 0 && col("n_rows") > 0)
+              .as("full_probe_eq_pq"),
+            Clean.flag(col("n_missed") === 0 && col("n_p1") === col("n_twins") &&
+              col("n_p1") > 0).as("twin_recall_p1"),
+            Clean.flag(col("probed") < col("n_corpus") * col("n_q"))
+              .as("probe_reduction"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS full_probe_eq_pq,
+             |CAST(1 AS BIGINT) AS twin_recall_p1,
+             |CAST(1 AS BIGINT) AS probe_reduction""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -276,6 +276,49 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
+  /** IVF-PQ: the coarse IVF router composed with PQ codes — the
+    * standard billion-scale ANN index shape (Jégou et al. 2011's
+    * IVFADC). The corpus is routed to cells AND encoded in ONE
+    * zero-exchange projection (both `NearestCells` and `PqEncode` are
+    * driver-held-model native expressions); queries broadcast with
+    * their nProbe target cells and their ADC LUT; candidate generation
+    * is the broadcast cell_id join — each query scans only its probed
+    * cells' m-byte codes, the nProbe/cells × dim/subDim double
+    * reduction that makes 100 TB ANN memory-feasible. Exactness
+    * contract (q123's oracle): at nProbe = cells the output equals
+    * [[pqTopK]] row-for-row (same candidates, same ADC, same
+    * tie-break), and an exact-duplicate query is recalled at ANY
+    * nProbe ≥ 1 — it routes to its original's cell by determinism of
+    * the cell argmax. Routing is cosine (the IVF convention here),
+    * ranking is squared-L2 ADC — document-embedding corpora are
+    * L2-normalized in practice, where the two agree monotonically. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String, model: PqModel, k: Int,
+                nProbe: Int): DataFrame = {
+    val cs = collectCentroids(centroids)
+    val assigned = pqEncode(
+      assignCells(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "__cv", cs),
+      "__cv", model).select(col("cell_id"), col("neighbor_id"), col("codes"))
+    val probed = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("lut", graft.plans.exprs.pqLut(
+          Vectors.toDouble(col("__qv")), model.codebooks, model.m, model.ksub))
+        .withColumn("cell_id", explode(graft.plans.exprs.nearestCells(
+          col("__qv"), cs.ids, cs.matrix, math.min(nProbe, cs.k))))
+        .select(col("cell_id"), col("query_id"), col("lut")))
+    assigned.join(probed, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", graft.plans.exprs.pqAdc(col("codes"), col("lut"), model.ksub))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").cast("long").as("rnk"), col("adc"))
+  }
+
   /** Map-only PQ encoding: appends `codes` (array of m codeword ids).
     * This is the 100 TB compression step — m small ints replace the
     * full vector for every downstream distance computation. */

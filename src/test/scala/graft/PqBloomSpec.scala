@@ -76,6 +76,27 @@ class PqBloomSpec extends AnyFunSuite {
     assert(topPlan.contains("Partial"), topPlan.take(1200))
   }
 
+  test("ivfPqTopK at full probe equals pqTopK row-for-row; zero-exchange " +
+       "route+encode side") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    val (model, _) = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 1)
+    val cents = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 1)
+    val q = emb.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfPqTopK(emb, q, cents, "vec_id", "embedding",
+        model, k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", model, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(ivf == pq)
+    // route + encode is one projection: no Exchange upstream of the join
+    val plan = Similarity.ivfPqTopK(emb, q, cents, "vec_id", "embedding",
+      model, k = 3, nProbe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(1200))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
   // ---- bloom decontamination ----
 
   test("bloom membership: no false negatives, deterministic verdicts") {
