@@ -3803,8 +3803,8 @@ object Queries {
     Q("q122_bloom_decontam",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // Bloom-filter decontamination screen: the eval set's 8-gram
-        // shingles compress to a fixed 2 MB bit array (6 md5-hex6
-        // coins, 2^24 bits) and the training corpus is screened by a
+        // shingles compress to a fixed 128 KB bit array (6 md5-hex6
+        // coins, 2^20 bits) and the training corpus is screened by a
         // narrow bit-probe — zero corpus-side joins or n-gram shuffles,
         // the scale path q59's exact inverted index can't offer. The
         // coin is the package-wide md5-hex6 recipe, so the oracle
@@ -3818,7 +3818,10 @@ object Queries {
         val evalSet = docs.filter(col("doc_id") % 7 === 0)
         val evalSh = evalSet.select(explode(graft.plans.exprs.wordShingles(
           lower(col("text")), 8)).as("ng")).distinct()
-        val mBits = 1 << 24
+        // 2^20 bits: the eval side is ~34k distinct shingles at sf0.1 →
+        // fill ≈ 0.18, per-8-gram FP ≈ 3e-5 — and the bitmap literal
+        // shipped in the task binary is 128 KB instead of 2 MB
+        val mBits = 1 << 20
         val bitmap = operators.Bloom.buildBitmap(evalSh, "ng", mBits, kHashes = 6)
         val screened = operators.Bloom.screen(train, "doc_id", "text",
           bitmap, mBits, kHashes = 6, shingleLen = 8)
@@ -3844,11 +3847,11 @@ object Queries {
           s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
         }.mkString("\n      + ")
         val evalPos = (0 until 6).map { sd =>
-          s"""SELECT (${uTerms(s"md5(ng || ':bf$sd')")}) % 16777216 AS pos FROM e"""
+          s"""SELECT (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM e"""
         }.mkString("\n  UNION ")
         val trainPos = (0 until 6).map { sd =>
           s"""SELECT doc_id, ng, $sd AS s,
-             |  (${uTerms(s"md5(ng || ':bf$sd')")}) % 16777216 AS pos FROM tn""".stripMargin
+             |  (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM tn""".stripMargin
         }.mkString("\n  UNION ALL ")
         s"""WITH w AS (SELECT doc_id, $sh8 AS sh
            |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
