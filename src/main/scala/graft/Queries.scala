@@ -3950,7 +3950,60 @@ object Queries {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS full_probe_eq_pq,
              |CAST(1 AS BIGINT) AS twin_recall_p1,
-             |CAST(1 AS BIGINT) AS probe_reduction""".stripMargin)))
+             |CAST(1 AS BIGINT) AS probe_reduction""".stripMargin)),
+
+    Q("q124_cdc_dedup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // content-defined chunk dedup: boundaries fire where a per-token
+        // md5 coin lands on 0 (P = 1/8 exactly — 16^6 divisible by 8),
+        // so chunk edges travel WITH the content and survive insertions
+        // that break q95's fixed-width blocks (shift-robustness is
+        // property-tested in PqBloomSpec). First occurrence by (id, pos)
+        // survives; matching is case-insensitive, rebuild case-
+        // preserving. The oracle replays the coin digit-for-digit, the
+        // running-boundary chunk ids, the md5 chunk keys, the winner
+        // rule and the rebuild — chunk content, counts and cleaned text
+        // all under hash.
+        operators.Dedup.cdcChunkDedup(tbl("documents"), "doc_id", "text",
+            avgChunkTokens = 8)
+          .select(col("id").as("doc_id"), col("n_chunks"), col("n_dropped"),
+            col("n_tok_clean"), col("text_clean"))
+      },
+      Some {
+        val uT = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tl,
+           |    string_split(text, ' ') AS t FROM documents),
+           |tr AS (SELECT doc_id, tl, t, unnest(range(1, len(tl) + 1)) AS i
+           |       FROM tok),
+           |b AS (SELECT doc_id, i, tl[i] AS wl, t[i] AS w,
+           |    CASE WHEN ($uT) % 8 = 0 THEN 1 ELSE 0 END AS bd
+           |  FROM (SELECT doc_id, i, tl, t, md5(tl[i] || ':cdc') AS h FROM tr)),
+           |cid AS (SELECT doc_id, i, wl, w,
+           |    COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+           |  FROM b),
+           |ch AS (SELECT doc_id, pos,
+           |    md5(string_agg(wl, ' ' ORDER BY i)) AS key,
+           |    string_agg(w, ' ' ORDER BY i) AS orig,
+           |    count(*) AS cnt
+           |  FROM cid GROUP BY doc_id, pos),
+           |win AS (SELECT key, min(doc_id * 1048576 + pos) AS wk
+           |        FROM ch GROUP BY key),
+           |keep AS (SELECT ch.*,
+           |    CASE WHEN ch.doc_id * 1048576 + ch.pos = w.wk THEN 1 ELSE 0 END AS k
+           |  FROM ch JOIN win w USING (key))
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(1 - k) AS BIGINT) AS n_dropped,
+           |  CAST(COALESCE(sum(cnt) FILTER (WHERE k = 1), 0) AS BIGINT)
+           |    AS n_tok_clean,
+           |  COALESCE(string_agg(orig, ' ' ORDER BY pos)
+           |    FILTER (WHERE k = 1), '') AS text_clean
+           |FROM keep GROUP BY doc_id""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -347,6 +347,73 @@ object Dedup {
         coalesce(array_join(col("kept"), " "), lit("")).as("text_clean"))
   }
 
+  /** Content-defined chunk dedup — the SHIFT-ROBUST counterpart of
+    * [[blockDedup]]. Fixed-width blocks break under a single inserted
+    * token (every later block boundary moves, so no downstream block
+    * matches); CDC places boundaries where a per-TOKEN content coin
+    * fires (`hexInt(token) % avgChunkTokens == 0`, the storage-dedup
+    * CDC idea of Muthitacharoen et al., SOSP'01 at token granularity),
+    * so boundaries travel with the content and an insertion perturbs
+    * only the chunk it lands in — the shared suffix re-aligns and
+    * still dedups (property-tested in CdcSpec).
+    *
+    * Scale shape (the q95 ledger): chunking is per-row HOF arithmetic
+    * over the token array — no token ever enters an exchange; the
+    * generator emits (pos, start, end) COORDINATES and the chunk
+    * string exists only inside the post-explode projection that hashes
+    * it (md5, dropped before the winner shuffle, which carries
+    * (key, id, pos) at chunk grain ≈ tokens/avgChunkTokens); drop sets
+    * aggregate per doc (∝ duplicated volume) and the rebuild is the
+    * same narrow positional gather as [[blockDedup]], from the
+    * ORIGINAL-case tokens. Matching is case-insensitive (coins and
+    * keys on lowered tokens), reconstruction case-preserving —
+    * whitespace tokenization keeps indices aligned between the two.
+    * First occurrence (min (id, pos)) survives; the md5 coin and the
+    * chunk keys replay digit-for-digit in the SQL oracle (q124). */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                    avgChunkTokens: Int): DataFrame = {
+    require(avgChunkTokens >= 2, "avgChunkTokens must be >= 2")
+    val base = docs.select(col(idCol).as("id"),
+      Text.tokens(lower(col(textCol))).as("tl"),
+      Text.tokens(col(textCol)).as("t"))
+    // boundary AFTER 1-based token i when its coin lands on 0; chunk
+    // spans are (start, end] pairs over sorted boundary positions
+    def bpos(tl: Column): Column = filter(
+      sequence(lit(1), size(tl)),
+      i => pmod(Sampling.hexInt(element_at(tl, i), ":cdc"),
+        lit(avgChunkTokens)) === 0)
+    def spans(tl: Column): Column = {
+      val b = bpos(tl)
+      val starts = concat(array(lit(0)), b)
+      val ends = concat(b, array(size(tl)))
+      filter(zip_with(starts, ends, (s, e) =>
+        struct(s.as("s"), e.as("e"))), p => p("e") > p("s"))
+    }
+    val chunks = base
+      .select(col("id"), col("tl"), posexplode(spans(col("tl"))).as(Seq("pos", "sp")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("tl"), col("sp.s") + 1,
+          col("sp.e") - col("sp.s")))).as("key"))
+    val winners = chunks.groupBy("key")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val dropped = chunks.join(winners, Seq("key"))
+      .filter(!(col("id") === col("w.id") && col("pos") === col("w.pos")))
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("drop_pos"))
+    base.join(dropped, Seq("id"), "left")
+      .withColumn("sp_all", spans(col("tl")))
+      .withColumn("kept", flatten(zip_with(
+        col("sp_all"), sequence(lit(0L), size(col("sp_all")).cast("long") - 1L),
+        (sp, p) => when(array_contains(
+            coalesce(col("drop_pos"), lit(Array.emptyLongArray)), p),
+          array().cast("array<string>"))
+          .otherwise(slice(col("t"), sp("s") + 1, sp("e") - sp("s"))))))
+      .select(col("id"),
+        size(col("sp_all")).cast("long").as("n_chunks"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped"),
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_tok_clean"),
+        coalesce(array_join(col("kept"), " "), lit("")).as("text_clean"))
+  }
+
   /** Connected components over an undirected pair list — the clustering
     * step that turns pairwise near-duplicates into dedup GROUPS, so
     * survivor selection is consistent per cluster (transitive closure)

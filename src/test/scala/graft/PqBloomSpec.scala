@@ -97,6 +97,30 @@ class PqBloomSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("cdcChunkDedup is shift-robust where fixed blocks are not") {
+    import graft.operators.Dedup
+    val body = (0 until 80).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, body), (2L, s"ins0 ins1 $body")).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkDedup(df, "doc_id", "text", avgChunkTokens = 8)
+      .orderBy("id").collect()
+    // doc 1 (smaller id) keeps everything; doc 2's shared chunks after
+    // the first content boundary dedupe away despite the 2-token shift
+    assert(cdc(0).getAs[Long]("n_dropped") == 0L)
+    assert(cdc(1).getAs[Long]("n_dropped") > 0L, cdc.mkString("; "))
+    assert(cdc(1).getAs[Long]("n_tok_clean") < 82L)
+    // the prefix itself must survive (it's novel content)
+    assert(cdc(1).getAs[String]("text_clean").startsWith("ins0 ins1"))
+    // fixed-width blocks miss ALL of it: every boundary shifted by 2
+    val blk = Dedup.blockDedup(df, "doc_id", "text", blockTokens = 8)
+      .orderBy("id").collect()
+    assert(blk(1).getAs[Long]("n_tok_clean") == 82L)
+    // determinism: same input → same cleaned text
+    val again = Dedup.cdcChunkDedup(df, "doc_id", "text", avgChunkTokens = 8)
+      .orderBy("id").collect()
+    assert(again(1).getAs[String]("text_clean") ==
+      cdc(1).getAs[String]("text_clean"))
+  }
+
   // ---- bloom decontamination ----
 
   test("bloom membership: no false negatives, deterministic verdicts") {
