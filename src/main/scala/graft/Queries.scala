@@ -4003,7 +4003,63 @@ object Queries {
            |  COALESCE(string_agg(orig, ' ' ORDER BY pos)
            |    FILTER (WHERE k = 1), '') AS text_clean
            |FROM keep GROUP BY doc_id""".stripMargin
-      }))
+      }),
+
+    Q("q125_keep_best_dedup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // keep-BEST dedup: q57's transitive clusters + q29's quality
+        // score composed into the survivor rule production curation
+        // actually uses — the highest-quality doc of each near-dup
+        // cluster survives (ties → smaller id), singletons survive
+        // trivially. Scores are rounded to 6 BEFORE ranking on both
+        // engines (the cross-engine tie-order discipline); the oracle
+        // replays clustering, scoring, and the argmax rule.
+        val docs = tbl("documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          threshold = 0.6, shingleLen = 3)
+        val labels = Dedup.connectedComponents(pairs)
+          .withColumnRenamed("id", "doc_id")
+        val scored = docs.select(col("doc_id"),
+          round(Text.qualityScore(col("text"), Stopwords), 6).as("q"))
+        val labeled = scored.join(labels, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+        Dedup.keepBestByCluster(labeled, "doc_id", "rep", "q")
+          .select(col("doc_id"), col("rep"), col("survivor_id"), col("kept"))
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+              |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+              |e AS (SELECT id_a AS u, id_b AS v FROM p
+              |      UNION ALL SELECT id_b, id_a FROM p),
+              |cc(id, lab) AS (
+              |  SELECT u, u FROM e
+              |  UNION
+              |  SELECT e.u, cc.lab FROM e JOIN cc ON cc.id = e.v),
+              |lab AS (SELECT id, min(lab) AS rep FROM cc GROUP BY id),
+              |m AS (SELECT doc_id,
+              |  len(string_split(text, ' ')) AS n_tok,
+              |  len(list_distinct(string_split(text, ' '))) AS n_dis,
+              |  len(list_filter(string_split(text, ' '), t -> t IN ($StopSql))) AS n_sw,
+              |  length(text) AS n_ch,
+              |  length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+              |  FROM documents),
+              |sc AS (SELECT doc_id, round(
+              |  least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+              |  + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5, 1.0) * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(n_ch - n_nopunct AS DOUBLE)
+              |      / greatest(n_ch, 1)) * 4) * 0.2, 6) AS q FROM m),
+              |j AS (SELECT d.doc_id, COALESCE(lab.rep, d.doc_id) AS rep, sc.q
+              |      FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+              |      JOIN sc ON d.doc_id = sc.doc_id)
+              |SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+              |  CAST(first_value(doc_id) OVER (PARTITION BY rep
+              |    ORDER BY q DESC, doc_id) AS BIGINT) AS survivor_id,
+              |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER (PARTITION BY rep
+              |    ORDER BY q DESC, doc_id) THEN 1 ELSE 0 END AS BIGINT) AS kept
+              |FROM j""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

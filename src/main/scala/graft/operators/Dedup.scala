@@ -347,6 +347,29 @@ object Dedup {
         coalesce(array_join(col("kept"), " "), lit("")).as("text_clean"))
   }
 
+  /** Keep-BEST survivor selection over dedup clusters: production
+    * pipelines keep the highest-quality document per near-dup cluster,
+    * not the smallest id (the min-id convention is for determinism
+    * proofs, not curation). Input rows carry (id, cluster rep, score);
+    * output appends `survivor_id` (argmax score, ties → smaller id) and
+    * a 0/1 `kept` flag — rows, not deletions, so downstream stages
+    * choose drop vs audit.
+    *
+    * Scale shape: one rep-keyed ranking window — the exchange is
+    * cluster-grain (singletons ride along untouched), and the rank
+    * window plans the usual WindowGroupLimit-free first_value (cluster
+    * sizes are bounded by dedup-cluster size, not corpus size). Callers
+    * MUST pass an engine-stable score (round it — a raw float ulp
+    * difference flips cross-engine tie order). */
+  def keepBestByCluster(labeled: DataFrame, idCol: String, repCol: String,
+                        scoreCol: String): DataFrame =
+    labeled.withColumn("survivor_id",
+        first(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(repCol))
+            .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .withColumn("kept",
+        when(col(idCol) === col("survivor_id"), 1L).otherwise(0L))
+
   /** Content-defined chunk dedup — the SHIFT-ROBUST counterpart of
     * [[blockDedup]]. Fixed-width blocks break under a single inserted
     * token (every later block boundary moves, so no downstream block
