@@ -250,6 +250,27 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** CDC boundary positions (see [[VectorOps.cdcBoundaries]]): the
+  * md5-hex6 token coin evaluated in one codegen'd kernel pass instead of
+  * per-element HOF lambdas. */
+case class CdcBoundaries(child: Expression, salt: String, avg: Int)
+    extends UnaryExpression {
+  require(avg >= 2, "avg must be >= 2")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("cdc_boundaries", child.dataType, ExprUtil.isStringArray, "array<string>")
+  private lazy val saltU = org.apache.spark.unsafe.types.UTF8String.fromString(salt)
+  override protected def nullSafeEval(toks: Any): Any =
+    VectorOps.cdcBoundaries(toks.asInstanceOf[ArrayData], saltU, avg)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", saltU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.plans.VectorOps.cdcBoundaries($t, $saltRef, $avg)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-query ADC lookup table (see [[VectorOps.pqLut]]). */
 case class PqLut(child: Expression, codebooks: Array[Double],
                  m: Int, ksub: Int) extends UnaryExpression {
@@ -342,6 +363,9 @@ object exprs {
 
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     column(PqAdc(expression(codes), expression(lut), ksub))
+
+  def cdcBoundaries(toks: Column, salt: String, avg: Int): Column =
+    column(CdcBoundaries(expression(toks), salt, avg))
 }
 
 /** `SparkSessionExtensions` hook: registers the custom expressions as SQL

@@ -266,6 +266,40 @@ object VectorOps {
     math.min(1.0, max.toDouble * n / toks.length)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Content-defined chunk boundaries: 1-based positions i where the
+    * md5-hex6 coin of token i (+ salt) lands on 0 mod `avg` — byte-
+    * identical to the SQL-replayable `Sampling.hexInt` recipe (the
+    * first six hex digits of md5 are exactly the first three digest
+    * bytes). One JVM kernel pass per row: the equivalent
+    * filter(sequence)/element_at HOF formulation interprets per element
+    * AND re-evaluates the md5 six times per token inside the lambda
+    * (measured: q124 at 15.1 s vs ~2 s with this kernel). */
+  def cdcBoundaries(toks: ArrayData, salt: UTF8String, avg: Int): ArrayData = {
+    val md = md5Local.get()
+    val saltB = salt.getBytes
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[Integer](n / math.max(avg, 1) + 4)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      md.update(saltB)
+      val d = md.digest()
+      val hex6 = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+      if (hex6 % avg == 0) out.add(i + 1)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).intValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** Product-quantization encode: split `v` into `m` contiguous
     * subvectors of `codebooks.length / (m*ksub)` dims and pick, per
     * subspace, the squared-L2-nearest codeword (ties → smaller code; a
