@@ -121,6 +121,38 @@ class PqBloomSpec extends AnyFunSuite {
       cdc(1).getAs[String]("text_clean"))
   }
 
+  test("CdcBoundaries kernel is bit-identical to the Column-level hexInt coin") {
+    // the kernel reads the first three md5 digest bytes; the Column
+    // recipe reads the first six hex chars — same 24-bit integer. Mixed
+    // scripts, punctuation and empty strings must all agree, or the SQL
+    // oracle replay silently diverges.
+    val toks = Seq("the", "Schrödinger", "京都", "x", "", "a b", "punct!?",
+      "0123456789abcdef", "ζ-function", "ää") ++ (0 until 200).map(i => s"w$i")
+    val df = Seq((1L, toks.toArray)).toDF("id", "t")
+    val kernel = df.select(graft.plans.exprs.cdcBoundaries($"t", ":cdc", 8))
+      .head().getSeq[Int](0)
+    val viaHex = df.select(posexplode($"t").as(Seq("i", "tok")))
+      .select(col("i"), pmod(graft.operators.TestCoin.hexInt(col("tok"), ":cdc"),
+        lit(8)).as("v"))
+      .filter($"v" === 0).select(($"i" + 1).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(kernel == viaHex, s"kernel=$kernel hex=$viaHex")
+    assert(kernel.nonEmpty) // 210 tokens at P=1/8 — vacuous pass guard
+  }
+
+  test("cdcChunkDedup: exact-duplicate doc drops entirely; null-free contract") {
+    import graft.operators.Dedup
+    val body = (0 until 40).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDedup(df, "doc_id", "text", avgChunkTokens = 8)
+      .orderBy("id").collect()
+    assert(got.length == 2) // rows never dropped
+    assert(got(0).getAs[String]("text_clean") == body)
+    assert(got(1).getAs[String]("text_clean") == "")
+    assert(got(1).getAs[Long]("n_tok_clean") == 0L)
+    assert(got(1).getAs[Long]("n_dropped") == got(1).getAs[Long]("n_chunks"))
+  }
+
   // ---- bloom decontamination ----
 
   test("bloom membership: no false negatives, deterministic verdicts") {
