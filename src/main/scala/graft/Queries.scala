@@ -4059,7 +4059,46 @@ object Queries {
               |    ORDER BY q DESC, doc_id) AS BIGINT) AS survivor_id,
               |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER (PARTITION BY rep
               |    ORDER BY q DESC, doc_id) THEN 1 ELSE 0 END AS BIGINT) AS kept
-              |FROM j""".stripMargin)))
+              |FROM j""".stripMargin)),
+
+    Q("q126_exact_stratified_take",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // EXACT stratified sampling, largest-remainder allocation: select
+        // round(0.1·N) docs TOTAL with per-language quotas floor(0.1·n_g)
+        // plus remainder seats to the largest fractional parts (ties →
+        // stratum order) — eval-set carving where the row count is a
+        // CONTRACT, not a coin-flip expectation (q52/q111's regime).
+        // Within a stratum the md5 coin picks which rows, content-stable
+        // under partitioning and corpus layout. The oracle replays the
+        // allocation arithmetic (identical IEEE products both engines),
+        // the remainder ranking, the coin and the tie-breaks — the exact
+        // selected set and ranks are under hash.
+        operators.Sampling.exactStratifiedTake(
+            tbl("documents"), "doc_id", "lang", frac = 0.1)
+          .select(col("doc_id"), col("lang"), col("rnk"))
+      },
+      Some {
+        val uT = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+           |t AS (SELECT lang, n, floor(0.1 * n) AS fl, 0.1 * n - floor(0.1 * n) AS rem,
+           |    CAST(round(0.1 * sum(n) OVER ()) AS BIGINT) AS target,
+           |    sum(floor(0.1 * n)) OVER () AS sumfl,
+           |    row_number() OVER (ORDER BY 0.1 * n - floor(0.1 * n) DESC, lang)
+           |      AS rrank
+           |  FROM c),
+           |q AS (SELECT lang, CAST(fl + CASE WHEN rrank <= target - sumfl
+           |      THEN 1 ELSE 0 END AS BIGINT) AS quota FROM t),
+           |r AS (SELECT doc_id, lang,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY ($uT), doc_id)
+           |      AS BIGINT) AS rnk
+           |  FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR || ':est') AS h
+           |        FROM documents))
+           |SELECT doc_id, lang, rnk FROM r JOIN q USING (lang)
+           |WHERE rnk <= quota""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

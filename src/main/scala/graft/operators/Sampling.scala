@@ -221,4 +221,50 @@ object Sampling {
       .filter(col("rank") <= k)
       .drop("__key")
   }
+
+  /** EXACT stratified sample: select round(frac·N) rows TOTAL with
+    * per-stratum counts allocated by the largest-remainder method
+    * (floor(frac·n_g) each, the remainder seats going to the largest
+    * fractional parts, ties → stratum order) — the eval-set carving
+    * rule when "10% of the corpus, proportionally by language" must
+    * mean an exact row count, not a coin-flip expectation like
+    * [[assignSplit]]/[[stratifiedHashSample]]. Within a stratum the coin
+    * (hexInt, id tie-break) picks WHICH rows — content-stable, so a
+    * row's selection never depends on partitioning.
+    *
+    * Scale shape: stratum counts are a \|groups\|-row aggregate;
+    * quotas derive from windows over that \|groups\|-row table (the
+    * UniMax bounded-single-task discipline) and broadcast back; the
+    * one corpus-grain exchange is the per-stratum coin ranking. Its
+    * rank window can't WindowGroupLimit (the cutoff varies per
+    * stratum), so at extreme scale swap the exact rank for a coin
+    * THRESHOLD at the quota quantile — approximate counts, zero
+    * ranking sort; this operator is the exact-count contract.
+    * Appends `rnk` (1-based coin order within stratum). */
+  def exactStratifiedTake(df: DataFrame, idCol: String, strataCol: String,
+                          frac: Double, salt: String = ":est"): DataFrame = {
+    require(frac > 0 && frac < 1, "frac must be in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val all = Window.orderBy(col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = counts
+      .withColumn("__floor", floor(lit(frac) * col("__n")))
+      .withColumn("__rem", lit(frac) * col("__n") - col("__floor"))
+      .withColumn("__target",
+        round(lit(frac) * sum(col("__n")).over(all)).cast("long"))
+      .withColumn("__extra",
+        (col("__target") - sum(col("__floor")).over(all)).cast("long"))
+      .withColumn("__rrank", row_number().over(
+        Window.orderBy(col("__rem").desc, col(strataCol))))
+      .withColumn("__quota",
+        col("__floor") + when(col("__rrank") <= col("__extra"), 1L).otherwise(0L))
+      .select(col(strataCol), col("__quota"))
+    df.join(broadcast(quotas), Seq(strataCol))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(hexInt(col(idCol), salt), col(idCol))).cast("long"))
+      .filter(col("rnk") <= col("__quota"))
+      .drop("__quota")
+  }
 }

@@ -230,4 +230,31 @@ class SamplingSpec extends AnyFunSuite {
     // ≤ k rows per group into the single ranking exchange
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
+
+  test("exactStratifiedTake: exact global count at adversarial fracs, " +
+       "partitioning-invariant selection") {
+    import spark.implicits._
+    // strata sizes chosen so floors alone UNDERSHOOT (remainder seats
+    // must be handed out): 7, 13, 23, 57 at frac=0.3 → floors 2+3+6+17
+    // = 28, target round(0.3·100) = 30 → 2 remainder seats
+    val rows = (0 until 7).map(i => (i.toLong, "a")) ++
+      (100 until 113).map(i => (i.toLong, "b")) ++
+      (200 until 223).map(i => (i.toLong, "c")) ++
+      (300 until 357).map(i => (i.toLong, "d"))
+    val df = rows.toDF("id", "s")
+    val got = Sampling.exactStratifiedTake(df, "id", "s", frac = 0.3)
+    assert(got.count() == 30L) // the exact-count contract
+    // per-stratum counts: floor + at most one remainder seat
+    val per = got.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.values.sum == 30L)
+    assert(per("a") >= 2 && per("a") <= 3)
+    assert(per("d") >= 17 && per("d") <= 18)
+    // selection is content-stable: repartitioning must not change WHICH
+    // rows are selected
+    val ids = got.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.exactStratifiedTake(df.repartition(13), "id", "s",
+      frac = 0.3).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+  }
 }
