@@ -4098,7 +4098,68 @@ object Queries {
            |        FROM documents))
            |SELECT doc_id, lang, rnk FROM r JOIN q USING (lang)
            |WHERE rnk <= quota""".stripMargin
-      }))
+      }),
+
+    Q("q127_corpus_datasheet",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // corpus DATASHEET (Gebru et al. 2021 "Datasheets for Datasets"):
+        // the per-(source, lang) card every released training corpus
+        // publishes — rows, token mass, length spread, exact-dup rate,
+        // mean quality, PII density — computed in ONE aggregate over ONE
+        // scan (the dqSnapshot discipline at stratum grain: no
+        // per-metric passes, the exchange carries |source×lang| partial
+        // rows). Exact-dup rate reuses the md5 content-hash convention;
+        // doubles rounded before compare.
+        val docs = tbl("documents")
+        val toks = size(Text.tokens(lower(col("text"))))
+        docs
+          .select(col("source"), col("lang"), col("doc_id"), col("text"),
+            toks.as("n_tok"),
+            // per-doc scores rounded to 6 BEFORE averaging (the q29
+            // engine-stable value); the average re-rounds to 4 so the
+            // summation-order ulp noise of ~|group| rounded doubles
+            // sits orders below the compare grid
+            round(Text.qualityScore(col("text"), Stopwords), 6).as("q"),
+            regexp_count(col("text"), lit(Text.EmailRe)).as("n_email"))
+          .groupBy("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            min(col("n_tok")).as("min_tok"),
+            max(col("n_tok")).as("max_tok"),
+            round(avg(col("n_tok")), 4).as("avg_tok"),
+            (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dup"),
+            round(avg(col("q")), 4).as("avg_quality"),
+            sum(col("n_email")).as("n_emails"))
+      },
+      Some(s"""WITH m AS (SELECT source, lang, doc_id, text,
+              |    len(string_split(lower(text), ' ')) AS n_tok,
+              |    len(regexp_extract_all(text,
+              |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email
+              |  FROM documents),
+              |sc AS (SELECT doc_id, round(
+              |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |      / len(string_split(text, ' '))) * 0.3
+              |  + least(CAST(len(list_filter(string_split(text, ' '),
+              |      t -> t IN ($StopSql))) AS DOUBLE)
+              |      / greatest(len(string_split(text, ' ')), 1) * 5, 1.0) * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(length(text) -
+              |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              |      / greatest(length(text), 1)) * 4) * 0.2, 6) AS q
+              |  FROM documents)
+              |SELECT source, lang,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              |  CAST(min(n_tok) AS BIGINT) AS min_tok,
+              |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+              |  round(avg(n_tok), 4) AS avg_tok,
+              |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+              |    AS n_exact_dup,
+              |  round(avg(q), 4) AS avg_quality,
+              |  CAST(sum(n_email) AS BIGINT) AS n_emails
+              |FROM m JOIN sc USING (doc_id)
+              |GROUP BY source, lang""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
