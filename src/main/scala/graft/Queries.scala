@@ -3990,10 +3990,10 @@ object Queries {
            |    string_agg(w, ' ' ORDER BY i) AS orig,
            |    count(*) AS cnt
            |  FROM cid GROUP BY doc_id, pos),
-           |win AS (SELECT key, min(doc_id * 1048576 + pos) AS wk
+           |win AS (SELECT key, min(ROW(doc_id, pos)) AS wk
            |        FROM ch GROUP BY key),
            |keep AS (SELECT ch.*,
-           |    CASE WHEN ch.doc_id * 1048576 + ch.pos = w.wk THEN 1 ELSE 0 END AS k
+           |    CASE WHEN ROW(ch.doc_id, ch.pos) = w.wk THEN 1 ELSE 0 END AS k
            |  FROM ch JOIN win w USING (key))
            |SELECT doc_id,
            |  CAST(count(*) AS BIGINT) AS n_chunks,

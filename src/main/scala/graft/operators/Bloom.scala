@@ -44,11 +44,17 @@ object Bloom {
                   kHashes: Int): Array[Long] = {
     require(mBits > 0 && (1 << 24) % mBits == 0,
       s"mBits $mBits must divide 16^6 for a uniform md5-hex6 coin")
+    // < 64 bits would make the bitmap mBits/64 == 0 words long and fail
+    // far from here on the first set bit — reject at the call site
+    require(mBits % 64 == 0, s"mBits $mBits must be a multiple of 64")
     require(kHashes >= 1, "kHashes must be >= 1")
     // positions are computed in a PROJECT, then exploded: expressions
     // under a Generate miss whole-stage codegen's subexpression
     // elimination (the Frequency.cmsCells lesson — ~17× slower there)
-    val pos = elems
+    // a NULL element would propagate a null word key and NPE at the
+    // collect — nulls carry no n-gram content, so they are excluded
+    // from the set (mightContain(null) is null-false on probe, matching)
+    val pos = elems.filter(col(elemCol).isNotNull)
       .select(positions(col(elemCol), mBits, kHashes).zipWithIndex
         .map { case (p, i) => p.as(s"__p$i") }: _*)
       .select(explode(array((0 until kHashes).map(i => col(s"__p$i")): _*)).as("pos"))

@@ -239,7 +239,11 @@ object Sampling {
     * rank window can't WindowGroupLimit (the cutoff varies per
     * stratum), so at extreme scale swap the exact rank for a coin
     * THRESHOLD at the quota quantile — approximate counts, zero
-    * ranking sort; this operator is the exact-count contract.
+    * ranking sort ([[thresholdStratifiedTake]] is that operator);
+    * this one is the exact-count contract. NULL strata form a stratum
+    * of their own (null-safe quota join; the count aggregate and the
+    * rank window already treat null as a group), so the exact global
+    * count holds on corpora with missing stratum labels too.
     * Appends `rnk` (1-based coin order within stratum). */
   def exactStratifiedTake(df: DataFrame, idCol: String, strataCol: String,
                           frac: Double, salt: String = ":est"): DataFrame = {
@@ -259,8 +263,9 @@ object Sampling {
         Window.orderBy(col("__rem").desc, col(strataCol))))
       .withColumn("__quota",
         col("__floor") + when(col("__rrank") <= col("__extra"), 1L).otherwise(0L))
-      .select(col(strataCol), col("__quota"))
-    df.join(broadcast(quotas), Seq(strataCol))
+      .select(col(strataCol).as("__strat"), col("__quota"))
+    df.join(broadcast(quotas), col(strataCol) <=> col("__strat"))
+      .drop("__strat")
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col(strataCol))
           .orderBy(hexInt(col(idCol), salt), col(idCol))).cast("long"))

@@ -167,6 +167,21 @@ class PqBloomSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(bitmap, bitmap2))
   }
 
+  test("buildBitmap: rejects sub-word mBits at the call site, " +
+       "ignores NULL elements") {
+    val elems = Seq(Some("a b c"), None, Some("d e f")).toDF("ng")
+    // 32 divides 2^24 but yields a zero-length bitmap — must fail HERE
+    intercept[IllegalArgumentException] {
+      Bloom.buildBitmap(elems, "ng", mBits = 32, kHashes = 2)
+    }
+    // a null element must not NPE the distributed build, and must not
+    // perturb the non-null elements' bit set
+    val withNull = Bloom.buildBitmap(elems, "ng", 1 << 12, kHashes = 4)
+    val withoutNull = Bloom.buildBitmap(elems.filter($"ng".isNotNull),
+      "ng", 1 << 12, kHashes = 4)
+    assert(java.util.Arrays.equals(withNull, withoutNull))
+  }
+
   test("screen: superset of the exact join, zero corpus-side joins in plan") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     val train = docs.filter($"doc_id" % 7 =!= 0)
@@ -190,5 +205,12 @@ class PqBloomSpec extends AnyFunSuite {
     val plan = Bloom.screen(train, "doc_id", "text", bitmap, mBits, 6, 8)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan.take(800))
+    // exchange shape (the scaladoc's "only exchange is the per-doc max"):
+    // exactly ONE Exchange, keyed on doc_id, and no Exchange line ever
+    // carries the shingle column — the corpus's n-grams never shuffle
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1, plan.take(1500))
+    assert(exchanges.head.contains("doc_id"), exchanges.head)
+    assert(!exchanges.head.contains("__sh"), exchanges.head)
   }
 }

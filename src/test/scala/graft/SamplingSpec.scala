@@ -257,4 +257,19 @@ class SamplingSpec extends AnyFunSuite {
       frac = 0.3).select("id").collect().map(_.getLong(0)).toSet
     assert(ids == ids2)
   }
+
+  test("exactStratifiedTake: NULL strata form their own stratum — " +
+       "the exact global count holds with missing labels") {
+    import spark.implicits._
+    // 40 labeled + 20 null-stratum rows at frac=0.3 → target 18 TOTAL;
+    // an equality quota join would silently drop all 20 null rows and
+    // deliver only the labeled strata's seats
+    val rows = (0 until 40).map(i => (i.toLong, Some(s"g${i % 2}"))) ++
+      (100 until 120).map(i => (i.toLong, Option.empty[String]))
+    val df = rows.toDF("id", "s")
+    val got = Sampling.exactStratifiedTake(df, "id", "s", frac = 0.3)
+    assert(got.count() == 18L)
+    val nullTaken = got.filter(col("s").isNull).count()
+    assert(nullTaken == 6L, s"null stratum took $nullTaken of its quota 6")
+  }
 }
