@@ -35,6 +35,15 @@ import org.apache.spark.sql.SparkSession
   * divergence and cross-round comparison remain the backstop for that
   * case. SPARK_GRAFT_PROBE_BASELINE pins the baseline externally
   * (seconds) when a cross-run reference is available.
+  *
+  * Provenance (r12): the artifact fingerprints its fixture inputs
+  * (per-table byte-md5 + size + rows, one combined `fixtures_digest`)
+  * and flags `fixtures_changed_since_prev` against the artifact it
+  * overwrites — cross-artifact per-query deltas are only code-vs-code
+  * when the digests match. Pass 1 is labeled `warmup` in `pass_roles`:
+  * its totals carry per-query first-run JIT (~40% measured), which the
+  * min-over-samples protocol discounts but pass-total readers before
+  * r12 could not.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,6 +61,49 @@ object Bench {
     // warm up the session (codegen, shuffle service, file index) so the
     // first measured query doesn't absorb one-time init
     spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // ── fixture provenance ────────────────────────────────────────────
+    // The artifact fingerprints its INPUTS: per-table byte-md5 + size +
+    // row count, plus one combined digest. A testdata regeneration
+    // changes the digest, so cross-run per-query comparisons are only
+    // valid between artifacts whose `fixtures_digest` match — the r11
+    // regeneration silently shifted every pre-r11 comparison, and
+    // nothing in the artifact recorded it. Byte-level hashing is
+    // deliberate: even a logically-identical rewrite changes parquet
+    // layout/metadata and therefore scan timings.
+    val fixtureTables = Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+    val fixtures = fixtureTables.flatMap { t =>
+      val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
+      if (!java.nio.file.Files.isRegularFile(p)) None
+      else {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        val rows = spark.read.parquet(p.toString).count()
+        Some((t, rows, bytes.length.toLong, md5))
+      }
+    }
+    val fixturesDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest(fixtures.map(f => s"${f._1}:${f._4}").mkString("|")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // loud annotation against the PREVIOUS artifact in the working copy:
+    // if its digest differs, every cross-artifact per-query delta is
+    // fixture-shape, not code — say so in the artifact and on stderr
+    val benchOutPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "docs/bench_full.json"))
+    val prevDigest: Option[String] =
+      if (!java.nio.file.Files.isRegularFile(benchOutPath)) None
+      else {
+        val txt = java.nio.file.Files.readString(benchOutPath)
+        "\"fixtures_digest\":\"([0-9a-f]{32})\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+      }
+    val fixturesChanged = prevDigest.exists(_ != fixturesDigest)
+    if (fixturesChanged)
+      System.err.println(s"[bench] FIXTURES CHANGED since the previous " +
+        s"artifact (${prevDigest.get} -> $fixturesDigest): per-query " +
+        "comparisons against it measure fixture shape, not code")
     val only = args.toSet // optional query-name filter (dev use)
     val queries = Queries.all.filter(q => only.isEmpty || only(q.name))
 
@@ -271,7 +323,17 @@ object Bench {
       .map(l => "\"" + l + "\"").mkString("[", ",", "]")
     val taintedOnlyJson = taintedOnly.map(l => "\"" + l + "\"").mkString("[", ",", "]")
     val passJson = passTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"stall_windows":$stallJson,"pass_totals":$passJson,"sf":"$sfDir"}"""
+    // pass 1 is WARMUP by construction: its samples absorb per-query
+    // first-run JIT (~40% inflation measured r11) and the min-over-
+    // samples protocol already discounts them — labeling the role makes
+    // pass totals self-consistent instead of looking like a regression
+    val passRolesJson = passTotals.indices
+      .map(i => if (i == 0) "\"warmup\"" else "\"measure\"")
+      .mkString("[", ",", "]")
+    val fixturesJson = fmtMap(fixtures.map { case (t, rows, bytes, md5) =>
+      t -> s"""{"rows":$rows,"bytes":$bytes,"md5":"$md5"}"""
+    })
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"sf":"$sfDir"}"""
     println(json)
     // the driver's per-round artifact keeps only the run's last 2000
     // output chars, which truncates the per-query JSON every round — so
@@ -282,11 +344,10 @@ object Bench {
       // (both the harness driver and the verify recipe do), so the
       // artifact follows the working copy instead of a hardcoded machine
       // path; override with SPARK_GRAFT_BENCH_OUT for other layouts
-      val out = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "docs/bench_full.json"))
-      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(out, json + "\n")
-      System.err.println(s"[bench] full JSON written to $out")
+      Option(benchOutPath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(benchOutPath, json + "\n")
+      System.err.println(s"[bench] full JSON written to $benchOutPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist full JSON: ${e.getMessage}")
     }
