@@ -248,11 +248,30 @@ object Sampling {
   def exactStratifiedTake(df: DataFrame, idCol: String, strataCol: String,
                           frac: Double, salt: String = ":est"): DataFrame = {
     require(frac > 0 && frac < 1, "frac must be in (0, 1)")
-    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val quotas = largestRemainderQuotas(counts, strataCol, frac)
+      .select(col(strataCol).as("__strat"), col("__quota"))
+    df.join(broadcast(quotas), col(strataCol) <=> col("__strat"))
+      .drop("__strat")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(hexInt(col(idCol), salt), col(idCol))).cast("long"))
+      .filter(col("rnk") <= col("__quota"))
+      .drop("__quota")
+  }
+
+  /** Largest-remainder seat allocation over a per-stratum count table:
+    * appends `__quota` to a (`strataCol`, `__n`, …) DataFrame —
+    * floor(frac·n_g) each, remainder seats to the largest fractional
+    * parts (ties → stratum order), totalling round(frac·N) exactly.
+    * All windows run over the \|groups\|-row table (the UniMax
+    * bounded-single-task discipline), never the corpus; extra input
+    * columns pass through untouched. */
+  private def largestRemainderQuotas(counts: DataFrame, strataCol: String,
+                                     frac: Double): DataFrame = {
     val all = Window.orderBy(col(strataCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val quotas = counts
+    counts
       .withColumn("__floor", floor(lit(frac) * col("__n")))
       .withColumn("__rem", lit(frac) * col("__n") - col("__floor"))
       .withColumn("__target",
@@ -263,13 +282,61 @@ object Sampling {
         Window.orderBy(col("__rem").desc, col(strataCol))))
       .withColumn("__quota",
         col("__floor") + when(col("__rrank") <= col("__extra"), 1L).otherwise(0L))
-      .select(col(strataCol).as("__strat"), col("__quota"))
-    df.join(broadcast(quotas), col(strataCol) <=> col("__strat"))
-      .drop("__strat")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col(strataCol))
-          .orderBy(hexInt(col(idCol), salt), col(idCol))).cast("long"))
-      .filter(col("rnk") <= col("__quota"))
-      .drop("__quota")
+      .drop("__floor", "__rem", "__target", "__extra", "__rrank")
+  }
+
+  /** APPROXIMATE stratified take — [[exactStratifiedTake]]'s documented
+    * extreme-scale sibling: same largest-remainder quotas, but instead
+    * of the per-stratum rank window (which cannot WindowGroupLimit —
+    * the cutoff varies by stratum — so every stratum's rows pass
+    * through a full ranking sort), each stratum takes a coin THRESHOLD
+    * at its quota quantile and the corpus is selected by a narrow
+    * filter. Counts are approximate (quantile-sketch rank error
+    * ≤ n_g/`accuracy`, quantile-grid rounding ≤ n_g/`gridSteps`, coin
+    * ties); WHICH rows are taken stays content-stable — the same
+    * coin-ordered prefix property as the exact variant, up to the
+    * threshold's resolution.
+    *
+    * Scale shape: ONE bounded-state aggregate (per stratum: a count
+    * plus one `percentile_approx` sketch over the `gridSteps+1`
+    * fraction grid — the per-stratum quota fraction isn't known until
+    * the counts exist and `percentile_approx`'s fraction argument must
+    * be foldable, so the grid is evaluated once and the threshold
+    * picked from it on the \|groups\|-row table), quota arithmetic on
+    * \|groups\| rows, broadcast back, narrow filter. The corpus is
+    * never sorted, rank-windowed, or shuffled at row grain — the only
+    * corpus-wide exchange carries per-partition quantile summaries
+    * bounded by \|strata\| × sketch size. NULL strata form their own
+    * stratum (null-safe join), as in the exact variant. */
+  def thresholdStratifiedTake(df: DataFrame, idCol: String, strataCol: String,
+                              frac: Double, salt: String = ":est",
+                              gridSteps: Int = 1000,
+                              accuracy: Int = 10000): DataFrame = {
+    require(frac > 0 && frac < 1, "frac must be in (0, 1)")
+    require(gridSteps >= 2, "gridSteps must be >= 2")
+    require(accuracy >= 1, "accuracy must be >= 1")
+    val coin = hexInt(col(idCol), salt)
+    val grid = typedLit((0 to gridSteps).map(_.toDouble / gridSteps))
+    val stats = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(coin, grid, lit(accuracy)).as("__qs"))
+    val thr = largestRemainderQuotas(stats, strataCol, frac)
+      // the sketch resolves fraction p to the value at rank ceil(p·n)
+      // (measured: p=0.105 over 1..100 → 11), so any UPWARD grid
+      // rounding of quota/n bumps a rank — target (quota−0.5)/n and
+      // FLOOR to the grid instead: ceil(p_grid·n) == quota exactly
+      // while n_g < gridSteps/2, and undershoots by ≤ n_g/gridSteps
+      // rows beyond that (the documented grid error). quota 0 → a
+      // sentinel below the coin's range so the stratum takes nothing
+      // (percentile at 0.0 would return the min coin and take its row)
+      .withColumn("__gi",
+        floor((col("__quota").cast("double") - lit(0.5)) / col("__n")
+          * gridSteps).cast("int"))
+      .withColumn("__thr", when(col("__quota") === 0, lit(-1))
+        .otherwise(element_at(col("__qs"), col("__gi") + 1)))
+      .select(col(strataCol).as("__strat"), col("__thr"))
+    df.join(broadcast(thr), col(strataCol) <=> col("__strat"))
+      .filter(coin <= col("__thr"))
+      .drop("__strat", "__thr")
   }
 }

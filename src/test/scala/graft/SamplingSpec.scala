@@ -272,4 +272,46 @@ class SamplingSpec extends AnyFunSuite {
     val nullTaken = got.filter(col("s").isNull).count()
     assert(nullTaken == 6L, s"null stratum took $nullTaken of its quota 6")
   }
+
+  test("thresholdStratifiedTake: counts track the exact variant's quotas; " +
+       "no corpus-grain rank window in the plan") {
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val frac = 0.1
+    val exact = Sampling.exactStratifiedTake(docs, "doc_id", "lang", frac)
+    val quotas = exact.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sampling.thresholdStratifiedTake(docs, "doc_id", "lang", frac)
+    val counts = approx.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // count-error contract quantified on the harness corpus: with the
+    // default sketch accuracy (10k ≥ n_g, so the sketch is exact here)
+    // the residual error is grid rounding (≤ n_g/1000) + coin ties —
+    // per stratum that is ≤ 1 row at this scale, and both directions
+    // stay within 10% + 1 of the quota
+    for ((lang, q) <- quotas) {
+      val c = counts.getOrElse(lang, 0L)
+      assert(math.abs(c - q) <= math.max(1L, (0.1 * q).toLong),
+        s"stratum $lang: took $c vs quota $q")
+    }
+    val globalErr = math.abs(counts.values.sum - quotas.values.sum).toDouble /
+      quotas.values.sum
+    assert(globalErr <= 0.05, s"global count error $globalErr")
+    // content-stable: repartitioning must not change WHICH rows are taken
+    val ids = approx.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.thresholdStratifiedTake(docs.repartition(13),
+      "doc_id", "lang", frac).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == ids2)
+    // the scale contract: the ONLY row_number in the plan is the
+    // |groups|-row quota ranking — the corpus goes through an aggregate
+    // + broadcast join + filter, never a per-stratum ranking sort
+    // (compare: the exact variant ranks the corpus, so it has two)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert("row_number".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(plan.contains("percentile_approx"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    assert("row_number".r.findAllIn(exactPlan).size == 2, exactPlan.take(2000))
+  }
 }
