@@ -4159,7 +4159,67 @@ object Queries {
               |  round(avg(q), 4) AS avg_quality,
               |  CAST(sum(n_email) AS BIGINT) AS n_emails
               |FROM m JOIN sc USING (doc_id)
-              |GROUP BY source, lang""".stripMargin)))
+              |GROUP BY source, lang""".stripMargin)),
+
+    Q("q129_countmin_merge",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // CMS MERGEABILITY under oracle (q116's streaming/incremental
+        // citizenship claim, promoted from spec to hash-gated query):
+        // three sketches built over a DISJOINT doc_id%3 partition of the
+        // corpus, merged by cell-wise sum, probed at the exact top-20
+        // tokens NEXT TO the monolithic sketch's estimates. The cells
+        // are deterministic (md5-hex6 coin), so the DuckDB oracle
+        // rebuilds ONE sketch in SQL and projects its estimate as BOTH
+        // columns — Spark's merged and monolithic paths must each equal
+        // the replay, which makes merged == monolithic row-for-row (a
+        // lost batch, a double-counted cell, or a salt drift between
+        // build and merge all hash-fail).
+        val docs = tbl("documents")
+        val batches = (0 until 3).map(i =>
+          docs.filter(col("doc_id") % 3 === i))
+        val merged = operators.Frequency.countMinMerge(
+          batches.map(b => operators.Frequency.countMinBuild(b, "text",
+            depth = 4, width = 1024)))
+        val mono = operators.Frequency.countMinBuild(docs, "text",
+          depth = 4, width = 1024)
+        val exact = docs.select(explode(
+            Text.tokens(lower(col("text")))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(20)
+        val estM = operators.Frequency.countMinEstimate(merged, exact, "tok",
+          depth = 4, width = 1024)
+          .withColumnRenamed("est", "est_merged")
+        val estO = operators.Frequency.countMinEstimate(mono, exact, "tok",
+          depth = 4, width = 1024)
+          .withColumnRenamed("est", "est_mono")
+        exact.join(estM, Seq("tok")).join(estO, Seq("tok"))
+          .select(col("tok"), col("cnt"), col("est_merged"), col("est_mono"))
+      },
+      Some {
+        val uTerms = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        val build = (0 until 4).map { sd =>
+          s"""SELECT $sd AS seed, ($uTerms) % 1024 AS bucket
+             |  FROM (SELECT md5(tok || ':cms$sd') AS h FROM t)""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        val probe = (0 until 4).map { sd =>
+          s"""SELECT tok, $sd AS seed, ($uTerms) % 1024 AS bucket
+             |  FROM (SELECT tok, md5(tok || ':cms$sd') AS h FROM ex)""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+           |  FROM documents),
+           |ex AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+           |       ORDER BY cnt DESC, tok LIMIT 20),
+           |cell AS (SELECT seed, bucket, count(*) AS scnt
+           |  FROM ($build) GROUP BY seed, bucket),
+           |qc AS ($probe),
+           |est AS (SELECT tok, min(scnt) AS est FROM qc
+           |        JOIN cell USING (seed, bucket) GROUP BY tok)
+           |SELECT ex.tok, ex.cnt, est.est AS est_merged, est.est AS est_mono
+           |FROM ex JOIN est USING (tok)""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -148,4 +148,21 @@ object Frequency {
       .join(broadcast(sketch), Seq("seed", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Merge [[countMinBuild]] sketches by CELL-WISE SUM — the linearity
+    * that makes the CMS a streaming/incremental citizen: counters are
+    * per-cell token tallies, so sketches built over DISJOINT corpus
+    * slices sum to exactly the sketch of their union (same md5-coin
+    * cell addresses on every engine and batch — not approximately, cell
+    * for cell), and estimates from the merged sketch equal monolithic
+    * estimates. Per-batch cost is the batch's own build; the merge
+    * exchange is bounded by depth·width counters per input sketch
+    * regardless of corpus size. All inputs MUST share (depth, width)
+    * and the cell-address salt — summing differently-shaped sketches is
+    * meaningless, so mismatched schemas fail the union. */
+  def countMinMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy("seed", "bucket").agg(sum(col("cnt")).as("cnt"))
+  }
 }

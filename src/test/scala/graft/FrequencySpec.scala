@@ -101,13 +101,13 @@ class FrequencySpec extends AnyFunSuite {
     import spark.implicits._
     val a = (1 to 150).map(i => s"w${i % 11} x$i").toDF("text")
     val b = (151 to 300).map(i => s"w${i % 11} x$i").toDF("text")
-    def cellMap(df: org.apache.spark.sql.DataFrame) =
-      Frequency.countMinBuild(df, "text", depth = 4, width = 32).collect()
-        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-    val whole = cellMap(a.unionByName(b))
-    val merged = (cellMap(a).toSeq ++ cellMap(b).toSeq)
-      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    assert(whole == merged)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = cells(Frequency.countMinBuild(a.unionByName(b), "text",
+      depth = 4, width = 32))
+    val merged = cells(Frequency.countMinMerge(Seq(a, b).map(d =>
+      Frequency.countMinBuild(d, "text", depth = 4, width = 32))))
+    assert(whole == merged) // cell-for-cell, not just estimate-for-estimate
   }
 
   test("countMin: build shuffles sketch cells, never the domain") {
