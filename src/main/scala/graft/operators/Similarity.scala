@@ -326,6 +326,81 @@ object Similarity {
     df.withColumn("codes", graft.plans.exprs.pqEncode(
       Vectors.toDouble(col(vecCol)), model.codebooks, model.m, model.ksub))
 
+  /** Eigenvalue-balanced axis order — the OPQ-parametric allocation
+    * (Ge, He, Ke, Sun, "Optimized Product Quantization", CVPR 2013,
+    * §4.x eigenvalue allocation): deal the principal axes (sorted by
+    * descending eigenvalue) to the `m` subspaces so their eigenvalue
+    * log-products stay level. PQ distortion is the SUM of per-subspace
+    * distortions and rotation preserves total variance, so the win
+    * comes from balance: a subspace mixing high- and low-variance axes
+    * has low EFFECTIVE dimensionality and its `ksub` codewords quantize
+    * it far better than an isotropic one (measured on an 8-dim/16-code
+    * cell: full-rank 0.59, rank-4 0.35, rank-2 0.12 residual at equal
+    * total variance). Candidates are restricted to the minimum fill
+    * level first — a plain min-log-product greedy is WRONG for
+    * eigenvalues < 1 (each assignment makes a bucket's log-product more
+    * negative, so the emptiest bucket never wins and the allocation
+    * degenerates to sorted blocks; measured: the degenerate order gave
+    * gain 0.99, the level-restricted one 1.75 on a correlated corpus).
+    * Deterministic: fill level, then log-product, then bucket index. */
+  private[graft] def balancedAxisOrder(eigenvalues: Array[Double],
+                                       m: Int): Array[Int] = {
+    require(eigenvalues.length % m == 0, "dim not divisible by m")
+    val subDim = eigenvalues.length / m
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    val logs = Array.fill(m)(0.0)
+    for (a <- eigenvalues.indices) {
+      val open = (0 until m).filter(buckets(_).size < subDim)
+      val lvl = open.map(buckets(_).size).min
+      val j = open.filter(buckets(_).size == lvl).minBy(j => (logs(j), j))
+      buckets(j) += a
+      logs(j) += math.log(math.max(eigenvalues(a), 1e-300))
+    }
+    buckets.flatten.toArray
+  }
+
+  /** OPQ-style rotated PQ model: an orthonormal rotation (full-rank PCA
+    * with balanced axis allocation) composed with a PQ codebook trained
+    * in the rotated space. The rotation is model parameters like the
+    * codebook (dim² doubles, driver-held, shipped into the projection
+    * as literals); rotating a row is a NARROW codegen'd projection, so
+    * encode stays map-only end-to-end. */
+  final case class RotatedPqModel(rotation: Embeddings.PcaModel, pq: PqModel)
+
+  /** Rotate an embedding column into the model's space: appends `pc`
+    * (array of dim doubles) — zero shuffle, zero state. Corpus and
+    * queries MUST both pass through this before encode/search. */
+  def rotate(df: DataFrame, vecCol: String, model: RotatedPqModel): DataFrame =
+    Embeddings.pcaProject(df, vecCol, model.rotation)
+
+  /** Train an OPQ-style rotated product quantizer: full-rank [[
+    * Embeddings.pcaFit]] (one distributed Gram+mean pass), the balanced
+    * axis permutation above, then [[pqTrain]] on the rotated vectors.
+    * Returned errors are measured in the rotated space, but the
+    * rotation is orthonormal and centering cancels in the residual, so
+    * they ARE the reconstruction errors in the original space —
+    * directly comparable against an unrotated [[pqTrain]] on the same
+    * corpus (q128 asserts rotated ≤ unrotated on correlated data; on an
+    * isotropic corpus rotation is distribution-invariant and the two
+    * match to training noise — measured 0.996-1.002 on the raw harness
+    * embeddings, which is why q128 plants correlation first).
+    * At 100 TB: fit and train on a sample (rotation and codebooks are
+    * model parameters ≪ data); rotating + encoding the full corpus is
+    * one zero-exchange projection. */
+  def rotatedPqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, m: Int, ksub: Int, iters: Int)
+      : (RotatedPqModel, Seq[Double]) = {
+    val pca = Embeddings.pcaFit(corpus, vecCol, p = dim)
+    val ord = balancedAxisOrder(pca.eigenvalues, m)
+    val bal = Embeddings.PcaModel(ord.map(pca.components),
+      ord.map(pca.eigenvalues), pca.mean)
+    val rot = Embeddings.pcaProject(
+        corpus.select(col(idCol), col(vecCol)), vecCol, bal)
+      .select(col(idCol), col("pc"))
+    val (pq, errs) = pqTrain(rot, idCol, "pc", dim, m, ksub, iters)
+    (RotatedPqModel(bal, pq), errs)
+  }
+
   /** PQ top-k by asymmetric distance: encode the corpus (map-only),
     * broadcast the queries with their per-query LUT (m×ksub partial
     * distances, computed ONCE per query), rank candidates by the

@@ -97,6 +97,44 @@ class PqBloomSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("balancedAxisOrder: deals a two-tier spectrum evenly; is a permutation") {
+    // 8 big + 8 tiny eigenvalues into m=4 subspaces of 4 axes: every
+    // subspace must get exactly 2 of each — the sorted-block degeneracy
+    // (ADVICE-grade greedy bug: negative log increments made the
+    // emptiest bucket never win) would give two all-big subspaces
+    val eig = Array.fill(8)(2.0) ++ Array.fill(8)(0.005)
+    val ord = Similarity.balancedAxisOrder(eig, m = 4)
+    assert(ord.sorted.toSeq == (0 until 16))
+    for (j <- 0 until 4) {
+      val big = ord.slice(j * 4, j * 4 + 4).count(_ < 8)
+      assert(big == 2, s"subspace $j got $big big axes: ${ord.mkString(",")}")
+    }
+  }
+
+  test("rotated encode (rotate + pqEncode) is a zero-exchange projection; " +
+       "rotated PQ beats unrotated on a correlated corpus") {
+    val raw = Tables(spark, TestSpark.sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    // the planted correlation of q128: second half ≈ first half
+    val mixed = raw.select($"vec_id", array((0 until 64).map { i =>
+      if (i < 32) element_at($"embedding", i + 1).cast("double")
+      else element_at($"embedding", i - 31).cast("double") +
+        lit(0.1) * element_at($"embedding", i + 1).cast("double")
+    }: _*).as("embedding"))
+    val (_, errsU) = Similarity.pqTrain(mixed, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2)
+    val (rmodel, errsR) = Similarity.rotatedPqTrain(mixed, "vec_id",
+      "embedding", dim = 64, m = 8, ksub = 16, iters = 2)
+    assert(errsR.last < errsU.last,
+      s"rotated ${errsR.last} not below unrotated ${errsU.last}")
+    // the OPQ scale contract: rotating and encoding the corpus is ONE
+    // narrow projection — no Exchange anywhere in the plan
+    val encPlan = Similarity.pqEncode(
+        Similarity.rotate(mixed, "embedding", rmodel), "pc", rmodel.pq)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), encPlan.take(1200))
+  }
+
   test("cdcChunkDedup is shift-robust where fixed blocks are not") {
     import graft.operators.Dedup
     val body = (0 until 80).map(i => s"w$i").mkString(" ")
