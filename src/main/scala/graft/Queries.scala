@@ -4305,7 +4305,97 @@ object Queries {
            |        JOIN cell USING (seed, bucket) GROUP BY tok)
            |SELECT ex.tok, ex.cnt, est.est AS est_merged, est.est AS est_mono
            |FROM ex JOIN est USING (tok)""".stripMargin
-      }))
+      }),
+
+    Q("q130_ann_store_ingest",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // INCREMENTAL ANN INGESTION — the IVF-PQ index under the
+        // bucketed-store discipline (q68/q91's production loop applied
+        // to the ANN index): centroids + codebooks trained once on the
+        // initial corpus and FROZEN; the initial corpus is written as a
+        // cell_id-bucketed store; two later batches (the held-out third
+        // of the fixture, plus planted exact twins) append by
+        // routing+encoding in one zero-exchange projection — an append
+        // never reads the store, so per-batch cost ∝ batch size, and
+        // probes against the store stay exchange-free on the store side
+        // as it grows. Contracts in-plan (models aren't SQL-replayable —
+        // the q121/q123/q128 pattern): (a) after both appends, store
+        // probes at full nProbe equal Similarity.ivfPqTopK over the
+        // union of every ingested batch ROW-FOR-ROW (a lost append row,
+        // a bucket-spec drift, or probe-side LUT drift all fail);
+        // (b) a twin appended in batch 2 is recalled at nProbe=1 with
+        // ADC equal to its own quantization error — the maintained
+        // store answers exactly like a monolithic index; (c) the store
+        // holds exactly |corpus| + |twins| rows.
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val table = "q130_ann_store"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        val initial = emb.filter(col("vec_id") % 3 =!= 0)
+        val (model, _) = Similarity.pqTrain(initial, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        val cents = Similarity.trainCentroidsKMeans(initial, "vec_id",
+          "embedding", dim = 64, cells = 8, iters = 2)
+        val cs = Similarity.collectCentroids(cents)
+        operators.Incremental.writeAnnStore(initial, "vec_id", "embedding",
+          cs, model, table, numBuckets = 8)
+        val twins = emb.filter(col("vec_id") % 101 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val batch1 = emb.filter(col("vec_id") % 3 === 0 &&
+          expr("(vec_id div 3) % 2 = 0"))
+        val batch2 = emb.filter(col("vec_id") % 3 === 0 &&
+          expr("(vec_id div 3) % 2 = 1")).unionByName(twins)
+        operators.Incremental.appendToAnnStore(batch1, "vec_id", "embedding",
+          cs, model, table, numBuckets = 8)
+        operators.Incremental.appendToAnnStore(batch2, "vec_id", "embedding",
+          cs, model, table, numBuckets = 8)
+        val union = emb.unionByName(twins)
+        // (a) store probes == monolithic IVF-PQ over the ingested union
+        val fromStore = operators.Incremental.annStoreTopK(s, table, twins,
+          "vec_id", "embedding", cs, model, k = 5, nProbe = 8)
+        val mono = Similarity.ivfPqTopK(union, twins, cents, "vec_id",
+          "embedding", model, k = 5, nProbe = 8)
+        val eqStats = fromStore.withColumnRenamed("neighbor_id", "n_st")
+          .withColumnRenamed("adc", "adc_st")
+          .join(mono.withColumnRenamed("neighbor_id", "n_mo")
+            .withColumnRenamed("adc", "adc_mo"), Seq("query_id", "rnk"), "full")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("n_st") === col("n_mo") &&
+              col("adc_st") === col("adc_mo"), lit(0L)).otherwise(lit(1L)))
+              .as("n_diff"))
+        // (b) batch-2 twin recall at nProbe = 1 against the store
+        val p1 = operators.Incremental.annStoreTopK(s, table, twins,
+          "vec_id", "embedding", cs, model, k = 1, nProbe = 1)
+        val selfErr = Similarity.pqEncode(twins, "embedding", model)
+          .select(col("vec_id").as("query_id"),
+            graft.plans.exprs.pqAdc(col("codes"),
+              graft.plans.exprs.pqLut(
+                graft.functions.Vectors.toDouble(col("embedding")),
+                model.codebooks, model.m, model.ksub), model.ksub)
+              .as("self_adc"))
+        val recallStats = p1.join(selfErr, Seq("query_id"))
+          .agg(count(lit(1)).as("n_p1"),
+            sum(when(col("adc") === col("self_adc"), lit(0L)).otherwise(lit(1L)))
+              .as("n_missed"))
+        val nTwins = emb.filter(col("vec_id") % 101 === 0)
+          .agg(count(lit(1)).as("n_twins"))
+        // (c) append visibility: one store row per ingested vector
+        val storeN = s.table(table).agg(count(lit(1)).as("n_store"))
+        val unionN = union.agg(count(lit(1)).as("n_union"))
+        eqStats.crossJoin(broadcast(recallStats)).crossJoin(broadcast(nTwins))
+          .crossJoin(broadcast(storeN)).crossJoin(broadcast(unionN))
+          .select(
+            Clean.flag(col("n_diff") === 0 && col("n_rows") > 0)
+              .as("store_eq_monolithic"),
+            Clean.flag(col("n_missed") === 0 && col("n_p1") === col("n_twins") &&
+              col("n_p1") > 0).as("twin_recall_p1"),
+            Clean.flag(col("n_store") === col("n_union")).as("store_rows_ok"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS store_eq_monolithic,
+             |CAST(1 AS BIGINT) AS twin_recall_p1,
+             |CAST(1 AS BIGINT) AS store_rows_ok""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

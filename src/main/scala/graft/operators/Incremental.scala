@@ -401,6 +401,96 @@ object Incremental {
         bands, bitsPerBand)
     }
 
+  // ── incremental ANN ingestion: the IVF-PQ index as a bucketed ────────
+  //    store (Similarity.ivfPqTopK's corpus side made persistent — new
+  //    batches encode map-only and append; probes read the store)
+
+  /** One encoded index row per vector: (cell_id, id, codes) — routing
+    * and PQ encoding fused in ONE zero-exchange projection (the q123
+    * IVFADC shape; both models are driver-held codegen reference
+    * objects). This is everything a probe needs: m small ints instead
+    * of the vector, keyed by the cell the probe join filters on. */
+  def annEncode(emb: DataFrame, idCol: String, vecCol: String,
+                cs: Similarity.CentroidSet,
+                model: Similarity.PqModel): DataFrame =
+    Similarity.pqEncode(
+        Similarity.assignCells(
+          emb.select(col(idCol).as("id"), col(vecCol).as("__v")), "__v", cs),
+        "__v", model)
+      .select(col("cell_id"), col("id"), col("codes"))
+
+  /** Materialize the IVF-PQ index as a catalog table bucketed on
+    * `cell_id` (the [[writeStore]] discipline applied to the ANN
+    * index). The probe join itself broadcasts the QUERIES, so the
+    * store side never shuffles regardless; the cell_id bucket layout
+    * buys the rest of the index lifecycle: appended rows of a cell
+    * land in that cell's bucket files batch after batch (probe scans
+    * stay cell-clustered as the index grows), per-cell maintenance
+    * (re-encoding a drifted cell, splitting a fat one) bucket-prunes
+    * to the cell's files (spec-asserted), and a probe set too large to
+    * broadcast can swap the hint for a shuffled cell_id join that is
+    * exchange-free on the store side. The models are FROZEN at write
+    * time:
+    * batches appended later encode against the same centroids/codebooks,
+    * which is what makes append map-only — retrain + full rewrite is a
+    * separate, deliberate operation (the IVF-PQ analogue of
+    * [[compactStore]]'s rebuild, done when drift accumulates). */
+  def writeAnnStore(emb: DataFrame, idCol: String, vecCol: String,
+                    cs: Similarity.CentroidSet, model: Similarity.PqModel,
+                    table: String, numBuckets: Int): Unit =
+    ParquetSink.bucketed(annEncode(emb, idCol, vecCol, cs, model), table,
+      Seq("cell_id"), numBuckets, mode = org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Append a batch to an existing [[writeAnnStore]] index: the batch is
+    * routed + encoded in one zero-exchange projection, and the only
+    * exchange anywhere is the bucketed write's shuffle of the BATCH's
+    * own m-byte code rows into the cell buckets — per-batch cost is
+    * proportional to the batch, never the store (the store is not read
+    * at all). Appends preserve the bucket spec (Spark validates it), so
+    * probes stay exchange-free as the index grows. */
+  def appendToAnnStore(emb: DataFrame, idCol: String, vecCol: String,
+                       cs: Similarity.CentroidSet, model: Similarity.PqModel,
+                       table: String, numBuckets: Int): Unit =
+    ParquetSink.bucketed(annEncode(emb, idCol, vecCol, cs, model), table,
+      Seq("cell_id"), numBuckets, mode = org.apache.spark.sql.SaveMode.Append)
+
+  /** Top-k ANN probes against a [[writeAnnStore]] index — byte-for-byte
+    * the [[Similarity.ivfPqTopK]] probe side, with the corpus replaced
+    * by the persisted store: queries broadcast with their nProbe target
+    * cells and ADC LUT, the candidate join filters the store to the
+    * probed cells' code rows, and the ONE shuffle exchange in the plan
+    * is the final per-query ranking window (map-side-limited by partial
+    * WindowGroupLimit) — spec-asserted. Exactness contract (q130's
+    * oracle): after any append sequence, the result at any nProbe
+    * equals [[Similarity.ivfPqTopK]] over the union of all ingested
+    * batches with the same frozen models, row for row. */
+  def annStoreTopK(spark: SparkSession, table: String, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   cs: Similarity.CentroidSet, model: Similarity.PqModel,
+                   k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = spark.table(table).select(col("cell_id"),
+      col("id").as("neighbor_id"), col("codes"))
+    val probed = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("lut", graft.plans.exprs.pqLut(
+          graft.functions.Vectors.toDouble(col("__qv")),
+          model.codebooks, model.m, model.ksub))
+        .withColumn("cell_id", explode(graft.plans.exprs.nearestCells(
+          col("__qv"), cs.ids, cs.matrix, math.min(nProbe, cs.k))))
+        .select(col("cell_id"), col("query_id"), col("lut")))
+    store.join(probed, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", graft.plans.exprs.pqAdc(col("codes"), col("lut"),
+        model.ksub))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").cast("long").as("rnk"), col("adc"))
+  }
+
   /** Rows of `newEmb` that survive greedy cosine dedup against the
     * historical `store` (an [[embeddingSignatures]]-schema DataFrame)
     * AND within the batch: drop a batch vector with cosine ≥ `threshold`

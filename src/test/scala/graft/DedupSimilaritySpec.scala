@@ -615,4 +615,65 @@ class DedupSimilaritySpec extends AnyFunSuite {
         r.getAs[Long]("semdup")).toMap
     assert(strict.values.sum == 1L && strict(2L) == 1L, strict.toString)
   }
+
+  test("ANN store: map-only append encode, probes equal monolithic IVF-PQ, " +
+       "one-shuffle probe plan, per-cell bucket pruning") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val initial = emb.filter($"vec_id" % 3 =!= 0)
+    val (model, _) = Similarity.pqTrain(initial, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 1)
+    val cents = Similarity.trainCentroidsKMeans(initial, "vec_id",
+      "embedding", dim = 64, cells = 4, iters = 1)
+    val cs = Similarity.collectCentroids(cents)
+    // an append's whole computation (route + encode) is zero-exchange —
+    // per-batch cost is the batch's own scan plus the bucketed write
+    val encPlan = Incremental.annEncode(emb, "vec_id", "embedding", cs, model)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), encPlan.take(800))
+    Incremental.writeAnnStore(initial, "vec_id", "embedding", cs, model,
+      "ann_store", numBuckets = 4)
+    Incremental.appendToAnnStore(emb.filter($"vec_id" % 3 === 0), "vec_id",
+      "embedding", cs, model, "ann_store", numBuckets = 4)
+    try {
+      val q = emb.filter($"vec_id" < 5)
+      val viaStore = Incremental.annStoreTopK(spark, "ann_store", q,
+        "vec_id", "embedding", cs, model, k = 3, nProbe = 4)
+      val mono = Similarity.ivfPqTopK(emb, q, cents, "vec_id", "embedding",
+        model, k = 3, nProbe = 4)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3)))
+        .toMap
+      assert(keyed(viaStore) == keyed(mono)) // append-built == monolithic
+      // probe plan: queries broadcast; the ONE shuffle exchange is the
+      // ranking window, so the store's code rows never shuffle (AQE's
+      // toString repeats nodes under "Initial Plan" — count the final
+      // section only)
+      val plan = viaStore.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Broadcast"), plan.take(1200))
+      val shuffles = plan.linesIterator
+        .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+      assert(shuffles == 1, plan.take(1500))
+      // per-cell maintenance reads prune to the cell's bucket files.
+      // autoBucketedScan turns bucketed reading off for a bare filter
+      // (no join needs the distribution), which also forfeits pruning —
+      // a maintenance job pins it on, as here
+      val prevAuto = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      try {
+        val pruned = spark.table("ann_store").filter($"cell_id" === 0)
+        pruned.collect()
+        val scan = pruned.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(scan.contains("SelectedBucketsCount: 1 out of 4"),
+          scan.take(1200))
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    } finally {
+      spark.sql("DROP TABLE ann_store")
+    }
+  }
 }
