@@ -4395,7 +4395,39 @@ object Queries {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS store_eq_monolithic,
              |CAST(1 AS BIGINT) AS twin_recall_p1,
-             |CAST(1 AS BIGINT) AS store_rows_ok""".stripMargin)))
+             |CAST(1 AS BIGINT) AS store_rows_ok""".stripMargin)),
+
+    Q("q131_i420_decode",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // PLANAR-YUV video decode end-to-end: synthesize real I420 AVIs
+        // (RIFF container, 'I420' fourcc, one fixed-size planar frame
+        // chunk per frame — full-res Y plane + two ⌈w/2⌉×⌈h/2⌉ chroma
+        // planes, geometry deterministic from doc_id WITH odd
+        // dimensions so the rounded-up chroma arithmetic is exercised)
+        // and decode genuine width/height/frame-count back through the
+        // shared RIFF walker + fixed-point BT.601 YUV→RGB arithmetic.
+        // The q90/q115 recipe on the third codec family — after this,
+        // decodeStub's video domain is genuinely COMPRESSED codecs
+        // without a JDK decoder (cinepak/h264/...); every uncompressed
+        // layout (packed DIB, planar YUV) and MJPEG decode for real.
+        // The decoded-pixel checksum is spec-gated against an
+        // independent YUV reimplementation (StreamingMultimodalSpec).
+        operators.Multimodal.extractFeatures(
+            operators.Multimodal.i420VideosFromDocuments(tbl("documents")))
+          .toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("channels").cast("long").as("channels"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(6 + doc_id % 11 AS BIGINT) AS width,
+             |CAST(5 + (doc_id // 11) % 6 AS BIGINT) AS height,
+             |CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+             |CAST(3 AS BIGINT) AS channels
+             |FROM documents""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -328,16 +328,157 @@ object Multimodal {
   /** biCompression fourcc for motion-JPEG ('MJPG' little-endian). */
   private val MJPG = 0x47504a4d
 
+  /** biCompression fourcc for planar YUV 4:2:0 ('I420' little-endian) —
+    * the standard UNCOMPRESSED planar format real capture pipelines
+    * emit: a full-resolution Y plane followed by quarter-resolution U
+    * and V planes (chroma dims ⌈w/2⌉×⌈h/2⌉). No codec involved —
+    * decoding is pure integer arithmetic, so it belongs on the real
+    * decode path, not the stub. */
+  private val I420 = 0x30323449
+
+  /** Fixed-point BT.601 FULL-RANGE YUV→RGB (the JPEG-range integer
+    * approximation: R = Y + (359·(V−128))>>8, G = Y − (88·(U−128) +
+    * 183·(V−128))>>8, B = Y + (454·(U−128))>>8, clamped) — the single
+    * conversion convention for both the synthesizer and the decoder;
+    * chroma upsampling is nearest-neighbor (each 2×2 block shares its
+    * U,V sample). Deterministic integer math, independently
+    * re-implemented in the spec's expected-checksum recompute. */
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Deterministic geometry for a synthesized I420 clip — moduli differ
+    * from [[mjpegSpec]] and include odd widths/heights, so the rounded-up
+    * chroma-plane arithmetic (⌈w/2⌉) is actually exercised. */
+  def i420Spec(docId: Long): (Int, Int, Int) =
+    (6 + math.floorMod(docId, 11L).toInt,                    // width
+     5 + math.floorMod(math.floorDiv(docId, 11L), 6L).toInt, // height
+     1 + math.floorMod(docId, 4L).toInt)                     // frames
+
+  /** Encode a real I420 AVI: the [[synthesizeAvi]] RIFF container with
+    * strh/strf declaring the 'I420' planar-YUV format and one fixed-size
+    * frame chunk per frame (w·h luma bytes + 2·⌈w/2⌉·⌈h/2⌉ chroma
+    * bytes). Frame pixels come from [[aviPixel]] (same hash family as
+    * every other synthesized clip); Y is the per-pixel BT.601 luma and
+    * each chroma sample is computed from the MEAN RGB of its 2×2 block
+    * (standard 4:2:0 downsampling, edge blocks average the pixels that
+    * exist). */
+  def synthesizeI420Avi(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+    val cw = (width + 1) / 2; val chh = (height + 1) / 2
+    val frameSize = width * height + 2 * cw * chh
+    val payloads = (0 until frames).map { f =>
+      val out = new Array[Byte](frameSize)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val rgb = aviPixel(seed, f, x, y, width, height)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          out(y * width + x) = ((77 * r + 150 * g + 29 * b + 128) >> 8).toByte
+          x += 1
+        }
+        y += 1
+      }
+      var cy = 0
+      while (cy < chh) {
+        var cx = 0
+        while (cx < cw) {
+          var sr = 0; var sg = 0; var sb = 0; var n = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val px = 2 * cx + dx; val py = 2 * cy + dy
+              if (px < width && py < height) {
+                val rgb = aviPixel(seed, f, px, py, width, height)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff; n += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          val r = (sr + n / 2) / n; val g = (sg + n / 2) / n
+          val b = (sb + n / 2) / n
+          out(width * height + cy * cw + cx) =
+            clamp8(128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)).toByte
+          out(width * height + cw * chh + cy * cw + cx) =
+            clamp8(128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)).toByte
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+    val moviSize = 4 + payloads.map(p => 8 + p.length + (p.length & 1)).sum
+    val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(33333)               // dwMicroSecPerFrame (30 fps)
+    buf.putInt(frameSize * 30)      // dwMaxBytesPerSec
+    buf.putInt(0)                   // dwPaddingGranularity
+    buf.putInt(0)                   // dwFlags
+    buf.putInt(frames)              // dwTotalFrames
+    buf.putInt(0)                   // dwInitialFrames
+    buf.putInt(1)                   // dwStreams
+    buf.putInt(frameSize)           // dwSuggestedBufferSize
+    buf.putInt(width); buf.putInt(height)
+    (0 until 4).foreach(_ => buf.putInt(0)) // dwReserved
+    fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("I420")
+    buf.putInt(0); buf.putInt(0)    // dwFlags, wPriority+wLanguage
+    buf.putInt(0)                   // dwInitialFrames
+    buf.putInt(1); buf.putInt(30)   // dwScale / dwRate = 30 fps
+    buf.putInt(0); buf.putInt(frames) // dwStart, dwLength
+    buf.putInt(frameSize)           // dwSuggestedBufferSize
+    buf.putInt(-1)                  // dwQuality
+    buf.putInt(frameSize)           // dwSampleSize (fixed-size samples)
+    buf.putShort(0); buf.putShort(0) // rcFrame left, top
+    buf.putShort(width.toShort); buf.putShort(height.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40)                  // biSize
+    buf.putInt(width); buf.putInt(height)
+    buf.putShort(1); buf.putShort(12)     // biPlanes, biBitCount (4:2:0)
+    buf.putInt(I420)                // biCompression = 'I420'
+    buf.putInt(frameSize)           // biSizeImage
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    for (p <- payloads) {
+      fourcc("00dc"); buf.putInt(p.length)
+      buf.put(p)
+      if ((p.length & 1) == 1) buf.put(0.toByte) // word alignment
+    }
+    buf.array()
+  }
+
+  /** Media table of REAL I420 payloads, one per document, geometry
+    * deterministic from doc_id ([[i420Spec]]) — partition-parallel
+    * synthesis like the DIB and MJPEG tables. */
+  def i420VideosFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h, frames) = i420Spec(id)
+        MediaRecord(id, "video/avi", synthesizeI420Avi(w, h, frames, id))
+      }
+    }
+  }
+
   /** REAL video decode: a pure-JDK RIFF/AVI parser for uncompressed
-    * BI_RGB DIB streams AND motion-JPEG ('MJPG') streams — walks the
-    * chunk tree (hdrl → strh/strf for the 'vids' geometry, movi for
-    * the frame chunks), validates every frame chunk (size against the
-    * DIB stride for BI_RGB; SOI marker + in-bounds for MJPG, whose
-    * chunk sizes vary per frame), and DECODES the frames: BI_RGB by
-    * direct DIB byte walk, MJPG through the JDK's ImageIO JPEG codec
-    * (each frame chunk is a complete JFIF payload — the MJPEG
-    * contract), rejecting any frame whose decoded geometry contradicts
-    * the strf header. The returned checksum is FNV-1a over the decoded
+    * BI_RGB DIB streams, planar-YUV 'I420' streams AND motion-JPEG
+    * ('MJPG') streams — walks the chunk tree (hdrl → strh/strf for the
+    * 'vids' geometry, movi for the frame chunks), validates every
+    * frame chunk (size against the DIB stride for BI_RGB / the planar
+    * layout for I420; SOI marker + in-bounds for MJPG, whose chunk
+    * sizes vary per frame), and DECODES the frames: BI_RGB by direct
+    * DIB byte walk, I420 by fixed-point BT.601 YUV→RGB arithmetic,
+    * MJPG through the JDK's ImageIO JPEG codec (each frame chunk is a
+    * complete JFIF payload — the MJPEG contract), rejecting any frame
+    * whose decoded geometry contradicts the strf header. The returned checksum is FNV-1a over the decoded
     * top-down RGB pixel stream (not the container bytes), so a parser
     * that skipped the pixel data could not produce it — spec-asserted
     * against independently recomputed pixels. Returns None for
@@ -367,6 +508,28 @@ object Multimodal {
             fnvByte(bytes(row + 3 * x + 2)) // R
             fnvByte(bytes(row + 3 * x + 1)) // G
             fnvByte(bytes(row + 3 * x))     // B
+            x += 1
+          }
+          y += 1
+        }
+      } else if (ok && codec == I420) {
+        // planar YUV→RGB in place (fixed-point BT.601 full-range,
+        // nearest-neighbor chroma) — like the DIB walk, no raster is
+        // allocated just to hash it
+        val cw = (w + 1) / 2
+        val uOff = off + w * h
+        val vOff = uOff + cw * ((h + 1) / 2)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val lum = bytes(off + y * w + x) & 0xff
+            val ci = (y / 2) * cw + (x / 2)
+            val u = (bytes(uOff + ci) & 0xff) - 128
+            val v = (bytes(vOff + ci) & 0xff) - 128
+            fnvByte(clamp8(lum + ((359 * v + 128) >> 8)))
+            fnvByte(clamp8(lum - ((88 * u + 183 * v + 128) >> 8)))
+            fnvByte(clamp8(lum + ((454 * u + 128) >> 8)))
             x += 1
           }
           y += 1
@@ -416,9 +579,36 @@ object Multimodal {
     out
   }
 
+  /** Decode one I420 frame chunk at `off` into a top-down row-major RGB
+    * raster — the planar analogue of [[frameRgb]] (same fixed-point
+    * BT.601 full-range math as the [[decodeAvi]] checksum walk; the
+    * caller has validated the chunk size against the planar layout). */
+  private def frameRgbI420(bytes: Array[Byte], off: Int, w: Int, h: Int): Array[Byte] = {
+    val cw = (w + 1) / 2
+    val uOff = off + w * h
+    val vOff = uOff + cw * ((h + 1) / 2)
+    val out = new Array[Byte](3 * w * h)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum = bytes(off + y * w + x) & 0xff
+        val ci = (y / 2) * cw + (x / 2)
+        val u = (bytes(uOff + ci) & 0xff) - 128
+        val v = (bytes(vOff + ci) & 0xff) - 128
+        out(i) = clamp8(lum + ((359 * v + 128) >> 8)).toByte
+        out(i + 1) = clamp8(lum - ((88 * u + 183 * v + 128) >> 8)).toByte
+        out(i + 2) = clamp8(lum + ((454 * u + 128) >> 8)).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Walk a RIFF 'AVI ' chunk tree and visit every validated frame
     * chunk: `onFrame(codec, width, height, frameIdx, dataOff, size)` in
-    * stream order, codec = 0 (BI_RGB DIB) or [[MJPG]]. Returns
+    * stream order, codec = 0 (BI_RGB DIB), [[MJPG]] or [[I420]]. Returns
     * Some((width, height, nFrames, codec)) iff the container is a
     * well-formed AVI in one of those codecs with at least one frame —
     * shared by [[decodeAvi]] (whole-stream pixel checksum) and
@@ -444,7 +634,8 @@ object Multimodal {
         val bitCount = buf.getShort(off + 14).toInt
         val compression = buf.getInt(off + 16)
         if (w > 0 && h > 0 &&
-            ((bitCount == 24 && compression == 0) || compression == MJPG)) {
+            ((bitCount == 24 && compression == 0) || compression == MJPG ||
+             compression == I420)) {
           width = w; height = h; codec = compression
         } else valid = false
       } else valid = false
@@ -461,6 +652,10 @@ object Multimodal {
       val sizeOk =
         if (codec == MJPG)
           size >= 2 && bytes(off) == 0xff.toByte && bytes(off + 1) == 0xd8.toByte
+        else if (codec == I420)
+          // fixed planar size: w·h luma + two ⌈w/2⌉×⌈h/2⌉ chroma planes
+          size.toLong == width.toLong * height +
+            2L * ((width + 1) / 2) * ((height + 1) / 2)
         else size.toLong == stride * height
       if (width == 0 || !sizeOk || off + size > bytes.length) {
         valid = false; return
@@ -752,6 +947,8 @@ object Multimodal {
           parseAvi(r.media) { (codec, w, h, idx, off, size) =>
             if (ok && idx % stride == 0) {
               if (codec == 0) sampled += ((idx, frameRgb(r.media, off, w, h)))
+              else if (codec == I420)
+                sampled += ((idx, frameRgbI420(r.media, off, w, h)))
               else {
                 // MJPG: decode the sampled frame's JFIF payload to a
                 // top-down RGB raster through the JDK JPEG codec

@@ -677,4 +677,80 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         s"MJPEG raster mismatch frame $idx")
     }
   }
+
+  test("multimodal: I420 planar-YUV AVI decodes for real — geometry, " +
+       "pixels, odd-dimension chroma, fallbacks") {
+    implicit val s = spark
+    import s.implicits._
+    // independent recompute of the decoded-pixel fingerprint WITHOUT the
+    // RIFF walker or Multimodal's decoder: re-derive each frame's YUV
+    // planes from aviPixel (per-pixel BT.601 luma; chroma = mean RGB of
+    // each 2x2 block), then convert back with the documented fixed-point
+    // full-range formulas and hash top-down RGB
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    def expectedChecksum(w: Int, h: Int, frames: Int, seed: Long): Long = {
+      var cs = 0xcbf29ce484222325L
+      def fnv(b: Int): Unit = { cs ^= (b & 0xffL); cs *= 0x100000001b3L }
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      for (f <- 0 until frames) {
+        val lum = Array.tabulate(h, w) { (y, x) =>
+          val rgb = Multimodal.aviPixel(seed, f, x, y, w, h)
+          (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+            29 * (rgb & 0xff) + 128) >> 8
+        }
+        val uv = Array.tabulate(ch, cw) { (cy, cx) =>
+          val px = for (dy <- 0 until 2; dx <- 0 until 2;
+                        x = 2 * cx + dx; y = 2 * cy + dy
+                        if x < w && y < h)
+            yield Multimodal.aviPixel(seed, f, x, y, w, h)
+          val n = px.size
+          val r = (px.map(p => (p >> 16) & 0xff).sum + n / 2) / n
+          val g = (px.map(p => (p >> 8) & 0xff).sum + n / 2) / n
+          val b = (px.map(p => p & 0xff).sum + n / 2) / n
+          (clamp(128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)),
+           clamp(128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)))
+        }
+        for (y <- 0 until h; x <- 0 until w) {
+          val (uu, vv) = uv(y / 2)(x / 2)
+          val u = uu - 128; val v = vv - 128
+          fnv(clamp(lum(y)(x) + ((359 * v + 128) >> 8)))
+          fnv(clamp(lum(y)(x) - ((88 * u + 183 * v + 128) >> 8)))
+          fnv(clamp(lum(y)(x) + ((454 * u + 128) >> 8)))
+        }
+      }
+      cs
+    }
+    // ids chosen so both width and height hit ODD values (the ⌈w/2⌉
+    // chroma rounding) as well as even ones
+    for (id <- Seq(0L, 1L, 7L, 24L, 100L, 12345L)) {
+      val (w, h, frames) = Multimodal.i420Spec(id)
+      val rec = Multimodal.MediaRecord(id, "video/avi",
+        Multimodal.synthesizeI420Avi(w, h, frames, id))
+      val f = Multimodal.decode(rec)
+      assert((f.width, f.height, f.n_frames, f.channels) == (w, h, frames, 3),
+        s"I420 decode mismatch for id=$id: $f")
+      assert(f.checksum == expectedChecksum(w, h, frames, id),
+        s"I420 pixel checksum mismatch for id=$id")
+    }
+    assert(Seq(0L, 1L, 7L, 24L).exists(id => Multimodal.i420Spec(id)._1 % 2 == 1))
+    assert(Seq(0L, 1L, 7L, 24L).exists(id => Multimodal.i420Spec(id)._2 % 2 == 1))
+    // truncated container: the fixed-size chunk validation rejects, the
+    // clearly-marked stub takes over — same containment as DIB/MJPEG
+    val avi = Multimodal.synthesizeI420Avi(7, 5, 3, 2L)
+    val broken = Multimodal.MediaRecord(50L, "video/avi", avi.take(avi.length / 2))
+    assert(Multimodal.decode(broken) == Multimodal.decodeStub(broken))
+    // extractVideoFrames materializes I420 rasters: the sampled frame's
+    // raster hash matches the whole-stream decode family (frame 0 of a
+    // 1-frame clip == decodeAvi checksum domain)
+    val one = Multimodal.synthesizeI420Avi(6, 5, 1, 9L)
+    val rows = Multimodal.extractVideoFrames(
+      Seq(Multimodal.MediaRecord(9L, "video/avi", one)).toDS(), 1).collect()
+    assert(rows.length == 1 && rows(0).getInt(1) == 6 && rows(0).getInt(2) == 5)
+    val raster = rows(0).getAs[Array[Byte]]("frame_rgb")
+    var cs = 0xcbf29ce484222325L
+    raster.foreach { b => cs ^= (b & 0xffL); cs *= 0x100000001b3L }
+    assert(cs == Multimodal.decode(
+      Multimodal.MediaRecord(9L, "video/avi", one)).checksum,
+      "raster hash must equal the whole-stream decoded checksum")
+  }
 }
