@@ -4427,7 +4427,47 @@ object Queries {
              |CAST(5 + (doc_id // 11) % 6 AS BIGINT) AS height,
              |CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
              |CAST(3 AS BIGINT) AS channels
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    Q("q132_pca_whiten",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // PCA WHITENING (top-8): the embedding-calibration step before
+        // cosine dedup/ANN on anisotropic spaces — distance in the
+        // whitened space is Mahalanobis distance in the original. The
+        // 1/√λ scales fold into the axis literals at plan build, so the
+        // whole transform is one narrow projection (zero shuffle,
+        // plan-asserted in EmbeddingsSpec). The model isn't
+        // SQL-replayable, so the oracle checks whitening's DEFINING
+        // invariants in-plan (the q120 pattern), each sharp against a
+        // specific break: every whitened component must have mean 0
+        // (centering folded correctly), variance exactly 1 (the 1/√λ
+        // scale against THE eigenpair property — a wrong eigenvalue,
+        // scale, or floor clamp all fail), and distinct components must
+        // be uncorrelated (axes actually orthogonal).
+        val emb = tbl("embeddings")
+        val model = operators.Embeddings.pcaFit(emb, "embedding", p = 8)
+        val w = operators.Embeddings.pcaWhiten(emb, "embedding", model)
+        val means = (0 until 8).map(c =>
+          avg(element_at(col("white"), c + 1)).as(s"m$c"))
+        val vars = (0 until 8).map(c =>
+          var_pop(element_at(col("white"), c + 1)).as(s"v$c"))
+        val covs = for (a <- 0 until 8; b <- a + 1 until 8) yield
+          covar_pop(element_at(col("white"), a + 1),
+            element_at(col("white"), b + 1)).as(s"c${a}_$b")
+        val agg = w.agg(means.head, (means.tail ++ vars ++ covs): _*)
+        val centerOk = (0 until 8).map(c =>
+          abs(col(s"m$c")) <= lit(1e-9)).reduce(_ && _)
+        val unitOk = (0 until 8).map(c =>
+          abs(col(s"v$c") - lit(1.0)) <= lit(1e-6)).reduce(_ && _)
+        val orthOk = (for (a <- 0 until 8; b <- a + 1 until 8) yield
+          abs(col(s"c${a}_$b")) <= lit(1e-6)).reduce(_ && _)
+        agg.select(Clean.flag(centerOk).as("centered_ok"),
+          Clean.flag(unitOk).as("unit_var_ok"),
+          Clean.flag(orthOk).as("decorrelated_ok"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS centered_ok,
+             |CAST(1 AS BIGINT) AS unit_var_ok,
+             |CAST(1 AS BIGINT) AS decorrelated_ok""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -153,4 +153,28 @@ object Embeddings {
     }
     emb.withColumn("pc", array(pcs.toIndexedSeq: _*))
   }
+
+  /** PCA WHITENING: project onto the model's axes and scale each
+    * component by 1/√eigenvalue, so the output has identity covariance
+    * — the calibration step embedding-curation pipelines apply before
+    * cosine dedup / ANN when the raw space is anisotropic (dominant
+    * directions otherwise dominate every inner product; after
+    * whitening, distance is Mahalanobis distance in the original
+    * space). Same plan shape as [[pcaProject]]: the 1/√λ scale folds
+    * into each axis literal at plan build, so the whole transform
+    * stays ONE narrow codegen'd projection — zero shuffle, zero state.
+    * Components with eigenvalue ≤ `floor` (numerically dead directions
+    * — dividing by √λ would amplify float noise unboundedly) are
+    * scaled by 1/√floor instead; appends `white`. */
+  def pcaWhiten(emb: DataFrame, vecCol: String, model: PcaModel,
+                floor: Double = 1e-12): DataFrame = {
+    require(floor > 0, "floor must be positive")
+    val ws = model.components.zip(model.eigenvalues).map { case (axis, eig) =>
+      val s = 1.0 / math.sqrt(math.max(eig, floor))
+      val scaled = axis.map(_ * s)
+      val offset = scaled.zip(model.mean).map { case (a, m) => a * m }.sum
+      Vectors.dotHof(col(vecCol), typedLit(scaled.toSeq)) - lit(offset)
+    }
+    emb.withColumn("white", array(ws.toIndexedSeq: _*))
+  }
 }

@@ -77,4 +77,40 @@ class EmbeddingsSpec extends AnyFunSuite {
       a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
     }
   }
+
+  test("pcaWhiten: identity covariance on anisotropic data, dead-direction " +
+       "floor, zero-exchange projection") {
+    import spark.implicits._
+    // anisotropic 2-d data (variances 1 and 4 along rotated axes)
+    val df = Seq(Array(1f, 1f), Array(-1f, -1f), Array(2f, -2f),
+      Array(-2f, 2f), Array(3f, 3f), Array(-3f, -3f)).toDF("embedding")
+      .repartition(3)
+    val m = Embeddings.pcaFit(df, "embedding", p = 2)
+    val w = Embeddings.pcaWhiten(df, "embedding", m)
+    val stats = w.agg(
+      avg(element_at(col("white"), 1)), var_pop(element_at(col("white"), 1)),
+      avg(element_at(col("white"), 2)), var_pop(element_at(col("white"), 2)),
+      covar_pop(element_at(col("white"), 1), element_at(col("white"), 2)))
+      .head()
+    assert(math.abs(stats.getDouble(0)) < 1e-9)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-9, s"var1 ${stats.getDouble(1)}")
+    assert(math.abs(stats.getDouble(2)) < 1e-9)
+    assert(math.abs(stats.getDouble(3) - 1.0) < 1e-9, s"var2 ${stats.getDouble(3)}")
+    assert(math.abs(stats.getDouble(4)) < 1e-9)
+    // a numerically dead direction (λ ≈ 0) must not amplify noise: the
+    // floor caps its scale at 1/√floor instead of 1/√0
+    val degenerate = Seq(Array(1f, 0f), Array(2f, 0f), Array(3f, 0f))
+      .toDF("embedding")
+    val md = Embeddings.pcaFit(degenerate, "embedding", p = 2)
+    val wd = Embeddings.pcaWhiten(degenerate, "embedding", md, floor = 1e-6)
+      .select(col("white")).collect().map(_.getSeq[Double](0))
+    assert(wd.forall(v => v.forall(x => math.abs(x) < 1e6)),
+      s"dead direction exploded: ${wd.map(_.mkString(",")).mkString(";")}")
+    // scale contract: whitening is one narrow projection — no Exchange
+    // (beyond the input's own repartition, so use the raw df)
+    val plan = Embeddings.pcaWhiten(Seq(Array(1f, 1f)).toDF("embedding"),
+        "embedding", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
 }
