@@ -321,6 +321,40 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** Dense matrix×vector projection (see [[VectorOps.matVec]]): the PCA
+  * rotation/whitening kernel. Matrix and offsets are driver-held model
+  * parameters shipped as codegen reference objects (the [[NearestCells]]
+  * pattern), so a full-rank rotation is ONE codegen'd expression instead
+  * of `rows` interpreted higher-order dot products. */
+case class MatVec(child: Expression, matrix: Array[Double],
+                  offsets: Array[Double], dim: Int) extends UnaryExpression {
+  require(dim >= 1, "dim must be >= 1")
+  require(offsets.nonEmpty && matrix.length == offsets.length * dim,
+    s"matrix length ${matrix.length} != rows ${offsets.length} × dim $dim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("mat_vec", child.dataType, ExprUtil.isNumericVector, "array<float|double>")
+  private lazy val isF = ExprUtil.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.matVec(v.asInstanceOf[ArrayData], isF, matrix, offsets, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matrix", matrix, "double[]")
+    val oRef = ctx.addReferenceObj("offsets", offsets, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.VectorOps.matVec($v, $isF, $mRef, $oRef, $dim)")
+  }
+  override def equals(other: Any): Boolean = other match {
+    case o: MatVec => child == o.child && dim == o.dim &&
+      java.util.Arrays.equals(matrix, o.matrix) &&
+      java.util.Arrays.equals(offsets, o.offsets)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(dim), Integer.valueOf(java.util.Arrays.hashCode(matrix)),
+    Integer.valueOf(java.util.Arrays.hashCode(offsets)))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -357,6 +391,10 @@ object exprs {
 
   def pqEncode(v: Column, codebooks: Array[Double], m: Int, ksub: Int): Column =
     column(PqEncode(expression(v), codebooks, m, ksub))
+
+  def matVec(v: Column, matrix: Array[Double], offsets: Array[Double],
+             dim: Int): Column =
+    column(MatVec(expression(v), matrix, offsets, dim))
 
   def pqLut(v: Column, codebooks: Array[Double], m: Int, ksub: Int): Column =
     column(PqLut(expression(v), codebooks, m, ksub))
