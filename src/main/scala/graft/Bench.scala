@@ -121,6 +121,13 @@ object Bench {
       // identical plan would otherwise read an earlier sample's cache and
       // report warm-cache times, not steady-state
       spark.catalog.clearCache()
+      // clearCache only drops Dataset-level cache entries; RDD-level
+      // persists (eager localCheckpoint blocks from the CC loops and
+      // store pipelines) wait for the ContextCleaner's GC-triggered
+      // sweep and accumulate block-manager state across a 130-query
+      // suite — release them explicitly between samples
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try {
         // noop sink materializes every row (count() would let parquet
