@@ -4471,7 +4471,82 @@ object Queries {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS centered_ok,
              |CAST(1 AS BIGINT) AS unit_var_ok,
-             |CAST(1 AS BIGINT) AS decorrelated_ok""".stripMargin)))
+             |CAST(1 AS BIGINT) AS decorrelated_ok""".stripMargin)),
+
+    Q("q133_ivfpq_rerank",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // IVFADC-R (Jégou, Tavenard, Douze, Amsaleg, ICASSP 2011): ADC
+        // shortlist → exact squared-L2 re-rank of only the |Q|·R fetched
+        // vectors — the standard billion-scale accuracy recovery step.
+        // Models aren't SQL-replayable, so the oracle checks the refine
+        // stage's DEFINING contracts in-plan (the q121/q123 pattern),
+        // each sharp against a specific break:
+        // (a) re-ranking only REORDERS — at R = k the per-query neighbor
+        //     SET equals the raw ADC top-k's (any candidate lost in the
+        //     fetch join, or invented by it, fails);
+        // (b) with the whole corpus as shortlist, refined output equals
+        //     exact brute-force L2 top-k ROW-FOR-ROW with bit-identical
+        //     distances (same kernel, same argument order) — the refine
+        //     stage fully undoes quantization error;
+        // (c) recall@k vs exact ground truth at nProbe=2, R=4k is ≥ the
+        //     raw ADC ranking's — the theorem the shortlist pays for
+        //     (true top-k members beat every other candidate in the
+        //     exact metric, so re-rank keeps all the shortlist caught).
+        val emb = tbl("embeddings")
+        val (model, _) = Similarity.pqTrain(emb, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        val cents = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding",
+          dim = 64, cells = 8, iters = 2)
+        val qs = emb.filter(col("vec_id") % 101 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val exact = Similarity.bruteForceTopKL2(emb, qs, "vec_id", "embedding", k = 5)
+        // (a) R = k: same candidate set, possibly reordered
+        val raw = Similarity.ivfPqTopK(emb, qs, cents, "vec_id", "embedding",
+          model, k = 5, nProbe = 2)
+        val refSame = Similarity.refineTopK(emb, qs, raw, "vec_id", "embedding", k = 5)
+        val setStats = raw.select(col("query_id"), col("neighbor_id"))
+          .withColumn("in_raw", lit(1))
+          .join(refSame.select(col("query_id"), col("neighbor_id"))
+            .withColumn("in_ref", lit(1)),
+            Seq("query_id", "neighbor_id"), "full")
+          .agg(count(lit(1)).as("n_set"),
+            sum(when(col("in_raw").isNull || col("in_ref").isNull, lit(1L))
+              .otherwise(lit(0L))).as("n_set_diff"))
+        // (b) full-corpus shortlist == exact brute force, row-for-row
+        val fullSl = qs.select(col("vec_id").as("query_id"))
+          .crossJoin(emb.select(col("vec_id").as("neighbor_id")))
+          .filter(col("neighbor_id") =!= col("query_id"))
+        val refFull = Similarity.refineTopK(emb, qs, fullSl, "vec_id", "embedding", k = 5)
+        val eqStats = refFull.withColumnRenamed("neighbor_id", "n_ref")
+          .withColumnRenamed("dist", "d_ref")
+          .join(exact.withColumnRenamed("neighbor_id", "n_ex")
+            .withColumnRenamed("dist", "d_ex"), Seq("query_id", "rnk"), "full")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("n_ref") === col("n_ex") &&
+              col("d_ref") === col("d_ex"), lit(0L)).otherwise(lit(1L)))
+              .as("n_diff"))
+        // (c) recall monotonicity at nProbe=2: refined(R=4k) vs raw ADC
+        val ref4 = Similarity.ivfPqTopKRefined(emb, qs, cents, "vec_id",
+          "embedding", model, k = 5, nProbe = 2, rFactor = 4)
+        def recall(res: DataFrame, tag: String): DataFrame =
+          exact.select(col("query_id"), col("neighbor_id"))
+            .join(res.select(col("query_id"), col("neighbor_id"))
+              .withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+            .agg((sum(coalesce(col("hit"), lit(0))) /
+              count(lit(1))).as(tag))
+        eqStats.crossJoin(broadcast(setStats))
+          .crossJoin(broadcast(recall(raw, "r_adc")))
+          .crossJoin(broadcast(recall(ref4, "r_ref")))
+          .select(
+            Clean.flag(col("n_set_diff") === 0 && col("n_set") > 0)
+              .as("rerank_set_invariant"),
+            Clean.flag(col("n_diff") === 0 && col("n_rows") > 0)
+              .as("full_shortlist_eq_exact"),
+            Clean.flag(col("r_ref") >= col("r_adc")).as("recall_monotone"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS rerank_set_invariant,
+             |CAST(1 AS BIGINT) AS full_shortlist_eq_exact,
+             |CAST(1 AS BIGINT) AS recall_monotone""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

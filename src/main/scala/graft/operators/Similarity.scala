@@ -37,6 +37,71 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** [[bruteForceTopK]]'s squared-L2 twin — the ground truth IVFADC
+    * re-ranking is judged against (ADC approximates squared L2, so the
+    * refine contracts are stated in the same metric). Same plan shape:
+    * broadcast queries, one corpus scan, partial WindowGroupLimit. */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", graft.plans.exprs.sqL2(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").cast("long").as("rnk"), col("dist"))
+  }
+
+  /** IVFADC-R exact re-rank (Jégou, Tavenard, Douze, Amsaleg,
+    * "Searching in one billion vectors: re-rank with source coding",
+    * ICASSP 2011 — there the refinement is coded residuals; here, with
+    * the corpus on disk rather than in RAM, the full vectors): take an
+    * ADC shortlist of R = k·rFactor candidates per query, fetch ONLY
+    * those candidates' true vectors, and re-rank by exact squared L2.
+    * The 100 TB shape: the shortlist (|Q|·R id pairs + their query
+    * vectors) broadcasts to the corpus scan, so the vector fetch is a
+    * broadcast hash join — the corpus never shuffles and only |Q|·R
+    * exact distances are ever computed; the final per-query window
+    * ranks R rows per query, map-side-limited like [[bruteForceTopK]].
+    * Contracts (q133's oracle): re-ranking only REORDERS — at R = k the
+    * neighbor set per query is exactly the ADC top-k's; with the full
+    * corpus as shortlist the output equals [[bruteForceTopKL2]]
+    * row-for-row (quantization error is fully undone); and recall@k
+    * against exact ground truth is ≥ the raw ADC ranking's at the same
+    * nProbe — every true neighbor the shortlist catches, exact re-rank
+    * keeps (a theorem, since true top-k members beat all other
+    * candidates in the exact metric). */
+  def refineTopK(corpus: DataFrame, queries: DataFrame, shortlist: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val sl = broadcast(
+      shortlist.select(col("query_id"), col("neighbor_id"))
+        .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+          Seq("query_id")))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(sl, Seq("neighbor_id"))
+      .withColumn("dist", graft.plans.exprs.sqL2(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").cast("long").as("rnk"), col("dist"))
+  }
+
+  /** The composed IVFADC-R pipeline: [[ivfPqTopK]] shortlist of
+    * k·rFactor, then [[refineTopK]] to the final k. */
+  def ivfPqTopKRefined(corpus: DataFrame, queries: DataFrame,
+                       centroids: DataFrame, idCol: String, vecCol: String,
+                       model: PqModel, k: Int, nProbe: Int,
+                       rFactor: Int): DataFrame =
+    refineTopK(corpus, queries,
+      ivfPqTopK(corpus, queries, centroids, idCol, vecCol, model,
+        k * rFactor, nProbe),
+      idCol, vecCol, k)
+
   /** Driver-side centroid matrix: ids + row-major k×dim doubles, sorted
     * by cell id for deterministic tie-breaks. Collecting it is the ONE
     * deliberate driver materialization in the ANN stack — k rows of

@@ -63,6 +63,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class SqL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_l2 expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+    }
+  private lazy val aF = ExprUtil.isFloatArray(left.dataType)
+  private lazy val bF = ExprUtil.isFloatArray(right.dataType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sqL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VectorOps.sqL2($a, $b, $aF, $bF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class HyperplaneSignature(child: Expression, planes: Int, planeOffset: Int = 0)
     extends UnaryExpression {
   require(planes >= 1 && planes <= 64, "planes must be in [1, 64] per signature word")
@@ -361,6 +382,9 @@ object exprs {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
+  def sqL2(a: Column, b: Column): Column =
+    column(SqL2Distance(expression(a), expression(b)))
+
   def hyperplaneSig(v: Column, planes: Int, planeOffset: Int = 0): Column =
     column(HyperplaneSignature(expression(v), planes, planeOffset))
 
@@ -425,6 +449,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sq_l2"),
+      new ExpressionInfo(classOf[SqL2Distance].getName, "graft_sq_l2"),
+      (args: Seq[Expression]) => SqL2Distance(args(0), args(1))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
       (args: Seq[Expression]) => HyperplaneSignature(args(0),

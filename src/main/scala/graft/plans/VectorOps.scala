@@ -36,6 +36,19 @@ object VectorOps {
     s
   }
 
+  /** Squared L2 distance, strictly sequential accumulation — the exact
+    * counterpart of [[pqAdc]]'s metric (ADC sums per-subspace squared-L2
+    * residuals), so IVFADC re-ranking compares the two in one scale. */
+  def sqL2(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = elem(a, i, aFloat) - elem(b, i, bFloat)
+      s += d * d; i += 1
+    }
+    s
+  }
+
   /** Deterministic pseudo-random hyperplane weights: component (p, d) is
     * splitmix64((p << 32) | d) mapped to uniform [-1, 1) — pure long
     * arithmetic, identical on every JVM, no driver-side state to ship.

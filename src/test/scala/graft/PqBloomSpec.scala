@@ -251,4 +251,89 @@ class PqBloomSpec extends AnyFunSuite {
     assert(exchanges.head.contains("doc_id"), exchanges.head)
     assert(!exchanges.head.contains("__sh"), exchanges.head)
   }
+
+  // ---- IVFADC-R exact re-rank ----
+
+  test("sqL2 kernel: hand value, float/double symmetry, HOF agreement") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 6.0, 3.0)))
+      .toDF("a", "b")
+    val v = df.select(graft.plans.exprs.sqL2($"a", $"b").as("d"))
+      .head().getDouble(0)
+    assert(v == 9.0 + 16.0) // (1-4)² + (2-6)² + (3-3)²
+    // bit-identical to the sequential HOF formulation on real vectors
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings").limit(50)
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(broadcast(emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("ib"), $"embedding".as("vb"))))
+    val hof = aggregate(zip_with($"va", $"vb",
+      (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, z) => acc + z)
+    val nDiff = pairs
+      .select((graft.plans.exprs.sqL2($"va", $"vb") =!= hof).cast("int").as("ne"))
+      .agg(sum($"ne")).head().getLong(0)
+    assert(nDiff == 0L)
+  }
+
+  test("refineTopK with the full corpus as shortlist equals " +
+       "bruteForceTopKL2 row-for-row (bit-identical distances)") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    val qs = emb.filter($"vec_id" % 101 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val fullSl = qs.select($"vec_id".as("query_id"))
+      .crossJoin(emb.select($"vec_id".as("neighbor_id")))
+    val refined = Similarity.refineTopK(emb, qs, fullSl, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    val exact = Similarity.bruteForceTopKL2(emb, qs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(refined.nonEmpty && refined == exact)
+  }
+
+  test("refineTopK plan: shortlist broadcasts to the corpus scan, the " +
+       "ranking window is the only exchange and is map-side-limited") {
+    val raw = Tables(spark, TestSpark.sf0001, "embeddings")
+    val emb = raw.repartition(5) // multi-partition corpus = the cluster shape
+    val qs = raw.filter($"vec_id" < 3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val sl = qs.select($"vec_id".as("query_id"))
+      .crossJoin(raw.filter($"vec_id" < 40).select($"vec_id".as("neighbor_id")))
+    val plan = Similarity.refineTopK(emb, qs, sl, "vec_id", "embedding", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(plan.contains("Partial"), plan.take(1500))
+    // the corpus side never hash-shuffles: every Exchange is either the
+    // per-query ranking partition or a broadcast of the tiny shortlist
+    val badEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("query_id")).toSeq
+    assert(badEx.isEmpty, badEx.mkString("\n"))
+  }
+
+  test("ivfPqTopKRefined: recall@k vs exact L2 ground truth is >= the raw " +
+       "ADC ranking's at the same nProbe") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+    val (model, _) = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 1)
+    val cents = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2)
+    val qs = emb.filter($"vec_id" % 101 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val exact = Similarity.bruteForceTopKL2(emb, qs, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val rAdc = recallOf(Similarity.ivfPqTopK(emb, qs, cents, "vec_id",
+      "embedding", model, k = 5, nProbe = 2))
+    val rRef = recallOf(Similarity.ivfPqTopKRefined(emb, qs, cents, "vec_id",
+      "embedding", model, k = 5, nProbe = 2, rFactor = 4))
+    assert(rRef >= rAdc, s"refined $rRef < adc $rAdc")
+    assert(rRef > 0.0)
+  }
 }
