@@ -4546,7 +4546,129 @@ object Queries {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS rerank_set_invariant,
              |CAST(1 AS BIGINT) AS full_shortlist_eq_exact,
-             |CAST(1 AS BIGINT) AS recall_monotone""".stripMargin)))
+             |CAST(1 AS BIGINT) AS recall_monotone""".stripMargin)),
+
+    Q("q134_hll_distinct",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // HyperLogLog distinct counting under oracle — the cardinality
+        // member of the sketch family, on the open domain where it
+        // matters: distinct 8-gram shingles (~225k at sf0.1 — the
+        // n-gram/URL/user-id shape whose per-key exchange kills exact
+        // countDistinct at 100 TB; here the exchange is 2^12 registers
+        // per slice). Contracts (q129's CMS-mergeability mold, adjusted
+        // to what HLL actually guarantees — found by measurement, see
+        // [[operators.Frequency.hllMergeEstimate]]: a union result is
+        // estimated with the composite estimator while a stream-built
+        // sketch keeps its HIP accumulator, ~0.1% apart on IDENTICAL
+        // registers, so "merged == monolithic stream estimate" is NOT a
+        // property of the algorithm and is not claimed):
+        // (a) GROUPING INVARIANCE — slicing the corpus two unrelated
+        //     ways (doc_id mod 3 vs a 2-way hash split) merges to the
+        //     identical estimate: register max is order- and
+        //     shape-free, so any lossy or order-dependent merge fails;
+        // (b) ASSOCIATIVITY — union(union(p0,p1), p2) equals the flat
+        //     3-way union (measured byte-identical blobs), the property
+        //     that makes incremental/streaming accumulation exact;
+        // (c) the merged estimate lands within the published 3σ bound
+        //     of the exact count (σ = 1.04/√2^lgK ≈ 1.6% at lgK=12);
+        // (d) the HIP-vs-composite estimator gap is bounded: merged is
+        //     within 1% of the monolithic stream estimate.
+        // The exact count itself is the hash-oracled output column.
+        val docs = tbl("documents")
+        val sh = docs.select(col("doc_id"), explode(
+          graft.plans.exprs.wordShingles(lower(col("text")), 8)).as("ng"))
+        val byDoc = sh.withColumn("part", col("doc_id") % 3)
+        val byHash = sh.withColumn("part", pmod(xxhash64(col("ng")), lit(2)))
+        val parts3 = operators.Frequency.hllSketch(byDoc, "ng", Seq("part"), lgK = 12)
+        val mergedA = operators.Frequency.hllMergeEstimate(parts3)
+          .withColumnRenamed("estimate", "est_a")
+        val mergedB = operators.Frequency.hllMergeEstimate(
+            operators.Frequency.hllSketch(byHash, "ng", Seq("part"), lgK = 12))
+          .withColumnRenamed("estimate", "est_b")
+        val nested = operators.Frequency.hllMergeEstimate(
+            parts3.filter(col("part") < 2)
+              .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+              .unionByName(parts3.filter(col("part") === 2).select("sketch")))
+          .withColumnRenamed("estimate", "est_nested")
+        val monoEst = operators.Frequency.hllSketch(sh, "ng", Seq.empty, lgK = 12)
+          .select(hll_sketch_estimate(col("sketch")).as("est_mono"))
+        val exact = sh.agg(countDistinct(col("ng")).as("exact_distinct"))
+        exact.crossJoin(broadcast(mergedA)).crossJoin(broadcast(mergedB))
+          .crossJoin(broadcast(nested)).crossJoin(broadcast(monoEst))
+          .select(col("exact_distinct").cast("long").as("exact_distinct"),
+            Clean.flag(col("est_a") === col("est_b")).as("grouping_invariant"),
+            Clean.flag(col("est_nested") === col("est_a")).as("merge_associative"),
+            Clean.flag(abs(col("est_a") - col("exact_distinct")).cast("double")
+              <= col("exact_distinct").cast("double") * lit(3.0 * 1.04 / 64.0))
+              .as("within_3sigma"),
+            Clean.flag(abs(col("est_a") - col("est_mono")).cast("double")
+              <= col("est_mono").cast("double") * lit(0.01))
+              .as("estimator_gap_bounded"))
+      },
+      Some {
+        val sh8 =
+          """list_distinct(CASE WHEN len(t) < 8 THEN t
+            |  ELSE list_transform(range(1, len(t) - 6),
+            |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+            |                        t[i+4], t[i+5], t[i+6], t[i+7])) END)""".stripMargin
+        s"""WITH w AS (SELECT doc_id, $sh8 AS sh
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+           |        FROM documents)),
+           |ng AS (SELECT unnest(sh) AS ng FROM w)
+           |SELECT CAST(count(DISTINCT ng) AS BIGINT) AS exact_distinct,
+           |  CAST(1 AS BIGINT) AS grouping_invariant,
+           |  CAST(1 AS BIGINT) AS merge_associative,
+           |  CAST(1 AS BIGINT) AS within_3sigma,
+           |  CAST(1 AS BIGINT) AS estimator_gap_bounded
+           |FROM ng""".stripMargin
+      }),
+
+    Q("q135_token_drift",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Distribution drift monitor: Jensen-Shannon divergence of the
+        // unigram distributions of two corpus slices (even/odd doc_id),
+        // with per-token attribution — "did this ingest batch move the
+        // token distribution, and which tokens moved it". Unlike the
+        // sketch/ANN queries this one is FULLY SQL-replayable: the
+        // oracle retrains both distributions and replays the divergence
+        // with identical operand order, so the whole surface
+        // (probabilities, contributions, ranking, JS total) hash-checks.
+        // Ranking key |p_a − p_b| is a difference of exact integer-count
+        // ratios — never on an ulp; ln-bearing outputs round at 6.
+        implicit val ss = s
+        operators.Quality.unigramJsDrift(
+            tbl("documents").withColumn("sl", col("doc_id") % 2 === 0),
+            "sl", "text", topK = 10)
+          .select(col("tok"), col("rnk"),
+            round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+            round(col("d_abs"), 6).as("d_abs"),
+            round(col("contrib"), 6).as("contrib"),
+            round(col("js_total"), 6).as("js_total"))
+      },
+      Some("""WITH tok AS (SELECT doc_id % 2 = 0 AS s,
+             |    unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |cnt AS (SELECT tok,
+             |    sum(CASE WHEN s THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN NOT s THEN 1 ELSE 0 END) AS cb
+             |  FROM tok GROUP BY tok),
+             |tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM cnt),
+             |p AS (SELECT tok,
+             |    CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) AS pa,
+             |    CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) AS pb
+             |  FROM cnt, tot),
+             |c AS (SELECT tok, pa, pb, abs(pa - pb) AS d_abs,
+             |    (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+             |   + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END) / 2
+             |      AS contrib
+             |  FROM p),
+             |js AS (SELECT sum(contrib) AS js_total FROM c)
+             |SELECT tok,
+             |  CAST(row_number() OVER (ORDER BY d_abs DESC, tok) AS BIGINT) AS rnk,
+             |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+             |  round(d_abs, 6) AS d_abs, round(contrib, 6) AS contrib,
+             |  round(js.js_total, 6) AS js_total
+             |FROM c, js ORDER BY d_abs DESC, tok LIMIT 10""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -165,4 +165,49 @@ object Frequency {
     sketches.reduce(_ unionByName _)
       .groupBy("seed", "bucket").agg(sum(col("cnt")).as("cnt"))
   }
+
+  /** HyperLogLog distinct-count sketch per group (Flajolet et al. 2007,
+    * via Spark's built-in DataSketches HLL aggregates) — the
+    * CARDINALITY member of the sketch family: [[heavyHitters]] answers
+    * "which items are frequent", [[countMinBuild]] "how often did this
+    * item occur", this one "how many DISTINCT items are there" — in
+    * 2^lgK registers no matter how many distinct values stream past.
+    * The open-domain case from the scaladoc above (n-grams, URLs,
+    * user ids: 10^10+ keys at 100 TB) is exactly where the exact
+    * `countDistinct` path's one-row-per-key exchange dies; the HLL
+    * exchange is one 2^lgK-register blob per group, relative error
+    * ≈ 1.04/√2^lgK.
+    *
+    * Output: (groupCols…, sketch BINARY). Sketches over corpus SLICES
+    * merge by register-wise max ([[hllMergeEstimate]]) to exactly the
+    * union's sketch — the same mergeable-summaries citizenship as the
+    * CMS, proved under oracle by q134. */
+  def hllSketch(elems: DataFrame, elemCol: String, groupCols: Seq[String],
+                lgK: Int): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, "lgK must be in [4, 21] (DataSketches bound)")
+    if (groupCols.isEmpty)
+      elems.agg(hll_sketch_agg(col(elemCol), lit(lgK)).as("sketch"))
+    else
+      elems.groupBy(groupCols.map(col): _*)
+        .agg(hll_sketch_agg(col(elemCol), lit(lgK)).as("sketch"))
+  }
+
+  /** Merge [[hllSketch]] blobs (register-wise max — the HLL union) and
+    * estimate the union's cardinality. What merging guarantees (q134
+    * pins each under oracle; found by measurement, not assumed):
+    * GROUPING INVARIANCE — any way of slicing the corpus into ≥2
+    * sketches merges to the identical estimate (register max is order-
+    * and shape-free), and ASSOCIATIVITY — union of unions equals the
+    * flat union byte-for-byte, which is what makes incremental
+    * accumulation exact. What it does NOT guarantee: estimate equality
+    * with the monolithic STREAM-built sketch — DataSketches estimates
+    * a stream build with its HIP accumulator but a multi-input union
+    * with the composite estimator (~0.1% apart on identical registers;
+    * a 1-input union even passes HIP through, so the boundary is
+    * "did ≥2 sketches actually merge", not "did it pass the union
+    * operator"). All inputs must share lgK — a width mismatch fails
+    * loudly rather than silently degrading precision. */
+  def hllMergeEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_sketch_estimate(
+      hll_union_agg(col("sketch"), lit(false))).as("estimate"))
 }

@@ -329,4 +329,54 @@ object Quality {
           .when(col("ppl") <= col("t66"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Unigram distribution drift between two corpus slices, measured as
+    * Jensen-Shannon divergence (Lin 1991) with per-token attribution —
+    * the monitoring primitive a continuously-ingested training corpus
+    * needs: "did this batch's token distribution move, and which tokens
+    * moved it". `sliceCol` (boolean) splits the corpus; output is the
+    * `topK` tokens by absolute probability shift (|p_a − p_b| — a ratio
+    * of exact integer counts, so the RANKING never sits on an ulp) with
+    * their probabilities, JS contribution, and the corpus-level JS
+    * total on every row. JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m =
+    * (p+q)/2; zero-probability terms drop (x·ln x → 0), so disjoint
+    * vocabularies are handled and JS ≤ ln 2.
+    *
+    * Scale shape: ONE pass over the token stream into one
+    * partially-aggregated groupBy(token) carrying two conditional
+    * counters — the only domain-sized exchange; totals are a 1-row
+    * broadcast gate, the JS total a second 1-row aggregate over the
+    * vocab table, and top-k is sort+limit (TakeOrderedAndProject — the
+    * corpus is never globally sorted; the rank window runs on topK
+    * rows). Both slices must be non-empty (a zero total nulls the
+    * divisions). */
+  def unigramJsDrift(docs: DataFrame, sliceCol: String, textCol: String,
+                     topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = docs.select(col(sliceCol).as("__s"), explode(
+      graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
+    val cnt = toks.groupBy("tok").agg(
+      sum(when(col("__s"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("__s"), 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val probs = cnt.crossJoin(broadcast(tot))
+      .withColumn("pa", col("ca").cast("double") / col("ta").cast("double"))
+      .withColumn("pb", col("cb").cast("double") / col("tb").cast("double"))
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+      .withColumn("contrib",
+        (when(col("pa") > 0, col("pa") * log(col("pa") / col("m")))
+          .otherwise(lit(0.0)) +
+         when(col("pb") > 0, col("pb") * log(col("pb") / col("m")))
+          .otherwise(lit(0.0))) / 2)
+    val js = probs.agg(sum(col("contrib")).as("js_total"))
+    probs.withColumn("d_abs", abs(col("pa") - col("pb")))
+      .orderBy(col("d_abs").desc, col("tok"))
+      .limit(topK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("d_abs").desc, col("tok"))))
+      .crossJoin(broadcast(js))
+      .select(col("tok"), col("rnk").cast("long").as("rnk"),
+        col("pa"), col("pb"), col("d_abs"), col("contrib"), col("js_total"))
+  }
 }

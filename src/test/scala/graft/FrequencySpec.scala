@@ -123,4 +123,60 @@ class FrequencySpec extends AnyFunSuite {
     assert(txt.contains("partial_count") || txt.contains("Partial"),
       s"cell aggregate must combine map-side:\n$txt")
   }
+
+  test("hll: small domain is exact; sliced sketches merge to the " +
+       "monolithic estimate") {
+    import spark.implicits._
+    val docs = (1 to 60).map(i => (i.toLong, s"tok${i % 7} tok${i % 13}"))
+      .toDF("id", "text")
+    val elems = docs.select((col("id") % 3).as("part"), explode(
+      graft.functions.Text.tokens(lower(col("text")))).as("tok"))
+    val mono = Frequency.hllSketch(elems, "tok", Seq.empty, lgK = 12)
+      .select(hll_sketch_estimate(col("sketch"))).head().getLong(0)
+    val merged = Frequency.hllMergeEstimate(
+        Frequency.hllSketch(elems, "tok", Seq("part"), lgK = 12))
+      .head().getLong(0)
+    val exact = elems.select("tok").distinct().count()
+    assert(mono == exact)   // coupon mode: small sets count exactly
+    assert(merged == mono)  // union == monolithic, register for register
+  }
+
+  test("hll: large open domain — grouping-invariant merge in HLL mode, " +
+       "bounded estimator gap, estimate within the 3-sigma bound") {
+    import spark.implicits._
+    // 50k distinct synthetic keys at lgK=10 (1024 registers) forces
+    // real HLL-mode estimation (sigma ~ 3.25%)
+    val elems = spark.range(50000)
+      .select(concat(lit("key:"), col("id")).as("tok"))
+    val monoDirect = Frequency.hllSketch(elems, "tok", Seq.empty, lgK = 10)
+      .select(hll_sketch_estimate(col("sketch"))).head().getLong(0)
+    // two unrelated slicings must merge to the identical estimate
+    val m4 = Frequency.hllMergeEstimate(Frequency.hllSketch(
+      elems.withColumn("part", col("tok").substr(5, 10).cast("long") % 4),
+      "tok", Seq("part"), lgK = 10)).head().getLong(0)
+    val m2 = Frequency.hllMergeEstimate(Frequency.hllSketch(
+      elems.withColumn("part", pmod(xxhash64(col("tok")), lit(2))),
+      "tok", Seq("part"), lgK = 10)).head().getLong(0)
+    assert(m4 == m2, s"grouping changed the merged estimate: $m4 vs $m2")
+    // HIP (stream) vs composite (union) estimator: identical registers,
+    // different estimator — bounded, not equal
+    assert(math.abs(m4 - monoDirect) <= 0.01 * monoDirect,
+      s"estimator gap too wide: $m4 vs direct $monoDirect")
+    val sigma = 1.04 / math.sqrt(1024.0)
+    assert(math.abs(monoDirect - 50000.0) <= 3 * sigma * 50000.0,
+      s"estimate $monoDirect outside 3-sigma of 50000")
+    assert(math.abs(m4 - 50000.0) <= 3 * sigma * 50000.0,
+      s"merged estimate $m4 outside 3-sigma of 50000")
+  }
+
+  test("hll: lgK bounds are rejected at the call site") {
+    import spark.implicits._
+    val df = Seq("a").toDF("tok")
+    intercept[IllegalArgumentException] {
+      Frequency.hllSketch(df, "tok", Seq.empty, lgK = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Frequency.hllSketch(df, "tok", Seq.empty, lgK = 22)
+    }
+  }
 }

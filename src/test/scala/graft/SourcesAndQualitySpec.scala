@@ -383,4 +383,47 @@ class SourcesAndQualitySpec extends AnyFunSuite {
       s"exactly ONE trigram-keyed corpus shuffle:\n${keys.mkString("\n")}")
     spark.catalog.clearCache()
   }
+
+  test("unigramJsDrift: identical slices give JS 0, disjoint vocabularies " +
+       "give ln 2, hand case matches the formula") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // identical distributions → every contribution 0, JS 0
+    val same = Seq((true, "x x y"), (false, "x x y"), (false, "x x y"))
+      .toDF("sl", "text")
+    val r0 = Quality.unigramJsDrift(same, "sl", "text", topK = 5).collect()
+    assert(r0.forall(_.getAs[Double]("js_total") == 0.0))
+    assert(r0.forall(_.getAs[Double]("contrib") == 0.0))
+    // disjoint vocabularies → maximal JS = ln 2
+    val disj = Seq((true, "x x"), (false, "y z")).toDF("sl", "text")
+    val r1 = Quality.unigramJsDrift(disj, "sl", "text", topK = 5).collect()
+    assert(math.abs(r1.head.getAs[Double]("js_total") - math.log(2.0)) < 1e-12)
+    // hand case: A = "x x y", B = "x y y" — symmetric, so contrib(x) ==
+    // contrib(y) and both equal (p ln(p/m) + q ln(q/m))/2 at p=2/3, q=1/3
+    val ab = Seq((true, "x x y"), (false, "x y y")).toDF("sl", "text")
+    val r2 = Quality.unigramJsDrift(ab, "sl", "text", topK = 5)
+      .collect().map(r => r.getAs[String]("tok") -> r).toMap
+    val p = 2.0 / 3; val q = 1.0 / 3; val m = (p + q) / 2
+    val c = (p * math.log(p / m) + q * math.log(q / m)) / 2
+    assert(math.abs(r2("x").getAs[Double]("contrib") - c) < 1e-12)
+    assert(math.abs(r2("y").getAs[Double]("contrib") - c) < 1e-12)
+    assert(math.abs(r2("x").getAs[Double]("js_total") - 2 * c) < 1e-12)
+    // ranking: both moved by the same |Δp| → token tiebreak, x before y
+    assert(r2("x").getAs[Long]("rnk") == 1L && r2("y").getAs[Long]("rnk") == 2L)
+  }
+
+  test("unigramJsDrift: top-k is sort+limit, the corpus is never " +
+       "globally sorted") {
+    import graft.operators.Quality
+    val docs = sources.Tables(spark, TestSpark.sf0001, "documents")
+      .withColumn("sl", col("doc_id") % 2 === 0)
+    val plan = Quality.unigramJsDrift(docs, "sl", "text", topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    // the vocab reaches the top-k through the take, not a full sort:
+    // the only Sort allowed is the rank window's, which runs AFTER the
+    // take on the topK surviving rows
+    val sorts = plan.linesIterator.filter(_.trim.startsWith("Sort ")).toSeq
+    assert(sorts.size <= 1, sorts.mkString("\n"))
+  }
 }
