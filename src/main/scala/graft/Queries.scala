@@ -4668,7 +4668,67 @@ object Queries {
              |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
              |  round(d_abs, 6) AS d_abs, round(contrib, 6) AS contrib,
              |  round(js.js_total, 6) AS js_total
-             |FROM c, js ORDER BY d_abs DESC, tok LIMIT 10""".stripMargin)))
+             |FROM c, js ORDER BY d_abs DESC, tok LIMIT 10""".stripMargin)),
+
+    Q("q136_zorder_layout",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Z-order (Morton) storage layout under oracle: the reader-side
+        // min-max manifest over z-prefix tiles plus the box-query
+        // pruning verdicts — the file-skipping decision a 2-D-selective
+        // scan makes at 100 TB, where a 1-D sort keeps only one
+        // column's min-max tight. Everything is integer/exact-IEEE
+        // arithmetic (bit-spread interleave, domain-stat tile scaling,
+        // min-max aggregation, rectangle intersection), so unlike the
+        // flag-gated sketch queries the WHOLE manifest hash-matches: a
+        // wrong spread mask, tile scale, prefix shift, or intersection
+        // inequality moves some bucket row and fails the compare. The
+        // box is derived from the same domain stats (max/4..max/2 per
+        // dim) so the query is meaningful at every SF.
+        val li = tbl("lineitem")
+        val stats = operators.Layout.zBucketStats(
+          li, "l_partkey", "l_suppkey", tileBits = 4)
+        val mx = li.agg(
+          max(col("l_partkey").bitwiseAND(lit(0xFFFFL))).as("am"),
+          max(col("l_suppkey").bitwiseAND(lit(0xFFFFL))).as("bm"))
+        stats.crossJoin(broadcast(mx))
+          .withColumn("cand", operators.Layout.boxCandidate(
+            floor(col("am") / 4), floor(col("am") / 2),
+            floor(col("bm") / 4), floor(col("bm") / 2)))
+          .select(col("bucket").cast("long").as("bucket"),
+            col("n").cast("long").as("n"),
+            col("a_min").cast("long").as("a_min"),
+            col("a_max").cast("long").as("a_max"),
+            col("b_min").cast("long").as("b_min"),
+            col("b_max").cast("long").as("b_max"),
+            col("cand").cast("long").as("cand"))
+      },
+      Some("""WITH base AS (SELECT l_partkey & 65535 AS a, l_suppkey & 65535 AS b
+             |  FROM lineitem),
+             |mx AS (SELECT max(a) AS am, max(b) AS bm FROM base),
+             |t AS (SELECT a, b,
+             |    CAST(floor(a * 256.0 / (am + 1)) AS BIGINT) AS ta,
+             |    CAST(floor(b * 256.0 / (bm + 1)) AS BIGINT) AS tb
+             |  FROM base, mx),
+             |s1 AS (SELECT a, b, (ta | (ta << 8)) & 16711935 AS xa,
+             |                    (tb | (tb << 8)) & 16711935 AS xb FROM t),
+             |s2 AS (SELECT a, b, (xa | (xa << 4)) & 252645135 AS xa,
+             |                    (xb | (xb << 4)) & 252645135 AS xb FROM s1),
+             |s3 AS (SELECT a, b, (xa | (xa << 2)) & 858993459 AS xa,
+             |                    (xb | (xb << 2)) & 858993459 AS xb FROM s2),
+             |s4 AS (SELECT a, b, (xa | (xa << 1)) & 1431655765 AS xa,
+             |                    (xb | (xb << 1)) & 1431655765 AS xb FROM s3),
+             |bk AS (SELECT a, b, (xa | (xb << 1)) >> 8 AS bucket FROM s4),
+             |st AS (SELECT bucket, count(*) AS n,
+             |    min(a) AS a_min, max(a) AS a_max,
+             |    min(b) AS b_min, max(b) AS b_max
+             |  FROM bk GROUP BY bucket)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+             |  CAST(a_min AS BIGINT) AS a_min, CAST(a_max AS BIGINT) AS a_max,
+             |  CAST(b_min AS BIGINT) AS b_min, CAST(b_max AS BIGINT) AS b_max,
+             |  CAST(CASE WHEN a_max >= am // 4 AND a_min <= am // 2
+             |         AND b_max >= bm // 4 AND b_min <= bm // 2
+             |       THEN 1 ELSE 0 END AS BIGINT) AS cand
+             |FROM st, mx""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
