@@ -4728,7 +4728,80 @@ object Queries {
              |  CAST(CASE WHEN a_max >= am // 4 AND a_min <= am // 2
              |         AND b_max >= bm // 4 AND b_min <= bm // 2
              |       THEN 1 ELSE 0 END AS BIGINT) AS cand
-             |FROM st, mx""".stripMargin)))
+             |FROM st, mx""".stripMargin)),
+
+    Q("q137_hilbert_layout",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // q136's Hilbert-curve sibling: the same min-max manifest and
+        // box verdicts, but clustered by the order-8 Hilbert index —
+        // the curve whose consecutive positions are ALWAYS adjacent
+        // cells (unit-step, spec-asserted), so unaligned curve ranges
+        // stay spatially compact where Z-order jumps corners. The
+        // index runs as a native codegen kernel (the bit walk carries
+        // rotation state per plane — a loop, not an expression
+        // cascade); the oracle replays the IDENTICAL walk as an
+        // 8-step SQL unroll (one CTE per bit plane: quadrant offset
+        // accumulation + reflect/swap frame rotation), so a wrong
+        // rotation, reflection width, or offset in ANY plane moves
+        // rows across buckets and fails the hash.
+        val li = tbl("lineitem")
+        val stats = operators.Layout.hilbertBucketStats(
+          li, "l_partkey", "l_suppkey", tileBits = 4)
+        val mx = li.agg(
+          max(col("l_partkey").bitwiseAND(lit(0xFFFFL))).as("am"),
+          max(col("l_suppkey").bitwiseAND(lit(0xFFFFL))).as("bm"))
+        stats.crossJoin(broadcast(mx))
+          .withColumn("cand", operators.Layout.boxCandidate(
+            floor(col("am") / 4), floor(col("am") / 2),
+            floor(col("bm") / 4), floor(col("bm") / 2)))
+          .select(col("bucket").cast("long").as("bucket"),
+            col("n").cast("long").as("n"),
+            col("a_min").cast("long").as("a_min"),
+            col("a_max").cast("long").as("a_max"),
+            col("b_min").cast("long").as("b_min"),
+            col("b_max").cast("long").as("b_max"),
+            col("cand").cast("long").as("cand"))
+      },
+      Some {
+        // one CTE per bit plane s = 128..1: d += s²·(3·rx XOR ry), then
+        // the frame rotation (reflect within the FULL 8-bit grid — the
+        // 255-v complement — then swap) exactly as the kernel walks it
+        val steps = (0 until 8).map { i =>
+          val s = 128L >> i
+          val p = i; val n = i + 1
+          s"""h$n AS (SELECT a, b,
+             |  CASE WHEN (hy$p & $s) = 0 THEN
+             |      CASE WHEN (hx$p & $s) > 0 THEN 255 - hy$p ELSE hy$p END
+             |    ELSE hx$p END AS hx$n,
+             |  CASE WHEN (hy$p & $s) = 0 THEN
+             |      CASE WHEN (hx$p & $s) > 0 THEN 255 - hx$p ELSE hx$p END
+             |    ELSE hy$p END AS hy$n,
+             |  hd$p + ${s * s} * xor(
+             |      3 * (CASE WHEN (hx$p & $s) > 0 THEN 1 ELSE 0 END),
+             |      CASE WHEN (hy$p & $s) > 0 THEN 1 ELSE 0 END) AS hd$n
+             |  FROM h$p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS (SELECT l_partkey & 65535 AS a, l_suppkey & 65535 AS b
+           |  FROM lineitem),
+           |mx AS (SELECT max(a) AS am, max(b) AS bm FROM base),
+           |h0 AS (SELECT a, b,
+           |    CAST(floor(a * 256.0 / (am + 1)) AS BIGINT) AS hx0,
+           |    CAST(floor(b * 256.0 / (bm + 1)) AS BIGINT) AS hy0,
+           |    0 AS hd0
+           |  FROM base, mx),
+           |$steps,
+           |st AS (SELECT hd8 >> 8 AS bucket, count(*) AS n,
+           |    min(a) AS a_min, max(a) AS a_max,
+           |    min(b) AS b_min, max(b) AS b_max
+           |  FROM h8 GROUP BY 1)
+           |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+           |  CAST(a_min AS BIGINT) AS a_min, CAST(a_max AS BIGINT) AS a_max,
+           |  CAST(b_min AS BIGINT) AS b_min, CAST(b_max AS BIGINT) AS b_max,
+           |  CAST(CASE WHEN a_max >= am // 4 AND a_min <= am // 2
+           |         AND b_max >= bm // 4 AND b_min <= bm // 2
+           |       THEN 1 ELSE 0 END AS BIGINT) AS cand
+           |FROM st, mx""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -67,7 +67,28 @@ object Layout {
     * one bucket-keyed partial aggregate; the exchange carries
     * ≤ 4^tileBits stat rows, never the data. */
   def zBucketStats(df: DataFrame, aCol: String, bCol: String,
-                   tileBits: Int): DataFrame = {
+                   tileBits: Int): DataFrame =
+    bucketStats(df, aCol, bCol, tileBits,
+      (ta, tb) => mortonZ(ta, tb))
+
+  /** [[zBucketStats]]' Hilbert-curve sibling: same domain-stat tile
+    * scaling and manifest shape, but bucket id = top `2·tileBits` bits
+    * of the order-8 Hilbert index (a native codegen kernel — the bit
+    * walk's per-plane rotation state is a loop, not an expression
+    * cascade). At aligned granularity both curves tile identically
+    * (a d-prefix segment of 4^k cells IS a 2^k×2^k quadrant); the
+    * Hilbert win is UNALIGNED locality — consecutive d are always
+    * Manhattan-adjacent (unit-step, spec-asserted), so arbitrary curve
+    * ranges stay compact where Z-order jumps corners. q137 hash-oracles
+    * the full manifest against an 8-step SQL unroll of the same walk. */
+  def hilbertBucketStats(df: DataFrame, aCol: String, bCol: String,
+                         tileBits: Int): DataFrame =
+    bucketStats(df, aCol, bCol, tileBits,
+      (ta, tb) => graft.plans.exprs.hilbertD(ta, tb))
+
+  private def bucketStats(df: DataFrame, aCol: String, bCol: String,
+                          tileBits: Int,
+                          curve: (Column, Column) => Column): DataFrame = {
     require(tileBits >= 1 && tileBits <= 8, "tileBits in [1, 8]")
     val base = df.select(col(aCol).bitwiseAND(lit(0xFFFFL)).as("a"),
       col(bCol).bitwiseAND(lit(0xFFFFL)).as("b"))
@@ -76,7 +97,7 @@ object Layout {
       .withColumn("ta", floor(col("a") * lit(256.0) / (col("am") + 1)))
       .withColumn("tb", floor(col("b") * lit(256.0) / (col("bm") + 1)))
       .withColumn("bucket",
-        shiftright(mortonZ(col("ta"), col("tb")), 16 - 2 * tileBits))
+        shiftright(curve(col("ta"), col("tb")), 16 - 2 * tileBits))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min(col("a")).as("a_min"), max(col("a")).as("a_max"),

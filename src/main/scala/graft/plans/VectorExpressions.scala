@@ -84,6 +84,24 @@ case class SqL2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class HilbertIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_d expects (bigint, bigint), got ${left.dataType} / ${right.dataType}")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.hilbertD(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.hilbertD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class HyperplaneSignature(child: Expression, planes: Int, planeOffset: Int = 0)
     extends UnaryExpression {
   require(planes >= 1 && planes <= 64, "planes must be in [1, 64] per signature word")
@@ -384,6 +402,9 @@ object exprs {
 
   def sqL2(a: Column, b: Column): Column =
     column(SqL2Distance(expression(a), expression(b)))
+
+  def hilbertD(x: Column, y: Column): Column =
+    column(HilbertIndex(expression(x), expression(y)))
 
   def hyperplaneSig(v: Column, planes: Int, planeOffset: Int = 0): Column =
     column(HyperplaneSignature(expression(v), planes, planeOffset))

@@ -36,6 +36,36 @@ object VectorOps {
     s
   }
 
+  /** Order-8 Hilbert curve index of a 256×256 cell grid (d in
+    * [0, 65536)) — the standard xy2d bit walk (Hilbert 1891; algorithm
+    * as published in the public literature, e.g. Hamilton's compact
+    * form): per bit plane from high to low, accumulate the quadrant's
+    * curve offset and rotate/reflect the frame. Unlike the Morton
+    * interleave, consecutive d values are ALWAYS Manhattan-adjacent
+    * cells (unit-step curve, spec-asserted against an independent d2xy
+    * reimplementation), so unaligned curve segments stay spatially
+    * compact — the locality property Hilbert clustering buys over
+    * Z-order. Inputs are masked to 8 bits. */
+  def hilbertD(x0: Long, y0: Long): Long = {
+    var x = x0 & 255L; var y = y0 & 255L
+    var d = 0L; var s = 128L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        // reflect within the FULL grid (255 - v = bitwise complement of
+        // the 8-bit word): consumed high bits flip too, but they are
+        // never read again, and values stay non-negative — an s-1-v
+        // reflection would go negative once v ≥ s and corrupt the walk
+        if (rx == 1) { x = 255L - x; y = 255L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Squared L2 distance, strictly sequential accumulation — the exact
     * counterpart of [[pqAdc]]'s metric (ADC sums per-subspace squared-L2
     * residuals), so IVFADC re-ranking compares the two in one scale. */

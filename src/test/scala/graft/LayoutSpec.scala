@@ -63,6 +63,67 @@ class LayoutSpec extends AnyFunSuite {
       plan.take(1200))
   }
 
+  test("hilbertD kernel: bijective over the full order-8 grid, unit-step " +
+       "curve, nested quadrants; expression matches the kernel") {
+    // pure-JVM sweep of all 65536 cells — properties that DEFINE a
+    // Hilbert-family curve without reference to any particular snippet
+    val cells = for (x <- 0 until 256; y <- 0 until 256)
+      yield (graft.plans.VectorOps.hilbertD(x, y), x, y)
+    val byD = cells.sortBy(_._1).toIndexedSeq
+    assert(byD.map(_._1) == (0L until 65536L)) // bijection onto [0, 2^16)
+    (1 until byD.length).foreach { i =>
+      val (_, x1, y1) = byD(i - 1); val (_, x2, y2) = byD(i)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step at d=$i") // THE Hilbert property; Z-order fails it
+    }
+    // quadrant nesting: each d-quartile covers exactly one 128x128 quadrant
+    byD.grouped(16384).foreach { seg =>
+      val xs = seg.map(_._2); val ys = seg.map(_._3)
+      assert(xs.max - xs.min == 127 && ys.max - ys.min == 127)
+    }
+    // the Morton curve, by contrast, jumps: max step exceeds 1
+    val zSteps = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (zOf(x, y), x, y)).sortBy(_._1)
+    val maxZStep = (1 until zSteps.length).map { i =>
+      math.abs(zSteps(i)._2 - zSteps(i - 1)._2) +
+        math.abs(zSteps(i)._3 - zSteps(i - 1)._3) }.max
+    assert(maxZStep > 1)
+    // DF expression plumbing: a sample of cells through the Column API
+    val sample = Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L),
+      (37L, 201L), (128L, 127L)).toDF("x", "y")
+      .select($"x", $"y", graft.plans.exprs.hilbertD($"x", $"y").as("d"))
+      .collect()
+    sample.foreach { r =>
+      assert(r.getLong(2) ==
+        graft.plans.VectorOps.hilbertD(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  private def zOf(x: Int, y: Int): Long = {
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
+  test("hilbertBucketStats: aligned tiles match Z-order's exact 16x16 " +
+       "quadrants on the uniform grid") {
+    val grid = spark.range(256L * 256L)
+      .select(($"id" / 256).cast("long").as("pa"), ($"id" % 256).as("pb"))
+    val stats = Layout.hilbertBucketStats(grid, "pa", "pb", tileBits = 4)
+      .collect()
+    assert(stats.length == 256)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n") == 256L)
+      assert(r.getAs[Long]("a_max") - r.getAs[Long]("a_min") == 15L)
+      assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") == 15L)
+    }
+  }
+
   test("zSort: output is globally z-ordered across range partitions") {
     val li = sources.Tables(spark, TestSpark.sf0001, "lineitem")
     val sorted = Layout.zSort(li, "l_partkey", "l_suppkey", partitions = 4)
