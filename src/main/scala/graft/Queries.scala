@@ -4493,8 +4493,11 @@ object Queries {
         //     (true top-k members beat every other candidate in the
         //     exact metric, so re-rank keeps all the shortlist caught).
         val emb = tbl("embeddings")
+        // iters=1: every contract below holds for ANY trained model —
+        // the query pays for the refine stage's proofs, not for
+        // quantization quality (q121/q123 already gate training)
         val (model, _) = Similarity.pqTrain(emb, "vec_id", "embedding",
-          dim = 64, m = 8, ksub = 16, iters = 2)
+          dim = 64, m = 8, ksub = 16, iters = 1)
         val cents = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding",
           dim = 64, cells = 8, iters = 2)
         val qs = emb.filter(col("vec_id") % 101 === 0)
@@ -4801,7 +4804,85 @@ object Queries {
            |         AND b_max >= bm // 4 AND b_min <= bm // 2
            |       THEN 1 ELSE 0 END AS BIGINT) AS cand
            |FROM st, mx""".stripMargin
-      }))
+      }),
+
+    Q("q138_streaming_drift",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STREAMING drift monitoring — q135's divergence discipline on
+        // q89's watermark rails: a real file stream (two micro-batches,
+        // pinned order) drives the windowed event_type counts; after
+        // AvailableNow terminates, each CLOSED window's category
+        // distribution is scored against the deployed full-corpus
+        // reference with per-window JS divergence + the most-shifted
+        // category (Quality.categoricalJsDrift — category-table-grain
+        // only; the event-grain work is the streaming aggregate). The
+        // oracle recomputes the windowed counts, applies the same
+        // watermark cut, and replays the divergence with identical
+        // operand order — probabilities are exact integer-count ratios,
+        // the drift ranking never sits on an ulp, ln-bearing outputs
+        // round at 6.
+        import java.nio.file.Files
+        val ev = tbl("events").select(col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        val dir = Files.createTempDirectory("graft_q138_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        stageStreamFile(ev.filter(col("event_id") % 2 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(ev.filter(col("event_id") % 2 === 1), src,
+          "batch_b", now - 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        val query = streaming.EventStreams
+          .windowedCounts(stream.drop("event_id"), "1 hour", "1 hour")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val closed = s.read.parquet(out)
+          .select(col("window_start"), col("event_type"), col("n"))
+        val ref = ev.groupBy("event_type").agg(count(lit(1)).as("cr"))
+        operators.Quality.categoricalJsDrift(closed, "window_start",
+            "event_type", "n", ref, "cr")
+          .select(col("window_start"), col("n").cast("long").as("n"),
+            round(col("js"), 6).as("js"), col("drift_cat"),
+            round(col("drift_abs"), 6).as("drift_abs"))
+      },
+      Some("""WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             |    AS window_start, event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |cut AS (SELECT max(ts) - INTERVAL 1 HOUR AS cut FROM events),
+             |w AS (SELECT * FROM b, cut
+             |      WHERE window_start + INTERVAL 1 HOUR <= cut),
+             |ref AS (SELECT event_type, count(*) AS cr FROM events GROUP BY 1),
+             |rt AS (SELECT sum(cr) AS tr FROM ref),
+             |rp AS (SELECT event_type,
+             |    CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE) AS p FROM ref, rt),
+             |wt AS (SELECT window_start, sum(n) AS nw FROM w GROUP BY 1),
+             |j AS (SELECT g.window_start, g.nw, g.event_type, g.p,
+             |    CAST(coalesce(w.n, 0) AS DOUBLE) / CAST(g.nw AS DOUBLE) AS q
+             |  FROM (SELECT wt.window_start, wt.nw, rp.event_type, rp.p
+             |        FROM wt, rp) g
+             |  LEFT JOIN w ON w.window_start = g.window_start
+             |    AND w.event_type = g.event_type),
+             |c AS (SELECT window_start, nw, event_type, p, q,
+             |    abs(q - p) AS d_abs,
+             |    (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+             |   + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2
+             |      AS contrib
+             |  FROM j),
+             |js AS (SELECT window_start, max(nw) AS nw,
+             |    round(sum(contrib), 6) AS js FROM c GROUP BY 1),
+             |top AS (SELECT window_start, event_type, d_abs,
+             |    row_number() OVER (PARTITION BY window_start
+             |      ORDER BY d_abs DESC, event_type) AS r FROM c)
+             |SELECT js.window_start, CAST(js.nw AS BIGINT) AS n, js.js,
+             |  top.event_type AS drift_cat, round(top.d_abs, 6) AS drift_abs
+             |FROM js JOIN top ON js.window_start = top.window_start
+             |WHERE top.r = 1""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -350,6 +350,55 @@ object Quality {
     * corpus is never globally sorted; the rank window runs on topK
     * rows). Both slices must be non-empty (a zero total nulls the
     * divisions). */
+  /** Per-group categorical drift against a deployed REFERENCE
+    * distribution — [[unigramJsDrift]]'s monitoring sibling for the
+    * "each closed window vs the trained reference" shape (q138 runs it
+    * over streamed watermark-closed windows): for every group in `obs`
+    * (pre-aggregated (group, category, count) rows — the event-grain
+    * work already happened upstream), the JS divergence of the group's
+    * category distribution vs `ref`'s, plus the single most-shifted
+    * category (ranked by |q − p|, a difference of exact integer-count
+    * ratios — never on an ulp; ties → category asc).
+    *
+    * Scale shape: everything is CATEGORY-TABLE grain. The reference
+    * (|cats| rows) broadcasts onto the |groups|-row totals; the grid is
+    * |groups|×|cats|; the ranking window sees |cats| rows per group.
+    * Output: (group, n, js, drift_cat, drift_abs) — js is a raw sum,
+    * callers round for cross-engine compare. Missing categories in a
+    * group contribute their p·ln 2 mass (q = 0); categories absent
+    * from the reference must not appear in `obs` (the deployed-monitor
+    * contract: the reference defines the domain). */
+  def categoricalJsDrift(obs: DataFrame, groupCol: String, catCol: String,
+                         cntCol: String, ref: DataFrame,
+                         refCntCol: String): DataFrame = {
+    val rt = ref.agg(sum(col(refCntCol)).as("__tr"))
+    val rp = ref.crossJoin(broadcast(rt))
+      .select(col(catCol),
+        (col(refCntCol).cast("double") / col("__tr").cast("double")).as("__p"))
+    val wt = obs.groupBy(col(groupCol)).agg(sum(col(cntCol)).as("__nw"))
+    val j = wt.crossJoin(broadcast(rp))
+      .join(obs.select(col(groupCol), col(catCol), col(cntCol).as("__c")),
+        Seq(groupCol, catCol), "left")
+      .withColumn("__q",
+        coalesce(col("__c"), lit(0L)).cast("double") / col("__nw").cast("double"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .withColumn("__contrib",
+        (when(col("__p") > 0, col("__p") * log(col("__p") / col("__m")))
+          .otherwise(lit(0.0)) +
+         when(col("__q") > 0, col("__q") * log(col("__q") / col("__m")))
+          .otherwise(lit(0.0))) / 2)
+      .withColumn("__dabs", abs(col("__q") - col("__p")))
+    val js = j.groupBy(col(groupCol))
+      .agg(max(col("__nw")).as("n"), sum(col("__contrib")).as("js"))
+    val top = j.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("__dabs").desc, col(catCol))))
+      .filter(col("__r") === 1)
+      .select(col(groupCol), col(catCol).as("drift_cat"),
+        col("__dabs").as("drift_abs"))
+    js.join(top, Seq(groupCol))
+  }
+
   def unigramJsDrift(docs: DataFrame, sliceCol: String, textCol: String,
                      topK: Int): DataFrame = {
     require(topK >= 1, "topK must be positive")

@@ -412,6 +412,29 @@ class SourcesAndQualitySpec extends AnyFunSuite {
     assert(r2("x").getAs[Long]("rnk") == 1L && r2("y").getAs[Long]("rnk") == 2L)
   }
 
+  test("categoricalJsDrift: reference-matching group scores 0, " +
+       "concentrated group matches the hand formula, ties break by " +
+       "category") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val ref = Seq(("x", 5L), ("y", 5L)).toDF("cat", "cr")
+    val obs = Seq(
+      ("g1", "x", 2L), ("g1", "y", 2L),   // same 50/50 as the reference
+      ("g2", "x", 4L)                      // all mass on x
+    ).toDF("grp", "cat", "cnt")
+    val out = Quality.categoricalJsDrift(obs, "grp", "cat", "cnt", ref, "cr")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("g1").getAs[Double]("js") == 0.0)
+    assert(out("g1").getAs[Long]("n") == 4L)
+    // g2: p=(.5,.5), q=(1,0) → per-cat contribs by the JS formula
+    val cx = (0.5 * math.log(0.5 / 0.75) + 1.0 * math.log(1.0 / 0.75)) / 2
+    val cy = 0.5 * math.log(0.5 / 0.25) / 2
+    assert(math.abs(out("g2").getAs[Double]("js") - (cx + cy)) < 1e-12)
+    // both cats shifted by exactly 0.5 → tie broken by category asc
+    assert(out("g2").getAs[String]("drift_cat") == "x")
+    assert(out("g2").getAs[Double]("drift_abs") == 0.5)
+  }
+
   test("unigramJsDrift: top-k is sort+limit, the corpus is never " +
        "globally sorted") {
     import graft.operators.Quality
