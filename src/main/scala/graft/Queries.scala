@@ -4882,7 +4882,103 @@ object Queries {
              |SELECT js.window_start, CAST(js.nw AS BIGINT) AS n, js.js,
              |  top.event_type AS drift_cat, round(top.d_abs, 6) AS drift_abs
              |FROM js JOIN top ON js.window_start = top.window_start
-             |WHERE top.r = 1""".stripMargin)))
+             |WHERE top.r = 1""".stripMargin)),
+
+    Q("q139_compaction_plan",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Small-file compaction planning (the OPTIMIZE pass) under
+        // oracle: units = the (lang, source) write partitions of the
+        // documents table, sized by payload bytes (octet_length + a
+        // 16-byte row overhead); target bin size = total/8 so the plan
+        // is meaningful at every SF; greedy listing-order cumulative
+        // fill assigns each unit to bin floor(bytes_before/target).
+        // All-integer arithmetic, so the WHOLE manifest hash-matches —
+        // a wrong overhead constant, fill order, oversize inequality,
+        // or floor-division convention moves a unit across bins and
+        // fails the compare. Scale: the corpus is scanned once for the
+        // per-unit rollup; the planning window runs over the unit
+        // LISTING (metadata grain — at 100 TB, the table-format
+        // manifest), never the rows.
+        val docs = tbl("documents")
+        val bytes = expr("octet_length(text)") + lit(16L)
+        val target = docs.agg(
+          (floor(sum(bytes) / 8) + 1).cast("long").as("target"))
+        operators.Maintenance.compactionPlan(docs, Seq("lang", "source"),
+          bytes, target)
+      },
+      Some("""WITH u AS (SELECT lang, source,
+             |    sum(strlen(text) + 16) AS u_bytes,
+             |    count(*) AS u_rows
+             |  FROM documents GROUP BY 1, 2),
+             |tg AS (SELECT sum(u_bytes) // 8 + 1 AS target FROM u),
+             |o AS (SELECT *,
+             |    row_number() OVER (ORDER BY lang, source) AS ord,
+             |    coalesce(sum(u_bytes) OVER (ORDER BY lang, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_before
+             |  FROM u),
+             |p AS (SELECT o.*, target, cum_before // target AS bin
+             |      FROM o, tg)
+             |SELECT CAST(bin AS BIGINT) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_units,
+             |  CAST(sum(u_rows) AS BIGINT) AS n_rows,
+             |  CAST(sum(u_bytes) AS BIGINT) AS bytes,
+             |  CAST(min(ord) AS BIGINT) AS ord_first,
+             |  CAST(max(ord) AS BIGINT) AS ord_last,
+             |  CAST(sum(CASE WHEN u_bytes >= target THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oversize
+             |FROM p GROUP BY bin""".stripMargin)),
+
+    Q("q140_mixture_interleave",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Stride-scheduled mixture interleave under oracle: the first
+        // 200 positions of the α=0.5 temperature-mixed language stream,
+        // rolled up per language — realized share vs target weight,
+        // plus the position span. The merge order is exact (sqrt
+        // weights and one division are correctly-rounded IEEE on both
+        // engines, ties broken by (lang, r)), so a wrong stride rule,
+        // rank truncation, or tiebreak moves a position across
+        // languages and fails the hash; target_w (the one cross-source
+        // float sum, |langs| terms) rounds at 6 and share is an exact
+        // integer-ratio double. Scale: the corpus is touched once for
+        // the count rollup; the schedule head is ≤ |langs|·200
+        // generated rows (Packing.strideInterleave's bounded merge).
+        val sched = operators.Packing.strideInterleave(
+          tbl("documents"), "lang", alpha = 0.5, head = 200)
+        val all = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        sched.groupBy(col("lang"))
+          .agg(max(col("n_src")).cast("long").as("n_src"),
+            max(col("w_raw")).as("w_max"),
+            count(lit(1)).as("sched_n"),
+            min(col("pos")).as("first_pos"),
+            max(col("pos")).as("last_pos"))
+          .withColumn("target_w",
+            round(col("w_max") / sum(col("w_max")).over(all), 6))
+          .withColumn("share", col("sched_n").cast("double") / 200)
+          .select(col("lang"), col("n_src"), col("target_w"),
+            col("sched_n"), col("share"), col("first_pos"), col("last_pos"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_src FROM documents
+             |           GROUP BY 1),
+             |g AS (SELECT lang, n_src,
+             |    sqrt(CAST(n_src AS DOUBLE)) AS w_raw FROM c),
+             |e AS (SELECT lang, n_src, w_raw,
+             |    unnest(generate_series(1, least(200, n_src))) AS r FROM g),
+             |v AS (SELECT *, CAST(r AS DOUBLE) / w_raw AS vt FROM e),
+             |p AS (SELECT *, row_number() OVER (ORDER BY vt, lang, r)
+             |        AS pos FROM v),
+             |h AS (SELECT * FROM p WHERE pos <= 200),
+             |t AS (SELECT sum(w_raw) AS tw FROM g)
+             |SELECT lang, CAST(max(n_src) AS BIGINT) AS n_src,
+             |  round(max(w_raw) / max(tw), 6) AS target_w,
+             |  CAST(count(*) AS BIGINT) AS sched_n,
+             |  CAST(count(*) AS DOUBLE) / 200 AS share,
+             |  CAST(min(pos) AS BIGINT) AS first_pos,
+             |  CAST(max(pos) AS BIGINT) AS last_pos
+             |FROM h, t GROUP BY lang""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

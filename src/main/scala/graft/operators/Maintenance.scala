@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance planning: small-file compaction (the OPTIMIZE /
+  * bin-packing pass every parquet lakehouse runs — the public shape in
+  * Delta Lake's OPTIMIZE and Iceberg's rewrite_data_files).
+  *
+  * Scale design: the CORPUS is touched exactly once, by the per-unit
+  * size rollup (one partial aggregate; the exchange carries one row per
+  * compaction unit, never the data). Everything after — ordinal
+  * assignment, cumulative fill, bin stats — runs at UNIT grain: at
+  * 100 TB that is the file/partition LISTING (10^4..10^6 rows of
+  * metadata), the same thing a table format's manifest holds, so the
+  * single-partition planning window is bounded by metadata size, not
+  * data size. The emitted manifest then drives the rewrite as
+  * `repartitionByRange(bin)` write jobs; the planner itself moves no
+  * rows.
+  */
+object Maintenance {
+
+  /** Greedy listing-order bin packing: units (the per-`partCols` groups
+    * of `df`, each sized by `sum(bytesExpr)`) are laid out in listing
+    * order and cut into output bins of ~`target` bytes by cumulative
+    * fill — bin = floor(bytes-before-this-unit / target), the greedy
+    * rule Delta's OPTIMIZE applies to its file listing. Oversize units
+    * (≥ target on their own) are NOT split — this is a unit-grain
+    * planner; they land in their cumulative bin and are counted in
+    * `n_oversize` so the caller can route them to a row-grain rewrite
+    * instead.
+    *
+    * `target` is a 1-row DataFrame with a `target` column (usually
+    * derived from the same rollup — e.g. total/`nBins`), joined in as a
+    * broadcast 1-row gate so the plan stays a single declarative tree.
+    *
+    * Returns the bin manifest: `bin, n_units, n_rows, bytes,
+    * ord_first, ord_last, n_oversize` — all integer columns, so the
+    * whole plan hash-replays in any engine (q139's oracle).
+    */
+  def compactionPlan(df: DataFrame, partCols: Seq[String],
+                     bytesExpr: Column, target: DataFrame): DataFrame = {
+    val keys = partCols.map(col)
+    val units = df.groupBy(keys: _*)
+      .agg(sum(bytesExpr).cast("long").as("u_bytes"),
+        count(lit(1)).as("u_rows"))
+    // unit-grain from here down: |units| rows of metadata
+    val ordered = Window.orderBy(partCols.map(col(_).asc): _*)
+    val planned = units
+      .withColumn("ord", row_number().over(ordered).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("u_bytes")).over(
+          ordered.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(target))
+      .withColumn("bin", floor(col("cum_before") / col("target")).cast("long"))
+    planned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("u_rows")).cast("long").as("n_rows"),
+        sum(col("u_bytes")).cast("long").as("bytes"),
+        min(col("ord")).as("ord_first"),
+        max(col("ord")).as("ord_last"),
+        sum(when(col("u_bytes") >= col("target"), 1L).otherwise(0L))
+          .as("n_oversize"))
+  }
+}

@@ -215,4 +215,55 @@ object Packing {
         array_join(slice(col("toks"), (col("tok_start") + 1).cast("int"),
           col("tok_len").cast("int")), " ").as("chunk_text"))
   }
+
+  /** Stride-scheduled mixture interleave — the ORDER side of mixture
+    * assembly ([[Sampling.temperatureMixture]] decides how MUCH of each
+    * source; this decides WHEN): the r-th document of source s is
+    * scheduled at virtual time r / w_s and the global stream is the
+    * merge of all sources by ascending vt — stride scheduling
+    * (Waldspurger & Weihl, OSDI '94), the interleaving shape of
+    * multi-corpus training loaders. Consecutive emissions of s sit
+    * ~1/w_s apart, so EVERY prefix of the stream realizes the target
+    * mixture to within 1 + (|S|-1)·w_s/Σw documents per source (the
+    * weighted-round-robin deviation bound, spec-asserted) — no coin
+    * flips, no end-of-epoch composition bias.
+    *
+    * Cross-engine determinism: vt uses the UNNORMALIZED weight
+    * n_s^alpha — normalizing would divide every vt by the same positive
+    * constant and cannot change the merge order, so no cross-source
+    * float sum enters the ordering; alpha = 0.5 routes through
+    * correctly-rounded `sqrt` (exact parity, the
+    * [[Sampling.temperatureMixture]] discipline), and r/w_s is one
+    * correctly-rounded division of bit-identical operands.
+    *
+    * Scale: a loader consults the schedule HEAD (`head` positions), and
+    * the head is generated from the |sources|-row count rollup alone —
+    * sequence-exploded to ≤ |sources|·head rows (the r-th emission of s
+    * can sit no earlier than global position r, so ranks ≤ head per
+    * source suffice) — so the corpus is touched ONCE (the count
+    * aggregate) and the merge window ranks a bounded, data-independent
+    * row set, never the data. Feeding the schedule forward is a
+    * broadcast join on (source, rank-within-source).
+    *
+    * Returns one row per scheduled position: `pos` (1..head), the
+    * source, `r` (rank within source), `n_src`, `w_raw`. */
+  def strideInterleave(docs: DataFrame, groupCol: String, alpha: Double,
+                       head: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(head > 0, "head must be positive")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_src"))
+    val w = if (alpha == 0.5) sqrt(col("n_src").cast("double"))
+            else pow(col("n_src").cast("double"), lit(alpha))
+    counts
+      .withColumn("w_raw", w)
+      .withColumn("r", explode(
+        sequence(lit(1L), least(lit(head.toLong), col("n_src")))))
+      .withColumn("vt", col("r").cast("double") / col("w_raw"))
+      // bounded single-partition merge: ≤ |sources|·head schedule rows
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("vt").asc, col(groupCol).asc, col("r").asc))
+        .cast("long"))
+      .filter(col("pos") <= head)
+      .select(col("pos"), col(groupCol), col("r"), col("n_src"), col("w_raw"))
+  }
 }

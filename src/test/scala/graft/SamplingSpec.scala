@@ -314,4 +314,58 @@ class SamplingSpec extends AnyFunSuite {
     val exactPlan = exact.queryExecution.executedPlan.toString
     assert("row_number".r.findAllIn(exactPlan).size == 2, exactPlan.take(2000))
   }
+
+  test("strideInterleave: stride guarantee — every prefix realizes the " +
+       "mixture within one doc per source; ranks advance in order") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val head = 120
+    val sched = graft.operators.Packing
+      .strideInterleave(docs, "lang", alpha = 0.5, head = head)
+      .orderBy("pos").collect()
+    assert(sched.length == head)
+    assert(sched.map(_.getAs[Long]("pos")).toSeq == (1L to head).toSeq)
+    // per-source ranks are 1,2,3,... in emission order, and r <= pos
+    sched.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val rs = rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("r"))
+      assert(rs.toSeq == (1L to rs.length).toSeq)
+    }
+    sched.foreach(r => assert(r.getAs[Long]("r") <= r.getAs[Long]("pos")))
+    // stride guarantee: in every prefix, each source's count deviates
+    // from its ideal share p·w_s/Σw by less than 1 + (|S|-1)·w_s/Σw —
+    // the weighted-round-robin bound (each OTHER source contributes
+    // < 1 boundary doc, scaled by s's share; sources never exhaust at
+    // this head on the fixture)
+    val w = sched.map(r => r.getAs[String]("lang") ->
+      r.getAs[Double]("w_raw")).toMap
+    val tw = w.values.sum
+    for (p <- 1 to head; lang <- w.keys) {
+      val got = sched.take(p).count(_.getAs[String]("lang") == lang)
+      val ideal = p * w(lang) / tw
+      val bound = 1.0 + (w.size - 1) * w(lang) / tw
+      assert(math.abs(got - ideal) < bound + 1e-9,
+        s"prefix $p lang $lang: got $got ideal $ideal bound $bound")
+    }
+  }
+
+  test("strideInterleave: schedule is generated from the count rollup — " +
+       "one corpus aggregate, bounded merge input") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val sched = graft.operators.Packing
+      .strideInterleave(docs, "lang", alpha = 0.5, head = 50)
+    val plan = sched.queryExecution.executedPlan.toString
+    // the merge window consumes the exploded count rollup (an
+    // aggregate sits below the window), never the corpus rows
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx, plan.take(2000))
+    // truncation: a 3-source skew case caps per-source ranks at head
+    import spark.implicits._
+    val skew = (Seq.fill(40)("big") ++ Seq.fill(2)("tiny"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val s2 = graft.operators.Packing.strideInterleave(skew, "g", 0.5, 10)
+      .collect()
+    assert(s2.length == 10)
+    assert(s2.count(_.getAs[String]("g") == "tiny") <= 2)
+  }
 }
