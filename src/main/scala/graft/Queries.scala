@@ -4978,7 +4978,69 @@ object Queries {
              |  CAST(count(*) AS DOUBLE) / 200 AS share,
              |  CAST(min(pos) AS BIGINT) AS first_pos,
              |  CAST(max(pos) AS BIGINT) AS last_pos
-             |FROM h, t GROUP BY lang""".stripMargin)))
+             |FROM h, t GROUP BY lang""".stripMargin)),
+
+    Q("q141_stream_stream_join",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STREAM-STREAM interval join end-to-end (the q89 rails, join
+        // flavor): clicks and purchases from ONE file stream (two
+        // micro-batches split at the fixture's time midpoint, pinned
+        // order) joined click→purchase-within-30-min per user, 1 h
+        // watermark. The time split makes the emitted set EXACTLY the
+        // batch interval join: batch-B rows all sit above batch-A's
+        // watermark (nothing is late-dropped), and any cross-batch
+        // match partner is younger than every state watermark when its
+        // second side arrives — so eviction (which demonstrably fires;
+        // spec-asserted via numRowsRemoved) only ever removes
+        // unmatchable state. The oracle replays the plain interval
+        // join; lag is exact integer microseconds.
+        import java.nio.file.Files
+        val ev = tbl("events").select(col("event_id"), col("ts"),
+          col("user_id"), col("event_type"))
+        val dir = Files.createTempDirectory("graft_q141_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        val cut = lit("2024-01-16").cast("timestamp")
+        stageStreamFile(ev.filter(col("ts") < cut), src, "batch_a",
+          now - 120000)
+        stageStreamFile(ev.filter(col("ts") >= cut), src, "batch_b",
+          now - 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .withWatermark("ts", "1 hour")
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id").as("l_user"), col("event_id").as("click_id"),
+            col("ts").as("l_ts"))
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("r_user"),
+            col("event_id").as("purchase_id"), col("ts").as("r_ts"))
+        val joined = streaming.EventStreams.intervalJoin(
+            clicks, purchases, "l_user", "r_user", "l_ts", "r_ts",
+            maxDelaySec = 1800L)
+          .select(col("l_user").as("user_id"), col("click_id"),
+            col("purchase_id"),
+            (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+              .as("lag_us"))
+        val query = joined.writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(out)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            col("lag_us").cast("long").as("lag_us"))
+      },
+      Some("""WITH l AS (SELECT user_id, event_id AS click_id, ts AS l_ts
+             |           FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, event_id AS purchase_id, ts AS r_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT l.user_id, l.click_id, r.purchase_id,
+             |  CAST(epoch_us(r_ts) - epoch_us(l_ts) AS BIGINT) AS lag_us
+             |FROM l JOIN r ON l.user_id = r.user_id
+             |  AND r_ts >= l_ts
+             |  AND r_ts <= l_ts + INTERVAL 30 MINUTE""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -117,4 +117,34 @@ object EventStreams {
     * bound both state size and re-delivery window). */
   def dedupeStream(events: DataFrame, idCol: String, watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
+  /** Watermarked STREAM-STREAM interval join — the attribution shape:
+    * each left event pairs with the right events that FOLLOW it within
+    * `maxDelaySec` on the same key (click → purchase-within-30-min).
+    * Inner join, append mode: a pair emits in the micro-batch where its
+    * second side arrives.
+    *
+    * The time-range condition is what BOUNDS state — the property that
+    * keeps the join feasible on an unbounded stream: from `wm` (the
+    * watermark both sides carry) Spark derives per-side state
+    * watermarks, evicting left rows once `lTs < wm − maxDelay` (no
+    * future right row can land in their window) and right rows once
+    * `rTs < wm` (every left row they could trail has arrived or is
+    * late). State is O(key-rate × (maxDelay + watermark delay))
+    * regardless of stream length; eviction is observed via the state
+    * operator's numRowsRemoved in the spec, and emitted pairs equal the
+    * batch interval join whenever no input arrives later than the
+    * watermark (q141's oracle replays exactly that).
+    *
+    * Caller contract: both inputs are watermarked on their ts column
+    * (rename AFTER `withWatermark` — the delay rides the attribute),
+    * and the four column names are pairwise distinct so the self-join
+    * condition binds unambiguously. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lKey: String, rKey: String, lTs: String, rTs: String,
+                   maxDelaySec: Long): DataFrame =
+    left.join(right,
+      col(lKey) === col(rKey) &&
+        col(rTs) >= col(lTs) &&
+        col(rTs) <= col(lTs) + expr(s"INTERVAL $maxDelaySec SECONDS"))
 }

@@ -10,6 +10,9 @@ import graft.streaming.EventStreams.Event
 
 case class TypedEvent(ts: java.sql.Timestamp, event_type: String, value: Double)
 
+case class JoinEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                  event_type: String)
+
 class StreamingMultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -752,5 +755,87 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(cs == Multimodal.decode(
       Multimodal.MediaRecord(9L, "video/avi", one)).checksum,
       "raster hash must equal the whole-stream decoded checksum")
+  }
+
+  test("intervalJoin: single-batch parity with the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables(spark, TestSpark.sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter($"event_type" === "click")
+        .select($"user_id".as("l_user"), $"event_id".as("click_id"),
+          $"ts".as("l_ts")),
+      df.filter($"event_type" === "purchase")
+        .select($"user_id".as("r_user"), $"event_id".as("purchase_id"),
+          $"ts".as("r_ts")))
+    val (bl, br) = sides(ev)
+    val batch = EventStreams.intervalJoin(bl, br,
+        "l_user", "r_user", "l_ts", "r_ts", 1800L)
+      .select($"click_id", $"purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val input = MemoryStream[JoinEv]
+    input.addData(ev.as[JoinEv].collect().toSeq)
+    val (sl, sr) = sides(input.toDF().withWatermark("ts", "1 hour"))
+    val q = EventStreams.intervalJoin(sl, sr,
+        "l_user", "r_user", "l_ts", "r_ts", 1800L)
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("ssj_par")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("ssj_par")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // nothing is late in a single batch (wm starts at 0), so the inner
+    // join emits exactly the batch pairs
+    assert(got == batch, s"stream=${got.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("intervalJoin: late inputs drop, state evicts, fresh pairs emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    def mk(id: Long, min: Long, user: Long, tpe: String) =
+      JoinEv(id, ts(min), user, tpe)
+    val input = MemoryStream[JoinEv]
+    val wmEv = input.toDF().withWatermark("ts", "1 hour")
+    val clicks = wmEv.filter($"event_type" === "click")
+      .select($"user_id".as("l_user"), $"event_id".as("click_id"),
+        $"ts".as("l_ts"))
+    val purchases = wmEv.filter($"event_type" === "purchase")
+      .select($"user_id".as("r_user"), $"event_id".as("purchase_id"),
+        $"ts".as("r_ts"))
+    val q = EventStreams.intervalJoin(clicks, purchases,
+        "l_user", "r_user", "l_ts", "r_ts", 1800L)
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("ssj_evict")
+      .outputMode("append").start()
+    // batch 1: one completed pair, one dangling click, and a far-future
+    // row pushing the watermark: the single withWatermark node feeds
+    // both branches, so its watermark is the max across branch
+    // instances − delay = 700 − 60 = 640 min; the two user-99 rows are
+    // 100 min apart so they never pair
+    input.addData(mk(1, 0, 1, "click"), mk(2, 10, 1, "purchase"),
+      mk(3, 20, 1, "click"), mk(4, 600, 99, "click"),
+      mk(8, 700, 99, "purchase"))
+    q.processAllAvailable()
+    // batch 2: a purchase for the dangling click — but at 25 min it is
+    // far below the right-side input watermark (640) and must be
+    // dropped as late; plus a fresh above-watermark pair
+    input.addData(mk(5, 25, 1, "purchase"),
+      mk(6, 650, 2, "click"), mk(7, 655, 2, "purchase"))
+    q.processAllAvailable()
+    val got = spark.table("ssj_evict")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    q.stop()
+    assert(got == Set((1L, 2L), (6L, 7L)),
+      s"expected late purchase dropped and fresh pair emitted, got $got")
+    // the 1-h watermark evicted batch-1 state (clicks below wm − 30 min,
+    // purchases below wm) — the bound that keeps state finite
+    assert(removed > 0, "expected state eviction to fire")
   }
 }
