@@ -5040,7 +5040,55 @@ object Queries {
              |  CAST(epoch_us(r_ts) - epoch_us(l_ts) AS BIGINT) AS lag_us
              |FROM l JOIN r ON l.user_id = r.user_id
              |  AND r_ts >= l_ts
-             |  AND r_ts <= l_ts + INTERVAL 30 MINUTE""".stripMargin)))
+             |  AND r_ts <= l_ts + INTERVAL 30 MINUTE""".stripMargin)),
+
+    Q("q142_corpus_diversity",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Exact mean pairwise cosine per label + whole-corpus, via the
+        // sum-vector identity (Embeddings.meanPairwiseCosine): the
+        // quadratic diversity statistic from ONE linear pass — no pair
+        // is ever formed, the only exchange is |groups|·dim partial
+        // sums. The oracle replays the identity with the same
+        // normalize → per-dim sum → Σs² arithmetic; n is exact, the
+        // ln-free float path rounds at 6 (sums of continuous values,
+        // the established convention). An all-pairs oracle would ALSO
+        // agree (EmbeddingsSpec asserts the identity against brute
+        // force) but replaying the identity keeps the compare
+        // operand-order-stable.
+        val emb = tbl("embeddings")
+        val byLabel = operators.Embeddings
+          .meanPairwiseCosine(emb, "embedding", Seq("label"))
+          .select(col("label").cast("string").as("grp"), col("n"),
+            round(col("mean_cos"), 6).as("mean_cos"))
+        val global = operators.Embeddings
+          .meanPairwiseCosine(emb, "embedding", Nil)
+          .select(lit("all").as("grp"), col("n"),
+            round(col("mean_cos"), 6).as("mean_cos"))
+        byLabel.unionByName(global)
+      },
+      Some("""WITH e AS (SELECT CAST(label AS VARCHAR) AS grp,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nm AS (SELECT grp, v,
+             |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+             |  FROM e),
+             |u AS (SELECT grp, list_transform(v, x -> x / norm) AS u
+             |      FROM nm WHERE norm > 0),
+             |x AS (SELECT grp, unnest(u) AS x,
+             |    generate_subscripts(u, 1) AS dim FROM u),
+             |sv AS (SELECT grp, dim, sum(x) AS sv, count(*) AS cnt
+             |       FROM x GROUP BY 1, 2),
+             |pg AS (SELECT grp, sum(sv * sv) AS ssq, max(cnt) AS n
+             |       FROM sv GROUP BY 1),
+             |ag AS (SELECT 'all' AS grp, sum(sv * sv) AS ssq, max(cnt) AS n
+             |       FROM (SELECT dim, sum(sv) AS sv, sum(cnt) AS cnt
+             |             FROM sv GROUP BY 1) GROUP BY 1)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  round((ssq - n) / (n * (n - 1.0)), 6) AS mean_cos
+             |FROM pg
+             |UNION ALL
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  round((ssq - n) / (n * (n - 1.0)), 6) AS mean_cos
+             |FROM ag""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -182,4 +182,44 @@ object Embeddings {
     emb.withColumn("white", graft.plans.exprs.matVec(col(vecCol),
       scaled.flatten, offsets, model.dim))
   }
+
+  /** Exact corpus DIVERSITY: the mean pairwise cosine similarity over
+    * all n·(n−1)/2 vector pairs of each group — computed WITHOUT ever
+    * forming a pair. With u_i = v_i/‖v_i‖ and S = Σ u_i,
+    * ‖S‖² = n + 2·Σ_{i<j} u_i·u_j, so
+    * mean pairwise cos = (‖S‖² − n) / (n(n−1)) — the quadratic
+    * statistic collapses to one linear pass. This is the datasheet
+    * diversity number (high mean cosine = dup-heavy / mode-collapsed
+    * corpus; the signal SemDeDup-style pruning acts on), and the
+    * identity is the 100 TB story: the all-pairs formulation is
+    * O(n²·dim) with an n×n shuffle, this is one narrow normalize
+    * projection plus a per-(group, dim) partial sum whose ONLY exchange
+    * carries |groups|·dim rows. Plan-asserted join-free in
+    * EmbeddingsSpec.
+    *
+    * Zero vectors carry no direction and are excluded (documented
+    * contract); groups with n < 2 have no pairs and report NULL.
+    * Returns groupCols :+ (n, mean_cos); groupCols may be empty for the
+    * whole-corpus number. */
+  def meanPairwiseCosine(emb: DataFrame, vecCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val unit = emb
+      .withColumn("__vd", Vectors.toDouble(col(vecCol)))
+      .withColumn("__nm", sqrt(aggregate(col("__vd"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .filter(col("__nm") > 0)
+      .withColumn("__u", transform(col("__vd"), x => x / col("__nm")))
+    val perDim = unit.select(
+      keys :+ posexplode(col("__u")).as(Seq("dim", "x")): _*)
+    val sums = perDim.groupBy(keys :+ col("dim"): _*)
+      .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+    sums.groupBy(keys: _*)
+      .agg(sum(col("sv") * col("sv")).as("ssq"), max(col("cnt")).as("n"))
+      .select(keys ++ Seq(col("n").cast("long").as("n"),
+        when(col("n") > 1,
+          (col("ssq") - col("n")) /
+            (col("n") * (col("n") - 1)).cast("double"))
+          .as("mean_cos")): _*)
+  }
 }

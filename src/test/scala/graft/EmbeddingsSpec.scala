@@ -113,4 +113,50 @@ class EmbeddingsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(800))
   }
+
+  test("meanPairwiseCosine: sum-vector identity equals brute force; " +
+       "zero vectors excluded; n<2 yields NULL; plan is join-free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b",
+        Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("id", "grp", "embedding")
+    val got = Embeddings.meanPairwiseCosine(df, "embedding", Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // brute force per group
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    for (g <- Seq("a", "b")) {
+      val vs = vecs.filter(_._2 == g).map(_._3)
+      val pairs = for (i <- vs.indices; j <- i + 1 until vs.length)
+        yield cos(vs(i), vs(j))
+      val expected = pairs.sum / pairs.length
+      assert(got(g)._1 == vs.length)
+      assert(math.abs(got(g)._2 - expected) < 1e-9,
+        s"group $g: identity ${got(g)._2} vs brute $expected")
+    }
+    // a zero vector carries no direction: excluded from n and the mean
+    val withZero = (vecs :+ ((99L, "a", Array.fill(8)(0.0f)))).toDF(
+      "id", "grp", "embedding")
+    val gz = Embeddings.meanPairwiseCosine(withZero, "embedding", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gz("a") == vecs.count(_._2 == "a"))
+    // n = 1 → no pairs → NULL mean
+    val one = Seq((1L, "solo", Array(1.0f, 2.0f))).toDF("id", "grp", "embedding")
+    val r1 = Embeddings.meanPairwiseCosine(one, "embedding", Seq("grp")).head
+    assert(r1.getLong(1) == 1L && r1.isNullAt(2))
+    // the 100 TB contract: no pair is ever formed — the plan has no
+    // join of any kind, and the first exchange carries (grp, dim) sums
+    val plan = Embeddings.meanPairwiseCosine(df, "embedding", Seq("grp"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
 }
