@@ -5088,7 +5088,39 @@ object Queries {
              |UNION ALL
              |SELECT grp, CAST(n AS BIGINT) AS n,
              |  round((ssq - n) / (n * (n - 1.0)), 6) AS mean_cos
-             |FROM ag""".stripMargin)))
+             |FROM ag""".stripMargin)),
+
+    Q("q143_hard_negatives",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Hard-negative mining under oracle: for each anchor (every
+        // 50th vector), the top-5 most-similar OTHER-label vectors
+        // below the 0.95 near-dup screen — the contrastive-training
+        // pair generator. q26's determinism discipline (native double
+        // cosine vs list_cosine_similarity, neighbor_id tiebreak,
+        // display rounding only); the class filter runs BEFORE the
+        // ranking window so excluded rows never shuffle. Scale path:
+        // the same filter+rank over an IVFADC-R shortlist
+        // (Similarity.hardNegatives scaladoc).
+        val emb = tbl("embeddings")
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", k = 5, dupThreshold = 0.95)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+             |    CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+             |    CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings),
+             |sc AS (SELECT query_id, q_label, neighbor_id, n_label,
+             |    list_cosine_similarity(qv, cv) AS cos
+             |  FROM q, c
+             |  WHERE neighbor_id <> query_id AND n_label <> q_label),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY cos DESC, neighbor_id) AS rnk
+             |      FROM sc WHERE cos < 0.95)
+             |SELECT query_id, q_label, neighbor_id, n_label,
+             |  CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos
+             |FROM r WHERE rnk <= 5""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

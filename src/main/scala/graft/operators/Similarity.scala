@@ -91,6 +91,43 @@ object Similarity {
         col("rnk").cast("long").as("rnk"), col("dist"))
   }
 
+  /** HARD-NEGATIVE mining for embedding/retrieval training: for each
+    * query vector, the top-k most-similar vectors of a DIFFERENT class
+    * that are not near-duplicates (`cos < dupThreshold` screens out
+    * mislabeled copies of the query — the classic false-negative trap).
+    * These boundary-hugging negatives are what contrastive training
+    * pairs with each anchor (the hard-negative recipe of the public
+    * DPR/SBERT literature); random negatives are too easy to carry
+    * gradient.
+    *
+    * Same plan shape as [[bruteForceTopK]] — broadcast queries, one
+    * corpus scan, per-query ranking with a map-side WindowGroupLimit —
+    * with the class filter applied BEFORE ranking so excluded rows
+    * never enter the window. At corpus scale the candidate step swaps
+    * to [[ivfPqTopK]] + [[refineTopK]] with k·overfetch, then this same
+    * filter+rank runs on the |Q|·R shortlist (the filters commute with
+    * shortlist refinement as long as the shortlist overfetches the
+    * filtered-out mass). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    dupThreshold: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("n_label"))
+      .join(q, col("neighbor_id") =!= col("query_id") &&
+        col("n_label") =!= col("q_label"))
+      .withColumn("cos", Vectors.cosine(col("q_vec"), col("c_vec")))
+      .filter(col("cos") < dupThreshold)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** The composed IVFADC-R pipeline: [[ivfPqTopK]] shortlist of
     * k·rFactor, then [[refineTopK]] to the final k. */
   def ivfPqTopKRefined(corpus: DataFrame, queries: DataFrame,

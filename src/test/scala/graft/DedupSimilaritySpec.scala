@@ -676,4 +676,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       spark.sql("DROP TABLE ann_store")
     }
   }
+
+  test("hardNegatives: same-label and near-dup neighbors excluded, " +
+       "boundary negatives ranked first, map-side limited") {
+    import spark.implicits._
+    // anchor (id 0, label 0) at e1; planted neighbors:
+    //   id 1 label 0 at e1        -> same label, excluded
+    //   id 2 label 1 at ~e1       -> other label but cos≈1 ≥ 0.95, excluded
+    //   id 3 label 1 cos≈0.9      -> hardest admissible negative
+    //   id 4 label 2 cos≈0.7      -> second
+    //   id 5 label 1 cos≈0.0      -> easy negative, ranked last
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, 0, v(1, 0, 0, 0)),
+      (1L, 0, v(1, 0.01, 0, 0)),
+      (2L, 1, v(1, 0.001, 0, 0)),
+      (3L, 1, v(0.9, math.sqrt(1 - 0.81), 0, 0)),
+      (4L, 2, v(0.7, math.sqrt(1 - 0.49), 0, 0)),
+      (5L, 1, v(0, 1, 0, 0))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 0),
+        "vec_id", "embedding", "label", k = 3, dupThreshold = 0.95)
+      .orderBy("rnk").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 4L, 5L))
+    assert(got.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(_.getAs[Int]("n_label") != 0))
+    assert(got.forall(_.getAs[Double]("cos") < 0.95))
+    // ranking stays map-side limited like bruteForceTopK
+    val plan = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 0),
+        "vec_id", "embedding", "label", k = 3, dupThreshold = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
 }
