@@ -5120,7 +5120,48 @@ object Queries {
              |      FROM sc WHERE cos < 0.95)
              |SELECT query_id, q_label, neighbor_id, n_label,
              |  CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos
-             |FROM r WHERE rnk <= 5""".stripMargin)))
+             |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    Q("q144_embedding_drift",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Embedding-distribution drift between snapshots (the vector
+        // sibling of q135's token drift / q138's categorical drift):
+        // vec_id parity splits the corpus into two "crawls"; per label,
+        // the cosine between snapshot centroids plus both counts. The
+        // oracle replays the per-(label, snapshot, dim) means and the
+        // centroid cosine with identical operand order; counts are
+        // exact, the float path rounds at 6. Scale: the only
+        // corpus-grain exchange carries 2·|labels|·dim partial means
+        // (Embeddings.centroidShift).
+        val emb = tbl("embeddings")
+          .withColumn("snap", when(col("vec_id") % 2 === 0, "a")
+            .otherwise("b"))
+        operators.Embeddings.centroidShift(emb, "embedding",
+            Seq("label"), "snap", "a", "b")
+          .select(col("label").cast("string").as("grp"),
+            col("n_a"), col("n_b"),
+            round(col("cos_shift"), 6).as("cos_shift"))
+      },
+      Some("""WITH e AS (SELECT CAST(label AS VARCHAR) AS grp,
+             |    CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |x AS (SELECT grp, snap, unnest(v) AS x,
+             |    generate_subscripts(v, 1) AS dim FROM e),
+             |m AS (SELECT grp, snap, dim, avg(x) AS m, count(*) AS cnt
+             |      FROM x GROUP BY 1, 2, 3),
+             |p AS (SELECT grp, dim,
+             |    max(CASE WHEN snap = 'a' THEN m END) AS ma,
+             |    max(CASE WHEN snap = 'b' THEN m END) AS mb,
+             |    max(CASE WHEN snap = 'a' THEN cnt END) AS na,
+             |    max(CASE WHEN snap = 'b' THEN cnt END) AS nb
+             |  FROM m GROUP BY 1, 2),
+             |g AS (SELECT grp, sum(ma * mb) AS dot, sum(ma * ma) AS sa,
+             |    sum(mb * mb) AS sb, max(na) AS n_a, max(nb) AS n_b
+             |  FROM p GROUP BY 1)
+             |SELECT grp, CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+             |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+             |  round(dot / (sqrt(sa) * sqrt(sb)), 6) AS cos_shift
+             |FROM g""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

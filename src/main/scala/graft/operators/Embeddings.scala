@@ -201,6 +201,48 @@ object Embeddings {
     * contract); groups with n < 2 have no pairs and report NULL.
     * Returns groupCols :+ (n, mean_cos); groupCols may be empty for the
     * whole-corpus number. */
+  /** Embedding-distribution DRIFT between two corpus snapshots — the
+    * vector-modality sibling of the token/categorical drift monitors
+    * (q135/q138): per group, the cosine between snapshot centroids,
+    * reported as `cos_shift` plus both snapshot counts. A centroid that
+    * rotates away from its predecessor (cos_shift dropping below ~1)
+    * flags a semantic shift in what a source is contributing between
+    * crawls — the retrain/re-curate trigger embedding pipelines watch.
+    *
+    * Scale: one narrow projection + a (group, snapshot, dim) partial
+    * mean — the only exchange carries 2·|groups|·dim rows; the
+    * centroid-pair cosine then runs at |groups|·dim grain. Snapshots
+    * whose group is missing a side report NULL (no centroid to compare).
+    */
+  def centroidShift(emb: DataFrame, vecCol: String, groupCols: Seq[String],
+                    snapCol: String, snapA: String, snapB: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val perDim = emb
+      .filter(col(snapCol).isin(snapA, snapB))
+      .withColumn("__vd", Vectors.toDouble(col(vecCol)))
+      .select(keys ++ Seq(col(snapCol).as("__snap"),
+        posexplode(col("__vd")).as(Seq("dim", "x"))): _*)
+      .groupBy(keys ++ Seq(col("__snap"), col("dim")): _*)
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+    val paired = perDim.groupBy(keys :+ col("dim"): _*)
+      .agg(max(when(col("__snap") === snapA, col("m"))).as("ma"),
+        max(when(col("__snap") === snapB, col("m"))).as("mb"),
+        max(when(col("__snap") === snapA, col("cnt"))).as("na"),
+        max(when(col("__snap") === snapB, col("cnt"))).as("nb"))
+    paired.groupBy(keys: _*)
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("sa"),
+        sum(col("mb") * col("mb")).as("sb"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+      .select(keys ++ Seq(
+        coalesce(col("n_a"), lit(0L)).cast("long").as("n_a"),
+        coalesce(col("n_b"), lit(0L)).cast("long").as("n_b"),
+        when(col("n_a").isNotNull && col("n_b").isNotNull &&
+            col("sa") > 0 && col("sb") > 0,
+          col("dot") / (sqrt(col("sa")) * sqrt(col("sb"))))
+          .as("cos_shift")): _*)
+  }
+
   def meanPairwiseCosine(emb: DataFrame, vecCol: String,
                          groupCols: Seq[String]): DataFrame = {
     val keys = groupCols.map(col)

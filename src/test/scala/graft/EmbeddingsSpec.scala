@@ -159,4 +159,38 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       plan.take(1500))
   }
+
+  test("centroidShift: identical snapshots give cos 1, orthogonal give 0, " +
+       "missing side gives NULL; join-free plan") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val df = Seq(
+      // group "same": both snapshots centered on e1 → cos_shift 1
+      (0L, "same", "a", v(1, 0, 0)), (1L, "same", "a", v(1, 0.2, 0)),
+      (2L, "same", "b", v(1, 0.1, 0)), (3L, "same", "b", v(1, 0.1, 0)),
+      // group "orth": snapshot a on e1, b on e2 → cos_shift 0
+      (4L, "orth", "a", v(2, 0, 0)), (5L, "orth", "b", v(0, 3, 0)),
+      // group "half": only snapshot a present → NULL shift, n_b = 0
+      (6L, "half", "a", v(1, 1, 1)),
+      // a foreign snapshot label is ignored entirely
+      (7L, "same", "zzz", v(9, 9, 9))
+    ).toDF("vec_id", "grp", "snap", "embedding")
+    val got = Embeddings.centroidShift(df, "embedding", Seq("grp"),
+      "snap", "a", "b").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val same = got("same")
+    assert(same.getLong(1) == 2 && same.getLong(2) == 2)
+    // centroid a = (1, 0.1, 0), centroid b = (1, 0.1, 0): cos exactly 1
+    assert(math.abs(same.getDouble(3) - 1.0) < 1e-12)
+    val orth = got("orth")
+    assert(orth.getLong(1) == 1 && orth.getLong(2) == 1)
+    assert(math.abs(orth.getDouble(3)) < 1e-12)
+    val half = got("half")
+    assert(half.getLong(1) == 1 && half.getLong(2) == 0 && half.isNullAt(3))
+    val plan = Embeddings.centroidShift(df, "embedding", Seq("grp"),
+        "snap", "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
 }
