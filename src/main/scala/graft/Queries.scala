@@ -5161,7 +5161,43 @@ object Queries {
              |SELECT grp, CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
              |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
              |  round(dot / (sqrt(sa) * sqrt(sb)), 6) AS cos_shift
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    Q("q145_bpe_pair_stats",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // BPE training statistic under oracle: the top-20 adjacent
+        // character pairs within whitespace words — iteration 1 of
+        // Tokenizer.trainMerges' count→argmax loop (the full iterative
+        // training is spec-gated: replaying the greedy merge fold in
+        // SQL would re-implement the operator, not check it).
+        // All-integer counts with a total (cnt, a, b) order, so the
+        // ranking hash-matches exactly. Scale: the explode feeds a
+        // partial aggregate — the exchange carries distinct pairs
+        // (≤ alphabet²), never the corpus; the rank window sees only
+        // those aggregated rows.
+        val pairs = operators.Tokenizer.pairCounts(
+          operators.Tokenizer.toSymbols(tbl("documents"), "text"))
+        pairs
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("a"), col("b"))).cast("long"))
+          .filter(col("rnk") <= 20)
+          .select(col("rnk"), col("a"), col("b"),
+            col("cnt").cast("long").as("cnt"))
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+             |           FROM documents),
+             |w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+             |i AS (SELECT w, unnest(generate_series(1, length(w) - 1))
+             |        AS i FROM w2),
+             |p AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+             |    substr(w, CAST(i AS INT) + 1, 1) AS b FROM i),
+             |c AS (SELECT a, b, count(*) AS cnt FROM p GROUP BY 1, 2),
+             |r AS (SELECT a, b, cnt, row_number()
+             |        OVER (ORDER BY cnt DESC, a, b) AS rnk FROM c)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, a, b,
+             |  CAST(cnt AS BIGINT) AS cnt
+             |FROM r WHERE rnk <= 20""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

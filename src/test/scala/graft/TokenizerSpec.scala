@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Tokenizer
+
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("trainMerges: hand-traced BPE on a tiny corpus — merge order, " +
+       "greedy overlap resolution, final tokenization") {
+    import spark.implicits._
+    // corpus: aaab ×2, ab ×1
+    //   iter 1 pairs: (a,a)=4, (a,b)=3            → merge (a,a)
+    //   "aaab" → [aa, a, b] (greedy leftmost), "ab" → [a, b]
+    //   iter 2 pairs: (aa,a)=2, (a,b)=3           → merge (a,b)
+    //   "aaab" → [aa, ab], "ab" → [ab]
+    //   iter 3 pairs: (aa,ab)=2                   → merge (aa,ab)
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val merges = Tokenizer.trainMerges(docs, "text", nMerges = 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // inference: replaying the merge table tokenizes both words fully
+    val toks = Tokenizer.toSymbols(docs, "text")
+      .select(Tokenizer.applyMerges(col("sym"), merges).as("sym"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(toks.sortBy(_.mkString) ==
+      List(List("aaab"), List("aaab"), List("ab")))
+    // early stop: asking for more merges than pairs exist terminates
+    val m5 = Tokenizer.trainMerges(docs, "text", nMerges = 10)
+    assert(m5.take(3) == merges && m5.length <= 10)
+  }
+
+  test("applyMerge: greedy leftmost on overlap runs; no cross-word state") {
+    import spark.implicits._
+    val sym = Seq(Seq("a", "a", "a"), Seq("b", "a", "a"), Seq("a"))
+      .toDF("sym")
+    val merged = sym.select(Tokenizer.applyMerge(col("sym"), "a", "a")
+      .as("m")).collect().map(_.getSeq[String](0).toList).toList
+    assert(merged == List(List("aa", "a"), List("b", "aa"), List("a")))
+  }
+
+  test("pairCounts: exchange carries aggregated pairs, not the corpus; " +
+       "counts match a direct recount on the fixture") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .repartition(3)
+    val pc = Tokenizer.pairCounts(Tokenizer.toSymbols(docs, "text"))
+    // map-side combine: the partial aggregate sits BELOW the pair
+    // exchange, so the exchange carries aggregated (a, b, cnt) rows,
+    // not one row per character position
+    val plan = pc.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val partIdx = lines.indexWhere(_.contains("partial_count"))
+    val exIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning"))
+    assert(partIdx >= 0 && exIdx >= 0 && exIdx < partIdx,
+      s"expected map-side partial aggregate under the exchange:\n$plan")
+    // spot-check one pair count against a driver-side recount
+    val rows = docs.select("text").collect().map(_.getString(0))
+    val expected = rows.flatMap(_.split(" "))
+      .flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val got = pc.collect()
+      .map(r => (r.getString(0) + r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+}
