@@ -5197,7 +5197,83 @@ object Queries {
              |        OVER (ORDER BY cnt DESC, a, b) AS rnk FROM c)
              |SELECT CAST(rnk AS BIGINT) AS rnk, a, b,
              |  CAST(cnt AS BIGINT) AS cnt
-             |FROM r WHERE rnk <= 20""".stripMargin)))
+             |FROM r WHERE rnk <= 20""".stripMargin)),
+
+    Q("q146_quality_classifier",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Distributed LOGISTIC-REGRESSION training under oracle: 3
+        // full-batch GD steps (lr 0.5, zero init) fitting is-English
+        // from exact surface features (bounded length, lexical
+        // diversity, stopword mass, punctuation) — the linear quality
+        // classifier of the public GPT-3/CCNet curation recipe. Each
+        // step is ONE corpus aggregate of dim+1 doubles; weights are
+        // driver-held model parameters. The oracle unrolls the
+        // identical 3 steps as CTEs — features are exact integer-ratio
+        // doubles, z folds left-to-right, the update is w − lr·(Σg/n)
+        // on both sides, so the trained weights agree to well inside
+        // round-at-6 (exp's ≤1-ulp engine variance is the pow
+        // precedent).
+        import s.implicits._
+        val docs = tbl("documents")
+        val feats: Seq[Column] = Seq(
+          lit(1.0),
+          least(functions.Text.tokenCount(col("text")).cast("double")
+            / lit(50d), lit(1d)),
+          functions.Text.distinctTokenRatio(col("text")),
+          functions.Text.stopwordRatio(col("text"), Stopwords),
+          functions.Text.punctRatio(col("text")))
+        val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val w = operators.Classifier.trainLogistic(docs, feats, label,
+          iters = 3, lr = 0.5)
+        Seq("bias", "len", "distinct", "stopword", "punct").zip(w)
+          .toDF("feature", "weight")
+          .select(col("feature"), round(col("weight"), 6).as("weight"))
+      },
+      Some {
+        val z = "x0*v0 + x1*v1 + x2*v2 + x3*v3 + x4*v4"
+        def gsum(sig: String, from: String) = (0 to 4).map(i =>
+          s"sum(($sig - y) * x$i) AS g$i").mkString(",\n|    ") +
+          s"\n|  FROM $from"
+        def wupd(prev: Option[String], g: String) = (0 to 4).map { i =>
+          val base = prev.map(p => s"$p.v$i").getOrElse("0")
+          s"$base - 0.5 * ($g.g$i / n) AS v$i"
+        }.mkString(",\n|    ")
+        s"""WITH f AS (SELECT
+           |    1.0 AS x0,
+           |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50,
+           |      1.0) AS x1,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |      / len(string_split(text, ' ')) AS x2,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |        t -> t IN ($StopSql))) AS DOUBLE)
+           |      / greatest(len(string_split(text, ' ')), 1) AS x3,
+           |    CAST(length(text)
+           |        - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+           |        AS DOUBLE)
+           |      / greatest(length(text), 1) AS x4,
+           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           |  FROM documents),
+           |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+           |g1 AS (SELECT ${gsum("0.5", "f")}),
+           |w1 AS (SELECT ${wupd(None, "g1")}
+           |  FROM g1, cnt),
+           |p2 AS (SELECT y, x0, x1, x2, x3, x4,
+           |    1.0 / (1.0 + exp(-($z))) AS sig FROM f, w1),
+           |g2 AS (SELECT ${gsum("sig", "p2")}),
+           |w2 AS (SELECT ${wupd(Some("w1"), "g2")}
+           |  FROM w1, g2, cnt),
+           |p3 AS (SELECT y, x0, x1, x2, x3, x4,
+           |    1.0 / (1.0 + exp(-(${z.replace("v", "w2.v")}))) AS sig
+           |  FROM f, w2),
+           |g3 AS (SELECT ${gsum("sig", "p3")}),
+           |w3 AS (SELECT ${wupd(Some("w2"), "g3")}
+           |  FROM w2, g3, cnt)
+           |SELECT 'bias' AS feature, round(v0, 6) AS weight FROM w3
+           |UNION ALL SELECT 'len', round(v1, 6) FROM w3
+           |UNION ALL SELECT 'distinct', round(v2, 6) FROM w3
+           |UNION ALL SELECT 'stopword', round(v3, 6) FROM w3
+           |UNION ALL SELECT 'punct', round(v4, 6) FROM w3""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training of the LINEAR QUALITY CLASSIFIER — the curation
+  * step the public GPT-3 / CCNet literature applies between heuristic
+  * gates and expensive scoring: a logistic model over cheap surface
+  * features, trained on weak labels, then swept over the corpus as one
+  * narrow projection.
+  *
+  * Scale shape (the [[Similarity.CentroidSet]] / [[Tokenizer]]
+  * division of labor): each full-batch gradient-descent step is ONE
+  * corpus scan feeding a partial aggregate of dim+1 doubles — the
+  * exchange carries dim+1 values per partition, never rows — and the
+  * weight vector is MODEL PARAMETERS updated on the driver (a dim-sized
+  * collect per step). At 100 TB the same aggregate runs per step on a
+  * hash-sampled mini-batch ([[Sampling.hashSample]]) with identical
+  * plan shape; inference ([[predictProb]]) is pure codegen'd column
+  * arithmetic, zero shuffle, zero state.
+  *
+  * Determinism: features are exact integer-ratio doubles, z folds
+  * left-to-right, sigmoid is `1/(1+exp(−z))`, and the update is
+  * `w − lr·(Σgrad/n)` — each step one correctly-rounded op apart from
+  * an ANSI-SQL replay, so a 3-step training run stays inside the
+  * round-at-6 oracle convention (q146).
+  */
+object Classifier {
+
+  /** σ(w·x) for the given features and weights — the inference column. */
+  def predictProb(features: Seq[Column], weights: Array[Double]): Column = {
+    require(features.nonEmpty && features.size == weights.length,
+      "features and weights must align")
+    val z = features.zip(weights)
+      .map { case (x, w) => x * lit(w) }.reduce(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Full-batch logistic regression from zero weights: `iters` steps of
+    * `w ← w − lr·(Σ(σ(w·x) − y)·x / n)`. One aggregate per step; the
+    * collected row is the dim-sized gradient (model parameters). */
+  def trainLogistic(df: DataFrame, features: Seq[Column], label: Column,
+                    iters: Int, lr: Double): Array[Double] = {
+    require(iters >= 0 && lr > 0, "need iters >= 0 and lr > 0")
+    var w = Array.fill(features.size)(0.0)
+    for (_ <- 0 until iters) {
+      val err = predictProb(features, w) - label
+      val aggs = features.zipWithIndex.map { case (x, i) =>
+        sum(err * x).as(s"g$i")
+      } :+ count(lit(1)).as("n")
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(features.size).toDouble
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi - lr * (row.getDouble(i) / n)
+      }
+    }
+    w
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Classifier
+
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("trainLogistic: separable data — weights move the right way and " +
+       "training reduces log-loss") {
+    import spark.implicits._
+    // y = 1 iff x > 0.5, bias + one feature
+    val df = (0 until 200).map { i =>
+      val x = i / 200.0
+      (x, if (x > 0.5) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val feats = Seq(lit(1.0), col("x"))
+    def loss(w: Array[Double]): Double = {
+      val p = Classifier.predictProb(feats, w)
+      df.agg(avg(-(col("y") * log(p) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - p)))).head.getDouble(0)
+    }
+    val w0 = Array(0.0, 0.0)
+    val w = Classifier.trainLogistic(df, feats, col("y"), iters = 20, lr = 2.0)
+    assert(w(1) > 0, s"feature weight should be positive, got ${w.mkString(",")}")
+    assert(loss(w) < loss(w0), s"training must reduce loss")
+    // gradient-descent first step from zeros is analytic: sig = 0.5, so
+    // w1 = -lr * mean((0.5 - y) * x_i)
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = rows.length.toDouble
+    val exp0 = -2.0 * (rows.map { case (_, y) => 0.5 - y }.sum / n)
+    val exp1 = -2.0 * (rows.map { case (x, y) => (0.5 - y) * x }.sum / n)
+    val w1 = Classifier.trainLogistic(df, feats, col("y"), iters = 1, lr = 2.0)
+    assert(math.abs(w1(0) - exp0) < 1e-9 && math.abs(w1(1) - exp1) < 1e-9,
+      s"first step ${w1.mkString(",")} vs analytic $exp0, $exp1")
+  }
+
+  test("trainLogistic: partition-layout independent to float noise; " +
+       "gradient step is one bounded aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 300).map { _ =>
+      val a = rnd.nextDouble(); val b = rnd.nextDouble()
+      (a, b, if (a + 0.3 * b > 0.6) 1.0 else 0.0)
+    }.toDF("a", "b", "y")
+    val feats = Seq(lit(1.0), col("a"), col("b"))
+    val w1 = Classifier.trainLogistic(df, feats, col("y"), 3, 0.5)
+    val w2 = Classifier.trainLogistic(df.repartition(7), feats, col("y"), 3, 0.5)
+    w1.zip(w2).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9, s"partitioning changed weights: $x vs $y")
+    }
+    // the per-step aggregate exchanges dim+1 partial sums, not rows:
+    // partial aggregate below the single-partition exchange
+    val err = Classifier.predictProb(feats, w1) - col("y")
+    val aggs = feats.zipWithIndex.map { case (x, i) =>
+      sum(err * x).as(s"g$i") } :+ count(lit(1)).as("n")
+    val plan = df.repartition(7).agg(aggs.head, aggs.tail: _*)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val partIdx = lines.indexWhere(_.contains("partial_sum"))
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(exIdx >= 0 && partIdx > exIdx,
+      s"expected partial sums below the exchange:\n$plan")
+  }
+}
