@@ -121,6 +121,51 @@ object Queries {
        |      FROM t a JOIN t b ON a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Shared oracle fragment for q146/q147: exact surface features +
+    * three unrolled logistic-GD steps (lr 0.5, zero init) ending in
+    * CTE `w3` (weights v0..v4) with `f` (features + label y) and `cnt`
+    * still in scope. Mirrors Classifier.trainLogistic op-for-op. */
+  private def GdOracleCtes: String = {
+    val z = "x0*v0 + x1*v1 + x2*v2 + x3*v3 + x4*v4"
+    def gsum(sig: String, from: String) = (0 to 4).map(i =>
+      s"sum(($sig - y) * x$i) AS g$i").mkString(",\n|    ") +
+      s"\n|  FROM $from"
+    def wupd(prev: Option[String], g: String) = (0 to 4).map { i =>
+      val base = prev.map(p => s"$p.v$i").getOrElse("0")
+      s"$base - 0.5 * ($g.g$i / n) AS v$i"
+    }.mkString(",\n|    ")
+    s"""WITH f AS (SELECT
+       |    1.0 AS x0,
+       |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50,
+       |      1.0) AS x1,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS x2,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN ($StopSql))) AS DOUBLE)
+       |      / greatest(len(string_split(text, ' ')), 1) AS x3,
+       |    CAST(length(text)
+       |        - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+       |        AS DOUBLE)
+       |      / greatest(length(text), 1) AS x4,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |g1 AS (SELECT ${gsum("0.5", "f")}),
+       |w1 AS (SELECT ${wupd(None, "g1")}
+       |  FROM g1, cnt),
+       |p2 AS (SELECT y, x0, x1, x2, x3, x4,
+       |    1.0 / (1.0 + exp(-($z))) AS sig FROM f, w1),
+       |g2 AS (SELECT ${gsum("sig", "p2")}),
+       |w2 AS (SELECT ${wupd(Some("w1"), "g2")}
+       |  FROM w1, g2, cnt),
+       |p3 AS (SELECT y, x0, x1, x2, x3, x4,
+       |    1.0 / (1.0 + exp(-(${z.replace("v", "w2.v")}))) AS sig
+       |  FROM f, w2),
+       |g3 AS (SELECT ${gsum("sig", "p3")}),
+       |w3 AS (SELECT ${wupd(Some("w2"), "g3")}
+       |  FROM w2, g3, cnt)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── §2.1/§2.2 scans, projection, filters ────────────────────────────
@@ -5230,49 +5275,66 @@ object Queries {
           .select(col("feature"), round(col("weight"), 6).as("weight"))
       },
       Some {
-        val z = "x0*v0 + x1*v1 + x2*v2 + x3*v3 + x4*v4"
-        def gsum(sig: String, from: String) = (0 to 4).map(i =>
-          s"sum(($sig - y) * x$i) AS g$i").mkString(",\n|    ") +
-          s"\n|  FROM $from"
-        def wupd(prev: Option[String], g: String) = (0 to 4).map { i =>
-          val base = prev.map(p => s"$p.v$i").getOrElse("0")
-          s"$base - 0.5 * ($g.g$i / n) AS v$i"
-        }.mkString(",\n|    ")
-        s"""WITH f AS (SELECT
-           |    1.0 AS x0,
-           |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50,
-           |      1.0) AS x1,
-           |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           |      / len(string_split(text, ' ')) AS x2,
-           |    CAST(len(list_filter(string_split(text, ' '),
-           |        t -> t IN ($StopSql))) AS DOUBLE)
-           |      / greatest(len(string_split(text, ' ')), 1) AS x3,
-           |    CAST(length(text)
-           |        - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
-           |        AS DOUBLE)
-           |      / greatest(length(text), 1) AS x4,
-           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-           |  FROM documents),
-           |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
-           |g1 AS (SELECT ${gsum("0.5", "f")}),
-           |w1 AS (SELECT ${wupd(None, "g1")}
-           |  FROM g1, cnt),
-           |p2 AS (SELECT y, x0, x1, x2, x3, x4,
-           |    1.0 / (1.0 + exp(-($z))) AS sig FROM f, w1),
-           |g2 AS (SELECT ${gsum("sig", "p2")}),
-           |w2 AS (SELECT ${wupd(Some("w1"), "g2")}
-           |  FROM w1, g2, cnt),
-           |p3 AS (SELECT y, x0, x1, x2, x3, x4,
-           |    1.0 / (1.0 + exp(-(${z.replace("v", "w2.v")}))) AS sig
-           |  FROM f, w2),
-           |g3 AS (SELECT ${gsum("sig", "p3")}),
-           |w3 AS (SELECT ${wupd(Some("w2"), "g3")}
-           |  FROM w2, g3, cnt)
+        s"""$GdOracleCtes
            |SELECT 'bias' AS feature, round(v0, 6) AS weight FROM w3
            |UNION ALL SELECT 'len', round(v1, 6) FROM w3
            |UNION ALL SELECT 'distinct', round(v2, 6) FROM w3
            |UNION ALL SELECT 'stopword', round(v3, 6) FROM w3
            |UNION ALL SELECT 'punct', round(v4, 6) FROM w3""".stripMargin
+      }),
+
+    Q("q147_classifier_eval",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Threshold-sweep evaluation of q146's trained classifier:
+        // confusion counts + precision/recall/F1 at τ ∈ {0.25, 0.5,
+        // 0.75} — the operating-point readout that decides where the
+        // quality gate cuts. Probabilities round to the 1e-6 grid
+        // BEFORE thresholding (round-then-compare: the two engines'
+        // independently trained weights agree to ~1e-12, so the
+        // rounded probability is identical off a measure-zero
+        // boundary); counts are exact integers, precision/recall exact
+        // integer ratios, F1 a fixed deterministic op chain. The τ
+        // fan-out feeds a partial aggregate keyed by τ — the exchange
+        // carries |τ| rows.
+        val docs = tbl("documents")
+        val feats: Seq[Column] = Seq(
+          lit(1.0),
+          least(functions.Text.tokenCount(col("text")).cast("double")
+            / lit(50d), lit(1d)),
+          functions.Text.distinctTokenRatio(col("text")),
+          functions.Text.stopwordRatio(col("text"), Stopwords),
+          functions.Text.punctRatio(col("text")))
+        val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val w = operators.Classifier.trainLogistic(docs, feats, label,
+          iters = 3, lr = 0.5)
+        operators.Classifier.confusionAt(docs, feats, label, w,
+          Seq(0.25, 0.5, 0.75))
+      },
+      Some {
+        s"""$GdOracleCtes,
+           |ev AS (SELECT round(1.0 / (1.0 + exp(-(x0*v0 + x1*v1 + x2*v2
+           |    + x3*v3 + x4*v4))), 6) AS p, y FROM f, w3),
+           |t AS (SELECT unnest([0.25, 0.5, 0.75]) AS tau),
+           |c AS (SELECT tau,
+           |    sum(CASE WHEN p >= tau AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
+           |    sum(CASE WHEN p >= tau AND y = 0.0 THEN 1 ELSE 0 END) AS fp,
+           |    sum(CASE WHEN p < tau AND y = 1.0 THEN 1 ELSE 0 END) AS fn,
+           |    sum(CASE WHEN p < tau AND y = 0.0 THEN 1 ELSE 0 END) AS tn
+           |  FROM ev, t GROUP BY 1),
+           |m AS (SELECT tau, tp, fp, fn, tn,
+           |    CASE WHEN tp + fp > 0
+           |      THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           |    CASE WHEN tp + fn > 0
+           |      THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+           |  FROM c)
+           |SELECT tau, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           |  precision, recall,
+           |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+           |      AND precision + recall > 0
+           |    THEN 2.0 * precision * recall / (precision + recall)
+           |  END AS f1
+           |FROM m""".stripMargin
       }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

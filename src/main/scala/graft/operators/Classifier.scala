@@ -36,6 +36,46 @@ object Classifier {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Threshold-sweep EVALUATION of a trained model: confusion counts and
+    * precision/recall/F1 at each operating point — the
+    * curation-dashboard readout that decides where the quality gate
+    * actually cuts. One corpus scan; the probability is rounded to the
+    * 1e-6 grid BEFORE thresholding so the τ comparisons are
+    * engine-stable (the round-then-compare discipline), and the
+    * exploded (row × τ) fan-out feeds a partial aggregate keyed by τ —
+    * the exchange carries |τ| count rows, never the corpus. Precision /
+    * recall are exact integer-ratio doubles; F1 is a fixed op chain on
+    * them (deterministic IEEE). */
+  def confusionAt(df: DataFrame, features: Seq[Column], label: Column,
+                  weights: Array[Double], taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty, "need at least one threshold")
+    val p = round(predictProb(features, weights), 6)
+    val c = df.select(p.as("p"), label.as("y"))
+      .select(col("p"), col("y"),
+        explode(array(taus.map(lit): _*)).as("tau"))
+      .groupBy(col("tau"))
+      .agg(sum(when(col("p") >= col("tau") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("p") >= col("tau") && col("y") === 0.0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("p") < col("tau") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("p") < col("tau") && col("y") === 0.0, 1L)
+          .otherwise(0L)).as("tn"))
+    c.select(col("tau"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .as("recall"))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
   /** Full-batch logistic regression from zero weights: `iters` steps of
     * `w ← w − lr·(Σ(σ(w·x) − y)·x / n)`. One aggregate per step; the
     * collected row is the dim-sized gradient (model parameters). */

@@ -63,4 +63,34 @@ class ClassifierSpec extends AnyFunSuite {
     assert(exIdx >= 0 && partIdx > exIdx,
       s"expected partial sums below the exchange:\n$plan")
   }
+
+  test("confusionAt: hand-computed confusion, PR and F1 per threshold") {
+    import spark.implicits._
+    // identity model over a logit column: p = sigmoid(logit)
+    def logit(p: Double) = math.log(p / (1 - p))
+    val df = Seq(
+      (logit(0.9), 1.0), (logit(0.6), 0.0),
+      (logit(0.4), 1.0), (logit(0.1), 0.0)
+    ).toDF("z", "y")
+    val got = Classifier.confusionAt(df, Seq(col("z")), col("y"),
+        Array(1.0), Seq(0.25, 0.5))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    val at5 = got(0.5)
+    assert((at5.getLong(1), at5.getLong(2), at5.getLong(3), at5.getLong(4))
+      == ((1L, 1L, 1L, 1L)))
+    assert(math.abs(at5.getAs[Double]("precision") - 0.5) < 1e-12)
+    assert(math.abs(at5.getAs[Double]("recall") - 0.5) < 1e-12)
+    assert(math.abs(at5.getAs[Double]("f1") - 0.5) < 1e-12)
+    val at25 = got(0.25)
+    assert((at25.getLong(1), at25.getLong(2), at25.getLong(3), at25.getLong(4))
+      == ((2L, 1L, 0L, 1L)))
+    assert(math.abs(at25.getAs[Double]("precision") - 2.0 / 3) < 1e-12)
+    assert(math.abs(at25.getAs[Double]("recall") - 1.0) < 1e-12)
+    assert(math.abs(at25.getAs[Double]("f1") - 0.8) < 1e-12)
+    // degenerate slice: no positives predicted → NULL precision/F1
+    val none = Classifier.confusionAt(
+      Seq((logit(0.1), 0.0)).toDF("z", "y"),
+      Seq(col("z")), col("y"), Array(1.0), Seq(0.5)).head
+    assert(none.isNullAt(5) && none.isNullAt(7))
+  }
 }
