@@ -5335,6 +5335,63 @@ object Queries {
            |    THEN 2.0 * precision * recall / (precision + recall)
            |  END AS f1
            |FROM m""".stripMargin
+      }),
+
+    Q("q148_winnow_dup_pairs",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // WINNOWING (MOSS) overlap detection under oracle: char-8-gram
+        // winnowing fingerprints (window 4, rightmost-min, the codegen
+        // kernel), ubiquitous hashes (> 8 docs) dropped, pairs sharing
+        // ≥ 3 distinct hashes reported. A planted 100-char substring
+        // copy of doc 0 exercises the winnowing GUARANTEE (any shared
+        // run ≥ w+k−1 = 11 chars lands a shared fingerprint) at every
+        // SF. The oracle replays gram hashing (the hexInt digit
+        // recipe), window minima, the frequency cut, and the pair
+        // count — all integers, so the report hash-matches exactly.
+        // Tie positions need no replay: a window's selected HASH is
+        // its min regardless of which tied position carries it.
+        val docs = tbl("documents").select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            substring(col("text"), 11, 100).as("text"))
+        Dedup.winnowDupPairs(docs.unionByName(planted), "doc_id", "text",
+            k = 8, w = 4, maxDocs = 8L, minShared = 3L)
+          .select(col("id_a"), col("id_b"),
+            col("shared").cast("long").as("shared"))
+      },
+      Some {
+        def uTerms(h: String): String = (0 until 6).map { i =>
+          val dig = s"ascii(substr($h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        s"""WITH d AS (SELECT doc_id, text FROM documents
+           |    UNION ALL
+           |    SELECT doc_id + 3000000, substr(text, 11, 100)
+           |    FROM documents WHERE doc_id = 0),
+           |pos AS (SELECT doc_id, text,
+           |    unnest(generate_series(1, length(text) - 7)) AS i
+           |  FROM d WHERE length(text) >= 11),
+           |g AS (SELECT doc_id, i,
+           |    (${uTerms("md5(substr(text, CAST(i AS INT), 8) || ':win')")})
+           |      AS h
+           |  FROM pos),
+           |nn AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |wv AS (SELECT wm.doc_id, wm.m FROM (
+           |    SELECT doc_id, i AS p, min(h) OVER (PARTITION BY doc_id
+           |        ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+           |      AS m
+           |    FROM g) wm
+           |  JOIN nn ON nn.doc_id = wm.doc_id
+           |  WHERE wm.p <= nn.n - 3),
+           |fp AS (SELECT DISTINCT doc_id, m AS h FROM wv),
+           |live AS (SELECT h FROM
+           |    (SELECT h, count(*) AS nd FROM fp GROUP BY 1)
+           |  WHERE nd <= 8),
+           |lf AS (SELECT fp.doc_id, fp.h FROM fp JOIN live USING (h))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(count(*) AS BIGINT) AS shared
+           |FROM lf a JOIN lf b ON a.h = b.h AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
       }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

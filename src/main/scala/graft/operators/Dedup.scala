@@ -788,4 +788,49 @@ object Dedup {
         Seq(idCol), "left")
       .withColumn("semdup", coalesce(col("semdup"), lit(0L)))
   }
+
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): char-k-gram hashes reduced to the rightmost
+    * window minima by the [[graft.plans.VectorOps.winnow]] codegen
+    * kernel. Unlike MinHash's probabilistic recall, winnowing carries a
+    * GUARANTEE: any shared substring of ≥ w+k−1 chars produces a shared
+    * fingerprint — the property that makes it the standard
+    * clone/plagiarism detector. Narrow per-row kernel + one explode;
+    * one row per selected (pos, hash), ~2/(w+1) of positions. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.plans.exprs.winnowFingerprints(col(textCol),
+          ":win", k, w)).as("pk"))
+      .select(col(idCol), shiftright(col("pk"), 24).cast("long").as("pos"),
+        col("pk").bitwiseAND(lit(0xFFFFFFL)).as("h"))
+
+  /** Fingerprint-overlap candidate pairs — the winnowing dedup/clone
+    * report: documents sharing ≥ `minShared` distinct fingerprint
+    * HASHES, with ubiquitous fingerprints (appearing in > `maxDocs`
+    * documents — boilerplate, stopword runs) dropped before pairing.
+    * The inverted-index discipline of [[jaccardDupPairs]]: only
+    * (hash, id) ints ever shuffle, posting lists are bounded by
+    * `maxDocs` so the per-hash pair fan-out is ≤ maxDocs², and the
+    * final count runs at pair grain. The winnowing guarantee makes
+    * recall deterministic: a ≥ w+k−1-char shared run ALWAYS lands a
+    * shared hash (subject to the maxDocs cut, which is visible in the
+    * posting counts, not silent). */
+  def winnowDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int, maxDocs: Long,
+                     minShared: Long): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("h")).distinct()
+    val live = fp.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= maxDocs)
+      .select(col("h"))
+    val lf = fp.join(live, Seq("h"))
+    lf.as("a").join(lf.as("b"),
+        col("a.h") === col("b.h") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -310,6 +310,29 @@ case class CdcBoundaries(child: Expression, salt: String, avg: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprints (see [[VectorOps.winnow]]): packed
+  * `(pos << 24) | hex6` longs, the per-row selection loop in one
+  * codegen'd kernel pass. */
+case class WinnowFingerprints(child: Expression, salt: String, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("winnow_fingerprints", child.dataType,
+      _ == StringType, "string")
+  private lazy val saltU = org.apache.spark.unsafe.types.UTF8String.fromString(salt)
+  override protected def nullSafeEval(t: Any): Any =
+    VectorOps.winnow(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      saltU, k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", saltU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.plans.VectorOps.winnow($t, $saltRef, $k, $w)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-query ADC lookup table (see [[VectorOps.pqLut]]). */
 case class PqLut(child: Expression, codebooks: Array[Double],
                  m: Int, ksub: Int) extends UnaryExpression {
@@ -449,6 +472,9 @@ object exprs {
 
   def cdcBoundaries(toks: Column, salt: String, avg: Int): Column =
     column(CdcBoundaries(expression(toks), salt, avg))
+
+  def winnowFingerprints(text: Column, salt: String, k: Int, w: Int): Column =
+    column(WinnowFingerprints(expression(text), salt, k, w))
 }
 
 /** `SparkSessionExtensions` hook: registers the custom expressions as SQL

@@ -322,6 +322,56 @@ object VectorOps {
     * filter(sequence)/element_at HOF formulation interprets per element
     * AND re-evaluates the md5 six times per token inside the lambda
     * (measured: q124 at 15.1 s vs ~2 s with this kernel). */
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): hash every char k-gram with the md5-hex6 coin
+    * (byte-identical to `Sampling.hexInt`, the SQL-replayable recipe),
+    * then from every window of `w` consecutive gram hashes keep the
+    * RIGHTMOST minimal one; consecutive windows usually re-select the
+    * same gram, so selections dedupe to ~2/(w+1) of positions. The
+    * winnowing GUARANTEE: any substring shared between two documents of
+    * length ≥ w+k−1 chars yields at least one shared fingerprint — the
+    * deterministic counterpart of MinHash's probabilistic recall.
+    * Returns packed longs `(pos << 24) | hex6` (1-based char pos),
+    * ascending by position. One JVM kernel pass per row — the HOF
+    * formulation would interpret the 6-digit md5 arithmetic per char
+    * (the q124 lesson). Positions index CODE POINTS (UTF8String
+    * substring), matching SQL `substr` on multibyte text. */
+  def winnow(text: UTF8String, salt: UTF8String, k: Int, w: Int): ArrayData = {
+    val md = md5Local.get()
+    val saltB = salt.getBytes
+    val L = text.numChars()
+    val n = L - k + 1
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val hashes = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(text.substringSQL(i + 1, k).getBytes)
+      md.update(saltB)
+      val d = md.digest()
+      hashes(i) = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+      i += 1
+    }
+    val out = new java.util.ArrayList[java.lang.Long](2 * n / (w + 1) + 4)
+    var lastPos = -1
+    var p = 0
+    while (p + w <= n) {
+      // rightmost minimum of hashes[p .. p+w-1]
+      var best = p
+      var j = p + 1
+      while (j < p + w) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
+      if (best != lastPos) {
+        out.add((((best + 1).toLong) << 24) | hashes(best).toLong)
+        lastPos = best
+      }
+      p += 1
+    }
+    val arr = new Array[Any](out.size)
+    var q = 0
+    while (q < arr.length) { arr(q) = out.get(q).longValue(); q += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   def cdcBoundaries(toks: ArrayData, salt: UTF8String, avg: Int): ArrayData = {
     val md = md5Local.get()
     val saltB = salt.getBytes
