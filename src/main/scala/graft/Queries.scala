@@ -5038,10 +5038,17 @@ object Queries {
         // second side arrives — so eviction (which demonstrably fires;
         // spec-asserted via numRowsRemoved) only ever removes
         // unmatchable state. The oracle replays the plain interval
-        // join; lag is exact integer microseconds.
+        // join; lag is exact integer microseconds. Only the two joined
+        // event types are staged (other types feed neither side nor
+        // either branch's watermark), and the state-store partition
+        // count drops to 8 for the run — 32 partitions × 4 stores × 2
+        // batches of commit I/O dominated the wall clock (~10 s → ~4 s)
+        // while the join itself is a few hundred state rows.
         import java.nio.file.Files
-        val ev = tbl("events").select(col("event_id"), col("ts"),
-          col("user_id"), col("event_type"))
+        val ev = tbl("events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("ts"),
+            col("user_id"), col("event_type"))
         val dir = Files.createTempDirectory("graft_q141_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
@@ -5067,12 +5074,16 @@ object Queries {
             col("purchase_id"),
             (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
               .as("lag_us"))
-        val query = joined.writeStream.format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", dir.resolve("ckpt").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        query.awaitTermination()
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val query = joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", dir.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          query.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.read.parquet(out)
           .select(col("user_id"), col("click_id"), col("purchase_id"),
             col("lag_us").cast("long").as("lag_us"))
