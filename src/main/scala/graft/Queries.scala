@@ -5403,7 +5403,92 @@ object Queries {
            |  CAST(count(*) AS BIGINT) AS shared
            |FROM lf a JOIN lf b ON a.h = b.h AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
-      }))
+      }),
+
+    Q("q149_jsonl_roundtrip",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // JSONL interchange round-trip — the LLM training-data
+        // exchange format: documents exported as JSON lines
+        // (`to_json(struct(...))` into a text sink), read back with an
+        // EXPLICIT schema (sampling-based inference is a
+        // nondeterminism source), and compared by the oracle against
+        // the ORIGINAL table — so JSON escaping (quotes, backslashes,
+        // multibyte text) must round-trip byte-exact or the hash
+        // fails. Both legs are embarrassingly parallel: the export is
+        // a narrow projection + partitioned write, the import a
+        // schema-pinned scan; no shuffle anywhere.
+        import java.nio.file.Files
+        val docs = tbl("documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val dir = Files.createTempDirectory("graft_q149_")
+          .resolve("jsonl").toString
+        docs.select(to_json(struct(col("doc_id"), col("text"),
+            col("lang"), col("source"))).as("value"))
+          .write.mode("overwrite").text(dir)
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+          .add("lang", org.apache.spark.sql.types.StringType)
+          .add("source", org.apache.spark.sql.types.StringType)
+        s.read.schema(schema).json(dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      },
+      Some("SELECT doc_id, text, lang, source FROM documents")),
+
+    Q("q150_distinctive_terms",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Distinctive terms per language — the corpus-analysis readout
+        // ("what characterizes this slice"): smoothed relative-rate
+        // ratio (c_g+1)/(n_g+2) ÷ (c_rest+1)/(n_rest+2), top-5 per
+        // language. Every score is a ratio of exact integer-derived
+        // doubles (two correctly-rounded divisions + one more), so the
+        // RANKING is bit-deterministic across engines — ties (equal
+        // count pairs) break on the token. One token-keyed shuffle for
+        // the counts; group totals are a |langs|-row broadcast; the
+        // per-language top-5 plans as a WindowGroupLimit.
+        val docs = tbl("documents")
+        val tok = docs.select(col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val cg = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c_g"))
+        val ct = tok.groupBy("tok").agg(count(lit(1)).as("c_t"))
+        val ng = tok.groupBy("lang").agg(count(lit(1)).as("n_g"))
+        val nt = tok.agg(count(lit(1)).as("n_t"))
+        val scored = cg.join(broadcast(ng), Seq("lang"))
+          .join(ct, Seq("tok"))
+          .crossJoin(broadcast(nt))
+          .withColumn("c_rest", col("c_t") - col("c_g"))
+          .withColumn("n_rest", col("n_t") - col("n_g"))
+          .withColumn("score",
+            ((col("c_g") + 1).cast("double") / (col("n_g") + 2)) /
+              ((col("c_rest") + 1).cast("double") / (col("n_rest") + 2)))
+        scored
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+              .orderBy(col("score").desc, col("tok"))).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("lang"), col("rnk"), col("tok"),
+            col("c_g").cast("long").as("c_g"),
+            round(col("score"), 6).as("score"))
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |tk AS (SELECT lang, tok FROM t WHERE length(tok) > 0),
+             |cg AS (SELECT lang, tok, count(*) AS c_g FROM tk GROUP BY 1, 2),
+             |ct AS (SELECT tok, count(*) AS c_t FROM tk GROUP BY 1),
+             |ng AS (SELECT lang, count(*) AS n_g FROM tk GROUP BY 1),
+             |nt AS (SELECT count(*) AS n_t FROM tk),
+             |sc AS (SELECT cg.lang, cg.tok, cg.c_g,
+             |    (CAST(cg.c_g + 1 AS DOUBLE) / (ng.n_g + 2))
+             |      / (CAST(ct.c_t - cg.c_g + 1 AS DOUBLE)
+             |         / (nt.n_t - ng.n_g + 2)) AS score
+             |  FROM cg JOIN ng USING (lang) JOIN ct USING (tok), nt),
+             |r AS (SELECT lang, tok, c_g, score, row_number()
+             |        OVER (PARTITION BY lang ORDER BY score DESC, tok)
+             |        AS rnk FROM sc)
+             |SELECT lang, CAST(rnk AS BIGINT) AS rnk, tok,
+             |  CAST(c_g AS BIGINT) AS c_g, round(score, 6) AS score
+             |FROM r WHERE rnk <= 5""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

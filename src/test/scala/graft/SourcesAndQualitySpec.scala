@@ -449,4 +449,33 @@ class SourcesAndQualitySpec extends AnyFunSuite {
     val sorts = plan.linesIterator.filter(_.trim.startsWith("Sort ")).toSeq
     assert(sorts.size <= 1, sorts.mkString("\n"))
   }
+
+  test("JSONL round-trip: adversarial strings survive export + import " +
+       "byte-exact; nulls round-trip as nulls") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "quotes \" and \\ backslash \\\" mix"),
+      (3L, "newline\nand\ttab and\rcarriage"),
+      (4L, "unicode 中文 émojis  control"),
+      (5L, "{\"json\": \"looking\", \"text\": [1,2]}"),
+      (6L, null)
+    ).toDF("id", "text")
+    val dir = Files.createTempDirectory("graft_jsonl_spec_")
+      .resolve("out").toString
+    nasty.select(to_json(struct(col("id"), col("text"))).as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val back = spark.read.schema(schema).json(dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val expect = nasty.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back == expect)
+    // every record stayed one line (escaping keeps the framing)
+    val lines = spark.read.text(dir).count()
+    assert(lines == nasty.count())
+  }
 }
