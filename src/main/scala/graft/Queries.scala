@@ -121,20 +121,12 @@ object Queries {
        |      FROM t a JOIN t b ON a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** Shared oracle fragment for q146/q147: exact surface features +
-    * three unrolled logistic-GD steps (lr 0.5, zero init) ending in
-    * CTE `w3` (weights v0..v4) with `f` (features + label y) and `cnt`
-    * still in scope. Mirrors Classifier.trainLogistic op-for-op. */
-  private def GdOracleCtes: String = {
-    val z = "x0*v0 + x1*v1 + x2*v2 + x3*v3 + x4*v4"
-    def gsum(sig: String, from: String) = (0 to 4).map(i =>
-      s"sum(($sig - y) * x$i) AS g$i").mkString(",\n|    ") +
-      s"\n|  FROM $from"
-    def wupd(prev: Option[String], g: String) = (0 to 4).map { i =>
-      val base = prev.map(p => s"$p.v$i").getOrElse("0")
-      s"$base - 0.5 * ($g.g$i / n) AS v$i"
-    }.mkString(",\n|    ")
-    s"""WITH f AS (SELECT
+  /** The q146/q147/q151 classifier feature CTE: exact integer-ratio
+    * surface features + weak label, one row per doc (doc_id carried
+    * for q151's per-step batch coins). */
+  private def ClfFeaturesSql: String =
+    s"""f AS (SELECT
+       |    doc_id,
        |    1.0 AS x0,
        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50,
        |      1.0) AS x1,
@@ -148,22 +140,74 @@ object Queries {
        |        AS DOUBLE)
        |      / greatest(length(text), 1) AS x4,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  private def ClfGsum(sig: String, from: String): String = (0 to 4).map(i =>
+    s"sum(($sig - y) * x$i) AS g$i").mkString(",\n|    ") +
+    s"\n|  FROM $from"
+
+  private def ClfWupd(prev: Option[String], g: String): String =
+    (0 to 4).map { i =>
+      val base = prev.map(p => s"$p.v$i").getOrElse("0")
+      s"$base - 0.5 * ($g.g$i / n) AS v$i"
+    }.mkString(",\n|    ")
+
+  private val ClfZ = "x0*v0 + x1*v1 + x2*v2 + x3*v3 + x4*v4"
+
+  /** Shared oracle fragment for q146/q147: features + three unrolled
+    * FULL-BATCH logistic-GD steps (lr 0.5, zero init) ending in CTE
+    * `w3` (weights v0..v4) with `f` and `cnt` still in scope. Mirrors
+    * Classifier.trainLogistic op-for-op. */
+  private def GdOracleCtes: String =
+    s"""WITH $ClfFeaturesSql,
        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
-       |g1 AS (SELECT ${gsum("0.5", "f")}),
-       |w1 AS (SELECT ${wupd(None, "g1")}
+       |g1 AS (SELECT ${ClfGsum("0.5", "f")}),
+       |w1 AS (SELECT ${ClfWupd(None, "g1")}
        |  FROM g1, cnt),
        |p2 AS (SELECT y, x0, x1, x2, x3, x4,
-       |    1.0 / (1.0 + exp(-($z))) AS sig FROM f, w1),
-       |g2 AS (SELECT ${gsum("sig", "p2")}),
-       |w2 AS (SELECT ${wupd(Some("w1"), "g2")}
+       |    1.0 / (1.0 + exp(-($ClfZ))) AS sig FROM f, w1),
+       |g2 AS (SELECT ${ClfGsum("sig", "p2")}),
+       |w2 AS (SELECT ${ClfWupd(Some("w1"), "g2")}
        |  FROM w1, g2, cnt),
        |p3 AS (SELECT y, x0, x1, x2, x3, x4,
-       |    1.0 / (1.0 + exp(-(${z.replace("v", "w2.v")}))) AS sig
+       |    1.0 / (1.0 + exp(-(${ClfZ.replace("v", "w2.v")}))) AS sig
        |  FROM f, w2),
-       |g3 AS (SELECT ${gsum("sig", "p3")}),
-       |w3 AS (SELECT ${wupd(Some("w2"), "g3")}
+       |g3 AS (SELECT ${ClfGsum("sig", "p3")}),
+       |w3 AS (SELECT ${ClfWupd(Some("w2"), "g3")}
        |  FROM w2, g3, cnt)""".stripMargin
+
+  /** q151's oracle fragment: three unrolled MINI-BATCH SGD steps —
+    * step t trains on the rows whose md5-hex6 coin (salt ":sgd<t>")
+    * lands under `thr` on the 16^6 grid, normalized by THAT batch's
+    * count. Mirrors Classifier.trainLogisticSgd op-for-op. */
+  private def SgdOracleCtes(thr: Long): String = {
+    def uTerms(h: String): String = (0 until 6).map { i =>
+      val dig = s"ascii(substr($h, ${i + 1}, 1))"
+      s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+    }.mkString("\n      + ")
+    def batch(t: Int): String =
+      s"""s$t AS (SELECT * FROM f WHERE
+         |    (${uTerms(s"md5(CAST(doc_id AS VARCHAR) || ':sgd$t')")})
+         |    < $thr),
+         |n$t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s$t)""".stripMargin
+    s"""WITH $ClfFeaturesSql,
+       |${batch(1)},
+       |g1 AS (SELECT ${ClfGsum("0.5", "s1")}),
+       |w1 AS (SELECT ${ClfWupd(None, "g1")}
+       |  FROM g1, n1),
+       |${batch(2)},
+       |p2 AS (SELECT y, x0, x1, x2, x3, x4,
+       |    1.0 / (1.0 + exp(-($ClfZ))) AS sig FROM s2, w1),
+       |g2 AS (SELECT ${ClfGsum("sig", "p2")}),
+       |w2 AS (SELECT ${ClfWupd(Some("w1"), "g2")}
+       |  FROM w1, g2, n2),
+       |${batch(3)},
+       |p3 AS (SELECT y, x0, x1, x2, x3, x4,
+       |    1.0 / (1.0 + exp(-(${ClfZ.replace("v", "w2.v")}))) AS sig
+       |  FROM s3, w2),
+       |g3 AS (SELECT ${ClfGsum("sig", "p3")}),
+       |w3 AS (SELECT ${ClfWupd(Some("w2"), "g3")}
+       |  FROM w2, g3, n3)""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -5488,7 +5532,44 @@ object Queries {
              |        AS rnk FROM sc)
              |SELECT lang, CAST(rnk AS BIGINT) AS rnk, tok,
              |  CAST(c_g AS BIGINT) AS c_g, round(score, 6) AS score
-             |FROM r WHERE rnk <= 5""".stripMargin)))
+             |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    Q("q151_sgd_classifier",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Deterministic MINI-BATCH SGD under oracle — q146's scale
+        // variant: step t trains on the ~50% of docs whose content
+        // coin (md5-hex6, salt ":sgd<t>") lands under 2^23 on the 16^6
+        // integer grid (the assignSplit discipline — batch membership
+        // is a pure function of the key, identical on any partitioning
+        // or cluster size, no RNG state), normalized by that batch's
+        // own count. The oracle unrolls the same three coin-filtered
+        // steps; the threshold compare is pure integers, so the batch
+        // SEQUENCE is hash-exact and the weights agree at round-6 like
+        // q146.
+        import s.implicits._
+        val docs = tbl("documents")
+        val feats: Seq[Column] = Seq(
+          lit(1.0),
+          least(functions.Text.tokenCount(col("text")).cast("double")
+            / lit(50d), lit(1d)),
+          functions.Text.distinctTokenRatio(col("text")),
+          functions.Text.stopwordRatio(col("text"), Stopwords),
+          functions.Text.punctRatio(col("text")))
+        val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val w = operators.Classifier.trainLogisticSgd(docs, feats, label,
+          col("doc_id"), iters = 3, lr = 0.5, thresholdNum = 1 << 23)
+        Seq("bias", "len", "distinct", "stopword", "punct").zip(w)
+          .toDF("feature", "weight")
+          .select(col("feature"), round(col("weight"), 6).as("weight"))
+      },
+      Some {
+        s"""${SgdOracleCtes(1L << 23)}
+           |SELECT 'bias' AS feature, round(v0, 6) AS weight FROM w3
+           |UNION ALL SELECT 'len', round(v1, 6) FROM w3
+           |UNION ALL SELECT 'distinct', round(v2, 6) FROM w3
+           |UNION ALL SELECT 'stopword', round(v3, 6) FROM w3
+           |UNION ALL SELECT 'punct', round(v4, 6) FROM w3""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

