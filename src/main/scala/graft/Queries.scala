@@ -5569,7 +5569,62 @@ object Queries {
            |UNION ALL SELECT 'distinct', round(v2, 6) FROM w3
            |UNION ALL SELECT 'stopword', round(v3, 6) FROM w3
            |UNION ALL SELECT 'punct', round(v4, 6) FROM w3""".stripMargin
-      }))
+      }),
+
+    Q("q152_retrieval_eval",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Known-item retrieval evaluation (MRR@10) of the BM25 stack:
+        // every 40th doc probes the corpus with its own first 3
+        // (lowercased) tokens; the relevant doc is the source itself.
+        // Composes q93's multi-query scorer (one corpus pass, rounded
+        // scores, (score desc, id) rank) with Retrieval.knownItemEval —
+        // everything after the ranking runs at |queries|·k grain. rr is
+        // an exact integer ratio; MRR (the one cross-query sum) rounds
+        // at 6. The oracle replays scoring, ranking, the self-rank
+        // lookup, and the mean.
+        val docs = tbl("documents")
+        val probes = docs.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id").as("query_id"),
+            slice(split(lower(col("text")), " "), 1, 3).as("terms"))
+        val top = operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+            probes, "query_id", "terms", k = 10)
+        operators.Retrieval.knownItemEval(top, probes, "query_id", "id")
+          .select(col("query_id"), col("self_rank"), col("rr"), col("mrr"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+             |  string_split(lower(text), ' ') AS w FROM documents),
+             |q AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:3]) AS term
+             |      FROM p WHERE doc_id % 40 = 0),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+             |       FROM p),
+             |tf AS (SELECT doc_id, dl, t AS term,
+             |    CAST(count(*) AS DOUBLE) AS f
+             |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM p)
+             |  WHERE t IN (SELECT term FROM q)
+             |  GROUP BY doc_id, dl, t),
+             |idf AS (SELECT term,
+             |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+             |  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df
+             |        FROM tf GROUP BY term), st),
+             |sc AS (SELECT q.query_id, tf.doc_id,
+             |    round(sum(idf.idf * tf.f * 2.2 / (tf.f + 1.2 *
+             |      (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+             |  FROM tf JOIN idf USING (term) JOIN q ON q.term = tf.term
+             |  GROUP BY q.query_id, tf.doc_id),
+             |rk AS (SELECT query_id, doc_id, row_number()
+             |    OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+             |    AS rank FROM sc),
+             |self AS (SELECT query_id, rank FROM rk
+             |         WHERE doc_id = query_id AND rank <= 10),
+             |base AS (SELECT DISTINCT query_id FROM q),
+             |j AS (SELECT b.query_id, self.rank AS self_rank,
+             |    coalesce(1.0 / self.rank, 0.0) AS rr
+             |  FROM base b LEFT JOIN self USING (query_id)),
+             |m AS (SELECT round(avg(rr), 6) AS mrr FROM j)
+             |SELECT CAST(query_id AS BIGINT) AS query_id,
+             |  CAST(self_rank AS BIGINT) AS self_rank, rr, mrr
+             |FROM j, m""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -139,4 +139,25 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("id"), col("rrf"), col("rank"))
   }
+
+  /** KNOWN-ITEM retrieval evaluation — the quality readout of the
+    * retrieval stack: each probe query has exactly one relevant doc
+    * (its own source, `query_id == id`), and the metric is the
+    * reciprocal rank of that doc in the top-k (0 when missed) plus the
+    * corpus MRR. Everything after the ranking runs at result grain
+    * (|queries|·k rows): one filter, a broadcast-sized left join back
+    * to the probe list, a |queries|-row average. rr is an exact
+    * integer-ratio double; MRR (the one cross-query float sum) rounds
+    * at 6. */
+  def knownItemEval(topk: DataFrame, probes: DataFrame,
+                    queryIdCol: String, idCol: String): DataFrame = {
+    val self = topk.filter(col(idCol) === col(queryIdCol))
+      .select(col(queryIdCol), col("rank").as("self_rank"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    probes.select(col(queryIdCol)).distinct()
+      .join(self, Seq(queryIdCol), "left")
+      .withColumn("rr", coalesce(lit(1.0) / col("self_rank"), lit(0.0)))
+      .withColumn("mrr", round(avg(col("rr")).over(all), 6))
+  }
 }

@@ -281,4 +281,30 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(a.semanticEquals(b))
     assert(a != mk(Array(1.0, 0.0, 0.0, 0.5)))
   }
+
+  test("knownItemEval: reciprocal ranks, missed probe scores 0, MRR") {
+    import graft.operators.Retrieval
+    // doc 1's unique term ranks itself first; doc 2 probes with a term
+    // it does not contain, so its own doc never enters the top-k
+    val docs = Seq(
+      (1L, "alpha alpha unique1 filler"),
+      (2L, "beta beta filler common"),
+      (3L, "common common common filler")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (1L, Seq("unique1")),
+      (2L, Seq("common"))
+    ).toDF("query_id", "terms")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+      "query_id", "terms", k = 2)
+    val got = Retrieval.knownItemEval(top, probes, "query_id", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getDouble(2),
+          r.getDouble(3))).toMap
+    assert(got(1L) == ((1L, 1.0, got(1L)._3)))
+    // query 2: 'common' matches docs 3 (3 hits) and 2 (1 hit); doc 2
+    // ranks 2nd in top-2 → rr = 0.5
+    assert(got(2L)._1 == 2L && got(2L)._2 == 0.5)
+    assert(math.abs(got(1L)._3 - 0.75) < 1e-9) // MRR = (1 + 0.5)/2
+  }
 }
