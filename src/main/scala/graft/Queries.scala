@@ -5624,7 +5624,63 @@ object Queries {
              |m AS (SELECT round(avg(rr), 6) AS mrr FROM j)
              |SELECT CAST(query_id AS BIGINT) AS query_id,
              |  CAST(self_rank AS BIGINT) AS self_rank, rr, mrr
-             |FROM j, m""".stripMargin)))
+             |FROM j, m""".stripMargin)),
+
+    Q("q153_negative_sampling",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Inverse-CDF categorical sampling under oracle: 1000
+        // deterministic draws from the freq^0.75 unigram distribution
+        // (the word2vec/NCE negative-sampling table), reported as
+        // per-token draw counts with the expected probability. Coins
+        // are the open 16^6 grid; cumulative interval bounds follow
+        // one fixed (weight desc, token) order on both engines, so a
+        // draw flips token only within an ulp of a boundary (the pow
+        // measure-zero class). Scale: the vocabulary layout is a
+        // model-grain window + broadcast (Sampling.inverseCdfDraws'
+        // bucketized equi-join — no draws×vocab comparison); the draw
+        // side is embarrassingly parallel.
+        val vocab = tbl("documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("token").agg(count(lit(1)).as("c"))
+          .withColumn("w", pow(col("c").cast("double"), 0.75))
+        val draws = operators.Sampling.inverseCdfDraws(
+          vocab, "token", "w", n = 1000, salt = ":negs")
+        val tot = vocab.agg(sum(col("w")).as("tw"))
+        draws.groupBy("token").agg(count(lit(1)).as("drawn"))
+          .join(vocab.select(col("token"), col("w")), Seq("token"))
+          .crossJoin(broadcast(tot))
+          .select(col("token"), col("drawn").cast("long").as("drawn"),
+            round(col("w") / col("tw"), 6).as("expect_p"))
+      },
+      Some {
+        def uTerms(h: String): String = (0 until 6).map { i =>
+          val dig = s"ascii(substr($h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+           |            FROM documents),
+           |vc AS (SELECT token, count(*) AS c FROM tk
+           |       WHERE length(token) > 0 GROUP BY 1),
+           |w AS (SELECT token, pow(CAST(c AS DOUBLE), 0.75) AS w FROM vc),
+           |cum AS (SELECT token, w, sum(w) OVER (ORDER BY w DESC, token
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+           |  FROM w),
+           |v AS (SELECT token, w, hi, hi - w AS lo FROM cum),
+           |t AS (SELECT max(hi) AS total FROM v),
+           |tw AS (SELECT sum(w) AS tw FROM w),
+           |dr AS (SELECT i,
+           |    ((${uTerms("md5(CAST(i AS VARCHAR) || ':negs')")})
+           |      + 0.5) / 16777216.0 AS u
+           |  FROM range(1, 1001) r(i)),
+           |j AS (SELECT dr.i, v.token
+           |      FROM dr, t, v
+           |      WHERE dr.u * t.total >= v.lo AND dr.u * t.total < v.hi),
+           |cnt AS (SELECT token, count(*) AS drawn FROM j GROUP BY 1)
+           |SELECT cnt.token, CAST(cnt.drawn AS BIGINT) AS drawn,
+           |  round(w.w / tw.tw, 6) AS expect_p
+           |FROM cnt JOIN w USING (token), tw""".stripMargin
+      }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -339,4 +339,53 @@ object Sampling {
       .filter(coin <= col("__thr"))
       .drop("__strat", "__thr")
   }
+
+  /** INVERSE-CDF categorical sampling — n deterministic draws from an
+    * arbitrary weighted vocabulary (the word2vec/NCE negative-sampling
+    * distribution freq^α, and the general "draw from this table of
+    * weights" primitive behind mixture draws). The vocabulary is laid
+    * out as cumulative intervals [lo, hi) in (weight desc, token)
+    * order; draw i's open coin u (the [[openCoin]] grid) maps to
+    * target u·total, and the owning interval is found by a BUCKETIZED
+    * equi-join: each interval registers in the ⌈·⌉ `buckets`-grid
+    * cells it overlaps (one cell for most tokens, +1 per boundary
+    * crossing), draws compute their cell as floor(u·buckets) and
+    * equi-join, and the exact interval filter picks the one token — no
+    * draws×vocab comparison anywhere.
+    *
+    * Scale: the cumulative layout is a single-partition window over
+    * the VOCABULARY — model grain (the sampling table word2vec holds
+    * in RAM), not corpus grain — and broadcasts; the draw side is
+    * embarrassingly parallel. Determinism: coins and interval bounds
+    * are exact-or-≤1-ulp arithmetic; a draw landing within an ulp of a
+    * boundary is the established measure-zero risk.
+    *
+    * Returns one row per draw: (i, token, u). */
+  def inverseCdfDraws(vocab: DataFrame, tokenCol: String, weightCol: String,
+                      n: Int, salt: String, buckets: Int = 1024): DataFrame = {
+    require(n > 0 && buckets > 0, "need n > 0 and buckets > 0")
+    val spark = vocab.sparkSession
+    // vocabulary-grain (model-sized) single-partition window
+    val win = Window.orderBy(col(weightCol).desc, col(tokenCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = vocab.select(col(tokenCol).as("token"),
+        col(weightCol).cast("double").as("w"))
+      .withColumn("hi", sum(col("w")).over(win))
+      .withColumn("lo", col("hi") - col("w"))
+    val tot = v.agg(max(col("hi")).as("total"))
+    val vb = v.crossJoin(broadcast(tot))
+      .withColumn("b", explode(sequence(
+        floor(col("lo") / col("total") * buckets).cast("long"),
+        least(floor(col("hi") / col("total") * buckets).cast("long"),
+          lit(buckets - 1L)))))
+    val draws = spark.range(1, n + 1).toDF("i")
+      .withColumn("u", openCoin(col("i"), salt))
+      .crossJoin(broadcast(tot))
+      .withColumn("target", col("u") * col("total"))
+      .withColumn("b", floor(col("u") * buckets).cast("long"))
+    draws.join(broadcast(vb.select(col("b"), col("token"),
+        col("lo"), col("hi"))), Seq("b"))
+      .filter(col("target") >= col("lo") && col("target") < col("hi"))
+      .select(col("i"), col("token"), col("u"))
+  }
 }

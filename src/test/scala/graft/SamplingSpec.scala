@@ -347,6 +347,34 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("inverseCdfDraws: every draw lands exactly one token, the " +
+       "bucketized join equals the naive interval scan, frequencies " +
+       "track the weights") {
+    import spark.implicits._
+    val vocab = Seq(("heavy", 6.0), ("mid", 3.0), ("light", 1.0))
+      .toDF("token", "w")
+    val draws = Sampling.inverseCdfDraws(vocab, "token", "w",
+      n = 2000, salt = ":t", buckets = 8).collect()
+    assert(draws.length == 2000, "each draw must land exactly one token")
+    assert(draws.map(_.getLong(0)).toSet == (1L to 2000L).toSet)
+    val byTok = draws.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // expected shares 0.6 / 0.3 / 0.1; 2000 draws → ±4σ ≈ ±44..88
+    assert(math.abs(byTok("heavy") - 1200) < 90, byTok.toString)
+    assert(math.abs(byTok("mid") - 600) < 90, byTok.toString)
+    assert(math.abs(byTok("light") - 200) < 60, byTok.toString)
+    // bucketization is pure routing: a 1-bucket run (the naive layout)
+    // draws the identical sequence
+    val naive = Sampling.inverseCdfDraws(vocab, "token", "w",
+        n = 2000, salt = ":t", buckets = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    draws.foreach(r => assert(naive(r.getLong(0)) == r.getString(1)))
+    // vocabulary partitioning cannot change the layout
+    val re = Sampling.inverseCdfDraws(vocab.repartition(5), "token", "w",
+        n = 50, salt = ":t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    re.foreach { case (i, t) => assert(naive(i) == t) }
+  }
+
   test("strideInterleave: schedule is generated from the count rollup — " +
        "one corpus aggregate, bounded merge input") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
