@@ -5680,6 +5680,49 @@ object Queries {
            |SELECT cnt.token, CAST(cnt.drawn AS BIGINT) AS drawn,
            |  round(w.w / tw.tw, 6) AS expect_p
            |FROM cnt JOIN w USING (token), tw""".stripMargin
+      }),
+
+    Q("q154_fim_transform",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Fill-in-the-middle preprocessing under oracle: ~50% of docs
+        // (content-coin gated on the 16^6 grid) re-emit in PSM order
+        // with two coin-chosen token cuts; the rest pass through. The
+        // oracle replays the apply coin, both cut coins, the three
+        // token slices, and the sentinel assembly — a wrong modulus,
+        // slice bound, or segment order changes a string and fails the
+        // hash. Zero shuffle: the transform is split/slice/concat per
+        // row (Packing.fimTransform).
+        operators.Packing.fimTransform(tbl("documents"), "doc_id", "text",
+            rateNum = 1 << 23)
+          .select(col("doc_id"), col("fim"), col("text_out"))
+      },
+      Some {
+        def uTerms(h: String): String = (0 until 6).map { i =>
+          val dig = s"ascii(substr($h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        def coin(salt: String) =
+          s"(${uTerms(s"md5(CAST(doc_id AS VARCHAR) || '$salt')")})"
+        s"""WITH p AS (SELECT doc_id, text,
+           |    string_split(text, ' ') AS w,
+           |    len(string_split(text, ' ')) AS n FROM documents),
+           |c AS (SELECT doc_id, text, w, n,
+           |    ${coin(":fimr")} < ${1 << 23} AS applied,
+           |    ${coin(":fima")} % (n + 1) AS a,
+           |    ${coin(":fimb")} % (n + 1) AS b
+           |  FROM p),
+           |cut AS (SELECT doc_id, text, w, n, applied,
+           |    least(a, b) AS c1, greatest(a, b) AS c2 FROM c)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN applied THEN 1 ELSE 0 END AS BIGINT) AS fim,
+           |  CASE WHEN applied THEN '<PRE> '
+           |      || coalesce(array_to_string(w[1:c1], ' '), '')
+           |      || ' <SUF> '
+           |      || coalesce(array_to_string(w[c2+1:n], ' '), '')
+           |      || ' <MID> '
+           |      || coalesce(array_to_string(w[c1+1:c2], ' '), '')
+           |    ELSE text END AS text_out
+           |FROM cut""".stripMargin
       }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -247,6 +247,43 @@ object Packing {
     *
     * Returns one row per scheduled position: `pos` (1..head), the
     * source, `r` (rank within source), `n_src`, `w_raw`. */
+  /** FILL-IN-THE-MIDDLE transform (the FIM objective of Bavarian et
+    * al. 2022, standard in code-model pretraining): with probability
+    * `rateNum/2^24`, a document's token stream splits at two
+    * deterministic cut points and re-emits in PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — teaching the model to
+    * infill; otherwise the text passes through unchanged. The
+    * apply-coin and both cuts are content coins on the 16^6 grid
+    * ([[Sampling.hexInt]]), so the transformed corpus is bit-identical
+    * on any partitioning, cluster, or ANSI-SQL replay (q154). Pure
+    * narrow ops — split, three slices, concat — zero shuffle at any
+    * scale. Segment reconstruction (prefix+middle+suffix == original
+    * tokens) is spec-asserted. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   rateNum: Int): DataFrame = {
+    require(rateNum >= 0 && rateNum <= (1 << 24),
+      "rateNum must be on the 16^6 grid")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val applied = Sampling.hexInt(col(idCol), ":fimr") < rateNum
+    val a = Sampling.hexInt(col(idCol), ":fima") % (n + 1)
+    val b = Sampling.hexInt(col(idCol), ":fimb") % (n + 1)
+    val c1 = least(a, b)
+    val c2 = greatest(a, b)
+    val pfx = array_join(slice(toks, lit(1), c1), " ")
+    val mid = array_join(slice(toks, c1 + 1, c2 - c1), " ")
+    val sfx = array_join(slice(toks, c2 + 1, n - c2), " ")
+    // plain concat, not concat_ws: engines disagree on whether ws-join
+    // skips EMPTY segments (DuckDB does, Spark does not), and an empty
+    // prefix/middle/suffix is a legitimate cut outcome
+    docs
+      .withColumn("fim", when(applied, 1L).otherwise(0L))
+      .withColumn("text_out", when(applied,
+        concat(lit("<PRE> "), pfx, lit(" <SUF> "), sfx,
+          lit(" <MID> "), mid))
+        .otherwise(col(textCol)))
+  }
+
   def strideInterleave(docs: DataFrame, groupCol: String, alpha: Double,
                        head: Int): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")

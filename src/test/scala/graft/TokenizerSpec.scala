@@ -62,4 +62,41 @@ class TokenizerSpec extends AnyFunSuite {
       .map(r => (r.getString(0) + r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected)
   }
+
+  test("fimTransform: applied rows reconstruct the original token " +
+       "stream; pass-through rows are untouched; rate and determinism") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = graft.operators.Packing
+      .fimTransform(docs, "doc_id", "text", rateNum = 1 << 23)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fim"),
+        r.getAs[String]("text_out"), r.getAs[String]("text"))).toSeq
+    val applied = out.filter(_._2 == 1L)
+    assert(applied.nonEmpty && applied.size < out.size)
+    // rate ~0.5
+    assert(math.abs(applied.size.toDouble / out.size - 0.5) < 0.25)
+    // PSM framing: prefix + middle + suffix == original tokens
+    val Psm = """^<PRE> (.*) <SUF> (.*) <MID> (.*)$""".r
+    for ((_, _, t, orig) <- applied) {
+      t match {
+        case Psm(pfx, sfx, mid) =>
+          val rebuilt = (pfx.split(" ").filter(_.nonEmpty) ++
+            mid.split(" ").filter(_.nonEmpty) ++
+            sfx.split(" ").filter(_.nonEmpty)).toSeq
+          assert(rebuilt == orig.split(" ").filter(_.nonEmpty).toSeq,
+            s"reconstruction failed for: $t")
+        case _ => fail(s"bad PSM framing: $t")
+      }
+    }
+    // pass-through rows are byte-identical
+    out.filter(_._2 == 0L).foreach { case (_, _, t, orig) =>
+      assert(t == orig)
+    }
+    // layout-independent: same output on a repartitioned corpus
+    val re = graft.operators.Packing
+      .fimTransform(docs.repartition(7), "doc_id", "text", 1 << 23)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_out")).toMap
+    out.foreach { case (id, _, t, _) => assert(re(id) == t) }
+  }
 }
