@@ -5723,6 +5723,147 @@ object Queries {
            |      || coalesce(array_to_string(w[c1+1:c2], ' '), '')
            |    ELSE text END AS text_out
            |FROM cut""".stripMargin
+      }),
+
+    Q("q155_quality_calibration",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Per-source quality-score CALIBRATION — the fix for the
+        // classic curation bug where one source's scorer skew eats the
+        // whole budget: each doc's raw q29 quality maps to its
+        // percent_rank WITHIN its source (an exact integer ratio
+        // (rank−1)/(n−1)), making a single global threshold mean "top
+        // X% of every source". Output contrasts the raw-threshold and
+        // calibrated-threshold keep decisions, plus the per-source
+        // keep counts under each — the exact rows where calibration
+        // changes the cut are under oracle. Scale: one window
+        // partitioned by source (the packing shard discipline), all
+        // decisions integer/exact-ratio arithmetic.
+        val q = functions.Text.qualityScore(col("text"), Stopwords)
+        val scored = tbl("documents").select(col("doc_id"),
+          col("source"), q.as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("quality").asc, col("doc_id").asc)
+        scored
+          .withColumn("pct", percent_rank().over(w))
+          .select(col("doc_id"), col("source"), col("quality"),
+            round(col("pct"), 6).as("pct"),
+            when(col("quality") >= 0.55, 1L).otherwise(0L).as("keep_raw"),
+            when(col("pct") >= 0.5, 1L).otherwise(0L).as("keep_cal"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, source,
+              |  len(string_split(text, ' ')) AS n_tok,
+              |  len(list_distinct(string_split(text, ' '))) AS n_dis,
+              |  len(list_filter(string_split(text, ' '),
+              |      t -> t IN ($StopSql))) AS n_sw,
+              |  length(text) AS n_ch,
+              |  length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+              |    AS n_np
+              |  FROM documents),
+              |sc AS (SELECT doc_id, source, round(
+              |  least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+              |  + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5,
+              |      1.0) * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(n_ch - n_np AS DOUBLE)
+              |      / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality
+              |  FROM m),
+              |pr AS (SELECT doc_id, source, quality,
+              |    percent_rank() OVER (PARTITION BY source
+              |      ORDER BY quality, doc_id) AS pct
+              |  FROM sc)
+              |SELECT doc_id, source, quality, round(pct, 6) AS pct,
+              |  CAST(CASE WHEN quality >= 0.55 THEN 1 ELSE 0 END
+              |    AS BIGINT) AS keep_raw,
+              |  CAST(CASE WHEN pct >= 0.5 THEN 1 ELSE 0 END
+              |    AS BIGINT) AS keep_cal
+              |FROM pr""".stripMargin)),
+
+    Q("q156_signal_correlation",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Pearson correlation matrix of the four quality signals — the
+        // EDA step before weighting them (a pair of near-collinear
+        // signals double-counts in any composite score). Computed from
+        // explicit raw sums with a FIXED formula
+        // (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) rather
+        // than the engines' own corr() (whose co-moment update orders
+        // differ) — the oracle replays the identical op chain, sums of
+        // continuous values round at 6. ONE corpus aggregate of 15
+        // partial sums (the exchange carries 15 doubles per
+        // partition); the 6-pair readout is a bounded projection.
+        val sigs = Seq(
+          "len" -> least(functions.Text.tokenCount(col("text"))
+            .cast("double") / lit(50d), lit(1d)),
+          "dis" -> functions.Text.distinctTokenRatio(col("text")),
+          "sw" -> functions.Text.stopwordRatio(col("text"), Stopwords),
+          "atl" -> (functions.Text.avgTokenLength(col("text")) / lit(10d)),
+          "pu" -> functions.Text.punctRatio(col("text")))
+        val m = tbl("documents").select(
+          sigs.map { case (nm, c) => c.as(nm) }: _*)
+        val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+          sigs.map { case (nm, _) => sum(col(nm)).as(s"s_$nm") } ++
+          (for (i <- sigs.indices; j <- i until sigs.size) yield {
+            val (a, b) = (sigs(i)._1, sigs(j)._1)
+            sum(col(a) * col(b)).as(s"p_${a}_$b")
+          })
+        val one = m.agg(aggs.head, aggs.tail: _*)
+        def r(a: String, b: String): Column = {
+          val (x, y) = if (sigs.indexWhere(_._1 == a) <=
+            sigs.indexWhere(_._1 == b)) (a, b) else (b, a)
+          def vr(c: String): Column =
+            col("n") * col(s"p_${c}_$c") - col(s"s_$c") * col(s"s_$c")
+          // zero-variance signal → correlation undefined → NULL (the
+          // fixture's punctuation signal is constant, so this guard is
+          // itself under oracle)
+          when(vr(a) > 0 && vr(b) > 0,
+            (col("n") * col(s"p_${x}_$y") - col(s"s_$a") * col(s"s_$b")) /
+              sqrt(vr(a) * vr(b)))
+        }
+        val pairs = for (i <- sigs.indices; j <- i + 1 until sigs.size)
+          yield (sigs(i)._1, sigs(j)._1)
+        // single corpus scan: the 1-row stats broadcast against the
+        // 6-row pair table; r picked by a coalesced when-chain
+        import s.implicits._
+        val pairDf = pairs.toDF("sig_a", "sig_b")
+        val rExpr = coalesce(pairs.map { case (a, b) =>
+          when(col("sig_a") === a && col("sig_b") === b, r(a, b))
+        }: _*)
+        pairDf.crossJoin(broadcast(one))
+          .select(col("sig_a"), col("sig_b"), round(rExpr, 6).as("r"))
+      },
+      Some {
+        val sigsSql = Seq(
+          "len" -> "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)",
+          "dis" -> ("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+            + " / len(string_split(text, ' '))"),
+          "sw" -> (s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($StopSql))) AS DOUBLE)"
+            + " / greatest(len(string_split(text, ' ')), 1)"),
+          "atl" -> ("CAST(list_sum(list_transform(string_split(text, ' '), "
+            + "t -> length(t))) AS DOUBLE) / len(string_split(text, ' ')) / 10"),
+          "pu" -> ("CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)"
+            + " / greatest(length(text), 1)"))
+        val names = sigsSql.map(_._1)
+        val prods = (for (i <- names.indices; j <- i until names.size)
+          yield s"sum(${names(i)} * ${names(j)}) AS p_${names(i)}_${names(j)}")
+          .mkString(",\n|    ")
+        val pairSelects = (for (i <- names.indices; j <- i + 1 until names.size)
+          yield {
+            val (a, b) = (names(i), names(j))
+            def vr(c: String) = s"(n * p_${c}_$c - s_$c * s_$c)"
+            s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
+               |  round(CASE WHEN ${vr(a)} > 0 AND ${vr(b)} > 0
+               |    THEN (n * p_${a}_$b - s_$a * s_$b)
+               |      / sqrt(${vr(a)} * ${vr(b)}) END, 6) AS r
+               |FROM agg""".stripMargin
+          }).mkString("\n|UNION ALL ")
+        s"""WITH f AS (SELECT
+           |    ${sigsSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n|    ")}
+           |  FROM documents),
+           |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    ${names.map(n => s"sum($n) AS s_$n").mkString(",\n|    ")},
+           |    $prods
+           |  FROM f)
+           |$pairSelects""".stripMargin
       }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
