@@ -5864,6 +5864,68 @@ object Queries {
            |    $prods
            |  FROM f)
            |$pairSelects""".stripMargin
+      }),
+
+    Q("q157_span_corruption",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // T5 span corruption under oracle: ~5% of positions start
+        // spans of 2-4 tokens (mean 3 → ~15% token corruption), runs
+        // sentinel-replaced in the input and sentinel-prefixed in the
+        // target. The mask runs as the codegen'd T5SpanMask kernel;
+        // the oracle replays the independent-span rule as a
+        // bounded-lookback EXISTS (maxSpan 4 → i−3..i), the run
+        // numbering as a lag+cumsum window, and both assemblies as
+        // ordered string_agg — a wrong coin, span length, lookback,
+        // merge rule, or sentinel index changes a string and fails the
+        // hash.
+        operators.Packing.t5SpanCorrupt(tbl("documents"), "doc_id",
+            "text", pNum = 838861, minLen = 2, lenRange = 3)
+          .select(col("doc_id"), col("n_spans"), col("n_masked"),
+            col("input_text"), col("target_text"))
+      },
+      Some {
+        def uTerms(h: String): String = (0 until 6).map { i =>
+          val dig = s"ascii(substr($h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        def coin(suffix: String) = uTerms(
+          s"md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '$suffix')")
+        s"""WITH p AS (SELECT doc_id, string_split(text, ' ') AS w,
+           |    len(string_split(text, ' ')) AS n FROM documents),
+           |pos AS (SELECT doc_id, n, w,
+           |    unnest(generate_series(1, n)) AS i FROM p),
+           |g AS (SELECT doc_id, n, i, w[i] AS tok,
+           |    (${coin(":t5s")}) < 838861 AS st,
+           |    2 + (${coin(":t5l")}) % 3 AS ln
+           |  FROM pos),
+           |mk AS (SELECT a.doc_id, a.i, a.tok,
+           |    max(CASE WHEN b.st AND b.i + b.ln > a.i
+           |        THEN 1 ELSE 0 END) AS masked
+           |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+           |    AND b.i BETWEEN a.i - 3 AND a.i
+           |  GROUP BY 1, 2, 3),
+           |rn AS (SELECT *, CASE WHEN masked = 1 AND
+           |      coalesce(lag(masked) OVER (PARTITION BY doc_id
+           |        ORDER BY i), 0) = 0 THEN 1 ELSE 0 END AS rstart
+           |  FROM mk),
+           |rid AS (SELECT *, sum(rstart) OVER (PARTITION BY doc_id
+           |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |      CURRENT ROW) - 1 AS run
+           |  FROM rn)
+           |SELECT doc_id,
+           |  CAST(coalesce(max(CASE WHEN masked = 1 THEN run END) + 1, 0)
+           |    AS BIGINT) AS n_spans,
+           |  CAST(sum(masked) AS BIGINT) AS n_masked,
+           |  coalesce(string_agg(CASE WHEN masked = 0 THEN tok
+           |      WHEN rstart = 1
+           |        THEN '<X' || CAST(run AS VARCHAR) || '>' END,
+           |    ' ' ORDER BY i), '') AS input_text,
+           |  coalesce(string_agg(CASE WHEN masked = 1 THEN
+           |      CASE WHEN rstart = 1
+           |        THEN '<X' || CAST(run AS VARCHAR) || '> ' || tok
+           |        ELSE tok END END,
+           |    ' ' ORDER BY i), '') AS target_text
+           |FROM rid GROUP BY doc_id""".stripMargin
       }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

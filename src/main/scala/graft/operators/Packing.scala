@@ -284,6 +284,53 @@ object Packing {
         .otherwise(col(textCol)))
   }
 
+  /** T5 SPAN CORRUPTION (Raffel et al., JMLR 2020 — the masked-span
+    * denoising objective, [[fimTransform]]'s sibling): ~`pNum/2^24` of
+    * positions start spans of `minLen..minLen+lenRange−1` tokens;
+    * covered tokens are replaced in the INPUT by one sentinel per
+    * maximal run (`<X0>`, `<X1>`, …) and emitted in the TARGET as
+    * sentinel-prefixed runs. Span starts are independent position
+    * coins (stateless — overlapping spans merge into a run), which is
+    * what keeps the rule a bounded-lookback EXISTS on both engines:
+    * the mask is a codegen'd kernel pass ([[graft.plans.VectorOps
+    * .t5SpanMask]] — two md5 coins per token in JIT-compiled code, not
+    * interpreted HOF lambdas, and no token-grain shuffle), and the
+    * input/target assembly is cheap per-row array folds. Zero shuffle
+    * at any scale. */
+  def t5SpanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                    pNum: Int, minLen: Int = 2,
+                    lenRange: Int = 3): DataFrame = {
+    val base = docs
+      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("__r", graft.plans.exprs.t5SpanMask(
+        col(idCol).cast("long"), col("__t"), pNum, minLen, lenRange))
+      .withColumn("__n", size(col("__t")))
+    def tok(j: Column) = element_at(col("__t"), j)
+    def run(j: Column) = element_at(col("__r"), j)
+    def isStart(j: Column) =
+      run(j) =!= -1 && (j === 1 || run(j - 1) =!= run(j))
+    def sentinel(j: Column) =
+      concat(lit("<X"), run(j).cast("string"), lit(">"))
+    val inputPieces = transform(sequence(lit(1), col("__n")), j =>
+      when(run(j) === -1, tok(j))
+        .when(isStart(j), sentinel(j))
+        .otherwise(lit(null)))
+    val targetPieces = transform(sequence(lit(1), col("__n")), j =>
+      when(run(j) === -1, lit(null))
+        .when(isStart(j), concat(sentinel(j), lit(" "), tok(j)))
+        .otherwise(tok(j)))
+    base
+      .withColumn("input_text",
+        array_join(filter(inputPieces, p => p.isNotNull), " "))
+      .withColumn("target_text",
+        array_join(filter(targetPieces, p => p.isNotNull), " "))
+      .withColumn("n_spans",
+        (coalesce(array_max(col("__r")), lit(-1)) + 1).cast("long"))
+      .withColumn("n_masked",
+        size(filter(col("__r"), x => x =!= -1)).cast("long"))
+      .drop("__t", "__r", "__n")
+  }
+
   def strideInterleave(docs: DataFrame, groupCol: String, alpha: Double,
                        head: Int): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")

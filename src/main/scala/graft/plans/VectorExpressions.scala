@@ -310,6 +310,31 @@ case class CdcBoundaries(child: Expression, salt: String, avg: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** T5 span-corruption run ids (see [[VectorOps.t5SpanMask]]): the
+  * stateless masked-span rule in one codegen'd kernel pass. */
+case class T5SpanMask(left: Expression, right: Expression,
+                      pNum: Int, minLen: Int, lenRange: Int)
+    extends BinaryExpression {
+  require(pNum >= 0 && pNum <= (1 << 24), "pNum must be on the 16^6 grid")
+  require(minLen >= 1 && lenRange >= 1, "need minLen >= 1 and lenRange >= 1")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, at) if ExprUtil.isStringArray(at) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"t5_span_mask expects (bigint, array<string>), got ${left.dataType} / ${right.dataType}")
+    }
+  override protected def nullSafeEval(id: Any, toks: Any): Any =
+    VectorOps.t5SpanMask(id.asInstanceOf[Long], toks.asInstanceOf[ArrayData],
+      pNum, minLen, lenRange)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, toks) =>
+      s"graft.plans.VectorOps.t5SpanMask($id, $toks, $pNum, $minLen, $lenRange)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Winnowing fingerprints (see [[VectorOps.winnow]]): packed
   * `(pos << 24) | hex6` longs, the per-row selection loop in one
   * codegen'd kernel pass. */
@@ -475,6 +500,10 @@ object exprs {
 
   def winnowFingerprints(text: Column, salt: String, k: Int, w: Int): Column =
     column(WinnowFingerprints(expression(text), salt, k, w))
+
+  def t5SpanMask(id: Column, toks: Column, pNum: Int, minLen: Int,
+                 lenRange: Int): Column =
+    column(T5SpanMask(expression(id), expression(toks), pNum, minLen, lenRange))
 }
 
 /** `SparkSessionExtensions` hook: registers the custom expressions as SQL

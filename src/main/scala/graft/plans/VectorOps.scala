@@ -322,6 +322,61 @@ object VectorOps {
     * filter(sequence)/element_at HOF formulation interprets per element
     * AND re-evaluates the md5 six times per token inside the lambda
     * (measured: q124 at 15.1 s vs ~2 s with this kernel). */
+  /** T5 span-corruption mask (Raffel et al., JMLR 2020): per-token run
+    * ids for the masked-span denoising objective. Span STARTS are
+    * independent position coins — token i (1-based) starts a span when
+    * hex6(md5("<id>:<i>:t5s")) < pNum, with length
+    * minLen + hex6(md5("<id>:<i>:t5l")) % lenRange — and a token is
+    * masked when ANY span covers it (independent-span semantics:
+    * overlapping spans merge into one run, which keeps the rule
+    * stateless and ANSI-SQL-replayable — a bounded-lookback EXISTS,
+    * not a running counter). Returns array<int>: the 0-based id of the
+    * maximal masked run per token, −1 for clear tokens. One kernel
+    * pass per row — the HOF formulation would interpret two md5 coins
+    * per token (the q124 lesson), and a window formulation would
+    * shuffle the corpus at token grain. */
+  def t5SpanMask(id: Long, toks: ArrayData, pNum: Int, minLen: Int,
+                 lenRange: Int): ArrayData = {
+    val md = md5Local.get()
+    val n = toks.numElements()
+    def hex6(s: String): Int = {
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+    }
+    // independent spans: starts[i], len[i] (computed only when started)
+    val starts = new Array[Boolean](n)
+    val lens = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (hex6(s"$id:${i + 1}:t5s") < pNum) {
+        starts(i) = true
+        lens(i) = minLen + hex6(s"$id:${i + 1}:t5l") % lenRange
+      }
+      i += 1
+    }
+    val maxSpan = minLen + lenRange - 1
+    val out = new Array[Any](n)
+    var run = -1
+    var prevMasked = false
+    var j = 0
+    while (j < n) {
+      var masked = false
+      var k = math.max(0, j - maxSpan + 1)
+      while (!masked && k <= j) {
+        if (starts(k) && k + lens(k) > j) masked = true
+        k += 1
+      }
+      if (masked) {
+        if (!prevMasked) run += 1
+        out(j) = run
+      } else out(j) = -1
+      prevMasked = masked
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003): hash every char k-gram with the md5-hex6 coin
     * (byte-identical to `Sampling.hexInt`, the SQL-replayable recipe),

@@ -99,4 +99,47 @@ class TokenizerSpec extends AnyFunSuite {
         r.getAs[String]("text_out")).toMap
     out.foreach { case (id, _, t, _) => assert(re(id) == t) }
   }
+
+  test("t5SpanCorrupt: input+target splice back to the original, " +
+       "sentinels are ordered, counts consistent, rate in band") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = graft.operators.Packing
+      .t5SpanCorrupt(docs, "doc_id", "text", pNum = 838861)
+      .collect()
+    val Sent = """^<X(\d+)>$""".r
+    var totTok = 0L
+    var totMasked = 0L
+    for (r <- out) {
+      val orig = r.getAs[String]("text").split(" ").toSeq
+      val input = r.getAs[String]("input_text").split(" ").toSeq
+      val target = r.getAs[String]("target_text")
+      val nSpans = r.getAs[Long]("n_spans")
+      val nMasked = r.getAs[Long]("n_masked")
+      totTok += orig.size; totMasked += nMasked
+      // parse target into run -> tokens
+      val runs = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[String]]
+      var cur = -1
+      if (target.nonEmpty) target.split(" ").foreach {
+        case Sent(k) => cur = k.toInt
+          runs(cur) = scala.collection.mutable.ArrayBuffer.empty
+        case t => runs(cur) += t
+      }
+      assert(runs.keys.toSeq == (0 until nSpans.toInt), s"doc ${r.get(0)}")
+      assert(runs.values.map(_.size).sum == nMasked)
+      // splice: replace each sentinel in the input by its run
+      val rebuilt = input.flatMap {
+        case Sent(k) => runs(k.toInt).toSeq
+        case t => Seq(t)
+      }
+      assert(rebuilt == orig, s"doc ${r.get(0)} failed to splice back")
+      // input sentinels appear in ascending order exactly once
+      val sentsInInput = input.collect { case Sent(k) => k.toInt }
+      assert(sentsInInput == (0 until nSpans.toInt))
+    }
+    // ~15% corruption (5% starts × mean len 3); generous band
+    val rate = totMasked.toDouble / totTok
+    assert(rate > 0.05 && rate < 0.30, s"corruption rate $rate")
+  }
 }
