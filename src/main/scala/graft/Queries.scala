@@ -5926,6 +5926,71 @@ object Queries {
            |        ELSE tok END END,
            |    ' ' ORDER BY i), '') AS target_text
            |FROM rid GROUP BY doc_id""".stripMargin
+      }),
+
+    Q("q158_pagerank",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // PageRank under oracle: 5 synchronous iterations (d = 0.85)
+        // over the bipartite user ↔ (hour, event_type) activity graph
+        // — both edge directions supplied, so no dangling mass. Top-20
+        // nodes ranked on ROUND-6 pr with a node-id tiebreak (the q84
+        // round-before-rank discipline: the per-node in-mass sum is
+        // the one order-sensitive float, ~5 ulp over 5 iterations).
+        // The oracle unrolls the identical 5 iterations; the teleport
+        // constant is written (1.0 − 0.85)/n on BOTH sides — the
+        // binary value of 1.0−0.85 is not the literal 0.15.
+        val ev = tbl("events")
+        val typeIdx = when(col("event_type") === "click", 0L)
+          .when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "purchase", 2L)
+          .when(col("event_type") === "signup", 3L)
+          .otherwise(4L)
+        val hourIdx = (unix_timestamp(date_trunc("hour", col("ts")))
+          / 3600).cast("long")
+        val pairs = ev.select(col("user_id").as("u"),
+          (lit(1000000L) + hourIdx * 8 + typeIdx).as("it")).distinct()
+        val edges = pairs.select(col("u").as("src"), col("it").as("dst"))
+          .unionByName(pairs.select(col("it").as("src"),
+            col("u").as("dst")))
+        val pr = operators.Graph.pageRank(edges, iters = 5, damping = 0.85)
+        pr.withColumn("pr6", round(col("pr"), 6))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("pr6").desc, col("node"))).cast("long"))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("node"), col("pr6").as("pr"))
+      },
+      Some {
+        val iters = (1 to 5).map { k =>
+          s"""c$k AS (SELECT ed.dst AS node, sum(p.pr / dg.deg) AS m
+             |  FROM ed JOIN p${k - 1} p ON p.node = ed.src
+             |  JOIN dg ON dg.src = ed.src
+             |  GROUP BY 1),
+             |p$k AS (SELECT ndd.node,
+             |    (1.0 - 0.85) / nn.n + 0.85 * coalesce(c$k.m, 0.0) AS pr
+             |  FROM nd ndd CROSS JOIN nn
+             |  LEFT JOIN c$k ON c$k.node = ndd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id AS u,
+           |    1000000 + (CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+           |      // 3600) * 8
+           |    + CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+           |        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+           |        ELSE 4 END AS it
+           |  FROM events),
+           |pe AS (SELECT DISTINCT u, it FROM ev),
+           |ed AS (SELECT u AS src, it AS dst FROM pe
+           |       UNION ALL SELECT it, u FROM pe),
+           |nd AS (SELECT DISTINCT src AS node FROM ed),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+           |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+           |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nd CROSS JOIN nn),
+           |$iters,
+           |r AS (SELECT node, round(pr, 6) AS pr6, row_number()
+           |    OVER (ORDER BY round(pr, 6) DESC, node) AS rank
+           |  FROM p5)
+           |SELECT CAST(rank AS BIGINT) AS rank, node, pr6 AS pr
+           |FROM r WHERE rank <= 20""".stripMargin
       }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
