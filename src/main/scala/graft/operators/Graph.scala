@@ -35,36 +35,33 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .persist()
-    try {
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-      val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      val dangling = nodes.join(outDeg,
-        nodes("node") === outDeg("src"), "left_anti").count()
-      require(dangling == 0,
-        s"pageRank: $dangling dangling node(s) — supply both directions")
-      val n = nodes.count().toDouble
-      val withDeg = e.join(outDeg, Seq("src")).persist()
-      withDeg.count()
-      var pr = nodes.withColumn("pr", lit(1.0 / n)).persist()
-      pr.count()
-      for (_ <- 0 until iters) {
-        val contribs = withDeg
-          .join(pr, withDeg("src") === pr("node"))
-          .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
-          .groupBy("node").agg(sum(col("c")).as("in_mass"))
-        val next = nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-          .persist()
-        next.count()
-        pr.unpersist()
-        pr = next
-      }
-      withDeg.unpersist()
-      pr
-    } finally e.unpersist()
+    // one-time graph layout, eagerly materialized with truncated
+    // lineage (the connected-components discipline): the iteration
+    // loop must not replan or recompute the node set / degree-joined
+    // edge list every round
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outDeg, Seq("src")).localCheckpoint(true)
+    // every src has a degree row by construction, so a dangling node
+    // (dst-only) is visible as |nodes| > |distinct src|
+    val n = nodes.count().toDouble
+    val nOut = withDeg.select(col("src")).distinct().count()
+    require(nOut == n.toLong,
+      s"pageRank: ${n.toLong - nOut} dangling node(s) - supply both directions")
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contribs = withDeg
+        .join(pr, withDeg("src") === pr("node"))
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      pr = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
   }
 }
