@@ -181,10 +181,6 @@ object Queries {
     * lands under `thr` on the 16^6 grid, normalized by THAT batch's
     * count. Mirrors Classifier.trainLogisticSgd op-for-op. */
   private def SgdOracleCtes(thr: Long): String = {
-    def uTerms(h: String): String = (0 until 6).map { i =>
-      val dig = s"ascii(substr($h, ${i + 1}, 1))"
-      s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-    }.mkString("\n      + ")
     def batch(t: Int): String =
       s"""s$t AS (SELECT * FROM f WHERE
          |    (${uTerms(s"md5(CAST(doc_id AS VARCHAR) || ':sgd$t')")})
@@ -209,6 +205,16 @@ object Queries {
        |w3 AS (SELECT ${ClfWupd(Some("w2"), "g3")}
        |  FROM w2, g3, n3)""".stripMargin
   }
+
+  /** The md5-hex6 digit-extraction SQL fragment — the ONE replayable
+    * definition of `Sampling.hexInt`'s arithmetic for oracle builders
+    * (value = first six hex digits of `h` as an integer). Every coin
+    * oracle must use this; a second inline copy is how a digit-order or
+    * case-fold edit silently desynchronizes one oracle from the rest. */
+  private def uTerms(h: String): String = (0 until 6).map { i =>
+    val dig = s"ascii(substr($h, ${i + 1}, 1))"
+    s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+  }.mkString("\n      + ")
 
   val all: Seq[Q] = Seq(
 
@@ -3931,10 +3937,6 @@ object Queries {
             |  ELSE list_transform(range(1, len(t) - 6),
             |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
             |                        t[i+4], t[i+5], t[i+6], t[i+7])) END)""".stripMargin
-        def uTerms(h: String): String = (0 until 6).map { i =>
-          val dig = s"ascii(substr($h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
         val evalPos = (0 until 6).map { sd =>
           s"""SELECT (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM e"""
         }.mkString("\n  UNION ")
@@ -4990,10 +4992,15 @@ object Queries {
         // manifest), never the rows.
         val docs = tbl("documents")
         val bytes = expr("octet_length(text)") + lit(16L)
-        val target = docs.agg(
-          (floor(sum(bytes) / 8) + 1).cast("long").as("target"))
-        operators.Maintenance.compactionPlan(docs, Seq("lang", "source"),
-          bytes, target)
+        // ONE corpus scan: the unit rollup is eagerly materialized at
+        // metadata grain, then both the target derivation and the
+        // planner read it
+        val units = operators.Maintenance.unitRollup(docs,
+          Seq("lang", "source"), bytes).localCheckpoint(true)
+        val target = units.agg(
+          (floor(sum(col("u_bytes")) / 8) + 1).cast("long").as("target"))
+        operators.Maintenance.compactionPlanOfUnits(units,
+          Seq("lang", "source"), target)
       },
       Some("""WITH u AS (SELECT lang, source,
              |    sum(strlen(text) + 16) AS u_bytes,
@@ -5038,14 +5045,22 @@ object Queries {
           .partitionBy(lit(1))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        // target_w's denominator must sum over ALL sources (the oracle's
+        // `t` CTE), not just those present in the schedule head — a
+        // source whose first emission sorts past `head` would otherwise
+        // inflate every remaining share
+        val weights = tbl("documents").groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_all"))
+          .withColumn("w_all", sqrt(col("n_all").cast("double")))
+          .withColumn("target_w",
+            round(col("w_all") / sum(col("w_all")).over(all), 6))
+          .select(col("lang"), col("target_w"))
         sched.groupBy(col("lang"))
           .agg(max(col("n_src")).cast("long").as("n_src"),
-            max(col("w_raw")).as("w_max"),
             count(lit(1)).as("sched_n"),
             min(col("pos")).as("first_pos"),
             max(col("pos")).as("last_pos"))
-          .withColumn("target_w",
-            round(col("w_max") / sum(col("w_max")).over(all), 6))
+          .join(broadcast(weights), Seq("lang"))
           .withColumn("share", col("sched_n").cast("double") / 200)
           .select(col("lang"), col("n_src"), col("target_w"),
             col("sched_n"), col("share"), col("first_pos"), col("last_pos"))
@@ -5183,11 +5198,13 @@ object Queries {
              |       FROM (SELECT dim, sum(sv) AS sv, sum(cnt) AS cnt
              |             FROM sv GROUP BY 1) GROUP BY 1)
              |SELECT grp, CAST(n AS BIGINT) AS n,
-             |  round((ssq - n) / (n * (n - 1.0)), 6) AS mean_cos
+             |  CASE WHEN n > 1
+             |    THEN round((ssq - n) / (n * (n - 1.0)), 6) END AS mean_cos
              |FROM pg
              |UNION ALL
              |SELECT grp, CAST(n AS BIGINT) AS n,
-             |  round((ssq - n) / (n * (n - 1.0)), 6) AS mean_cos
+             |  CASE WHEN n > 1
+             |    THEN round((ssq - n) / (n * (n - 1.0)), 6) END AS mean_cos
              |FROM ag""".stripMargin)),
 
     Q("q143_hard_negatives",
@@ -5260,7 +5277,10 @@ object Queries {
              |  FROM p GROUP BY 1)
              |SELECT grp, CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
              |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
-             |  round(dot / (sqrt(sa) * sqrt(sb)), 6) AS cos_shift
+             |  CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+             |      AND sa > 0 AND sb > 0
+             |    THEN round(dot / (sqrt(sa) * sqrt(sb)), 6)
+             |  END AS cos_shift
              |FROM g""".stripMargin)),
 
     Q("q145_bpe_pair_stats",
@@ -5415,10 +5435,6 @@ object Queries {
             col("shared").cast("long").as("shared"))
       },
       Some {
-        def uTerms(h: String): String = (0 until 6).map { i =>
-          val dig = s"ascii(substr($h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
         s"""WITH d AS (SELECT doc_id, text FROM documents
            |    UNION ALL
            |    SELECT doc_id + 3000000, substr(text, 11, 100)
@@ -5654,10 +5670,6 @@ object Queries {
             round(col("w") / col("tw"), 6).as("expect_p"))
       },
       Some {
-        def uTerms(h: String): String = (0 until 6).map { i =>
-          val dig = s"ascii(substr($h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
         s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
            |            FROM documents),
            |vc AS (SELECT token, count(*) AS c FROM tk
@@ -5697,10 +5709,6 @@ object Queries {
           .select(col("doc_id"), col("fim"), col("text_out"))
       },
       Some {
-        def uTerms(h: String): String = (0 until 6).map { i =>
-          val dig = s"ascii(substr($h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
         def coin(salt: String) =
           s"(${uTerms(s"md5(CAST(doc_id AS VARCHAR) || '$salt')")})"
         s"""WITH p AS (SELECT doc_id, text,
@@ -5884,10 +5892,6 @@ object Queries {
             col("input_text"), col("target_text"))
       },
       Some {
-        def uTerms(h: String): String = (0 until 6).map { i =>
-          val dig = s"ascii(substr($h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
         def coin(suffix: String) = uTerms(
           s"md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '$suffix')")
         s"""WITH p AS (SELECT doc_id, string_split(text, ' ') AS w,

@@ -116,7 +116,13 @@ object Classifier {
     w
   }
 
-  /** One GD update over `df`: w ← w − lr·(Σ(σ(w·x) − y)·x / n). */
+  /** One GD update over `df`: w ← w − lr·(Σ(σ(w·x) − y)·x / n). An
+    * EMPTY input (an SGD batch whose coin selected no rows) carries no
+    * gradient and leaves the weights unchanged — without the guard the
+    * null sums NPE and n = 0 would poison every later weight with NaN.
+    * (The q151 oracle does not replay the skip: its thresholds make an
+    * empty batch measure-zero at any corpus size, and the contract is
+    * documented there.) */
   private def step(df: DataFrame, features: Seq[Column], label: Column,
                    w: Array[Double], lr: Double): Array[Double] = {
     val err = predictProb(features, w) - label
@@ -125,7 +131,8 @@ object Classifier {
     } :+ count(lit(1)).as("n")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(features.size).toDouble
-    w.zipWithIndex.map { case (wi, i) =>
+    if (n == 0) w
+    else w.zipWithIndex.map { case (wi, i) =>
       wi - lr * (row.getDouble(i) / n)
     }
   }

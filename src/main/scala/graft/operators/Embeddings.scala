@@ -183,24 +183,6 @@ object Embeddings {
       scaled.flatten, offsets, model.dim))
   }
 
-  /** Exact corpus DIVERSITY: the mean pairwise cosine similarity over
-    * all n·(n−1)/2 vector pairs of each group — computed WITHOUT ever
-    * forming a pair. With u_i = v_i/‖v_i‖ and S = Σ u_i,
-    * ‖S‖² = n + 2·Σ_{i<j} u_i·u_j, so
-    * mean pairwise cos = (‖S‖² − n) / (n(n−1)) — the quadratic
-    * statistic collapses to one linear pass. This is the datasheet
-    * diversity number (high mean cosine = dup-heavy / mode-collapsed
-    * corpus; the signal SemDeDup-style pruning acts on), and the
-    * identity is the 100 TB story: the all-pairs formulation is
-    * O(n²·dim) with an n×n shuffle, this is one narrow normalize
-    * projection plus a per-(group, dim) partial sum whose ONLY exchange
-    * carries |groups|·dim rows. Plan-asserted join-free in
-    * EmbeddingsSpec.
-    *
-    * Zero vectors carry no direction and are excluded (documented
-    * contract); groups with n < 2 have no pairs and report NULL.
-    * Returns groupCols :+ (n, mean_cos); groupCols may be empty for the
-    * whole-corpus number. */
   /** Embedding-distribution DRIFT between two corpus snapshots — the
     * vector-modality sibling of the token/categorical drift monitors
     * (q135/q138): per group, the cosine between snapshot centroids,
@@ -243,6 +225,24 @@ object Embeddings {
           .as("cos_shift")): _*)
   }
 
+  /** Exact corpus DIVERSITY: the mean pairwise cosine similarity over
+    * all n·(n−1)/2 vector pairs of each group — computed WITHOUT ever
+    * forming a pair. With u_i = v_i/‖v_i‖ and S = Σ u_i,
+    * ‖S‖² = n + 2·Σ_{i<j} u_i·u_j, so
+    * mean pairwise cos = (‖S‖² − n) / (n(n−1)) — the quadratic
+    * statistic collapses to one linear pass. This is the datasheet
+    * diversity number (high mean cosine = dup-heavy / mode-collapsed
+    * corpus; the signal SemDeDup-style pruning acts on), and the
+    * identity is the 100 TB story: the all-pairs formulation is
+    * O(n²·dim) with an n×n shuffle, this is one narrow normalize
+    * projection plus a per-(group, dim) partial sum whose ONLY exchange
+    * carries |groups|·dim rows. Plan-asserted join-free in
+    * EmbeddingsSpec.
+    *
+    * Zero vectors carry no direction and are excluded (documented
+    * contract); groups with n < 2 have no pairs and report NULL.
+    * Returns groupCols :+ (n, mean_cos); groupCols may be empty for the
+    * whole-corpus number. */
   def meanPairwiseCosine(emb: DataFrame, vecCol: String,
                          groupCols: Seq[String]): DataFrame = {
     val keys = groupCols.map(col)

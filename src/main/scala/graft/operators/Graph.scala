@@ -62,6 +62,11 @@ object Graph {
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
     }
+    // superseded rank vectors' checkpoint blocks (node-grain doubles,
+    // iters of them) stay in the block manager until the session/RDD
+    // GC reclaims them — Dataset.unpersist does not free localCheckpoint
+    // storage; the bench releases leftover RDD blocks between samples,
+    // and long-lived callers should bound iters accordingly
     pr
   }
 }

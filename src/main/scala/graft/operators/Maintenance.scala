@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** The one corpus-grain pass: per-`partCols` unit sizes and row
+    * counts. Callers deriving the target from the total should
+    * aggregate THIS (metadata-grain) result, not rescan the corpus —
+    * q139 eagerly materializes it (localCheckpoint) and feeds both the
+    * target derivation and [[compactionPlanOfUnits]] from the same
+    * rollup. */
+  def unitRollup(df: DataFrame, partCols: Seq[String],
+                 bytesExpr: Column): DataFrame =
+    df.groupBy(partCols.map(col): _*)
+      .agg(sum(bytesExpr).cast("long").as("u_bytes"),
+        count(lit(1)).as("u_rows"))
+
   /** Greedy listing-order bin packing: units (the per-`partCols` groups
     * of `df`, each sized by `sum(bytesExpr)`) are laid out in listing
     * order and cut into output bins of ~`target` bytes by cumulative
@@ -40,11 +52,14 @@ object Maintenance {
     * whole plan hash-replays in any engine (q139's oracle).
     */
   def compactionPlan(df: DataFrame, partCols: Seq[String],
-                     bytesExpr: Column, target: DataFrame): DataFrame = {
-    val keys = partCols.map(col)
-    val units = df.groupBy(keys: _*)
-      .agg(sum(bytesExpr).cast("long").as("u_bytes"),
-        count(lit(1)).as("u_rows"))
+                     bytesExpr: Column, target: DataFrame): DataFrame =
+    compactionPlanOfUnits(unitRollup(df, partCols, bytesExpr), partCols,
+      target)
+
+  /** Planning over an existing [[unitRollup]] (columns: partCols,
+    * `u_bytes`, `u_rows`) — pure metadata-grain work. */
+  def compactionPlanOfUnits(units: DataFrame, partCols: Seq[String],
+                            target: DataFrame): DataFrame = {
     // unit-grain from here down: |units| rows of metadata
     val ordered = Window.orderBy(partCols.map(col(_).asc): _*)
     val planned = units

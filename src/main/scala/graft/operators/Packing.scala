@@ -216,37 +216,6 @@ object Packing {
           col("tok_len").cast("int")), " ").as("chunk_text"))
   }
 
-  /** Stride-scheduled mixture interleave — the ORDER side of mixture
-    * assembly ([[Sampling.temperatureMixture]] decides how MUCH of each
-    * source; this decides WHEN): the r-th document of source s is
-    * scheduled at virtual time r / w_s and the global stream is the
-    * merge of all sources by ascending vt — stride scheduling
-    * (Waldspurger & Weihl, OSDI '94), the interleaving shape of
-    * multi-corpus training loaders. Consecutive emissions of s sit
-    * ~1/w_s apart, so EVERY prefix of the stream realizes the target
-    * mixture to within 1 + (|S|-1)·w_s/Σw documents per source (the
-    * weighted-round-robin deviation bound, spec-asserted) — no coin
-    * flips, no end-of-epoch composition bias.
-    *
-    * Cross-engine determinism: vt uses the UNNORMALIZED weight
-    * n_s^alpha — normalizing would divide every vt by the same positive
-    * constant and cannot change the merge order, so no cross-source
-    * float sum enters the ordering; alpha = 0.5 routes through
-    * correctly-rounded `sqrt` (exact parity, the
-    * [[Sampling.temperatureMixture]] discipline), and r/w_s is one
-    * correctly-rounded division of bit-identical operands.
-    *
-    * Scale: a loader consults the schedule HEAD (`head` positions), and
-    * the head is generated from the |sources|-row count rollup alone —
-    * sequence-exploded to ≤ |sources|·head rows (the r-th emission of s
-    * can sit no earlier than global position r, so ranks ≤ head per
-    * source suffice) — so the corpus is touched ONCE (the count
-    * aggregate) and the merge window ranks a bounded, data-independent
-    * row set, never the data. Feeding the schedule forward is a
-    * broadcast join on (source, rank-within-source).
-    *
-    * Returns one row per scheduled position: `pos` (1..head), the
-    * source, `r` (rank within source), `n_src`, `w_raw`. */
   /** FILL-IN-THE-MIDDLE transform (the FIM objective of Bavarian et
     * al. 2022, standard in code-model pretraining): with probability
     * `rateNum/2^24`, a document's token stream splits at two
@@ -331,6 +300,37 @@ object Packing {
       .drop("__t", "__r", "__n")
   }
 
+  /** Stride-scheduled mixture interleave — the ORDER side of mixture
+    * assembly ([[Sampling.temperatureMixture]] decides how MUCH of each
+    * source; this decides WHEN): the r-th document of source s is
+    * scheduled at virtual time r / w_s and the global stream is the
+    * merge of all sources by ascending vt — stride scheduling
+    * (Waldspurger & Weihl, OSDI '94), the interleaving shape of
+    * multi-corpus training loaders. Consecutive emissions of s sit
+    * ~1/w_s apart, so EVERY prefix of the stream realizes the target
+    * mixture to within 1 + (|S|-1)·w_s/Σw documents per source (the
+    * weighted-round-robin deviation bound, spec-asserted) — no coin
+    * flips, no end-of-epoch composition bias.
+    *
+    * Cross-engine determinism: vt uses the UNNORMALIZED weight
+    * n_s^alpha — normalizing would divide every vt by the same positive
+    * constant and cannot change the merge order, so no cross-source
+    * float sum enters the ordering; alpha = 0.5 routes through
+    * correctly-rounded `sqrt` (exact parity, the
+    * [[Sampling.temperatureMixture]] discipline), and r/w_s is one
+    * correctly-rounded division of bit-identical operands.
+    *
+    * Scale: a loader consults the schedule HEAD (`head` positions), and
+    * the head is generated from the |sources|-row count rollup alone —
+    * sequence-exploded to ≤ |sources|·head rows (the r-th emission of s
+    * can sit no earlier than global position r, so ranks ≤ head per
+    * source suffice) — so the corpus is touched ONCE (the count
+    * aggregate) and the merge window ranks a bounded, data-independent
+    * row set, never the data. Feeding the schedule forward is a
+    * broadcast join on (source, rank-within-source).
+    *
+    * Returns one row per scheduled position: `pos` (1..head), the
+    * source, `r` (rank within source), `n_src`, `w_raw`. */
   def strideInterleave(docs: DataFrame, groupCol: String, alpha: Double,
                        head: Int): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
