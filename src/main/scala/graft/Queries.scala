@@ -5995,6 +5995,77 @@ object Queries {
            |  FROM p5)
            |SELECT CAST(rank AS BIGINT) AS rank, node, pr6 AS pr
            |FROM r WHERE rank <= 20""".stripMargin
+      }),
+
+    Q("q159_personalized_pagerank",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Personalized PageRank under oracle — seed-based expansion on
+        // q158's bipartite activity graph: the surfer teleports to the
+        // heavy purchasers (seed weight = purchase count), so rank
+        // measures proximity to the seed cohort — the "find more like
+        // my curated seed set" primitive of seed-and-expand curation.
+        // Same 5-iteration rails, round-6-before-rank; teleport is
+        // (1−0.85)·t_v with t_v the exact integer-ratio seed share.
+        val ev = tbl("events")
+        val typeIdx = when(col("event_type") === "click", 0L)
+          .when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "purchase", 2L)
+          .when(col("event_type") === "signup", 3L)
+          .otherwise(4L)
+        val hourIdx = (unix_timestamp(date_trunc("hour", col("ts")))
+          / 3600).cast("long")
+        val pairs = ev.select(col("user_id").as("u"),
+          (lit(1000000L) + hourIdx * 8 + typeIdx).as("it")).distinct()
+        val edges = pairs.select(col("u").as("src"), col("it").as("dst"))
+          .unionByName(pairs.select(col("it").as("src"),
+            col("u").as("dst")))
+        val seeds = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("node"))
+          .agg(count(lit(1)).cast("double").as("weight"))
+        val pr = operators.Graph.personalizedPageRank(edges, seeds,
+          iters = 5, damping = 0.85)
+        pr.withColumn("pr6", round(col("pr"), 6))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("pr6").desc, col("node"))).cast("long"))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("node"), col("pr6").as("pr"))
+      },
+      Some {
+        val iters = (1 to 5).map { k =>
+          s"""c$k AS (SELECT ed.dst AS node, sum(p.pr / dg.deg) AS m
+             |  FROM ed JOIN p${k - 1} p ON p.node = ed.src
+             |  JOIN dg ON dg.src = ed.src
+             |  GROUP BY 1),
+             |p$k AS (SELECT tl.node,
+             |    (1.0 - 0.85) * tl.t + 0.85 * coalesce(c$k.m, 0.0) AS pr
+             |  FROM tl LEFT JOIN c$k ON c$k.node = tl.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id AS u, event_type,
+           |    1000000 + (CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+           |      // 3600) * 8
+           |    + CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+           |        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+           |        ELSE 4 END AS it
+           |  FROM events),
+           |pe AS (SELECT DISTINCT u, it FROM ev),
+           |ed AS (SELECT u AS src, it AS dst FROM pe
+           |       UNION ALL SELECT it, u FROM pe),
+           |nd AS (SELECT DISTINCT src AS node FROM ed),
+           |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+           |sw AS (SELECT u AS node, CAST(count(*) AS DOUBLE) AS w
+           |       FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+           |tw AS (SELECT sum(w) AS tw FROM sw),
+           |tl AS (SELECT nd.node, coalesce(sw.w, 0.0) / tw.tw AS t
+           |       FROM nd CROSS JOIN tw
+           |       LEFT JOIN sw ON sw.node = nd.node),
+           |p0 AS (SELECT node, t AS pr FROM tl),
+           |$iters,
+           |r AS (SELECT node, round(pr, 6) AS pr6, row_number()
+           |    OVER (ORDER BY round(pr, 6) DESC, node) AS rank
+           |  FROM p5)
+           |SELECT CAST(rank AS BIGINT) AS rank, node, pr6 AS pr
+           |FROM r WHERE rank <= 20""".stripMargin
       }))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

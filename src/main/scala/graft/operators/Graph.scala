@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics: PageRank (Page, Brin, Motwani & Winograd
@@ -31,7 +31,27 @@ object Graph {
     * ((1−d)/N + d·Σ contribs); only the Σ over in-neighbors is
     * engine/partition-order sensitive (~1 ulp per iteration), so
     * consumers round ranks before comparing or ranking (q158). */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame =
+    pageRankImpl(edges, None, iters, damping)
+
+  /** PERSONALIZED PageRank (Haveliwala, WWW 2002): the random surfer
+    * teleports to the SEED distribution instead of uniformly, so rank
+    * measures proximity to the seeds — the seed-based corpus-expansion
+    * primitive ("find data like my curated seed set" over a
+    * similarity/activity graph; the public web-curation shape behind
+    * seed-and-expand crawls). `seeds` is (node, weight ≥ 0) with
+    * positive total — weights normalize in-plan to the teleport
+    * distribution t; pr₀ = t and each step is
+    * (1−d)·t + d·Σ in-mass. Non-seed nodes get teleport 0, so mass
+    * drains toward the seed neighborhood. Same per-iteration shape,
+    * requirements (no dangling nodes), determinism contract, and
+    * round-before-rank consumer discipline as [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int, damping: Double): DataFrame =
+    pageRankImpl(edges, Some(seeds), iters, damping)
+
+  private def pageRankImpl(edges: DataFrame, seeds: Option[DataFrame],
+                           iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -50,15 +70,40 @@ object Graph {
     val nOut = withDeg.select(col("src")).distinct().count()
     require(nOut == n.toLong,
       s"pageRank: ${n.toLong - nOut} dangling node(s) - supply both directions")
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    // teleport distribution: uniform 1/n, or the normalized seed
+    // weights (node-grain, materialized once like the layout)
+    val tele = seeds match {
+      case None =>
+        nodes.withColumn("t", lit(1.0 / n)).localCheckpoint(true)
+      case Some(sd) =>
+        val sw = sd.select(col("node").cast("long").as("node"),
+          col("weight").cast("double").as("w"))
+        val tot = sw.agg(sum(col("w")).as("tw"))
+        val twRow = tot.head()
+        require(!twRow.isNullAt(0) && twRow.getDouble(0) > 0,
+          "personalizedPageRank: seed weights must have positive total")
+        nodes.join(sw, Seq("node"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("node"),
+            (coalesce(col("w"), lit(0.0)) / col("tw")).as("t"))
+          .localCheckpoint(true)
+    }
+    // the uniform path keeps its exact historical arithmetic
+    // ((1−d)/n as ONE division — the q158 oracle replays that op
+    // chain); the personalized path is (1−d)·t_v per node (q159's)
+    val teleTerm: Column =
+      if (seeds.isEmpty) lit((1.0 - damping) / n)
+      else lit(1.0 - damping) * col("t")
+    var pr = tele.select(col("node"), col("t").as("pr"))
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val contribs = withDeg
         .join(pr, withDeg("src") === pr("node"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
-      pr = nodes.join(contribs, Seq("node"), "left")
+      pr = tele.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) +
+          (teleTerm +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
     }

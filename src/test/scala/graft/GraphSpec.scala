@@ -46,4 +46,47 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("dangling"))
   }
+
+  /** Reference PPR: teleport to the seed distribution. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Map[Long, Double],
+                     iters: Int, d: Double): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val tw = seeds.values.sum
+    val t = nodes.map(v => v -> seeds.getOrElse(v, 0.0) / tw).toMap
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var pr = t
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        pr(s) / out(s) }.sum).toMap
+      pr = nodes.map(v =>
+        v -> ((1.0 - d) * t(v) + d * in.getOrElse(v, 0.0))).toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank: mass concentrates near the seed, matches " +
+       "the reference, conserves mass; empty seeds rejected") {
+    import spark.implicits._
+    // path 0-1-2-3 (both directions): seed at node 0
+    val path = (0L to 2L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val seeds = Seq((0L, 2.0)).toDF("node", "weight")
+    val got = Graph.personalizedPageRank(path.toDF("src", "dst"), seeds,
+        5, 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = refPpr(path, Map(0L -> 2.0), 5, 0.85)
+    for ((v, p) <- expected)
+      assert(math.abs(got(v) - p) < 1e-9, s"node $v: ${got(v)} vs $p")
+    // proximity: mass concentrates in the seed's neighborhood (the
+    // seed itself can rank below its neighbor — deg-1 node 0 exports
+    // ALL its mass while node 1 splits; the cohort claim is what PPR
+    // guarantees)
+    assert(got(0L) + got(1L) > got(2L) + got(3L))
+    assert(got(1L) > got(3L) && got(0L) > got(3L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    val err = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(path.toDF("src", "dst"),
+        Seq.empty[(Long, Double)].toDF("node", "weight"), 2, 0.85)
+    }
+    assert(err.getMessage.contains("positive total"))
+  }
 }
