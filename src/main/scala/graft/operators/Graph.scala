@@ -14,23 +14,35 @@ import org.apache.spark.sql.functions._
   * (keyed by src) and ONE aggregate back to node grain (keyed by dst);
   * both exchanges carry ids and doubles, never payloads, and the edge
   * table's partitioning is reusable across iterations. Ranks are
-  * materialized per iteration (persist + count, the
+  * materialized per iteration (localCheckpoint, the
   * [[Dedup]]-connected-components discipline) so lineage stays one
-  * iteration deep instead of replanning the whole chain each round.
+  * iteration deep instead of replanning the whole chain each round,
+  * and every SUPERSEDED iteration's checkpoint blocks are freed via
+  * [[Checkpoints.release]] the moment the next vector materializes —
+  * block-manager storage stays O(1) in `iters` (spec-asserted), so a
+  * long-lived driver can call this in a loop without accumulating
+  * node-grain RDD storage. The RESULT is itself one checkpointed
+  * node-grain vector; callers embedding this in a service release it
+  * with `Checkpoints.release` after consuming.
   */
 object Graph {
 
   /** `iters` synchronous PageRank iterations over directed `edges`
-    * (`src`, `dst` long columns; supply both directions for an
-    * undirected graph). Every node must have out-degree ≥ 1 (true by
-    * construction for both-direction edge sets) — dangling mass is not
-    * redistributed, and the requirement is checked. Returns
-    * (node, pr) with Σpr = 1 (spec-asserted).
+    * (`src`, `dst` long columns). Dangling nodes (no out-edges — the
+    * common case in link-graph curation, where most documents are
+    * linked-to but crawl no further) are handled by the standard
+    * redistribution term: their rank mass re-enters through the
+    * teleport distribution each step, so Σpr = 1 always
+    * (spec-asserted). Dangling-FREE graphs (e.g. both-direction edge
+    * sets) detect as such at setup from one anti-join count and run
+    * the exact historical op chain — zero extra per-iteration cost,
+    * bit-identical to the pre-dangling-support results.
     *
     * Determinism: the arithmetic per node is a fixed op chain
-    * ((1−d)/N + d·Σ contribs); only the Σ over in-neighbors is
-    * engine/partition-order sensitive (~1 ulp per iteration), so
-    * consumers round ranks before comparing or ranking (q158). */
+    * ((1−d)/N + d·Σ contribs [+ d·dm·t]); only the Σ over
+    * in-neighbors (and the dangling-mass Σ) is engine/partition-order
+    * sensitive (~1 ulp per iteration), so consumers round ranks before
+    * comparing or ranking (q158/q161). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame =
     pageRankImpl(edges, None, iters, damping)
 
@@ -42,10 +54,12 @@ object Graph {
     * seed-and-expand crawls). `seeds` is (node, weight ≥ 0) with
     * positive total — weights normalize in-plan to the teleport
     * distribution t; pr₀ = t and each step is
-    * (1−d)·t + d·Σ in-mass. Non-seed nodes get teleport 0, so mass
-    * drains toward the seed neighborhood. Same per-iteration shape,
-    * requirements (no dangling nodes), determinism contract, and
-    * round-before-rank consumer discipline as [[pageRank]]. */
+    * (1−d)·t + d·Σ in-mass [+ d·dm·t]. Non-seed nodes get teleport 0,
+    * so mass drains toward the seed neighborhood; dangling mass
+    * re-enters AT THE SEEDS (the Haveliwala convention — the surfer
+    * stuck at a sink restarts from the seed distribution). Same
+    * per-iteration shape, determinism contract, and round-before-rank
+    * consumer discipline as [[pageRank]]. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int, damping: Double): DataFrame =
     pageRankImpl(edges, Some(seeds), iters, damping)
@@ -64,12 +78,16 @@ object Graph {
       .localCheckpoint(true)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = e.join(outDeg, Seq("src")).localCheckpoint(true)
-    // every src has a degree row by construction, so a dangling node
-    // (dst-only) is visible as |nodes| > |distinct src|
     val n = nodes.count().toDouble
-    val nOut = withDeg.select(col("src")).distinct().count()
-    require(nOut == n.toLong,
-      s"pageRank: ${n.toLong - nOut} dangling node(s) - supply both directions")
+    require(n > 0, "pageRank: empty edge set")
+    // dangling nodes = dst-only nodes, from ONE anti-join against the
+    // checkpointed edge layout's src side (no second full count);
+    // node-grain but typically tiny, materialized once like the layout
+    val dangling = nodes.join(
+        withDeg.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val nDangling = dangling.count()
     // teleport distribution: uniform 1/n, or the normalized seed
     // weights (node-grain, materialized once like the layout)
     val tele = seeds match {
@@ -88,6 +106,9 @@ object Graph {
             (coalesce(col("w"), lit(0.0)) / col("tw")).as("t"))
           .localCheckpoint(true)
     }
+    // layout is checkpointed; the raw node set's blocks are no longer
+    // referenced by anything downstream
+    Checkpoints.release(nodes)
     // the uniform path keeps its exact historical arithmetic
     // ((1−d)/n as ONE division — the q158 oracle replays that op
     // chain); the personalized path is (1−d)·t_v per node (q159's)
@@ -101,17 +122,36 @@ object Graph {
         .join(pr, withDeg("src") === pr("node"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
-      pr = tele.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (teleTerm +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+      val base = tele.join(contribs, Seq("node"), "left")
+      val stepped =
+        if (nDangling == 0)
+          // dangling-free: the historical op chain, bit-identical
+          base.select(col("node"),
+            (teleTerm +
+              lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        else {
+          // dangling mass dm = Σ pr over sink nodes (1-row aggregate
+          // over the small dangling join), redistributed through the
+          // teleport: + d·dm·t_v — Σpr stays exactly 1 per step
+          val dm = pr.join(dangling, Seq("node"))
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dm))
+            .select(col("node"),
+              (teleTerm +
+                lit(damping) * coalesce(col("in_mass"), lit(0.0)) +
+                lit(damping) * col("dm") * col("t")).as("pr"))
+        }
+      val prev = pr
+      pr = stepped.localCheckpoint(true)
+      // the superseded rank vector's blocks are dead the moment the
+      // new one is materialized — free them now, not at session GC
+      Checkpoints.release(prev)
     }
-    // superseded rank vectors' checkpoint blocks (node-grain doubles,
-    // iters of them) stay in the block manager until the session/RDD
-    // GC reclaims them — Dataset.unpersist does not free localCheckpoint
-    // storage; the bench releases leftover RDD blocks between samples,
-    // and long-lived callers should bound iters accordingly
+    // the result is independent of the layout once checkpointed; only
+    // the returned vector's blocks remain (callers release after use)
+    Checkpoints.release(tele)
+    Checkpoints.release(withDeg)
+    Checkpoints.release(dangling)
     pr
   }
 }

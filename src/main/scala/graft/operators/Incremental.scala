@@ -467,10 +467,21 @@ object Incremental {
   def annStoreTopK(spark: SparkSession, table: String, queries: DataFrame,
                    idCol: String, vecCol: String,
                    cs: Similarity.CentroidSet, model: Similarity.PqModel,
-                   k: Int, nProbe: Int): DataFrame = {
+                   k: Int, nProbe: Int,
+                   honorDeletes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val store = spark.table(table).select(col("cell_id"),
+    val raw = spark.table(table).select(col("cell_id"),
       col("id").as("neighbor_id"), col("codes"))
+    // merge-on-read deletes: pending tombstones filter the store scan
+    // through a BROADCAST anti-join (tombstones are id-grain and
+    // bounded by the delete rate, never corpus-sized) — the plan keeps
+    // its single ranking-window exchange
+    val store =
+      if (!honorDeletes) raw
+      else raw.join(
+        broadcast(spark.table(s"${table}_deletes")
+          .select(col("id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
     val probed = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
         .withColumn("lut", graft.plans.exprs.pqLut(
@@ -490,6 +501,95 @@ object Incremental {
       .select(col("query_id"), col("neighbor_id"),
         col("rnk").cast("long").as("rnk"), col("adc"))
   }
+
+  // ── ANN store maintenance: delete / upsert / compaction, the ────────
+  //    q91/q98 lifecycle applied to the IVF-PQ index. Deletes are
+  //    MERGE-ON-READ (tombstones in `table_deletes`, O(delete batch),
+  //    no store rewrite — probes anti-join the broadcast tombstone
+  //    set); upserts are COPY-ON-WRITE (one bucketed rewrite touching
+  //    the whole store — batch them, or fold them into a scheduled
+  //    compaction, which is the rewrite you pay anyway). Compaction
+  //    dedups replayed appends by id, folds pending tombstones in, and
+  //    clears them. All paths preserve BOTH bucket layouts (store on
+  //    cell_id, tombstones on id), so probes stay exchange-free on the
+  //    store side across the full lifecycle. Maintenance is
+  //    decision-INVISIBLE: a probe sees the same live set whether a
+  //    tombstone is pending or compacted away, and a halt between
+  //    compaction's two writes leaves tombstones that re-filter
+  //    already-removed ids — a no-op (q162 pins all of this).
+
+  /** Tombstone a set of ids: append to the `table_deletes` side table
+    * (bucketed on id — the second store layout). Cost ∝ the delete
+    * batch; the store itself is untouched. Contract: a tombstoned id
+    * stays dead until [[compactAnnStore]] clears the tombstone —
+    * re-ingesting a tombstoned id before compaction is a caller error
+    * ([[validateAnnStore]] has no way to order the two events). */
+  def deleteFromAnnStore(spark: SparkSession, ids: DataFrame,
+                         table: String, numBuckets: Int): Unit =
+    ParquetSink.bucketed(ids.select(col("id")).distinct(),
+      s"${table}_deletes", Seq("id"), numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+  /** Copy-on-write upsert: re-route + re-encode `emb` against the
+    * FROZEN models and rewrite the store with the batch's ids replaced
+    * (present or not — insert and update are the same operation). One
+    * store scan + one bucketed write; the anti-join keying is id-grain.
+    * At scale this is the expensive maintenance verb — accumulate
+    * upserts and apply them in one pass (or at compaction time), the
+    * Delta/Iceberg copy-on-write discipline. */
+  def upsertAnnStore(spark: SparkSession, emb: DataFrame, idCol: String,
+                     vecCol: String, cs: Similarity.CentroidSet,
+                     model: Similarity.PqModel, table: String,
+                     numBuckets: Int): Unit = {
+    val enc = annEncode(emb, idCol, vecCol, cs, model)
+    // localCheckpoint breaks lineage to the table being overwritten
+    // (the compactStore discipline)
+    val merged = spark.table(table).select("cell_id", "id", "codes")
+      .join(enc.select("id"), Seq("id"), "left_anti")
+      .select("cell_id", "id", "codes")
+      .unionByName(enc.select("cell_id", "id", "codes"))
+      .localCheckpoint(true)
+    ParquetSink.bucketed(merged, table, Seq("cell_id"), numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    Checkpoints.release(merged)
+  }
+
+  /** Compaction: one row per id (replayed appends dedup — duplicate
+    * rows are decision-neutral until then, identical codes rank by
+    * id), pending tombstones folded in, tombstone table cleared. Store
+    * rewrite FIRST, then the clear: a halt between the writes leaves
+    * tombstones whose ids are already gone from the store — probes
+    * anti-join them to no effect, so decisions never change
+    * (q162-pinned). Both writes keep their bucket layouts. */
+  def compactAnnStore(spark: SparkSession, table: String,
+                      numBuckets: Int): Unit = {
+    val del = s"${table}_deletes"
+    val hasDel = spark.catalog.tableExists(del)
+    val tomb =
+      if (hasDel) spark.table(del).select("id").distinct()
+      else spark.emptyDataFrame.withColumn("id", lit(0L)).limit(0)
+    val live = spark.table(table).select("cell_id", "id", "codes")
+      .dropDuplicates("id")
+      .join(tomb, Seq("id"), "left_anti")
+      .select("cell_id", "id", "codes")
+      .localCheckpoint(true)
+    ParquetSink.bucketed(live, table, Seq("cell_id"), numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    Checkpoints.release(live)
+    if (hasDel) {
+      val empty = spark.table(del).limit(0).localCheckpoint(true)
+      ParquetSink.bucketed(empty, del, Seq("id"), numBuckets,
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+      Checkpoints.release(empty)
+    }
+  }
+
+  /** Store invariants after maintenance: no duplicate ids, every code
+    * row the model's m bytes wide. Two column-pruned scans. */
+  def validateAnnStore(spark: SparkSession, table: String, m: Int): Boolean =
+    spark.table(table).groupBy("id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).isEmpty &&
+    spark.table(table).filter(size(col("codes")) =!= m).isEmpty
 
   /** Rows of `newEmb` that survive greedy cosine dedup against the
     * historical `store` (an [[embeddingSignatures]]-schema DataFrame)

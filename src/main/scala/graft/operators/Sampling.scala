@@ -373,11 +373,18 @@ object Sampling {
       .withColumn("hi", sum(col("w")).over(win))
       .withColumn("lo", col("hi") - col("w"))
     val tot = v.agg(max(col("hi")).as("total"))
+    // registration is widened ONE cell each side: lo/total and u are
+    // both rounded doubles, so at a cell boundary a draw's
+    // floor(u·buckets) can land one cell outside its owning interval's
+    // exact range — the widened registration guarantees the owning
+    // interval is present in the draw's cell and the exact
+    // lo <= target < hi filter below still picks exactly one token
     val vb = v.crossJoin(broadcast(tot))
       .withColumn("b", explode(sequence(
-        floor(col("lo") / col("total") * buckets).cast("long"),
-        least(floor(col("hi") / col("total") * buckets).cast("long"),
-          lit(buckets - 1L)))))
+        greatest(floor(col("lo") / col("total") * buckets).cast("long")
+          - 1, lit(0L)),
+        least(floor(col("hi") / col("total") * buckets).cast("long")
+          + 1, lit(buckets - 1L)))))
     val draws = spark.range(1, n + 1).toDF("i")
       .withColumn("u", openCoin(col("i"), salt))
       .crossJoin(broadcast(tot))

@@ -93,4 +93,88 @@ object Tokenizer {
     } finally cached.unpersist()
     merges.toSeq
   }
+
+  /** [[trainMerges]]' 100 TB path: BATCHED shielded-greedy merges —
+    * up to `maxBatch` merges per corpus scan instead of one, so a
+    * realistic 32k-merge vocabulary costs ~32k/maxBatch scans, not 32k
+    * (the strict trainer's honest scale flaw).
+    *
+    * Per round: ONE pair-count scan ranks candidates ((cnt desc, a, b)
+    * — deterministic), and the batch is selected greedily in rank
+    * order under the SHIELD rule: a candidate joins only if neither of
+    * its symbols appears in any already-selected member's sides OR
+    * produced token. Shielded members touch pairwise-disjoint symbol
+    * occurrences, so (a) each selected merge's pre-batch count is its
+    * EXACT count at application time (merging (a,b) only perturbs
+    * pairs containing a, b, or ab — all blocked), and (b) applying the
+    * batch in any order gives identical symbol tables — the narrow
+    * per-word fold applies them in rank order in one projection.
+    *
+    * Equivalence contract vs strict sequential BPE: a batch of size 1
+    * is exactly one strict step, and a batched run equals the strict
+    * run whenever, after each batch prefix, the next member is still
+    * the recounted global argmax — true when top counts are separated
+    * and newly-created pairs ((x,ab)/(ab,y), each bounded by the
+    * parent pair's count) don't outrank remaining members. It DIVERGES
+    * when a created or count-reduced pair would have reordered the
+    * ranking: strict BPE would interleave that pair, batched defers it
+    * to the next round — same statistic family, possibly different
+    * merge ORDER and (past the divergence point) different merges.
+    * Both are valid BPE vocabularies (Sennrich et al. leave tie/order
+    * policy to the implementation); the spec pins a fixture where the
+    * two agree and characterizes a divergence case.
+    *
+    * Scale shape per round is the strict trainer's: the ranked collect
+    * is `maxBatch * 8` rows (model grain), the exchange is the
+    * distinct-pair partial aggregate, the apply is narrow.
+    * Returns (ordered merges, rounds); scans = 2·rounds (count + apply)
+    * vs strict's 2·nMerges. */
+  def trainMergesBatchedWithRounds(docs: DataFrame, textCol: String,
+                                   nMerges: Int, maxBatch: Int):
+      (Seq[(String, String)], Int) = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    require(maxBatch >= 1, "maxBatch must be >= 1")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var cached = toSymbols(docs, textCol).persist()
+    cached.count()
+    var rounds = 0
+    try {
+      var continue = true
+      while (merges.size < nMerges && continue) {
+        val k = math.min(maxBatch, nMerges - merges.size)
+        // collect a deterministic candidate prefix wide enough that
+        // shield skips rarely starve the batch (model-grain rows)
+        val ranked = pairCounts(cached)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(k * 8).collect()
+        rounds += 1
+        if (ranked.isEmpty) continue = false
+        else {
+          val used = scala.collection.mutable.Set.empty[String]
+          val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val it = ranked.iterator
+          while (batch.size < k && it.hasNext) {
+            val r = it.next()
+            val (a, b) = (r.getString(0), r.getString(1))
+            if (!used(a) && !used(b) && !used(a + b)) {
+              batch += ((a, b))
+              used += a; used += b; used += (a + b)
+            }
+          }
+          merges ++= batch
+          val next = cached
+            .select(applyMerges(col("sym"), batch.toSeq).as("sym")).persist()
+          next.count()
+          cached.unpersist()
+          cached = next
+        }
+      }
+    } finally cached.unpersist()
+    (merges.toSeq, rounds)
+  }
+
+  /** [[trainMergesBatchedWithRounds]] without the round count. */
+  def trainMergesBatched(docs: DataFrame, textCol: String,
+                         nMerges: Int, maxBatch: Int): Seq[(String, String)] =
+    trainMergesBatchedWithRounds(docs, textCol, nMerges, maxBatch)._1
 }

@@ -1,29 +1,32 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Graph
+import graft.operators.{Checkpoints, Graph}
 
 class GraphSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Independent reference: dense synchronous PageRank. */
+  /** Independent reference: dense synchronous PageRank with the
+    * standard dangling-mass redistribution (sinks re-enter uniformly). */
   private def refPr(edges: Seq[(Long, Long)], iters: Int,
                     d: Double): Map[Long, Double] = {
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.size.toDouble
     val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val dangling = nodes.filterNot(out.contains)
     var pr = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 0 until iters) {
       val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
         pr(s) / out(s) }.sum).toMap
+      val dm = dangling.map(pr).sum
       pr = nodes.map(v =>
-        v -> ((1.0 - d) / n + d * in.getOrElse(v, 0.0))).toMap
+        v -> ((1.0 - d) / n + d * in.getOrElse(v, 0.0) + d * dm / n)).toMap
     }
     pr
   }
 
   test("pageRank: symmetric cycle is uniform; star matches an " +
-       "independent reference; mass conserves; dangling rejected") {
+       "independent reference; mass conserves") {
     import spark.implicits._
     // 2-cycle: exactly uniform at every iteration
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
@@ -40,26 +43,44 @@ class GraphSpec extends AnyFunSuite {
     assert(prS(0L) > prS(1L))
     // probability mass conserves (no dangling leakage)
     assert(math.abs(prS.values.sum - 1.0) < 1e-9)
-    // a one-direction edge set leaves dangling sinks → rejected loudly
-    val err = intercept[IllegalArgumentException] {
-      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), 2, 0.85)
-    }
-    assert(err.getMessage.contains("dangling"))
   }
 
-  /** Reference PPR: teleport to the seed distribution. */
+  test("pageRank: dangling sinks redistribute through the teleport — " +
+       "mass conserves and matches the reference") {
+    import spark.implicits._
+    // chain 1→2→3 plus 1→4: nodes 3 and 4 are sinks (no out-edges);
+    // without redistribution their mass would leak every iteration
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 4L))
+    val got = Graph.pageRank(g.toDF("src", "dst"), 8, 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = refPr(g, 8, 0.85)
+    assert(got.keySet == expected.keySet)
+    for ((v, p) <- expected)
+      assert(math.abs(got(v) - p) < 1e-9, s"node $v: ${got(v)} vs $p")
+    // the load-bearing property: Σpr stays exactly 1 despite the sinks
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // sinks receive but never forward: the fed sink (3, fed by 2's
+    // whole share) outranks the source (1, teleport-only inflow)
+    assert(got(3L) > got(1L))
+  }
+
+  /** Reference PPR: teleport to the seed distribution; dangling mass
+    * re-enters at the seeds (the Haveliwala restart convention). */
   private def refPpr(edges: Seq[(Long, Long)], seeds: Map[Long, Double],
                      iters: Int, d: Double): Map[Long, Double] = {
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val tw = seeds.values.sum
     val t = nodes.map(v => v -> seeds.getOrElse(v, 0.0) / tw).toMap
     val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val dangling = nodes.filterNot(out.contains)
     var pr = t
     for (_ <- 0 until iters) {
       val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
         pr(s) / out(s) }.sum).toMap
+      val dm = dangling.map(pr).sum
       pr = nodes.map(v =>
-        v -> ((1.0 - d) * t(v) + d * in.getOrElse(v, 0.0))).toMap
+        v -> ((1.0 - d) * t(v) + d * in.getOrElse(v, 0.0) +
+          d * dm * t(v))).toMap
     }
     pr
   }
@@ -88,5 +109,61 @@ class GraphSpec extends AnyFunSuite {
         Seq.empty[(Long, Double)].toDF("node", "weight"), 2, 0.85)
     }
     assert(err.getMessage.contains("positive total"))
+  }
+
+  test("personalizedPageRank: dangling mass re-enters at the seeds — " +
+       "mass conserves on a sink graph and matches the reference") {
+    import spark.implicits._
+    // seed 0 feeds a chain into sinks: 0→1, 1→2, 0→3; 2 and 3 dangle
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 3L))
+    val seeds = Seq((0L, 1.0)).toDF("node", "weight")
+    val got = Graph.personalizedPageRank(g.toDF("src", "dst"), seeds,
+        6, 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = refPpr(g, Map(0L -> 1.0), 6, 0.85)
+    for ((v, p) <- expected)
+      assert(math.abs(got(v) - p) < 1e-9, s"node $v: ${got(v)} vs $p")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("checkpoint storage stays O(1) in iterations: a 20-iteration " +
+       "run retains only the result's blocks, released on demand") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // settle any async unpersists from earlier tests, then snapshot
+    val before = sc.getPersistentRDDs.keySet
+    val star = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val pr = Graph.pageRank(star.toDF("src", "dst"), 20, 0.85)
+    assert(pr.count() == 7)
+    // every superseded iteration vector, the layout, the teleport, and
+    // the dangling probe were released inside the call: the ONLY new
+    // persistent RDD is the returned (checkpointed) rank vector —
+    // storage did not grow with the 20 iterations
+    val afterRun = sc.getPersistentRDDs.keySet -- before
+    assert(afterRun.size <= 1,
+      s"expected <= 1 retained checkpoint RDD, got ${afterRun.size}")
+    // the documented cleanup hook frees the result too
+    Checkpoints.release(pr)
+    val afterRelease = sc.getPersistentRDDs.keySet -- before
+    assert(afterRelease.isEmpty,
+      s"release left ${afterRelease.size} persistent RDD(s)")
+  }
+
+  test("connectedComponents releases all superseded round checkpoints: " +
+       "only the labels' blocks survive the call") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // two long chains → several star rounds before convergence
+    val pairs = ((1L to 40L).sliding(2).map(w => (w(0), w(1))) ++
+      (100L to 140L).sliding(2).map(w => (w(0), w(1)))).toSeq
+      .toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    assert(labels.select("rep").distinct().count() == 2)
+    val afterRun = sc.getPersistentRDDs.keySet -- before
+    assert(afterRun.size <= 1,
+      s"expected <= 1 retained checkpoint RDD, got ${afterRun.size}")
+    Checkpoints.release(labels)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
 }

@@ -30,6 +30,55 @@ class TokenizerSpec extends AnyFunSuite {
     assert(m5.take(3) == merges && m5.length <= 10)
   }
 
+  test("trainMergesBatched: reproduces the strict merge table in ONE " +
+       "round (10x fewer scans) when top pairs are symbol-disjoint") {
+    import spark.implicits._
+    // 10 two-letter words over disjoint alphabet slices with strictly
+    // decreasing counts 20..11: strict BPE merges them in count order,
+    // one corpus scan per merge (10 rounds); every word is exactly its
+    // pair, so merging creates NO new pairs and the shield blocks
+    // nothing — the batched trainer must reproduce the identical
+    // table from a single round
+    val words = "ab cd ef gh ij kl mn op qr st".split(" ")
+    val corpus = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(20 - i)(w) }.mkString(" ")
+    val docs = Seq(corpus).toDF("text")
+    val strict = Tokenizer.trainMerges(docs, "text", nMerges = 10)
+    assert(strict == words.toSeq.map(w => (w.substring(0, 1), w.substring(1))))
+    val (batched, rounds) =
+      Tokenizer.trainMergesBatchedWithRounds(docs, "text", 10, maxBatch = 10)
+    assert(batched == strict)
+    // strict cost: 10 count+apply rounds; batched: 1 — >= 10x fewer
+    assert(rounds == 1, s"expected 1 round, got $rounds")
+  }
+
+  test("trainMergesBatched: maxBatch=1 degenerates to exactly the " +
+       "strict trainer on the real fixture") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val strict = Tokenizer.trainMerges(docs, "text", nMerges = 6)
+    val batched = Tokenizer.trainMergesBatched(docs, "text", 6, maxBatch = 1)
+    assert(batched == strict)
+  }
+
+  test("trainMergesBatched: divergence vs strict is the documented " +
+       "order-deferral — shielded batch defers created pairs one round") {
+    import spark.implicits._
+    // "the"x10, "xy"x6: pairs (h,e)=10, (t,h)=10, (x,y)=6; argmax by
+    // (cnt desc, a, b) is (h,e). Strict recounts after merging it and
+    // immediately takes the CREATED pair (t,he)=10; the shielded batch
+    // blocks (t,h) (shares h) and takes (x,y)=6 in the same round,
+    // deferring (t,he) to round 2 — same merges, different order (the
+    // scaladoc's divergence contract, pinned)
+    val docs = Seq((Seq.fill(10)("the") ++ Seq.fill(6)("xy"))
+      .mkString(" ")).toDF("text")
+    val strict = Tokenizer.trainMerges(docs, "text", nMerges = 3)
+    assert(strict == Seq(("h", "e"), ("t", "he"), ("x", "y")))
+    val (batched, rounds) =
+      Tokenizer.trainMergesBatchedWithRounds(docs, "text", 3, maxBatch = 3)
+    assert(batched == Seq(("h", "e"), ("x", "y"), ("t", "he")))
+    assert(rounds == 2)
+  }
+
   test("applyMerge: greedy leftmost on overlap runs; no cross-word state") {
     import spark.implicits._
     val sym = Seq(Seq("a", "a", "a"), Seq("b", "a", "a"), Seq("a"))
