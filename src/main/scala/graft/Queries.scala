@@ -6319,7 +6319,86 @@ object Queries {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS maintenance_invisible,
              |CAST(1 AS BIGINT) AS store_eq_monolithic,
-             |CAST(1 AS BIGINT) AS row_accounting_ok""".stripMargin)))
+             |CAST(1 AS BIGINT) AS row_accounting_ok""".stripMargin)),
+
+    Q("q163_mixture_pipeline",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // The TRAINING-MIX ASSEMBLY PIPELINE end-to-end under ONE
+        // oracle (the q99 composition discipline applied to q140 →
+        // q78 → q74): the α=0.5 stride schedule picks WHICH document
+        // fills each stream position (slot r of language g = the r-th
+        // doc of g in doc_id order), the scheduled stream is packed
+        // greedily no-split at budget 256 IN SCHEDULE ORDER, and each
+        // chunk's text is assembled in that order. The stage COUPLING
+        // is what the per-stage oracles can't see and this one pins:
+        // packing must consume the stream by `pos`, not by doc id —
+        // `lang_seq` (the chunk's language sequence) and the exact
+        // chunk boundaries both hash-fail if any stage re-sorts,
+        // truncates, or mis-joins the handoff. Scale: schedule ≤
+        // |langs|·head rows, the rank join is a per-lang window at
+        // corpus grain once, packing's fold is the q78 single-shuffle
+        // mapPartitions (one head-bounded stream here), assembly
+        // groups ≤ budget tokens per chunk.
+        val sched = operators.Packing.strideInterleave(
+          tbl("documents"), "lang", alpha = 0.5, head = 200)
+        val ranked = tbl("documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang")).orderBy(col("doc_id"))).cast("long"))
+        val stream = sched.select(col("pos"), col("lang"), col("r"))
+          .join(ranked, Seq("lang", "r"))
+          .withColumn("stream", lit(0L))
+        val packed = operators.Packing.packGreedyNoSplit(stream, "pos",
+          "text", "stream", tokenBudget = 256)
+        packed.join(stream.select(col("pos"), col("lang"), col("text")),
+            Seq("pos"))
+          .groupBy(col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tok"),
+            min(col("pos")).as("first_pos"),
+            max(col("pos")).as("last_pos"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("lang")))),
+              x => x.getField("lang")), ",").as("lang_seq"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("text")))),
+              x => x.getField("text")), " ").as("chunk_text"))
+      },
+      Some("""WITH RECURSIVE c AS (SELECT lang, count(*) AS n_src
+             |  FROM documents GROUP BY 1),
+             |g AS (SELECT lang, n_src,
+             |    sqrt(CAST(n_src AS DOUBLE)) AS w_raw FROM c),
+             |e AS (SELECT lang, n_src, w_raw,
+             |    unnest(generate_series(1, least(200, n_src))) AS r FROM g),
+             |v AS (SELECT *, CAST(r AS DOUBLE) / w_raw AS vt FROM e),
+             |p AS (SELECT *, row_number() OVER (ORDER BY vt, lang, r)
+             |        AS pos FROM v),
+             |h AS (SELECT lang, r, pos FROM p WHERE pos <= 200),
+             |rk AS (SELECT doc_id, lang, text, row_number()
+             |    OVER (PARTITION BY lang ORDER BY doc_id) AS r
+             |  FROM documents),
+             |st AS (SELECT h.pos, h.lang, rk.text,
+             |    CAST(len(string_split(rk.text, ' ')) AS BIGINT) AS n_tok,
+             |    row_number() OVER (ORDER BY h.pos) AS rn
+             |  FROM h JOIN rk USING (lang, r)),
+             |rec(rn, pos, lang, text, n_tok, chunk_id, fill) AS (
+             |  SELECT rn, pos, lang, text, n_tok, CAST(0 AS BIGINT), n_tok
+             |  FROM st WHERE rn = 1
+             |  UNION ALL
+             |  SELECT st.rn, st.pos, st.lang, st.text, st.n_tok,
+             |    CASE WHEN rec.fill + st.n_tok <= 256 THEN rec.chunk_id
+             |         ELSE rec.chunk_id + 1 END,
+             |    CASE WHEN rec.fill + st.n_tok <= 256
+             |         THEN rec.fill + st.n_tok ELSE st.n_tok END
+             |  FROM st JOIN rec ON st.rn = rec.rn + 1)
+             |SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+             |  CAST(min(pos) AS BIGINT) AS first_pos,
+             |  CAST(max(pos) AS BIGINT) AS last_pos,
+             |  string_agg(lang, ',' ORDER BY pos) AS lang_seq,
+             |  string_agg(text, ' ' ORDER BY pos) AS chunk_text
+             |FROM rec GROUP BY chunk_id""".stripMargin)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
