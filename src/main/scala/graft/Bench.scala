@@ -351,16 +351,29 @@ object Bench {
     val standalone = sys.env.contains("SPARK_GRAFT_STANDALONE")
     val hostRatio: Option[Double] =
       if (prevComparable) Some(probeBaseline / prevProbe.get) else None
-    val suspects =
+    // the flag threshold CLAMPS the ratio at 1.0: the CPU probe and a
+    // full query don't speed up in lockstep, so a faster-probing host
+    // must not shrink the allowance below prev x 1.3 — the r13 shakeout
+    // run (probe ratio 0.81) flagged 25 queries whose forked floors all
+    // came back within ±20% of prev: band noise, not regressions
+    val flagRatio = hostRatio.map(math.max(_, 1.0))
+    val suspectsAll =
       if (standalone || only.nonEmpty || !prevComparable) Seq.empty
       else results0.filter { case (n, v) =>
         v > 0 && prevQueries.get(n).exists(p =>
-          p > 0 && v > p * hostRatio.get * 1.3 && v - p * hostRatio.get > 0.2)
+          p > 0 && v > p * flagRatio.get * 1.3 && v - p * flagRatio.get > 0.2)
       }.map(_._1)
-    if (suspects.nonEmpty)
-      System.err.println(s"[bench] ${suspects.size} queries past " +
-        f"prev x ${hostRatio.get}%.2f (host) x 1.3: " +
-        suspects.mkString(", ") + " - measuring standalone floors")
+    // fork cost is ~1-2 min per query; bound a pathological run (e.g. a
+    // global slowdown the probe missed) at the 10 worst offenders —
+    // the rest still land in `regressed_vs_prev` with floor_mode "none"
+    val suspects = suspectsAll
+      .sortBy(n => -(results0.toMap.apply(n) / prevQueries(n)))
+      .take(10)
+    if (suspectsAll.nonEmpty)
+      System.err.println(s"[bench] ${suspectsAll.size} queries past " +
+        f"prev x ${flagRatio.get}%.2f (host, clamped) x 1.3: " +
+        suspectsAll.mkString(", ") +
+        s" - measuring standalone floors for ${suspects.size}")
 
     def forkFloor(name: String): Option[Double] = {
       import scala.jdk.CollectionConverters._
@@ -450,7 +463,7 @@ object Bench {
     val fixturesJson = fmtMap(fixtures.map { case (t, rows, bytes, md5) =>
       t -> s"""{"rows":$rows,"bytes":$bytes,"md5":"$md5"}"""
     })
-    val regressedJson = fmtMap(suspects.sorted.map { n =>
+    val regressedJson = fmtMap(suspectsAll.sorted.map { n =>
       val f = floors.get(n)
       n -> (f"""{"prev":${prevQueries(n)}%.3f,"suite_min":${results0.toMap.apply(n)}%.3f,""" +
         f.map { case (v, m) => f""""floor":$v%.3f,"floor_mode":"$m"}""" }
