@@ -6398,7 +6398,145 @@ object Queries {
              |  CAST(max(pos) AS BIGINT) AS last_pos,
              |  string_agg(lang, ',' ORDER BY pos) AS lang_seq,
              |  string_agg(text, ' ' ORDER BY pos) AS chunk_text
-             |FROM rec GROUP BY chunk_id""".stripMargin)))
+             |FROM rec GROUP BY chunk_id""".stripMargin)),
+
+    Q("q164_perceptual_hash",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // PERCEPTUAL IMAGE HASHES under the FULL hash oracle — the
+        // image-dedup signature step (LAION/DataComp-style) pushed one
+        // level deeper than q61's dims check: the oracle recomputes
+        // aHash and dHash PIXEL BY PIXEL from the synthesis formula
+        // (64-bit wraparound arithmetic in HUGEINT, signed bit-63
+        // reconstruction), so the whole chain — PNG encode, JDK decode,
+        // integer BT.601 luma, floor-NN grid sampling, mean/neighbor
+        // thresholding, bit packing — must be bit-exact end to end.
+        // Unlike q65's engine-local text simhash, every bit is
+        // cross-engine checkable. Zero shuffle: mapPartitions decode,
+        // O(grid) per row.
+        operators.Multimodal.perceptualHashes(
+            operators.Multimodal.imagesFromDocuments(tbl("documents")))
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("ahash"), col("dhash"))
+      },
+      Some(PerceptualSql.hashTable)),
+
+    Q("q165_image_near_dup_pairs",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // IMAGE NEAR-DUP PAIRS: dHash + the Manku pigeonhole banded
+        // join (Dedup.hammingDupPairs — q65's exact-recall machinery
+        // generalized to any 64-bit signature). Planted: brightness
+        // +16 re-grades (ids +1e6 — bytes and exact hashes differ,
+        // dHash is invariant because horizontal gray DIFFERENCES
+        // survive a uniform shift) and exact pixel copies (ids +2e6).
+        // The fixture also contains formula-twins (doc d vs d+16 share
+        // width and near-identical pixel fields) — genuine near-dups
+        // the screen must and does surface. The oracle recomputes
+        // every dhash from the pixel formula (clamped +16 channels for
+        // the planted re-grades) and replays the pair set with a naive
+        // all-pairs popcount — banded candidates ∪ verify must equal
+        // it EXACTLY (pigeonhole recall is exact, not probabilistic).
+        // Scale: id-only banded shuffle, popcount verify re-joined by
+        // id; candidates ~n²/2¹⁶ per band for random far pairs.
+        val docs = tbl("documents")
+        val media = operators.Multimodal.imagesFromDocuments(docs)
+          .unionByName(operators.Multimodal.brightenedImagesFromDocuments(
+            docs.filter(col("doc_id") % 13 === 0), 1000000L, 16))
+          .unionByName(operators.Multimodal.brightenedImagesFromDocuments(
+            docs.filter(col("doc_id") % 17 === 0), 2000000L, 0))
+        val ph = operators.Multimodal.perceptualHashes(media)
+        Dedup.hammingDupPairs(ph, "media_id", col("dhash"), maxHamming = 3)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long")
+            .as("hamming"))
+      },
+      Some(PerceptualSql.nearDupPairs)))
+
+  /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
+    * over the synthesized image corpus: the pixel formula
+    * h = seed·1000003 + idx·0x9e3779b97f4a7c15 (mod 2^64, computed in
+    * HUGEINT), rgb = (h >>> 24) & 0xffffff, integer BT.601 luma,
+    * floor-NN grids, signed 64-bit packing (bit 63 contributes −2^63).
+    * Shared by q164 (hash table) and q165 (near-dup pairs). */
+  private object PerceptualSql {
+    /** CTEs from a `mem(media_id, seed, delta)` relation to a
+      * `hashes(media_id, ahash, dhash)` relation; `delta` is the
+      * per-channel brightness shift (clamped at 255). */
+    private val hashCtes =
+      """dim AS (SELECT media_id, seed, delta, 8 + seed % 16 AS w,
+        |    8 + (seed // 16) % 16 AS h FROM mem),
+        |dg AS (SELECT media_id, seed, delta, w, gx, gy, (gy * h) // 8 AS sy,
+        |    (gx * w) // 9 AS sxa, ((gx + 1) * w) // 9 AS sxb
+        |  FROM dim, unnest(generate_series(0, 7)) AS t1(gx),
+        |            unnest(generate_series(0, 7)) AS t2(gy)),
+        |dpx AS (SELECT media_id, delta, gx, gy,
+        |    CAST((CAST(seed AS HUGEINT) * 1000003
+        |      + CAST(sy * w + sxa AS HUGEINT) * 11400714819323198485)
+        |      % 18446744073709551616 // 16777216 % 16777216 AS BIGINT) AS ra,
+        |    CAST((CAST(seed AS HUGEINT) * 1000003
+        |      + CAST(sy * w + sxb AS HUGEINT) * 11400714819323198485)
+        |      % 18446744073709551616 // 16777216 % 16777216 AS BIGINT) AS rb
+        |  FROM dg),
+        |dgr AS (SELECT media_id, gx, gy,
+        |    (77 * least(ra // 65536 + delta, 255)
+        |     + 150 * least(ra // 256 % 256 + delta, 255)
+        |     + 29 * least(ra % 256 + delta, 255)) // 256 AS ga,
+        |    (77 * least(rb // 65536 + delta, 255)
+        |     + 150 * least(rb // 256 % 256 + delta, 255)
+        |     + 29 * least(rb % 256 + delta, 255)) // 256 AS gb
+        |  FROM dpx),
+        |dh AS (SELECT media_id, CAST(sum(CASE WHEN ga > gb THEN
+        |      CASE WHEN gy * 8 + gx = 63 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << (gy * 8 + gx) END
+        |    ELSE 0 END) AS BIGINT) AS dhash FROM dgr GROUP BY 1),
+        |ag AS (SELECT media_id, delta, i, w,
+        |    ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy,
+        |    seed FROM dim, unnest(generate_series(0, 63)) AS t(i)),
+        |apx AS (SELECT media_id, delta, i,
+        |    CAST((CAST(seed AS HUGEINT) * 1000003
+        |      + CAST(sy * w + sx AS HUGEINT) * 11400714819323198485)
+        |      % 18446744073709551616 // 16777216 % 16777216 AS BIGINT) AS rgb
+        |  FROM ag),
+        |agr AS (SELECT media_id, i,
+        |    (77 * least(rgb // 65536 + delta, 255)
+        |     + 150 * least(rgb // 256 % 256 + delta, 255)
+        |     + 29 * least(rgb % 256 + delta, 255)) // 256 AS g
+        |  FROM apx),
+        |amn AS (SELECT media_id, CAST(sum(g) // 64 AS BIGINT) AS mean
+        |  FROM agr GROUP BY 1),
+        |ah AS (SELECT agr.media_id, CAST(sum(CASE WHEN g > mean THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << i END
+        |    ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM agr JOIN amn ON amn.media_id = agr.media_id GROUP BY 1),
+        |hashes AS (SELECT dh.media_id, ah.ahash, dh.dhash
+        |  FROM dh JOIN ah ON ah.media_id = dh.media_id)""".stripMargin
+
+    val hashTable: String =
+      s"""WITH mem AS (SELECT doc_id AS media_id, doc_id AS seed,
+         |    0 AS delta FROM documents),
+         |$hashCtes
+         |SELECT h.media_id, CAST(8 + d.seed % 16 AS BIGINT) AS width,
+         |  CAST(8 + (d.seed // 16) % 16 AS BIGINT) AS height,
+         |  h.ahash, h.dhash
+         |FROM hashes h JOIN dim d ON d.media_id = h.media_id""".stripMargin
+
+    val nearDupPairs: String =
+      s"""WITH mem AS (
+         |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS delta
+         |    FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, doc_id, 16 FROM documents
+         |    WHERE doc_id % 13 = 0
+         |  UNION ALL SELECT doc_id + 2000000, doc_id, 0 FROM documents
+         |    WHERE doc_id % 17 = 0),
+         |$hashCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+  }
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -621,6 +621,17 @@ object Dedup {
     * grows too fat, trade shuffle for precision with Manku's rotation
     * trick (more tables over permuted bits) before widening bands. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    hammingDupPairs(docs, idCol, simhash(col(textCol)), maxHamming)
+
+  /** The Manku pigeonhole machinery over an ARBITRARY 64-bit
+    * fingerprint expression — [[simhashDupPairs]] generalized so other
+    * 64-bit perceptual signatures (image aHash/dHash —
+    * [[Multimodal.perceptualHashes]]) reuse the exact-recall banded
+    * join instead of an all-pairs scan. Same plan, contracts, and
+    * candidate-volume math as [[simhashDupPairs]] (whose scaladoc is
+    * the reference). */
+  def hammingDupPairs(docs: DataFrame, idCol: String, hashCol: Column,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nBands = maxHamming + 1
@@ -629,7 +640,7 @@ object Dedup {
     // two verify re-joins) would otherwise re-run the simhash kernel over
     // the corpus per reference — the same discipline as
     // [[Incremental.dedupAgainst]]'s signature checkpoint
-    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sig = docs.select(col(idCol).as("id"), hashCol.as("sh"))
       .localCheckpoint(true)
     val bandVals = (0 until nBands).map { b =>
       val lo = b * width

@@ -90,6 +90,122 @@ object Multimodal {
     }
   }
 
+  /** [[synthesizePng]] with a uniform per-channel brightness shift
+    * (clamped at 255) — the planted NEAR-duplicate for perceptual-hash
+    * dedup: a re-graded/re-encoded copy whose bytes and exact hash
+    * differ but whose perceptual structure survives. */
+  def synthesizePngBright(width: Int, height: Int, seed: Long,
+                          delta: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val h = seed * 1000003L + (y.toLong * width + x) * 0x9e3779b97f4a7c15L
+        val rgb = (h >>> 24).toInt & 0xffffff
+        def ch(v: Int) = math.min(255, v + delta)
+        img.setRGB(x, y, (ch((rgb >> 16) & 0xff) << 16) |
+          (ch((rgb >> 8) & 0xff) << 8) | ch(rgb & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Brightness-shifted copies of the per-document images under offset
+    * ids — the near-dup planting helper for q165 (delta = 0 plants
+    * EXACT pixel copies under new ids). */
+  def brightenedImagesFromDocuments(docs: DataFrame, idOffset: Long,
+      delta: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ImageIO.setUseCache(false)
+      ids.map { id =>
+        val (w, h) = pngDims(id)
+        MediaRecord(id + idOffset, "image/png",
+          synthesizePngBright(w, h, id, delta))
+      }
+    }
+  }
+
+  /** PERCEPTUAL image hashes — the image-dedup signature step of a
+    * multimodal training pipeline (the public LAION/DataComp-style
+    * near-dup screen): per decoded image a 64-bit aHash (average hash:
+    * 8×8 grayscale grid, bit i set iff cell i's gray exceeds the grid's
+    * integer mean) and a 64-bit dHash (difference hash: 9×8 grid, bit
+    * (y·8+x) set iff gray(x,y) > gray(x+1,y) — invariant under uniform
+    * brightness/contrast shifts, which is exactly what byte-exact
+    * hashing misses on re-encoded copies).
+    *
+    * Everything is INTEGER arithmetic so the hash is bit-reproducible
+    * and SQL-replayable (q164 recomputes it from the synthesis formula
+    * pixel by pixel): grayscale is the fixed-point BT.601 luma
+    * (77R + 150G + 29B) >> 8, grid sampling is the same
+    * floor(i·src/dst) nearest-neighbor map as [[resizeImages]], and
+    * the aHash mean is the floor of the 64-cell sum. One row per
+    * decoded image: (media_id, width, height, ahash, dhash); non-image
+    * mimes and undecodable payloads drop (post-quarantine semantics).
+    * `mapPartitions` decode, zero shuffle, O(grid) per row after the
+    * decode. Downstream: [[Dedup.hammingDupPairs]] on either hash
+    * gives exact-recall near-dup pairs without an all-pairs scan. */
+  def perceptualHashes(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      ImageIO.setUseCache(false)
+      iter.flatMap { r =>
+        if (!r.mime.startsWith("image/")) None
+        else {
+          val img = try ImageIO.read(new ByteArrayInputStream(r.media))
+                    catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            def gray(sx: Int, sy: Int): Int = {
+              val rgb = img.getRGB(sx, sy) & 0xffffff
+              (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+                29 * (rgb & 0xff)) >> 8
+            }
+            // dHash: 9 columns × 8 rows, compare horizontal neighbors
+            var dhash = 0L
+            var gy = 0
+            while (gy < 8) {
+              val sy = gy * h / 8
+              var gx = 0
+              while (gx < 8) {
+                val a = gray(gx * w / 9, sy)
+                val b = gray((gx + 1) * w / 9, sy)
+                if (a > b) dhash |= (1L << (gy * 8 + gx))
+                gx += 1
+              }
+              gy += 1
+            }
+            // aHash: 8×8 grid vs the grid's integer mean
+            val cells = new Array[Int](64)
+            var sum = 0L
+            var i = 0
+            while (i < 64) {
+              cells(i) = gray((i % 8) * w / 8, (i / 8) * h / 8)
+              sum += cells(i)
+              i += 1
+            }
+            val mean = sum / 64
+            var ahash = 0L
+            i = 0
+            while (i < 64) {
+              if (cells(i) > mean) ahash |= (1L << i)
+              i += 1
+            }
+            Some((r.media_id, w, h, ahash, dhash))
+          }
+        }
+      }
+    }.toDF("media_id", "width", "height", "ahash", "dhash")
+  }
+
   /** Deterministic audio properties for a synthesized doc clip — the q69
     * oracle recomputes the same arithmetic in SQL, so the decoded
     * frame-count / sample-rate are externally checkable (the q61 recipe

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal}
+
+/** Perceptual image hashing (aHash/dHash) + the generalized Hamming
+  * near-dup machinery — the image-dedup screen of a multimodal
+  * pipeline. */
+class PerceptualHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent reference: hashes computed straight from the pixel
+    * FORMULA (no codec, no BufferedImage) — what the q164 oracle does
+    * in SQL, here in plain Scala. */
+  private def refGray(seed: Long, w: Int, x: Int, y: Int, delta: Int): Int = {
+    val h = seed * 1000003L + (y.toLong * w + x) * 0x9e3779b97f4a7c15L
+    val rgb = (h >>> 24).toInt & 0xffffff
+    def ch(v: Int) = math.min(255, v + delta)
+    (77 * ch((rgb >> 16) & 0xff) + 150 * ch((rgb >> 8) & 0xff) +
+      29 * ch(rgb & 0xff)) >> 8
+  }
+  private def refHashes(docId: Long, delta: Int): (Long, Long) = {
+    val (w, h) = Multimodal.pngDims(docId)
+    var dh = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val sy = gy * h / 8
+      if (refGray(docId, w, gx * w / 9, sy, delta) >
+          refGray(docId, w, (gx + 1) * w / 9, sy, delta))
+        dh |= (1L << (gy * 8 + gx))
+    }
+    val cells = (0 until 64).map(i =>
+      refGray(docId, w, (i % 8) * w / 8, (i / 8) * h / 8, delta))
+    val mean = cells.map(_.toLong).sum / 64
+    var ah = 0L
+    for (i <- 0 until 64 if cells(i) > mean) ah |= (1L << i)
+    (ah, dh)
+  }
+
+  test("perceptualHashes: bit-exact vs the formula reference through " +
+       "the full PNG encode/decode chain; non-images drop") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter($"doc_id" < 40)
+    implicit val s = spark
+    val got = Multimodal.perceptualHashes(
+        Multimodal.imagesFromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 40)
+    for ((id, (ah, dh)) <- got) {
+      val (ra, rd) = refHashes(id, 0)
+      assert(ah == ra && dh == rd, s"doc $id: got ($ah,$dh) want ($ra,$rd)")
+    }
+    // a non-image payload (text bytes under an image mime fails decode;
+    // audio mime is filtered before decode) produces no row
+    val mixed = Multimodal.mediaFromDocuments(docs.filter($"doc_id" < 6))
+    assert(Multimodal.perceptualHashes(mixed).count() == 0)
+  }
+
+  test("dHash is invariant under uniform brightness shift; aHash too " +
+       "(mean shifts with the cells); exact copies hash identically") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter($"doc_id" < 60)
+    implicit val s = spark
+    def hashes(delta: Int, off: Long) = Multimodal.perceptualHashes(
+        Multimodal.brightenedImagesFromDocuments(docs, off, delta))
+      .collect().map(r => (r.getLong(0) - off) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val orig = hashes(0, 0L)
+    val bright = hashes(16, 1000000L)
+    for (id <- orig.keys) {
+      // dHash: horizontal gray differences survive a uniform shift
+      // exactly (clamping would need a >239 gray next to a <240 one
+      // within the shift band to flip a bit — not present here)
+      assert(orig(id)._2 == bright(id)._2, s"dhash moved for $id")
+    }
+    // exact pixel copies (delta 0, new ids) — identical on both hashes
+    val copies = hashes(0, 2000000L)
+    assert(copies == orig)
+  }
+
+  test("hammingDupPairs on an arbitrary hash column equals the naive " +
+       "all-pairs popcount; recall is exact at the pigeonhole bound") {
+    // adversarial hashes: pairs at exactly maxHamming, maxHamming+1,
+    // and a bit-63 (sign bit) difference
+    val rows = Seq(
+      (1L, 0L),
+      (2L, 7L),                  // hamming 3 vs id 1 (= maxHamming)
+      (3L, 15L),                 // hamming 4 vs id 1 (> maxHamming)
+      (4L, Long.MinValue),       // sign bit only: hamming 1 vs id 1
+      (5L, -1L),                 // 64 bits vs id 1
+      (6L, -1L ^ 5L)             // hamming 2 vs id 5
+    ).toDF("id", "h")
+    val got = Dedup.hammingDupPairs(rows, "id", col("h"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = Seq(1L -> 0L, 2L -> 7L, 3L -> 15L, 4L -> Long.MinValue,
+      5L -> -1L, 6L -> (-1L ^ 5L))
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want, s"got $got want $want")
+  }
+}
