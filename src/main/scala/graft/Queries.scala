@@ -6452,7 +6452,69 @@ object Queries {
           .select(col("id_a"), col("id_b"), col("hamming").cast("long")
             .as("hamming"))
       },
-      Some(PerceptualSql.nearDupPairs)))
+      Some(PerceptualSql.nearDupPairs)),
+
+    Q("q166_audio_fingerprint",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // PERCEPTUAL AUDIO FINGERPRINTS under the FULL hash oracle —
+        // the q164 discipline on the third modality: 64 energy-envelope
+        // difference bits per decoded clip, recomputed by the oracle
+        // SAMPLE BY SAMPLE from the synthesis formula (HUGEINT
+        // wraparound, signed 16-bit reconstruction, truncating gain
+        // division), so the WAV encode → AudioSystem decode → window
+        // energies → bit packing chain is checked bit-exact
+        // cross-engine. Planted: gain-halved re-masters (ids +1e6 —
+        // bytes and exact hashes differ; the energy ORDERING survives a
+        // uniform gain change, so their fingerprints equal the
+        // originals' — the re-mastered-copy case byte-exact dedup
+        // misses, here visible to the oracle as identical fp values)
+        // and exact copies (+2e6). Zero shuffle, O(frames)/row;
+        // near-dup pairs ride Dedup.hammingDupPairs (q165's machinery,
+        // oracle-gated there).
+        val docs = tbl("documents")
+        val media = operators.Multimodal.audioFromDocuments(docs)
+          .unionByName(operators.Multimodal.gainScaledAudioFromDocuments(
+            docs.filter(col("doc_id") % 13 === 0), 1000000L, 2))
+          .unionByName(operators.Multimodal.gainScaledAudioFromDocuments(
+            docs.filter(col("doc_id") % 17 === 0), 2000000L, 1))
+        operators.Multimodal.audioFingerprints(media)
+          .select(col("media_id"), col("n_frames"), col("sample_rate"),
+            col("fp"))
+      },
+      Some("""WITH mem AS (
+             |  SELECT doc_id AS media_id, doc_id AS seed, 1 AS dv
+             |    FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, doc_id, 2 FROM documents
+             |    WHERE doc_id % 13 = 0
+             |  UNION ALL SELECT doc_id + 2000000, doc_id, 1 FROM documents
+             |    WHERE doc_id % 17 = 0),
+             |sp AS (SELECT media_id, seed, dv, 100 + seed % 900 AS frames,
+             |    8000 * (1 + seed % 3) AS rate FROM mem),
+             |w AS (SELECT media_id, seed, dv, frames, rate, wi,
+             |    (wi * frames) // 65 AS lo, ((wi + 1) * frames) // 65 AS hi
+             |  FROM sp, unnest(generate_series(0, 64)) AS t(wi)),
+             |sm AS (SELECT media_id, wi, dv,
+             |    CAST((CAST(seed AS HUGEINT) * 1000003
+             |      + CAST(i AS HUGEINT) * 11400714819323198485)
+             |      % 18446744073709551616 // 16777216 % 65536 AS BIGINT) AS v
+             |  FROM w, unnest(generate_series(0, 998)) AS t(i)
+             |  WHERE i >= lo AND i < hi),
+             |en AS (SELECT media_id, wi, sum(abs(CAST(trunc(
+             |      (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
+             |      / (1.0 * dv)) AS BIGINT))) AS e
+             |  FROM sm GROUP BY 1, 2),
+             |pr AS (SELECT a.media_id, a.wi AS i, a.e AS ea, b.e AS eb
+             |  FROM en a JOIN en b ON b.media_id = a.media_id
+             |    AND b.wi = a.wi + 1 WHERE a.wi < 64),
+             |f AS (SELECT media_id, CAST(sum(CASE WHEN ea > eb THEN
+             |      CASE WHEN i = 63 THEN -9223372036854775808
+             |           ELSE 1::BIGINT << i END
+             |    ELSE 0 END) AS BIGINT) AS fp
+             |  FROM pr GROUP BY 1)
+             |SELECT f.media_id, CAST(sp.frames AS BIGINT) AS n_frames,
+             |  CAST(sp.rate AS BIGINT) AS sample_rate, f.fp
+             |FROM f JOIN sp ON sp.media_id = f.media_id""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

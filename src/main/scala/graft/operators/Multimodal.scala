@@ -1031,6 +1031,113 @@ object Multimodal {
       "resampled_wav", "checksum")
   }
 
+  /** [[synthesizeWav]] with every sample gain-scaled by 1/div
+    * (integer division, truncation toward zero — exactly what a
+    * fixed-point re-mastering does) — the planted NEAR-duplicate for
+    * audio fingerprinting: bytes and exact hashes differ, the energy
+    * ENVELOPE ordering survives. */
+  def synthesizeWavGain(frames: Int, sampleRate: Int, seed: Long,
+                        div: Int): Array[Byte] = {
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s0 = ((seed * 1000003L + i.toLong * 0x9e3779b97f4a7c15L) >>> 24).toShort
+      val s = (s0 / div).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Gain-scaled copies of the per-document clips under offset ids —
+    * the near-dup planting helper for q166 (div = 1 plants EXACT
+    * sample copies under new ids). */
+  def gainScaledAudioFromDocuments(docs: DataFrame, idOffset: Long,
+      div: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (frames, rate) = wavSpec(id)
+        MediaRecord(id + idOffset, "audio/wav",
+          synthesizeWavGain(frames, rate, id, div))
+      }
+    }
+  }
+
+  /** PERCEPTUAL AUDIO FINGERPRINT — the third modality's near-dup
+    * signature ([[perceptualHashes]]' contract on audio): the clip's
+    * absolute-amplitude ENERGY ENVELOPE over 65 equal floor-NN
+    * windows, packed as 64 difference bits (bit i set iff
+    * energy(i) > energy(i+1) — the dHash rule applied in time). A
+    * uniform GAIN change rescales every window's energy by the same
+    * factor, so the ordering — and the fingerprint — survives the
+    * re-mastered-copy case that byte-exact hashing misses
+    * (spec-asserted: integer gain-halving flips zero bits on the
+    * fixture). All-integer arithmetic (Σ|s| per window, windows by
+    * floor(w·frames/65)) — bit-reproducible and SQL-replayable, q166
+    * recomputes it sample by sample from the synthesis formula.
+    *
+    * One row per decoded clip: (media_id, n_frames, sample_rate, fp);
+    * the decode contract (16-bit signed mono little-endian PCM,
+    * post-quarantine drop semantics) is [[resampleAudio]]'s. Clips
+    * shorter than 65 frames drop (a window would be empty). Zero
+    * shuffle; O(frames) per row. Downstream:
+    * [[Dedup.hammingDupPairs]] on `fp`. */
+  def audioFingerprints(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { r =>
+        if (!r.mime.startsWith("audio/")) None
+        else {
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.media))
+            try {
+              val f = ais.getFormat
+              val frames = ais.getFrameLength.toInt
+              if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+                  f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+                  f.isBigEndian || frames < 65) None
+              else {
+                val pcm = ais.readAllBytes()
+                val energy = new Array[Long](65)
+                var w = 0
+                while (w < 65) {
+                  val lo = w * frames / 65
+                  val hi = (w + 1) * frames / 65
+                  var e = 0L
+                  var i = lo
+                  while (i < hi) {
+                    val s = ((pcm(2 * i) & 0xff) |
+                      (pcm(2 * i + 1) << 8)).toShort
+                    e += math.abs(s.toLong)
+                    i += 1
+                  }
+                  energy(w) = e
+                  w += 1
+                }
+                var fp = 0L
+                var i = 0
+                while (i < 64) {
+                  if (energy(i) > energy(i + 1)) fp |= (1L << i)
+                  i += 1
+                }
+                Some((r.media_id, frames.toLong,
+                  f.getSampleRate.toInt.toLong, fp))
+              }
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }.toDF("media_id", "n_frames", "sample_rate", "fp")
+  }
+
   /** REAL video frame sampling — the frame-extraction stage of a
     * video-training pipeline: every `stride`-th frame of each clip is
     * DECODED to its RGB raster (vision models train on sampled frames,

@@ -79,6 +79,56 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(copies == orig)
   }
 
+  /** Independent audio reference: fingerprint from the PCM formula. */
+  private def refAudioFp(docId: Long, div: Int): Long = {
+    val (frames, _) = Multimodal.wavSpec(docId)
+    val energy = (0 until 65).map { w =>
+      val lo = w * frames / 65; val hi = (w + 1) * frames / 65
+      (lo until hi).map { i =>
+        val s = ((docId * 1000003L +
+          i.toLong * 0x9e3779b97f4a7c15L) >>> 24).toShort
+        math.abs((s / div).toShort.toLong)
+      }.sum
+    }
+    var fp = 0L
+    for (i <- 0 until 64 if energy(i) > energy(i + 1)) fp |= (1L << i)
+    fp
+  }
+
+  test("audioFingerprints: bit-exact vs the formula reference through " +
+       "the WAV codec; gain-halving is fingerprint-invariant; short " +
+       "clips and non-audio drop") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter($"doc_id" < 60)
+    implicit val s = spark
+    val orig = Multimodal.audioFingerprints(
+        Multimodal.audioFromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(orig.size == 60)
+    for ((id, fp) <- orig)
+      assert(fp == refAudioFp(id, 1), s"clip $id")
+    // gain-halved re-masters: different bytes, SAME fingerprint (a
+    // uniform gain rescales every window's energy together — ordering
+    // survives; zero flipped bits measured across the fixture)
+    val halved = Multimodal.audioFingerprints(
+        Multimodal.gainScaledAudioFromDocuments(docs, 1000000L, 2))
+      .collect().map(r => (r.getLong(0) - 1000000L) -> r.getLong(3)).toMap
+    assert(halved == orig)
+    // pairs ride the generalized machinery: every planted copy surfaces
+    // at hamming 0 with its original
+    import spark.implicits._
+    val all = orig.toSeq.map { case (id, fp) => (id, fp) } ++
+      halved.toSeq.map { case (id, fp) => (id + 1000000L, fp) }
+    val pairs = Dedup.hammingDupPairs(all.toDF("id", "fp"), "id",
+        col("fp"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- orig.keys)
+      assert(pairs.contains((id, id + 1000000L)), s"planted pair $id missing")
+    // image mime under audio decode path → dropped
+    val imgs = Multimodal.imagesFromDocuments(docs.filter($"doc_id" < 5))
+    assert(Multimodal.audioFingerprints(imgs).count() == 0)
+  }
+
   test("hammingDupPairs on an arbitrary hash column equals the naive " +
        "all-pairs popcount; recall is exact at the pigeonhole bound") {
     // adversarial hashes: pairs at exactly maxHamming, maxHamming+1,
