@@ -6514,7 +6514,56 @@ object Queries {
              |  FROM pr GROUP BY 1)
              |SELECT f.media_id, CAST(sp.frames AS BIGINT) AS n_frames,
              |  CAST(sp.rate AS BIGINT) AS sample_rate, f.fp
-             |FROM f JOIN sp ON sp.media_id = f.media_id""".stripMargin)))
+             |FROM f JOIN sp ON sp.media_id = f.media_id""".stripMargin)),
+
+    Q("q167_length_bucketed_batches",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // LENGTH-BUCKETED BATCHING under oracle — the padding-waste
+        // minimizer of fixed-shape training (batch cost =
+        // batchSize × max(len); batching similar lengths together
+        // reclaims the padding a length-oblivious batcher burns). The
+        // per-batch accounting table is fully replayable: token
+        // counts, the n_tok/32 bucketing, the md5-coin rank order
+        // inside each bucket, the rank-division batch ids, and the
+        // waste arithmetic are all integers — a wrong bucket edge,
+        // coin tiebreak, or batch boundary moves a doc and fails the
+        // hash. The bucketed-beats-oblivious waste claim is
+        // spec-asserted (PackingSpec), not oracled — it compares two
+        // full batchings. Scale: ONE shuffle (per-bucket rank
+        // window), task bound = hottest bucket (bucketWidth knob).
+        val b = operators.Packing.lengthBucketedBatches(
+          tbl("documents"), "doc_id", "text",
+          bucketWidth = 32, batchSize = 8)
+        b.groupBy(col("bucket"), col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("n_tok")).as("max_tok"),
+            sum(col("n_tok")).as("tok_sum"))
+          .select(col("bucket"), col("batch_id"), col("n_docs"),
+            col("max_tok"),
+            (col("n_docs") * col("max_tok") - col("tok_sum"))
+              .as("padding_waste"))
+      },
+      Some {
+        val uT = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n      + ")
+        s"""WITH t AS (SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    md5(doc_id::VARCHAR || ':lb') AS h FROM documents),
+           |c AS (SELECT doc_id, n_tok, n_tok // 32 AS bucket, ($uT) AS ci
+           |  FROM t),
+           |r AS (SELECT bucket, n_tok, row_number()
+           |    OVER (PARTITION BY bucket ORDER BY ci, doc_id) AS rn FROM c),
+           |b AS (SELECT bucket, (rn - 1) // 8 AS batch_id, n_tok FROM r)
+           |SELECT CAST(bucket AS BIGINT) AS bucket,
+           |  CAST(batch_id AS BIGINT) AS batch_id,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+           |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
+           |    AS padding_waste
+           |FROM b GROUP BY 1, 2""".stripMargin
+      }))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

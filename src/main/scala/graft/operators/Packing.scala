@@ -331,6 +331,43 @@ object Packing {
     *
     * Returns one row per scheduled position: `pos` (1..head), the
     * source, `r` (rank within source), `n_src`, `w_raw`. */
+  /** LENGTH-BUCKETED BATCHING — the padding-waste minimizer of a
+    * fixed-shape training loop: a batch's compute cost is
+    * `batchSize × max(len)` (every sequence pads to the batch max), so
+    * batching docs of SIMILAR length together reclaims the padding a
+    * length-oblivious batcher burns (the public bucketing-by-sequence-
+    * length recipe of the major training frameworks). Docs bucket by
+    * `n_tok / bucketWidth`, order within a bucket by the md5 content
+    * coin (deterministic, partitioning-invariant, SQL-replayable — the
+    * q126 discipline; a coin order also keeps batches i.i.d. WITHIN a
+    * bucket instead of correlated by ingest order), and chunk into
+    * `batchSize`-doc batches by rank division.
+    *
+    * One row per doc: (id, n_tok, bucket, batch_id, rn). Per-batch
+    * padding accounting is a rollup: waste = n·max(len) − Σlen
+    * (q167 puts it under the hash oracle; the spec asserts bucketed
+    * waste ≤ a length-oblivious baseline's on the fixture).
+    *
+    * Scale shape: ONE shuffle (the per-bucket rank window); per-task
+    * cost is bounded by the hottest bucket — `bucketWidth` is the
+    * width/parallelism knob, and a length-skewed corpus (most docs in
+    * one bucket) calls for sub-bucketing by a second hash digit, the
+    * [[Sessionize]] shard discipline. The last partial batch of each
+    * bucket is emitted (callers drop or merge it per recipe). */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String, textCol: String,
+                            bucketWidth: Int, batchSize: Int,
+                            salt: String = ":lb"): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      "bucketWidth and batchSize must be >= 1")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(Sampling.hexInt(col(idCol), salt), col(idCol))
+    docs
+      .select(col(idCol), Text.tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("bucket", (col("n_tok") / lit(bucketWidth)).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", ((col("rn") - 1) / lit(batchSize)).cast("long"))
+  }
+
   def strideInterleave(docs: DataFrame, groupCol: String, alpha: Double,
                        head: Int): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")

@@ -396,4 +396,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(s2.length == 10)
     assert(s2.count(_.getAs[String]("g") == "tiny") <= 2)
   }
+
+  test("lengthBucketedBatches: batches respect bucket/size bounds, " +
+       "coin order is partitioning-invariant, and bucketed padding " +
+       "waste undercuts a length-oblivious baseline") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val b = graft.operators.Packing.lengthBucketedBatches(
+      docs, "doc_id", "text", bucketWidth = 32, batchSize = 8)
+    val rows = b.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tok"), r.getAs[Long]("bucket"),
+      r.getAs[Long]("batch_id"), r.getAs[Long]("rn")))
+    // every doc's bucket is its length band; batches hold <= 8 docs
+    rows.foreach { case (_, n, bkt, _, _) => assert(bkt == n / 32) }
+    val perBatch = rows.groupBy(t => (t._3, t._4))
+    perBatch.values.foreach(g => assert(g.length <= 8))
+    // within a batch, lengths span < 2 bucket widths by construction
+    perBatch.values.foreach { g =>
+      val ns = g.map(_._2)
+      assert(ns.max - ns.min < 32)
+    }
+    // partitioning-invariant: same assignment on a repartitioned corpus
+    val re = graft.operators.Packing.lengthBucketedBatches(
+        docs.repartition(7), "doc_id", "text", 32, 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("batch_id"))).toMap
+    rows.foreach { case (id, _, bkt, bid, _) => assert(re(id) == (bkt, bid)) }
+    // the point of the operator: padding waste strictly below the
+    // length-oblivious baseline (same coin order, no length grouping)
+    def waste(groups: Iterable[Iterable[Long]]): Long =
+      groups.map(g => g.size.toLong * g.max - g.sum).sum
+    val bucketedWaste = waste(perBatch.values.map(_.map(_._2)))
+    val obliviousOrder = rows.sortBy { case (id, _, _, _, _) =>
+      // same md5 coin, global order (no bucket partition)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + ":lb").getBytes("UTF-8"))
+      (((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff), id)
+    }
+    val obliviousWaste = waste(
+      obliviousOrder.map(_._2).grouped(8).map(_.toSeq).toSeq)
+    assert(bucketedWaste < obliviousWaste,
+      s"bucketed $bucketedWaste vs oblivious $obliviousWaste")
+  }
 }
