@@ -6563,7 +6563,80 @@ object Queries {
            |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
            |    AS padding_waste
            |FROM b GROUP BY 1, 2""".stripMargin
-      }))
+      }),
+
+    Q("q168_video_frame_hashes",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // PERCEPTUAL VIDEO FINGERPRINTS under the FULL hash oracle —
+        // the modality triple completed (q164 images, q166 audio):
+        // every stride-sampled frame of every decoded AVI gets the
+        // q164 dHash, and the oracle recomputes each one PIXEL BY
+        // PIXEL from the frame-synthesis formula, so the RIFF walk,
+        // bottom-up DIB decode, raster conversion, and hash chain are
+        // bit-checked cross-engine. Planted: brightness +16 re-grades
+        // (ids +1e6 — every frame's dHash equals the original's, the
+        // re-graded-copy case byte-exact dedup misses, visible to the
+        // oracle as identical hash columns) and exact copies (+2e6).
+        // Near-dup screening rides Dedup.hammingDupPairs per frame
+        // slot (oracle-gated at q165). Zero shuffle: mapPartitions
+        // decode, narrow hash map.
+        val docs = tbl("documents")
+        val media = operators.Multimodal.videosFromDocuments(docs)
+          .unionByName(operators.Multimodal.brightenedVideosFromDocuments(
+            docs.filter(col("doc_id") % 13 === 0), 1000000L, 16))
+          .unionByName(operators.Multimodal.brightenedVideosFromDocuments(
+            docs.filter(col("doc_id") % 17 === 0), 2000000L, 0))
+        operators.Multimodal.videoFrameHashes(
+            operators.Multimodal.extractVideoFrames(media, stride = 2))
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_frames"), col("frame_idx"), col("dhash"))
+      },
+      Some("""WITH mem AS (
+             |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS delta
+             |    FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, doc_id, 16 FROM documents
+             |    WHERE doc_id % 13 = 0
+             |  UNION ALL SELECT doc_id + 2000000, doc_id, 0 FROM documents
+             |    WHERE doc_id % 17 = 0),
+             |sp AS (SELECT media_id, seed, delta, 6 + seed % 11 AS w,
+             |    4 + (seed // 11) % 9 AS h, 2 + seed % 7 AS nf FROM mem),
+             |fr AS (SELECT media_id, seed, delta, w, h, nf, f
+             |  FROM sp, unnest(generate_series(0, 8)) AS t(f)
+             |  WHERE f < nf AND f % 2 = 0),
+             |dg AS (SELECT media_id, seed, delta, w, h, nf, f, gx, gy,
+             |    (gy * h) // 8 AS sy, (gx * w) // 9 AS sxa,
+             |    ((gx + 1) * w) // 9 AS sxb
+             |  FROM fr, unnest(generate_series(0, 7)) AS t1(gx),
+             |           unnest(generate_series(0, 7)) AS t2(gy)),
+             |px AS (SELECT media_id, delta, w, h, nf, f, gx, gy,
+             |    CAST((CAST(seed AS HUGEINT) * 1000003
+             |      + CAST(CAST(f AS HUGEINT) * w * h + sy * w + sxa AS HUGEINT)
+             |        * 11400714819323198485)
+             |      % 18446744073709551616 // 16777216 % 16777216 AS BIGINT) AS ra,
+             |    CAST((CAST(seed AS HUGEINT) * 1000003
+             |      + CAST(CAST(f AS HUGEINT) * w * h + sy * w + sxb AS HUGEINT)
+             |        * 11400714819323198485)
+             |      % 18446744073709551616 // 16777216 % 16777216 AS BIGINT) AS rb
+             |  FROM dg),
+             |gr AS (SELECT media_id, w, h, nf, f, gx, gy,
+             |    (77 * least(ra // 65536 + delta, 255)
+             |     + 150 * least(ra // 256 % 256 + delta, 255)
+             |     + 29 * least(ra % 256 + delta, 255)) // 256 AS ga,
+             |    (77 * least(rb // 65536 + delta, 255)
+             |     + 150 * least(rb // 256 % 256 + delta, 255)
+             |     + 29 * least(rb % 256 + delta, 255)) // 256 AS gb
+             |  FROM px),
+             |dh AS (SELECT media_id, w, h, nf, f,
+             |    CAST(sum(CASE WHEN ga > gb THEN
+             |      CASE WHEN gy * 8 + gx = 63 THEN -9223372036854775808
+             |           ELSE 1::BIGINT << (gy * 8 + gx) END
+             |    ELSE 0 END) AS BIGINT) AS dhash
+             |  FROM gr GROUP BY 1, 2, 3, 4, 5)
+             |SELECT media_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(f AS BIGINT) AS frame_idx, dhash
+             |FROM dh""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -271,7 +271,18 @@ object Multimodal {
     * exercises): avih + strh('vids')/strf(BITMAPINFOHEADER) headers,
     * then one bottom-up BGR frame chunk per frame, rows padded to 4
     * bytes. Pure JDK byte assembly — no codec library. */
-  def synthesizeAvi(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+  def synthesizeAvi(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] =
+    synthesizeAviImpl(width, height, frames, seed, 0)
+
+  /** [[synthesizeAvi]] with a uniform per-channel brightness shift
+    * (clamped at 255) — the planted near-dup re-grade for video
+    * fingerprinting, [[synthesizePngBright]]'s contract on frames. */
+  def synthesizeAviBright(width: Int, height: Int, frames: Int, seed: Long,
+                          delta: Int): Array[Byte] =
+    synthesizeAviImpl(width, height, frames, seed, delta)
+
+  private def synthesizeAviImpl(width: Int, height: Int, frames: Int,
+                                seed: Long, delta: Int): Array[Byte] = {
     val stride = (3 * width + 3) / 4 * 4
     val frameBytes = stride * height
     val moviSize = 4 + frames * (8 + frameBytes)
@@ -321,9 +332,10 @@ object Multimodal {
         var x = 0
         while (x < width) {
           val rgb = aviPixel(seed, f, x, y, width, height)
-          buf.put((rgb & 0xff).toByte)         // B
-          buf.put(((rgb >> 8) & 0xff).toByte)  // G
-          buf.put(((rgb >> 16) & 0xff).toByte) // R
+          def ch(v: Int) = math.min(255, v + delta)
+          buf.put(ch(rgb & 0xff).toByte)         // B
+          buf.put(ch((rgb >> 8) & 0xff).toByte)  // G
+          buf.put(ch((rgb >> 16) & 0xff).toByte) // R
           x += 1
         }
         var p = 3 * width
@@ -1209,5 +1221,69 @@ object Multimodal {
       }
     }.toDF("media_id", "width", "height", "n_frames", "frame_idx",
       "frame_rgb", "checksum")
+  }
+
+  /** Brightness-shifted copies of the per-document videos under offset
+    * ids — the near-dup planting helper for q168 (delta = 0 plants
+    * EXACT copies under new ids). */
+  def brightenedVideosFromDocuments(docs: DataFrame, idOffset: Long,
+      delta: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h, frames) = aviSpec(id)
+        MediaRecord(id + idOffset, "video/avi",
+          synthesizeAviBright(w, h, frames, id, delta))
+      }
+    }
+  }
+
+  /** dHash of one top-down RGB raster — [[perceptualHashes]]' dHash
+    * rule factored over raw bytes so video frames hash identically to
+    * still images with the same pixels. */
+  private[graft] def dhashOfRaster(rgb: Array[Byte], w: Int, h: Int): Long = {
+    def gray(sx: Int, sy: Int): Int = {
+      val base = (sy * w + sx) * 3
+      (77 * (rgb(base) & 0xff) + 150 * (rgb(base + 1) & 0xff) +
+        29 * (rgb(base + 2) & 0xff)) >> 8
+    }
+    var dhash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gx * w / 9, sy) > gray((gx + 1) * w / 9, sy))
+          dhash |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    dhash
+  }
+
+  /** PERCEPTUAL VIDEO FINGERPRINTS — frame-level dHash over
+    * [[extractVideoFrames]] output (one 64-bit signature per SAMPLED
+    * frame; decode and stride policy are that operator's, so all three
+    * codec families — BI_RGB, I420, MJPEG — feed the same hash). A
+    * video-level near-dup screen joins on (frame rank) and runs
+    * [[Dedup.hammingDupPairs]] per frame slot, or hashes the frame
+    * signature SEQUENCE for exact sequence identity; brightness
+    * re-grades are dHash-invariant frame by frame (q164's property on
+    * the time axis — q168 puts the whole chain under the pixel-formula
+    * oracle). Narrow map over already-decoded rasters — zero
+    * additional decode or shuffle. */
+  def videoFrameHashes(frames: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    frames
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_frames"), col("frame_idx"), col("frame_rgb"))
+      .as[(Long, Int, Int, Int, Int, Array[Byte])]
+      .map { case (id, w, h, n, idx, rgb) =>
+        (id, w.toLong, h.toLong, n.toLong, idx.toLong,
+          dhashOfRaster(rgb, w, h))
+      }
+      .toDF("media_id", "width", "height", "n_frames", "frame_idx", "dhash")
   }
 }

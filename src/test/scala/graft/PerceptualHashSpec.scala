@@ -129,6 +129,44 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(Multimodal.audioFingerprints(imgs).count() == 0)
   }
 
+  test("videoFrameHashes: frame 0 hashes identically to a still image " +
+       "of the same pixels; brightness re-grades are invariant per " +
+       "frame; exact copies match") {
+    implicit val s = spark
+    import spark.implicits._
+    // aviPixel at f=0 IS the PNG pixel formula — a video's first frame
+    // and a still of the same (w, h, seed) must produce the SAME dHash
+    // through their two different decode paths (RIFF/DIB vs PNG)
+    val (w, h) = (11, 9)
+    val avi = Seq(Multimodal.MediaRecord(7L, "video/avi",
+      Multimodal.synthesizeAvi(w, h, 3, 7L))).toDS()
+    val png = Seq(Multimodal.MediaRecord(7L, "image/png",
+      Multimodal.synthesizePng(w, h, 7L))).toDS()
+    val f0 = Multimodal.videoFrameHashes(
+        Multimodal.extractVideoFrames(avi, stride = 1))
+      .filter($"frame_idx" === 0).select("dhash").as[Long].head()
+    val still = Multimodal.perceptualHashes(png)
+      .select("dhash").as[Long].head()
+    assert(f0 == still, s"video frame 0 $f0 vs still $still")
+    // per-frame brightness invariance + exact-copy identity on the
+    // real fixture
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter($"doc_id" < 40)
+    def hashes(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+               off: Long) =
+      Multimodal.videoFrameHashes(Multimodal.extractVideoFrames(ds, 1))
+        .collect().map(r => (r.getLong(0) - off, r.getLong(4)) -> r.getLong(5))
+        .toMap
+    val orig = hashes(Multimodal.videosFromDocuments(docs), 0L)
+    assert(orig.nonEmpty)
+    val bright = hashes(
+      Multimodal.brightenedVideosFromDocuments(docs, 1000000L, 16), 1000000L)
+    assert(bright == orig)
+    val copies = hashes(
+      Multimodal.brightenedVideosFromDocuments(docs, 2000000L, 0), 2000000L)
+    assert(copies == orig)
+  }
+
   test("hammingDupPairs on an arbitrary hash column equals the naive " +
        "all-pairs popcount; recall is exact at the pigeonhole bound") {
     // adversarial hashes: pairs at exactly maxHamming, maxHamming+1,
