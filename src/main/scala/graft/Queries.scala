@@ -6636,7 +6636,71 @@ object Queries {
              |SELECT media_id, CAST(w AS BIGINT) AS width,
              |  CAST(h AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames,
              |  CAST(f AS BIGINT) AS frame_idx, dhash
-             |FROM dh""".stripMargin)))
+             |FROM dh""".stripMargin)),
+
+    Q("q169_incremental_image_dedup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        implicit val ss = s
+        // INCREMENTAL IMAGE DEDUP — the q62 cross-snapshot discipline
+        // on the perceptual-hash store: history persists as (id, dhash)
+        // + a (band, bval, id) table bucketed on the Manku band keys,
+        // each crawl batch dedups against ALL history with cost ∝
+        // batch (candidate join probes the bucketed `_bands` table —
+        // zero store-side exchange; popcount verify re-joins two
+        // 8-byte columns, never media bytes), survivors append. Batch
+        // 1 carries brightness re-grades of STORE images (byte-new,
+        // dHash-identical — the incremental screen must kill them);
+        // batch 2 carries exact copies of batch-1 natives (dropped
+        // against the batch-1 survivors now IN the store). The oracle
+        // replays the whole sequential protocol from the pixel
+        // formula: per batch, drop iff within hamming 3 of any store
+        // signature or any smaller-id batch member (non-cascading
+        // in-batch, survivors-only across batches), then fold
+        // survivors into the store — a lost append row, a band-split
+        // drift, or a broken verify all change the survivor set and
+        // fail the hash.
+        val docs = tbl("documents")
+        val table = "q169_phash_store"
+        for (t <- Seq(table, s"${table}_bands")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        def ph(m: org.apache.spark.sql.Dataset[
+            operators.Multimodal.MediaRecord]) =
+          operators.Multimodal.perceptualHashes(m)
+            .select(col("media_id"), col("dhash"))
+        val storeDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        operators.Incremental.writeHashStore(
+          ph(operators.Multimodal.imagesFromDocuments(storeDocs)),
+          "media_id", col("dhash"), table, numBuckets = 8, maxHamming = 3)
+        val b1 = ph(operators.Multimodal.imagesFromDocuments(
+            docs.filter(col("doc_id") % 3 === 0 &&
+              expr("(doc_id div 3) % 2 = 0")))
+          .unionByName(operators.Multimodal.brightenedImagesFromDocuments(
+            storeDocs.filter(col("doc_id") % 13 === 0), 1000000L, 16)))
+        val surv1 = operators.Incremental.dedupHashesAgainst(b1,
+            s.table(table), "media_id", col("dhash"), maxHamming = 3,
+            storeBands = Some(s.table(s"${table}_bands")))
+          .localCheckpoint(true) // freeze BEFORE the store grows
+        operators.Incremental.appendToHashStore(surv1, "media_id",
+          col("dhash"), table, numBuckets = 8, maxHamming = 3)
+        val b2 = ph(operators.Multimodal.imagesFromDocuments(
+            docs.filter(col("doc_id") % 3 === 0 &&
+              expr("(doc_id div 3) % 2 = 1")))
+          .unionByName(operators.Multimodal.brightenedImagesFromDocuments(
+            docs.filter(col("doc_id") % 3 === 0 &&
+              expr("(doc_id div 3) % 2 = 0") && col("doc_id") % 5 === 0),
+            2000000L, 0)))
+        val surv2 = operators.Incremental.dedupHashesAgainst(b2,
+          s.table(table), "media_id", col("dhash"), maxHamming = 3,
+          storeBands = Some(s.table(s"${table}_bands")))
+        surv1.select(col("media_id")).withColumn("batch", lit("b1"))
+          .unionByName(
+            surv2.select(col("media_id")).withColumn("batch", lit("b2")))
+      },
+      Some(PerceptualSql.incrementalSurvivors)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula
@@ -6706,6 +6770,48 @@ object Queries {
          |  CAST(8 + (d.seed // 16) % 16 AS BIGINT) AS height,
          |  h.ahash, h.dhash
          |FROM hashes h JOIN dim d ON d.media_id = h.media_id""".stripMargin
+
+    /** q169: the sequential incremental protocol replayed — per batch,
+      * drop iff within hamming 3 of any STORE signature (survivors
+      * only, cascading across batches) or any smaller-id member of the
+      * SAME batch (non-cascading in-batch), then fold survivors into
+      * the store. */
+    val incrementalSurvivors: String =
+      s"""WITH mem AS (
+         |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS delta,
+         |      's' AS grp FROM documents WHERE doc_id % 3 <> 0
+         |  UNION ALL SELECT doc_id, doc_id, 0, 'b1' FROM documents
+         |    WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 0
+         |  UNION ALL SELECT doc_id + 1000000, doc_id, 16, 'b1'
+         |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 13 = 0
+         |  UNION ALL SELECT doc_id, doc_id, 0, 'b2' FROM documents
+         |    WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1
+         |  UNION ALL SELECT doc_id + 2000000, doc_id, 0, 'b2'
+         |    FROM documents WHERE doc_id % 3 = 0
+         |      AND (doc_id // 3) % 2 = 0 AND doc_id % 5 = 0),
+         |$hashCtes,
+         |hg AS (SELECT h.media_id, h.dhash, m.grp
+         |  FROM hashes h JOIN mem m ON m.media_id = h.media_id),
+         |s0 AS (SELECT media_id, dhash FROM hg WHERE grp = 's'),
+         |b1 AS (SELECT media_id, dhash FROM hg WHERE grp = 'b1'),
+         |b2 AS (SELECT media_id, dhash FROM hg WHERE grp = 'b2'),
+         |d1 AS (SELECT b.media_id FROM b1 b
+         |  WHERE EXISTS (SELECT 1 FROM s0 s
+         |      WHERE bit_count(xor(b.dhash, s.dhash)) <= 3)
+         |    OR EXISTS (SELECT 1 FROM b1 o WHERE o.media_id < b.media_id
+         |      AND bit_count(xor(b.dhash, o.dhash)) <= 3)),
+         |s1 AS (SELECT * FROM s0 UNION ALL
+         |  SELECT * FROM b1 WHERE media_id NOT IN
+         |    (SELECT media_id FROM d1)),
+         |d2 AS (SELECT b.media_id FROM b2 b
+         |  WHERE EXISTS (SELECT 1 FROM s1 s
+         |      WHERE bit_count(xor(b.dhash, s.dhash)) <= 3)
+         |    OR EXISTS (SELECT 1 FROM b2 o WHERE o.media_id < b.media_id
+         |      AND bit_count(xor(b.dhash, o.dhash)) <= 3))
+         |SELECT media_id, 'b1' AS batch FROM b1
+         |  WHERE media_id NOT IN (SELECT media_id FROM d1)
+         |UNION ALL SELECT media_id, 'b2' FROM b2
+         |  WHERE media_id NOT IN (SELECT media_id FROM d2)""".stripMargin
 
     val nearDupPairs: String =
       s"""WITH mem AS (

@@ -631,23 +631,32 @@ object Dedup {
     * join instead of an all-pairs scan. Same plan, contracts, and
     * candidate-volume math as [[simhashDupPairs]] (whose scaladoc is
     * the reference). */
+  /** The pigeonhole band values of a 64-bit fingerprint column `sh`:
+    * maxHamming+1 bit-slices — shared by [[hammingDupPairs]] and the
+    * incremental hash store ([[Incremental]]), which must derive
+    * byte-identical band keys or the store join silently loses
+    * recall. */
+  private[operators] def hammingBandCols(maxHamming: Int): Seq[Column] = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) 64 - lo else width
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))
+    }
+  }
+
   def hammingDupPairs(docs: DataFrame, idCol: String, hashCol: Column,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
     // eager checkpoint: three downstream consumers (banded explode + the
     // two verify re-joins) would otherwise re-run the simhash kernel over
     // the corpus per reference — the same discipline as
     // [[Incremental.dedupAgainst]]'s signature checkpoint
     val sig = docs.select(col(idCol).as("id"), hashCol.as("sh"))
       .localCheckpoint(true)
-    val bandVals = (0 until nBands).map { b =>
-      val lo = b * width
-      val w = if (b == nBands - 1) 64 - lo else width
-      val mask = if (w == 64) -1L else (1L << w) - 1
-      shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))
-    }
+    val bandVals = hammingBandCols(maxHamming)
     val banded = sig.select(col("id"),
       posexplode(array(bandVals: _*)).as(Seq("band", "bval")))
     banded.select(col("band"), col("bval"), col("id").as("id_a"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 import graft.sources.ParquetSink
@@ -640,5 +640,102 @@ object Incremental {
       nsig.select(col("id").as(idCol)).join(dropped.select(col("id").as(idCol)),
         Seq(idCol), "left_anti"),
       Seq(idCol), "left_semi")
+  }
+
+  // ── incremental PERCEPTUAL-HASH store: cross-snapshot near-dup ──────
+  //    dedup for 64-bit perceptual signatures (image dHash, audio
+  //    energy fingerprints, video frame hashes — Multimodal.*), the
+  //    [[writeStore]] discipline applied to the Manku banded layout.
+  //    Per-batch cost ∝ batch: the candidate join probes a `_bands`
+  //    table bucketed on (band, bval) — zero store-side exchange — and
+  //    the popcount verify re-joins the id-bucketed store, reading two
+  //    8-byte columns, never media bytes.
+
+  /** Exploded pigeonhole band table of a (id, sh) hash store — the
+    * store-side input of the candidate join in its join-key layout.
+    * Bands derive from [[Dedup.hammingBandCols]], byte-identical to
+    * [[Dedup.hammingDupPairs]]' — a divergent split silently loses the
+    * exact-recall guarantee. */
+  def hashBandTable(store: DataFrame, maxHamming: Int): DataFrame =
+    store.select(col("id"),
+        posexplode(array(Dedup.hammingBandCols(maxHamming): _*))
+          .as(Seq("band", "bval")))
+      .select("band", "bval", "id")
+
+  /** Materialize a perceptual-hash store as two bucketed catalog
+    * tables, mirroring [[writeEmbeddingStore]]: `table` (id, sh)
+    * bucketed on id (the verify re-join side), `table_bands`
+    * (band, bval, id) bucketed on (band, bval) (the candidate join
+    * side). */
+  def writeHashStore(df: DataFrame, idCol: String, hashCol: Column,
+                     table: String, numBuckets: Int,
+                     maxHamming: Int = 3): Unit =
+    writeHashBoth(df.select(col(idCol).as("id"), hashCol.as("sh")),
+      table, numBuckets, maxHamming, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Append a batch's signatures — same whole-batch-vs-survivors and
+    * partial-append recovery trade-offs as [[appendToStore]] (rebuild
+    * `_bands` from `table` via [[hashBandTable]] after a halt). */
+  def appendToHashStore(df: DataFrame, idCol: String, hashCol: Column,
+                        table: String, numBuckets: Int,
+                        maxHamming: Int = 3): Unit =
+    writeHashBoth(df.select(col(idCol).as("id"), hashCol.as("sh")),
+      table, numBuckets, maxHamming, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeHashBoth(sig0: DataFrame, table: String, numBuckets: Int,
+                            maxHamming: Int,
+                            mode: org.apache.spark.sql.SaveMode): Unit = {
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ParquetSink.bucketed(sig, table, Seq("id"), numBuckets, mode = mode)
+      ParquetSink.bucketed(hashBandTable(sig, maxHamming),
+        s"${table}_bands", Seq("band", "bval"), numBuckets, mode = mode)
+    } finally sig.unpersist()
+  }
+
+  /** Rows of `newDf` that survive greedy Hamming dedup against the
+    * historical `store` ((id, sh) schema) AND within the batch: drop a
+    * batch row within `maxHamming` bits of ANY store signature, or of
+    * a smaller-id batch row (the [[dedupEmbeddingsAgainst]] greedy
+    * rule on the pigeonhole candidate machinery — recall is EXACT, not
+    * probabilistic). With `storeBands` (the bucketed `_bands` table)
+    * the candidate join is exchange-free on the store side; per-batch
+    * cost ∝ batch. */
+  def dedupHashesAgainst(newDf: DataFrame, store: DataFrame, idCol: String,
+                         hashCol: Column, maxHamming: Int = 3,
+                         storeBands: Option[DataFrame] = None): DataFrame = {
+    val nsig = newDf.select(col(idCol).as("id"), hashCol.as("sh"))
+      .localCheckpoint(true)
+    val nBand = nsig.select(col("id"),
+      posexplode(array(Dedup.hammingBandCols(maxHamming): _*))
+        .as(Seq("band", "bval")))
+    val sBand = storeBands.getOrElse(hashBandTable(store, maxHamming))
+    val candVsStore = nBand
+      .select(col("band"), col("bval"), col("id").as("id_n"))
+      .join(sBand.select(col("band"), col("bval"), col("id").as("id_s")),
+        Seq("band", "bval"))
+      .select("id_n", "id_s").distinct()
+    val candInBatch = nBand
+      .select(col("band"), col("bval"), col("id").as("id_n"))
+      .join(nBand.select(col("band"), col("bval"), col("id").as("id_s")),
+        Seq("band", "bval"))
+      .filter(col("id_s") < col("id_n")) // greedy: smaller id survives
+      .select("id_n", "id_s").distinct()
+    def dropped(cand: DataFrame, side: DataFrame) = cand
+      .join(nsig.select(col("id").as("id_n"), col("sh").as("sh_n")),
+        Seq("id_n"))
+      .join(side.select(col("id").as("id_s"), col("sh").as("sh_s")),
+        Seq("id_s"))
+      .filter(bit_count(col("sh_n").bitwiseXOR(col("sh_s"))) <= maxHamming)
+      .select(col("id_n").as("id"))
+    val drop = dropped(candVsStore, store)
+      .unionAll(dropped(candInBatch, nsig))
+      .distinct()
+    val keep = nsig.select(col("id").as(idCol))
+      .join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    // nsig's checkpoint blocks back the RETURNED plan — the caller
+    // releases them (Checkpoints.release) after materializing, or lets
+    // batch-grain id+hash blocks ride until then
+    newDf.join(keep, Seq(idCol), "left_semi")
   }
 }

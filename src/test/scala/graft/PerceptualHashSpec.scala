@@ -167,6 +167,70 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(copies == orig)
   }
 
+  test("incremental hash store: multi-batch loop matches a sequential " +
+       "reference (survivors-only across batches, non-cascading " +
+       "in-batch); bucketed store keeps the candidate join " +
+       "exchange-free on the store side") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val table = "phash_store_spec"
+    for (t <- Seq(table, s"${table}_bands")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    // synthetic signatures: base patterns + planted near/far variants
+    def bits(is: Int*): Long = is.foldLeft(0L)((a, i) => a | (1L << i))
+    val store0 = Map(1L -> 0L, 2L -> bits(10, 20, 30, 40, 50))
+    val batch1 = Map(
+      10L -> bits(0),             // ham 1 vs id 1 → dropped vs store
+      11L -> bits(10, 20, 30, 40, 50, 60, 61), // ham 2 vs id 2 → dropped
+      12L -> bits(1, 2, 3, 4, 5), // survives
+      13L -> bits(1, 2, 3, 4, 6), // ham 2 vs 12 (smaller id) → dropped
+      14L -> -1L)                 // survives
+    val batch2 = Map(
+      20L -> bits(1, 2, 3, 4, 5), // ham 0 vs SURVIVOR 12 → dropped
+      21L -> bits(1, 2, 3, 4, 6), // ham 2 vs 12 in store → dropped even
+                                  // though 13 (its twin) never entered
+      22L -> bits(32, 33, 34, 35, 36, 37)) // survives
+    def ref(): Seq[Set[Long]] = {
+      var store = store0
+      Seq(batch1, batch2).map { b =>
+        val ids = b.keys.toSeq.sorted
+        val dropped = ids.filter { id =>
+          store.values.exists(sh => java.lang.Long.bitCount(sh ^ b(id)) <= 3) ||
+          ids.filter(_ < id).exists(o =>
+            java.lang.Long.bitCount(b(o) ^ b(id)) <= 3)
+        }.toSet
+        store ++= (b -- dropped)
+        b.keySet -- dropped
+      }
+    }
+    try {
+      Incremental.writeHashStore(store0.toSeq.toDF("id", "h"), "id",
+        col("h"), table, numBuckets = 4, maxHamming = 3)
+      val expected = ref()
+      val got = Seq(batch1, batch2).map { b =>
+        val surv = Incremental.dedupHashesAgainst(b.toSeq.toDF("id", "h"),
+            spark.table(table), "id", col("h"), maxHamming = 3,
+            storeBands = Some(spark.table(s"${table}_bands")))
+          .localCheckpoint(true)
+        Incremental.appendToHashStore(surv, "id", col("h"), table, 4, 3)
+        surv.select("id").as[Long].collect().toSet
+      }
+      assert(got == expected, s"got $got want $expected")
+      // both store layouts persisted with their join-key bucketing
+      // (the ParquetSink.bucketed exchange-free contract, plan-proven
+      // for this store family in the q62/q91 incremental specs; at
+      // spec scale AQE broadcasts either side, so the durable claim
+      // is the LAYOUT): signatures on id, bands on (band, bval) —
+      // appends preserved both (Spark rejects mixed bucket specs)
+      def bucketSpec(t: String) = spark.sql(s"DESCRIBE EXTENDED $t")
+        .filter($"col_name".isin("Num Buckets", "Bucket Columns"))
+        .select("data_type").as[String].collect().toSeq
+      assert(bucketSpec(table) == Seq("4", "[`id`]"))
+      assert(bucketSpec(s"${table}_bands") == Seq("4", "[`band`, `bval`]"))
+    } finally
+      for (t <- Seq(table, s"${table}_bands"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("hammingDupPairs on an arbitrary hash column equals the naive " +
        "all-pairs popcount; recall is exact at the pigeonhole bound") {
     // adversarial hashes: pairs at exactly maxHamming, maxHamming+1,
