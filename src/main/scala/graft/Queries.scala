@@ -6700,7 +6700,79 @@ object Queries {
           .unionByName(
             surv2.select(col("media_id")).withColumn("batch", lit("b2")))
       },
-      Some(PerceptualSql.incrementalSurvivors)))
+      Some(PerceptualSql.incrementalSurvivors)),
+
+    Q("q170_forget_protocol",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // RIGHT-TO-BE-FORGOTTEN across the dedup state — the takedown /
+        // consent-revocation path a production corpus pipeline must
+        // have: deleting a document is not just dropping its row, its
+        // SIGNATURES must leave the store, or future ingestion keeps
+        // being suppressed on the strength of data the pipeline no
+        // longer holds. Protocol: forget ids F from the q62 text
+        // signature store (one rewrite deriving BOTH layouts from the
+        // same write — validateStore gates it in-plan), then dedup a
+        // batch carrying (a) exact copies of FORGOTTEN docs — must be
+        // RE-ADMITTED, the store may not remember them, (b) exact
+        // copies of REMEMBERED docs — must still drop at the exact
+        // stage, (c) fresh docs — the normal q62 semantics. The oracle
+        // replays dedupAgainst's full greedy rule against the
+        // post-forget store; a signature left behind in either store
+        // layout re-suppresses a group-(a) doc and fails the hash.
+        val docs = tbl("documents")
+        val table = "q170_text_store"
+        for (t <- Seq(table, s"${table}_bands")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        val storeDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        operators.Incremental.writeStore(storeDocs, "doc_id", "text",
+          table, numBuckets = 8)
+        val forgotten = storeDocs.filter(col("doc_id") % 21 === 0)
+        operators.Incremental.forgetFromStore(s,
+          forgotten.select(col("doc_id").as("id")), table, numBuckets = 8)
+        require(operators.Incremental.validateStore(s, table),
+          "store/bands diverged after forget")
+        val batch = forgotten
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionByName(storeDocs.filter(col("doc_id") % 23 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 3 === 0 &&
+              expr("(doc_id div 3) % 2 = 0"))
+            .select(col("doc_id"), col("text")))
+        operators.Incremental.dedupAgainst(batch, s.table(table),
+            "doc_id", "text", threshold = 0.6,
+            storeBands = Some(s.table(s"${table}_bands")))
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, md5(text) AS h, $ShinglesSql AS sh
+              |           FROM documents),
+              |s AS (SELECT * FROM t
+              |      WHERE doc_id % 3 <> 0 AND doc_id % 21 <> 0),
+              |n AS (SELECT doc_id + 1000000 AS doc_id, h, sh FROM t
+              |        WHERE doc_id % 3 <> 0 AND doc_id % 21 = 0
+              |      UNION ALL SELECT doc_id + 2000000, h, sh FROM t
+              |        WHERE doc_id % 3 <> 0 AND doc_id % 23 = 0
+              |      UNION ALL SELECT doc_id, h, sh FROM t
+              |        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 0),
+              |ne AS (SELECT n.doc_id, n.sh FROM n
+              |       JOIN (SELECT h, min(doc_id) AS k FROM n GROUP BY h) mk
+              |         ON n.h = mk.h AND n.doc_id = mk.k
+              |       WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.h = n.h)),
+              |dr AS (SELECT DISTINCT a.doc_id FROM ne a JOIN s b ON
+              |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh)
+              |              - len(list_intersect(a.sh, b.sh))) >= 0.6
+              |       UNION
+              |       SELECT DISTINCT b.doc_id FROM ne a JOIN ne b
+              |       ON a.doc_id < b.doc_id AND
+              |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh)
+              |              - len(list_intersect(a.sh, b.sh))) >= 0.6)
+              |SELECT doc_id FROM ne
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -693,6 +693,55 @@ object Incremental {
     } finally sig.unpersist()
   }
 
+  // ── right-to-be-forgotten: id-level deletion across the signature ──
+  //    stores. A takedown/consent-revocation must remove a document's
+  //    SIGNATURES too, or the store keeps suppressing re-ingested or
+  //    similar content on the strength of data the pipeline no longer
+  //    holds — deletion has to change future DECISIONS, not just free
+  //    bytes (q170 pins exactly that: a copy of a forgotten doc is
+  //    re-admitted, a copy of a remembered one still drops). Each
+  //    forget rewrites the store minus the ids and re-derives the
+  //    `_bands` table from the SAME write (both layouts preserved,
+  //    never divergent — validateStore holds after). One bounded
+  //    rewrite per store; at scale, batch forget requests and fold
+  //    them into scheduled compaction, like ANN upserts.
+
+  /** Forget `ids` (an (id) DataFrame) from a [[writeStore]] TEXT
+    * signature store. */
+  def forgetFromStore(spark: SparkSession, ids: DataFrame, table: String,
+                      numBuckets: Int, bands: Int = 32,
+                      rowsPerBand: Int = 2): Unit = {
+    val remaining = spark.table(table)
+      .join(ids.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    writeBoth(remaining, table, numBuckets, bands, rowsPerBand,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    Checkpoints.release(remaining)
+  }
+
+  /** Forget `ids` from a [[writeEmbeddingStore]] store. */
+  def forgetFromEmbeddingStore(spark: SparkSession, ids: DataFrame,
+                               table: String, numBuckets: Int,
+                               bands: Int = 64, bitsPerBand: Int = 16): Unit = {
+    val remaining = spark.table(table)
+      .join(ids.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    writeEmbeddingBoth(remaining, table, numBuckets, bands, bitsPerBand,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    Checkpoints.release(remaining)
+  }
+
+  /** Forget `ids` from a [[writeHashStore]] perceptual store. */
+  def forgetFromHashStore(spark: SparkSession, ids: DataFrame, table: String,
+                          numBuckets: Int, maxHamming: Int = 3): Unit = {
+    val remaining = spark.table(table)
+      .join(ids.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    writeHashBoth(remaining, table, numBuckets, maxHamming,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    Checkpoints.release(remaining)
+  }
+
   /** Rows of `newDf` that survive greedy Hamming dedup against the
     * historical `store` ((id, sh) schema) AND within the batch: drop a
     * batch row within `maxHamming` bits of ANY store signature, or of

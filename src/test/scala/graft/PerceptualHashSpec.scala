@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, Multimodal}
+import graft.sources.Tables
 
 /** Perceptual image hashing (aHash/dHash) + the generalized Hamming
   * near-dup machinery — the image-dedup screen of a multimodal
@@ -229,6 +230,55 @@ class PerceptualHashSpec extends AnyFunSuite {
     } finally
       for (t <- Seq(table, s"${table}_bands"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("forget protocol: ids leave BOTH layouts of every store kind, " +
+       "stores stay valid, and the hash-store decision flips — a " +
+       "re-ingested forgotten signature is admitted") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val tables = Seq("fgt_text", "fgt_emb", "fgt_hash")
+    for (t <- tables; v <- Seq(t, s"${t}_bands"))
+      spark.sql(s"DROP TABLE IF EXISTS $v")
+    try {
+      val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+        .filter($"doc_id" < 60)
+      val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+        .filter($"vec_id" < 60)
+      // text store
+      Incremental.writeStore(docs, "doc_id", "text", "fgt_text", 4)
+      Incremental.forgetFromStore(spark,
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id".as("id")),
+        "fgt_text", 4)
+      assert(Incremental.validateStore(spark, "fgt_text"))
+      // embedding store
+      Incremental.writeEmbeddingStore(emb, "vec_id", "embedding",
+        "fgt_emb", 4)
+      Incremental.forgetFromEmbeddingStore(spark,
+        emb.filter($"vec_id" % 7 === 0).select($"vec_id".as("id")),
+        "fgt_emb", 4)
+      assert(Incremental.validateStore(spark, "fgt_emb", bands = 64))
+      // hash store
+      val hs = Seq(1L -> 100L, 2L -> 200L, 3L -> 300L).toDF("id", "h")
+      Incremental.writeHashStore(hs, "id", col("h"), "fgt_hash", 4, 3)
+      Incremental.forgetFromHashStore(spark, Seq(2L).toDF("id"),
+        "fgt_hash", 4, 3)
+      for (t <- tables; v <- Seq(t, s"${t}_bands")) {
+        val gone = spark.table(v)
+          .filter(if (t == "fgt_hash") $"id" === 2L else $"id" % 7 === 0)
+        assert(gone.isEmpty, s"$v still holds forgotten ids")
+      }
+      // decision flip: a copy of the FORGOTTEN signature (id 2, h=200)
+      // is re-admitted; a copy of a REMEMBERED one (h=300) still drops
+      val batch = Seq(10L -> 200L, 11L -> 300L).toDF("id", "h")
+      val surv = Incremental.dedupHashesAgainst(batch,
+          spark.table("fgt_hash"), "id", col("h"), 3,
+          Some(spark.table("fgt_hash_bands")))
+        .select("id").as[Long].collect().toSet
+      assert(surv == Set(10L), s"got $surv")
+    } finally
+      for (t <- tables; v <- Seq(t, s"${t}_bands"))
+        spark.sql(s"DROP TABLE IF EXISTS $v")
   }
 
   test("hammingDupPairs on an arbitrary hash column equals the naive " +
