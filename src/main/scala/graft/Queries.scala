@@ -6772,7 +6772,57 @@ object Queries {
               |           / (len(a.sh) + len(b.sh)
               |              - len(list_intersect(a.sh, b.sh))) >= 0.6)
               |SELECT doc_id FROM ne
-              |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)))
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)),
+
+    Q("q171_bpe_encode",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // BPE ENCODE at scale — Tokenizer.encode (broadcast merge
+        // table, per-word JVM tokenization in one narrow projection)
+        // gated in-plan against the applyMerges HOF replay, whose
+        // one-nested-expression-per-merge shape is the ground truth
+        // semantics but cannot survive a 32k-merge vocabulary (the
+        // q145 training loop's inference-side twin). Contracts (model
+        // parameters aren't SQL-replayable — the q130 pattern):
+        // (a) encode == the HOF replay token-array-for-token-array
+        //     over the whole corpus (order and content);
+        // (b) lossless: per doc, the concatenated tokens reproduce the
+        //     text minus spaces;
+        // (c) compression: total tokens strictly below total chars —
+        //     the trained merges actually fire.
+        val docs = tbl("documents").select(col("doc_id"), col("text"))
+        val merges = operators.Tokenizer.trainMergesBatched(
+          docs, "text", nMerges = 24, maxBatch = 8)
+        val fast = operators.Tokenizer.encode(docs, "doc_id", "text", merges)
+        val slow = docs.select(col("doc_id"),
+          flatten(transform(
+            filter(split(col("text"), " "), w => length(w) > 0),
+            w => operators.Tokenizer.applyMerges(
+              transform(sequence(lit(1), length(w)),
+                i => w.substr(i, lit(1))), merges))).as("toks"))
+        val eq = fast.withColumnRenamed("toks", "t_fast")
+          .join(slow.withColumnRenamed("toks", "t_slow"), Seq("doc_id"),
+            "full")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("t_fast") === col("t_slow"), lit(0L))
+              .otherwise(lit(1L))).as("n_diff"))
+        val rt = fast.join(docs, Seq("doc_id"))
+          .agg(sum(when(array_join(col("toks"), "") ===
+              regexp_replace(col("text"), " ", ""), lit(0L))
+            .otherwise(lit(1L))).as("n_bad_rt"),
+            sum(size(col("toks"))).as("n_toks"),
+            sum(length(regexp_replace(col("text"), " ", "")))
+              .as("n_chars"))
+        eq.crossJoin(broadcast(rt))
+          .select(
+            Clean.flag(col("n_diff") === 0 && col("n_docs") > 0)
+              .as("encode_eq_hof"),
+            Clean.flag(col("n_bad_rt") === 0).as("roundtrip_lossless"),
+            Clean.flag(col("n_toks") < col("n_chars"))
+              .as("merges_compress"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS encode_eq_hof,
+             |CAST(1 AS BIGINT) AS roundtrip_lossless,
+             |CAST(1 AS BIGINT) AS merges_compress""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -177,4 +177,65 @@ object Tokenizer {
   def trainMergesBatched(docs: DataFrame, textCol: String,
                          nMerges: Int, maxBatch: Int): Seq[(String, String)] =
     trainMergesBatchedWithRounds(docs, textCol, nMerges, maxBatch)._1
+
+  /** BPE ENCODE at vocabulary scale — [[applyMerges]]' production
+    * sibling. The HOF replay builds one nested `aggregate` expression
+    * PER MERGE, so a realistic 32k-merge vocabulary means a 32k-deep
+    * expression tree: catastrophic to analyze, impossible to codegen
+    * (the inference-side twin of the strict trainer's one-scan-per-
+    * merge flaw). This encode broadcasts the merge table once as
+    * MODEL PARAMETERS and tokenizes per word in plain JVM code inside
+    * `mapPartitions` — semantics are BIT-IDENTICAL to [[applyMerges]]
+    * by construction (merges applied in learned order, greedy-leftmost
+    * overlap resolution per merge; spec-asserted on the hand-traced
+    * corpus AND the fixture), the per-word cost is
+    * O(active merges · word) with a symbol-presence skip that makes
+    * inactive merges O(1), and the plan is one narrow projection —
+    * zero shuffle, whole corpus embarrassingly parallel.
+    *
+    * One row per input row: (the id column, toks array<string>). Word
+    * boundaries and the marker-free convention are [[toSymbols]]'. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val table = bc.value
+        val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (w <- text.split(" ") if w.nonEmpty) {
+          var syms = scala.collection.mutable.ArrayBuffer[String](
+            w.map(_.toString): _*)
+          // presence set: a merge whose sides aren't BOTH present in
+          // this word skips in O(1) — stale entries (symbols consumed
+          // by a later merge) only cost a scan, never correctness
+          val present = scala.collection.mutable.HashSet.empty[String]
+          present ++= syms
+          var t = 0
+          while (t < table.length) {
+            val (a, b) = table(t)
+            if (present(a) && present(b) && syms.length >= 2) {
+              // greedy leftmost — applyMerge's fold, imperatively
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              var applied = false
+              while (i < syms.length) {
+                if (out.nonEmpty && out.last == a && syms(i) == b) {
+                  out(out.length - 1) = a + b
+                  applied = true
+                } else out += syms(i)
+                i += 1
+              }
+              if (applied) { syms = out; present += (a + b) }
+            }
+            t += 1
+          }
+          toks ++= syms
+        }
+        (id, toks.toSeq)
+      }
+      .toDF(idCol, "toks")
+  }
 }

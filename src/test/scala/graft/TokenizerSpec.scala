@@ -79,6 +79,43 @@ class TokenizerSpec extends AnyFunSuite {
     assert(rounds == 2)
   }
 
+  test("encode: bit-identical to the applyMerges HOF on the hand-traced " +
+       "corpus and the fixture; chained-symbol merges gate correctly; " +
+       "a vocabulary-scale table runs where the HOF cannot") {
+    import spark.implicits._
+    // hand-traced corpus + the chained case: ("a","b") creates "ab",
+    // which ("ab","c") must then see through the presence gate
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "abc cab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("ab", "c"))
+    val fast = Tokenizer.encode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(fast(1L) == List("aaab", "aaab", "ab"))
+    assert(fast(2L) == List("abc", "c", "ab"))
+    assert(fast(3L) == Nil)
+    // fixture equivalence vs the HOF replay, trained merges
+    val fix = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val trained = Tokenizer.trainMergesBatched(fix, "text", 12, maxBatch = 6)
+    val f2 = Tokenizer.encode(fix, "doc_id", "text", trained)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val hof = fix.select(col("doc_id"),
+        flatten(transform(
+          filter(split(col("text"), " "), w => length(w) > 0),
+          w => Tokenizer.applyMerges(
+            transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+            trained))).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(f2 == hof)
+    // vocabulary scale: a 2000-merge table encodes instantly through
+    // the broadcast path (the HOF would plan a 2000-deep expression);
+    // unused merges cost O(1) via the presence gate
+    val big = trained ++ (1 to 2000).map(i => (s"<$i>", s"<$i>'"))
+    val f3 = Tokenizer.encode(fix, "doc_id", "text", big)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(f3 == hof) // inert merges change nothing
+  }
+
   test("applyMerge: greedy leftmost on overlap runs; no cross-word state") {
     import spark.implicits._
     val sym = Seq(Seq("a", "a", "a"), Seq("b", "a", "a"), Seq("a"))
