@@ -6833,7 +6833,109 @@ object Queries {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS encode_eq_hof,
              |CAST(1 AS BIGINT) AS roundtrip_lossless,
-             |CAST(1 AS BIGINT) AS merges_compress""".stripMargin)))
+             |CAST(1 AS BIGINT) AS merges_compress""".stripMargin)),
+
+    Q("q172_doremi_reweight",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // DoReMi domain reweighting (Xie et al. 2023): one Group-DRO
+        // multiplicative-weights update over the source mixture, with
+        // excess loss = ln(unigram ppl) − ln(bigram ppl) per doc — the
+        // weaker model as the proxy-in-training, the stronger as the
+        // reference, so the excess is exactly the paper's learnability
+        // headroom, built entirely from the q105/q107 LM machinery.
+        // The oracle retrains BOTH LMs in SQL, replays the
+        // token-weighted domain excess, the exponentiated update from
+        // the baseline token shares, and the uniform smoothing
+        // (η=1, c=0.125 — both exact binary doubles), so a wrong
+        // domain loss, a doc-count-weighted (instead of token-
+        // weighted) mean, a missed clamp at 0, or a smoothing term
+        // against the wrong normalizer all hash-fail.
+        implicit val ss = s
+        val docs = tbl("documents")
+        val uni = operators.Quality.perplexityBuckets(docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
+        val bi = operators.Quality.bigramPerplexityBuckets(
+            docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
+        val perDoc = docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .join(uni, Seq("doc_id")).join(bi, Seq("doc_id"))
+        Selection.doremiWeights(perDoc, "source",
+          log(col("ppl_u")), log(col("ppl_b")), col("n_tok"),
+          eta = 1.0, smoothing = 0.125)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+             |v AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+             |tot AS (SELECT sum(c1) AS total FROM v),
+             |su AS (SELECT doc_id, round(exp(-avg(ln(c1 / total))), 6) AS ppl_u
+             |  FROM tok JOIN v USING (tok), tot GROUP BY doc_id),
+             |bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+             |        FROM t)),
+             |b2 AS (SELECT prev, cur, count(*) AS c2 FROM bg
+             |       GROUP BY prev, cur),
+             |cx AS (SELECT prev, sum(c2) AS cctx FROM b2 GROUP BY prev),
+             |s2 AS (SELECT bg.doc_id,
+             |    sum(-ln(0.75 * (c2 / cctx) + 0.25 * (c1 / total))) AS s2,
+             |    count(*) AS n2
+             |  FROM bg JOIN b2 USING (prev, cur) JOIN cx USING (prev)
+             |    JOIN v ON v.tok = bg.cur, tot
+             |  GROUP BY bg.doc_id),
+             |s1 AS (SELECT f.doc_id, -ln(c1 / total) AS s1
+             |  FROM (SELECT doc_id, w[1] AS tok FROM t) f
+             |    JOIN v USING (tok), tot),
+             |sb AS (SELECT s1.doc_id,
+             |    round(exp((s1.s1 + coalesce(s2.s2, 0)) /
+             |              (1 + coalesce(s2.n2, 0))), 6) AS ppl_b
+             |  FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id),
+             |pd AS (SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
+             |    ln(su.ppl_u) - ln(sb.ppl_b) AS ex
+             |  FROM documents d JOIN su USING (doc_id)
+             |    JOIN sb USING (doc_id)),
+             |g AS (SELECT source, sum(n_tok) AS n_toks,
+             |    sum(n_tok * ex) AS ex_sum FROM pd GROUP BY source),
+             |k AS (SELECT count(*) AS k FROM g),
+             |tt AS (SELECT sum(n_toks) AS tt FROM g),
+             |e AS (SELECT source, n_toks, n_toks / tt AS alpha,
+             |    greatest(0.0, ex_sum / n_toks) AS excess FROM g, tt),
+             |up AS (SELECT source, n_toks, alpha, excess,
+             |    alpha * exp(1.0 * excess) AS upd FROM e),
+             |sm AS (SELECT sum(upd) AS sup FROM up)
+             |SELECT source, CAST(n_toks AS BIGINT) AS n_toks,
+             |  round(alpha, 6) AS alpha, round(excess, 6) AS excess,
+             |  round(0.875 * (upd / sup) + 0.125 / k, 6) AS weight
+             |FROM up, sm, k""".stripMargin)),
+
+    Q("q173_softdedup_weights",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // SoftDedup (He et al. 2024): duplicate DOWNWEIGHTING instead
+        // of removal — every doc keeps a sampling weight
+        // (c_min/commonness)^0.5, commonness = mean document frequency
+        // of its distinct 3-shingles. The oracle recomputes every
+        // shingle's df over the raw strings (the Spark side ships
+        // 8-byte xxhash64 ids — the q23 inverted-index w.h.p.
+        // argument) and replays the exact-integer-ratio commonness,
+        // the global min, and the sqrt weight, so a df off by one, a
+        // mean over the wrong grain, or a normalizer from the wrong
+        // corpus slice all hash-fail.
+        Dedup.softDedupWeights(tbl("documents"), "doc_id", "text",
+            shingleLen = 3, beta = 0.5)
+          .select(col("id").as("doc_id"), col("n_shingles"),
+            col("commonness"), col("weight"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+             |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+             |df AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+             |c AS (SELECT doc_id, count(*) AS n_shingles,
+             |    sum(df) / count(*) AS commonness
+             |  FROM e JOIN df USING (s) GROUP BY doc_id),
+             |m AS (SELECT min(commonness) AS c_min FROM c)
+             |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             |  round(commonness, 6) AS commonness,
+             |  round(sqrt(c_min / commonness), 6) AS weight
+             |FROM c, m""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -63,6 +63,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SoftDedup-style duplicate DOWNWEIGHTING (He et al. 2024,
+    * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    * Language Model Pre-training", arXiv:2401.04044): instead of
+    * DROPPING near-duplicates (the [[jaccardPairs]]→
+    * [[connectedComponents]]→keep-one pipeline), keep every row and
+    * emit a training-sampling weight that decays with the document's
+    * "commonness" — here the mean document frequency of its distinct
+    * `shingleLen`-gram shingles (the paper's n-gram commonness measure
+    * at shingle grain). A doc built from corpus-unique text scores
+    * commonness ≈ 1 and weight 1; a doc whose every shingle appears in
+    * c documents scores commonness ≈ c and weight (c_min/c)^beta —
+    * duplicated mass is downweighted smoothly rather than cliff-edge
+    * removed, which the paper shows preserves distributional coverage
+    * that hard dedup destroys. beta = 0.5 routes through `sqrt`
+    * (correctly-rounded IEEE — exact cross-engine parity, the
+    * [[Sampling.temperatureMixture]] alpha argument).
+    *
+    * Scale shape — the [[jaccardPairs]] inverted-index discipline:
+    * shingles hash to 8-byte ids BEFORE any shuffle (distinct strings
+    * stay distinct w.h.p., so document frequencies are unchanged —
+    * the |A∩B| argument), df is one map-side-combined hash-grain
+    * aggregate, the join back to postings is hash-grain, and the
+    * doc-grain mean is the only doc-keyed exchange. The global
+    * minimum commonness rides a broadcast-1-row gate — the corpus is
+    * never reshuffled to be normalized. Determinism: commonness is a
+    * ratio of exact integer sums (sum(df)/n_shingles — exact IEEE on
+    * every engine), min over exact doubles is exact, and sqrt of the
+    * exact ratio is correctly rounded — the weight replays
+    * bit-identically cross-engine before the 1e-6 rounding. */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 3, beta: Double = 0.5): DataFrame = {
+    require(beta > 0, "beta must be positive")
+    val sh = docs.select(col(idCol).as("id"),
+        explode(Text.shingles(lower(col(textCol)), shingleLen)).as("sh_s"))
+      .select(col("id"), xxhash64(col("sh_s")).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val commonness = sh.join(df, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        (sum(col("df")).cast("double") / count(lit(1))).as("commonness"))
+    val cmin = commonness.agg(min(col("commonness")).as("c_min"))
+    val w = if (beta == 0.5) sqrt(col("c_min") / col("commonness"))
+            else pow(col("c_min") / col("commonness"), lit(beta))
+    commonness.crossJoin(broadcast(cmin))
+      .select(col("id"), col("n_shingles"),
+        round(col("commonness"), 6).as("commonness"),
+        round(w, 6).as("weight"))
+  }
+
   /** MinHash signature: `numHashes` hash families; sig[i] = min over
     * shingles. Native one-pass expression (graft.plans.MinHashSig) —
     * the HOF formulation (transform × aggregate) re-evaluates the

@@ -301,4 +301,56 @@ object Selection {
       .select(col(groupCol), col("group_tokens"), col("cap"),
         col("alloc"), col("epochs"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * one Group-DRO multiplicative-weights update over the domain
+    * mixture. Per domain g, the token-weighted mean EXCESS loss
+    * λ_g = max(0, Σ_d tok_d·(ℓ_proxy,d − ℓ_ref,d) / Σ_d tok_d) —
+    * how much headroom the reference model shows over the proxy —
+    * drives the exponentiated update α'_g ∝ α_g·exp(η·λ_g) from the
+    * baseline token shares α_g, then the uniform smoothing the paper
+    * uses to keep every domain alive:
+    * w_g = (1−c)·α'_g/Σα' + c/|G|. Domains where the stronger model
+    * wins big (most learnable) get upweighted; already-saturated
+    * domains decay toward the smoothed floor. DoReMi iterates this
+    * while the proxy trains; with FIXED loss columns the T-step
+    * composition is a single step at η·T, so one update is the
+    * complete offline form.
+    *
+    * Scale shape: the corpus collapses to |domains| rows in ONE
+    * map-side-combined aggregate (doc grain in, group grain out);
+    * the normalizers are windows over that bounded |G|-row set — the
+    * [[Sampling.temperatureMixture]] single-task-window discipline,
+    * bounded by design, not data. No corpus shuffle, no collect.
+    * Determinism: α is a ratio of exact integer sums; the excess sum
+    * is a float aggregate whose cross-engine/order error (~1e-12) sits
+    * orders below the 1e-6 rounding grid; `1−c` and `η` should be
+    * exact binary doubles (0.125, 1.0) so both engines of a replay
+    * compute identical interpolands — the
+    * [[Quality.bigramPerplexityBuckets]] 1−0.8-trap argument. */
+  def doremiWeights(perDoc: DataFrame, groupCol: String,
+                    proxyLossCol: Column, refLossCol: Column,
+                    tokCol: Column, eta: Double,
+                    smoothing: Double): DataFrame = {
+    require(eta > 0, "eta must be positive")
+    require(smoothing >= 0 && smoothing < 1, "smoothing must be in [0, 1)")
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDoc.groupBy(col(groupCol))
+      .agg(sum(tokCol.cast("long")).as("n_toks"),
+        sum(tokCol.cast("double") * (proxyLossCol - refLossCol))
+          .as("__ex_sum"))
+      .withColumn("alpha",
+        col("n_toks").cast("double") / sum(col("n_toks")).over(all))
+      .withColumn("excess", greatest(lit(0.0),
+        col("__ex_sum") / col("n_toks").cast("double")))
+      .withColumn("__upd", col("alpha") * exp(lit(eta) * col("excess")))
+      .withColumn("weight", round(
+        lit(1.0 - smoothing) * (col("__upd") / sum(col("__upd")).over(all)) +
+          lit(smoothing) / count(lit(1)).over(all), 6))
+      .select(col(groupCol), col("n_toks"),
+        round(col("alpha"), 6).as("alpha"),
+        round(col("excess"), 6).as("excess"), col("weight"))
+  }
 }

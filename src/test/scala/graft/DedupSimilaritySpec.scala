@@ -708,4 +708,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
+
+  test("softDedupWeights: hand df arithmetic, unique doc anchors weight 1") {
+    // A is corpus-unique (every shingle df=1); B and C are identical
+    // (every shingle df=2): commonness 2, weight sqrt(1/2)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four"),
+      (3L, "one two three four")
+    ).toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 1.0, 1.0)))
+    assert(got(2L) == ((2L, 2.0, math.rint(math.sqrt(0.5) * 1e6) / 1e6)))
+    assert(got(3L) == got(2L), "identical docs weigh identically")
+  }
+
+  test("softDedupWeights: fixture properties — distribution shape, " +
+       "beta composes as a power") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val half = Dedup.softDedupWeights(docs, "doc_id", "text", beta = 0.5)
+    assert(half.count() == docs.count(), "soft dedup DROPS nothing")
+    val agg = half.agg(min("weight"), max("weight"), min("commonness"))
+      .collect().head
+    assert(agg.getDouble(0) > 0.0 && agg.getDouble(1) <= 1.0)
+    assert(agg.getDouble(1) == 1.0,
+      "the least-common doc anchors the weight scale at 1")
+    assert(agg.getDouble(2) >= 1.0, "df is at least 1 for every shingle")
+    // commonness-monotone: the most common doc carries the least weight
+    val byC = half.orderBy(col("commonness").desc, col("id")).limit(1)
+      .collect().head
+    val minW = half.agg(min("weight")).collect().head.getDouble(0)
+    assert(byC.getAs[Double]("weight") == minW)
+    // beta = 1 is the square of beta = 0.5 (pre-rounding identity)
+    val one = Dedup.softDedupWeights(docs, "doc_id", "text", beta = 1.0)
+      .withColumnRenamed("weight", "w1").select("id", "w1")
+    val joined = half.join(one, Seq("id"))
+      .select(abs(col("w1") - col("weight") * col("weight")).as("d"))
+      .agg(max("d")).collect().head.getDouble(0)
+    assert(joined < 2e-6, s"w(1) == w(0.5)^2 up to rounding, got $joined")
+  }
 }

@@ -290,4 +290,52 @@ class SelectionSpec extends AnyFunSuite {
       size(split(col("text_clean"), " ")).cast("long") =!= col("n_tok_clean"))
     assert(mismatch.isEmpty, "text_clean must carry exactly n_tok_clean tokens")
   }
+
+  test("doremiWeights: hand-computed Group-DRO update, clamp, smoothing floor") {
+    import spark.implicits._
+    // domain a: one 10-token doc with excess 1.0; domain b: one 30-token
+    // doc with zero excess; domain c: proxy BELOW ref — must clamp to 0
+    val perDoc = Seq(
+      ("a", 2.0, 1.0, 10L),
+      ("b", 1.5, 1.5, 30L),
+      ("c", 1.0, 3.0, 20L)
+    ).toDF("src", "proxy", "ref", "n_tok")
+    val got = Selection.doremiWeights(perDoc, "src",
+        col("proxy"), col("ref"), col("n_tok"), eta = 1.0, smoothing = 0.125)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val aA = 10.0 / 60; val aB = 30.0 / 60; val aC = 20.0 / 60
+    val uA = aA * math.exp(1.0); val uB = aB; val uC = aC
+    val sum = uA + uB + uC
+    def w(u: Double) = math.rint((0.875 * (u / sum) + 0.125 / 3) * 1e6) / 1e6
+    assert(got("a") == ((10L, math.rint(aA * 1e6) / 1e6, 1.0, w(uA))))
+    assert(got("b")._3 == 0.0 && got("b")._4 == w(uB))
+    assert(got("c")._3 == 0.0, "negative excess must clamp to zero")
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-5,
+      "weights form a distribution")
+    assert(got.values.forall(_._4 >= 0.125 / 3 - 1e-9),
+      "smoothing keeps every domain above the uniform floor c/|G|")
+    assert(got("a")._4 / got("a")._2 > got("b")._4 / got("b")._2,
+      "high-excess domain upweights relative to its baseline share")
+  }
+
+  test("doremiWeights: smoothing=0 is the pure exponentiated update; " +
+       "fixed-loss T-step composition = one step at eta*T") {
+    import spark.implicits._
+    val perDoc = Seq(("a", 2.0, 1.0, 10L), ("b", 1.5, 1.5, 30L))
+      .toDF("src", "proxy", "ref", "n_tok")
+    val pure = Selection.doremiWeights(perDoc, "src",
+        col("proxy"), col("ref"), col("n_tok"), eta = 1.0, smoothing = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val aA = 0.25 * math.exp(1.0)
+    assert(pure("a") == math.rint(aA / (aA + 0.75) * 1e6) / 1e6)
+    // three fixed-loss steps compound to eta*3 (the scaladoc contract):
+    // alpha * exp(3*excess) arises equally from one eta=3 update
+    val three = Selection.doremiWeights(perDoc, "src",
+        col("proxy"), col("ref"), col("n_tok"), eta = 3.0, smoothing = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val a3 = 0.25 * math.exp(3.0)
+    assert(three("a") == math.rint(a3 / (a3 + 0.75) * 1e6) / 1e6)
+    assert(three("a") > pure("a"), "longer horizon sharpens toward learnable domains")
+  }
 }
