@@ -6935,7 +6935,127 @@ object Queries {
              |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
              |  round(commonness, 6) AS commonness,
              |  round(sqrt(c_min / commonness), 6) AS weight
-             |FROM c, m""".stripMargin)))
+             |FROM c, m""".stripMargin)),
+
+    Q("q174_dup_provenance",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // cross-source duplication provenance: q23's near-dup pairs
+        // rolled up to one row per unordered source pair — diagonal =
+        // internal redundancy, off-diagonal = cross-source
+        // contamination (the overlap accounting of Lee et al. ACL
+        // 2022, at source grain). The oracle recomputes the exact
+        // Jaccard pair set AND the source canonicalization, so a
+        // missed pair, a swapped lo/hi, or a diagonal row counted
+        // twice all hash-fail.
+        Dedup.dupProvenance(tbl("documents"), "doc_id", "text",
+          "source", threshold = 0.6, shingleLen = 3)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+             |        len(a.sh) + len(b.sh) AS tot
+             |      FROM t a JOIN t b ON a.doc_id < b.doc_id),
+             |j AS (SELECT id_a, id_b,
+             |    round(inter / (tot - inter), 6) AS jaccard
+             |  FROM p WHERE inter / (tot - inter) >= 0.6),
+             |e AS (SELECT least(da.source, db.source) AS src_lo,
+             |    greatest(da.source, db.source) AS src_hi, jaccard
+             |  FROM j JOIN documents da ON da.doc_id = j.id_a
+             |    JOIN documents db ON db.doc_id = j.id_b)
+             |SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round(avg(jaccard), 6) AS mean_jaccard
+             |FROM e GROUP BY src_lo, src_hi""".stripMargin)),
+
+    Q("q175_doremi_mixture",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the q163 composition discipline applied to mixture
+        // OPTIMIZATION: q172's DoReMi weights drive an actual corpus
+        // materialization through Sampling.mixtureByWeights — rates
+        // min(1, 0.5·w_g/p_g) against the corpus's own row shares,
+        // gated by the deterministic content coin. ONE oracle replays
+        // the whole chain (both LMs → domain excess → weights → row
+        // shares → rates → coin), pinning the stage coupling the
+        // per-stage oracles (q172, q82) cannot see: the weights that
+        // sample are exactly the weights that were optimized.
+        implicit val ss = s
+        val docs = tbl("documents")
+        val uni = operators.Quality.perplexityBuckets(docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
+        val bi = operators.Quality.bigramPerplexityBuckets(
+            docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
+        val perDoc = docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .join(uni, Seq("doc_id")).join(bi, Seq("doc_id"))
+        val weights = Selection.doremiWeights(perDoc, "source",
+            log(col("ppl_u")), log(col("ppl_b")), col("n_tok"),
+            eta = 1.0, smoothing = 0.125)
+          .select(col("source"), col("weight"))
+        operators.Sampling.mixtureByWeights(
+            docs.select(col("doc_id"), col("source")),
+            "doc_id", "source", weights, "weight", targetFrac = 0.5)
+          .select(col("doc_id"), col("source"))
+      },
+      Some {
+        val uTerms = (0 until 6).map { i =>
+          val dig = s"ascii(substr(h, ${i + 1}, 1))"
+          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+        }.mkString("\n    + ")
+        s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           |  FROM documents),
+           |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+           |v AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+           |tot AS (SELECT sum(c1) AS total FROM v),
+           |su AS (SELECT doc_id, round(exp(-avg(ln(c1 / total))), 6) AS ppl_u
+           |  FROM tok JOIN v USING (tok), tot GROUP BY doc_id),
+           |bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+           |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+           |        FROM t)),
+           |b2 AS (SELECT prev, cur, count(*) AS c2 FROM bg
+           |       GROUP BY prev, cur),
+           |cx AS (SELECT prev, sum(c2) AS cctx FROM b2 GROUP BY prev),
+           |s2 AS (SELECT bg.doc_id,
+           |    sum(-ln(0.75 * (c2 / cctx) + 0.25 * (c1 / total))) AS s2,
+           |    count(*) AS n2
+           |  FROM bg JOIN b2 USING (prev, cur) JOIN cx USING (prev)
+           |    JOIN v ON v.tok = bg.cur, tot
+           |  GROUP BY bg.doc_id),
+           |s1 AS (SELECT f.doc_id, -ln(c1 / total) AS s1
+           |  FROM (SELECT doc_id, w[1] AS tok FROM t) f
+           |    JOIN v USING (tok), tot),
+           |sb AS (SELECT s1.doc_id,
+           |    round(exp((s1.s1 + coalesce(s2.s2, 0)) /
+           |              (1 + coalesce(s2.n2, 0))), 6) AS ppl_b
+           |  FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id),
+           |pd AS (SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
+           |    ln(su.ppl_u) - ln(sb.ppl_b) AS ex
+           |  FROM documents d JOIN su USING (doc_id)
+           |    JOIN sb USING (doc_id)),
+           |g AS (SELECT source, sum(n_tok) AS n_toks,
+           |    sum(n_tok * ex) AS ex_sum FROM pd GROUP BY source),
+           |k AS (SELECT count(*) AS k FROM g),
+           |tt AS (SELECT sum(n_toks) AS tt FROM g),
+           |e AS (SELECT source, n_toks, n_toks / tt AS alpha,
+           |    greatest(0.0, ex_sum / n_toks) AS excess FROM g, tt),
+           |up AS (SELECT source, alpha * exp(1.0 * excess) AS upd FROM e),
+           |sm AS (SELECT sum(upd) AS sup FROM up),
+           |wt AS (SELECT source,
+           |    round(0.875 * (upd / sup) + 0.125 / k, 6) AS weight
+           |  FROM up, sm, k),
+           |c2r AS (SELECT source, count(*) AS m_g FROM documents
+           |        GROUP BY source),
+           |t2 AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM documents),
+           |r AS (SELECT source,
+           |    least(1.0, 0.5 * weight / (m_g / m)) AS rate_g
+           |  FROM wt JOIN c2r USING (source), t2),
+           |uu AS (SELECT doc_id, source,
+           |    md5(doc_id::VARCHAR || ':wmix') AS h FROM documents),
+           |vv AS (SELECT doc_id, source,
+           |  CAST($uTerms AS DOUBLE) / 16777216.0 AS u
+           |  FROM uu)
+           |SELECT vv.doc_id, vv.source FROM vv JOIN r USING (source)
+           |WHERE vv.u < r.rate_g""".stripMargin
+      }))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

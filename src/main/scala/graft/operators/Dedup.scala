@@ -63,6 +63,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-source duplication PROVENANCE matrix — the curation
+    * accounting table behind "which sources should be deduplicated
+    * against which": near-dup pairs from [[jaccardPairs]] roll up to
+    * one row per unordered source pair, diagonal included (src_lo ==
+    * src_hi measures a source's INTERNAL redundancy; off-diagonal
+    * entries are cross-source contamination — the per-corpus overlap
+    * tables of the dedup literature, e.g. Lee et al. ACL 2022's
+    * cross-validation-split leakage accounting, at source grain).
+    *
+    * Scale shape: the pair set is the SMALL side everywhere — the
+    * id→group projection is corpus-sized but the two enrichment joins
+    * key pair-grain rows against it (sort-merge on id, or broadcast of
+    * the pair side once AQE sees its size); the matrix aggregate is
+    * bounded by |sources|² rows, not data. Determinism: jaccard is
+    * already rounded by [[jaccardPairs]]; the mean re-rounds after an
+    * exact-count division (float-sum order error ~1e-15, orders under
+    * the grid). */
+  def dupProvenance(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, threshold: Double,
+                    shingleLen: Int = 3): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, threshold, shingleLen)
+    val grp = docs.select(col(idCol), col(groupCol))
+    pairs
+      .join(grp.select(col(idCol).as("id_a"), col(groupCol).as("__ga")),
+        Seq("id_a"))
+      .join(grp.select(col(idCol).as("id_b"), col(groupCol).as("__gb")),
+        Seq("id_b"))
+      .select(least(col("__ga"), col("__gb")).as("src_lo"),
+        greatest(col("__ga"), col("__gb")).as("src_hi"), col("jaccard"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("mean_jaccard"))
+  }
+
   /** SoftDedup-style duplicate DOWNWEIGHTING (He et al. 2024,
     * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
     * Language Model Pre-training", arXiv:2401.04044): instead of

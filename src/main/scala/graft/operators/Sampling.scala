@@ -159,6 +159,43 @@ object Sampling {
       .drop("rate_g")
   }
 
+  /** Mixture materialization from an EXPLICIT weight distribution —
+    * the apply step that turns optimized domain weights (e.g.
+    * [[Selection.doremiWeights]]) into an actual corpus:
+    * per-group rates r_g = min(1, targetFrac·w_g/p_g) against the
+    * corpus's OWN row shares p_g, gated by the deterministic content
+    * coin. [[temperatureMixture]] is the special case w ∝ p^alpha;
+    * this is the general form every published mixture card reduces to
+    * once its weights are decided.
+    *
+    * Same no-corpus-shuffle shape as [[temperatureMixture]]: a
+    * |groups|-row count aggregate meets the broadcast weight table
+    * (|groups| rows — model parameters, never data), rates broadcast
+    * back onto the scan, the gate is a narrow filter. Determinism:
+    * p_g is a ratio of exact integer counts, the supplied weights
+    * should be pre-rounded (doremiWeights' are), and the coin
+    * comparison replays exactly — boundary landings against the
+    * 16^-6 grid are measure-zero. */
+  def mixtureByWeights(docs: DataFrame, idCol: String, groupCol: String,
+                       weights: DataFrame, weightCol: String,
+                       targetFrac: Double,
+                       salt: String = ":wmix"): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .withColumn("p_g",
+        col("n_g") / sum(col("n_g")).over(all).cast("double"))
+      .join(weights.select(col(groupCol), col(weightCol).as("__w")),
+        Seq(groupCol))
+      .withColumn("rate_g",
+        least(lit(1.0), lit(targetFrac) * col("__w") / col("p_g")))
+      .select(col(groupCol), col("rate_g"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(hashUniform(col(idCol), salt) < col("rate_g"))
+      .drop("rate_g")
+  }
+
   /** Repetition-factor UPSAMPLING — the other half of mixture assembly
     * ([[temperatureMixture]] clamps rates at 1): each row of group g is
     * materialized `rate_g = targetFactor·q_g/p_g` times in expectation,

@@ -709,6 +709,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("dupProvenance: hand matrix — diagonal redundancy, cross contamination") {
+    // s1: A1~A2 internal pair (j=0.75); s2's B1 duplicates BOTH s1 docs
+    // (j=1.0 with A1, 0.75 with A2); C is unrelated noise
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),
+      (2L, "a b c d e f", "s1"),
+      (3L, "a b c d e", "s2"),
+      (4L, "x y z w q", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.dupProvenance(docs, "doc_id", "text", "source",
+        threshold = 0.6).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("s1", "s1") -> ((1L, 0.75)),
+      ("s1", "s2") -> ((2L, 0.875))),
+      s"unexpected matrix: $got")
+  }
+
   test("softDedupWeights: hand df arithmetic, unique doc anchors weight 1") {
     // A is corpus-unique (every shingle df=1); B and C are identical
     // (every shingle df=2): commonness 2, weight sqrt(1/2)

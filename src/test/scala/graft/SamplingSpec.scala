@@ -437,4 +437,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(bucketedWaste < obliviousWaste,
       s"bucketed $bucketedWaste vs oblivious $obliviousWaste")
   }
+
+  test("mixtureByWeights: rate arithmetic, clamp, determinism, " +
+       "partitioning invariance") {
+    import spark.implicits._
+    // group a: 400 rows, b: 100 rows; equal target weights 0.5/0.5 at
+    // targetFrac 0.5 → rate_a = 0.5*0.5/0.8 = 0.3125, rate_b clamps at 1
+    val docs = (1 to 500).map(i =>
+      (i.toLong, if (i <= 400) "a" else "b")).toDF("doc_id", "grp")
+    val w = Seq(("a", 0.5), ("b", 0.5)).toDF("grp", "weight")
+    val got = Sampling.mixtureByWeights(docs, "doc_id", "grp",
+      w, "weight", targetFrac = 0.5)
+    val byG = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("b") == 100L, "rate above 1 clamps — the whole group survives")
+    assert(byG("a") > 80 && byG("a") < 170,
+      s"group a should keep ~31%, got ${byG("a")}")
+    // deterministic and layout-invariant: same survivor set on a
+    // different partitioning
+    val again = Sampling.mixtureByWeights(docs.repartition(13), "doc_id",
+        "grp", w, "weight", targetFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // weight-monotone: doubling a group's weight can only grow its kept set
+    val w2 = Seq(("a", 1.0), ("b", 0.5)).toDF("grp", "weight")
+    val grown = Sampling.mixtureByWeights(docs, "doc_id", "grp",
+        w2, "weight", targetFrac = 0.5)
+      .filter(col("grp") === "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = got.filter(col("grp") === "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(base.subsetOf(grown) && grown.size > base.size,
+      "higher weight ⇒ superset at a higher rate (same coin, higher bar)")
+  }
 }
