@@ -7055,6 +7055,79 @@ object Queries {
            |  FROM uu)
            |SELECT vv.doc_id, vv.source FROM vv JOIN r USING (source)
            |WHERE vv.u < r.rate_g""".stripMargin
+      }),
+
+    Q("q176_streaming_decontam",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STREAMING bloom decontamination: the frozen-benchmark screen
+        // applied at ingestion time — q122's bitmap is built ONCE from
+        // the static eval set (model parameters, not stream state),
+        // then each arriving micro-batch is screened by the narrow
+        // bit-probe and only clean docs are emitted. Stateless per
+        // batch, so the emitted set is exactly the batch screen: the
+        // oracle rebuilds the identical bit set in SQL and replays
+        // every verdict (false positives included — a clean doc
+        // wrongly held back by a bloom FP must be held back in the
+        // oracle too), and the batch column pins the file→micro-batch
+        // order (mtime-pinned, maxFilesPerTrigger=1 — the q68 fixture
+        // discipline).
+        import java.nio.file.Files
+        val docs = tbl("documents").select(col("doc_id"), col("text"))
+        val evalSh = docs.filter(col("doc_id") % 7 === 0)
+          .select(explode(graft.plans.exprs.wordShingles(
+            lower(col("text")), 8)).as("ng")).distinct()
+        val mBits = 1 << 20
+        val bitmap = operators.Bloom.buildBitmap(evalSh, "ng", mBits,
+          kHashes = 6)
+        val train = docs.filter(col("doc_id") % 7 =!= 0)
+        val dir = tempStagingDir("graft_q176_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        stageStreamFile(train.filter(col("doc_id") % 2 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(train.filter(col("doc_id") % 2 =!= 0), src,
+          "batch_b", now - 60000)
+        val sink: (DataFrame, Long) => Unit = (batch, batchId) =>
+          operators.Bloom.screen(batch, "doc_id", "text",
+              bitmap, mBits, kHashes = 6, shingleLen = 8)
+            .filter(col("bloom_hit") === 0L)
+            .select(col("doc_id"), lit(batchId).as("batch"))
+            .write.mode("overwrite").parquet(s"$out/batch_$batchId")
+        val query = s.readStream.schema(train.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$out/*").select(col("doc_id"), col("batch"))
+      },
+      Some {
+        val sh8 =
+          """list_distinct(CASE WHEN len(t) < 8 THEN t
+            |  ELSE list_transform(range(1, len(t) - 6),
+            |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+            |                        t[i+4], t[i+5], t[i+6], t[i+7])) END)""".stripMargin
+        val evalPos = (0 until 6).map { sd =>
+          s"""SELECT (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM e"""
+        }.mkString("\n  UNION ")
+        val trainPos = (0 until 6).map { sd =>
+          s"""SELECT doc_id, ng, $sd AS s,
+             |  (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM tn""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH w AS (SELECT doc_id, $sh8 AS sh
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+           |        FROM documents)),
+           |e AS (SELECT DISTINCT unnest(sh) AS ng FROM w WHERE doc_id % 7 = 0),
+           |tn AS (SELECT doc_id, unnest(sh) AS ng FROM w WHERE doc_id % 7 <> 0),
+           |bits AS ($evalPos),
+           |tp AS ($trainPos),
+           |hit AS (SELECT doc_id FROM tp JOIN bits USING (pos)
+           |        GROUP BY doc_id, ng HAVING count(*) = 6)
+           |SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS batch
+           |FROM w WHERE doc_id % 7 <> 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin
       }))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
