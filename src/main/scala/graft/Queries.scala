@@ -7128,6 +7128,44 @@ object Queries {
            |SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS batch
            |FROM w WHERE doc_id % 7 <> 0
            |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin
+      }),
+
+    Q("q177_kcenter_coreset",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // greedy k-center coreset (Gonzalez farthest-first traversal;
+        // Sener & Savarese ICLR 2018): the 5 maximally-spread
+        // embeddings — diverse-subset extraction for eval-set/
+        // prototype construction. Distances round at 6 BEFORE the
+        // min/argmax with id tie-breaks, so the whole greedy
+        // trajectory is deterministic and the oracle replays it as 5
+        // unrolled farthest-point rounds — a wrong seed, a distance
+        // against a stale center set, or an argmax tie broken by
+        // anything but id all hash-fail.
+        Similarity.kCenterSelect(tbl("embeddings"), "vec_id", "embedding",
+          k = 5)
+      },
+      Some {
+        def dist(a: String, b: String) =
+          s"round(list_sum(list_transform(range(1, len($a.v) + 1), " +
+            s"i -> ($a.v[i] - $b.v[i]) * ($a.v[i] - $b.v[i]))), 6)"
+        val rounds = (2 to 5).map { r =>
+          s"""d$r AS (SELECT a.vec_id, a.v, least(a.d, ${dist("a", "b")}) AS d
+             |  FROM d${r - 1} a, c${r - 1} b),
+             |c$r AS (SELECT vec_id, v, d FROM d$r
+             |        ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val sel = (2 to 5).map(r =>
+          s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, d FROM c$r")
+          .mkString("\n")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |c1 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
+           |d1 AS (SELECT a.vec_id, a.v, ${dist("a", "b")} AS d
+           |       FROM v a, c1 b),
+           |$rounds
+           |SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+           |  CAST(NULL AS DOUBLE) AS cover_d FROM c1
+           |$sel""".stripMargin
       }))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]

@@ -528,4 +528,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rnk").cast("long").as("rnk"), col("adc"))
   }
+
+  /** Greedy k-center CORESET selection (Sener & Savarese ICLR 2018,
+    * "Active Learning for Convolutional Neural Networks: A Core-Set
+    * Approach" — the Gonzalez 1985 farthest-first traversal): pick the
+    * `k` embeddings that 2-approximate the optimal cover radius —
+    * seed at the smallest id, then repeatedly take the point FARTHEST
+    * from every center chosen so far. The diverse-subset-selection
+    * step of corpus curation: where [[Dedup.semanticDedup]] removes
+    * redundancy, this EXTRACTS the maximally-spread representatives
+    * (eval-set construction, prototype picking, annotation budgets).
+    *
+    * Scale shape: round r is ONE narrow projection (r codegen'd sq-L2
+    * kernels against plan-literal centers — Σr = k²/2 kernel evals
+    * per row over the run) feeding ONE TakeOrderedAndProject
+    * (map-side limit 1 per partition → a 1-row driver argmax). The
+    * driver accumulates exactly the k selected vectors — model
+    * parameters, the [[CentroidSet]] discipline — and the input is
+    * persisted once so the k scans never recompute upstream lineage.
+    * Determinism: per-center distances are ROUNDED (6) before the
+    * min/argmax (round commutes with min — monotone), ties break on
+    * id, so the trajectory replays exactly cross-engine; the kernel's
+    * index-order double accumulation keeps raw distances off rounding
+    * boundaries except on a measure-zero set. Output: (sel_rank,
+    * idCol, cover_d) — cover_d is the selected point's min distance
+    * to the earlier centers (non-increasing for rank ≥ 2 — the greedy
+    * invariant; NULL for the seed). */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      Vectors.toDouble(col(vecCol)).as("v")).persist()
+    try {
+      val seed = base.orderBy(col("id")).limit(1).collect().head
+      var centers =
+        Vector((seed.getLong(0), seed.getSeq[Double](1), Option.empty[Double]))
+      for (_ <- 1 until k) {
+        val dcol = centers.map { case (_, c, _) =>
+          round(graft.plans.exprs.sqL2(col("v"), typedlit(c.toSeq)), 6)
+        }.reduce(least(_, _))
+        val cand = base.select(col("id"), col("v"), dcol.as("d"))
+          .orderBy(col("d").desc, col("id")).limit(1).collect().head
+        centers = centers :+
+          ((cand.getLong(0), cand.getSeq[Double](1), Some(cand.getDouble(2))))
+      }
+      import spark.implicits._
+      centers.zipWithIndex.map { case ((id, _, dOpt), i) =>
+        ((i + 1).toLong, id, dOpt)
+      }.toDF("sel_rank", idCol, "cover_d")
+    } finally { base.unpersist(); () }
+  }
 }

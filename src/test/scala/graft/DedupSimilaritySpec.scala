@@ -709,6 +709,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("kCenterSelect: hand farthest-first trajectory, tie on id, " +
+       "non-increasing cover radius") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(0, 0)), (2L, v(10, 0)), (3L, v(0, 10)),
+      (4L, v(5, 5)), (5L, v(0.1, 0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 5)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // seed = min id; ranks 2/3 tie at d=100 → id breaks (2 before 3)
+    assert(got.toSeq == Seq(
+      (1L, 1L, None), (2L, 2L, Some(100.0)), (3L, 3L, Some(100.0)),
+      (4L, 4L, Some(50.0)), (5L, 5L, Some(0.01))))
+    // fixture: greedy invariant — cover_d never increases past rank 2
+    val fx = Similarity.kCenterSelect(
+        Tables(spark, TestSpark.sf0001, "embeddings"),
+        "vec_id", "embedding", k = 6)
+      .orderBy("sel_rank").collect().drop(1).map(_.getDouble(2))
+    assert(fx.sliding(2).forall(p => p(0) >= p(1)),
+      s"cover radius must be non-increasing: ${fx.toSeq}")
+    assert(fx.last > 0.0, "distinct embeddings keep a positive radius")
+  }
+
   test("dupProvenance: hand matrix — diagonal redundancy, cross contamination") {
     // s1: A1~A2 internal pair (j=0.75); s2's B1 duplicates BOTH s1 docs
     // (j=1.0 with A1, 0.75 with A2); C is unrelated noise
