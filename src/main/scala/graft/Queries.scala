@@ -236,6 +236,81 @@ object Queries {
     s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
   }.mkString("\n      + ")
 
+  /** Shared DuckDB CTE chain for the DoReMi queries (q172 weight table /
+    * q175 applied mixture): retrains the q105 unigram and q107 bigram
+    * LMs, scores per-doc perplexities, and runs the Group-DRO update
+    * through the un-normalized exponentiated weights (`up`) and their
+    * sum (`sm`). One definition so an LM-oracle fix cannot silently
+    * diverge between the two replays. Callers append their tail
+    * (`wt`/rates/coin for q175) and the final SELECT. */
+  private val DoremiCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      |v AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+      |tot AS (SELECT sum(c1) AS total FROM v),
+      |su AS (SELECT doc_id, round(exp(-avg(ln(c1 / total))), 6) AS ppl_u
+      |  FROM tok JOIN v USING (tok), tot GROUP BY doc_id),
+      |bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |        FROM t)),
+      |b2 AS (SELECT prev, cur, count(*) AS c2 FROM bg
+      |       GROUP BY prev, cur),
+      |cx AS (SELECT prev, sum(c2) AS cctx FROM b2 GROUP BY prev),
+      |s2 AS (SELECT bg.doc_id,
+      |    sum(-ln(0.75 * (c2 / cctx) + 0.25 * (c1 / total))) AS s2,
+      |    count(*) AS n2
+      |  FROM bg JOIN b2 USING (prev, cur) JOIN cx USING (prev)
+      |    JOIN v ON v.tok = bg.cur, tot
+      |  GROUP BY bg.doc_id),
+      |s1 AS (SELECT f.doc_id, -ln(c1 / total) AS s1
+      |  FROM (SELECT doc_id, w[1] AS tok FROM t) f
+      |    JOIN v USING (tok), tot),
+      |sb AS (SELECT s1.doc_id,
+      |    round(exp((s1.s1 + coalesce(s2.s2, 0)) /
+      |              (1 + coalesce(s2.n2, 0))), 6) AS ppl_b
+      |  FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id),
+      |pd AS (SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
+      |    ln(su.ppl_u) - ln(sb.ppl_b) AS ex
+      |  FROM documents d JOIN su USING (doc_id)
+      |    JOIN sb USING (doc_id)),
+      |g AS (SELECT source, sum(n_tok) AS n_toks,
+      |    sum(n_tok * ex) AS ex_sum FROM pd GROUP BY source),
+      |k AS (SELECT count(*) AS k FROM g),
+      |tt AS (SELECT sum(n_toks) AS tt FROM g),
+      |e AS (SELECT source, n_toks, n_toks / tt AS alpha,
+      |    greatest(0.0, ex_sum / n_toks) AS excess FROM g, tt),
+      |up AS (SELECT source, n_toks, alpha, excess,
+      |    alpha * exp(1.0 * excess) AS upd FROM e),
+      |sm AS (SELECT sum(upd) AS sup FROM up)""".stripMargin
+
+  /** Shared DuckDB CTE prefix for the bloom-decontamination replays
+    * (q122 batch / q176 streaming): 8-gram shingles, eval bit set,
+    * train-side positions — verbatim the q122 recipe, one definition so
+    * the bit arithmetic cannot diverge between the two. Callers append
+    * their `hit` aggregation and final SELECT. */
+  private val BloomScreenCtes: String = {
+    val sh8 =
+      """list_distinct(CASE WHEN len(t) < 8 THEN t
+        |  ELSE list_transform(range(1, len(t) - 6),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+        |                        t[i+4], t[i+5], t[i+6], t[i+7])) END)""".stripMargin
+    val evalPos = (0 until 6).map { sd =>
+      s"""SELECT (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM e"""
+    }.mkString("\n  UNION ")
+    val trainPos = (0 until 6).map { sd =>
+      s"""SELECT doc_id, ng, $sd AS s,
+         |  (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM tn""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, $sh8 AS sh
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+       |        FROM documents)),
+       |e AS (SELECT DISTINCT unnest(sh) AS ng FROM w WHERE doc_id % 7 = 0),
+       |tn AS (SELECT doc_id, unnest(sh) AS ng FROM w WHERE doc_id % 7 <> 0),
+       |bits AS ($evalPos),
+       |tp AS ($trainPos)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── §2.1/§2.2 scans, projection, filters ────────────────────────────
@@ -3952,25 +4027,7 @@ object Queries {
               .otherwise(0L).as("false_pos"))
       },
       Some {
-        val sh8 =
-          """list_distinct(CASE WHEN len(t) < 8 THEN t
-            |  ELSE list_transform(range(1, len(t) - 6),
-            |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-            |                        t[i+4], t[i+5], t[i+6], t[i+7])) END)""".stripMargin
-        val evalPos = (0 until 6).map { sd =>
-          s"""SELECT (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM e"""
-        }.mkString("\n  UNION ")
-        val trainPos = (0 until 6).map { sd =>
-          s"""SELECT doc_id, ng, $sd AS s,
-             |  (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM tn""".stripMargin
-        }.mkString("\n  UNION ALL ")
-        s"""WITH w AS (SELECT doc_id, $sh8 AS sh
-           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
-           |        FROM documents)),
-           |e AS (SELECT DISTINCT unnest(sh) AS ng FROM w WHERE doc_id % 7 = 0),
-           |tn AS (SELECT doc_id, unnest(sh) AS ng FROM w WHERE doc_id % 7 <> 0),
-           |bits AS ($evalPos),
-           |tp AS ($trainPos),
+        s"""$BloomScreenCtes,
            |hit AS (SELECT doc_id, ng FROM tp JOIN bits USING (pos)
            |        GROUP BY doc_id, ng HAVING count(*) = 6),
            |bloom AS (SELECT w.doc_id,
@@ -6864,45 +6921,7 @@ object Queries {
           log(col("ppl_u")), log(col("ppl_b")), col("n_tok"),
           eta = 1.0, smoothing = 0.125)
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-             |  FROM documents),
-             |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
-             |v AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
-             |tot AS (SELECT sum(c1) AS total FROM v),
-             |su AS (SELECT doc_id, round(exp(-avg(ln(c1 / total))), 6) AS ppl_u
-             |  FROM tok JOIN v USING (tok), tot GROUP BY doc_id),
-             |bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
-             |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
-             |        FROM t)),
-             |b2 AS (SELECT prev, cur, count(*) AS c2 FROM bg
-             |       GROUP BY prev, cur),
-             |cx AS (SELECT prev, sum(c2) AS cctx FROM b2 GROUP BY prev),
-             |s2 AS (SELECT bg.doc_id,
-             |    sum(-ln(0.75 * (c2 / cctx) + 0.25 * (c1 / total))) AS s2,
-             |    count(*) AS n2
-             |  FROM bg JOIN b2 USING (prev, cur) JOIN cx USING (prev)
-             |    JOIN v ON v.tok = bg.cur, tot
-             |  GROUP BY bg.doc_id),
-             |s1 AS (SELECT f.doc_id, -ln(c1 / total) AS s1
-             |  FROM (SELECT doc_id, w[1] AS tok FROM t) f
-             |    JOIN v USING (tok), tot),
-             |sb AS (SELECT s1.doc_id,
-             |    round(exp((s1.s1 + coalesce(s2.s2, 0)) /
-             |              (1 + coalesce(s2.n2, 0))), 6) AS ppl_b
-             |  FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id),
-             |pd AS (SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
-             |    ln(su.ppl_u) - ln(sb.ppl_b) AS ex
-             |  FROM documents d JOIN su USING (doc_id)
-             |    JOIN sb USING (doc_id)),
-             |g AS (SELECT source, sum(n_tok) AS n_toks,
-             |    sum(n_tok * ex) AS ex_sum FROM pd GROUP BY source),
-             |k AS (SELECT count(*) AS k FROM g),
-             |tt AS (SELECT sum(n_toks) AS tt FROM g),
-             |e AS (SELECT source, n_toks, n_toks / tt AS alpha,
-             |    greatest(0.0, ex_sum / n_toks) AS excess FROM g, tt),
-             |up AS (SELECT source, n_toks, alpha, excess,
-             |    alpha * exp(1.0 * excess) AS upd FROM e),
-             |sm AS (SELECT sum(upd) AS sup FROM up)
+      Some(s"""$DoremiCtes
              |SELECT source, CAST(n_toks AS BIGINT) AS n_toks,
              |  round(alpha, 6) AS alpha, round(excess, 6) AS excess,
              |  round(0.875 * (upd / sup) + 0.125 / k, 6) AS weight
@@ -6996,49 +7015,7 @@ object Queries {
             "doc_id", "source", weights, "weight", targetFrac = 0.5)
           .select(col("doc_id"), col("source"))
       },
-      Some {
-        val uTerms = (0 until 6).map { i =>
-          val dig = s"ascii(substr(h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n    + ")
-        s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-           |  FROM documents),
-           |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
-           |v AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
-           |tot AS (SELECT sum(c1) AS total FROM v),
-           |su AS (SELECT doc_id, round(exp(-avg(ln(c1 / total))), 6) AS ppl_u
-           |  FROM tok JOIN v USING (tok), tot GROUP BY doc_id),
-           |bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
-           |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
-           |        FROM t)),
-           |b2 AS (SELECT prev, cur, count(*) AS c2 FROM bg
-           |       GROUP BY prev, cur),
-           |cx AS (SELECT prev, sum(c2) AS cctx FROM b2 GROUP BY prev),
-           |s2 AS (SELECT bg.doc_id,
-           |    sum(-ln(0.75 * (c2 / cctx) + 0.25 * (c1 / total))) AS s2,
-           |    count(*) AS n2
-           |  FROM bg JOIN b2 USING (prev, cur) JOIN cx USING (prev)
-           |    JOIN v ON v.tok = bg.cur, tot
-           |  GROUP BY bg.doc_id),
-           |s1 AS (SELECT f.doc_id, -ln(c1 / total) AS s1
-           |  FROM (SELECT doc_id, w[1] AS tok FROM t) f
-           |    JOIN v USING (tok), tot),
-           |sb AS (SELECT s1.doc_id,
-           |    round(exp((s1.s1 + coalesce(s2.s2, 0)) /
-           |              (1 + coalesce(s2.n2, 0))), 6) AS ppl_b
-           |  FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id),
-           |pd AS (SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
-           |    ln(su.ppl_u) - ln(sb.ppl_b) AS ex
-           |  FROM documents d JOIN su USING (doc_id)
-           |    JOIN sb USING (doc_id)),
-           |g AS (SELECT source, sum(n_tok) AS n_toks,
-           |    sum(n_tok * ex) AS ex_sum FROM pd GROUP BY source),
-           |k AS (SELECT count(*) AS k FROM g),
-           |tt AS (SELECT sum(n_toks) AS tt FROM g),
-           |e AS (SELECT source, n_toks, n_toks / tt AS alpha,
-           |    greatest(0.0, ex_sum / n_toks) AS excess FROM g, tt),
-           |up AS (SELECT source, alpha * exp(1.0 * excess) AS upd FROM e),
-           |sm AS (SELECT sum(upd) AS sup FROM up),
+      Some(s"""$DoremiCtes,
            |wt AS (SELECT source,
            |    round(0.875 * (upd / sup) + 0.125 / k, 6) AS weight
            |  FROM up, sm, k),
@@ -7051,11 +7028,10 @@ object Queries {
            |uu AS (SELECT doc_id, source,
            |    md5(doc_id::VARCHAR || ':wmix') AS h FROM documents),
            |vv AS (SELECT doc_id, source,
-           |  CAST($uTerms AS DOUBLE) / 16777216.0 AS u
+           |  CAST(${uTerms("h")} AS DOUBLE) / 16777216.0 AS u
            |  FROM uu)
            |SELECT vv.doc_id, vv.source FROM vv JOIN r USING (source)
-           |WHERE vv.u < r.rate_g""".stripMargin
-      }),
+           |WHERE vv.u < r.rate_g""".stripMargin)),
 
     Q("q176_streaming_decontam",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
@@ -7103,32 +7079,12 @@ object Queries {
         query.awaitTermination()
         s.read.parquet(s"$out/*").select(col("doc_id"), col("batch"))
       },
-      Some {
-        val sh8 =
-          """list_distinct(CASE WHEN len(t) < 8 THEN t
-            |  ELSE list_transform(range(1, len(t) - 6),
-            |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-            |                        t[i+4], t[i+5], t[i+6], t[i+7])) END)""".stripMargin
-        val evalPos = (0 until 6).map { sd =>
-          s"""SELECT (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM e"""
-        }.mkString("\n  UNION ")
-        val trainPos = (0 until 6).map { sd =>
-          s"""SELECT doc_id, ng, $sd AS s,
-             |  (${uTerms(s"md5(ng || ':bf$sd')")}) % 1048576 AS pos FROM tn""".stripMargin
-        }.mkString("\n  UNION ALL ")
-        s"""WITH w AS (SELECT doc_id, $sh8 AS sh
-           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
-           |        FROM documents)),
-           |e AS (SELECT DISTINCT unnest(sh) AS ng FROM w WHERE doc_id % 7 = 0),
-           |tn AS (SELECT doc_id, unnest(sh) AS ng FROM w WHERE doc_id % 7 <> 0),
-           |bits AS ($evalPos),
-           |tp AS ($trainPos),
+      Some(s"""$BloomScreenCtes,
            |hit AS (SELECT doc_id FROM tp JOIN bits USING (pos)
            |        GROUP BY doc_id, ng HAVING count(*) = 6)
            |SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS batch
            |FROM w WHERE doc_id % 7 <> 0
-           |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin
-      }),
+           |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin)),
 
     Q("q177_kcenter_coreset",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
@@ -7148,9 +7104,12 @@ object Queries {
         def dist(a: String, b: String) =
           s"round(list_sum(list_transform(range(1, len($a.v) + 1), " +
             s"i -> ($a.v[i] - $b.v[i]) * ($a.v[i] - $b.v[i]))), 6)"
-        val rounds = (2 to 5).map { r =>
+        // round 2's min-distance table IS d1 (one center so far), so c2
+        // selects straight from d1 — no redundant distance pass
+        val rounds = (3 to 5).map { r =>
+          val prev = if (r == 3) "d1" else s"d${r - 1}"
           s"""d$r AS (SELECT a.vec_id, a.v, least(a.d, ${dist("a", "b")}) AS d
-             |  FROM d${r - 1} a, c${r - 1} b),
+             |  FROM $prev a, c${r - 1} b),
              |c$r AS (SELECT vec_id, v, d FROM d$r
              |        ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
         }.mkString(",\n")
@@ -7162,6 +7121,8 @@ object Queries {
            |c1 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
            |d1 AS (SELECT a.vec_id, a.v, ${dist("a", "b")} AS d
            |       FROM v a, c1 b),
+           |c2 AS (SELECT vec_id, v, d FROM d1
+           |       ORDER BY d DESC, vec_id LIMIT 1),
            |$rounds
            |SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
            |  CAST(NULL AS DOUBLE) AS cover_d FROM c1

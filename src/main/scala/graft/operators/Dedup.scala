@@ -133,10 +133,15 @@ object Dedup {
         explode(Text.shingles(lower(col(textCol)), shingleLen)).as("sh_s"))
       .select(col("id"), xxhash64(col("sh_s")).as("sh"))
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // persisted: the min-aggregate and the final projection are two
+    // consumers — without this the explode/df/join pipeline (the
+    // operator's entire cost) runs twice per action; the caller's
+    // between-query clearCache() reclaims it (the q76/q86 contract)
     val commonness = sh.join(df, Seq("sh"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         (sum(col("df")).cast("double") / count(lit(1))).as("commonness"))
+      .persist()
     val cmin = commonness.agg(min(col("commonness")).as("c_min"))
     val w = if (beta == 0.5) sqrt(col("c_min") / col("commonness"))
             else pow(col("c_min") / col("commonness"), lit(beta))

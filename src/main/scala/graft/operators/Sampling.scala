@@ -175,7 +175,14 @@ object Sampling {
     * p_g is a ratio of exact integer counts, the supplied weights
     * should be pre-rounded (doremiWeights' are), and the coin
     * comparison replays exactly — boundary landings against the
-    * 16^-6 grid are measure-zero. */
+    * 16^-6 grid are measure-zero.
+    *
+    * Missing-mass contract: a group ABSENT from the weight table (or
+    * carrying a NULL weight) samples at rate 0 — absent means zero
+    * mixture mass, explicitly, not "keep at some default". The rate
+    * is pinned to 0.0 rather than left NULL because Spark's `least`
+    * SKIPS nulls (least(1.0, NULL) = 1.0 — the whole group would
+    * silently survive at rate 1). */
   def mixtureByWeights(docs: DataFrame, idCol: String, groupCol: String,
                        weights: DataFrame, weightCol: String,
                        targetFrac: Double,
@@ -187,9 +194,10 @@ object Sampling {
       .withColumn("p_g",
         col("n_g") / sum(col("n_g")).over(all).cast("double"))
       .join(weights.select(col(groupCol), col(weightCol).as("__w")),
-        Seq(groupCol))
-      .withColumn("rate_g",
+        Seq(groupCol), "left")
+      .withColumn("rate_g", when(col("__w").isNotNull,
         least(lit(1.0), lit(targetFrac) * col("__w") / col("p_g")))
+        .otherwise(lit(0.0)))
       .select(col(groupCol), col("rate_g"))
     docs.join(broadcast(rates), Seq(groupCol))
       .filter(hashUniform(col(idCol), salt) < col("rate_g"))

@@ -550,7 +550,11 @@ object Similarity {
     * min/argmax (round commutes with min — monotone), ties break on
     * id, so the trajectory replays exactly cross-engine; the kernel's
     * index-order double accumulation keeps raw distances off rounding
-    * boundaries except on a measure-zero set. Output: (sel_rank,
+    * boundaries except on a measure-zero set. If `k` exceeds the
+    * number of DISTINCT embeddings, the tail re-selects zero-radius
+    * duplicates (cover_d = 0) rather than failing — harmless for the
+    * cover, but callers wanting k distinct ids should pass k ≤ that
+    * count. Output: (sel_rank,
     * idCol, cover_d) — cover_d is the selected point's min distance
     * to the earlier centers (non-increasing for rank ≥ 2 — the greedy
     * invariant; NULL for the seed). */
@@ -561,7 +565,9 @@ object Similarity {
     val base = emb.select(col(idCol).cast("long").as("id"),
       Vectors.toDouble(col(vecCol)).as("v")).persist()
     try {
-      val seed = base.orderBy(col("id")).limit(1).collect().head
+      val seedRows = base.orderBy(col("id")).limit(1).collect()
+      require(seedRows.nonEmpty, "kCenterSelect: empty input embedding set")
+      val seed = seedRows.head
       var centers =
         Vector((seed.getLong(0), seed.getSeq[Double](1), Option.empty[Double]))
       for (_ <- 1 until k) {

@@ -470,4 +470,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(base.subsetOf(grown) && grown.size > base.size,
       "higher weight ⇒ superset at a higher rate (same coin, higher bar)")
   }
+
+  test("mixtureByWeights: absent or NULL weight means zero mass, " +
+       "never silent rate 1") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, if (i <= 50) "a" else "b")).toDF("doc_id", "grp")
+    // b missing from the table entirely: its group samples at rate 0
+    val partial = Seq(("a", 1.0)).toDF("grp", "weight")
+    val kept = Sampling.mixtureByWeights(docs, "doc_id", "grp",
+      partial, "weight", targetFrac = 0.5)
+    assert(kept.filter(col("grp") === "b").count() == 0,
+      "absent group must contribute zero rows")
+    assert(kept.filter(col("grp") === "a").count() == 50,
+      "rate 0.5*1.0/0.5 = 1 keeps all of a")
+    // NULL weight: same zero-mass contract (least() would skip the null
+    // and silently keep the whole group at rate 1 — the guarded trap)
+    val withNull = Seq(("a", Some(1.0)), ("b", Option.empty[Double]))
+      .toDF("grp", "weight")
+    val kept2 = Sampling.mixtureByWeights(docs, "doc_id", "grp",
+      withNull, "weight", targetFrac = 0.5)
+    assert(kept2.filter(col("grp") === "b").count() == 0,
+      "NULL weight must contribute zero rows, not rate 1")
+  }
 }
