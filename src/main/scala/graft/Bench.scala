@@ -397,25 +397,53 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_BENCH_OUT",
           s"/tmp/graft_floor_$name.json")
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        // stdout goes to a FILE, not a pipe we drain inline: reading
+        // the pipe to EOF before waitFor would block for as long as a
+        // hung child holds stdout open, making the 20-minute timeout
+        // dead code exactly when the fork exists to bound a hang
+        val outFile = java.nio.file.Files
+          .createTempFile(s"graft_floor_out_$name", ".txt")
+        pb.redirectOutput(outFile.toFile)
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-        if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
-          p.destroyForcibly(); None
-        } else
-          ("\"" + name + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(out)
-            .map(_.group(1).toDouble).filter(_ > 0)
+        try {
+          if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+            p.destroyForcibly(); None
+          } else {
+            val out = new String(
+              java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+            ("\"" + name + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(out)
+              .map(_.group(1).toDouble).filter(_ > 0)
+          }
+        } finally { java.nio.file.Files.deleteIfExists(outFile); () }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fork floor for $name failed: ${e.getMessage}")
         None
       }
     }
+    // isolated bookkeeping: floor re-measures must not write the shared
+    // errors map (a flaky floor attempt would mark a suite-clean query
+    // errored and flip artifact_ok) nor land in `measurements` (which
+    // would inflate `attempts` and skew tainted_pct) — so this times
+    // the query directly instead of going through runOnce/calibrate
     def inprocFloor(q: Queries.Q): Option[Double] = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc(); Thread.sleep(1000)
-      val ts = (1 to 3).map(_ => runOnce(q)).filter(_ > 0)
-      calibrate(s"floor.${q.name}")
+      val ts = (1 to 3).flatMap { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] in-process floor attempt for " +
+            s"${q.name} failed: ${e.getClass.getSimpleName}")
+          None
+        }
+      }.filter(_ > 0)
       if (ts.isEmpty) None else Some(ts.min)
     }
     val floors: Map[String, (Double, String)] = suspects.flatMap { n =>

@@ -6787,7 +6787,10 @@ object Queries {
         val storeDocs = docs.filter(col("doc_id") % 3 =!= 0)
         operators.Incremental.writeStore(storeDocs, "doc_id", "text",
           table, numBuckets = 8)
-        val forgotten = storeDocs.filter(col("doc_id") % 21 === 0)
+        // modulus COPRIME to the store's 3: %21 here would make the
+        // forgotten set provably empty (21 ⊆ 3·Z) and the whole forget
+        // protocol vacuous — 22 keeps ~|store|/33 real forget targets
+        val forgotten = storeDocs.filter(col("doc_id") % 22 === 0)
         operators.Incremental.forgetFromStore(s,
           forgotten.select(col("doc_id").as("id")), table, numBuckets = 8)
         require(operators.Incremental.validateStore(s, table),
@@ -6807,9 +6810,9 @@ object Queries {
       Some(s"""WITH t AS (SELECT doc_id, md5(text) AS h, $ShinglesSql AS sh
               |           FROM documents),
               |s AS (SELECT * FROM t
-              |      WHERE doc_id % 3 <> 0 AND doc_id % 21 <> 0),
+              |      WHERE doc_id % 3 <> 0 AND doc_id % 22 <> 0),
               |n AS (SELECT doc_id + 1000000 AS doc_id, h, sh FROM t
-              |        WHERE doc_id % 3 <> 0 AND doc_id % 21 = 0
+              |        WHERE doc_id % 3 <> 0 AND doc_id % 22 = 0
               |      UNION ALL SELECT doc_id + 2000000, h, sh FROM t
               |        WHERE doc_id % 3 <> 0 AND doc_id % 23 = 0
               |      UNION ALL SELECT doc_id, h, sh FROM t

@@ -712,13 +712,6 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame =
     hammingDupPairs(docs, idCol, simhash(col(textCol)), maxHamming)
 
-  /** The Manku pigeonhole machinery over an ARBITRARY 64-bit
-    * fingerprint expression — [[simhashDupPairs]] generalized so other
-    * 64-bit perceptual signatures (image aHash/dHash —
-    * [[Multimodal.perceptualHashes]]) reuse the exact-recall banded
-    * join instead of an all-pairs scan. Same plan, contracts, and
-    * candidate-volume math as [[simhashDupPairs]] (whose scaladoc is
-    * the reference). */
   /** The pigeonhole band values of a 64-bit fingerprint column `sh`:
     * maxHamming+1 bit-slices — shared by [[hammingDupPairs]] and the
     * incremental hash store ([[Incremental]]), which must derive
@@ -735,6 +728,13 @@ object Dedup {
     }
   }
 
+  /** The Manku pigeonhole machinery over an ARBITRARY 64-bit
+    * fingerprint expression — [[simhashDupPairs]] generalized so other
+    * 64-bit perceptual signatures (image aHash/dHash —
+    * [[Multimodal.perceptualHashes]]) reuse the exact-recall banded
+    * join instead of an all-pairs scan. Same plan, contracts, and
+    * candidate-volume math as [[simhashDupPairs]] (whose scaladoc is
+    * the reference). */
   def hammingDupPairs(docs: DataFrame, idCol: String, hashCol: Column,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")

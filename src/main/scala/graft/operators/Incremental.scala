@@ -554,9 +554,17 @@ object Incremental {
     Checkpoints.release(merged)
   }
 
-  /** Compaction: one row per id (replayed appends dedup — duplicate
-    * rows are decision-neutral until then, identical codes rank by
-    * id), pending tombstones folded in, tombstone table cleared. Store
+  /** Compaction: one row per id (replayed appends dedup), pending
+    * tombstones folded in, tombstone table cleared. Unlike the
+    * text/embedding dedup stores — whose candidate sets are
+    * distinct-ed by id, making duplicate store rows decision-neutral —
+    * [[annStoreTopK]]'s ranking window deliberately has NO per-id
+    * dedup (it would cost a second, id-keyed exchange on the spec-
+    * asserted single-shuffle probe plan), so a duplicated id occupies
+    * multiple ranks and can evict the true k-th neighbor. The
+    * protocol is therefore: a caller that REPLAYS an append (the
+    * halt-retry path) must compact before the next probe; q162 probes
+    * only at compacted states. Store
     * rewrite FIRST, then the clear: a halt between the writes leaves
     * tombstones whose ids are already gone from the store — probes
     * anti-join them to no effect, so decisions never change
@@ -706,41 +714,43 @@ object Incremental {
   //    rewrite per store; at scale, batch forget requests and fold
   //    them into scheduled compaction, like ANN upserts.
 
+  // one shared forget path: scan minus ids, checkpoint-truncated,
+  // handed to the store kind's both-layouts rewriter — a future fix to
+  // the forget semantics (extra filtering, error-path release) lands
+  // once instead of drifting across three copies
+  private def forgetImpl(spark: SparkSession, ids: DataFrame,
+                         table: String,
+                         rewrite: DataFrame => Unit): Unit = {
+    val remaining = spark.table(table)
+      .join(ids.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    rewrite(remaining)
+    Checkpoints.release(remaining)
+  }
+
   /** Forget `ids` (an (id) DataFrame) from a [[writeStore]] TEXT
     * signature store. */
   def forgetFromStore(spark: SparkSession, ids: DataFrame, table: String,
                       numBuckets: Int, bands: Int = 32,
-                      rowsPerBand: Int = 2): Unit = {
-    val remaining = spark.table(table)
-      .join(ids.select(col("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    writeBoth(remaining, table, numBuckets, bands, rowsPerBand,
-      org.apache.spark.sql.SaveMode.Overwrite)
-    Checkpoints.release(remaining)
-  }
+                      rowsPerBand: Int = 2): Unit =
+    forgetImpl(spark, ids, table, remaining =>
+      writeBoth(remaining, table, numBuckets, bands, rowsPerBand,
+        org.apache.spark.sql.SaveMode.Overwrite))
 
   /** Forget `ids` from a [[writeEmbeddingStore]] store. */
   def forgetFromEmbeddingStore(spark: SparkSession, ids: DataFrame,
                                table: String, numBuckets: Int,
-                               bands: Int = 64, bitsPerBand: Int = 16): Unit = {
-    val remaining = spark.table(table)
-      .join(ids.select(col("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    writeEmbeddingBoth(remaining, table, numBuckets, bands, bitsPerBand,
-      org.apache.spark.sql.SaveMode.Overwrite)
-    Checkpoints.release(remaining)
-  }
+                               bands: Int = 64, bitsPerBand: Int = 16): Unit =
+    forgetImpl(spark, ids, table, remaining =>
+      writeEmbeddingBoth(remaining, table, numBuckets, bands, bitsPerBand,
+        org.apache.spark.sql.SaveMode.Overwrite))
 
   /** Forget `ids` from a [[writeHashStore]] perceptual store. */
   def forgetFromHashStore(spark: SparkSession, ids: DataFrame, table: String,
-                          numBuckets: Int, maxHamming: Int = 3): Unit = {
-    val remaining = spark.table(table)
-      .join(ids.select(col("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    writeHashBoth(remaining, table, numBuckets, maxHamming,
-      org.apache.spark.sql.SaveMode.Overwrite)
-    Checkpoints.release(remaining)
-  }
+                          numBuckets: Int, maxHamming: Int = 3): Unit =
+    forgetImpl(spark, ids, table, remaining =>
+      writeHashBoth(remaining, table, numBuckets, maxHamming,
+        org.apache.spark.sql.SaveMode.Overwrite))
 
   /** Rows of `newDf` that survive greedy Hamming dedup against the
     * historical `store` ((id, sh) schema) AND within the batch: drop a

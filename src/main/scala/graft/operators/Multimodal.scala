@@ -59,22 +59,10 @@ object Multimodal {
 
   /** Encode a real PNG: deterministic per-pixel RGB from `seed`, written
     * through the JDK's ImageIO PNG codec. */
-  def synthesizePng(width: Int, height: Int, seed: Long): Array[Byte] = {
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val h = seed * 1000003L + (y.toLong * width + x) * 0x9e3779b97f4a7c15L
-        img.setRGB(x, y, (h >>> 24).toInt & 0xffffff)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  def synthesizePng(width: Int, height: Int, seed: Long): Array[Byte] =
+    // the delta=0 special case of the brightness-shifted variant —
+    // ONE pixel formula, not two copies the oracles could drift between
+    synthesizePngBright(width, height, seed, delta = 0)
 
   /** Media table of REAL PNG payloads, one per document, dimensions
     * deterministic from doc_id ([[pngDims]]). Partition-parallel
@@ -216,21 +204,10 @@ object Multimodal {
 
   /** Encode a real WAV: deterministic 16-bit mono PCM from `seed`,
     * written through the JDK's `AudioSystem` WAVE codec. */
-  def synthesizeWav(frames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
-    val pcm = new Array[Byte](frames * 2) // 16-bit mono
-    var i = 0
-    while (i < frames) {
-      val s = ((seed * 1000003L + i.toLong * 0x9e3779b97f4a7c15L) >>> 24).toShort
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val bos = new ByteArrayOutputStream()
-    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
-    bos.toByteArray
-  }
+  def synthesizeWav(frames: Int, sampleRate: Int, seed: Long): Array[Byte] =
+    // the div=1 special case of the gain-scaled variant (s/1 == s
+    // exactly) — ONE PCM formula, not two copies
+    synthesizeWavGain(frames, sampleRate, seed, div = 1)
 
   /** Media table of REAL WAV payloads, one per document, properties
     * deterministic from doc_id ([[wavSpec]]). Partition-parallel
