@@ -7130,7 +7130,36 @@ object Queries {
            |SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
            |  CAST(NULL AS DOUBLE) AS cover_d FROM c1
            |$sel""".stripMargin
-      }))
+      }),
+
+    Q("q178_drop_ledger",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // per-document DROP LEDGER over q51's exact pipeline: one row
+        // per INPUT doc tagging the first stage that dropped it
+        // (quality → lang → exact_dup → near_dup) or 'kept' — the
+        // audit table behind every published pipeline's per-rule
+        // removal accounting. The oracle replays the whole stage
+        // chain from the shared q51 CTEs and the same CASE order, so
+        // a stage misattribution (doc dropped by dedup but blamed on
+        // quality), a survivor marked dropped, or a ledger row count
+        // != input count all hash-fail. The kept rows are exactly
+        // q51's survivor ids by construction.
+        Corpus.dropLedger(tbl("documents"), "doc_id", "text",
+          Stopwords, LangMarkers, keepLangs = Set("en"),
+          minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0)
+      },
+      Some(corpusPrepOracleCte(recursive = false) +
+        """,
+          |nd AS (SELECT DISTINCT id_b AS doc_id FROM p
+          |       WHERE inter / (tot - inter) >= 0.6)
+          |SELECT g.doc_id, g.quality, g.lang_pred,
+          |  CASE WHEN g.quality < 0.5 THEN 'quality'
+          |       WHEN g.lang_pred NOT IN ('en') THEN 'lang'
+          |       WHEN ek.doc_id IS NULL THEN 'exact_dup'
+          |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+          |       ELSE 'kept' END AS stage
+          |FROM g LEFT JOIN ek ON ek.doc_id = g.doc_id
+          |  LEFT JOIN nd ON nd.doc_id = g.doc_id""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

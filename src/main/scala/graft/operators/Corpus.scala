@@ -125,6 +125,70 @@ object Corpus {
     PreparedCorpus(result, Seq(gated, exact) ++ extraCached ++ decontCached)
   }
 
+  /** Per-document DROP LEDGER — the audit artifact behind every
+    * published pipeline's "rule X removed Y% of documents" table
+    * (Dolma's per-rule removal accounting, Soldaini et al. 2024; the
+    * RefinedWeb/C4 ablation tables): one row per INPUT doc tagging the
+    * FIRST stage of [[prepare]]'s gate→dedup chain that dropped it —
+    * 'quality', 'lang', 'exact_dup', 'near_dup', 'contaminated' (when
+    * `evalDocs` is given) — or 'kept'. Built from the SAME stage
+    * machinery and parameters as [[prepare]] (greedy near-dup mode),
+    * so the ledger's 'kept' rows are exactly prepare's survivor set
+    * and drop accounting can never drift from the pipeline it audits.
+    *
+    * Scale shape: the stage computations are prepare's own (one
+    * scored scan persisted, the exact-keep aggregate, the
+    * inverted-index pair join); the ledger adds only id-keyed flag
+    * joins at doc grain — ids and one-byte markers, never text — and
+    * the stage column is one CASE over the flags, evaluated in the
+    * pipeline's own stage order so a doc failing several gates
+    * reports the first. */
+  def dropLedger(docs: DataFrame, idCol: String, textCol: String,
+                 stopwords: Seq[String],
+                 langMarkers: Seq[(String, Seq[String])],
+                 keepLangs: Set[String], minQuality: Double,
+                 nearDupThreshold: Double, maxDocFreq: Double = 0.5,
+                 evalDocs: Option[DataFrame] = None,
+                 contaminationThreshold: Double = 0.8): DataFrame = {
+    val id = col(idCol); val text = col(textCol)
+    val scored = docs
+      .withColumn("quality", Text.qualityScore(text, stopwords))
+      .withColumn("lang_pred", Text.langId(lower(text), langMarkers))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gated = scored.filter(col("quality") >= minQuality &&
+      col("lang_pred").isin(keepLangs.toSeq.map(lit): _*))
+    val exactKeep = gated.groupBy(md5(text).as("__h"))
+      .agg(min(id).as(idCol)).select(idCol)
+    val exact = gated.join(exactKeep, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nearDupIds = Dedup.jaccardPairs(exact, idCol, textCol,
+        nearDupThreshold, shingleLen = 3, maxDocFreq = maxDocFreq)
+      .select(col("id_b").as(idCol)).distinct()
+    val contamIds = evalDocs.map { ev =>
+      val deduped = exact.join(nearDupIds, Seq(idCol), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Dedup.contaminationPairs(deduped, ev, idCol, textCol,
+          contaminationThreshold)
+        .select(col("train_id").as(idCol)).distinct()
+    }
+    def flag(ids: DataFrame, name: String) =
+      ids.withColumn(name, lit(1L))
+    val base = scored.select(id, col("quality"), col("lang_pred"))
+      .join(flag(exactKeep, "__ek"), Seq(idCol), "left")
+      .join(flag(nearDupIds, "__nd"), Seq(idCol), "left")
+    val withContam = contamIds match {
+      case Some(c) => base.join(flag(c, "__ct"), Seq(idCol), "left")
+      case None    => base.withColumn("__ct", lit(null).cast("long"))
+    }
+    withContam.select(id, col("quality"), col("lang_pred"),
+      when(col("quality") < minQuality, "quality")
+        .when(!col("lang_pred").isin(keepLangs.toSeq.map(lit): _*), "lang")
+        .when(col("__ek").isNull, "exact_dup")
+        .when(col("__nd").isNotNull, "near_dup")
+        .when(col("__ct").isNotNull, "contaminated")
+        .otherwise("kept").as("stage"))
+  }
+
   /** [[prepareManaged]] without the lifecycle handle — for one-shot jobs
     * where the process exit (or an explicit spark.catalog.clearCache())
     * reclaims the cached intermediates. Long-lived sessions composing

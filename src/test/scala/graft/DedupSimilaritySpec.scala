@@ -709,6 +709,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("dropLedger: total accounting, kept == prepare survivors, " +
+       "first-stage attribution, contaminated stage") {
+    import graft.operators.Corpus
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val ledger = Corpus.dropLedger(docs, "doc_id", "text",
+      Queries.Stopwords, Queries.LangMarkers, keepLangs = Set("en"),
+      minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0)
+    assert(ledger.count() == docs.count(), "one ledger row per input doc")
+    val kept = ledger.filter(col("stage") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val surv = Corpus.prepare(docs, "doc_id", "text",
+        Queries.Stopwords, Queries.LangMarkers, keepLangs = Set("en"),
+        minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == surv, "ledger 'kept' must equal prepare's survivors")
+    // every stage attributes at least once on the fixture, and stage
+    // order holds: a quality-failing doc never reports a later stage
+    val stages = ledger.groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.keySet.subsetOf(
+      Set("quality", "lang", "exact_dup", "near_dup", "kept")))
+    assert(ledger.filter(col("quality") < 0.5 &&
+      col("stage") =!= "quality").count() == 0,
+      "first failing stage wins the attribution")
+    // contaminated stage: plant an eval doc equal to a kept doc's text
+    val keptOne = docs.filter(col("doc_id").isin(kept.toSeq.map(Long.box): _*))
+      .limit(1).select(col("doc_id"), col("text")).collect().head
+    val ev = Seq((999999L, keptOne.getString(1))).toDF("doc_id", "text")
+    val withEv = Corpus.dropLedger(docs, "doc_id", "text",
+      Queries.Stopwords, Queries.LangMarkers, keepLangs = Set("en"),
+      minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0,
+      evalDocs = Some(ev))
+    assert(withEv.filter(col("doc_id") === keptOne.getLong(0))
+      .select("stage").collect().head.getString(0) == "contaminated",
+      "an exact eval copy must flip from kept to contaminated")
+    assert(withEv.count() == docs.count())
+  }
+
   test("kCenterSelect: hand farthest-first trajectory, tie on id, " +
        "non-increasing cover radius") {
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
