@@ -142,7 +142,10 @@ object Corpus {
     * joins at doc grain — ids and one-byte markers, never text — and
     * the stage column is one CASE over the flags, evaluated in the
     * pipeline's own stage order so a doc failing several gates
-    * reports the first. */
+    * reports the first. Cache lifecycle: like [[prepare]], the staged
+    * intermediates stay persisted for the one-shot caller (process
+    * exit or `spark.catalog.clearCache()` reclaims them — the q76/q86
+    * contract); long-lived sessions should clear between ledgers. */
   def dropLedger(docs: DataFrame, idCol: String, textCol: String,
                  stopwords: Seq[String],
                  langMarkers: Seq[(String, Seq[String])],
