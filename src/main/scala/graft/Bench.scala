@@ -73,17 +73,25 @@ object Bench {
     // layout/metadata and therefore scan timings.
     val fixtureTables = Seq("region", "nation", "customer", "supplier",
       "part", "orders", "lineitem", "events", "documents", "embeddings")
-    val fixtures = fixtureTables.flatMap { t =>
-      val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
-      if (!java.nio.file.Files.isRegularFile(p)) None
-      else {
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(bytes).map("%02x".format(_)).mkString
-        val rows = spark.read.parquet(p.toString).count()
-        Some((t, rows, bytes.length.toLong, md5))
+    // a forked single-query floor child (SPARK_GRAFT_STANDALONE) skips
+    // the provenance pass: hashing every fixture parquet byte-for-byte
+    // and re-counting rows is parent-artifact bookkeeping the floor
+    // output never consults, and it taxes exactly the path whose whole
+    // purpose is a quick clean measurement
+    val childStandalone = sys.env.contains("SPARK_GRAFT_STANDALONE")
+    val fixtures =
+      if (childStandalone) Seq.empty[(String, Long, Long, String)]
+      else fixtureTables.flatMap { t =>
+        val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
+        if (!java.nio.file.Files.isRegularFile(p)) None
+        else {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          val rows = spark.read.parquet(p.toString).count()
+          Some((t, rows, bytes.length.toLong, md5))
+        }
       }
-    }
     val fixturesDigest = java.security.MessageDigest.getInstance("MD5")
       .digest(fixtures.map(f => s"${f._1}:${f._4}").mkString("|")
         .getBytes("UTF-8")).map("%02x".format(_)).mkString

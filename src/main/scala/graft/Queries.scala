@@ -28,23 +28,37 @@ object Queries {
     def tbl(n: String): DataFrame = Tables(s, d, n)
   }
 
-  /** Temp staging dir with a JVM-exit cleanup hook: the streaming /
-    * interchange queries stage corpus-sized files under /tmp, and
-    * repeated bench/verify runs would otherwise accumulate full corpus
-    * copies (each run is its own JVM, so exit-time deletion bounds the
-    * footprint to one run's staging). Deletion is best-effort —
-    * failures at exit are swallowed. */
-  private def tempStagingDir(prefix: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Path}
-    import java.util.Comparator
-    val dir = Files.createTempDirectory(prefix)
+  /** Temp staging dir for the streaming / interchange queries, which
+    * stage corpus-sized files under /tmp. Footprint bounds:
+    *  - WITHIN a JVM: creating a new dir for a prefix deletes that
+    *    prefix's PREVIOUS dir first (a bench run samples each staging
+    *    query several times; its prior sample's stream has fully
+    *    terminated before the next begins, so at most ONE corpus copy
+    *    per query is alive instead of one per sample);
+    *  - at EXIT: one shared shutdown hook (not one per call) drains
+    *    whatever the last samples left.
+    * Deletion is best-effort — failures are swallowed. */
+  private val stagingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private lazy val stagingHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        val walk = Files.walk(dir)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walk.close()
-      } catch { case _: Throwable => () }))
+      stagingDirs.values.forEach(d => deleteStaging(d))))
+    ()
+  }
+  private def deleteStaging(dir: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    } catch { case _: Throwable => () }
+  private def tempStagingDir(prefix: String): java.nio.file.Path = {
+    stagingHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val prev = stagingDirs.put(prefix, dir)
+    if (prev != null) deleteStaging(prev)
     dir
   }
 
@@ -4138,10 +4152,7 @@ object Queries {
             col("n_tok_clean"), col("text_clean"))
       },
       Some {
-        val uT = (0 until 6).map { i =>
-          val dig = s"ascii(substr(h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
+        val uT = uTerms("h")
         s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tl,
            |    string_split(text, ' ') AS t FROM documents),
            |tr AS (SELECT doc_id, tl, t, unnest(range(1, len(tl) + 1)) AS i
@@ -4246,10 +4257,7 @@ object Queries {
           .select(col("doc_id"), col("lang"), col("rnk"))
       },
       Some {
-        val uT = (0 until 6).map { i =>
-          val dig = s"ascii(substr(h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
+        val uT = uTerms("h")
         s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
            |t AS (SELECT lang, n, floor(0.1 * n) AS fl, 0.1 * n - floor(0.1 * n) AS rem,
            |    CAST(round(0.1 * sum(n) OVER ()) AS BIGINT) AS target,
@@ -6165,10 +6173,7 @@ object Queries {
           .select(col("doc_id"), col("lang"))
       },
       Some {
-        val uT = (0 until 6).map { i =>
-          val dig = s"ascii(substr(h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
+        val uT = uTerms("h")
         s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
            |t AS (SELECT lang, n, floor(0.2 * n) AS fl, 0.2 * n - floor(0.2 * n) AS rem,
            |    CAST(round(0.2 * sum(n) OVER ()) AS BIGINT) AS target,
@@ -6601,10 +6606,7 @@ object Queries {
               .as("padding_waste"))
       },
       Some {
-        val uT = (0 until 6).map { i =>
-          val dig = s"ascii(substr(h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n      + ")
+        val uT = uTerms("h")
         s"""WITH t AS (SELECT doc_id,
            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
            |    md5(doc_id::VARCHAR || ':lb') AS h FROM documents),

@@ -475,9 +475,12 @@ object Incremental {
     // merge-on-read deletes: pending tombstones filter the store scan
     // through a BROADCAST anti-join (tombstones are id-grain and
     // bounded by the delete rate, never corpus-sized) — the plan keeps
-    // its single ranking-window exchange
+    // its single ranking-window exchange. A store that has never seen
+    // a delete has no tombstone table yet — treat that as the empty
+    // set (the compactAnnStore guard), so an always-honor-deletes
+    // policy works on a fresh store instead of crashing its first probe
     val store =
-      if (!honorDeletes) raw
+      if (!honorDeletes || !spark.catalog.tableExists(s"${table}_deletes")) raw
       else raw.join(
         broadcast(spark.table(s"${table}_deletes")
           .select(col("id").as("neighbor_id"))),

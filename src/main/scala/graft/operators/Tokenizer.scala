@@ -205,7 +205,13 @@ object Tokenizer {
       .map { case (id, text) =>
         val table = bc.value
         val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-        for (w <- text.split(" ") if w.nonEmpty) {
+        // null-tolerant AND null-faithful to the applyMerges SQL path
+        // it claims bit-identity with: split/transform/flatten all
+        // propagate NULL there, so a NULL text encodes to a NULL token
+        // array (handled at the result below) instead of NPE-ing the
+        // executor
+        val words = if (text == null) Array.empty[String] else text.split(" ")
+        for (w <- words if w.nonEmpty) {
           var syms = scala.collection.mutable.ArrayBuffer[String](
             w.map(_.toString): _*)
           // presence set: a merge whose sides aren't BOTH present in
@@ -234,7 +240,7 @@ object Tokenizer {
           }
           toks ++= syms
         }
-        (id, toks.toSeq)
+        (id, if (text == null) null else toks.toSeq)
       }
       .toDF(idCol, "toks")
   }

@@ -114,6 +114,15 @@ class TokenizerSpec extends AnyFunSuite {
     val f3 = Tokenizer.encode(fix, "doc_id", "text", big)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
     assert(f3 == hof) // inert merges change nothing
+    // NULL text: the HOF path propagates NULL (split(NULL) is NULL);
+    // encode must match instead of NPE-ing the executor
+    val withNull = Seq((1L, "ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nf = Tokenizer.encode(withNull, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+    assert(nf(1L) == List("ab") && nf(2L) == null,
+      "NULL text must encode to a NULL token array, like the HOF replay")
   }
 
   test("applyMerge: greedy leftmost on overlap runs; no cross-word state") {
