@@ -59,6 +59,26 @@ class AnnMaintenanceSpec extends AnyFunSuite {
     } finally dropAll(table)
   }
 
+  test("honorDeletes on a FRESH store (no tombstone table yet) probes " +
+       "as if the tombstone set were empty, instead of crashing") {
+    val (emb, initial, model, cents, cs) = fixture()
+    val table = "annm_store_fresh"
+    dropAll(table)
+    try {
+      Incremental.writeAnnStore(initial, "vec_id", "embedding", cs, model,
+        table, numBuckets = 4)
+      val q = emb.filter($"vec_id" < 5)
+      // no deleteFromAnnStore has ever run — `<table>_deletes` does not
+      // exist; the always-honor-deletes service policy must still work
+      val guarded = Incremental.annStoreTopK(spark, table, q, "vec_id",
+        "embedding", cs, model, k = 10, nProbe = 4, honorDeletes = true)
+      val plain = Incremental.annStoreTopK(spark, table, q, "vec_id",
+        "embedding", cs, model, k = 10, nProbe = 4, honorDeletes = false)
+      assert(guarded.collect().toSet == plain.collect().toSet,
+        "empty tombstones must be decision-identical to honorDeletes=false")
+    } finally dropAll(table)
+  }
+
   test("compaction folds replay duplicates + tombstones, clears the " +
        "tombstone table, preserves BOTH bucket layouts; a halt between " +
        "its two writes is a no-op for probes and reconverges") {
