@@ -408,4 +408,42 @@ class PropertySpec extends AnyFunSuite {
       "a block value survived twice across intact docs")
     assert(intactSurvivorVals.toSet.subsetOf(distinctVals))
   }
+
+  test("doremiWeights: on random losses the weights form a distribution " +
+       "above the smoothing floor, invariant to doc partitioning") {
+    import graft.operators.Selection
+    val gRows = samples(for {
+      g <- Gen.oneOf("a", "b", "c", "d", "e")
+      p <- Gen.choose(0.5, 4.0)
+      r <- Gen.choose(0.5, 4.0)
+      t <- Gen.choose(1L, 200L)
+    } yield (g, p, r, t), 300)
+    val df = gRows.toDF("g", "proxy", "ref", "toks")
+    val w = Selection.doremiWeights(df, "g", col("proxy"), col("ref"),
+        col("toks"), eta = 1.0, smoothing = 0.125)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val k = w.size
+    assert(math.abs(w.values.sum - 1.0) < 1e-5 * k, s"sum=${w.values.sum}")
+    assert(w.values.forall(v => v >= 0.125 / k - 1e-9 && v < 1.0),
+      s"floor/ceiling violated: $w")
+    val w2 = Selection.doremiWeights(df.repartition(13), "g", col("proxy"),
+        col("ref"), col("toks"), eta = 1.0, smoothing = 0.125)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(w == w2, "rounded weights must not depend on partitioning")
+  }
+
+  test("softDedupWeights: random corpora — weights in (0,1], exactly " +
+       "the least-common docs anchor 1, commonness >= 1") {
+    val ss = samples(sentence, 120)
+    val docs = ss.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(w.length == ss.size)
+    assert(w.forall { case (_, c, v) => c >= 1.0 && v > 0.0 && v <= 1.0 })
+    val cmin = w.map(_._2).min
+    assert(w.filter(_._3 == 1.0).map(_._2).forall(_ == cmin),
+      "weight 1 exactly at the minimum commonness")
+    assert(w.exists(_._3 == 1.0))
+  }
 }
