@@ -539,25 +539,45 @@ object Similarity {
     * redundancy, this EXTRACTS the maximally-spread representatives
     * (eval-set construction, prototype picking, annotation budgets).
     *
-    * Scale shape: round r is ONE narrow projection (r codegen'd sq-L2
-    * kernels against plan-literal centers — Σr = k²/2 kernel evals
-    * per row over the run) feeding ONE TakeOrderedAndProject
-    * (map-side limit 1 per partition → a 1-row driver argmax). The
-    * driver accumulates exactly the k selected vectors — model
+    * Scale shape — RUNNING MIN (the standard Gonzalez bookkeeping):
+    * the state is (id, v, d_min) where d_min is the rounded min sq-L2
+    * to the centers selected SO FAR, materialized with an eager
+    * localCheckpoint each round. Round r is then ONE narrow projection
+    * with exactly ONE codegen'd sq-L2 kernel (against the single new
+    * plan-literal center) folded into `least(d_min, ·)`, feeding ONE
+    * TakeOrderedAndProject (map-side limit 1 per partition → a 1-row
+    * driver argmax) — O(k) kernel evals per row over the whole run and
+    * a constant-depth expression tree, where the naive form (rebuild
+    * the min over ALL r centers every round) is Σr = k²/2 evals with a
+    * k-deep `least` tree: the exact pathology [[Tokenizer.encode]]'s
+    * scaladoc diagnoses for per-merge HOF replay. Superseded state
+    * checkpoints are freed deterministically ([[Checkpoints.release]]
+    * — the PageRank discipline), so block-manager footprint stays one
+    * state generation regardless of k. For k ≥ ~10³ at corpus scale,
+    * the remaining cost is k sequential driver rounds; the published
+    * fix is a partition-local pre-coreset (two-level Gonzalez: run
+    * farthest-first per partition for k' > k local centers, then the
+    * driver-side pass over the |partitions|·k' survivors — see
+    * docs/SCALE.md "k-center at large k").
+    *
+    * The driver accumulates exactly the k selected vectors — model
     * parameters, the [[CentroidSet]] discipline — and the input is
     * persisted once so the k scans never recompute upstream lineage.
     * Determinism: per-center distances are ROUNDED (6) before the
-    * min/argmax (round commutes with min — monotone), ties break on
-    * id, so the trajectory replays exactly cross-engine; the kernel's
-    * index-order double accumulation keeps raw distances off rounding
-    * boundaries except on a measure-zero set. If `k` exceeds the
-    * number of DISTINCT embeddings, the tail re-selects zero-radius
-    * duplicates (cover_d = 0) rather than failing — harmless for the
-    * cover, but callers wanting k distinct ids should pass k ≤ that
-    * count. Output: (sel_rank,
-    * idCol, cover_d) — cover_d is the selected point's min distance
-    * to the earlier centers (non-increasing for rank ≥ 2 — the greedy
-    * invariant; NULL for the seed). */
+    * min/argmax (round commutes with min — monotone, so the running
+    * least over rounded per-center distances equals the naive
+    * min-over-all-centers form term for term and the selection
+    * trajectory is hash-identical to the pre-running-min
+    * implementation), ties break on id, so the trajectory replays
+    * exactly cross-engine; the kernel's index-order double
+    * accumulation keeps raw distances off rounding boundaries except
+    * on a measure-zero set. If `k` exceeds the number of DISTINCT
+    * embeddings, the tail re-selects zero-radius duplicates
+    * (cover_d = 0) rather than failing — harmless for the cover, but
+    * callers wanting k distinct ids should pass k ≤ that count.
+    * Output: (sel_rank, idCol, cover_d) — cover_d is the selected
+    * point's min distance to the earlier centers (non-increasing for
+    * rank ≥ 2 — the greedy invariant; NULL for the seed). */
   def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -570,19 +590,36 @@ object Similarity {
       val seed = seedRows.head
       var centers =
         Vector((seed.getLong(0), seed.getSeq[Double](1), Option.empty[Double]))
+      // (id, v, d_min) vs the centers so far; rebuilt (not re-derived)
+      // each round from ONE new-center kernel — see the scaladoc
+      var state: DataFrame = null
       for (_ <- 1 until k) {
-        val dcol = centers.map { case (_, c, _) =>
-          round(graft.plans.exprs.sqL2(col("v"), typedlit(c.toSeq)), 6)
-        }.reduce(least(_, _))
-        val cand = base.select(col("id"), col("v"), dcol.as("d"))
-          .orderBy(col("d").desc, col("id")).limit(1).collect().head
+        val next = kCenterRound(if (state == null) base else state,
+            centers.last._2, first = state == null)
+          .localCheckpoint(true)
+        if (state != null) Checkpoints.release(state)
+        state = next
+        val cand = state
+          .orderBy(col("d_min").desc, col("id")).limit(1).collect().head
         centers = centers :+
           ((cand.getLong(0), cand.getSeq[Double](1), Some(cand.getDouble(2))))
       }
+      if (state != null) Checkpoints.release(state)
       import spark.implicits._
       centers.zipWithIndex.map { case ((id, _, dOpt), i) =>
         ((i + 1).toLong, id, dOpt)
       }.toDF("sel_rank", idCol, "cover_d")
     } finally { base.unpersist(); () }
+  }
+
+  /** One k-center round's projection: fold the new center's (rounded)
+    * sq-L2 distance into the running `d_min`. Package-private so the
+    * spec can assert the per-round plan carries exactly ONE distance
+    * kernel — the running-min contract. */
+  private[graft] def kCenterRound(state: DataFrame, center: Seq[Double],
+                                  first: Boolean): DataFrame = {
+    val dNew = round(graft.plans.exprs.sqL2(col("v"), typedlit(center)), 6)
+    state.select(col("id"), col("v"),
+      (if (first) dNew else least(col("d_min"), dNew)).as("d_min"))
   }
 }

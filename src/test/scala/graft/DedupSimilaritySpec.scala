@@ -772,6 +772,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fx.last > 0.0, "distinct embeddings keep a positive radius")
   }
 
+  test("kCenterSelect: running-min contract — each round's plan carries " +
+       "exactly ONE distance kernel, and state blocks are released") {
+    def sqL2Count(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions.map(_.collect {
+        case e: graft.plans.SqL2Distance => e
+      }.size).sum
+    // the per-round projection: one new-center kernel folded into the
+    // running d_min — NOT one kernel per already-selected center
+    val state = Seq((1L, Seq(0.0, 0.0), 0.5)).toDF("id", "v", "d_min")
+    for (r <- Seq(1, 5, 50)) {
+      // simulate round r: the state already reflects r centers; the
+      // next round's plan must still contain exactly one kernel
+      val roundPlan = Similarity.kCenterRound(state,
+        Seq.fill(2)(r.toDouble), first = false)
+      assert(sqL2Count(roundPlan) == 1,
+        s"round after $r centers must fold ONE kernel, " +
+          s"got ${sqL2Count(roundPlan)}")
+    }
+    // end-to-end: a k=6 run leaves no superseded checkpoint blocks
+    // (Checkpoints.release discipline) beyond what existed before
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.kCenterSelect(
+      Tables(spark, TestSpark.sf0001, "embeddings"),
+      "vec_id", "embedding", k = 6).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"kCenterSelect must release its state checkpoints, leaked: $leaked")
+  }
+
   test("dupProvenance: hand matrix — diagonal redundancy, cross contamination") {
     // s1: A1~A2 internal pair (j=0.75); s2's B1 duplicates BOTH s1 docs
     // (j=1.0 with A1, 0.75 with A2); C is unrelated noise
