@@ -145,14 +145,31 @@ object Corpus {
     * reports the first. Cache lifecycle: like [[prepare]], the staged
     * intermediates stay persisted for the one-shot caller (process
     * exit or `spark.catalog.clearCache()` reclaims them — the q76/q86
-    * contract); long-lived sessions should clear between ledgers. */
+    * contract); long-lived sessions composing many ledgers should use
+    * [[dropLedgerManaged]] and release. */
   def dropLedger(docs: DataFrame, idCol: String, textCol: String,
                  stopwords: Seq[String],
                  langMarkers: Seq[(String, Seq[String])],
                  keepLangs: Set[String], minQuality: Double,
                  nearDupThreshold: Double, maxDocFreq: Double = 0.5,
                  evalDocs: Option[DataFrame] = None,
-                 contaminationThreshold: Double = 0.8): DataFrame = {
+                 contaminationThreshold: Double = 0.8): DataFrame =
+    dropLedgerManaged(docs, idCol, textCol, stopwords, langMarkers,
+      keepLangs, minQuality, nearDupThreshold, maxDocFreq, evalDocs,
+      contaminationThreshold).df
+
+  /** [[dropLedger]] with the cache-lifecycle handle — the
+    * [[prepareManaged]] discipline: the two (three with `evalDocs`)
+    * persisted stage intermediates are returned on the handle so a
+    * long-lived service composing many ledgers reclaims them
+    * deterministically instead of accumulating cached block sets. */
+  def dropLedgerManaged(docs: DataFrame, idCol: String, textCol: String,
+                        stopwords: Seq[String],
+                        langMarkers: Seq[(String, Seq[String])],
+                        keepLangs: Set[String], minQuality: Double,
+                        nearDupThreshold: Double, maxDocFreq: Double = 0.5,
+                        evalDocs: Option[DataFrame] = None,
+                        contaminationThreshold: Double = 0.8): ManagedFrame = {
     val id = col(idCol); val text = col(textCol)
     val scored = docs
       .withColumn("quality", Text.qualityScore(text, stopwords))
@@ -167,9 +184,11 @@ object Corpus {
     val nearDupIds = Dedup.jaccardPairs(exact, idCol, textCol,
         nearDupThreshold, shingleLen = 3, maxDocFreq = maxDocFreq)
       .select(col("id_b").as(idCol)).distinct()
-    val contamIds = evalDocs.map { ev =>
-      val deduped = exact.join(nearDupIds, Seq(idCol), "left_anti")
+    val dedupedOpt = evalDocs.map { _ =>
+      exact.join(nearDupIds, Seq(idCol), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val contamIds = evalDocs.zip(dedupedOpt).map { case (ev, deduped) =>
       Dedup.contaminationPairs(deduped, ev, idCol, textCol,
           contaminationThreshold)
         .select(col("train_id").as(idCol)).distinct()
@@ -183,13 +202,14 @@ object Corpus {
       case Some(c) => base.join(flag(c, "__ct"), Seq(idCol), "left")
       case None    => base.withColumn("__ct", lit(null).cast("long"))
     }
-    withContam.select(id, col("quality"), col("lang_pred"),
+    ManagedFrame(withContam.select(id, col("quality"), col("lang_pred"),
       when(col("quality") < minQuality, "quality")
         .when(!col("lang_pred").isin(keepLangs.toSeq.map(lit): _*), "lang")
         .when(col("__ek").isNull, "exact_dup")
         .when(col("__nd").isNotNull, "near_dup")
         .when(col("__ct").isNotNull, "contaminated")
-        .otherwise("kept").as("stage"))
+        .otherwise("kept").as("stage")),
+      cached = Seq(scored, exact) ++ dedupedOpt.toSeq)
   }
 
   /** [[prepareManaged]] without the lifecycle handle — for one-shot jobs

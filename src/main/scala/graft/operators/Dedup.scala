@@ -127,7 +127,20 @@ object Dedup {
     * exact ratio is correctly rounded — the weight replays
     * bit-identically cross-engine before the 1e-6 rounding. */
   def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
-                       shingleLen: Int = 3, beta: Double = 0.5): DataFrame = {
+                       shingleLen: Int = 3, beta: Double = 0.5): DataFrame =
+    softDedupWeightsManaged(docs, idCol, textCol, shingleLen, beta).df
+
+  /** [[softDedupWeights]] with the cache-lifecycle handle — the
+    * [[Corpus.prepareManaged]] discipline. The one persisted
+    * intermediate (the doc-grain commonness aggregate, consumed by both
+    * the min gate and the final projection) is operator-owned; the
+    * unmanaged variant leaves it for the one-shot caller's process exit
+    * or `clearCache()` (the q76/q86 contract), while long-lived
+    * sessions composing many weight tables call `release()` after
+    * materializing and reclaim it deterministically. */
+  def softDedupWeightsManaged(docs: DataFrame, idCol: String,
+                              textCol: String, shingleLen: Int = 3,
+                              beta: Double = 0.5): ManagedFrame = {
     require(beta > 0, "beta must be positive")
     val sh = docs.select(col(idCol).as("id"),
         explode(Text.shingles(lower(col(textCol)), shingleLen)).as("sh_s"))
@@ -135,8 +148,7 @@ object Dedup {
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // persisted: the min-aggregate and the final projection are two
     // consumers — without this the explode/df/join pipeline (the
-    // operator's entire cost) runs twice per action; the caller's
-    // between-query clearCache() reclaims it (the q76/q86 contract)
+    // operator's entire cost) runs twice per action
     val commonness = sh.join(df, Seq("sh"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -145,10 +157,11 @@ object Dedup {
     val cmin = commonness.agg(min(col("commonness")).as("c_min"))
     val w = if (beta == 0.5) sqrt(col("c_min") / col("commonness"))
             else pow(col("c_min") / col("commonness"), lit(beta))
-    commonness.crossJoin(broadcast(cmin))
+    ManagedFrame(commonness.crossJoin(broadcast(cmin))
       .select(col("id"), col("n_shingles"),
         round(col("commonness"), 6).as("commonness"),
-        round(w, 6).as("weight"))
+        round(w, 6).as("weight")),
+      cached = Seq(commonness))
   }
 
   /** MinHash signature: `numHashes` hash families; sig[i] = min over

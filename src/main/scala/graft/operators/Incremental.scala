@@ -765,7 +765,26 @@ object Incremental {
     * cost ∝ batch. */
   def dedupHashesAgainst(newDf: DataFrame, store: DataFrame, idCol: String,
                          hashCol: Column, maxHamming: Int = 3,
-                         storeBands: Option[DataFrame] = None): DataFrame = {
+                         storeBands: Option[DataFrame] = None): DataFrame =
+    dedupHashesAgainstManaged(newDf, store, idCol, hashCol, maxHamming,
+      storeBands).df
+
+  /** [[dedupHashesAgainst]] with the checkpoint-lifecycle handle. The
+    * operator's ONE owned block set is the internal batch-signature
+    * checkpoint backing the returned plan; `release()` frees exactly
+    * it. Do NOT instead direct [[Checkpoints.release]] at the returned
+    * plan wholesale — release walks every LogicalRDD leaf, so if the
+    * caller's `store` or `newDf` is itself locally checkpointed their
+    * blocks would be freed too, and a local checkpoint's truncated
+    * lineage can never recompute (any later use of those caller-owned
+    * datasets fails). The unmanaged variant leaves the batch-grain
+    * id+hash blocks to ride until the ContextCleaner sweep — fine for
+    * one-shot jobs; streaming/looping ingesters should use this. */
+  def dedupHashesAgainstManaged(newDf: DataFrame, store: DataFrame,
+                                idCol: String, hashCol: Column,
+                                maxHamming: Int = 3,
+                                storeBands: Option[DataFrame] = None)
+      : ManagedFrame = {
     val nsig = newDf.select(col(idCol).as("id"), hashCol.as("sh"))
       .localCheckpoint(true)
     val nBand = nsig.select(col("id"),
@@ -795,9 +814,9 @@ object Incremental {
       .distinct()
     val keep = nsig.select(col("id").as(idCol))
       .join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-    // nsig's checkpoint blocks back the RETURNED plan — the caller
-    // releases them (Checkpoints.release) after materializing, or lets
-    // batch-grain id+hash blocks ride until then
-    newDf.join(keep, Seq(idCol), "left_semi")
+    // nsig's checkpoint blocks back the RETURNED plan; the handle
+    // releases exactly them (and nothing the caller owns)
+    ManagedFrame(newDf.join(keep, Seq(idCol), "left_semi"),
+      cached = Nil, checkpointed = Seq(nsig))
   }
 }

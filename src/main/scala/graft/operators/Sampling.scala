@@ -182,7 +182,15 @@ object Sampling {
     * mixture mass, explicitly, not "keep at some default". The rate
     * is pinned to 0.0 rather than left NULL because Spark's `least`
     * SKIPS nulls (least(1.0, NULL) = 1.0 — the whole group would
-    * silently survive at rate 1). */
+    * silently survive at rate 1).
+    *
+    * Weight-table grain: the table is aggregated to ONE row per group
+    * (max over supplied weights, NULLs ignored) BEFORE the join — a
+    * weight table with duplicate rows for a group would otherwise fan
+    * out through the join and silently duplicate every doc of that
+    * group in the output. Well-formed tables (doremiWeights' are
+    * unique by construction) pass through unchanged: max of a single
+    * value is the value. */
   def mixtureByWeights(docs: DataFrame, idCol: String, groupCol: String,
                        weights: DataFrame, weightCol: String,
                        targetFrac: Double,
@@ -193,7 +201,8 @@ object Sampling {
     val rates = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
       .withColumn("p_g",
         col("n_g") / sum(col("n_g")).over(all).cast("double"))
-      .join(weights.select(col(groupCol), col(weightCol).as("__w")),
+      .join(weights.groupBy(col(groupCol))
+          .agg(max(col(weightCol)).as("__w")),
         Seq(groupCol), "left")
       .withColumn("rate_g", when(col("__w").isNotNull,
         least(lit(1.0), lit(targetFrac) * col("__w") / col("p_g")))

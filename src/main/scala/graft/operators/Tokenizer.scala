@@ -212,8 +212,21 @@ object Tokenizer {
         // executor
         val words = if (text == null) Array.empty[String] else text.split(" ")
         for (w <- words if w.nonEmpty) {
-          var syms = scala.collection.mutable.ArrayBuffer[String](
-            w.map(_.toString): _*)
+          // seed symbols at CODE POINT grain, not UTF-16 char grain:
+          // the applyMerges SQL path splits via Spark substr, which
+          // walks UTF-8 code points — char-grain seeding would hand
+          // non-BMP text (emoji, astral CJK) to the merge loop as
+          // lone surrogates and break the bit-identity contract
+          var syms = {
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            var ci = 0
+            while (ci < w.length) {
+              val cp = w.codePointAt(ci)
+              b += new String(Character.toChars(cp))
+              ci += Character.charCount(cp)
+            }
+            b
+          }
           // presence set: a merge whose sides aren't BOTH present in
           // this word skips in O(1) — stale entries (symbols consumed
           // by a later merge) only cost a scan, never correctness

@@ -747,6 +747,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(withEv.count() == docs.count())
   }
 
+  test("dropLedgerManaged / softDedupWeightsManaged: release returns the " +
+       "session cache to baseline; results equal the unmanaged variants") {
+    import graft.operators.Corpus
+    spark.catalog.clearCache()
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val baseline = spark.sharedState.cacheManager.isEmpty
+
+    val managed = Corpus.dropLedgerManaged(docs, "doc_id", "text",
+      Queries.Stopwords, Queries.LangMarkers, keepLangs = Set("en"),
+      minQuality = 0.5, nearDupThreshold = 0.6, maxDocFreq = 1.0,
+      evalDocs = Some(docs.limit(2).select(col("doc_id"), col("text"))))
+    val ledgerRows = managed.df.collect()
+    assert(!managed.isReleased && !spark.sharedState.cacheManager.isEmpty,
+      "the staged intermediates are persisted while the handle is live")
+    managed.release()
+    assert(managed.isReleased)
+    assert(spark.sharedState.cacheManager.isEmpty == baseline,
+      "release must return the CacheManager to its pre-call state")
+    assert(ledgerRows.length == docs.count())
+
+    val mw = Dedup.softDedupWeightsManaged(docs, "doc_id", "text")
+    val wRows = mw.df.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!mw.isReleased)
+    mw.release()
+    assert(mw.isReleased && spark.sharedState.cacheManager.isEmpty == baseline)
+    // unmanaged delegate: identical weights (then clean up its persist)
+    val plain = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(plain == wRows)
+    spark.catalog.clearCache()
+  }
+
   test("kCenterSelect: hand farthest-first trajectory, tie on id, " +
        "non-increasing cover radius") {
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray

@@ -232,6 +232,35 @@ class PerceptualHashSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("dedupHashesAgainstManaged: release frees ONLY the operator's " +
+       "internal checkpoint — a caller-owned checkpointed batch " +
+       "survives and stays usable") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val table = "phash_managed_spec"
+    for (t <- Seq(table, s"${table}_bands")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      Incremental.writeHashStore(Seq(1L -> 0L).toDF("id", "h"), "id",
+        col("h"), table, numBuckets = 4, maxHamming = 3)
+      // the caller's OWN local checkpoint — the blanket-release hazard:
+      // releasing the returned plan wholesale would free these blocks
+      // too, and a truncated lineage cannot recompute
+      val callerBatch = Seq(10L -> 1L, 11L -> -1L).toDF("id", "h")
+        .localCheckpoint(true)
+      val managed = Incremental.dedupHashesAgainstManaged(callerBatch,
+        spark.table(table), "id", col("h"), maxHamming = 3,
+        storeBands = Some(spark.table(s"${table}_bands")))
+      val surv = managed.df.select("id").as[Long].collect().toSet
+      assert(surv == Set(11L), s"got $surv") // 10 is ham-1 vs the store
+      managed.release()
+      // the caller's checkpoint must still be materialized and readable
+      assert(callerBatch.count() == 2,
+        "caller-owned checkpoint blocks must survive the scoped release")
+    } finally
+      for (t <- Seq(table, s"${table}_bands"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("forget protocol: ids leave BOTH layouts of every store kind, " +
        "stores stay valid, and the hash-store decision flips — a " +
        "re-ingested forgotten signature is admitted") {

@@ -493,4 +493,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept2.filter(col("grp") === "b").count() == 0,
       "NULL weight must contribute zero rows, not rate 1")
   }
+
+  test("mixtureByWeights: duplicate weight rows collapse to one per " +
+       "group — no join fan-out duplicating docs") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, if (i <= 50) "a" else "b")).toDF("doc_id", "grp")
+    // a's weight listed THREE times (plus a NULL): the join must see one
+    // row per group — the pre-fix behavior emitted each kept doc of `a`
+    // three times
+    val dup = Seq(("a", Some(1.0)), ("a", Some(1.0)), ("a", Option.empty[Double]),
+      ("a", Some(0.25)), ("b", Some(1.0))).toDF("grp", "weight")
+    val kept = Sampling.mixtureByWeights(docs, "doc_id", "grp",
+      dup, "weight", targetFrac = 0.5)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      "every kept doc must appear exactly once")
+    // max-collapse semantics: the unique-table run with weight max(1.0,
+    // 0.25)=1.0 per group is the same survivor set
+    val uniq = Seq(("a", 1.0), ("b", 1.0)).toDF("grp", "weight")
+    val ref = Sampling.mixtureByWeights(docs, "doc_id", "grp",
+      uniq, "weight", targetFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.toSet == ref)
+  }
 }

@@ -125,6 +125,33 @@ class TokenizerSpec extends AnyFunSuite {
       "NULL text must encode to a NULL token array, like the HOF replay")
   }
 
+  test("encode: non-BMP text — code-point symbol grain matches the SQL " +
+       "substr path (no lone surrogates)") {
+    import spark.implicits._
+    // U+1F600 (😀) and U+20BB7 (𠮷) are astral: 2 UTF-16 chars each but
+    // ONE Spark substr character. A char-grain seeding would split them
+    // into unmergeable lone surrogates; the merge table below must see
+    // whole code points on both paths
+    val smile = new String(Character.toChars(0x1F600))
+    val jp = new String(Character.toChars(0x20BB7))
+    val docs = Seq((1L, s"$smile$smile a$jp"), (2L, s"x$smile y"))
+      .toDF("doc_id", "text")
+    val merges = Seq((smile, smile), ("a", jp), ("x", smile))
+    val fast = Tokenizer.encode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(fast(1L) == List(smile + smile, "a" + jp))
+    assert(fast(2L) == List("x" + smile, "y"))
+    val hof = docs.select(col("doc_id"),
+        flatten(transform(
+          filter(split(col("text"), " "), w => length(w) > 0),
+          w => Tokenizer.applyMerges(
+            transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+            merges))).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(fast == hof, "encode must stay bit-identical to the SQL replay " +
+      "on astral text")
+  }
+
   test("applyMerge: greedy leftmost on overlap runs; no cross-word state") {
     import spark.implicits._
     val sym = Seq(Seq("a", "a", "a"), Seq("b", "a", "a"), Seq("a"))
