@@ -113,39 +113,55 @@ object Bench {
         s"artifact (${prevDigest.get} -> $fixturesDigest): per-query " +
         "comparisons against it measure fixture shape, not code")
 
-    // ── cross-round regression reference (r13) ────────────────────────
-    // The LOCKED artifact of the previous round (docs/bench_locked.json,
-    // the single committed bench artifact; SPARK_GRAFT_PREV_BENCH
-    // overrides, benchOutPath is the fallback for older layouts) supplies
-    // per-query prior minima + its host-speed probe. Any query whose
-    // suite min exceeds prev_min × host_ratio × 1.3 is flagged and gets
-    // a STANDALONE floor measured in a freshly forked idle JVM — the
-    // r12 lesson: mid-suite JVM state (block-manager pressure,
-    // contention windows) can inflate a family of queries ~2x and the
-    // suite protocol alone cannot tell that from a code regression.
+    // ── cross-round regression references (r13, anchored r14) ─────────
+    // TWO priors gate every query:
+    //  - the LAST lock (docs/bench_locked.json; SPARK_GRAFT_PREV_BENCH
+    //    overrides, benchOutPath is the fallback for older layouts) —
+    //    catches within-round drift;
+    //  - the previous ROUND's final lock (docs/bench_round_prev.json,
+    //    snapshotted at each round boundary; SPARK_GRAFT_ROUND_BENCH
+    //    overrides) — the r13 false-negative fix: gating only against
+    //    the artifact being overwritten let CHAINED mid-round locks
+    //    ratchet a query up ≤30% per lock (q132 went 0.68 → 1.13 s at
+    //    identical probe across r12→r13 with no flag). A query is
+    //    suspect when it exceeds EITHER prior's allowance.
+    // Any suspect gets a STANDALONE floor measured in a freshly forked
+    // idle JVM — the r12 lesson: mid-suite JVM state (block-manager
+    // pressure, contention windows) can inflate a family of queries ~2x
+    // and the suite protocol alone cannot tell that from a code
+    // regression.
+    def loadRef(path: java.nio.file.Path)
+        : Option[(String, Map[String, Double], Double, String)] =
+      if (!java.nio.file.Files.isRegularFile(path)) None
+      else {
+        val txt = java.nio.file.Files.readString(path)
+        for {
+          body <- "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+          probe <- "\"probe_baseline\":([0-9.eE+]+)".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          digest <- "\"fixtures_digest\":\"([0-9a-f]{32})\"".r
+            .findFirstMatchIn(txt).map(_.group(1))
+        } yield (path.toString,
+          "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap,
+          probe, digest)
+      }
     val prevRefPath = sys.env.get("SPARK_GRAFT_PREV_BENCH")
       .map(java.nio.file.Paths.get(_))
       .orElse(Some(java.nio.file.Paths.get("docs/bench_locked.json"))
         .filter(java.nio.file.Files.isRegularFile(_)))
       .getOrElse(benchOutPath)
-    val prevText: Option[String] =
-      if (java.nio.file.Files.isRegularFile(prevRefPath))
-        Some(java.nio.file.Files.readString(prevRefPath))
-      else None
-    val prevQueries: Map[String, Double] = prevText.flatMap { txt =>
-      "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
-    }.map { body =>
-      "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }.getOrElse(Map.empty)
-    val prevProbe: Option[Double] = prevText.flatMap(txt =>
-      "\"probe_baseline\":([0-9.eE+]+)".r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble))
-    val prevRefDigest: Option[String] = prevText.flatMap(txt =>
-      "\"fixtures_digest\":\"([0-9a-f]{32})\"".r.findFirstMatchIn(txt)
-        .map(_.group(1)))
-    val prevComparable = prevQueries.nonEmpty && prevProbe.nonEmpty &&
-      prevRefDigest.contains(fixturesDigest)
+    val prevRef = loadRef(prevRefPath)
+    val roundRefPath = sys.env.get("SPARK_GRAFT_ROUND_BENCH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("docs/bench_round_prev.json"))
+    val roundRef = loadRef(roundRefPath)
+    val prevText: Option[String] = prevRef.map(_ => "")
+    val prevQueries: Map[String, Double] =
+      prevRef.map(_._2).getOrElse(Map.empty)
+    val prevProbe: Option[Double] = prevRef.map(_._3)
+    val prevComparable = prevRef.exists(_._4 == fixturesDigest)
     val only = args.toSet // optional query-name filter (dev use)
     val queries = Queries.all.filter(q => only.isEmpty || only(q.name))
 
@@ -359,28 +375,50 @@ object Bench {
     val standalone = sys.env.contains("SPARK_GRAFT_STANDALONE")
     val hostRatio: Option[Double] =
       if (prevComparable) Some(probeBaseline / prevProbe.get) else None
-    // the flag threshold CLAMPS the ratio at 1.0: the CPU probe and a
-    // full query don't speed up in lockstep, so a faster-probing host
-    // must not shrink the allowance below prev x 1.3 — the r13 shakeout
-    // run (probe ratio 0.81) flagged 25 queries whose forked floors all
-    // came back within ±20% of prev: band noise, not regressions
-    val flagRatio = hostRatio.map(math.max(_, 1.0))
-    val suspectsAll =
-      if (standalone || only.nonEmpty || !prevComparable) Seq.empty
-      else results0.filter { case (n, v) =>
-        v > 0 && prevQueries.get(n).exists(p =>
-          p > 0 && v > p * flagRatio.get * 1.3 && v - p * flagRatio.get > 0.2)
-      }.map(_._1)
+    // the flag threshold CLAMPS each anchor's ratio at 1.0: the CPU
+    // probe and a full query don't speed up in lockstep, so a
+    // faster-probing host must not shrink the allowance below
+    // prior x 1.3 — the r13 shakeout run (probe ratio 0.81) flagged 25
+    // queries whose forked floors all came back within ±20% of prev:
+    // band noise, not regressions
+    val anchors: Seq[(String, Map[String, Double], Double)] =
+      Seq(("last_lock", prevRef), ("round_lock", roundRef)).flatMap {
+        case (label, Some((_, qs, probe, digest)))
+            if digest == fixturesDigest && probe > 0 =>
+          Some((label, qs, math.max(probeBaseline / probe, 1.0)))
+        case _ => None
+      }
+    // a query violates an anchor when it exceeds that anchor's prior ×
+    // clamped host ratio × 1.3 (plus the 0.2 s absolute guard); checking
+    // EVERY anchor is what breaks the chained-lock ratchet — a query can
+    // drift ≤30% past the last lock yet still trip the round-boundary
+    // prior. The reported prior/anchor is the WORST violation.
+    def violations(n: String, v: Double): Seq[(String, Double, Double)] =
+      anchors.flatMap { case (label, qs, ratio) =>
+        qs.get(n)
+          .filter(p => p > 0 && v > p * ratio * 1.3 && v - p * ratio > 0.2)
+          .map(p => (label, p, v / (p * ratio)))
+      }
+    val suspectsAll: Seq[(String, (String, Double, Double))] =
+      if (standalone || only.nonEmpty || anchors.isEmpty) Seq.empty
+      else results0.flatMap { case (n, v) =>
+        if (v <= 0) None
+        else {
+          val vio = violations(n, v)
+          if (vio.isEmpty) None else Some(n -> vio.maxBy(_._3))
+        }
+      }
     // fork cost is ~1-2 min per query; bound a pathological run (e.g. a
     // global slowdown the probe missed) at the 10 worst offenders —
     // the rest still land in `regressed_vs_prev` with floor_mode "none"
     val suspects = suspectsAll
-      .sortBy(n => -(results0.toMap.apply(n) / prevQueries(n)))
-      .take(10)
+      .sortBy { case (_, (_, _, sev)) => -sev }
+      .take(10).map(_._1)
     if (suspectsAll.nonEmpty)
-      System.err.println(s"[bench] ${suspectsAll.size} queries past " +
-        f"prev x ${flagRatio.get}%.2f (host, clamped) x 1.3: " +
-        suspectsAll.mkString(", ") +
+      System.err.println(s"[bench] ${suspectsAll.size} queries past an " +
+        "anchor prior x clamped-host x 1.3: " +
+        suspectsAll.map { case (n, (a, _, sev)) =>
+          f"$n($a,${sev}%.2fx)" }.mkString(", ") +
         s" - measuring standalone floors for ${suspects.size}")
 
     def forkFloor(name: String): Option[Double] = {
@@ -504,17 +542,23 @@ object Bench {
     val fixturesJson = fmtMap(fixtures.map { case (t, rows, bytes, md5) =>
       t -> s"""{"rows":$rows,"bytes":$bytes,"md5":"$md5"}"""
     })
-    val regressedJson = fmtMap(suspectsAll.sorted.map { n =>
-      val f = floors.get(n)
-      n -> (f"""{"prev":${prevQueries(n)}%.3f,"suite_min":${results0.toMap.apply(n)}%.3f,""" +
-        f.map { case (v, m) => f""""floor":$v%.3f,"floor_mode":"$m"}""" }
-          .getOrElse(""""floor":null,"floor_mode":"none"}"""))
+    val regressedJson = fmtMap(suspectsAll.sortBy(_._1).map {
+      case (n, (anchor, prior, _)) =>
+        val f = floors.get(n)
+        n -> (f"""{"prev":$prior%.3f,"anchor":"$anchor","suite_min":${results0.toMap.apply(n)}%.3f,""" +
+          f.map { case (v, m) => f""""floor":$v%.3f,"floor_mode":"$m"}""" }
+            .getOrElse(""""floor":null,"floor_mode":"none"}"""))
     })
     val hostRatioJson = hostRatio.map(r => f"$r%.3f").getOrElse("null")
     val prevRefJson =
       if (prevText.isEmpty) "null"
       else "\"" + prevRefPath.toString + (if (prevComparable) "" else " (incomparable)") + "\""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
+    val roundRefJson = roundRef match {
+      case None => "null"
+      case Some((p, _, _, digest)) =>
+        "\"" + p + (if (digest == fixturesDigest) "" else " (incomparable)") + "\""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's per-round artifact keeps only the run's last 2000
     // output chars, which truncates the per-query JSON every round — so

@@ -7161,7 +7161,135 @@ object Queries {
           |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
           |       ELSE 'kept' END AS stage
           |FROM g LEFT JOIN ek ON ek.doc_id = g.doc_id
-          |  LEFT JOIN nd ON nd.doc_id = g.doc_id""".stripMargin)))
+          |  LEFT JOIN nd ON nd.doc_id = g.doc_id""".stripMargin)),
+
+    Q("q179_forget_edges",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // FORGET-PROTOCOL EDGES under the oracle (q170's sibling): the
+        // spec-only surfaces the r12 lesson warns about, made
+        // hash-checked —
+        //  (1) forget-of-ABSENT-id: the forget set carries ids the
+        //      store never held (unstored doc ids AND ids outside the
+        //      corpus domain entirely); the rewrite must be exactly
+        //      "minus the present ids" — a store that loses or keeps
+        //      anything else shifts the replayed survivor hash;
+        //  (2) forget IDEMPOTENCY: re-forgetting the same set is a
+        //      no-op (row accounting surfaced as a flag column, store
+        //      layouts re-validated in-plan);
+        //  (3) fresh-store honorDeletes (the delete-before-first-write
+        //      edge): an always-honor-deletes probe policy on an ANN
+        //      store that has never seen a delete — no `_deletes`
+        //      table exists — must answer exactly like
+        //      honorDeletes=false, surfaced as a flag column (frozen
+        //      PQ models aren't SQL-replayable — the q130/q162
+        //      contract pattern).
+        val docs = tbl("documents")
+        val table = "q179_text_store"
+        for (t <- Seq(table, s"${table}_bands")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        val storeDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        operators.Incremental.writeStore(storeDocs, "doc_id", "text",
+          table, numBuckets = 8)
+        val present = storeDocs.filter(col("doc_id") % 22 === 0)
+          .select(col("doc_id").as("id"))
+        val absent = docs.filter(col("doc_id") % 3 === 0 &&
+            col("doc_id") % 22 === 0).select(col("doc_id").as("id"))
+          .unionByName(docs.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 5000000L).as("id")))
+        val fset = present.unionByName(absent)
+        operators.Incremental.forgetFromStore(s, fset, table, numBuckets = 8)
+        require(operators.Incremental.validateStore(s, table),
+          "store/bands diverged after forget")
+        val n1 = s.table(table).agg(count(lit(1)).as("n1"))
+          .localCheckpoint(true)
+        operators.Incremental.forgetFromStore(s, fset, table, numBuckets = 8)
+        require(operators.Incremental.validateStore(s, table),
+          "store/bands diverged after second forget")
+        val n2 = s.table(table).agg(count(lit(1)).as("n2"))
+          .localCheckpoint(true)
+        val annTable = "q179_ann_store"
+        for (t <- Seq(annTable, s"${annTable}_deletes")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % 5 === 0)
+        val (model, _) = Similarity.pqTrain(emb, "vec_id", "embedding",
+          dim = 64, m = 4, ksub = 16, iters = 1)
+        val cents = Similarity.trainCentroidsKMeans(emb, "vec_id",
+          "embedding", dim = 64, cells = 4, iters = 1)
+        val cs = Similarity.collectCentroids(cents)
+        operators.Incremental.writeAnnStore(emb, "vec_id", "embedding", cs,
+          model, annTable, numBuckets = 4)
+        val annQ = emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        def probe(honor: Boolean) = operators.Incremental.annStoreTopK(s,
+          annTable, annQ, "vec_id", "embedding", cs, model, k = 5,
+          nProbe = 4, honorDeletes = honor)
+        val guard = probe(true).withColumnRenamed("neighbor_id", "n_a")
+          .withColumnRenamed("adc", "adc_a")
+          .join(probe(false).withColumnRenamed("neighbor_id", "n_b")
+            .withColumnRenamed("adc", "adc_b"), Seq("query_id", "rnk"),
+            "full")
+          .agg(count(lit(1)).as("n_g"),
+            sum(when(col("n_a") === col("n_b") &&
+              col("adc_a") === col("adc_b"), lit(0L)).otherwise(lit(1L)))
+              .as("d_g"))
+        // decision replay against the post-forget store (the q170
+        // machinery): copies of PRESENT-forgotten docs re-admit; copies
+        // of docs whose forget was a no-op behave as plain fresh docs;
+        // copies of remembered docs still drop
+        val batch = storeDocs.filter(col("doc_id") % 22 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 3 === 0 &&
+              col("doc_id") % 22 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+          .unionByName(storeDocs.filter(col("doc_id") % 23 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        operators.Incremental.dedupAgainst(batch, s.table(table),
+            "doc_id", "text", threshold = 0.6,
+            storeBands = Some(s.table(s"${table}_bands")))
+          .select(col("doc_id"))
+          .crossJoin(broadcast(n1.crossJoin(n2).crossJoin(guard)
+            .select(
+              Clean.flag(col("n1") === col("n2")).as("second_forget_noop"),
+              Clean.flag(col("d_g") === 0 && col("n_g") > 0)
+                .as("fresh_store_guard_ok"))))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, md5(text) AS h, $ShinglesSql AS sh
+              |           FROM documents),
+              |s AS (SELECT * FROM t
+              |      WHERE doc_id % 3 <> 0 AND doc_id % 22 <> 0),
+              |n AS (SELECT doc_id + 1000000 AS doc_id, h, sh FROM t
+              |        WHERE doc_id % 3 <> 0 AND doc_id % 22 = 0
+              |      UNION ALL SELECT doc_id + 3000000, h, sh FROM t
+              |        WHERE doc_id % 3 = 0 AND doc_id % 22 = 0
+              |      UNION ALL SELECT doc_id + 2000000, h, sh FROM t
+              |        WHERE doc_id % 3 <> 0 AND doc_id % 23 = 0),
+              |ne AS (SELECT n.doc_id, n.sh FROM n
+              |       JOIN (SELECT h, min(doc_id) AS k FROM n GROUP BY h) mk
+              |         ON n.h = mk.h AND n.doc_id = mk.k
+              |       WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.h = n.h)),
+              |dr AS (SELECT DISTINCT a.doc_id FROM ne a JOIN s b ON
+              |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh)
+              |              - len(list_intersect(a.sh, b.sh))) >= 0.6
+              |       UNION
+              |       SELECT DISTINCT b.doc_id FROM ne a JOIN ne b
+              |       ON a.doc_id < b.doc_id AND
+              |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |           / (len(a.sh) + len(b.sh)
+              |              - len(list_intersect(a.sh, b.sh))) >= 0.6)
+              |SELECT doc_id, CAST(1 AS BIGINT) AS second_forget_noop,
+              |  CAST(1 AS BIGINT) AS fresh_store_guard_ok
+              |FROM ne WHERE doc_id NOT IN (SELECT doc_id FROM dr)"""
+        .stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula
