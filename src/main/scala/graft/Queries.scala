@@ -7289,7 +7289,77 @@ object Queries {
               |SELECT doc_id, CAST(1 AS BIGINT) AS second_forget_noop,
               |  CAST(1 AS BIGINT) AS fresh_store_guard_ok
               |FROM ne WHERE doc_id NOT IN (SELECT doc_id FROM dr)"""
-        .stripMargin)))
+        .stripMargin)),
+
+    Q("q180_ivf_autotune",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // IVF AUTO-TUNING under oracle — closes SCALE.md's "tune
+        // iters/cells per corpus" open item with a measured rule:
+        // cells = ceil(sqrt n) (expected cell size sqrt n balances probe
+        // scan vs centroid compare), probe grid = powers of two + the
+        // full depth, nProbe chosen as the smallest grid depth whose
+        // MEASURED recall@k (vs the in-plan brute-force ground truth,
+        // the q46 pattern — one candidate pass re-windowed per depth,
+        // never one IVF run per depth) reaches 0.9. The oracle replays
+        // the sqrt-cell rule and the exact probe grid (both exact
+        // integer arithmetic) row-for-row; the recall/scan contracts
+        // ride as flag columns (trained centroids are model parameters
+        // — not SQL-replayable, the q130/q162 pattern):
+        //  - full_probe_exact: at n_probe = cells, recall == 1 AND
+        //    scan_frac == 1 (full probe ≡ brute force);
+        //  - monotone_ok: recall and scan_frac non-decreasing in depth
+        //    (candidate sets nest);
+        //  - chosen_ok: the tuner's pick == min grid depth reaching
+        //    target (full depth fallback).
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val (_, sweep, chosen) = Similarity.ivfAutoTune(emb, queries,
+          "vec_id", "embedding", k = 5, targetRecall = 0.9, dim = 64,
+          iters = 2)
+        // |grid| rows — single-task window over the bounded grid only
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(col("n_probe"))
+        val mono = sweep
+          .withColumn("r_prev", lag(col("recall_at_k"), 1).over(wOrd))
+          .withColumn("s_prev", lag(col("scan_frac"), 1).over(wOrd))
+          .agg(
+            min(when(col("r_prev").isNotNull &&
+              col("recall_at_k") < col("r_prev"), 0L).otherwise(1L))
+              .as("mono_r"),
+            min(when(col("s_prev").isNotNull &&
+              col("scan_frac") < col("s_prev"), 0L).otherwise(1L))
+              .as("mono_s"),
+            max(col("n_probe")).as("max_p"),
+            min(when(col("recall_at_k") >= 0.9, col("n_probe")))
+              .as("min_hit"))
+        val nC = emb.agg(count(lit(1)).as("n_corpus"))
+        val full = sweep.crossJoin(broadcast(mono.select("max_p")))
+          .filter(col("n_probe") === col("max_p"))
+          .select(Clean.flag(col("recall_at_k") === 1.0 &&
+            col("scan_frac") === 1.0).as("full_probe_exact"))
+        val flags = mono.crossJoin(broadcast(nC))
+          .crossJoin(broadcast(full))
+          .select(col("full_probe_exact"),
+            Clean.flag(col("mono_r") === 1L && col("mono_s") === 1L)
+              .as("monotone_ok"),
+            Clean.flag(coalesce(col("min_hit"), col("max_p")) ===
+              lit(chosen.toLong)).as("chosen_ok"),
+            Clean.flag(col("max_p") ===
+              ceil(sqrt(col("n_corpus").cast("double"))).cast("long"))
+              .as("cells_rule_ok"))
+        sweep.select(col("n_probe")).crossJoin(broadcast(flags))
+      },
+      Some("""WITH n AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+             |             AS cells FROM embeddings),
+             |g AS (SELECT CAST(power(2, i) AS BIGINT) AS n_probe
+             |      FROM generate_series(0, 30) t(i), n
+             |      WHERE power(2, i) < cells
+             |      UNION SELECT cells FROM n)
+             |SELECT n_probe, CAST(1 AS BIGINT) AS full_probe_exact,
+             |  CAST(1 AS BIGINT) AS monotone_ok,
+             |  CAST(1 AS BIGINT) AS chosen_ok,
+             |  CAST(1 AS BIGINT) AS cells_rule_ok
+             |FROM g""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

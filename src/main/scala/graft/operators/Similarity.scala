@@ -290,6 +290,135 @@ object Similarity {
     cents
   }
 
+  /** IVF nProbe SWEEP in one candidate pass: recall@k and scan-cost for
+    * every candidate probe depth at once, against the in-plan
+    * brute-force ground truth. The tuning measurement behind
+    * [[ivfAutoTune]], exposed for custom grids.
+    *
+    * Scale shape: ONE corpus assignment scan joined once against the
+    * broadcast query×cell list exploded at the DEEPEST candidate depth,
+    * with each cell's probe RANK carried (nearestCells orders by
+    * cosine desc) — candidates for probe depth p are just the rows with
+    * rank ≤ p, so the sweep re-windows ONE materialized candidate set
+    * |grid| times instead of re-scanning the corpus per depth. Scan
+    * cost comes from the per-cell size aggregate joined to the probed
+    * cells (model grain), not from re-reading data. The ground truth is
+    * ONE [[bruteForceTopK]] run — the sweep costs one corpus scan + one
+    * brute-force pass + |grid| windows at candidate grain, vs the naive
+    * |grid| full IVF runs + |grid| brute-force joins.
+    *
+    * Determinism: recall is a ratio of exact integer counts; scan_frac
+    * is a ratio of exact integer sums; both round at 6. Output: one row
+    * per probe depth — (n_probe, n_hit, n_bf, recall_at_k, scan_frac),
+    * recall monotone non-decreasing in n_probe (candidate sets nest),
+    * recall = 1 and scan_frac = 1 at n_probe = k_cells (full probe ≡
+    * brute force — every cell scanned). */
+  def ivfProbeSweep(corpus: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, idCol: String, vecCol: String,
+                    k: Int, probes: Seq[Int]): DataFrame = {
+    val cs = collectCentroids(centroids)
+    val ps = probes.distinct.sorted
+    require(ps.nonEmpty && ps.head >= 1, "probe grid must be >= 1")
+    val maxP = math.min(ps.last, cs.k)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("neighbor_vec")), "neighbor_vec", cs)
+    val probed = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+        .select(col("query_id"), col("query_vec"),
+          posexplode(graft.plans.exprs.nearestCells(col("query_vec"),
+            cs.ids, cs.matrix, maxP)).as(Seq("probe_pos", "cell_id"))))
+    // candidate grain: |queries| x (probed-cell rows). Checkpointed so
+    // the |grid| windows and the hit join re-read it instead of
+    // re-running the corpus scan per depth. Released before return.
+    val cand = assigned.join(probed, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.cosine(col("query_vec"), col("neighbor_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("probe_pos"), col("cos"))
+      .localCheckpoint(true)
+    try {
+      val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val perP = ps.map { p =>
+        cand.filter(col("probe_pos") < p)
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cos").desc, col("neighbor_id"))))
+          .filter(col("rnk") <= k)
+          .select(lit(p).as("n_probe"), col("query_id"), col("neighbor_id"))
+      }.reduce(_.unionByName(_))
+      val hits = perP.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("n_probe").agg(count(lit(1)).as("n_hit"))
+      val nBf = bf.agg(count(lit(1)).as("n_bf"))
+      // scan cost: per query, rows living in its first-p cells — cell
+      // sizes are a model-grain aggregate joined to the probed list
+      val cellSizes = assigned.groupBy("cell_id")
+        .agg(count(lit(1)).as("c_rows"))
+      val qCells = probed.join(cellSizes, Seq("cell_id"), "left")
+        .select(col("probe_pos"), coalesce(col("c_rows"), lit(0L)).as("c_rows"))
+      val denom = queries.agg(count(lit(1)).as("n_q"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+      val scans = ps.map(p => qCells.filter(col("probe_pos") < p)
+          .agg(coalesce(sum(col("c_rows")), lit(0L)).as("scanned"))
+          .select(lit(p).as("n_probe"), col("scanned")))
+        .reduce(_.unionByName(_))
+      val session = corpus.sparkSession
+      import session.implicits._
+      val grid = ps.toDF("n_probe")
+        .select(col("n_probe").cast("long").as("n_probe"))
+      // the |grid|-row result is EAGERLY materialized before the
+      // candidate checkpoint is released below — returning a lazy plan
+      // over a released checkpoint is the exact failure mode the
+      // ManagedFrame scaladoc warns about (truncated lineage cannot
+      // recompute)
+      grid.join(hits.select(col("n_probe").cast("long").as("n_probe"),
+          col("n_hit")), Seq("n_probe"), "left")
+        .join(scans.select(col("n_probe").cast("long").as("n_probe"),
+          col("scanned")), Seq("n_probe"), "left")
+        .crossJoin(broadcast(nBf)).crossJoin(broadcast(denom))
+        .select(col("n_probe"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_bf"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_bf"), 6).as("recall_at_k"),
+          round(col("scanned").cast("double") /
+            (col("n_q") * col("n_corpus")), 6).as("scan_frac"))
+        .localCheckpoint(true)
+    } finally graft.operators.Checkpoints.release(cand)
+  }
+
+  /** Auto-tuned IVF defaults — closes the "tune iters/cells per corpus"
+    * open item with a measured rule instead of folklore:
+    *  - cells = ceil(√n) (the classical IVF balance point: expected
+    *    cell size √n makes probe cost nProbe·√n and centroid-compare
+    *    cost √n — total minimized at the root, the FAISS guidance);
+    *  - nProbe = the SMALLEST depth in a power-of-two grid (plus the
+    *    full depth) whose measured recall@k on the supplied probe
+    *    queries reaches `targetRecall` — measured by [[ivfProbeSweep]]
+    *    under the in-plan brute-force ground truth, not assumed.
+    * Returns (trained centroids, swept grid with recall/scan columns,
+    * chosen nProbe). The choice is a driver decision over |grid| rows —
+    * model grain, the [[CentroidSet]] discipline. A target no depth
+    * reaches (possible: IVF recall at full probe is 1, so only
+    * targetRecall > 1 is unreachable) falls back to the full depth. */
+  def ivfAutoTune(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, targetRecall: Double,
+                  dim: Int, iters: Int = 2)
+      : (DataFrame, DataFrame, Int) = {
+    val n = corpus.count()
+    require(n > 0, "empty corpus")
+    val cells = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = trainCentroidsKMeans(corpus, idCol, vecCol, dim, cells, iters)
+    val grid = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cells).toSeq :+ cells)
+      .distinct
+    // already eagerly checkpointed at |grid| grain by ivfProbeSweep
+    val sweep = ivfProbeSweep(corpus, queries, cents, idCol, vecCol, k, grid)
+    val rows = sweep.select(col("n_probe"), col("recall_at_k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val chosen = grid.sortBy(identity).find(p =>
+      rows.getOrElse(p.toLong, 0.0) >= targetRecall).getOrElse(cells)
+    (cents, sweep, chosen)
+  }
+
   /** Product-quantization model: `m` subspaces × `ksub` codewords ×
     * `subDim` dims, flattened row-major — m×ksub×subDim doubles of model
     * parameters (the [[CentroidSet]] division of labor: the codebook

@@ -833,6 +833,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"kCenterSelect must release its state checkpoints, leaked: $leaked")
   }
 
+  test("ivfProbeSweep: per-depth recall equals independent ivfTopK runs; " +
+       "full probe is exact; ivfAutoTune picks the minimal depth") {
+    val emb = Tables(spark, TestSpark.sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val cents = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2)
+    val grid = Seq(1, 2, 4, 8)
+    val sweep = Similarity.ivfProbeSweep(emb, queries, cents, "vec_id",
+        "embedding", k = 5, grid).collect()
+      .map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5).select("query_id", "neighbor_id")
+    for (p <- grid) {
+      // the one-pass re-windowing must equal a from-scratch IVF run at
+      // this depth — same candidates, same ranking, same hits
+      val hits = Similarity.ivfTopK(emb, queries, cents, "vec_id",
+          "embedding", k = 5, nProbe = p)
+        .select("query_id", "neighbor_id")
+        .join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      assert(sweep(p)._1 == hits,
+        s"depth $p: sweep ${sweep(p)._1} vs independent $hits")
+    }
+    // full probe scans every cell: recall and scan_frac exactly 1
+    assert(sweep(8) == ((bf.count(), 1.0, 1.0)))
+    // monotone in depth (candidate sets nest)
+    for (Seq(a, b) <- grid.sliding(2)) {
+      assert(sweep(a)._2 <= sweep(b)._2 && sweep(a)._3 <= sweep(b)._3)
+    }
+    // auto-tune: sqrt-cell rule and minimal-depth choice vs the
+    // sweep's own recall column
+    val (_, sw, chosen) = Similarity.ivfAutoTune(emb, queries, "vec_id",
+      "embedding", k = 5, targetRecall = 0.9, dim = 64, iters = 2)
+    val rows = sw.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val n = emb.count()
+    assert(rows.keySet.max == math.ceil(math.sqrt(n.toDouble)).toLong)
+    val expect = rows.keys.toSeq.sorted
+      .find(p => rows(p) >= 0.9).getOrElse(rows.keySet.max)
+    assert(chosen.toLong == expect, s"chosen $chosen vs minimal $expect")
+    assert(rows(rows.keySet.max) == 1.0, "full probe must be exact")
+  }
+
   test("dupProvenance: hand matrix — diagonal redundancy, cross contamination") {
     // s1: A1~A2 internal pair (j=0.75); s2's B1 duplicates BOTH s1 docs
     // (j=1.0 with A1, 0.75 with A2); C is unrelated noise
