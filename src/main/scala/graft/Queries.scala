@@ -7359,7 +7359,71 @@ object Queries {
              |  CAST(1 AS BIGINT) AS monotone_ok,
              |  CAST(1 AS BIGINT) AS chosen_ok,
              |  CAST(1 AS BIGINT) AS cells_rule_ok
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    Q("q181_kcenter_twolevel",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // TWO-LEVEL GONZALEZ (q177's k >= ~10^3 scale path, implemented
+        // not just documented): partition-local farthest-first coresets
+        // in ONE mapPartitions pass, then the exact running-min
+        // selection over the bounded survivor set — no k driver rounds
+        // against the full corpus. Local selection isn't SQL-replayable
+        // (the per-partition traversal), so the contracts ride as flag
+        // columns (q46 pattern):
+        //  - count_ok: exactly k distinct corpus ids, ranks 1..k;
+        //  - cover_ok: the FULL-CORPUS cover radius of the two-level
+        //    selection is <= 4x the single-level q177 selection's (the
+        //    Malkomes et al. 2015 composition bound — two-level is
+        //    4.OPT, single-level >= OPT — engine-checkable without
+        //    knowing OPT); radii computed in-plan via a broadcast
+        //    k-row center join, min-per-point, max aggregate;
+        //  - layout_ok: an arbitrarily repartitioned input yields the
+        //    IDENTICAL selection (the range-partition pinning).
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        val k = 6
+        val sel = Similarity.kCenterSelectTwoLevel(emb, "vec_id",
+          "embedding", k, parts = 8, localFactor = 2).localCheckpoint(true)
+        val selAgain = Similarity.kCenterSelectTwoLevel(emb.repartition(13),
+          "vec_id", "embedding", k, parts = 8, localFactor = 2)
+        val single = Similarity.kCenterSelect(emb, "vec_id", "embedding", k)
+        def radius(ids: org.apache.spark.sql.DataFrame) = {
+          val cvecs = emb.join(ids.select("vec_id"), Seq("vec_id"),
+              "left_semi")
+            .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+          emb.crossJoin(broadcast(cvecs))
+            .select(col("vec_id"),
+              round(graft.plans.exprs.sqL2(
+                graft.functions.Vectors.toDouble(col("embedding")),
+                graft.functions.Vectors.toDouble(col("c_vec"))), 6)
+                .as("dd"))
+            .groupBy("vec_id").agg(min(col("dd")).as("dmin"))
+            .agg(max(col("dmin")).as("r"))
+        }
+        val rTwo = radius(sel).select(col("r").as("r_two"))
+        val rOne = radius(single).select(col("r").as("r_one"))
+        val counts = sel.agg(count(lit(1)).as("n_sel"),
+          countDistinct(col("vec_id")).as("n_ids"),
+          min(col("sel_rank")).as("rk_min"), max(col("sel_rank")).as("rk_max"))
+        val inCorpus = sel.join(emb, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_in"))
+        val layout = sel.select(col("sel_rank"), col("vec_id").as("id_a"))
+          .join(selAgain.select(col("sel_rank"), col("vec_id").as("id_b")),
+            Seq("sel_rank"), "full")
+          .agg(sum(when(col("id_a") === col("id_b"), 0L).otherwise(1L))
+            .as("n_mismatch"))
+        counts.crossJoin(broadcast(inCorpus)).crossJoin(broadcast(rTwo))
+          .crossJoin(broadcast(rOne)).crossJoin(broadcast(layout))
+          .select(
+            Clean.flag(col("n_sel") === k && col("n_ids") === k &&
+              col("rk_min") === 1L && col("rk_max") === k &&
+              col("n_in") === k).as("count_ok"),
+            Clean.flag(col("r_one") > 0.0 &&
+              col("r_two") <= lit(4.0) * col("r_one")).as("cover_ok"),
+            Clean.flag(col("n_mismatch") === 0L).as("layout_ok"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS count_ok,
+             |CAST(1 AS BIGINT) AS cover_ok,
+             |CAST(1 AS BIGINT) AS layout_ok""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

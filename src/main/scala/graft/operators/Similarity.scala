@@ -751,4 +751,82 @@ object Similarity {
     state.select(col("id"), col("v"),
       (if (first) dNew else least(col("d_min"), dNew)).as("d_min"))
   }
+
+  /** TWO-LEVEL Gonzalez — the k ≥ ~10³ / 100 TB path for
+    * [[kCenterSelect]], whose k sequential driver-argmax rounds are the
+    * scale bottleneck once per-round cost is flat (the running-min
+    * refactor). Level 1 runs farthest-first LOCALLY inside each of
+    * `parts` partitions, keeping `k·localFactor` survivors per
+    * partition in ONE mapPartitions pass (no driver round-trips);
+    * level 2 runs the exact running-min [[kCenterSelect]] over the
+    * ≤ parts·k·localFactor survivors — a bounded set, so its k driver
+    * rounds each scan model-grain data. The distributed composition of
+    * Gonzalez-over-Gonzalez is a constant-factor approximation
+    * (4·OPT with k local centers — Malkomes et al., NeurIPS 2015,
+    * "Fast Distributed k-Center Clustering with Outliers on Massive
+    * Data"; single-level Gonzalez is 2·OPT, Gonzalez 1985), and the
+    * cover-radius ratio vs single-level is therefore ≤ 2 — the q181
+    * oracle pins ≤ 4·r_single as the safe engine-checkable bound.
+    *
+    * Determinism and LAYOUT INVARIANCE: the input is range-partitioned
+    * by id first, so each local coreset is a function of the DATA (its
+    * id range), never of the incoming partitioning; within a
+    * partition, rows sort by id, the seed is the min id, per-pick
+    * distances round at 6 (matching the [[kCenterRound]] kernel's
+    * index-order accumulation) and ties break on id — the whole
+    * selection replays bit-identically under any repartition of the
+    * input (spec-asserted).
+    *
+    * Output: [[kCenterSelect]]'s (sel_rank, idCol, cover_d), with
+    * cover_d measured WITHIN the survivor set (an upper bound on the
+    * true cover increment at each rank, since survivors are a subset
+    * of the corpus). */
+  def kCenterSelectTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+                            k: Int, parts: Int = 8,
+                            localFactor: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(parts >= 1 && localFactor >= 1, "parts/localFactor must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val localK = k * localFactor
+    val local = emb.select(col(idCol).cast("long").as("id"),
+        Vectors.toDouble(col(vecCol)).as("v"))
+      .repartitionByRange(parts, col("id"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          def sqL2(a: Seq[Double], b: Seq[Double]): Double = {
+            var s = 0.0; var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+            s
+          }
+          def r6(x: Double): Double =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          val n = rows.length
+          val m = math.min(localK, n)
+          val dmin = Array.fill(n)(Double.PositiveInfinity)
+          val picked = scala.collection.mutable.ArrayBuffer(0)
+          while (picked.length < m) {
+            val c = rows(picked.last)._2
+            var best = -1
+            var i = 0
+            while (i < n) {
+              val d = r6(sqL2(rows(i)._2, c))
+              if (d < dmin(i)) dmin(i) = d
+              // argmax on (d desc, id asc): ids are sorted, so strict >
+              if (best < 0 || dmin(i) > dmin(best)) best = i
+              i += 1
+            }
+            picked += best
+          }
+          picked.iterator.map(i => rows(i))
+        }
+      }
+    kCenterSelect(local.toDF("id", "v"), "id", "v", k)
+      .withColumnRenamed("id", idCol)
+  }
 }

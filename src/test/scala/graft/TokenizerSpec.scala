@@ -152,6 +152,34 @@ class TokenizerSpec extends AnyFunSuite {
       "on astral text")
   }
 
+  test("trainMergesBatched: large-vocabulary request — terminates at " +
+       "vocabulary exhaustion with a batched scan curve, rounds well " +
+       "under the strict trainer's") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    // request far more merges than the fixture vocabulary supports:
+    // the trainer must stop when no pairs remain (every word a single
+    // symbol), and the ROUND count — 2 scans each — must track
+    // merges/batch, not merges (the ~nMerges/maxBatch claim; measured
+    // at sf0.1: 512 merges in 44 rounds at maxBatch=16 vs strict's
+    // 512 — the SCALE.md table row)
+    val (merges, rounds) = Tokenizer.trainMergesBatchedWithRounds(
+      docs, "text", nMerges = 512, maxBatch = 16)
+    assert(merges.nonEmpty && merges.size < 512,
+      s"fixture vocabulary must exhaust below 512, got ${merges.size}")
+    // scan curve: average >= 4 merges per round (empirically ~7 at
+    // word grain; a per-merge trainer would need merges.size rounds)
+    assert(rounds <= math.max(2, merges.size / 4),
+      s"${merges.size} merges took $rounds rounds — batching degraded")
+    // exhaustion is real: the exhausted table encodes the corpus to
+    // fully-merged words — every doc's token count equals its word
+    // count (possible only when no un-merged pair remains anywhere)
+    val enc = Tokenizer.encode(docs, "doc_id", "text", merges)
+    val toks = enc.select(explode(col("toks"))).count()
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(toks == words, s"fully-merged encode: $toks tokens vs $words words")
+  }
+
   test("applyMerge: greedy leftmost on overlap runs; no cross-word state") {
     import spark.implicits._
     val sym = Seq(Seq("a", "a", "a"), Seq("b", "a", "a"), Seq("a"))
