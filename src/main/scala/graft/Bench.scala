@@ -409,11 +409,18 @@ object Bench {
         }
       }
     // fork cost is ~1-2 min per query; bound a pathological run (e.g. a
-    // global slowdown the probe missed) at the 10 worst offenders —
-    // the rest still land in `regressed_vs_prev` with floor_mode "none"
+    // global slowdown the probe missed) at the 10 worst offenders by
+    // default — the rest still land in `regressed_vs_prev` with
+    // floor_mode "none". A LOCK run should raise the cap
+    // (SPARK_GRAFT_MAX_FLOORS) so no flagged query enters the lock
+    // without floor provenance: unfloored inflated minima become the
+    // next round's anchors, which is exactly the q132 contamination
+    // mode the two-anchor gate exists to stop
+    val floorCap = sys.env.get("SPARK_GRAFT_MAX_FLOORS").map(_.toInt)
+      .getOrElse(10)
     val suspects = suspectsAll
       .sortBy { case (_, (_, _, sev)) => -sev }
-      .take(10).map(_._1)
+      .take(floorCap).map(_._1)
     if (suspectsAll.nonEmpty)
       System.err.println(s"[bench] ${suspectsAll.size} queries past an " +
         "anchor prior x clamped-host x 1.3: " +
