@@ -7423,7 +7423,50 @@ object Queries {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS count_ok,
              |CAST(1 AS BIGINT) AS cover_ok,
-             |CAST(1 AS BIGINT) AS layout_ok""".stripMargin)))
+             |CAST(1 AS BIGINT) AS layout_ok""".stripMargin)),
+
+    Q("q182_lsh_band_plan",
+      (s, d) => {
+        // LSH BAND-PLAN optimizer under a FULL-TABLE oracle (q180's
+        // tuning sibling with a stronger check — every number hashes,
+        // not just flags, because the S-curve arithmetic is pure
+        // closed-form model-grain math both engines can run): for
+        // threshold 0.8 under a 64-hash budget, every candidate
+        // (rowsPerBand r, bands = 64 div r) plan scored by the banded
+        // collision S-curve P(s) = 1-(1-s^r)^b integrated against the
+        // ideal step — fp_area (sub-threshold collisions: wasted
+        // verification) + fn_area (missed true pairs: recall loss) —
+        // midpoint rule on a 200-point grid. Both engines compute the
+        // SAME op chain (q = (1-s^r)^b once; fp terms 1-q, fn terms
+        // q); sums round at 6 (float-order error ~1e-13, the q172
+        // argument). The chosen plan (min err, tie to smaller r) is
+        // the one minhashLshPairs should run with.
+        Dedup.lshBandPlan(s, threshold = 0.8, numHashes = 64)
+      },
+      Some("""WITH h AS (SELECT 64 AS h),
+             |p AS (SELECT r AS rows_per_band, h // r AS bands
+             |      FROM (SELECT unnest(generate_series(1, 64)) AS r), h),
+             |g AS (SELECT (i + 0.5) / 200 AS s
+             |      FROM (SELECT unnest(generate_series(0, 199)) AS i)),
+             |sc AS (SELECT rows_per_band, bands,
+             |    round(sum(CASE WHEN s < 0.8
+             |      THEN 1 - power(1 - power(s, rows_per_band), bands)
+             |      ELSE 0 END) / 200, 6) AS fp_area,
+             |    round(sum(CASE WHEN s >= 0.8
+             |      THEN power(1 - power(s, rows_per_band), bands)
+             |      ELSE 0 END) / 200, 6) AS fn_area
+             |  FROM p, g GROUP BY 1, 2),
+             |e AS (SELECT *, round(fp_area + fn_area, 6) AS err FROM sc),
+             |m AS (SELECT min(err) AS best_err FROM e),
+             |mr AS (SELECT min(rows_per_band) AS best_r FROM e, m
+             |       WHERE err = best_err)
+             |SELECT CAST(rows_per_band AS BIGINT) AS rows_per_band,
+             |  CAST(bands AS BIGINT) AS bands,
+             |  CAST(rows_per_band * bands AS BIGINT) AS n_hashes_used,
+             |  fp_area, fn_area, err,
+             |  CAST(CASE WHEN err = best_err AND rows_per_band = best_r
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_chosen
+             |FROM e, m, mr""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 
@@ -171,13 +172,86 @@ object Dedup {
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     graft.plans.exprs.minhashSig(shingleSet, numHashes)
 
+  /** LSH BAND-PLAN optimizer for [[minhashLshPairs]] — picks
+    * (rowsPerBand r, bands b) for a target Jaccard threshold t under a
+    * hash budget H, instead of folklore defaults. For each candidate
+    * r ∈ 1..H with b = ⌊H/r⌋, the banded collision probability is the
+    * classical S-curve P(s) = 1 − (1 − s^r)^b (Leskovec/Rajaraman/
+    * Ullman, Mining of Massive Datasets §3.4); the plan's error is the
+    * S-curve's total deviation from the ideal step at t —
+    * fp_area = ∫₀ᵗ P(s) ds (sub-threshold pairs that still collide:
+    * candidate-verification cost) plus fn_area = ∫ₜ¹ (1−P(s)) ds
+    * (above-threshold pairs the bands miss: recall loss) — integrated
+    * as a midpoint Riemann sum on a `gridN` grid. The chosen plan
+    * minimizes err, ties to the smaller r.
+    *
+    * Everything is model-grain arithmetic (≤ H plans × gridN grid
+    * points), no data touched — and every op chain is replayed
+    * IDENTICALLY in SQL (the miss probability q = (1−s^r)^b is the one
+    * computed quantity; fp terms are 1−q, fn terms are q, so both
+    * engines run the same IEEE sequence; area sums round at 6, the
+    * float-sum-order error ~1e-13 sits orders under the grid — the
+    * q172 argument), so the WHOLE table hash-checks, not just flags.
+    * Output: (rows_per_band, bands, n_hashes_used, fp_area, fn_area,
+    * err, is_chosen).
+    *
+    * `fnWeight` prices the asymmetry of the two error kinds:
+    * err = fp_area + fnWeight·fn_area. In the VERIFIED pipeline
+    * ([[minhashLshPairs]] re-checks every candidate with exact
+    * Jaccard), a false positive costs only verification compute while
+    * a false negative is an unrecoverably missed duplicate — so
+    * recall-critical dedup should weight fn high (at large fnWeight
+    * the optimizer converges on low-row/deep-band plans like the
+    * classical 2-row × 32-band default, whose fn_area is ~0 at
+    * t = 0.8), while a candidate-budgeted prefilter can run the
+    * balanced default. */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession,
+                  threshold: Double, numHashes: Int,
+                  gridN: Int = 200, fnWeight: Double = 1.0): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(numHashes >= 1 && gridN >= 2, "numHashes/gridN too small")
+    require(fnWeight > 0, "fnWeight must be positive")
+    import spark.implicits._
+    val plans = (1 to numHashes)
+      .map(r => (r.toLong, (numHashes / r).toLong))
+      .toDF("rows_per_band", "bands")
+    val grid = spark.range(gridN.toLong)
+      .select(((col("id").cast("double") + 0.5) / gridN).as("s"))
+    val scored = plans.crossJoin(grid)
+      .withColumn("q", pow(lit(1.0) -
+        pow(col("s"), col("rows_per_band").cast("double")),
+        col("bands").cast("double")))
+      .groupBy("rows_per_band", "bands")
+      .agg(
+        round(sum(when(col("s") < threshold, lit(1.0) - col("q"))
+          .otherwise(lit(0.0))) / gridN, 6).as("fp_area"),
+        round(sum(when(col("s") >= threshold, col("q"))
+          .otherwise(lit(0.0))) / gridN, 6).as("fn_area"))
+      .withColumn("err",
+        round(col("fp_area") + lit(fnWeight) * col("fn_area"), 6))
+    // |plans| ≤ H rows — the single-task window is model-grain only
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("best_err", min(col("err")).over(all))
+      .withColumn("best_r", min(when(col("err") === col("best_err"),
+        col("rows_per_band"))).over(all))
+      .select(col("rows_per_band"), col("bands"),
+        (col("rows_per_band") * col("bands")).as("n_hashes_used"),
+        col("fp_area"), col("fn_area"), col("err"),
+        when(col("err") === col("best_err") &&
+          col("rows_per_band") === col("best_r"), 1L).otherwise(0L)
+          .as("is_chosen"))
+  }
+
   /** MinHash + LSH banded near-dup pairs, verified with exact Jaccard.
     *
     * numHashes = bands × rowsPerBand. With rowsPerBand=2, bands=32 a pair
     * at Jaccard j is missed with prob (1−j²)^32 — ≤ 7e-15 at j=0.8, so
     * the verified output equals the exact-Jaccard result with
     * overwhelming probability while candidate generation stays a banded
-    * hash shuffle instead of an O(n²) scan.
+    * hash shuffle instead of an O(n²) scan — and [[lshBandPlan]] chooses
+    * (bands, rowsPerBand) for a target threshold under a hash budget.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleLen: Int = 1,

@@ -876,6 +876,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(rows.keySet.max) == 1.0, "full probe must be exact")
   }
 
+  test("lshBandPlan: S-curve areas match an independent reference; " +
+       "exactly one chosen plan at min err; fnWeight steers to recall") {
+    val rows = Dedup.lshBandPlan(spark, threshold = 0.8, numHashes = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.length == 64)
+    // independent midpoint-rule reference for the classical 2x32 plan
+    val (fpRef, fnRef) = {
+      var fp = 0.0; var fn = 0.0
+      for (i <- 0 until 200) {
+        val s = (i + 0.5) / 200
+        val q = math.pow(1.0 - math.pow(s, 2.0), 32.0)
+        if (s < 0.8) fp += 1.0 - q else fn += q
+      }
+      (math.rint(fp / 200 * 1e6) / 1e6, math.rint(fn / 200 * 1e6) / 1e6)
+    }
+    val deflt = rows.find(r => r._1 == 2 && r._2 == 32).get
+    assert(math.abs(deflt._3 - fpRef) < 1e-9 &&
+      math.abs(deflt._4 - fnRef) < 1e-9,
+      s"2x32 areas ${(deflt._3, deflt._4)} vs reference ${(fpRef, fnRef)}")
+    // the 2x32 default is recall-maximal at t=0.8 (misses ~nothing)
+    assert(deflt._4 < 1e-5)
+    // exactly one chosen, and it carries the global min err
+    val chosen = rows.filter(_._6 == 1L)
+    assert(chosen.length == 1)
+    assert(chosen.head._5 == rows.map(_._5).min)
+    // recall-weighted: a large fnWeight must trade toward recall —
+    // strictly smaller miss area via fewer rows per band (wider
+    // S-curve) than the balanced choice
+    val recallPick = Dedup.lshBandPlan(spark, threshold = 0.8,
+        numHashes = 64, fnWeight = 50.0)
+      .filter(col("is_chosen") === 1L).collect().head
+    assert(recallPick.getDouble(4) < chosen.head._4,
+      s"fnWeight=50 must cut the miss area below the balanced pick's " +
+        s"${chosen.head._4}, got ${recallPick.getDouble(4)}")
+    assert(recallPick.getLong(0) < chosen.head._1,
+      "recall weighting moves to fewer rows per band (wider S-curve)")
+  }
+
   test("dupProvenance: hand matrix — diagonal redundancy, cross contamination") {
     // s1: A1~A2 internal pair (j=0.75); s2's B1 duplicates BOTH s1 docs
     // (j=1.0 with A1, 0.75 with A2); C is unrelated noise
