@@ -768,9 +768,12 @@ object Similarity {
     * cover-radius ratio vs single-level is therefore ≤ 2 — the q181
     * oracle pins ≤ 4·r_single as the safe engine-checkable bound.
     *
-    * Determinism and LAYOUT INVARIANCE: the input is range-partitioned
-    * by id first, so each local coreset is a function of the DATA (its
-    * id range), never of the incoming partitioning; within a
+    * Determinism and LAYOUT INVARIANCE: the input is repartitioned on
+    * pmod(xxhash64(id), parts) — a PURE FUNCTION of the data, so each
+    * local coreset's membership is identical under any incoming
+    * partitioning (range partitioning would NOT give this: its bounds
+    * come from reservoir samples seeded by the underlying RDD id, so
+    * two plans over the same data can draw different bounds); within a
     * partition, rows sort by id, the seed is the min id, per-pick
     * distances round at 6 (matching the [[kCenterRound]] kernel's
     * index-order accumulation) and ties break on id — the whole
@@ -791,7 +794,7 @@ object Similarity {
     val localK = k * localFactor
     val local = emb.select(col(idCol).cast("long").as("id"),
         Vectors.toDouble(col(vecCol)).as("v"))
-      .repartitionByRange(parts, col("id"))
+      .repartition(parts, pmod(xxhash64(col("id")), lit(parts.toLong)))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
