@@ -7466,7 +7466,127 @@ object Queries {
              |  fp_area, fn_area, err,
              |  CAST(CASE WHEN err = best_err AND rows_per_band = best_r
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_chosen
-             |FROM e, m, mr""".stripMargin)))
+             |FROM e, m, mr""".stripMargin)),
+
+    Q("q183_kmv_source_overlap",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // corpus-overlap matrix: KMV bottom-k sketch per source (k=128
+        // lexicographically-smallest md5(shingle) digests — md5 so the
+        // oracle can replay the hash; hex-string order ≡ 128-bit
+        // order), then the Beyer et al. pairwise estimator at SKETCH
+        // grain for all 190 source pairs. The corpus is scanned once;
+        // the bottom-k exchange is WindowGroupLimit-bounded (≤ k per
+        // slice per map task); everything downstream moves ≤ k·|G|²
+        // sketch rows. Estimator quality (|err| vs exact Jaccard) is
+        // spec-pinned; the oracle pins cross-engine determinism of the
+        // full chain — every digest, rank, and ratio replayed in SQL.
+        val docs = tbl("documents")
+        val sk = operators.Frequency.kmvSketches(
+          docs, "source", "text", k = 128)
+        operators.Frequency.kmvOverlapMatrix(sk, "source", k = 128)
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($ShinglesSql) AS s
+              |           FROM documents),
+              |h AS (SELECT DISTINCT source, md5(s) AS h FROM t),
+              |sk AS (SELECT source, h FROM
+              |        (SELECT source, h, row_number() OVER
+              |           (PARTITION BY source ORDER BY h) AS rn FROM h)
+              |       WHERE rn <= 128),
+              |g AS (SELECT DISTINCT source FROM documents),
+              |p AS (SELECT a.source AS src_a, b.source AS src_b
+              |      FROM g a, g b WHERE a.source < b.source),
+              |m AS (SELECT p.src_a, p.src_b, s.h,
+              |        max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END)
+              |          AS in_a,
+              |        max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END)
+              |          AS in_b
+              |      FROM p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+              |      GROUP BY 1, 2, 3),
+              |r AS (SELECT *, row_number() OVER
+              |        (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM m)
+              |SELECT src_a, src_b, count(*) AS denom,
+              |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+              |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6)
+              |    AS j_est
+              |FROM r WHERE rn <= 128 GROUP BY 1, 2""".stripMargin)),
+
+    Q("q184_multi_suite_decontam",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // one-pass decontamination audit against THREE benchmark
+        // suites at once (suites = src17/src18/src19, the benchmark-
+        // shaped slices; train = the rest): each suite collapses to
+        // one distinct-3-gram set, a SINGLE corpus scan joins against
+        // the tagged union at xxhash64 grain, and per-(doc, suite)
+        // overlap fractions come out of one aggregation — vs one
+        // corpus scan PER suite for the q59-style gate run N times.
+        // Only pairs with ≥ 1 shared gram surface.
+        val docs = tbl("documents")
+        val suiteSrcs = Seq("src17", "src18", "src19")
+        Dedup.multiSuiteContamination(
+          docs.filter(!col("source").isin(suiteSrcs: _*)),
+          docs.filter(col("source").isin(suiteSrcs: _*)),
+          "doc_id", "source", "text", threshold = 0.2)
+      },
+      Some(s"""WITH tr AS (SELECT doc_id AS train_id, $ShinglesSql AS sh
+              |            FROM documents
+              |            WHERE source NOT IN ('src17','src18','src19')),
+              |su AS (SELECT source AS suite,
+              |         list_distinct(flatten(list($ShinglesSql))) AS gs
+              |       FROM documents
+              |       WHERE source IN ('src17','src18','src19')
+              |       GROUP BY source),
+              |j AS (SELECT train_id, suite, len(sh) AS sz,
+              |        len(list_intersect(sh, gs)) AS hits FROM tr, su)
+              |SELECT train_id, suite, CAST(hits AS BIGINT) AS hits,
+              |  round(CAST(hits AS DOUBLE) / sz, 6) AS overlap_frac,
+              |  CAST(CASE WHEN CAST(hits AS DOUBLE) / sz >= 0.2
+              |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+              |FROM j WHERE hits > 0""".stripMargin)),
+
+    Q("q185_span_redaction",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // surgical decontamination: REWRITE contaminated docs by
+        // excising every token covered by a 3-gram that occurs in the
+        // eval set (doc_id % 7 = 0, the q59 split), instead of
+        // dropping the doc. Only flagged docs pay token-grain work;
+        // clean docs pass through at doc grain. Docs redacted to
+        // nothing come back as '' (kept, auditable).
+        val docs = tbl("documents")
+        Dedup.redactContaminatedSpans(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ')
+              |             AS w FROM documents WHERE doc_id % 7 <> 0),
+              |ev AS (SELECT DISTINCT unnest($ShinglesSql) AS g
+              |       FROM documents WHERE doc_id % 7 = 0),
+              |gr AS (SELECT doc_id, i - 1 AS pos,
+              |         concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+              |       FROM (SELECT doc_id, w,
+              |               unnest(range(1, len(w) - 1)) AS i
+              |             FROM w WHERE len(w) >= 3)),
+              |hits AS (SELECT DISTINCT gr.doc_id, gr.pos
+              |         FROM gr JOIN ev ON gr.g = ev.g),
+              |cov AS (SELECT DISTINCT doc_id, p FROM
+              |         (SELECT doc_id, unnest(range(pos, pos + 3)) AS p
+              |          FROM hits)),
+              |tok AS (SELECT doc_id, i - 1 AS p, w[i] AS tok
+              |        FROM (SELECT doc_id, w,
+              |                unnest(range(1, len(w) + 1)) AS i FROM w)),
+              |kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+              |         LEFT JOIN cov c ON t.doc_id = c.doc_id
+              |           AND t.p = c.p
+              |         WHERE c.p IS NULL),
+              |agg AS (SELECT doc_id,
+              |          string_agg(tok, ' ' ORDER BY p) AS clean_text,
+              |          count(*) AS n_kept FROM kept GROUP BY doc_id)
+              |SELECT w.doc_id,
+              |  coalesce(a.clean_text, '') AS clean_text,
+              |  CAST(len(w.w) AS BIGINT) AS n_tok,
+              |  CAST(len(w.w) - coalesce(a.n_kept, 0) AS BIGINT)
+              |    AS n_removed
+              |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -334,6 +334,117 @@ object Dedup {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** ONE-PASS decontamination audit against MANY benchmark suites at
+    * once — the production shape of [[contaminationPairs]]: a lab
+    * screens its corpus against every eval suite it reports on
+    * (dozens), and running the single-suite gate per suite re-scans
+    * the corpus per suite. Here each suite's documents collapse to ONE
+    * suite-level distinct-shingle set (per-eval-doc identity does not
+    * matter for "did training see this benchmark's text"), the sets
+    * are tagged and unioned, and a single corpus scan joins against
+    * the union — per-doc/per-suite overlap in one pass no matter how
+    * many suites.
+    *
+    * Metric: the fraction of a training doc's distinct n-grams that
+    * appear anywhere in the suite (the n-gram-overlap contamination
+    * definition of the GPT-3/PaLM eval cards) — the complement of
+    * [[contaminationPairs]]'s eval-side containment: that one asks
+    * "is this eval doc inside some training doc", this one asks "how
+    * much of this training doc is benchmark material".
+    *
+    * Scale shape: suite grams and doc grams both shuffle as 64-bit
+    * xxhash64 ids, never strings; the join fans a doc gram out only
+    * per suite that contains it (≤ |suites| per gram); one exchange
+    * at gram-hash grain, one at (doc, suite) grain. Only (doc, suite)
+    * pairs with ≥ 1 shared gram surface — the zero rows that would
+    * dominate the matrix are never materialized. Output: (train_id,
+    * suite, hits, overlap_frac, contaminated 0/1 at `threshold`). */
+  def multiSuiteContamination(train: DataFrame, suites: DataFrame,
+                              idCol: String, suiteCol: String,
+                              textCol: String, threshold: Double,
+                              shingleLen: Int = 3): DataFrame = {
+    val suiteGrams = suites.select(col(suiteCol).as("suite"),
+        explode(Text.shingles(lower(col(textCol)), shingleLen)).as("s"))
+      .select(col("suite"), xxhash64(col("s")).as("tok"))
+      .distinct()
+    val docGrams = train.select(col(idCol).as("train_id"),
+        Text.shingles(lower(col(textCol)), shingleLen).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .select(col("train_id"), col("sz"), explode(col("toks")).as("s"))
+      .select(col("train_id"), col("sz"), xxhash64(col("s")).as("tok"))
+    docGrams.join(suiteGrams, Seq("tok"))
+      .groupBy("train_id", "suite", "sz")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("train_id"), col("suite"), col("hits"),
+        round(col("hits").cast("double") / col("sz"), 6).as("overlap_frac"),
+        graft.functions.Clean.flag(
+          col("hits").cast("double") / col("sz") >= threshold)
+          .as("contaminated"))
+  }
+
+  /** SURGICAL span decontamination — a REWRITE, where [[decontaminate]]
+    * is a drop: every token covered by an n-gram that occurs anywhere
+    * in the eval set is excised and the remaining tokens are rejoined.
+    * This is the salvage path for long documents that merely QUOTE a
+    * benchmark (a textbook containing one GSM8K problem): whole-doc
+    * dropping forfeits the other 99%, span excision keeps it. Matching
+    * and reassembly both operate on lower(text) — span identity is
+    * case-folded, so the rewrite is case-normalizing by contract.
+    *
+    * Scale shape: three narrow passes over `train`, no corpus cache —
+    * (1) a positional-n-gram pass ([[graft.plans.exprs.wordNgrams]]
+    * kernel) whose grams shuffle as xxhash64 ids against the distinct
+    * eval-gram set (benchmark-sized — AQE broadcasts it); (2) covered
+    * positions expand ONLY for hit grams (contaminated-span grain, not
+    * corpus grain) and flag the touched docs; (3) ONLY flagged docs
+    * pay the token-grain explode/reassemble — the typical corpus has
+    * few contaminated docs, and clean docs pass through at doc grain
+    * untouched. A doc whose every token is covered comes back as the
+    * empty string (kept, auditable), not a dropped row. Output:
+    * (idCol, clean_text, n_tok, n_removed). */
+  def redactContaminatedSpans(train: DataFrame, evalDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram length must be positive")
+    val evalGrams = evalDocs.select(
+        explode(Text.shingles(lower(col(textCol)), n)).as("s"))
+      .select(xxhash64(col("s")).as("tok")).distinct()
+    val base = train.select(col(idCol).as("rid"),
+        Text.tokens(lower(col(textCol))).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+    val grams = train.select(col(idCol).as("rid"),
+        posexplode(graft.plans.exprs.wordNgrams(
+          lower(col(textCol)), n)).as(Seq("pos", "g")))
+    val hits = grams.select(col("rid"), col("pos"),
+        xxhash64(col("g")).as("tok"))
+      .join(evalGrams, Seq("tok"))
+      .select(col("rid"), col("pos"))
+    val covered = hits.select(col("rid"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val flagged = covered.select("rid").distinct()
+    val tokRows = base.join(flagged, Seq("rid"))
+      .select(col("rid"), col("n_tok"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+    val kept = tokRows.join(covered, Seq("rid", "p"), "left_anti")
+    val rebuilt = kept.groupBy("rid", "n_tok")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val flaggedOut = base.join(flagged, Seq("rid"))
+      .join(rebuilt, Seq("rid", "n_tok"), "left")
+      .select(col("rid"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tok").cast("long").as("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+    val untouched = base.join(flagged, Seq("rid"), "left_anti")
+      .select(col("rid"), array_join(col("toks"), " ").as("clean_text"),
+        col("n_tok").cast("long").as("n_tok"), lit(0L).as("n_removed"))
+    flaggedOut.unionByName(untouched).withColumnRenamed("rid", idCol)
+  }
+
   /** Cross-document REPEATED-SPAN profile — the substring-level dedup
     * signal (the "repeated n-token span" filter of C4/RefinedWeb-style
     * corpus prep, which catches boilerplate and templated text that

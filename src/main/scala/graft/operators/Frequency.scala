@@ -210,4 +210,89 @@ object Frequency {
   def hllMergeEstimate(sketches: DataFrame): DataFrame =
     sketches.agg(hll_sketch_estimate(
       hll_union_agg(col("sketch"), lit(false))).as("estimate"))
+
+  /** K-minimum-values sketch of each corpus slice's distinct-shingle
+    * set (Beyer et al. 2007, "On Synopses for Distinct-Value Estimation
+    * Under Multiset Operations") — the SET-RESEMBLANCE member of the
+    * sketch family: HLL answers "how many distinct", this one answers
+    * "how ALIKE are two slices" ([[kmvOverlapMatrix]]), the
+    * source-curation question (is src_a just a re-crawl of src_b?
+    * which pairs of corpus snapshots share material?) that pairwise
+    * MinHash dedup is too fine-grained for and exact distinct-set
+    * intersection cannot afford (one row per distinct shingle per
+    * pair at 100 TB).
+    *
+    * The sketch is the k lexicographically-smallest distinct
+    * `md5(shingle)` digests per slice. md5's hex form orders
+    * identically as a string and as the 128-bit value (fixed-width
+    * lowercase hex), which is what lets the DuckDB oracle replay the
+    * chain byte-for-byte — a seeded 64-bit hash would be
+    * engine-private (the q25 problem) where md5 is common ground.
+    *
+    * Scale shape: one corpus scan → shingle kernel → hash projection;
+    * the bottom-k is a rank window WHOSE FILTER SPARK PUSHES INTO A
+    * PARTIAL WindowGroupLimit — each map task forwards at most k
+    * digests per slice, so the exchange moves ≤ k·|tasks| rows per
+    * slice, never the shingle domain (the [[heavyHitters]] discipline:
+    * sketch-bounded, not domain-bounded). dense_rank (not row_number)
+    * so pre-exchange duplicates of one digest cannot crowd distinct
+    * values out of the k; the post-filter distinct then collapses
+    * them. Output: (`groupCol`, h) with ≤ k rows per group. */
+  def kmvSketches(docs: DataFrame, groupCol: String, textCol: String,
+                  k: Int, shingleLen: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val hashed = docs.select(col(groupCol),
+        explode(graft.functions.Text.shingles(
+          lower(col(textCol)), shingleLen)).as("s"))
+      .select(col(groupCol), md5(col("s").cast("binary")).as("h"))
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    hashed.withColumn("rnk", dense_rank().over(w))
+      .filter(col("rnk") <= k).drop("rnk")
+      .distinct()
+  }
+
+  /** Pairwise corpus-overlap matrix from [[kmvSketches]]: for every
+    * slice pair a < b, the KMV Jaccard estimate of their distinct-
+    * shingle sets. Estimator (Beyer et al. 2007 §4): merge the two
+    * bottom-k sketches, keep the k smallest distinct digests W of the
+    * union; J ≈ |W ∩ S_a ∩ S_b| / |W|. When both slices hold fewer
+    * than k distinct shingles the sketches ARE the sets and the
+    * estimate is exact; otherwise standard error ≈ 1/√k.
+    *
+    * Scale shape: everything below runs at SKETCH grain — the corpus
+    * is never touched. |G| slices → |G|·(|G|−1)/2 pair rows (model
+    * grain: slices are sources/snapshots, counted in tens); each
+    * sketch row is replicated once per pair containing its slice
+    * (≤ k·|G|·(|G|−1) rows total), merged by (pair, digest), ranked,
+    * and aggregated. The pair enumeration is a broadcast nested-loop
+    * over the |G|-row distinct-slice set — the audited bounded-cross
+    * pattern, not a data cross. Output: (src_a, src_b, denom, n_both,
+    * j_est) — denom = |W| = min(k, |union observed|), j_est an exact
+    * IEEE ratio of the two BIGINTs, rounded at 6. */
+  def kmvOverlapMatrix(sketches: DataFrame, groupCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val g = sketches.select(col(groupCol)).distinct()
+    val pairs = g.select(col(groupCol).as("src_a"))
+      .join(g.select(col(groupCol).as("src_b")),
+        col("src_a") < col("src_b"))
+    val sa = sketches.select(col(groupCol).as("src_a"), col("h"))
+    val sb = sketches.select(col(groupCol).as("src_b"), col("h"))
+    val tagged = pairs.join(sa, Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("h"), lit(1).as("in_a"),
+          lit(0).as("in_b"))
+      .unionByName(pairs.join(sb, Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"), lit(0).as("in_a"),
+          lit(1).as("in_b")))
+    val merged = tagged.groupBy("src_a", "src_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    merged.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("denom"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"))
+      .withColumn("j_est",
+        round(col("n_both").cast("double") / col("denom"), 6))
+  }
 }

@@ -974,4 +974,85 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .agg(max("d")).collect().head.getDouble(0)
     assert(joined < 2e-6, s"w(1) == w(0.5)^2 up to rounding, got $joined")
   }
+
+  test("multiSuiteContamination: per-suite overlap fractions in one pass") {
+    val suites = Seq(
+      ("A", "a b c d"),       // grams: "a b c", "b c d"
+      ("B", "x y z w"))       // grams: "x y z", "y z w"
+      .toDF("suite", "text")
+    val train = Seq(
+      (1L, "a b c d e"),      // 3 grams, 2 in A, 0 in B
+      (2L, "p q r s"),        // clean — must not surface at all
+      (3L, "a b c x y z"))    // 4 grams, 1 in A ("a b c"), 1 in B ("x y z")
+      .toDF("doc_id", "text")
+    val out = Dedup.multiSuiteContamination(train, suites,
+        "doc_id", "suite", "text", threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[String]("suite"),
+        r.getAs[Long]("hits"), r.getAs[Double]("overlap_frac"),
+        r.getAs[Long]("contaminated"))).toSet
+    assert(out == Set(
+      (1L, "A", 2L, 0.666667, 1L),
+      (3L, "A", 1L, 0.25, 0L),
+      (3L, "B", 1L, 0.25, 0L)), out.toString)
+  }
+
+  test("redactContaminatedSpans: excises covered tokens, keeps the rest") {
+    val ev = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "say the quick brown fox jumps now"), // spans at pos 1,2 merge
+      (2L, "the quick brown fox"),               // fully covered → ""
+      (3L, "hello world foo bar"),               // untouched
+      (4L, "the quick"),                         // < n tokens: untouched
+      (5L, "The QUICK brown fox"))               // case-folded → covered
+      .toDF("doc_id", "text")
+    val out = Dedup.redactContaminatedSpans(train, ev, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(out.size == 5, "rewrite keeps every doc (no drops)")
+    assert(out(1L) == (("say jumps now", 7L, 4L)), out(1L).toString)
+    assert(out(2L) == (("", 4L, 4L)))
+    assert(out(3L) == (("hello world foo bar", 4L, 0L)))
+    assert(out(4L) == (("the quick", 2L, 0L)))
+    assert(out(5L) == (("", 4L, 4L)), "span identity is case-folded")
+  }
+
+  test("redactContaminatedSpans == independent driver replay on the fixture") {
+    // brute-force reimplementation of the excision semantics in plain
+    // Scala, compared doc-for-doc — the operator's distributed plan
+    // (positional-gram join, span expansion, flagged-only rewrite) must
+    // reproduce the obvious sequential algorithm exactly. (Note the
+    // contract deliberately NOT asserted: the rewritten corpus can mint
+    // NEW eval grams at excision seams — token j-1 rejoined with token
+    // j+n can form a gram that was never in the original — so
+    // re-screening the output is a second pass, not a no-op; measured
+    // on this fixture the seams do mint grams.)
+    val n = 3
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val evSet = docs.filter($"doc_id" % 7 === 0)
+      .select(explode(graft.functions.Text.shingles(lower($"text"), n)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val expected = docs.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", lower($"text").as("t")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val covered = (0 to toks.length - n)
+          .filter(i => evSet(toks.slice(i, i + n).mkString(" ")))
+          .flatMap(i => i until i + n).toSet
+        val keptToks = toks.indices.filterNot(covered).map(toks)
+        r.getLong(0) -> ((keptToks.mkString(" "), toks.length.toLong,
+          covered.size.toLong))
+      }.toMap
+    val got = Dedup.redactContaminatedSpans(
+        docs.filter($"doc_id" % 7 =!= 0), docs.filter($"doc_id" % 7 === 0),
+        "doc_id", "text", n)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got.keySet == expected.keySet, "row-for-row, no drops")
+    val redacted = expected.count(_._2._3 > 0)
+    assert(redacted > 0, "fixture must actually exercise the rewrite path")
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+  }
 }

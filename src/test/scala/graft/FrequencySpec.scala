@@ -179,4 +179,66 @@ class FrequencySpec extends AnyFunSuite {
       Frequency.hllSketch(df, "tok", Seq.empty, lgK = 22)
     }
   }
+
+  test("kmv: exact regime — union under k makes the estimate exact Jaccard") {
+    import spark.implicits._
+    // two slices of 4 one-shingle docs each, sharing 2 shingles:
+    // |A| = |B| = 4, |A ∩ B| = 2, |A ∪ B| = 6 ≤ k=16 → W is the whole
+    // union and the estimator degenerates to the true ratio 2/6
+    val docs = Seq(
+      ("a", "s1"), ("a", "s2"), ("a", "s3"), ("a", "s4"),
+      ("b", "s3"), ("b", "s4"), ("b", "s5"), ("b", "s6"))
+      .toDF("src", "text")
+    val sk = Frequency.kmvSketches(docs, "src", "text", k = 16)
+    val out = Frequency.kmvOverlapMatrix(sk, "src", k = 16).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("denom") == 6L && r.getAs[Long]("n_both") == 2L)
+    assert(math.abs(r.getAs[Double]("j_est") - 2.0 / 6.0) < 1e-5)
+  }
+
+  test("kmv: estimate tracks exact Jaccard on the fixture (±1/√k band)") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val k = 64
+    val est = Frequency.kmvOverlapMatrix(
+      Frequency.kmvSketches(docs, "source", "text", k), "source", k)
+    // exact per-pair Jaccard of the distinct-shingle sets, computed the
+    // expensive way the sketch exists to avoid
+    val sh = docs.select(col("source"),
+        explode(graft.functions.Text.shingles(lower(col("text")), 3)).as("s"))
+      .distinct()
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("ninter"))
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val exact = inter
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), (col("ninter").cast("double") /
+        (col("na") + col("nb") - col("ninter"))).as("j_exact"))
+    val joined = est.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("j_est"), coalesce(col("j_exact"), lit(0.0)).as("j_exact"))
+      .collect()
+    assert(joined.nonEmpty)
+    val errs = joined.map(r => math.abs(
+      r.getAs[Double]("j_est") - r.getAs[Double]("j_exact")))
+    // k=64 → σ ≈ 0.125; pin mean well under one σ and max under 3σ —
+    // measured on the fixture: mean ≈ 0.02-0.05, max ≈ 0.1-0.25
+    assert(errs.sum / errs.length <= 0.10,
+      s"mean |err| ${errs.sum / errs.length}")
+    assert(errs.max <= 0.375, s"max |err| ${errs.max}")
+  }
+
+  test("kmv: bottom-k exchange is WindowGroupLimit-bounded (plan pin)") {
+    // multi-partition input (the cluster shape): the rank filter must
+    // plan as a Partial WindowGroupLimit so each map task forwards at
+    // most k digests per slice — sketch-bounded, never domain-bounded
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+      .repartition(5)
+    val plan = Frequency.kmvSketches(docs, "source", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert(plan.contains("Partial"), plan.take(1200))
+  }
 }
