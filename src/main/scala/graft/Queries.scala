@@ -7586,7 +7586,89 @@ object Queries {
               |  CAST(len(w.w) AS BIGINT) AS n_tok,
               |  CAST(len(w.w) - coalesce(a.n_kept, 0) AS BIGINT)
               |    AS n_removed
-              |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin)))
+              |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    Q("q186_snapshot_diff",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // corpus snapshot diff — the data-versioning audit between two
+        // pipeline runs: prev drops doc_id % 11 = 0, cur drops
+        // doc_id % 13 = 0 and rewrites doc_id % 5 = 0 (a ' v2' suffix),
+        // so all four statuses exercise. Hashes shuffle, text never.
+        val docs = tbl("documents")
+        val prev = docs.filter(col("doc_id") % 11 =!= 0)
+        val cur = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Corpus.snapshotDiff(prev, cur, "doc_id", "text")
+      },
+      Some("""WITH prev AS (SELECT doc_id, md5(text) AS h_prev
+             |              FROM documents WHERE doc_id % 11 <> 0),
+             |cur AS (SELECT doc_id,
+             |          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+             |              ELSE text END) AS h_cur
+             |        FROM documents WHERE doc_id % 13 <> 0)
+             |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN p.doc_id IS NULL THEN 'added'
+             |       WHEN c.doc_id IS NULL THEN 'removed'
+             |       WHEN p.h_prev <> c.h_cur THEN 'changed'
+             |       ELSE 'unchanged' END AS status,
+             |  p.h_prev, c.h_cur
+             |FROM prev p FULL OUTER JOIN cur c
+             |  ON p.doc_id = c.doc_id""".stripMargin)),
+
+    Q("q187_leakage_safe_split",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // leakage-safe 80/10/10 split: the q111 md5 coin tossed on each
+        // doc's near-dup CLUSTER rep (q57's components), so no dup
+        // cluster straddles train/test. The oracle composes the q57
+        // recursive closure with the q111 hex arithmetic on rep.
+        Selection.leakageSafeSplit(tbl("documents"), "doc_id", "text",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            threshold = 0.6)
+          .select(col("doc_id"), col("rep"), col("split"))
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $ShinglesSql AS sh
+              |                     FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+              |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        (len(a.sh) + len(b.sh)
+              |         - len(list_intersect(a.sh, b.sh))) >= 0.6),
+              |e AS (SELECT id_a AS u, id_b AS v FROM p
+              |      UNION ALL SELECT id_b, id_a FROM p),
+              |cc(id, lab) AS (
+              |  SELECT u, u FROM e
+              |  UNION
+              |  SELECT e.u, cc.lab FROM e JOIN cc ON cc.id = e.v),
+              |reps AS (SELECT id AS doc_id, min(lab) AS rep
+              |         FROM cc GROUP BY id),
+              |r AS (SELECT d.doc_id, coalesce(reps.rep, d.doc_id) AS rep
+              |      FROM documents d LEFT JOIN reps USING (doc_id)),
+              |v AS (SELECT doc_id, rep,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5(rep::VARCHAR || ':split'), 1, 1)) - 1)
+              |          * 1048576
+              |     + (strpos('0123456789abcdef',
+              |        substr(md5(rep::VARCHAR || ':split'), 2, 1)) - 1)
+              |          * 65536
+              |     + (strpos('0123456789abcdef',
+              |        substr(md5(rep::VARCHAR || ':split'), 3, 1)) - 1)
+              |          * 4096
+              |     + (strpos('0123456789abcdef',
+              |        substr(md5(rep::VARCHAR || ':split'), 4, 1)) - 1)
+              |          * 256
+              |     + (strpos('0123456789abcdef',
+              |        substr(md5(rep::VARCHAR || ':split'), 5, 1)) - 1)
+              |          * 16
+              |     + (strpos('0123456789abcdef',
+              |        substr(md5(rep::VARCHAR || ':split'), 6, 1)) - 1))
+              |      AS v
+              |  FROM r)
+              |SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+              |  CASE WHEN v < 13421773 THEN 'train'
+              |       WHEN v < 15099494 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM v""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -226,4 +226,30 @@ object Corpus {
     prepareManaged(docs, idCol, textCol, stopwords, langMarkers, keepLangs,
       minQuality, nearDupThreshold, maxDocFreq, transitiveDedup, evalDocs,
       contaminationThreshold).df
+
+  /** Corpus SNAPSHOT DIFF — the data-versioning audit between two
+    * pipeline runs: which documents were added, removed, changed, or
+    * untouched between snapshot `prev` and snapshot `cur`. This is the
+    * reproducibility question every training run must answer ("what
+    * exactly moved between corpus v3 and v4?") and the input to
+    * incremental reprocessing (only `added`/`changed` docs need
+    * re-scoring/re-embedding; `removed` feeds the forget protocol).
+    *
+    * Scale shape: each side collapses to (id, md5(text)) in its scan —
+    * text never shuffles — then ONE full-outer join at id grain
+    * decides the status per doc. No corpus cache, no collect. Output:
+    * (idCol, status ∈ added|removed|changed|unchanged, h_prev, h_cur)
+    * with null hash on the absent side. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val a = prev.select(col(idCol), md5(col(textCol)).as("h_prev"))
+    val b = cur.select(col(idCol), md5(col(textCol)).as("h_cur"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("h_prev").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_prev") =!= col("h_cur"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("h_prev"), col("h_cur"))
+  }
 }

@@ -353,4 +353,37 @@ object Selection {
         round(col("alpha"), 6).as("alpha"),
         round(col("excess"), 6).as("excess"), col("weight"))
   }
+
+  /** LEAKAGE-SAFE train/val/test split: hash-split like
+    * [[Sampling.assignSplit]], but the coin is tossed on each doc's
+    * NEAR-DUP CLUSTER REPRESENTATIVE instead of the doc itself — so an
+    * entire duplicate cluster lands in ONE split and a test doc can
+    * never have a near-copy in train (the eval-leakage mode a per-doc
+    * hash split silently permits: two near-identical docs hash
+    * independently, and at 10% test rate ~19% of cross-pair clusters
+    * straddle the boundary).
+    *
+    * Composition: [[Dedup.jaccardPairs]] (inverted-index candidates,
+    * LSH-gradeable) → [[Dedup.connectedComponents]] (rep = min id per
+    * transitive cluster; singleton docs are their own rep) →
+    * [[Sampling.assignSplit]] keyed on rep. Split fractions hold in
+    * expectation over CLUSTERS rather than docs — the price of the
+    * no-straddle guarantee, negligible when dup clusters are small
+    * relative to the corpus (and if they are not, the corpus needed
+    * dedup before splitting anyway). Adding new docs never reassigns
+    * an existing cluster (rep-hash stability) UNLESS a new doc bridges
+    * two clusters — then the merged cluster follows the new min-id
+    * rep, which is the unavoidable cost of the guarantee. Output:
+    * docs + (rep, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       splits: Seq[(String, Double)], threshold: Double,
+                       shingleLen: Int = 3): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, idCol, textCol, threshold,
+      shingleLen)
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("rep"))
+    val withRep = docs.join(comps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+    Sampling.assignSplit(withRep, col("rep"), splits)
+  }
 }

@@ -1017,6 +1017,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(5L) == (("", 4L, 4L)), "span identity is case-folded")
   }
 
+  test("snapshotDiff: four statuses from a hand-built pair of snapshots") {
+    import graft.operators.Corpus
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(prev, cur, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), out.toString)
+  }
+
+  test("leakageSafeSplit: no near-dup pair straddles splits; per-doc " +
+       "hash split does (the guarantee is non-vacuous)") {
+    import graft.operators.{Sampling, Selection}
+    // fixture + a planted near-copy of every doc (one appended token,
+    // id offset 10000): per-doc hash coins of id and id+10000 are
+    // independent, so the naive split straddles some pairs; the
+    // rep-keyed split must straddle none
+    val base = Tables(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val copies = base.select(($"doc_id" + 10000L).as("doc_id"),
+      concat($"text", lit(" zzleak")).as("text"))
+    val docs = base.unionByName(copies)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val safe = Selection.leakageSafeSplit(docs, "doc_id", "text",
+      splits, threshold = 0.6)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.6, shingleLen = 3)
+    def straddles(assigned: org.apache.spark.sql.DataFrame): Long =
+      pairs.join(assigned.select($"doc_id".as("id_a"), $"split".as("sp_a")),
+          Seq("id_a"))
+        .join(assigned.select($"doc_id".as("id_b"), $"split".as("sp_b")),
+          Seq("id_b"))
+        .filter($"sp_a" =!= $"sp_b").count()
+    assert(pairs.count() > 0, "planted copies must form pairs")
+    assert(straddles(safe) == 0, "a dup cluster crossed a split boundary")
+    val naive = Sampling.assignSplit(docs, $"doc_id", splits)
+    assert(straddles(naive) > 0,
+      "fixture must demonstrate the per-doc-coin leak the op prevents")
+    // rep-keyed coin still realizes sane proportions (over clusters)
+    val n = safe.count().toDouble
+    val frac = safe.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95, frac.toString)
+  }
+
   test("redactContaminatedSpans == independent driver replay on the fixture") {
     // brute-force reimplementation of the excision semantics in plain
     // Scala, compared doc-for-doc — the operator's distributed plan
