@@ -7668,7 +7668,62 @@ object Queries {
               |  CASE WHEN v < 13421773 THEN 'train'
               |       WHEN v < 15099494 THEN 'val'
               |       ELSE 'test' END AS split
-              |FROM v""".stripMargin)))
+              |FROM v""".stripMargin)),
+
+    Q("q188_length_bucket_plan",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // length-bucket boundary planner (the q180/q182 tuning
+        // pattern): corpus → length histogram in one map-side agg,
+        // equal-count cuts by exact integer arithmetic at histogram
+        // grain, per-bucket padding waste accounted exactly. The spec
+        // quantifies the heuristic against the true segmentation DP.
+        operators.Packing.bucketBoundaryPlan(
+          tbl("documents"), "text", nBuckets = 8)
+      },
+      Some("""WITH l AS (SELECT len(string_split(text, ' ')) AS n_tok
+             |           FROM documents),
+             |hist AS (SELECT n_tok, count(*) AS cnt FROM l
+             |         GROUP BY n_tok),
+             |tot AS (SELECT sum(cnt) AS n FROM hist),
+             |cum AS (SELECT n_tok, cnt,
+             |          sum(cnt) OVER (ORDER BY n_tok) AS cum FROM hist),
+             |b AS (SELECT n_tok, cnt, ((cum - 1) * 8) // n + 1 AS bucket
+             |      FROM cum, tot),
+             |g AS (SELECT bucket, min(n_tok) AS len_lo,
+             |        max(n_tok) AS len_hi, sum(cnt) AS n_docs,
+             |        sum(n_tok * cnt) AS tok_sum
+             |      FROM b GROUP BY bucket)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(len_lo AS BIGINT) AS len_lo,
+             |  CAST(len_hi AS BIGINT) AS len_hi,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(len_hi * n_docs AS BIGINT) AS padded_tokens,
+             |  CAST(len_hi * n_docs - tok_sum AS BIGINT) AS waste,
+             |  round(CAST(len_hi * n_docs - tok_sum AS DOUBLE)
+             |    / (len_hi * n_docs), 6) AS waste_frac
+             |FROM g""".stripMargin)),
+
+    Q("q189_vocab_coverage",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // per-language OOV audit under a shared top-24 vocabulary —
+        // the tokenizer-design / language-fairness report: one exact
+        // token-count aggregate, TakeOrderedAndProject top-V, V-row
+        // broadcast membership join, per-lang rates
+        operators.Frequency.vocabCoverage(
+          tbl("documents"), "text", "lang", vocabSize = 24)
+      },
+      Some("""WITH tk AS (SELECT lang,
+             |    unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |vc AS (SELECT tok FROM
+             |        (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+             |       ORDER BY cnt DESC, tok LIMIT 24)
+             |SELECT lang, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN tok IN (SELECT tok FROM vc)
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+             |  round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM vc)
+             |    THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_frac
+             |FROM tk GROUP BY lang""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

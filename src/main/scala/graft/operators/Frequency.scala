@@ -238,6 +238,40 @@ object Frequency {
     * so pre-exchange duplicates of one digest cannot crowd distinct
     * values out of the k; the post-filter distinct then collapses
     * them. Output: (`groupCol`, h) with ≤ k rows per group. */
+  /** Vocabulary-coverage / out-of-vocabulary report per corpus slice:
+    * build the top-`vocabSize` token vocabulary over the WHOLE corpus
+    * (count desc, token asc — fully deterministic), then measure what
+    * fraction of each slice's token stream falls outside it. This is
+    * the tokenizer-design question ("what vocab size covers 99.x% of
+    * each language?") and the per-language fairness audit (a shared
+    * vocab under-serves low-resource slices first — their OOV rate is
+    * where it shows).
+    *
+    * Scale shape: one token-grain aggregate builds the count table
+    * (word vocabularies are the bounded-domain case of the scaladoc
+    * above — the exact path is right here); top-V is
+    * TakeOrderedAndProject (map-side limited, V rows to the driver
+    * plan, not the domain); membership is a BROADCAST left join of the
+    * V-row vocab against a second narrow token pass; per-slice rates
+    * are one group aggregate. Output: (`groupCol`, n_tokens, n_oov,
+    * oov_frac). */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val toks = docs.select(col(groupCol),
+      explode(graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   def kmvSketches(docs: DataFrame, groupCol: String, textCol: String,
                   k: Int, shingleLen: Int = 3): DataFrame = {
     require(k >= 1, "k must be positive")

@@ -368,6 +368,54 @@ object Packing {
       .withColumn("batch_id", ((col("rn") - 1) / lit(batchSize)).cast("long"))
   }
 
+  /** LENGTH-BUCKET BOUNDARY PLANNER — the tuning sibling of
+    * [[lengthBucketedBatches]] (the q180/q182 pattern: measure the
+    * corpus, choose the knob, let the runtime op consume it): split
+    * the token-length distribution into `nBuckets` equal-count ranges
+    * and account, EXACTLY, the padding each bucket pays when its
+    * batches pad to the bucket max — the quantity pad-to-longest
+    * training wastes and bucketing exists to reclaim.
+    *
+    * Scale shape: the corpus collapses to a LENGTH HISTOGRAM in one
+    * map-side-combined aggregate (distinct token counts ≪ corpus —
+    * thousands of rows at any corpus size); every window below runs at
+    * that bounded histogram grain (the doremiWeights single-task
+    * discipline, bounded by design); the 1-row total rides a broadcast
+    * gate. The corpus is never sorted.
+    *
+    * Boundaries are equal-COUNT (quantile) cuts computed by exact
+    * integer arithmetic — bucket = (cum−1)·B div N + 1 — so the plan
+    * is deterministic and engine-replayable; docs sharing a length
+    * never split across buckets. Equal-count is the standard heuristic,
+    * not the DP optimum — the spec quantifies the gap against the true
+    * O(D²·B) segmentation DP at histogram grain. Output per bucket:
+    * (bucket, len_lo, len_hi, n_docs, padded_tokens = len_hi·n_docs,
+    * waste = padded − real, waste_frac). */
+  def bucketBoundaryPlan(docs: DataFrame, textCol: String,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val hist = docs.select(Text.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+    val total = hist.agg(sum("cnt").as("n"))
+    val w = Window.orderBy("n_tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket",
+        expr(s"((cum - 1) * $nBuckets) div n") + 1)
+      .groupBy("bucket")
+      .agg(min("n_tok").as("len_lo"), max("n_tok").as("len_hi"),
+        sum("cnt").as("n_docs"),
+        sum(col("n_tok") * col("cnt")).as("tok_sum"))
+      .select(col("bucket"), col("len_lo").cast("long").as("len_lo"),
+        col("len_hi").cast("long").as("len_hi"), col("n_docs"),
+        (col("len_hi") * col("n_docs")).as("padded_tokens"),
+        (col("len_hi") * col("n_docs") - col("tok_sum")).as("waste"),
+        round((col("len_hi") * col("n_docs") - col("tok_sum"))
+          .cast("double") / (col("len_hi") * col("n_docs")), 6)
+          .as("waste_frac"))
+  }
+
   def strideInterleave(docs: DataFrame, groupCol: String, alpha: Double,
                        head: Int): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")

@@ -517,4 +517,81 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids.toSet == ref)
   }
+
+  test("bucketBoundaryPlan: exact accounting, B=1 degenerates to " +
+       "pad-to-max, waste shrinks with B, heuristic vs DP gap bounded") {
+    import graft.operators.Packing
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    def plan(b: Int) = Packing.bucketBoundaryPlan(docs, "text", b).collect()
+    def waste(b: Int) = plan(b).map(_.getAs[Long]("waste")).sum
+
+    // B=1: one bucket covering the whole range, padded to global max
+    val p1 = plan(1)
+    assert(p1.length == 1)
+    val lens = docs.select(size(split(col("text"), " ")).as("n")).collect()
+      .map(_.getInt(0).toLong)
+    assert(p1.head.getAs[Long]("len_hi") == lens.max)
+    assert(p1.head.getAs[Long]("n_docs") == lens.length.toLong)
+    assert(p1.head.getAs[Long]("waste") == lens.map(lens.max - _).sum)
+
+    // every doc is accounted exactly once at any B
+    assert(plan(8).map(_.getAs[Long]("n_docs")).sum == lens.length.toLong)
+
+    // more buckets never pay more padding (measured on the fixture:
+    // equal-count cuts are not nested across B, so this is pinned, not
+    // proven — a generator change that breaks it is worth noticing)
+    val w1 = waste(1); val w4 = waste(4); val w8 = waste(8)
+    assert(w4 <= w1 && w8 <= w4, s"waste not shrinking: $w1, $w4, $w8")
+
+    // true O(D²·B) segmentation DP at histogram grain: the optimal
+    // boundary set can only beat the equal-count heuristic; quantify
+    // the gap (heuristic within 2x of optimal on the fixture)
+    val hist = lens.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1) // (len, cnt) ascending
+    val d = hist.length
+    def segWaste(i: Int, j: Int): Long = { // buckets hist[i..j], pad to hist(j)
+      val hi = hist(j)._1
+      (i to j).map { t => (hi - hist(t)._1) * hist(t)._2 }.sum
+    }
+    val big = Long.MaxValue / 4
+    var prev = Array.tabulate(d)(j => segWaste(0, j)) // B=1
+    var best = prev(d - 1)
+    for (_ <- 2 to 8) {
+      val nxt = Array.tabulate(d) { j =>
+        (0 until j).foldLeft(segWaste(0, j)) { (acc, cut) =>
+          math.min(acc, if (prev(cut) == big) big
+                        else prev(cut) + segWaste(cut + 1, j))
+        }
+      }
+      prev = nxt
+      best = math.min(best, prev(d - 1))
+    }
+    assert(best <= w8, "DP optimum cannot lose to the heuristic")
+    assert(w8 <= 2 * math.max(best, 1L),
+      s"equal-count heuristic $w8 vs DP optimum $best — gap beyond 2x")
+  }
+
+  test("vocabCoverage: hand corpus — rates per slice, V cuts " +
+       "deterministically on (count desc, token asc)") {
+    import spark.implicits._
+    import graft.operators.Frequency
+    // counts: a=4, b=3, c=2, d=1, e=1 → V=3 vocab = {a, b, c}
+    val docs = Seq(
+      ("g1", "a a b c"),   // 4 tokens, 0 oov
+      ("g1", "a b d"),     // d oov → 1/3
+      ("g2", "a b c e"))   // e oov → 1/4
+      .toDF("grp", "text")
+    val out = Frequency.vocabCoverage(docs, "text", "grp", vocabSize = 3)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_frac")))).toMap
+    assert(out("g1") == ((7L, 1L, 0.142857)), out.toString)
+    assert(out("g2") == ((4L, 1L, 0.25)), out.toString)
+    // tie at cnt=1 (d vs e): V=4 must take 'd' (token asc), so g1's
+    // oov vanishes while g2 keeps one
+    val out4 = Frequency.vocabCoverage(docs, "text", "grp", vocabSize = 4)
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[Long]("n_oov")).toMap
+    assert(out4 == Map("g1" -> 0L, "g2" -> 1L), out4.toString)
+  }
 }
