@@ -7723,7 +7723,50 @@ object Queries {
              |    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
              |  round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM vc)
              |    THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_frac
-             |FROM tk GROUP BY lang""".stripMargin)))
+             |FROM tk GROUP BY lang""".stripMargin)),
+
+    Q("q190_contamination_blast_radius",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // transitive decontamination set: direct containment hits
+        // (q59's gate) PLUS their near-dup cluster-mates (q57's
+        // components over the train side) — the docs a per-doc screen
+        // leaves behind even though they carry the same benchmark
+        // text. Output carries provenance (direct | via_dup).
+        val docs = tbl("documents")
+        Dedup.contaminationBlastRadius(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", threshold = 0.6, dupThreshold = 0.6)
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $ShinglesSql AS sh
+              |                     FROM documents),
+              |e0 AS (SELECT doc_id AS eval_id, sh AS sh_e FROM t
+              |       WHERE doc_id % 7 = 0),
+              |tr AS (SELECT doc_id, sh FROM t WHERE doc_id % 7 <> 0),
+              |direct AS (SELECT DISTINCT tr.doc_id FROM tr, e0
+              |  WHERE CAST(len(list_intersect(tr.sh, e0.sh_e)) AS DOUBLE)
+              |    / len(e0.sh_e) >= 0.6),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |      FROM tr a JOIN tr b ON a.doc_id < b.doc_id
+              |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        (len(a.sh) + len(b.sh)
+              |         - len(list_intersect(a.sh, b.sh))) >= 0.6),
+              |ed AS (SELECT id_a AS u, id_b AS v FROM p
+              |       UNION ALL SELECT id_b, id_a FROM p),
+              |cc(id, lab) AS (
+              |  SELECT u, u FROM ed
+              |  UNION
+              |  SELECT ed.u, cc.lab FROM ed JOIN cc ON cc.id = ed.v),
+              |reps AS (SELECT id AS doc_id, min(lab) AS rep
+              |         FROM cc GROUP BY id),
+              |badrep AS (SELECT DISTINCT rep FROM direct
+              |           JOIN reps USING (doc_id)),
+              |via AS (SELECT r.doc_id FROM reps r JOIN badrep USING (rep)
+              |        WHERE r.doc_id NOT IN
+              |          (SELECT doc_id FROM direct))
+              |SELECT doc_id, 'direct' AS reason FROM direct
+              |UNION ALL
+              |SELECT doc_id, 'via_dup' AS reason FROM via""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

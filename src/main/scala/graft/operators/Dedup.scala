@@ -334,6 +334,54 @@ object Dedup {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Contamination BLAST RADIUS — the transitive closure
+    * [[decontaminate]] misses: if train doc t is contaminated and t'
+    * is a near-duplicate of t, then t' carries (approximately) the
+    * same benchmark text even when its own containment score dips
+    * under the threshold (paraphrase, truncation, the extra token that
+    * dilutes the n-gram overlap). Per-doc screening leaves t' in the
+    * corpus; cluster-level screening does not. Returns the full
+    * removal set with provenance: (idCol, reason ∈ direct | via_dup)
+    * — `direct` docs trip the containment gate themselves, `via_dup`
+    * docs are near-dup cluster-mates of a direct hit.
+    *
+    * Scale shape: [[contaminationPairs]] (inverted index, id-grain
+    * output) + [[jaccardPairs]]→[[connectedComponents]] over the train
+    * side (both already the banded/bucketed machinery); the closure
+    * itself adds only id-grain joins — direct hits → their reps
+    * (distinct, cluster-count-bounded) → members. Docs in no dup pair
+    * are singleton clusters, so via_dup can only surface docs that
+    * actually have a contaminated near-dup. */
+  def contaminationBlastRadius(train: DataFrame, evalDocs: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double, dupThreshold: Double,
+                               shingleLen: Int = 3): DataFrame = {
+    val direct = contaminationPairs(train, evalDocs, idCol, textCol,
+      threshold, shingleLen).select(col("train_id").as(idCol)).distinct()
+    val comps = connectedComponents(
+        jaccardPairs(train, idCol, textCol, dupThreshold, shingleLen))
+      .select(col("id").as(idCol), col("rep"))
+    val badReps = direct.join(comps, Seq(idCol)).select("rep").distinct()
+    val viaDup = comps.join(badReps, Seq("rep"))
+      .select(col(idCol))
+      .join(direct, Seq(idCol), "left_anti")
+    direct.select(col(idCol), lit("direct").as("reason"))
+      .unionByName(viaDup.select(col(idCol), lit("via_dup").as("reason")))
+  }
+
+  /** Drop the full [[contaminationBlastRadius]] from `train`: the
+    * cluster-consistent decontamination gate (every member of a
+    * near-dup cluster containing a contaminated doc goes, not just
+    * the doc that tripped the threshold). */
+  def decontaminateTransitive(train: DataFrame, evalDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double, dupThreshold: Double,
+                              shingleLen: Int = 3): DataFrame = {
+    val bad = contaminationBlastRadius(train, evalDocs, idCol, textCol,
+      threshold, dupThreshold, shingleLen).select(idCol)
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** ONE-PASS decontamination audit against MANY benchmark suites at
     * once — the production shape of [[contaminationPairs]]: a lab
     * screens its corpus against every eval suite it reports on

@@ -1017,6 +1017,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(5L) == (("", 4L, 4L)), "span identity is case-folded")
   }
 
+  test("contaminationBlastRadius: near-dup of a contaminated doc is " +
+       "caught via the cluster even when its own containment dips under") {
+    val evalText = "alpha bravo charlie delta echo foxtrot" // 4 shingles
+    val filler = (1 to 30).map(i => s"fill$i").mkString(" ")
+    val t1 = s"$filler $evalText"                    // direct: containment 1.0
+    // corrupt ONE token inside the quoted span: kills 3 of 4 eval
+    // shingles (containment 0.25 < 0.6) but leaves jaccard(t1, t2)
+    // high (the 30-token filler dominates) — the paraphrase/truncation
+    // shape per-doc screening misses
+    val t2 = s"$filler ${evalText.replace("charlie", "zulu")}"
+    val t3 = "one two three four five six seven eight nine ten"
+    val train = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val ev = Seq((100L, evalText)).toDF("doc_id", "text")
+
+    val radius = Dedup.contaminationBlastRadius(train, ev, "doc_id", "text",
+        threshold = 0.6, dupThreshold = 0.6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(radius == Map(1L -> "direct", 2L -> "via_dup"), radius.toString)
+
+    // per-doc decontaminate leaves the near-dup in; transitive does not
+    val perDoc = Dedup.decontaminate(train, ev, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(perDoc == Set(2L, 3L), "t2 must slip a per-doc screen")
+    val trans = Dedup.decontaminateTransitive(train, ev, "doc_id", "text",
+        threshold = 0.6, dupThreshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trans == Set(3L))
+  }
+
   test("snapshotDiff: four statuses from a hand-built pair of snapshots") {
     import graft.operators.Corpus
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
