@@ -104,6 +104,37 @@ object Queries {
       |                        string_split(lower(text),' ')[i+1],
       |                        string_split(lower(text),' ')[i+2])) END)""".stripMargin
 
+  /** DuckDB replay of the MONOLITHIC KMV chain (sketch per source →
+    * pairwise Beyer estimator at k=128) — the shared gate of q183 (the
+    * one-shot build) and q191 (the incremental build: bottom-k merge of
+    * per-batch sketches is mathematically EQUAL to the monolithic
+    * sketch, so the same oracle pins the merge). */
+  private val KmvOverlapSql =
+    s"""WITH t AS (SELECT source, unnest($ShinglesSql) AS s
+       |           FROM documents),
+       |h AS (SELECT DISTINCT source, md5(s) AS h FROM t),
+       |sk AS (SELECT source, h FROM
+       |        (SELECT source, h, row_number() OVER
+       |           (PARTITION BY source ORDER BY h) AS rn FROM h)
+       |       WHERE rn <= 128),
+       |g AS (SELECT DISTINCT source FROM documents),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b
+       |      FROM g a, g b WHERE a.source < b.source),
+       |m AS (SELECT p.src_a, p.src_b, s.h,
+       |        max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END)
+       |          AS in_a,
+       |        max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END)
+       |          AS in_b
+       |      FROM p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+       |      GROUP BY 1, 2, 3),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM m)
+       |SELECT src_a, src_b, count(*) AS denom,
+       |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6)
+       |    AS j_est
+       |FROM r WHERE rn <= 128 GROUP BY 1, 2""".stripMargin
+
   private def jaccardOracle(threshold: Double): String =
     s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -7485,30 +7516,7 @@ object Queries {
           docs, "source", "text", k = 128)
         operators.Frequency.kmvOverlapMatrix(sk, "source", k = 128)
       },
-      Some(s"""WITH t AS (SELECT source, unnest($ShinglesSql) AS s
-              |           FROM documents),
-              |h AS (SELECT DISTINCT source, md5(s) AS h FROM t),
-              |sk AS (SELECT source, h FROM
-              |        (SELECT source, h, row_number() OVER
-              |           (PARTITION BY source ORDER BY h) AS rn FROM h)
-              |       WHERE rn <= 128),
-              |g AS (SELECT DISTINCT source FROM documents),
-              |p AS (SELECT a.source AS src_a, b.source AS src_b
-              |      FROM g a, g b WHERE a.source < b.source),
-              |m AS (SELECT p.src_a, p.src_b, s.h,
-              |        max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END)
-              |          AS in_a,
-              |        max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END)
-              |          AS in_b
-              |      FROM p JOIN sk s ON s.source IN (p.src_a, p.src_b)
-              |      GROUP BY 1, 2, 3),
-              |r AS (SELECT *, row_number() OVER
-              |        (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM m)
-              |SELECT src_a, src_b, count(*) AS denom,
-              |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
-              |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6)
-              |    AS j_est
-              |FROM r WHERE rn <= 128 GROUP BY 1, 2""".stripMargin)),
+      Some(KmvOverlapSql)),
 
     Q("q184_multi_suite_decontam",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
@@ -7766,7 +7774,27 @@ object Queries {
               |          (SELECT doc_id FROM direct))
               |SELECT doc_id, 'direct' AS reason FROM direct
               |UNION ALL
-              |SELECT doc_id, 'via_dup' AS reason FROM via""".stripMargin)))
+              |SELECT doc_id, 'via_dup' AS reason FROM via""".stripMargin)),
+
+    Q("q191_kmv_incremental_overlap",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // INCREMENTAL KMV build: per-batch sketches (even/odd doc_id
+        // halves) merged by bottom-k — history is never rescanned —
+        // then the q183 estimator on the merged sketch. The oracle is
+        // q183's MONOLITHIC replay verbatim: bottom-k of a union
+        // equals bottom-k of concatenated bottom-k's, so any merge
+        // defect (rank off-by-one, lost digest, dup survival)
+        // hash-fails against the one-shot chain.
+        val docs = tbl("documents")
+        val skA = operators.Frequency.kmvSketches(
+          docs.filter(col("doc_id") % 2 === 0), "source", "text", k = 128)
+        val skB = operators.Frequency.kmvSketches(
+          docs.filter(col("doc_id") % 2 === 1), "source", "text", k = 128)
+        val merged = operators.Frequency.kmvMergeSketches(
+          skA.unionByName(skB), "source", k = 128)
+        operators.Frequency.kmvOverlapMatrix(merged, "source", k = 128)
+      },
+      Some(KmvOverlapSql)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

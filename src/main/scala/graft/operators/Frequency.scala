@@ -285,6 +285,26 @@ object Frequency {
       .distinct()
   }
 
+  /** Merge [[kmvSketches]] blobs from corpus SLICES into the union's
+    * sketch — the mergeable-summaries citizenship the CMS
+    * ([[countMinMerge]], q129) and HLL ([[hllMergeEstimate]], q134)
+    * members already carry: bottom-k of a union is the bottom-k of the
+    * concatenated bottom-k's (any digest outside a part's bottom-k is
+    * outside the union's), so incremental corpus builds maintain the
+    * sketch per batch and NEVER rescan history. Exactly the
+    * [[kmvSketches]] output schema — composes with
+    * [[kmvOverlapMatrix]] unchanged. Grouping-invariant and
+    * associative by the same argument (set union is), spec-pinned
+    * equal to the monolithic rebuild. */
+  def kmvMergeSketches(sketches: DataFrame, groupCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    sketches.distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).drop("rnk")
+  }
+
   /** Pairwise corpus-overlap matrix from [[kmvSketches]]: for every
     * slice pair a < b, the KMV Jaccard estimate of their distinct-
     * shingle sets. Estimator (Beyer et al. 2007 §4): merge the two

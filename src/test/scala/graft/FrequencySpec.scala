@@ -230,6 +230,31 @@ class FrequencySpec extends AnyFunSuite {
     assert(errs.max <= 0.375, s"max |err| ${errs.max}")
   }
 
+  test("kmv: merge == monolithic rebuild, associative, grouping-invariant") {
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+    val k = 32
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Frequency.kmvSketches(df, "source", "text", k)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("h"))).toSet
+    val mono = rows(sk(docs))
+    // 2-way slicing merges to the monolithic sketch
+    val two = Frequency.kmvMergeSketches(
+      sk(docs.filter(col("doc_id") % 2 === 0))
+        .unionByName(sk(docs.filter(col("doc_id") % 2 === 1))), "source", k)
+    assert(rows(two) == mono)
+    // 3-way slicing, merged NESTED, equals the flat merge and the
+    // monolithic build — associativity is what makes incremental
+    // accumulation exact
+    val parts = (0 to 2).map(i => sk(docs.filter(col("doc_id") % 3 === i)))
+    val nested = Frequency.kmvMergeSketches(
+      Frequency.kmvMergeSketches(parts(0).unionByName(parts(1)), "source", k)
+        .unionByName(parts(2)), "source", k)
+    val flat = Frequency.kmvMergeSketches(
+      parts.reduce(_ unionByName _), "source", k)
+    assert(rows(nested) == rows(flat) && rows(flat) == mono)
+  }
+
   test("kmv: bottom-k exchange is WindowGroupLimit-bounded (plan pin)") {
     // multi-partition input (the cluster shape): the rank filter must
     // plan as a Partial WindowGroupLimit so each map task forwards at
