@@ -7794,7 +7794,80 @@ object Queries {
           skA.unionByName(skB), "source", k = 128)
         operators.Frequency.kmvOverlapMatrix(merged, "source", k = 128)
       },
-      Some(KmvOverlapSql)))
+      Some(KmvOverlapSql)),
+
+    Q("q192_rank_biased_overlap",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        import s.implicits._
+        // RBO@20 between two BM25 parameterizations (k1=1.2/b=0.75 vs
+        // k1=2.0/b=0.25 — both dyadic so 1−b and k1+1 are float-exact
+        // in both engines): the ranker-comparison readout (how much
+        // does the parameter change actually reorder the top?).
+        // Agreement terms are exact integer ratios, p=0.75 weights
+        // are exact dyadics; the one float sum rounds at 6.
+        val probes = Seq(
+          (1L, Seq("hash", "filter", "customer")),
+          (2L, Seq("stream", "window")),
+          (3L, Seq("training", "data", "quality"))
+        ).toDF("query_id", "terms")
+        val docs = tbl("documents")
+        val runA = operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+          probes, "query_id", "terms", k = 20)
+        val runB = operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+          probes, "query_id", "terms", k = 20, k1 = 2.0, b = 0.25)
+        operators.Retrieval.rankBiasedOverlap(runA, runB,
+          "query_id", "id", "rank", depth = 20)
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |  (1, 'hash'), (1, 'filter'), (1, 'customer'),
+             |  (2, 'stream'), (2, 'window'),
+             |  (3, 'training'), (3, 'data'), (3, 'quality')),
+             |p AS (SELECT doc_id,
+             |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+             |  string_split(lower(text), ' ') AS w FROM documents),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+             |       FROM p),
+             |tf AS (SELECT doc_id, dl, t AS term,
+             |    CAST(count(*) AS DOUBLE) AS f
+             |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM p)
+             |  WHERE t IN (SELECT term FROM q)
+             |  GROUP BY doc_id, dl, t),
+             |idf AS (SELECT term,
+             |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+             |  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df
+             |        FROM tf GROUP BY term), st),
+             |scA AS (SELECT q.query_id, tf.doc_id,
+             |    round(sum(idf.idf * tf.f * 2.2 / (tf.f + 1.2 *
+             |      (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+             |  FROM tf JOIN idf USING (term) JOIN q ON q.term = tf.term
+             |  GROUP BY q.query_id, tf.doc_id),
+             |rA AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS ra
+             |  FROM scA QUALIFY ra <= 20),
+             |scB AS (SELECT q.query_id, tf.doc_id,
+             |    round(sum(idf.idf * tf.f * 3.0 / (tf.f + 2.0 *
+             |      (0.75 + 0.25 * tf.dl / idf.avgdl))), 6) AS score
+             |  FROM tf JOIN idf USING (term) JOIN q ON q.term = tf.term
+             |  GROUP BY q.query_id, tf.doc_id),
+             |rB AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS rb
+             |  FROM scB QUALIFY rb <= 20),
+             |sh AS (SELECT a.query_id, greatest(a.ra, b.rb) AS m
+             |       FROM rA a JOIN rB b USING (query_id, doc_id)),
+             |qs AS (SELECT DISTINCT query_id FROM q),
+             |sp AS (SELECT query_id, unnest(range(1, 21)) AS d FROM qs),
+             |cum AS (SELECT sp.query_id, sp.d,
+             |    sum(CASE WHEN sh.m <= sp.d THEN 1 ELSE 0 END) AS ov
+             |  FROM sp LEFT JOIN sh ON sh.query_id = sp.query_id
+             |  GROUP BY 1, 2)
+             |SELECT CAST(query_id AS BIGINT) AS query_id,
+             |  round(0.25 * sum(CAST(ov AS DOUBLE) / d
+             |    * power(0.75, d - 1)), 6) AS rbo,
+             |  CAST(max(CASE WHEN d = 20 THEN ov END) AS BIGINT)
+             |    AS n_shared
+             |FROM cum GROUP BY query_id""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -149,6 +149,52 @@ object Retrieval {
     * to the probe list, a |queries|-row average. rr is an exact
     * integer-ratio double; MRR (the one cross-query float sum) rounds
     * at 6. */
+  /** RANK-BIASED OVERLAP between two retrieval runs (Webber, Moffat &
+    * Zobel TOIS 2010, prefix-truncated form): per query,
+    * RBO@D = (1−p)·Σ_{d=1..D} p^{d−1}·|A_d ∩ B_d|/d — the standard
+    * top-weighted similarity between two RANKERS (parameter sweep,
+    * ranker upgrade, sparse-vs-dense disagreement), where plain set
+    * overlap ignores order and Kendall's τ needs conjoint lists.
+    *
+    * Each input carries (queryCol, idCol, rankCol) top-D rows (the
+    * [[bm25TopK]]/[[rrfFuse]] shape). Everything runs at RESULT grain:
+    * shared docs join on (query, id); a doc enters every prefix from
+    * depth max(ra, rb) on, so per (query, depth) agreement is one
+    * aggregate over a spine×shared fan-out bounded by |queries|·D² —
+    * result-list arithmetic, never corpus data.
+    *
+    * Determinism: agreement terms are exact integer ratios; pick a
+    * DYADIC p (default 0.75: numerators 3^d are float-exact through
+    * d=33) so the geometric weights are bit-identical across engines,
+    * and the one cross-term float sum (≤ D terms) rounds at 6.
+    * Output: (queryCol, rbo, n_shared = |A_D ∩ B_D|). */
+  def rankBiasedOverlap(runA: DataFrame, runB: DataFrame,
+                        queryCol: String, idCol: String, rankCol: String,
+                        depth: Int, p: Double = 0.75): DataFrame = {
+    require(depth >= 1, "depth must be positive")
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    def side(df: DataFrame, out: String) =
+      df.select(col(queryCol), col(idCol),
+          col(rankCol).cast("long").as(out))
+        .filter(col(out) <= depth)
+    val shared = side(runA, "ra").join(side(runB, "rb"),
+        Seq(queryCol, idCol))
+      .select(col(queryCol), greatest(col("ra"), col("rb")).as("m"))
+    val qs = runA.select(queryCol).unionByName(runB.select(queryCol))
+      .distinct()
+    val spine = qs.select(col(queryCol),
+      explode(sequence(lit(1), lit(depth))).as("d"))
+    spine.join(shared, Seq(queryCol), "left")
+      .groupBy(queryCol, "d")
+      .agg(sum(when(col("m") <= col("d"), 1L).otherwise(0L)).as("ov"))
+      .groupBy(queryCol)
+      .agg(
+        round(sum(col("ov").cast("double") / col("d") *
+          pow(lit(p), col("d") - 1)) * (1 - p), 6).as("rbo"),
+        max(when(col("d") === depth, col("ov"))).cast("long")
+          .as("n_shared"))
+  }
+
   def knownItemEval(topk: DataFrame, probes: DataFrame,
                     queryIdCol: String, idCol: String): DataFrame = {
     val self = topk.filter(col(idCol) === col(queryIdCol))

@@ -307,4 +307,47 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(got(2L)._1 == 2L && got(2L)._2 == 0.5)
     assert(math.abs(got(1L)._3 - 0.75) < 1e-9) // MRR = (1 + 0.5)/2
   }
+
+  test("rankBiasedOverlap: hand arithmetic, truncation residual, " +
+       "disjoint zero, symmetry") {
+    import graft.operators.Retrieval
+    def run(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("query_id", "id", "rank")
+    // A=[1,2,3] vs B=[2,1,3] at p=0.5, D=3: agreements 0/1, 2/2, 3/3
+    // → rbo = 0.5·(0·1 + 1·0.5 + 1·0.25) = 0.375
+    val a = run(Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L)))
+    val b = run(Seq((1L, 2L, 1L), (1L, 1L, 2L), (1L, 3L, 3L)))
+    val r1 = Retrieval.rankBiasedOverlap(a, b, "query_id", "id", "rank",
+      depth = 3, p = 0.5).collect().head
+    assert(r1.getAs[Double]("rbo") == 0.375 &&
+      r1.getAs[Long]("n_shared") == 3L)
+    // identical lists: prefix-truncated RBO = 1 − p^D, NOT 1 — the
+    // truncation residual is part of the definition
+    val r2 = Retrieval.rankBiasedOverlap(a, a, "query_id", "id", "rank",
+      depth = 3, p = 0.5).collect().head
+    assert(r2.getAs[Double]("rbo") == 0.875) // 1 − 0.5³
+    // disjoint lists → 0 with the query still reported
+    val c = run(Seq((1L, 7L, 1L), (1L, 8L, 2L), (1L, 9L, 3L)))
+    val r3 = Retrieval.rankBiasedOverlap(a, c, "query_id", "id", "rank",
+      depth = 3, p = 0.5).collect().head
+    assert(r3.getAs[Double]("rbo") == 0.0 &&
+      r3.getAs[Long]("n_shared") == 0L)
+    // symmetry on real ranked lists (RBO(A,B) == RBO(B,A))
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val probes = Seq((1L, Seq("hash", "filter")), (2L, Seq("window")))
+      .toDF("query_id", "terms")
+    val ra = Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+      "query_id", "terms", k = 10)
+    val rb = Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+      "query_id", "terms", k = 10, k1 = 2.0, b = 0.25)
+    def m(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Double]("rbo"), r.getAs[Long]("n_shared")))).toMap
+    val ab = m(Retrieval.rankBiasedOverlap(ra, rb, "query_id", "id",
+      "rank", depth = 10))
+    val ba = m(Retrieval.rankBiasedOverlap(rb, ra, "query_id", "id",
+      "rank", depth = 10))
+    assert(ab == ba && ab.nonEmpty)
+    assert(ab.values.forall { case (v, _) => v >= 0.0 && v <= 1.0 })
+  }
 }
