@@ -7867,7 +7867,104 @@ object Queries {
              |    * power(0.75, d - 1)), 6) AS rbo,
              |  CAST(max(CASE WHEN d = 20 THEN ov END) AS BIGINT)
              |    AS n_shared
-             |FROM cum GROUP BY query_id""".stripMargin)))
+             |FROM cum GROUP BY query_id""".stripMargin)),
+
+    Q("q193_novelty_curve",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // content-novelty curve over 5 ordered collection batches
+        // (doc_id % 5): per batch, distinct shingles never seen in an
+        // earlier batch, plus the cumulative vocabulary — the
+        // data-collection saturation readout
+        operators.Frequency.noveltyCurve(tbl("documents"),
+          col("doc_id") % 5, "text")
+      },
+      Some(s"""WITH sh0 AS (SELECT doc_id % 5 AS batch,
+              |    unnest($ShinglesSql) AS s FROM documents),
+              |dd AS (SELECT DISTINCT batch, s FROM sh0),
+              |fs AS (SELECT s, min(batch) AS batch FROM dd GROUP BY s),
+              |nv AS (SELECT batch, count(*) AS n_novel FROM fs
+              |       GROUP BY batch),
+              |tt AS (SELECT batch, count(*) AS n_distinct FROM dd
+              |       GROUP BY batch)
+              |SELECT CAST(t.batch AS BIGINT) AS batch, t.n_distinct,
+              |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+              |  round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+              |    / t.n_distinct, 6) AS novelty_frac,
+              |  CAST(sum(coalesce(nv.n_novel, 0))
+              |    OVER (ORDER BY t.batch) AS BIGINT) AS cum_vocab
+              |FROM tt t LEFT JOIN nv USING (batch)""".stripMargin)),
+
+    Q("q194_compression_ratio",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // compression-ratio quality signal (deflate bytes / raw
+        // bytes). zlib is engine-private, so the oracle gates the
+        // signal's PROPERTIES (the q25 pattern): natural fixture text
+        // sits in a sane band and separates hard from a maximally
+        // repetitive same-token-count probe. Margins are wide and
+        // measured: natural avg ≈ 0.44-0.52 across SFs (shared
+        // synthetic vocab compresses better than prose), repetitive
+        // probe avg ≈ 0.04.
+        val r = tbl("documents").select(
+          Text.compressionRatio(col("text")).as("r_nat"),
+          Text.compressionRatio(concat(lit("spam"),
+            expr("repeat(' spam', cast(size(split(text, ' ')) as int) - 1)")))
+            .as("r_rep"))
+        r.agg(avg(col("r_nat")).as("a_nat"), min(col("r_nat")).as("mn"),
+            max(col("r_nat")).as("mx"), avg(col("r_rep")).as("a_rep"))
+          .select(
+            Clean.flag(col("mn") > 0.0).as("pos_ok"),
+            Clean.flag(col("mx") <= 1.05).as("bound_ok"),
+            Clean.flag(col("a_rep") + 0.2 <= col("a_nat")).as("sep_ok"),
+            Clean.flag(col("a_rep") <= 0.2).as("rep_low_ok"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS pos_ok,
+             |CAST(1 AS BIGINT) AS bound_ok, CAST(1 AS BIGINT) AS sep_ok,
+             |CAST(1 AS BIGINT) AS rep_low_ok""".stripMargin)),
+
+    Q("q195_lsh_recall_audit",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // empirical closure of q182's S-curve model: run the REAL
+        // minhash machinery under a deliberately weak 4x4 plan against
+        // exact-Jaccard ground truth. The fixture's natural dups sit
+        // at jaccard ≈ 1 (p_detect ≈ 1 — no test power), so plant
+        // MID-CURVE pairs (q27 pattern): each doc_id < 50 gains a
+        // copy with ~40% unique appended tokens → jaccard ≈ 0.71,
+        // p_detect ≈ 0.67 — where the band check actually bites.
+        // n_exact and expected recall replay in SQL from the same
+        // planted corpus; measured recall gates via the 3σ flag.
+        val base = tbl("documents").select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" "), concat_ws(" ",
+              transform(sequence(lit(1),
+                  ceil(size(split(col("text"), " ")) * 0.4).cast("int")),
+                i => concat(lit("zq"), col("doc_id"), lit("x"), i))))
+              .as("text"))
+        Dedup.lshRecallAudit(base.unionByName(planted), "doc_id", "text",
+          threshold = 0.6, bands = 4, rowsPerBand = 4)
+      },
+      Some(s"""WITH aug AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000,
+              |    text || ' ' || array_to_string(list_transform(
+              |      range(1, CAST(ceil(len(string_split(text, ' ')) * 0.4)
+              |        AS INT) + 1),
+              |      i -> 'zq' || doc_id || 'x' || i), ' ')
+              |  FROM documents WHERE doc_id < 50),
+              |t AS (SELECT doc_id, $ShinglesSql AS sh FROM aug),
+              |p AS (SELECT round(inter / (tot - inter), 6) AS j FROM
+              |       (SELECT CAST(len(list_intersect(a.sh, b.sh))
+              |            AS DOUBLE) AS inter,
+              |          len(a.sh) + len(b.sh) AS tot
+              |        FROM t a JOIN t b ON a.doc_id < b.doc_id)
+              |      WHERE inter / (tot - inter) >= 0.6)
+              |SELECT count(*) AS n_exact,
+              |  round(coalesce(avg(1 - power(1 - power(j, 4), 4)), 0.0),
+              |    6) AS expected_recall,
+              |  CAST(1 AS BIGINT) AS subset_ok,
+              |  CAST(1 AS BIGINT) AS recall_in_band
+              |FROM p""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -28,6 +28,21 @@ object Text {
   def distinctTokenRatio(text: Column): Column =
     size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
 
+  /** Compression ratio (deflated bytes / raw UTF-8 bytes) — the
+    * whole-document repetitiveness signal of the Gopher/CCNet filter
+    * family: n-gram ratios ([[distinctTokenRatio]], topNgramFrac) see
+    * LOCAL repetition, zlib sees long-range and structural repetition
+    * (templates, boilerplate, looping generations) in one pass. Low
+    * ratio = compressible = repetitive; natural prose sits in a stable
+    * band. Native codegen'd kernel
+    * ([[graft.plans.exprs.deflatedLength]]); empty text → 0. Engine-
+    * private (zlib is not SQL) — consumers gate on wide measured
+    * margins, the q25 property-oracle pattern. */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) === 0, 0.0).otherwise(
+      graft.plans.exprs.deflatedLength(text).cast("double") /
+        octet_length(text))
+
   /** Gopher-style repetition signal: fraction of tokens covered by the
     * single most frequent word n-gram (native one-pass kernel — a
     * per-row count map no codegen'd built-in combination expresses). */

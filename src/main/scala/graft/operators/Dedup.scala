@@ -334,6 +334,59 @@ object Dedup {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** EMPIRICAL LSH recall audit — the measurement that closes
+    * [[lshBandPlan]]'s loop: the band plan PREDICTS per-pair detection
+    * probability P(s) = 1−(1−s^r)^b from the S-curve; this op runs the
+    * actual [[minhashLshPairs]] machinery against the exact
+    * [[jaccardPairs]] ground truth and checks the realized recall
+    * lands inside the model's own binomial band. Run it whenever a
+    * band plan changes — a model that stops predicting its machinery
+    * is how silent recall loss ships.
+    *
+    * Output is ONE row: n_exact and expected_recall (mean P(s) over
+    * the true pairs — both engine-replayable from exact jaccards),
+    * plus two property flags in the q25 pattern (minhash signatures
+    * are engine-private, so measured recall itself cannot cross the
+    * oracle): `subset_ok` — every verified LSH pair is a true pair
+    * (precision 1 by construction; 0 means the verify step broke) —
+    * and `recall_in_band` — |measured − expected| ≤ 3σ + 0.02, σ the
+    * exact binomial sd Σp(1−p) under the model. Zero true pairs →
+    * vacuously green on both sides.
+    *
+    * Scale shape: both pair generators are the existing inverted-index
+    * / banded machinery; the audit adds pair-grain joins and three
+    * 1-row aggregates glued by broadcast gates. */
+  def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, bands: Int, rowsPerBand: Int,
+                     shingleLen: Int = 3): DataFrame = {
+    val exact = jaccardPairs(docs, idCol, textCol, threshold, shingleLen)
+    val lsh = minhashLshPairs(docs, idCol, textCol, threshold, shingleLen,
+        bands, rowsPerBand)
+      .select(col("id_a"), col("id_b"), lit(1L).as("detected"))
+    val joined = exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .select(col("jaccard"),
+        coalesce(col("detected"), lit(0L)).as("detected"),
+        (lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), rowsPerBand),
+          bands)).as("p_detect"))
+    val agg = joined.agg(
+      count(lit(1)).as("n_exact"),
+      sum(col("detected")).as("n_detected"),
+      avg(col("p_detect")).as("exp_recall"),
+      sum(col("p_detect") * (lit(1.0) - col("p_detect"))).as("var_sum"))
+    val extra = lsh.join(exact.select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    agg.crossJoin(broadcast(extra)).select(
+      col("n_exact"),
+      round(coalesce(col("exp_recall"), lit(0.0)), 6).as("expected_recall"),
+      graft.functions.Clean.flag(col("n_extra") === 0).as("subset_ok"),
+      graft.functions.Clean.flag(col("n_exact") === 0 ||
+        abs(col("n_detected").cast("double") / col("n_exact") -
+          col("exp_recall")) <=
+        lit(3.0) * sqrt(col("var_sum")) / col("n_exact") + lit(0.02))
+        .as("recall_in_band"))
+  }
+
   /** Contamination BLAST RADIUS — the transitive closure
     * [[decontaminate]] misses: if train doc t is contaminated and t'
     * is a near-duplicate of t, then t' carries (approximately) the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -210,6 +210,42 @@ object Frequency {
   def hllMergeEstimate(sketches: DataFrame): DataFrame =
     sketches.agg(hll_sketch_estimate(
       hll_union_agg(col("sketch"), lit(false))).as("estimate"))
+
+  /** CONTENT NOVELTY CURVE over an ordered sequence of corpus batches —
+    * the data-collection saturation readout: how many of each batch's
+    * distinct shingles were never seen in ANY earlier batch, and the
+    * cumulative vocabulary the crawl has accumulated. When
+    * novelty_frac flattens toward 0, new data is re-collecting old
+    * content — the signal to stop paying for a source (and the
+    * corpus-level cousin of the per-pair overlap question q183
+    * answers).
+    *
+    * Scale shape: shingles hash to 64-bit ids before any shuffle (the
+    * jaccardPairs discipline); first-seen batch is ONE map-side-
+    * combined min aggregate at hash grain; per-batch distinct counts
+    * ride the same hashed stream; the cumulative sum is a window over
+    * the bounded |batches|-row result (the doremiWeights discipline).
+    * Output per batch: (batch, n_distinct, n_novel, novelty_frac,
+    * cum_vocab). */
+  def noveltyCurve(docs: DataFrame, batchCol: Column, textCol: String,
+                   shingleLen: Int = 3): DataFrame = {
+    val sh = docs.select(batchCol.cast("long").as("batch"),
+        explode(graft.functions.Text.shingles(
+          lower(col(textCol)), shingleLen)).as("s"))
+      .select(col("batch"), xxhash64(col("s")).as("h"))
+      .distinct()
+    val novel = sh.groupBy("h").agg(min("batch").as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("n_novel"))
+    val totals = sh.groupBy("batch").agg(count(lit(1)).as("n_distinct"))
+    val w = Window.orderBy("batch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals.join(novel, Seq("batch"), "left")
+      .select(col("batch"), col("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_distinct"), 6))
+      .withColumn("cum_vocab", sum(col("n_novel")).over(w))
+  }
 
   /** K-minimum-values sketch of each corpus slice's distinct-shingle
     * set (Beyer et al. 2007, "On Synopses for Distinct-Value Estimation

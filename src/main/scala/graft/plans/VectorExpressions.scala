@@ -162,6 +162,22 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** DEFLATE-compressed byte length of a string — the kernel of the
+  * compression-ratio quality gate ([[graft.operators.Quality]]). Native
+  * expression so the Deflater runs inside whole-stage codegen per row
+  * (a UDF would break the codegen span; there is no HOF formulation of
+  * zlib at all). */
+case class DeflatedLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("deflated_length", child.dataType, _ == StringType, "string")
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.deflatedLength(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.deflatedLength($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Order-sensitive rolling hash over an array<string> of tokens. */
 case class TokenRollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -474,6 +490,9 @@ object exprs {
 
   def tokenRollingHash(tokens: Column): Column =
     column(TokenRollingHash(expression(tokens)))
+
+  def deflatedLength(text: Column): Column =
+    column(DeflatedLength(expression(text)))
 
   def nearestCells(v: Column, cellIds: Array[Long], centers: Array[Double],
                    n: Int): Column =

@@ -209,6 +209,29 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** DEFLATE-compressed length of the string's UTF-8 bytes (zlib raw
+    * deflate, BEST_COMPRESSION, no header) — the numerator of the
+    * compression-ratio quality signal. Deterministic for a given zlib
+    * build (the JDK bundles one); the ratio consumer
+    * (graft.operators.Quality.compressionRatio) gates on wide margins,
+    * not exact byte counts, so a zlib upgrade shifts nothing that
+    * matters. Empty input → 0 (not zlib's 2-byte empty block), keeping
+    * ratio(empty) well-defined as 0. */
+  def deflatedLength(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    if (bytes.isEmpty) return 0
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   private final val Golden = 0x9e3779b97f4a7c15L
 
   @inline private def splitmix64(x0: Long): Long = {

@@ -1017,6 +1017,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(5L) == (("", 4L, 4L)), "span identity is case-folded")
   }
 
+  test("lshRecallAudit: strong plan ≈ perfect recall; weak plan lands " +
+       "in its own binomial band; subset invariant holds") {
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    def audit(bands: Int, rows: Int) =
+      Dedup.lshRecallAudit(docs, "doc_id", "text", threshold = 0.6,
+        bands = bands, rowsPerBand = rows).collect().head
+    // 32x2 (the q24 production plan): miss probability ≤ 6e-7 at
+    // j ≥ 0.6 — expected recall ≈ 1 and the machinery must realize it
+    val strong = audit(32, 2)
+    assert(strong.getAs[Long]("n_exact") > 0)
+    assert(strong.getAs[Double]("expected_recall") > 0.999)
+    assert(strong.getAs[Long]("subset_ok") == 1L)
+    assert(strong.getAs[Long]("recall_in_band") == 1L)
+    // deliberately weak 4x4 plan: flags still well-formed and green on
+    // the fixture (near-identical dups sit at p_detect ≈ 1 here; the
+    // planted mid-curve power case is q195's in-plan corpus)
+    val weak = audit(4, 4)
+    assert(weak.getAs[Long]("subset_ok") == 1L)
+    assert(weak.getAs[Long]("recall_in_band") == 1L)
+  }
+
   test("contaminationBlastRadius: near-dup of a contaminated doc is " +
        "caught via the cluster even when its own containment dips under") {
     val evalText = "alpha bravo charlie delta echo foxtrot" // 4 shingles

@@ -230,6 +230,26 @@ class FrequencySpec extends AnyFunSuite {
     assert(errs.max <= 0.375, s"max |err| ${errs.max}")
   }
 
+  test("noveltyCurve: hand batches — first-seen attribution, cumulative " +
+       "vocabulary, saturation to zero") {
+    import spark.implicits._
+    // one-shingle docs; batch 0 brings {s1,s2}, batch 1 brings {s2,s3}
+    // (s3 novel), batch 2 brings {s1,s3} (nothing novel)
+    val docs = Seq(
+      (0L, "s1"), (0L, "s2"),
+      (1L, "s2"), (1L, "s3"),
+      (2L, "s1"), (2L, "s3"))
+      .toDF("b", "text")
+    val out = Frequency.noveltyCurve(docs, col("b"), "text").collect()
+      .map(r => r.getAs[Long]("batch") ->
+        ((r.getAs[Long]("n_distinct"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty_frac"), r.getAs[Long]("cum_vocab"))))
+      .toMap
+    assert(out(0L) == ((2L, 2L, 1.0, 2L)), out.toString)
+    assert(out(1L) == ((2L, 1L, 0.5, 3L)), out.toString)
+    assert(out(2L) == ((2L, 0L, 0.0, 3L)), out.toString)
+  }
+
   test("kmv: merge == monolithic rebuild, associative, grouping-invariant") {
     val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
     val k = 32

@@ -308,6 +308,28 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(math.abs(got(1L)._3 - 0.75) < 1e-9) // MRR = (1 + 0.5)/2
   }
 
+  test("compressionRatio: repetition separates from natural text; " +
+       "empty is 0; interpreted eval == codegen kernel") {
+    val docs = Seq(
+      ("nat", "the quick brown fox jumps over the lazy dog and then " +
+        "some more varied words appear here without obvious repeats"),
+      ("rep", ("spam " * 40).trim),
+      ("empty", "")).toDF("kind", "text")
+    val out = docs.select($"kind",
+        Text.compressionRatio($"text").as("r")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("empty") == 0.0)
+    assert(out("rep") < 0.2, s"repetitive ratio ${out("rep")}")
+    assert(out("nat") > out("rep") + 0.3, s"no separation: $out")
+    assert(out("nat") > 0.0 && out("nat") <= 1.05)
+    // kernel parity: the interpreted eval path (used off-codegen) must
+    // match what the compiled plan produced
+    val interp = graft.plans.VectorOps.deflatedLength(
+      org.apache.spark.unsafe.types.UTF8String.fromString(("spam " * 40).trim))
+    val raw = ("spam " * 40).trim.getBytes("UTF-8").length
+    assert(math.abs(out("rep") - interp.toDouble / raw) < 1e-12)
+  }
+
   test("rankBiasedOverlap: hand arithmetic, truncation residual, " +
        "disjoint zero, symmetry") {
     import graft.operators.Retrieval
