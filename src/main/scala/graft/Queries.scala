@@ -7964,7 +7964,99 @@ object Queries {
               |    6) AS expected_recall,
               |  CAST(1 AS BIGINT) AS subset_ok,
               |  CAST(1 AS BIGINT) AS recall_in_band
-              |FROM p""".stripMargin)))
+              |FROM p""".stripMargin)),
+
+    Q("q196_streaming_kmv_overlap",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STREAMING KMV maintenance — the ingestion-time shape of
+        // q191: each arriving micro-batch contributes its own bottom-k
+        // sketch, merged into the running per-source store (read
+        // store_{b−1}, merge, write store_b — the q68 signature-store
+        // discipline; AvailableNow serializes batches so the chain is
+        // well-defined). Per-batch cost ∝ batch + k·|sources|; history
+        // is NEVER rescanned. The final overlap matrix comes off the
+        // last store, and the oracle is the MONOLITHIC q183 replay —
+        // the bottom-k-merge identity makes streaming accumulation
+        // exactly equal to having seen the corpus at once.
+        import java.nio.file.Files
+        val docs = tbl("documents").select(col("doc_id"), col("source"),
+          col("text"))
+        val dir = tempStagingDir("graft_q196_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        stageStreamFile(docs.filter(col("doc_id") % 2 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(docs.filter(col("doc_id") % 2 =!= 0), src,
+          "batch_b", now - 60000)
+        val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val bsk = operators.Frequency.kmvSketches(batch, "source",
+            "text", k = 128)
+          val merged =
+            if (batchId == 0) bsk
+            else operators.Frequency.kmvMergeSketches(
+              bsk.unionByName(
+                batch.sparkSession.read.parquet(s"$out/store_${batchId - 1}")),
+              "source", k = 128)
+          merged.write.mode("overwrite").parquet(s"$out/store_$batchId")
+        }
+        val query = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        operators.Frequency.kmvOverlapMatrix(
+          s.read.parquet(s"$out/store_1"), "source", k = 128)
+      },
+      Some(KmvOverlapSql)),
+
+    Q("q197_truncation_policy_audit",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // what does a context limit cost: exact token/doc forfeiture
+        // under truncate / drop / split-with-min-tail for three
+        // candidate max_seq_len values — pure integer arithmetic at
+        // length-histogram grain (the q188 discipline)
+        operators.Packing.truncationPolicyAudit(tbl("documents"),
+          "text", maxLens = Seq(32, 64, 128))
+      },
+      Some("""WITH l AS (SELECT len(string_split(text, ' ')) AS n_tok
+             |           FROM documents),
+             |hist AS (SELECT n_tok, count(*) AS cnt FROM l
+             |         GROUP BY n_tok),
+             |sp(max_len) AS (VALUES (32), (64), (128)),
+             |x AS (SELECT h.n_tok, h.cnt,
+             |        CAST(sp.max_len AS BIGINT) AS max_len,
+             |        CASE WHEN h.n_tok > sp.max_len THEN 1 ELSE 0 END
+             |          AS ov,
+             |        h.n_tok % sp.max_len AS tail
+             |      FROM hist h, sp),
+             |tr AS (SELECT max_len, 'truncate' AS policy,
+             |    CAST(sum(cnt * ov) AS BIGINT) AS n_docs_affected,
+             |    CAST(sum(cnt * n_tok) AS BIGINT) AS tokens_total,
+             |    CAST(sum(cnt * greatest(n_tok - max_len, 0)) AS BIGINT)
+             |      AS tokens_lost
+             |  FROM x GROUP BY max_len),
+             |dr AS (SELECT max_len, 'drop' AS policy,
+             |    CAST(sum(cnt * ov) AS BIGINT),
+             |    CAST(sum(cnt * n_tok) AS BIGINT),
+             |    CAST(sum(cnt * n_tok * ov) AS BIGINT)
+             |  FROM x GROUP BY max_len),
+             |spl AS (SELECT max_len, 'split' AS policy,
+             |    CAST(sum(cnt * st) AS BIGINT),
+             |    CAST(sum(cnt * n_tok) AS BIGINT),
+             |    CAST(sum(cnt * tail * st) AS BIGINT)
+             |  FROM (SELECT *, CASE WHEN n_tok > max_len AND tail > 0
+             |          AND tail * 4 < max_len THEN 1 ELSE 0 END AS st
+             |        FROM x) GROUP BY max_len),
+             |u AS (SELECT * FROM tr UNION ALL SELECT * FROM dr
+             |      UNION ALL SELECT * FROM spl)
+             |SELECT max_len, policy, n_docs_affected, tokens_total,
+             |  tokens_lost,
+             |  round(CAST(tokens_lost AS DOUBLE) / tokens_total, 6)
+             |    AS loss_frac
+             |FROM u""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -416,6 +416,55 @@ object Packing {
           .as("waste_frac"))
   }
 
+  /** OVER-LENGTH POLICY AUDIT — the "what does a context limit cost"
+    * table every pretraining recipe needs before fixing max_seq_len:
+    * for each candidate limit L and each of the three standard
+    * policies, exactly how many tokens (and docs) are forfeited.
+    *   - `truncate`: docs over L keep their first L tokens; loss =
+    *     Σ (n−L)⁺ — cheap, biases against document tails.
+    *   - `drop`: docs over L are removed whole; loss = Σ n·[n>L] —
+    *     unbiased per-doc, ruinous when long docs carry the mass.
+    *   - `split`: docs chunk into ⌈n/L⌉ pieces and a tail shorter
+    *     than L/4 is dropped (the standard min-chunk rule); loss =
+    *     Σ (n mod L)·[0 < n mod L < L/4].
+    *
+    * Scale shape: the corpus collapses to the [[bucketBoundaryPlan]]
+    * length histogram in one map-side aggregate; the |L|×|hist| audit
+    * is pure integer arithmetic at that bounded grain. Output per
+    * (max_len, policy): (n_docs_affected, tokens_total, tokens_lost,
+    * loss_frac). */
+  def truncationPolicyAudit(docs: DataFrame, textCol: String,
+                            maxLens: Seq[Int]): DataFrame = {
+    require(maxLens.nonEmpty && maxLens.forall(_ >= 4),
+      "maxLens must be non-empty, each >= 4 (the L/4 tail rule)")
+    val hist = docs.select(Text.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+    val spine = hist.sparkSession
+      .createDataFrame(maxLens.map(Tuple1(_))).toDF("max_len")
+      .select(col("max_len").cast("long"))
+    val x = hist.crossJoin(broadcast(spine))
+      .withColumn("over", (col("n_tok") > col("max_len")).cast("long"))
+      .withColumn("tail", pmod(col("n_tok"), col("max_len")))
+    def policy(name: String, affected: Column, lost: Column) =
+      x.groupBy("max_len")
+        .agg(sum(col("cnt") * affected).as("n_docs_affected"),
+          sum(col("cnt") * col("n_tok")).as("tokens_total"),
+          sum(col("cnt") * lost).as("tokens_lost"))
+        .select(col("max_len"), lit(name).as("policy"),
+          col("n_docs_affected"), col("tokens_total"), col("tokens_lost"),
+          round(col("tokens_lost").cast("double") / col("tokens_total"), 6)
+            .as("loss_frac"))
+    val truncate = policy("truncate", col("over"),
+      greatest(col("n_tok") - col("max_len"), lit(0L)))
+    val drop = policy("drop", col("over"), col("n_tok") * col("over"))
+    // the min-chunk rule applies only to docs that actually split
+    // (n > L): a whole short doc is a kept sequence, not a tail
+    val shortTail = (col("n_tok") > col("max_len") && col("tail") > 0 &&
+      col("tail") * 4 < col("max_len")).cast("long")
+    val split = policy("split", shortTail, col("tail") * shortTail)
+    truncate.unionByName(drop).unionByName(split)
+  }
+
   def strideInterleave(docs: DataFrame, groupCol: String, alpha: Double,
                        head: Int): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")

@@ -571,6 +571,28 @@ class SamplingSpec extends AnyFunSuite {
       s"equal-count heuristic $w8 vs DP optimum $best — gap beyond 2x")
   }
 
+  test("truncationPolicyAudit: hand histogram — exact forfeiture per " +
+       "policy, min-tail rule spares whole short docs") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // lengths: 3 (under), 10 (over, tail 2 < 8/4=2? no: 2*4=8 !< 8 →
+    // tail KEPT), 17 (over, tail 1, 1*4 < 8 → tail dropped), 16
+    // (over, tail 0 → clean split)
+    val docs = Seq(3, 10, 17, 16).map(n =>
+      Tuple1((1 to n).map(i => s"t$i").mkString(" "))).toDF("text")
+    val out = Packing.truncationPolicyAudit(docs, "text", Seq(8))
+      .collect().map(r => r.getAs[String]("policy") ->
+        ((r.getAs[Long]("n_docs_affected"), r.getAs[Long]("tokens_total"),
+          r.getAs[Long]("tokens_lost")))).toMap
+    // totals: 3+10+17+16 = 46
+    assert(out("truncate") == ((3L, 46L, (10 - 8) + (17 - 8) + (16 - 8))),
+      out.toString) // 2+9+8 = 19
+    assert(out("drop") == ((3L, 46L, 10L + 17L + 16L)), out.toString)
+    // split: doc 10 tail 2 (2*4=8, NOT < 8 → kept); doc 17 tail 1
+    // (dropped); doc 16 tail 0; doc 3 is a whole short doc (kept)
+    assert(out("split") == ((1L, 46L, 1L)), out.toString)
+  }
+
   test("vocabCoverage: hand corpus — rates per slice, V cuts " +
        "deterministically on (count desc, token asc)") {
     import spark.implicits._
