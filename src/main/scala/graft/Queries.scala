@@ -104,6 +104,77 @@ object Queries {
       |                        string_split(lower(text),' ')[i+1],
       |                        string_split(lower(text),' ')[i+2])) END)""".stripMargin
 
+  /** DuckDB SQL for the [[graft.operators.Sampling]] open md5 coin of
+    * `key` under `salt`: first 6 hex digits → integer v, coin =
+    * (v + 0.5)/2^24 — the q117 digit-extraction device, shared by the
+    * deterministic-offset oracles (q206). */
+  private def OpenCoinSql(key: String, salt: String): String = {
+    val h = s"md5($key || '$salt')"
+    val terms = (0 until 6).map { i =>
+      val dig = s"ascii(substr($h, ${i + 1}, 1))"
+      s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+    }.mkString(" + ")
+    s"((($terms) + 0.5) / 16777216.0)"
+  }
+
+  /** DuckDB replay of the MONOLITHIC corpus datasheet at
+    * (source, lang) grain — shared by q127 (one-shot) and q204 (the
+    * incremental maintenance, whose mergeable-moments + hash-store
+    * accumulation equals the one-shot card exactly). */
+  private lazy val DatasheetSql: String =
+    s"""WITH m AS (SELECT source, lang, doc_id, text,
+       |    len(string_split(lower(text), ' ')) AS n_tok,
+       |    len(regexp_extract_all(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email
+       |  FROM documents),
+       |sc AS (SELECT doc_id, round(
+       |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) * 0.3
+       |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' '))) * 0.3
+       |  + least(CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($StopSql))) AS DOUBLE)
+       |      / greatest(len(string_split(text, ' ')), 1) * 5, 1.0) * 0.2
+       |  + greatest(0.0, 1.0 - (CAST(length(text) -
+       |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1)) * 4) * 0.2, 6) AS q
+       |  FROM documents)
+       |SELECT source, lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(min(n_tok) AS BIGINT) AS min_tok,
+       |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+       |  round(avg(n_tok), 4) AS avg_tok,
+       |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+       |    AS n_exact_dup,
+       |  round(avg(q), 4) AS avg_quality,
+       |  CAST(sum(n_email) AS BIGINT) AS n_emails
+       |FROM m JOIN sc USING (doc_id)
+       |GROUP BY source, lang""".stripMargin
+
+  /** DuckDB replay of the monolithic A-ES weighted top-10-per-lang
+    * sample (w = token count, the q117 coin discipline) — shared by
+    * q117 (one-shot) and q201 (the streaming reservoir maintenance,
+    * whose top-k merge identity makes accumulation EQUAL the one-shot
+    * sample). */
+  private val AesTop10Sql: String = {
+    val uTerms = (0 until 6).map { i =>
+      val dig = s"ascii(substr(h, ${i + 1}, 1))"
+      s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+    }.mkString("\n    + ")
+    s"""WITH w AS (SELECT doc_id, lang,
+       |    len(string_split(lower(text), ' ')) AS wt,
+       |    md5(doc_id::VARCHAR || ':aes') AS h
+       |  FROM documents),
+       |k AS (SELECT doc_id, lang,
+       |    pow((($uTerms) + 0.5) / 16777216.0, 1.0 / wt) AS key
+       |  FROM w),
+       |r AS (SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+       |  FROM k)
+       |SELECT doc_id, lang, rank FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** DuckDB replay of the MONOLITHIC KMV chain (sketch per source →
     * pairwise Beyer estimator at k=128) — the shared gate of q183 (the
     * one-shot build) and q191 (the incremental build: bottom-k merge of
@@ -3862,24 +3933,7 @@ object Queries {
             col("w"), k = 10)
           .select(col("doc_id"), col("lang"), col("rank"))
       },
-      Some {
-        val uTerms = (0 until 6).map { i =>
-          val dig = s"ascii(substr(h, ${i + 1}, 1))"
-          s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
-        }.mkString("\n    + ")
-        s"""WITH w AS (SELECT doc_id, lang,
-           |    len(string_split(lower(text), ' ')) AS wt,
-           |    md5(doc_id::VARCHAR || ':aes') AS h
-           |  FROM documents),
-           |k AS (SELECT doc_id, lang,
-           |    pow((($uTerms) + 0.5) / 16777216.0, 1.0 / wt) AS key
-           |  FROM w),
-           |r AS (SELECT doc_id, lang,
-           |    CAST(row_number() OVER (PARTITION BY lang
-           |      ORDER BY key DESC, doc_id) AS BIGINT) AS rank
-           |  FROM k)
-           |SELECT doc_id, lang, rank FROM r WHERE rank <= 10""".stripMargin
-      }),
+      Some(AesTop10Sql)),
 
     Q("q118_semantic_dedup",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
@@ -4339,34 +4393,7 @@ object Queries {
             round(avg(col("q")), 4).as("avg_quality"),
             sum(col("n_email")).as("n_emails"))
       },
-      Some(s"""WITH m AS (SELECT source, lang, doc_id, text,
-              |    len(string_split(lower(text), ' ')) AS n_tok,
-              |    len(regexp_extract_all(text,
-              |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email
-              |  FROM documents),
-              |sc AS (SELECT doc_id, round(
-              |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) * 0.3
-              |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-              |      / len(string_split(text, ' '))) * 0.3
-              |  + least(CAST(len(list_filter(string_split(text, ' '),
-              |      t -> t IN ($StopSql))) AS DOUBLE)
-              |      / greatest(len(string_split(text, ' ')), 1) * 5, 1.0) * 0.2
-              |  + greatest(0.0, 1.0 - (CAST(length(text) -
-              |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-              |      / greatest(length(text), 1)) * 4) * 0.2, 6) AS q
-              |  FROM documents)
-              |SELECT source, lang,
-              |  CAST(count(*) AS BIGINT) AS n_docs,
-              |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-              |  CAST(min(n_tok) AS BIGINT) AS min_tok,
-              |  CAST(max(n_tok) AS BIGINT) AS max_tok,
-              |  round(avg(n_tok), 4) AS avg_tok,
-              |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
-              |    AS n_exact_dup,
-              |  round(avg(q), 4) AS avg_quality,
-              |  CAST(sum(n_email) AS BIGINT) AS n_emails
-              |FROM m JOIN sc USING (doc_id)
-              |GROUP BY source, lang""".stripMargin)),
+      Some(DatasheetSql)),
 
     Q("q128_opq_rotated_pq",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
@@ -8056,7 +8083,439 @@ object Queries {
              |  tokens_lost,
              |  round(CAST(tokens_lost AS DOUBLE) / tokens_total, 6)
              |    AS loss_frac
-             |FROM u""".stripMargin)))
+             |FROM u""".stripMargin)),
+
+    Q("q198_sampled_dup_rate",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // sample-extrapolated duplicate rate with in-plan CI-coverage
+        // audit: a 25% identity-hash sample estimates the exact-dup
+        // fraction, the same single content-hash pass computes the
+        // full-scan truth, and the normal-approx 95% CI is checked
+        // against it — the pre-dedup sizing readout
+        operators.Dedup.sampledDupRate(tbl("documents"), "doc_id",
+          "text", rate = 0.25)
+      },
+      Some {
+        val pfx = (0 until 64).map(i => f"'$i%02x'").mkString(", ")
+        s"""WITH h AS (SELECT md5(text) AS h,
+           |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           |      IN ($pfx) THEN 1 ELSE 0 END AS s
+           |  FROM documents),
+           |per AS (SELECT h, count(*) AS m, sum(s) AS sc FROM h
+           |        GROUP BY h),
+           |a AS (SELECT sum(m) AS n_total,
+           |    sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS dt,
+           |    sum(sc) AS n_sampled,
+           |    sum(CASE WHEN m >= 2 THEN sc ELSE 0 END) AS ds FROM per),
+           |b AS (SELECT *, CAST(dt AS DOUBLE) / n_total AS pt,
+           |    CAST(ds AS DOUBLE) / n_sampled AS pe FROM a),
+           |c AS (SELECT *, greatest(pe - 1.96 * sqrt(pe * (1 - pe)
+           |      / n_sampled), 0.0) AS lo,
+           |    least(pe + 1.96 * sqrt(pe * (1 - pe) / n_sampled), 1.0)
+           |      AS hi FROM b)
+           |SELECT CAST(n_total AS BIGINT) AS n_total,
+           |  round(pt, 6) AS dup_rate_true,
+           |  CAST(n_sampled AS BIGINT) AS n_sampled,
+           |  round(pe, 6) AS dup_rate_est,
+           |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi,
+           |  CAST(CASE WHEN pt >= lo AND pt <= hi THEN 1 ELSE 0 END
+           |    AS BIGINT) AS covered
+           |FROM c""".stripMargin
+      }),
+
+    Q("q199_ks_length_drift",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // two-sample Kolmogorov-Smirnov on token-length distributions,
+        // English slice vs rest — the length-SHAPE drift gate that JS
+        // vocabulary drift (q135/q142) can't see
+        operators.Quality.ksLengthDrift(tbl("documents"),
+          col("lang") === "en", "text")
+      },
+      Some("""WITH l AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+             |    AS s, len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |hist AS (SELECT n, sum(s) AS ca, sum(1 - s) AS cb FROM l
+             |         GROUP BY n),
+             |c AS (SELECT sum(ca) OVER (ORDER BY n) AS fa,
+             |    sum(cb) OVER (ORDER BY n) AS fb,
+             |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+             |  FROM hist),
+             |o AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+             |    max(abs(CAST(fa AS DOUBLE) / na
+             |      - CAST(fb AS DOUBLE) / nb)) AS ks FROM c)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT)
+             |    AS n_b,
+             |  round(ks, 6) AS ks_d,
+             |  round(1.3581 * sqrt(CAST(n_a + n_b AS DOUBLE)
+             |    / (n_a * n_b)), 6) AS crit_05,
+             |  CAST(CASE WHEN ks > 1.3581 * sqrt(CAST(n_a + n_b
+             |      AS DOUBLE) / (n_a * n_b)) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS drift
+             |FROM o""".stripMargin)),
+
+    Q("q200_unigram_entropy",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // per-source Shannon entropy of the unigram distribution —
+        // the corpus-diversity scalar (normalized by log2 vocab for
+        // cross-source comparability)
+        operators.Quality.unigramEntropy(tbl("documents"), "source",
+          "text")
+      },
+      Some("""WITH t AS (SELECT source,
+             |    unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |cn AS (SELECT source, tok, count(*) AS c FROM t
+             |       GROUP BY 1, 2),
+             |g AS (SELECT source, sum(c) AS n_tokens, count(*) AS vocab,
+             |    sum(c * ln(CAST(c AS DOUBLE)) / ln(2)) AS sc
+             |  FROM cn GROUP BY source),
+             |e AS (SELECT *, ln(CAST(n_tokens AS DOUBLE)) / ln(2)
+             |    - sc / n_tokens AS h FROM g)
+             |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(vocab AS BIGINT) AS vocab,
+             |  round(h, 6) AS entropy_bits,
+             |  round(CASE WHEN vocab > 1
+             |    THEN h / (ln(CAST(vocab AS DOUBLE)) / ln(2))
+             |    ELSE 0.0 END, 6) AS norm_entropy
+             |FROM e""".stripMargin)),
+
+    Q("q201_streaming_reservoir",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STREAMING A-ES reservoir maintenance — the ingestion-time
+        // shape of q117: each micro-batch folds into the running
+        // per-lang weighted sample via reservoirMergeTopK (read
+        // store_{b−1}, merge, write store_b — the q196 store
+        // discipline). The deterministic-key top-k merge identity
+        // makes the accumulated reservoir EXACTLY the monolithic
+        // sample, so the oracle is q117's one-shot replay.
+        import java.nio.file.Files
+        val docs = tbl("documents").select(col("doc_id"), col("lang"),
+          size(Text.tokens(lower(col("text")))).cast("double").as("w"))
+        val dir = tempStagingDir("graft_q201_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        stageStreamFile(docs.filter(col("doc_id") % 2 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(docs.filter(col("doc_id") % 2 =!= 0), src,
+          "batch_b", now - 60000)
+        val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val merged =
+            if (batchId == 0)
+              operators.Sampling.weightedSampleTopK(batch, "doc_id",
+                "lang", col("w"), k = 10)
+            else
+              operators.Sampling.reservoirMergeTopK(
+                batch.sparkSession.read.parquet(s"$out/store_${batchId - 1}"),
+                batch, "doc_id", "lang", "w", k = 10)
+          merged.write.mode("overwrite").parquet(s"$out/store_$batchId")
+        }
+        val query = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$out/store_1")
+          .select(col("doc_id"), col("lang"), col("rank"))
+      },
+      Some(AesTop10Sql)),
+
+    Q("q202_epoch_plan",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // token-budget epoch plan: temperature weights (alpha 0.5)
+        // over per-lang token mass, budget = 2x corpus tokens, epochs
+        // capped at 2 — caps bind on every non-en lang (raw 2.36-2.56
+        // vs en 1.4), so the deficit ledger is exercised
+        operators.Selection.epochPlan(tbl("documents"), "lang",
+          Text.tokenCount(col("text")), alpha = 0.5,
+          budgetFactor = 2.0, maxEpochs = 2.0)
+      },
+      Some("""WITH a AS (SELECT lang, count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS n_avail
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n_avail) AS DOUBLE) AS N,
+             |    sum(pow(CAST(n_avail AS DOUBLE), 0.5)) AS Z FROM a),
+             |j AS (SELECT a.*, pow(CAST(n_avail AS DOUBLE), 0.5) / Z
+             |    AS w, N FROM a, t),
+             |e AS (SELECT *, w * N * 2.0 AS wanted,
+             |    (w * N * 2.0) / CAST(n_avail AS DOUBLE) AS raw FROM j)
+             |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_avail AS BIGINT) AS n_avail,
+             |  round(w, 6) AS weight,
+             |  round(wanted, 2) AS tokens_wanted,
+             |  round(least(raw, 2.0), 6) AS epochs,
+             |  CAST(CASE WHEN raw > 2.0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS capped,
+             |  round(CASE WHEN raw > 2.0
+             |    THEN wanted - 2.0 * CAST(n_avail AS DOUBLE)
+             |    ELSE 0.0 END, 2) AS tokens_deficit
+             |FROM e""".stripMargin)),
+
+    Q("q203_bitext_margin",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // margin-based bitext mining (CCMatrix criterion): best target
+        // per source by cos/avg-top-4-neighborhood ratio, mined at
+        // margin > 1.05 — min top-2 gap 5.7e-4 and min tau distance
+        // 2.0e-4 across SFs, orders above ulp noise
+        val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+        operators.Similarity.bitextMarginMine(
+          emb.filter(col("vec_id") % 8 === 0),
+          emb.filter(col("vec_id") % 8 === 1),
+          "vec_id", "embedding", k = 4, tau = 1.05)
+      },
+      Some("""WITH x AS (SELECT vec_id AS src_id,
+             |    CAST(embedding AS DOUBLE[]) AS xv FROM embeddings
+             |  WHERE vec_id % 8 = 0),
+             |y AS (SELECT vec_id AS tgt_id,
+             |    CAST(embedding AS DOUBLE[]) AS yv FROM embeddings
+             |  WHERE vec_id % 8 = 1),
+             |sc AS (SELECT src_id, tgt_id,
+             |    list_cosine_similarity(xv, yv) AS cos FROM x, y),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+             |      ORDER BY cos DESC, tgt_id) AS rx,
+             |    row_number() OVER (PARTITION BY tgt_id
+             |      ORDER BY cos DESC, src_id) AS ry FROM sc),
+             |ax AS (SELECT src_id, avg(cos) AS ax FROM r WHERE rx <= 4
+             |       GROUP BY src_id),
+             |ay AS (SELECT tgt_id, avg(cos) AS ay FROM r WHERE ry <= 4
+             |       GROUP BY tgt_id),
+             |m AS (SELECT sc.src_id, sc.tgt_id, sc.cos,
+             |    sc.cos / ((ax.ax + ay.ay) / 2) AS margin
+             |  FROM sc JOIN ax ON ax.src_id = sc.src_id
+             |    JOIN ay ON ay.tgt_id = sc.tgt_id),
+             |f AS (SELECT *, row_number() OVER (PARTITION BY src_id
+             |    ORDER BY margin DESC, tgt_id) AS rm FROM m)
+             |SELECT src_id, tgt_id, round(cos, 4) AS cos,
+             |  round(margin, 4) AS margin
+             |FROM f WHERE rm = 1 AND margin > 1.05""".stripMargin)),
+
+    Q("q204_incremental_datasheet",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // INCREMENTAL corpus-datasheet maintenance — the q127 card
+        // kept current at ingestion time: per batch, mergeable moments
+        // (counts/sums/extrema) fold via mergeMomentStats and the
+        // non-mergeable distinct-hash count routes through a content-
+        // hash store anti-join (the q62 discipline), so the
+        // accumulated card EXACTLY equals the one-shot datasheet and
+        // q127's oracle gates the stream. Per-batch cost ∝ batch;
+        // stores are |strata| rows + one hash per distinct text.
+        import java.nio.file.Files
+        val docs = tbl("documents")
+        val dir = tempStagingDir("graft_q204_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        stageStreamFile(docs.filter(col("doc_id") % 2 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(docs.filter(col("doc_id") % 2 =!= 0), src,
+          "batch_b", now - 60000)
+        val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val sp = batch.sparkSession
+          val toks = size(Text.tokens(lower(col("text"))))
+          val bh = batch.select(col("source"), col("lang"),
+            md5(col("text")).as("h")).distinct()
+          val newh =
+            if (batchId == 0) bh
+            else bh.join(sp.read.parquet(s"$out/hashes_${batchId - 1}"),
+              Seq("source", "lang", "h"), "left_anti")
+          newh.write.mode("overwrite").parquet(s"$out/hashes_$batchId")
+          if (batchId > 0)
+            sp.read.parquet(s"$out/hashes_${batchId - 1}").write
+              .mode("append").parquet(s"$out/hashes_$batchId")
+          // distinct counter stays INCREMENTAL: the batch contributes
+          // only its new-hash counts, summed through the moments merge
+          // (the store is appended to, never recounted)
+          val inc = newh.groupBy("source", "lang")
+            .agg(count(lit(1)).as("n_distinct"))
+          val bs = batch.select(col("source"), col("lang"),
+              toks.as("n_tok"),
+              round(Text.qualityScore(col("text"), Stopwords), 6).as("q"),
+              regexp_count(col("text"), lit(Text.EmailRe)).as("n_email"))
+            .groupBy("source", "lang").agg(
+              count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+              min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+              sum(col("q")).as("sum_q"), sum(col("n_email")).as("n_emails"))
+            .join(inc, Seq("source", "lang"), "left")
+            .withColumn("n_distinct",
+              coalesce(col("n_distinct"), lit(0L)))
+          val merged =
+            if (batchId == 0) bs
+            else operators.Incremental.mergeMomentStats(
+              sp.read.parquet(s"$out/stats_${batchId - 1}"),
+              bs, Seq("source", "lang"),
+              sumCols = Seq("n_docs", "n_tokens", "sum_q", "n_emails",
+                "n_distinct"),
+              minCols = Seq("min_tok"), maxCols = Seq("max_tok"))
+          merged.write.mode("overwrite").parquet(s"$out/stats_$batchId")
+        }
+        val query = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$out/stats_1").select(
+          col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("min_tok"), col("max_tok"),
+          round(col("n_tokens").cast("double") /
+            col("n_docs").cast("double"), 4).as("avg_tok"),
+          (col("n_docs") - col("n_distinct")).as("n_exact_dup"),
+          round(col("sum_q") / col("n_docs").cast("double"), 4)
+            .as("avg_quality"),
+          col("n_emails"))
+      },
+      Some(DatasheetSql)),
+
+    Q("q205_pmi_collocations",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // top-30 collocations by PMI (Church & Hanks) at min pair
+        // count 5 — the phrase-mining readout for tokenizer/vocab
+        // audits; PMI is ln of exact-integer-count ratios, so the
+        // ranking replays exactly
+        operators.Frequency.pmiCollocations(tbl("documents"), "text",
+          minCount = 5L, k = 30)
+      },
+      Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS ts
+             |  FROM documents),
+             |uni AS (SELECT unnest(ts) AS tok FROM t),
+             |uc AS (SELECT tok, count(*) AS c_tok FROM uni GROUP BY tok),
+             |bi AS (SELECT ts[i] AS x, ts[i + 1] AS y FROM t,
+             |  unnest(generate_series(1, len(ts) - 1)) AS r(i)),
+             |bc AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY x, y),
+             |nu AS (SELECT CAST(sum(c_tok) AS DOUBLE) AS n_uni FROM uc),
+             |nb AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n_bi FROM bc),
+             |sc AS (SELECT bc.x, bc.y, c_xy, ux.c_tok AS c_x,
+             |    uy.c_tok AS c_y,
+             |    ln((CAST(c_xy AS DOUBLE) / n_bi) /
+             |      ((CAST(ux.c_tok AS DOUBLE) / n_uni) *
+             |       (CAST(uy.c_tok AS DOUBLE) / n_uni))) AS pmi_raw
+             |  FROM bc JOIN uc ux ON ux.tok = bc.x
+             |    JOIN uc uy ON uy.tok = bc.y, nu, nb
+             |  WHERE c_xy >= 5)
+             |SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+             |  CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y,
+             |  round(pmi_raw, 6) AS pmi
+             |FROM sc ORDER BY pmi_raw DESC, x, y LIMIT 30""".stripMargin)),
+
+    Q("q206_contrastive_pairs",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // ICT/Contriever-style (anchor, positive) span pairs: two
+        // non-overlapping 20-token spans per doc (n ≥ 40) at
+        // deterministic coin offsets — the self-supervised retrieval
+        // training transform
+        operators.Corpus.contrastiveSpanPairs(tbl("documents"),
+          "doc_id", "text", spanLen = 20)
+      },
+      Some {
+        val ua = OpenCoinSql("doc_id::VARCHAR", ":spanA")
+        val ub = OpenCoinSql("doc_id::VARCHAR", ":spanB")
+        s"""WITH t AS (SELECT doc_id,
+           |    string_split(lower(text), ' ') AS ts,
+           |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+           |  FROM documents),
+           |f AS (SELECT doc_id, ts, n,
+           |    CAST(floor($ua * CAST(n - 40 + 1 AS DOUBLE)) AS BIGINT)
+           |      AS a_start
+           |  FROM t WHERE n >= 40),
+           |g AS (SELECT *, a_start + 20 + CAST(floor($ub *
+           |      CAST(n - 40 - a_start + 1 AS DOUBLE)) AS BIGINT)
+           |    AS p_start FROM f)
+           |SELECT doc_id, n AS n_tok, a_start, p_start,
+           |  array_to_string(ts[a_start + 1 : a_start + 20], ' ')
+           |    AS anchor,
+           |  array_to_string(ts[p_start + 1 : p_start + 20], ' ')
+           |    AS positive
+           |FROM g""".stripMargin
+      }),
+
+    Q("q207_zipf_fit",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // per-source Zipf fit over the top-50 tokens: OLS slope of
+        // ln(count) on ln(rank) — the reference-free "is this natural
+        // language" source signal (natural ≈ −1; templated flattens)
+        operators.Frequency.zipfFit(tbl("documents"), "source", "text",
+          topR = 50)
+      },
+      Some("""WITH t AS (SELECT source,
+             |    unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT source, tok, count(*) AS c FROM t
+             |      GROUP BY 1, 2),
+             |rk AS (SELECT source, c, row_number() OVER (
+             |    PARTITION BY source ORDER BY c DESC, tok) AS r FROM c),
+             |p AS (SELECT source, ln(CAST(r AS DOUBLE)) AS lx,
+             |    ln(CAST(c AS DOUBLE)) AS ly FROM rk WHERE r <= 50),
+             |m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             |    sum(lx) AS sx, sum(ly) AS sy, sum(lx * lx) AS sxx,
+             |    sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+             |  FROM p GROUP BY source)
+             |SELECT source, CAST(n AS BIGINT) AS n_terms,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             |    AS slope,
+             |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             |    * sx) / n, 6) AS intercept,
+             |  round(CASE WHEN n * syy - sy * sy > 0
+             |    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             |      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             |    ELSE 0.0 END, 6) AS r2
+             |FROM m""".stripMargin)),
+
+    Q("q208_quality_rank_blend",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // rank-normalized blend of three incommensurable quality
+        // signals (token length, distinct-token ratio, composite
+        // quality score): strict-fraction-below ranks at value-
+        // histogram grain, blended by mean, global top-100
+        operators.Quality.rankBlend(tbl("documents"), "doc_id", Seq(
+          "len" -> Text.tokenCount(col("text")),
+          "dtr" -> Text.distinctTokenRatio(col("text")),
+          "q" -> round(Text.qualityScore(col("text"), Stopwords), 6)),
+          topN = 100)
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v_len,
+              |    CAST(len(list_distinct(string_split(text, ' ')))
+              |      AS DOUBLE) / len(string_split(text, ' ')) AS v_dtr,
+              |    round(
+              |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) * 0.3
+              |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |      / len(string_split(text, ' '))) * 0.3
+              |  + least(CAST(len(list_filter(string_split(text, ' '),
+              |      t -> t IN ($StopSql))) AS DOUBLE)
+              |      / greatest(len(string_split(text, ' ')), 1) * 5, 1.0) * 0.2
+              |  + greatest(0.0, 1.0 - (CAST(length(text) -
+              |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              |      / greatest(length(text), 1)) * 4) * 0.2, 6) AS v_q
+              |  FROM documents),
+              |nn AS (SELECT count(*) AS n FROM b),
+              |hl AS (SELECT v_len, coalesce(sum(c) OVER (ORDER BY v_len
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS bl
+              |  FROM (SELECT v_len, count(*) AS c FROM b GROUP BY 1)),
+              |hd AS (SELECT v_dtr, coalesce(sum(c) OVER (ORDER BY v_dtr
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS bd
+              |  FROM (SELECT v_dtr, count(*) AS c FROM b GROUP BY 1)),
+              |hq AS (SELECT v_q, coalesce(sum(c) OVER (ORDER BY v_q
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS bq
+              |  FROM (SELECT v_q, count(*) AS c FROM b GROUP BY 1)),
+              |p AS (SELECT doc_id,
+              |    CAST(bl AS DOUBLE) / (n - 1) AS pr_len,
+              |    CAST(bd AS DOUBLE) / (n - 1) AS pr_dtr,
+              |    CAST(bq AS DOUBLE) / (n - 1) AS pr_q,
+              |    (CAST(bl AS DOUBLE) / (n - 1)
+              |      + CAST(bd AS DOUBLE) / (n - 1)
+              |      + CAST(bq AS DOUBLE) / (n - 1)) / 3.0 AS blend
+              |  FROM b JOIN hl USING (v_len) JOIN hd USING (v_dtr)
+              |    JOIN hq USING (v_q), nn)
+              |SELECT doc_id, round(pr_len, 6) AS pr_len,
+              |  round(pr_dtr, 6) AS pr_dtr, round(pr_q, 6) AS pr_q,
+              |  round(blend, 6) AS blend
+              |FROM p ORDER BY blend DESC, doc_id LIMIT 100""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -252,4 +252,45 @@ object Corpus {
           .otherwise("unchanged").as("status"),
         col("h_prev"), col("h_cur"))
   }
+
+  /** Contrastive (anchor, positive) span pairs from single documents —
+    * the self-supervised retrieval-training transform (ICT/Contriever
+    * family: two independent spans of one document form a positive
+    * pair; negatives come from the batch). For each doc with ≥ 2L
+    * tokens, two NON-OVERLAPPING L-token spans are cut at
+    * deterministic offsets: anchor start a = ⌊u_A·(n−2L+1)⌋, positive
+    * start p = a + L + ⌊u_B·(n−2L−a+1)⌋ — u_A/u_B the salted open md5
+    * coins, so the pair set replays exactly (coin grid 2^-24; the
+    * ⌊u·R⌋ products stay < 2^53, exact in doubles, so the floor is
+    * engine-stable; p's range [a+L, n−L] makes overlap impossible by
+    * construction).
+    *
+    * Scale shape: ONE narrow projection per doc — coins, two floors,
+    * two array slices; no shuffle at all (the output is consumed by
+    * the trainer's own batching). Short docs (< 2L tokens) are
+    * dropped, visibly (the n_tok column is emitted for audit).
+    * Output: (id, n_tok, a_start, p_start, anchor, positive). */
+  def contrastiveSpanPairs(docs: DataFrame, idCol: String,
+                           textCol: String, spanLen: Int): DataFrame = {
+    require(spanLen >= 1, "spanLen must be positive")
+    val l = lit(spanLen)
+    val ts = Text.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), ts.as("__ts"),
+        size(ts).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 2L * spanLen)
+    val ua = Sampling.openCoin(col(idCol), ":spanA")
+    val ub = Sampling.openCoin(col(idCol), ":spanB")
+    val aStart = floor(ua * (col("n_tok") - 2L * spanLen + 1).cast("double"))
+      .cast("long")
+    val withA = base.withColumn("a_start", aStart)
+    val pStart = (col("a_start") + l) + floor(ub *
+      (col("n_tok") - 2L * spanLen - col("a_start") + 1).cast("double"))
+      .cast("long")
+    withA.withColumn("p_start", pStart)
+      .select(col(idCol), col("n_tok"), col("a_start"), col("p_start"),
+        concat_ws(" ", slice(col("__ts"),
+          (col("a_start") + 1).cast("int"), lit(spanLen))).as("anchor"),
+        concat_ws(" ", slice(col("__ts"),
+          (col("p_start") + 1).cast("int"), lit(spanLen))).as("positive"))
+  }
 }

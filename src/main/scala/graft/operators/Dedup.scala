@@ -1250,4 +1250,57 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Sample-extrapolated duplicate-rate estimate, audited against the
+    * full-scan truth — the "how duplicated is this crawl?" readout you
+    * run BEFORE committing to a full dedup pass. A deterministic
+    * id-hash sample (md5 bucket prefix, the q52 device — sampled on
+    * IDENTITY, never on content, or the sample would correlate with
+    * dup status) estimates the fraction of documents whose exact
+    * content hash appears ≥ 2 times; a normal-approximation 95% CI
+    * quantifies the estimate, and the same pass computes the exact
+    * full-corpus rate so the CI's coverage is checked in-plan.
+    *
+    * Scale shape: ONE shuffle at content-hash grain — the sampled flag
+    * rides the hash rows into the multiplicity aggregate
+    * (`groupBy(hash).agg(count, sum(flag))`), so there is no
+    * sample-to-index join at all; the final readout is a 1-row
+    * aggregate. Only 128-bit hashes and a byte flag move; text never
+    * shuffles. At 100 TB the estimator's real saving arrives when the
+    * multiplicity check is a near-dup probe instead of an exact hash —
+    * this surface pins the estimator's statistics (estimate, CI,
+    * coverage) so that swap stays audited.
+    *
+    * Output (1 row): n_total, dup_rate_true, n_sampled, dup_rate_est,
+    * ci_lo, ci_hi (clamped to [0,1], rounded 6dp), covered (1 iff the
+    * true rate lies in the unrounded CI). Doubles here are ratios of
+    * exact integer counts and one IEEE sqrt — both correctly rounded
+    * in any engine, so the flag is cross-engine stable. */
+  def sampledDupRate(docs: DataFrame, idCol: String, textCol: String,
+                     rate: Double): DataFrame = {
+    val p = Sampling.prefixes(rate)
+    require(p.nonEmpty, "rate too small: empty sample bucket set")
+    val h = docs.select(md5(col(textCol)).as("__h"),
+      substring(md5(col(idCol).cast("string")), 1, 2).isin(p: _*).as("__s"))
+    val perHash = h.groupBy(col("__h")).agg(
+      count(lit(1)).as("__m"),
+      sum(when(col("__s"), 1L).otherwise(0L)).as("__sc"))
+    val agg = perHash.agg(
+      sum(col("__m")).as("n_total"),
+      sum(when(col("__m") >= 2, col("__m")).otherwise(0L)).as("__dt"),
+      sum(col("__sc")).as("n_sampled"),
+      sum(when(col("__m") >= 2, col("__sc")).otherwise(0L)).as("__ds"))
+    val pt = col("__dt").cast("double") / col("n_total").cast("double")
+    val pe = col("__ds").cast("double") / col("n_sampled").cast("double")
+    val se = sqrt(pe * (lit(1.0) - pe) / col("n_sampled").cast("double"))
+    val lo = greatest(pe - lit(1.96) * se, lit(0.0))
+    val hi = least(pe + lit(1.96) * se, lit(1.0))
+    agg.select(col("n_total"),
+      round(pt, 6).as("dup_rate_true"),
+      col("n_sampled"),
+      round(pe, 6).as("dup_rate_est"),
+      round(lo, 6).as("ci_lo"),
+      round(hi, 6).as("ci_hi"),
+      graft.functions.Clean.flag(pt >= lo && pt <= hi).as("covered"))
+  }
 }

@@ -385,4 +385,101 @@ object Frequency {
       .withColumn("j_est",
         round(col("n_both").cast("double") / col("denom"), 6))
   }
+
+  /** Top-k collocations by pointwise mutual information — the phrase/
+    * multi-word-expression miner behind tokenizer-vocabulary and
+    * quality audits (Church & Hanks 1990): for adjacent token pairs,
+    * PMI = ln( (c_xy/N_bi) / ((c_x/N_u)(c_y/N_u)) ), with a minimum
+    * pair count to kill the low-frequency PMI explosion.
+    *
+    * Scale shape: one shuffle at BIGRAM grain with map-side combine
+    * (the classic open-domain exchange — at 10^10 distinct bigrams
+    * this is the cost center and nothing larger moves: pairs are
+    * (2 strings, long)); unigram counts ride a token-grain aggregate
+    * of the same projection; the two joins are bigram-table ×
+    * unigram-table at key grain; totals are 1-row broadcast gates;
+    * top-k plans as TakeOrderedAndProject, never a full sort.
+    *
+    * Determinism: PMI is ln of a ratio of exact integer products —
+    * identical counts give bit-identical doubles in any engine with a
+    * correctly-rounded ln, so the ranking (pmi desc, then x, y asc)
+    * replays exactly; output pmi rounded at 6. Overflow note:
+    * c_xy·N_u² caps at ~(10^11)³ >> 2^63, so the ratio is formed in
+    * DOUBLE space as (c_xy/N_bi)/((c_x/N_u)·(c_y/N_u)) — each factor
+    * an exact-int ratio. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val toks = docs.select(
+      graft.functions.Text.tokens(lower(col(textCol))).as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    val bi = toks.select(explode(
+        zip_with(
+          slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
+          slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val nu = uni.agg(sum(col("c_tok")).as("n_uni"))
+    val nb = bi.agg(sum(col("c_xy")).as("n_bi"))
+    val scored = bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("tok").as("x"), col("c_tok").as("c_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c_tok").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi", log(
+        (col("c_xy").cast("double") / col("n_bi").cast("double")) /
+          ((col("c_x").cast("double") / col("n_uni").cast("double")) *
+           (col("c_y").cast("double") / col("n_uni").cast("double")))))
+    scored.orderBy(col("pmi").desc, col("x"), col("y")).limit(k)
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        round(col("pmi"), 6).as("pmi"))
+  }
+
+  /** Per-group Zipf fit — closed-form OLS of ln(count) on ln(rank)
+    * over each group's top-R tokens: natural language sits near slope
+    * −1 (Zipf 1949); machine-generated or templated sources flatten or
+    * steepen, making the slope (with its r²) a cheap source-quality
+    * signal that needs no reference corpus.
+    *
+    * Scale shape: the corpus collapses to (group, token) counts in one
+    * map-side-combined shuffle; the rank window runs per group at
+    * VOCAB grain with a map-side WindowGroupLimit (each partition
+    * forwards ≤ R rows per group); the five OLS moments are one
+    * |groups|·R → |groups| aggregate. Nothing corpus-sized moves
+    * after the first exchange.
+    *
+    * Determinism: ranks tie-break by token; ln inputs are exact
+    * integer counts/ranks so both engines see identical doubles; the
+    * moment sums follow the established ordering + 6dp-rounding
+    * convention. r² is pinned to 0 when the count variance is zero
+    * (all top-R counts equal — the 0/0 case). */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+              topR: Int): DataFrame = {
+    require(topR >= 2, "need at least two rank points")
+    val cnt = docs.select(col(groupCol), explode(
+        graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = cnt.withColumn("r", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("c").desc, col("tok"))))
+      .filter(col("r") <= topR)
+      .select(col(groupCol), log(col("r").cast("double")).as("lx"),
+        log(col("c").cast("double")).as("ly"))
+    val m = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+      sum(col("lx") * col("lx")).as("sxx"),
+      sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("ly") * col("ly")).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varX
+    m.select(col(groupCol), col("n").cast("long").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+      round(when(varY > 0, covN * covN / (varX * varY))
+        .otherwise(lit(0.0)), 6).as("r2"))
+  }
 }

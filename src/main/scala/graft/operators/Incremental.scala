@@ -819,4 +819,29 @@ object Incremental {
     ManagedFrame(newDf.join(keep, Seq(idCol), "left_semi"),
       cached = Nil, checkpointed = Seq(nsig))
   }
+
+  /** Merge two mergeable-moment stat tables (running store + batch
+    * partial) at `keyCols` grain: sums add, mins/maxes fold — the
+    * exact-merge identity of distributive aggregates, so an
+    * incrementally maintained datasheet equals the monolithic one
+    * EXACTLY (counts, sums, extrema; averages recompute at read as
+    * sum/count). Inputs must share the schema. Cost ∝ |store| +
+    * |batch| at stratum grain — both are |strata|-row tables, never
+    * the corpus; history is never rescanned. Non-mergeable statistics
+    * (distinct counts) do NOT belong here — route them through a hash
+    * store anti-join ([[dedupHashesAgainst]]'s discipline) and carry
+    * the increment as one of the sum columns. */
+  def mergeMomentStats(store: DataFrame, batch: DataFrame,
+                       keyCols: Seq[String], sumCols: Seq[String],
+                       minCols: Seq[String],
+                       maxCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
+      "at least one stat column")
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    store.unionByName(batch)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

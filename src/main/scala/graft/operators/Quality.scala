@@ -428,4 +428,142 @@ object Quality {
       .select(col("tok"), col("rnk").cast("long").as("rnk"),
         col("pa"), col("pb"), col("d_abs"), col("contrib"), col("js_total"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test on document TOKEN-LENGTH
+    * distributions between a slice and its complement — the standard
+    * length-drift gate between corpus snapshots or sources (JS drift,
+    * q135/q142, sees vocabulary; KS sees the SHAPE of the length
+    * distribution, the thing truncation/packing budgets depend on).
+    * D = sup_x |F_a(x) − F_b(x)| over the empirical CDFs; reject at
+    * α = 0.05 when D exceeds c(α)·sqrt((n_a+n_b)/(n_a·n_b)) with
+    * c(0.05) = 1.3581 (the classical large-sample critical value,
+    * e.g. Smirnov 1948).
+    *
+    * Scale shape: everything beyond one narrow corpus projection is
+    * LENGTH-HISTOGRAM grain. The corpus collapses to
+    * (n_tok → count_a, count_b) in one map-side-combined aggregate
+    * (support = distinct lengths, thousands at most — documents
+    * longer than ~10^5 tokens don't exist after truncation); the
+    * ECDFs are running sums over that bounded set (a window over one
+    * tiny partition is fine BECAUSE the grain is bounded); the
+    * readout is a 1-row max. Only (length, two longs) ever shuffles.
+    *
+    * Output (1 row): n_a, n_b, ks_d (6dp), crit_05 (6dp), drift (1
+    * iff unrounded D > crit). ECDF values are ratios of exact integer
+    * counts; the critical value is one IEEE sqrt — cross-engine
+    * stable. */
+  def ksLengthDrift(docs: DataFrame, sliceCol: Column,
+                    textCol: String): DataFrame = {
+    val lens = docs.select(sliceCol.as("__s"),
+      graft.functions.Text.tokenCount(col(textCol)).as("__n"))
+    val hist = lens.groupBy(col("__n")).agg(
+      sum(when(col("__s"), 1L).otherwise(0L)).as("__ca"),
+      sum(when(!col("__s"), 1L).otherwise(0L)).as("__cb"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.orderBy(col("__n"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.orderBy(col("__n"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val proj = hist.select(
+      sum(col("__ca")).over(wCum).as("__fa"),
+      sum(col("__cb")).over(wCum).as("__fb"),
+      sum(col("__ca")).over(wAll).as("__na"),
+      sum(col("__cb")).over(wAll).as("__nb"))
+    val out = proj.agg(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      max(abs(col("__fa").cast("double") / col("__na").cast("double")
+        - col("__fb").cast("double") / col("__nb").cast("double")))
+        .as("__ks"))
+    val crit = lit(1.3581) * sqrt(
+      (col("n_a") + col("n_b")).cast("double")
+        / (col("n_a") * col("n_b")).cast("double"))
+    out.select(col("n_a"), col("n_b"),
+      round(col("__ks"), 6).as("ks_d"),
+      round(crit, 6).as("crit_05"),
+      graft.functions.Clean.flag(col("__ks") > crit).as("drift"))
+  }
+
+  /** Per-group Shannon entropy of the unigram token distribution —
+    * the corpus-diversity scalar behind "is this source degenerate
+    * boilerplate or varied text?" (low entropy = few tokens dominate;
+    * the normalized form H/log2(V) is layout- and size-comparable
+    * across groups). Computed as H = log2(N) − (Σ c·log2 c)/N, which
+    * needs only the per-token counts — no per-row probability column.
+    *
+    * Scale shape: one shuffle at (group, token) grain with map-side
+    * combine (the token stream never moves raw — only partial
+    * counts), then a second aggregate at group grain (|groups| rows).
+    * The entropy sum rides the same pass as N and V; nothing is
+    * collected.
+    *
+    * Output: (group, n_tokens, vocab, entropy_bits 6dp,
+    * norm_entropy 6dp — 0 when vocab = 1). */
+  /** Rank-normalized blend of heterogeneous quality signals — the
+    * standard way to combine incommensurable scores (a length, a
+    * ratio, a classifier logit) without hand-tuned scaling: each
+    * signal maps to its strict-fraction-below rank
+    * pr(v) = |rows with value < v| / (n − 1) ∈ [0, 1] (ties share a
+    * rank — midranks aren't needed for blending), the blend is the
+    * mean of the per-signal ranks, and the output is the global
+    * top-N by blend.
+    *
+    * Scale shape: per signal, the corpus collapses to a VALUE
+    * HISTOGRAM (one map-side-combined aggregate; support = distinct
+    * signal values), the cumulative below-count is a window over that
+    * bounded grain, and docs join back at value grain — no global
+    * sort of the corpus, no single-partition corpus window. The top-N
+    * plans as TakeOrderedAndProject. Determinism: ranks are ratios of
+    * exact integer counts; the blend is their k-term mean (6dp
+    * rounded); ties at the cut break by id. */
+  def rankBlend(docs: DataFrame, idCol: String,
+                signals: Seq[(String, Column)], topN: Int): DataFrame = {
+    require(signals.nonEmpty && topN >= 1, "signals and topN required")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol) +:
+      signals.map { case (n, c) => c.as(s"__v_$n") }: _*)
+    val nTotal = base.agg(count(lit(1)).as("__n"))
+    val withBelow = signals.foldLeft(base) { case (acc, (n, _)) =>
+      val hist = base.groupBy(col(s"__v_$n"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn(s"__below_$n",
+          coalesce(sum(col("__c")).over(
+            W.orderBy(col(s"__v_$n"))
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col(s"__v_$n"), col(s"__below_$n"))
+      acc.join(hist, Seq(s"__v_$n"))
+    }
+    val pr = withBelow.crossJoin(broadcast(nTotal)).select(
+      col(idCol) +: signals.map { case (n, _) =>
+        (col(s"__below_$n").cast("double") /
+          (col("__n") - 1).cast("double")).as(s"pr_$n")
+      }: _*)
+    val blend = signals.map { case (n, _) => col(s"pr_$n") }
+      .reduce(_ + _) / signals.length.toDouble
+    pr.withColumn("__blend", blend)
+      .orderBy(col("__blend").desc, col(idCol)).limit(topN)
+      .select(col(idCol) +:
+        signals.map { case (n, _) => round(col(s"pr_$n"), 6).as(s"pr_$n") } :+
+        round(col("__blend"), 6).as("blend"): _*)
+  }
+
+  def unigramEntropy(docs: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol), explode(
+      graft.functions.Text.tokens(lower(col(textCol)))).as("__tok"))
+    val cnt = toks.groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val lg2 = math.log(2.0)
+    val g = cnt.groupBy(col(groupCol)).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(col("__c").cast("double") * log(col("__c").cast("double")) / lg2)
+        .as("__sc"))
+    val h = log(col("n_tokens").cast("double")) / lg2 -
+      col("__sc") / col("n_tokens").cast("double")
+    g.select(col(groupCol), col("n_tokens"), col("vocab"),
+      round(h, 6).as("entropy_bits"),
+      round(when(col("vocab") > 1,
+        h / (log(col("vocab").cast("double")) / lg2))
+        .otherwise(lit(0.0)), 6).as("norm_entropy"))
+  }
 }

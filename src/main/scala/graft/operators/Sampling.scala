@@ -276,6 +276,30 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Incremental maintenance of the [[weightedSampleTopK]] reservoir:
+    * fold a new batch into the running per-group sample by re-taking
+    * top-k of (store ∪ batch) under the SAME deterministic key
+    * u(id)^(1/w). Because the key is a pure function of (id, w),
+    * per-group top-k is an associative, commutative, idempotent fold —
+    * topK(topK(A) ∪ B) = topK(A ∪ B) — so the accumulated reservoir is
+    * EXACTLY the monolithic A-ES sample of everything ever ingested
+    * (zero approximation debt; the bottom-k-merge identity of the KMV
+    * sketches, applied to weighted reservoirs).
+    *
+    * Scale shape: per-merge cost ∝ |batch| + k·|groups| (the store
+    * side is already ≤ k rows per group); history is never rescanned.
+    * The store carries only (id, group, weight) plus the recomputed
+    * `rank` — never payloads. The batch must be id-disjoint from
+    * prior batches (each row ingested once), the usual exactly-once
+    * ingest contract. */
+  def reservoirMergeTopK(store: DataFrame, batch: DataFrame,
+                         idCol: String, groupCol: String, wCol: String,
+                         k: Int, salt: String = ":aes"): DataFrame =
+    weightedSampleTopK(
+      store.select(col(idCol), col(groupCol), col(wCol))
+        .unionByName(batch.select(col(idCol), col(groupCol), col(wCol))),
+      idCol, groupCol, col(wCol), k, salt)
+
   /** EXACT stratified sample: select round(frac·N) rows TOTAL with
     * per-stratum counts allocated by the largest-remainder method
     * (floor(frac·n_g) each, the remainder seats going to the largest

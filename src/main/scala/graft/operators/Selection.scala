@@ -386,4 +386,48 @@ object Selection {
       .withColumn("rep", coalesce(col("rep"), col(idCol)))
     Sampling.assignSplit(withRep, col("rep"), splits)
   }
+
+  /** Token-budget EPOCH plan — the "how many passes over each source
+    * does this run make" table every pretraining data card publishes:
+    * temperature mixture weights w_g ∝ n_g^alpha over available
+    * per-group token counts, a total budget of budgetFactor × corpus
+    * tokens, epochs_g = w_g·B / n_g, capped at maxEpochs (the
+    * repetition-harm ceiling). The deficit column is the token mass
+    * the cap forfeits — the signal that the mixture wants more of a
+    * source than repetition tolerance allows.
+    *
+    * Scale shape: ONE corpus aggregate to (group → n_docs, n_avail);
+    * the normalizer and budget are a 1-row broadcast over the
+    * |groups|-row table; all downstream arithmetic is group-grain.
+    * Determinism: token counts are exact integers; pow/ratios follow
+    * the established ≤1-ulp + 6dp-rounding convention; the capped
+    * flag compares a continuous ratio against the maxEpochs constant
+    * (never a near-boundary landing on real data); deficit is pinned
+    * to exact 0.0 when the cap doesn't bind, avoiding the ±ulp
+    * residue of wanted − (wanted/n)·n. */
+  def epochPlan(docs: DataFrame, groupCol: String, tokCol: Column,
+                alpha: Double, budgetFactor: Double,
+                maxEpochs: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    require(budgetFactor > 0 && maxEpochs > 0, "budget and cap positive")
+    val avail = docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokCol.cast("long")).as("n_avail"))
+    val tot = avail.agg(
+      sum(col("n_avail")).as("__N"),
+      sum(pow(col("n_avail").cast("double"), lit(alpha))).as("__Z"))
+    val w = pow(col("n_avail").cast("double"), lit(alpha)) / col("__Z")
+    val wanted = w * col("__N").cast("double") * lit(budgetFactor)
+    val rawEp = wanted / col("n_avail").cast("double")
+    val capped = rawEp > lit(maxEpochs)
+    avail.crossJoin(broadcast(tot)).select(
+      col(groupCol), col("n_docs"), col("n_avail"),
+      round(w, 6).as("weight"),
+      round(wanted, 2).as("tokens_wanted"),
+      round(least(rawEp, lit(maxEpochs)), 6).as("epochs"),
+      graft.functions.Clean.flag(capped).as("capped"),
+      round(when(capped,
+        wanted - lit(maxEpochs) * col("n_avail").cast("double"))
+        .otherwise(lit(0.0)), 2).as("tokens_deficit"))
+  }
 }

@@ -832,4 +832,57 @@ object Similarity {
     kCenterSelect(local.toDF("id", "v"), "id", "v", k)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Margin-based bitext mining (the CCMatrix/LASER criterion, Artetxe
+    * & Schwenk 2019): score each candidate pair not by raw cosine —
+    * which hubness makes incomparable across queries — but by the
+    * RATIO of the pair's cosine to the mean of both endpoints' top-k
+    * neighborhoods: margin(x,y) = cos(x,y) / ((avgk_x + avgk_y)/2).
+    * Emits each source row's best target by margin when it clears
+    * `tau` — the mined parallel-pair table.
+    *
+    * Scale shape: the candidate table here is the dense src×tgt grid
+    * with the SMALLER side broadcast (the fixture/eval regime — one
+    * corpus scan, no shuffle to form pairs); at 100 TB candidates come
+    * from the ANN shortlist machinery instead ([[bruteForceTopK]] →
+    * IVF/PQ, the q143 hard-negatives path) and everything downstream
+    * of `scored` is unchanged: two rank windows keyed by src/tgt (pair
+    * grain, map-side WindowGroupLimit bounds each), two k-row
+    * averages, one argmax window. Cosines ride the codegen'd
+    * [[Vectors.cosine]] kernel.
+    *
+    * Determinism: cosines replay exactly (exact float arithmetic,
+    * round-4 output); the top-k averages are k-term double sums under
+    * the established sum-ordering + rounding convention; argmax ties
+    * break by target id. Output: (src_id, tgt_id, cos, margin). */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                       vecCol: String, k: Int, tau: Double): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val x = src.select(col(idCol).as("src_id"), col(vecCol).as("__xv"))
+    val y = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__yv"))
+    val scored = x.join(broadcast(y))
+      .select(col("src_id"), col("tgt_id"),
+        Vectors.cosine(col("__xv"), col("__yv")).as("cos"))
+    val wx = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("tgt_id"))
+    val wy = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos").desc, col("src_id"))
+    val ranked = scored
+      .withColumn("__rx", row_number().over(wx))
+      .withColumn("__ry", row_number().over(wy))
+    val ax = ranked.filter(col("__rx") <= k)
+      .groupBy(col("src_id")).agg(avg(col("cos")).as("__ax"))
+    val ay = ranked.filter(col("__ry") <= k)
+      .groupBy(col("tgt_id")).agg(avg(col("cos")).as("__ay"))
+    val m = scored.join(ax, Seq("src_id")).join(ay, Seq("tgt_id"))
+      .withColumn("margin",
+        col("cos") / ((col("__ax") + col("__ay")) / 2))
+    m.withColumn("__rm", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin").desc, col("tgt_id"))))
+      .filter(col("__rm") === 1 && col("margin") > tau)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cos"), 4).as("cos"),
+        round(col("margin"), 4).as("margin"))
+  }
 }

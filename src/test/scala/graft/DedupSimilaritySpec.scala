@@ -1150,4 +1150,86 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
     }
   }
+
+  test("sampledDupRate: rate 1.0 recovers the exact rate with a " +
+       "degenerate-consistent CI; hand fixture pins the counts") {
+    import spark.implicits._
+    // 6 docs: two dup pairs (4 docs duplicated) + 2 unique → true 4/6
+    val docs = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"),
+      (5L, "c c"), (6L, "d d")).toDF("doc_id", "text")
+    val full = Dedup.sampledDupRate(docs, "doc_id", "text", rate = 1.0)
+      .collect().head
+    assert(full.getAs[Long]("n_total") == 6L)
+    assert(full.getAs[Long]("n_sampled") == 6L)
+    assert(full.getAs[Double]("dup_rate_true") == 0.666667)
+    assert(full.getAs[Double]("dup_rate_est") == 0.666667)
+    assert(full.getAs[Long]("covered") == 1L)
+    // CI brackets the estimate and stays in [0,1]
+    assert(full.getAs[Double]("ci_lo") >= 0.0 &&
+      full.getAs[Double]("ci_lo") <= 0.666667)
+    assert(full.getAs[Double]("ci_hi") >= 0.666667 &&
+      full.getAs[Double]("ci_hi") <= 1.0)
+  }
+
+  test("sampledDupRate: the sampled estimate is the exact dup status " +
+       "of the md5-bucket sample, and only ONE corpus-grain shuffle " +
+       "runs (hash grain — no sample-to-index join)") {
+    import spark.implicits._
+    val docs = sources.Tables(spark, TestSpark.sf0001, "documents")
+    val r = Dedup.sampledDupRate(docs, "doc_id", "text", rate = 0.25)
+    // replay the estimator row-by-row on the driver
+    val byHash = docs.select(md5($"text").as("h"), $"doc_id").collect()
+      .groupBy(_.getString(0))
+    val sampledPfx = (0 until 64).map(i => f"$i%02x").toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val flat = byHash.toSeq.flatMap { case (_, rows) =>
+      rows.map(rr => (rr.getLong(1), rows.length >= 2))
+    }
+    val sampled = flat.filter { case (id, _) =>
+      sampledPfx(md5hex(id.toString).take(2)) }
+    val expEst = sampled.count(_._2).toDouble / sampled.size
+    val got = r.collect().head
+    assert(got.getAs[Long]("n_sampled") == sampled.size.toLong)
+    assert(got.getAs[Double]("dup_rate_est") == BigDecimal(expEst)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getAs[Long]("n_total") == flat.size.toLong)
+    // plan shape: exactly one hash-partitioned exchange (the content-
+    // hash aggregate); the readout is a single-partition 1-row agg
+    val txt = Dedup.sampledDupRate(docs, "doc_id", "text", rate = 0.25)
+      .queryExecution.executedPlan.toString
+    val hashPart = txt.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    val allEx = txt.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+    assert(hashPart == 1, s"expected 1 hash exchange:\n$txt")
+    assert(allEx <= 2, s"expected ≤2 shuffles total:\n$txt")
+  }
+
+  test("bitextMarginMine: hand case — margins normalize hubness, " +
+       "best-by-margin beats best-by-cos, tau gates") {
+    import spark.implicits._
+    // x1=(1,0): cos to y1=1, y2=.6, y3=0; x2=(0,1): y1=0, y2=.8, y3=1
+    val x = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val y = Seq((11L, Array(1f, 0f)), (12L, Array(0.6f, 0.8f)),
+      (13L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMarginMine(x, y, "vec_id", "embedding",
+        k = 2, tau = 1.0)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        ((r.getAs[Long]("tgt_id"), r.getAs[Double]("margin")))).toMap
+    // ax(x1)=avg(1,.6)=.8, ax(x2)=avg(1,.8)=.9
+    // ay(y1)=avg(1,0)=.5, ay(y2)=avg(.8,.6)=.7, ay(y3)=avg(1,0)=.5
+    // x1→y1: 1/((.8+.5)/2)=1.5385; x2→y3: 1/((.9+.5)/2)=1.4286
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 11L)
+    assert(math.abs(out(1L)._2 - 1.0 / 0.65) < 1e-3)
+    assert(out(2L)._1 == 13L)
+    assert(math.abs(out(2L)._2 - 1.0 / 0.7) < 1e-3)
+    // tau above both margins → nothing mined
+    val none = Similarity.bitextMarginMine(x, y, "vec_id", "embedding",
+      k = 2, tau = 1.6)
+    assert(none.count() == 0L)
+  }
 }

@@ -286,4 +286,54 @@ class FrequencySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
     assert(plan.contains("Partial"), plan.take(1200))
   }
+
+  test("pmiCollocations: hand corpus matches the PMI formula exactly, " +
+       "minCount prunes, top-k via TakeOrderedAndProject") {
+    import spark.implicits._
+    // uni: a=3 b=3 c=1 (N_u=7); bi: (a,b)=3 (b,a)=1 (b,c)=1 (N_bi=5)
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val out = Frequency.pmiCollocations(docs, "text", minCount = 1L,
+      k = 10)
+    val rows = out.collect().map(r => (r.getAs[String]("x"),
+      r.getAs[String]("y")) -> ((r.getAs[Long]("c_xy"),
+      r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+      r.getAs[Double]("pmi")))).toMap
+    // replicate Spark's exact operand order: (cxy/Nb) / ((cx/Nu)·(cy/Nu))
+    def pmi(cxy: Double, cx: Double, cy: Double): Double =
+      BigDecimal(math.log((cxy / 5.0) / ((cx / 7.0) * (cy / 7.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(rows(("a", "b")) == ((3L, 3L, 3L, pmi(3, 3, 3))))
+    assert(rows(("b", "a")) == ((1L, 3L, 3L, pmi(1, 3, 3))))
+    assert(rows(("b", "c")) == ((1L, 3L, 1L, pmi(1, 3, 1))))
+    // (b,a) scores lowest: rarer pair of the same frequent tokens
+    assert(rows(("b", "a"))._4 < rows(("a", "b"))._4)
+    // minCount 2 keeps only (a,b)
+    val pruned = Frequency.pmiCollocations(docs, "text", minCount = 2L,
+      k = 10).collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")))
+    // the global top-k must plan as a take, not a full sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
+  test("zipfFit: an exact power law fits slope −1 with r² 1; a " +
+       "constant-count group pins the degenerate r² 0") {
+    import spark.implicits._
+    // zipf: counts 24/r at ranks 1..4 → ln c = ln 24 − 1·ln r
+    val zipf = ("a " * 24 + "b " * 12 + "c " * 8 + "d " * 6).trim
+    // flat: every token count 3 → zero count variance
+    val flat = ("x " * 3 + "y " * 3 + "z " * 3).trim
+    val docs = Seq(("z1", zipf), ("f1", flat)).toDF("source", "text")
+    val out = Frequency.zipfFit(docs, "source", "text", topR = 10)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("z1").getAs[Long]("n_terms") == 4L)
+    assert(out("z1").getAs[Double]("slope") == -1.0)
+    assert(out("z1").getAs[Double]("r2") == 1.0)
+    assert(math.abs(out("z1").getAs[Double]("intercept") -
+      math.log(24.0)) < 1e-6)
+    assert(out("f1").getAs[Double]("slope") == 0.0)
+    assert(out("f1").getAs[Double]("r2") == 0.0)
+  }
 }

@@ -82,4 +82,28 @@ class MaintenanceSpec extends AnyFunSuite {
       s"planning window must consume the unit rollup (aggregate below " +
         s"it, above the scan):\n$physical")
   }
+
+  test("mergeMomentStats: incremental fold equals the monolithic " +
+       "aggregate exactly, including one-sided strata") {
+    import graft.operators.Incremental
+    // strata: a in both batches, b only in batch 1, c only in batch 2
+    val rows1 = Seq(("a", 10L), ("a", 4L), ("b", 7L))
+    val rows2 = Seq(("a", 1L), ("c", 100L), ("c", 2L))
+    def stats(rows: Seq[(String, Long)]) =
+      rows.toDF("k", "v").groupBy("k").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val merged = Incremental.mergeMomentStats(stats(rows1), stats(rows2),
+        Seq("k"), sumCols = Seq("n", "s"), minCols = Seq("mn"),
+        maxCols = Seq("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("mn"),
+          r.getAs[Long]("mx")))).toMap
+    val mono = stats(rows1 ++ rows2).collect().map(r => r.getString(0) ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("mn"),
+        r.getAs[Long]("mx")))).toMap
+    assert(merged == mono)
+    assert(merged("b") == ((1L, 7L, 7L, 7L)) &&
+      merged("c") == ((2L, 102L, 2L, 100L)))
+  }
 }

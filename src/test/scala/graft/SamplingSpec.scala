@@ -616,4 +616,75 @@ class SamplingSpec extends AnyFunSuite {
         r.getAs[Long]("n_oov")).toMap
     assert(out4 == Map("g1" -> 0L, "g2" -> 1L), out4.toString)
   }
+
+  test("reservoirMergeTopK: incremental accumulation equals the " +
+       "monolithic A-ES sample exactly, in any batch order") {
+    import spark.implicits._
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("double").as("w"))
+    val mono = Sampling.weightedSampleTopK(docs, "doc_id", "lang",
+        col("w"), k = 10)
+      .select("doc_id", "lang", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // two-batch fold (parity split)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 =!= 0)
+    val s0 = Sampling.weightedSampleTopK(b0, "doc_id", "lang", col("w"), 10)
+    val s1 = Sampling.reservoirMergeTopK(s0, b1, "doc_id", "lang", "w", 10)
+      .select("doc_id", "lang", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(s1 == mono, "fold(parity) must equal monolithic")
+    // reversed batch order gives the same reservoir (commutative fold)
+    val t0 = Sampling.weightedSampleTopK(b1, "doc_id", "lang", col("w"), 10)
+    val t1 = Sampling.reservoirMergeTopK(t0, b0, "doc_id", "lang", "w", 10)
+      .select("doc_id", "lang", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(t1 == mono, "fold order must not matter")
+    // three-way refold through an intermediate store (associative)
+    val c0 = docs.filter(col("doc_id") % 3 === 0)
+    val c1 = docs.filter(col("doc_id") % 3 === 1)
+    val c2 = docs.filter(col("doc_id") % 3 === 2)
+    val u0 = Sampling.weightedSampleTopK(c0, "doc_id", "lang", col("w"), 10)
+    val u1 = Sampling.reservoirMergeTopK(u0, c1, "doc_id", "lang", "w", 10)
+    val u2 = Sampling.reservoirMergeTopK(u1, c2, "doc_id", "lang", "w", 10)
+      .select("doc_id", "lang", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(u2 == mono, "three-batch chain must equal monolithic")
+  }
+
+  test("contrastiveSpanPairs: offsets replay the md5 coins, spans are " +
+       "in-bounds, non-overlapping, exact slices; short docs dropped") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val L = 20
+    val out = Corpus.contrastiveSpanPairs(docs, "doc_id", "text", L)
+      .collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val longEnough = texts.filter(_._2.split(" ", -1).length >= 2 * L)
+    assert(out.length == longEnough.size, "exactly the n ≥ 2L docs")
+    def coin(id: Long, salt: String): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(h.take(6), 16)
+      (v + 0.5) / 16777216.0
+    }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = texts(id).toLowerCase.split(" ", -1)
+      val n = toks.length.toLong
+      val a = r.getAs[Long]("a_start"); val p = r.getAs[Long]("p_start")
+      assert(a == math.floor(coin(id, ":spanA") * (n - 2 * L + 1)).toLong)
+      assert(p == a + L +
+        math.floor(coin(id, ":spanB") * (n - 2 * L - a + 1)).toLong)
+      assert(a >= 0 && p >= a + L && p + L <= n, s"doc $id bounds")
+      assert(r.getAs[String]("anchor") ==
+        toks.slice(a.toInt, a.toInt + L).mkString(" "))
+      assert(r.getAs[String]("positive") ==
+        toks.slice(p.toInt, p.toInt + L).mkString(" "))
+    }
+  }
 }

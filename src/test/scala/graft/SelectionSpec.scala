@@ -338,4 +338,36 @@ class SelectionSpec extends AnyFunSuite {
     assert(three("a") == math.rint(a3 / (a3 + 0.75) * 1e6) / 1e6)
     assert(three("a") > pure("a"), "longer horizon sharpens toward learnable domains")
   }
+
+  test("epochPlan: alpha=1 reproduces budgetFactor epochs everywhere; " +
+       "alpha=0 hand case pins cap, epochs, and exact deficit") {
+    import spark.implicits._
+    // group a: 2 docs x 100 tok; group b: 1 doc x 800 tok → N = 1000
+    val docs = Seq(("a", 100L), ("a", 100L), ("b", 800L))
+      .toDF("grp", "n_tok")
+    // alpha=1: w ∝ n → epochs = budgetFactor for every group, no cap
+    val p1 = Selection.epochPlan(docs, "grp", col("n_tok"),
+        alpha = 1.0, budgetFactor = 2.0, maxEpochs = 4.0)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(p1("a").getAs[Double]("epochs") == 2.0)
+    assert(p1("b").getAs[Double]("epochs") == 2.0)
+    assert(p1("a").getAs[Long]("capped") == 0L)
+    assert(p1("a").getAs[Double]("tokens_deficit") == 0.0)
+    assert(p1("a").getAs[Long]("n_docs") == 2L)
+    assert(p1("a").getAs[Long]("n_avail") == 200L)
+    // alpha=0: uniform weights 0.5/0.5, budget 2000 → wanted 1000 each;
+    // a: raw 5 > cap 4 → epochs 4, deficit 1000 − 4·200 = 200
+    // b: raw 1.25 → uncapped, deficit exactly 0
+    val p0 = Selection.epochPlan(docs, "grp", col("n_tok"),
+        alpha = 0.0, budgetFactor = 2.0, maxEpochs = 4.0)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(p0("a").getAs[Double]("weight") == 0.5)
+    assert(p0("a").getAs[Double]("tokens_wanted") == 1000.0)
+    assert(p0("a").getAs[Long]("capped") == 1L)
+    assert(p0("a").getAs[Double]("epochs") == 4.0)
+    assert(p0("a").getAs[Double]("tokens_deficit") == 200.0)
+    assert(p0("b").getAs[Long]("capped") == 0L)
+    assert(p0("b").getAs[Double]("epochs") == 1.25)
+    assert(p0("b").getAs[Double]("tokens_deficit") == 0.0)
+  }
 }

@@ -478,4 +478,99 @@ class SourcesAndQualitySpec extends AnyFunSuite {
     val lines = spark.read.text(dir).count()
     assert(lines == nasty.count())
   }
+
+  test("ksLengthDrift: identical distributions give D 0, separated " +
+       "ones give D 1 and fire the gate, hand ECDF case matches") {
+    import graft.operators.Quality
+    // identical length distributions → D = 0, no drift
+    val same = Seq((true, "a b"), (true, "a b c"), (false, "x y"),
+      (false, "x y z")).toDF("sl", "text")
+    val r0 = Quality.ksLengthDrift(same, col("sl"), "text").collect().head
+    assert(r0.getAs[Double]("ks_d") == 0.0)
+    assert(r0.getAs[Long]("drift") == 0L)
+    assert(r0.getAs[Long]("n_a") == 2L && r0.getAs[Long]("n_b") == 2L)
+    // fully separated supports → D = 1; crit at n=4,4 is
+    // 1.3581*sqrt(8/16) ≈ 0.960 < 1 → drift fires
+    val sep = Seq.tabulate(4)(i => (true, "a b")) ++
+      Seq.tabulate(4)(i => (false, "x y z w v"))
+    val r1 = Quality.ksLengthDrift(sep.toDF("sl", "text"), col("sl"),
+      "text").collect().head
+    assert(r1.getAs[Double]("ks_d") == 1.0)
+    assert(r1.getAs[Double]("crit_05") ==
+      BigDecimal(1.3581 * math.sqrt(8.0 / 16.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r1.getAs[Long]("drift") == 1L)
+    // hand case: A lengths {1,2}, B lengths {2,2} → ECDFs at support
+    // {1,2}: |0.5-0| then |1-1| → D = 0.5
+    val ab = Seq((true, "a"), (true, "a b"), (false, "x y"),
+      (false, "x y")).toDF("sl", "text")
+    val r2 = Quality.ksLengthDrift(ab, col("sl"), "text").collect().head
+    assert(r2.getAs[Double]("ks_d") == 0.5)
+  }
+
+  test("ksLengthDrift: the corpus collapses to length-histogram grain " +
+       "before any window (no corpus-wide single-partition sort)") {
+    import graft.operators.Quality
+    val docs = sources.Tables(spark, TestSpark.sf0001, "documents")
+    val plan = Quality.ksLengthDrift(docs, col("lang") === "en", "text")
+      .queryExecution.executedPlan.toString
+    // the aggregate keyed on token length runs BELOW the window's
+    // single-partition exchange: find the window sort, assert a
+    // HashAggregate appears under it in the plan text
+    val i = plan.indexOf("Window")
+    assert(i >= 0, plan.take(2000))
+    assert(plan.indexOf("HashAggregate", i) >= 0,
+      "histogram aggregate must feed the window:\n" + plan.take(2000))
+  }
+
+  test("unigramEntropy: uniform group hits log2 V, constant group " +
+       "hits 0, hand mixed case matches the formula") {
+    import graft.operators.Quality
+    val docs = Seq(
+      ("u", "a b c d"),     // uniform over 4 → H = 2 bits, norm = 1
+      ("k", "x x x x"),     // single token → H = 0, norm = 0
+      ("m", "a a b")        // H = log2 3 − 2/3
+    ).toDF("source", "text")
+    val out = Quality.unigramEntropy(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("u").getAs[Long]("n_tokens") == 4L)
+    assert(out("u").getAs[Long]("vocab") == 4L)
+    assert(out("u").getAs[Double]("entropy_bits") == 2.0)
+    assert(out("u").getAs[Double]("norm_entropy") == 1.0)
+    assert(out("k").getAs[Double]("entropy_bits") == 0.0)
+    assert(out("k").getAs[Double]("norm_entropy") == 0.0)
+    val hm = math.log(3.0) / math.log(2.0) - 2.0 / 3.0
+    assert(out("m").getAs[Double]("entropy_bits") ==
+      BigDecimal(hm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // vocab of "a a b" is 2 → norm = H / log2(2) = H
+    assert(out("m").getAs[Long]("vocab") == 2L)
+    assert(out("m").getAs[Double]("norm_entropy") ==
+      out("m").getAs[Double]("entropy_bits"))
+  }
+
+  test("rankBlend: strict-below ranks share ties, blend is the mean, " +
+       "top-N cuts by blend then id") {
+    import graft.operators.Quality
+    // s1: 10,20,20,40 → pr 0, 1/3, 1/3, 1; s2: 4,3,2,1 → pr 1, 2/3, 1/3, 0
+    val docs = Seq((1L, 10L, 4L), (2L, 20L, 3L), (3L, 20L, 2L),
+      (4L, 40L, 1L)).toDF("id", "s1", "s2")
+    val all = Quality.rankBlend(docs, "id",
+        Seq("a" -> col("s1"), "b" -> col("s2")), topN = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("pr_a"), r.getAs[Double]("pr_b"),
+          r.getAs[Double]("blend")))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(all(1L) == ((0.0, 1.0, 0.5)))
+    assert(all(2L) == ((r6(1.0 / 3), r6(2.0 / 3), 0.5)))
+    assert(all(3L) == ((r6(1.0 / 3), r6(1.0 / 3), r6(1.0 / 3))))
+    assert(all(4L) == ((1.0, 0.0, 0.5)))
+    // top-2 on the UNROUNDED blend: 1/3 + 2/3 rounds to exactly 1.0
+    // (round-to-even on the halfway tie), so docs 1, 2, 4 all sit at
+    // blend 0.5 — the id tiebreak keeps 1 then 2
+    val top = Quality.rankBlend(docs, "id",
+        Seq("a" -> col("s1"), "b" -> col("s2")), topN = 2)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(top == Seq(1L, 2L))
+  }
 }
