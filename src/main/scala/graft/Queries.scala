@@ -108,6 +108,19 @@ object Queries {
     * `key` under `salt`: first 6 hex digits → integer v, coin =
     * (v + 0.5)/2^24 — the q117 digit-extraction device, shared by the
     * deterministic-offset oracles (q206). */
+  /** DuckDB replay of [[graft.operators.Sampling.hexInt]] — the raw
+    * 24-bit integer from the first six hex digits of md5(key || salt)
+    * (the integer [[OpenCoinSql]] shifts onto the open unit interval).
+    * Used by the checksum oracles (q215). */
+  private def HexIntSql(key: String, salt: String): String = {
+    val h = s"md5($key || '$salt')"
+    val terms = (0 until 6).map { i =>
+      val dig = s"ascii(substr($h, ${i + 1}, 1))"
+      s"(CASE WHEN $dig >= 97 THEN $dig - 87 ELSE $dig - 48 END) * ${1 << (4 * (5 - i))}"
+    }.mkString(" + ")
+    s"($terms)"
+  }
+
   private def OpenCoinSql(key: String, salt: String): String = {
     val h = s"md5($key || '$salt')"
     val terms = (0 until 6).map { i =>
@@ -8515,7 +8528,213 @@ object Queries {
               |SELECT doc_id, round(pr_len, 6) AS pr_len,
               |  round(pr_dtr, 6) AS pr_dtr, round(pr_q, 6) AS pr_q,
               |  round(blend, 6) AS blend
-              |FROM p ORDER BY blend DESC, doc_id LIMIT 100""".stripMargin)))
+              |FROM p ORDER BY blend DESC, doc_id LIMIT 100""".stripMargin)),
+
+    Q("q209_containment_pairs",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Directed shingle-set containment (|A∩B|/|A| — Broder's
+        // asymmetric signal for "A is quoted inside B", which Jaccard
+        // under-scores whenever sizes differ). Planted truths: every
+        // 10th doc contributes a 12-token prefix clone whose 3-gram
+        // shingles are a subset of its source's, so containment
+        // (clone→source) is exactly 1.0 and always found. The oracle
+        // recomputes exact all-pairs containment with list_intersect on
+        // shingle STRINGS, so a hash collision in the inverted index, a
+        // dropped direction, or a wrong denominator all hash-fail. The
+        // score is an exact integer ratio — the 0.8 gate cannot flip
+        // cross-engine.
+        val docs = tbl("documents").select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 1, 12)).as("text"))
+        Dedup.containmentPairs(docs.unionByName(planted),
+          "doc_id", "text", threshold = 0.8, shingleLen = 3)
+      },
+      Some(s"""WITH u AS (SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id,
+              |    array_to_string(string_split(text, ' ')[1:12], ' ')
+              |      AS text
+              |  FROM documents WHERE doc_id % 10 = 0),
+              |t AS (SELECT doc_id, $ShinglesSql AS sh FROM u),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / len(a.sh) AS containment
+              |  FROM t a, t b WHERE a.doc_id <> b.doc_id)
+              |SELECT id_a, id_b, round(containment, 6) AS containment
+              |FROM p WHERE containment >= 0.8""".stripMargin)),
+
+    Q("q210_fuzzy_dup_pairs",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Edit-distance fuzzy join on the 6-token document prefix key:
+        // pairs within Levenshtein 4 — the entity-resolution primitive
+        // (template instantiations / typo variants that shingle Jaccard
+        // under-scores). Candidates come from the RECALL-COMPLETE
+        // q-gram prefix filter (each key posts its 9 globally-rarest
+        // 2-grams; lev ≤ 4 destroys ≤ 8 gram types, so one rare gram
+        // must survive on both sides), then exact levenshtein verifies.
+        // The oracle is the full all-pairs answer — a missed candidate
+        // block, wrong prefix length, or df-order tie flip hash-fails.
+        // Distances are exact integers.
+        Dedup.fuzzyDupPairs(tbl("documents"), "doc_id", "text",
+          prefixTokens = 6, maxDist = 4, qgramLen = 2)
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    array_to_string(string_split(lower(text), ' ')[1:6], ' ')
+             |      AS k
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+             |FROM k a, k b
+             |WHERE a.doc_id < b.doc_id
+             |  AND abs(length(a.k) - length(b.k)) <= 4
+             |  AND levenshtein(a.k, b.k) <= 4""".stripMargin)),
+
+    Q("q211_boilerplate_blocks",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // CCNet-style boilerplate removal at 4-token block granularity:
+        // a block seen in ≥ 2 DISTINCT documents is chrome and every
+        // copy drops (vs q95, which keeps one winner per block). The
+        // engine keys blocks on a 128-bit salted hash pair — block
+        // strings never shuffle; the oracle recomputes the df rule and
+        // the rebuild with exact block strings, so a collision, an
+        // occurrences-vs-documents df confusion, or a wrong grid slice
+        // all hash-fail.
+        Dedup.boilerplateBlocks(tbl("documents"), "doc_id", "text",
+            blockTokens = 4, minDocFreq = 2L)
+          .select(col("id").as("doc_id"), col("n_tok_clean"),
+            col("text_clean"), col("n_blocks_dropped"))
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w,
+             |             string_split(lower(text), ' ') AS lw
+             |           FROM documents),
+             |b AS (SELECT s.doc_id, u.pos,
+             |        array_to_string(s.lw[u.pos*4+1 :
+             |          least(len(s.lw), (u.pos+1)*4)], ' ') AS blk,
+             |        s.w[u.pos*4+1 : least(len(s.w), (u.pos+1)*4)]
+             |          AS otoks
+             |      FROM s, unnest(range(0, (len(s.lw)+3)//4)) AS u(pos)),
+             |hot AS (SELECT blk FROM
+             |         (SELECT blk, count(DISTINCT doc_id) AS df
+             |          FROM b GROUP BY blk)
+             |        WHERE df >= 2),
+             |agg AS (SELECT doc_id,
+             |          CAST(sum(len(otoks)) AS BIGINT) AS n_tok_clean,
+             |          string_agg(array_to_string(otoks, ' '), ' '
+             |            ORDER BY pos) AS text_clean
+             |        FROM b WHERE blk NOT IN (SELECT blk FROM hot)
+             |        GROUP BY doc_id),
+             |dr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+             |       FROM b WHERE blk IN (SELECT blk FROM hot)
+             |       GROUP BY doc_id)
+             |SELECT s.doc_id,
+             |  coalesce(a.n_tok_clean, CAST(0 AS BIGINT)) AS n_tok_clean,
+             |  coalesce(a.text_clean, '') AS text_clean,
+             |  coalesce(dr.nd, CAST(0 AS BIGINT)) AS n_blocks_dropped
+             |FROM s LEFT JOIN agg a USING (doc_id)
+             |       LEFT JOIN dr USING (doc_id)""".stripMargin)),
+
+    Q("q212_k_anonymity",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // k-anonymous datasheet slice: per-(lang, source) row counts
+        // and char mass, cells under k=12 suppressed into one rollup
+        // row that preserves the corpus total. All-integer — the gate
+        // and both branches hash-replay exactly.
+        operators.Quality.kAnonymizedStats(tbl("documents"),
+          Seq("lang", "source"), k = 12L, weight = col("n_chars"))
+      },
+      Some("""WITH g AS (SELECT lang, source,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(n_chars) AS BIGINT) AS sum_w
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT lang, source, n_rows, CAST(1 AS BIGINT) AS n_groups,
+             |  sum_w
+             |FROM g WHERE n_rows >= 12
+             |UNION ALL
+             |SELECT '__suppressed__', '__suppressed__',
+             |  CAST(sum(n_rows) AS BIGINT),
+             |  CAST(count(*) AS BIGINT), CAST(sum(sum_w) AS BIGINT)
+             |FROM g WHERE n_rows < 12
+             |HAVING count(*) > 0""".stripMargin)),
+
+    Q("q213_decayed_topk",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // exponentially-decayed top-20 users by event mass (halflife
+        // 2 days, integer age buckets): weights are exact powers of two
+        // on a 2^-40 grid, so per-user sums are EXACT dyadic rationals
+        // — independent of partial-aggregation order, hash-identical in
+        // any engine WITHOUT rounding. t_max is in-plan (1-row
+        // broadcast); the rank window runs over 20 rows.
+        operators.Frequency.decayedTopK(tbl("events"), "user_id", "ts",
+            halflifeSec = 172800L, k = 20)
+          .select(col("key").as("user_id"), col("decayed_w"),
+            col("n_events"), col("rank"))
+      },
+      Some("""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+             |w AS (SELECT user_id,
+             |    least((mx - epoch_us(ts)) // 172800000000, 40)
+             |      AS bucket
+             |  FROM events, mx),
+             |g AS (SELECT user_id,
+             |    sum(1.0 / (1::BIGINT << bucket)) AS decayed_w,
+             |    count(*) AS n_events
+             |  FROM w GROUP BY 1)
+             |SELECT user_id, decayed_w, n_events,
+             |  CAST(row_number() OVER (ORDER BY decayed_w DESC, user_id)
+             |    AS BIGINT) AS rank
+             |FROM g ORDER BY decayed_w DESC, user_id LIMIT 20""".stripMargin)),
+
+    Q("q214_salt_plan",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // skew-mitigation manifest for the dedup inverted-index
+        // self-join: tokens with df > 100 (the q23 index at word
+        // grain), the salt factor that splits them, and the EXACT pair
+        // volumes before/after/lost under near-equal part sizes —
+        // all-integer, the straggler-capacity planning table at 100 TB.
+        val index = tbl("documents").select(
+          explode(Text.shingles(lower(col("text")), 1)).as("tok"))
+        operators.Skew.saltPlan(index, col("tok"), cap = 100L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(list_distinct(string_split(lower(text), ' ')))
+             |      AS key
+             |  FROM documents),
+             |d AS (SELECT key, CAST(count(*) AS BIGINT) AS df
+             |      FROM t GROUP BY 1),
+             |h AS (SELECT key, df, (df + 99) // 100 AS salt
+             |      FROM d WHERE df > 100),
+             |c AS (SELECT key, df, salt, df // salt AS q,
+             |        df - (df // salt) * salt AS r
+             |      FROM h)
+             |SELECT key, df, CAST(salt AS BIGINT) AS salt,
+             |  CAST(df * (df - 1) // 2 AS BIGINT) AS pairs_before,
+             |  CAST(r * ((q + 1) * q // 2)
+             |    + (salt - r) * (q * (q - 1) // 2) AS BIGINT) AS pairs_after,
+             |  CAST(df * (df - 1) // 2 - (r * ((q + 1) * q // 2)
+             |    + (salt - r) * (q * (q - 1) // 2)) AS BIGINT) AS pairs_lost
+             |FROM c""".stripMargin)),
+
+    Q("q215_shard_manifest",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // data-versioning manifest: per-(lang, source) shard, row/byte
+        // counts plus two order-invariant content checksums (sums of
+        // 24-bit md5 integers over id:text rows, mod 2^61-1, exact
+        // DECIMAL before the modulus). A rewritten shard verifies
+        // equal; any dropped/duplicated/altered row moves the checksum.
+        operators.Maintenance.shardManifest(tbl("documents"),
+          Seq("lang", "source"), "doc_id", col("text"))
+      },
+      Some(s"""WITH r AS (SELECT lang, source,
+              |    CAST(doc_id AS VARCHAR) || ':' || text AS rk,
+              |    strlen(text) AS nb
+              |  FROM documents)
+              |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+              |  CAST(sum(${HexIntSql("rk", ":manifest.a")})
+              |    % 2305843009213693951 AS BIGINT) AS checksum_a,
+              |  CAST(sum(${HexIntSql("rk", ":manifest.b")})
+              |    % 2305843009213693951 AS BIGINT) AS checksum_b
+              |FROM r GROUP BY 1, 2""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

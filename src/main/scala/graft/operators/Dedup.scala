@@ -64,6 +64,127 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directed CONTAINMENT pairs — the asymmetric counterpart of
+    * [[jaccardPairs]]: containment(A→B) = |A∩B| / |A| over distinct
+    * shingle sets, the "is A quoted/embedded inside B" signal (Broder
+    * 1997's containment, the criterion resemblance misses when sizes
+    * differ — a tweet pasted into a long article has tiny Jaccard but
+    * containment ≈ 1). Emits BOTH directions of a qualifying ordered
+    * pair independently: curation treats "A inside B" (drop A, keep B)
+    * differently from the reverse.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — inverted index on
+    * xxhash64(shingle) (strings never shuffle), co-occurrence count =
+    * |A∩B| in one pair-keyed aggregate, `maxDocFreq` prefix-filters
+    * boilerplate shingles. The score is an exact integer ratio (IEEE
+    * division of two exact ints — identical on every engine), so the
+    * threshold gate cannot flip cross-engine. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleLen: Int = 3,
+                       maxDocFreq: Double = 1.0): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      Text.shingles(lower(col(textCol)), shingleLen).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val inv0 = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok_s"))
+      .select(col("id"), col("sz"), xxhash64(col("tok_s")).as("tok"))
+    val inv =
+      if (maxDocFreq >= 1.0) inv0
+      else {
+        val total = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+        val hot = inv0.groupBy("tok").count()
+          .crossJoin(broadcast(total))
+          .filter(col("count") > col("__n_docs") * maxDocFreq).select("tok")
+        inv0.join(broadcast(hot), Seq("tok"), "left_anti")
+      }
+    val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+    val b = inv.select(col("id").as("id_b"), col("tok"))
+    a.join(b, Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** Fuzzy (edit-distance) duplicate pairs over a bounded document KEY —
+    * the entity-resolution / fuzzy-join primitive: pairs whose
+    * normalized key (first `prefixTokens` tokens of lower(text)) is
+    * within Levenshtein distance `maxDist`. Near-identical openings
+    * with small in-place edits (typo variants, template instantiations)
+    * are exactly what shingle Jaccard under-scores and edit distance
+    * catches.
+    *
+    * Candidate generation is RECALL-COMPLETE, never all-pairs — the
+    * q-gram prefix filter of Gravano et al. (VLDB 2001) / Xiao et al.
+    * ED-Join: one edit destroys at most `q` gram instances, so a gram
+    * TYPE absent from the other side costs ≥1 destroyed instance and
+    * lev ≤ k bounds the absent types by k·q; hence two keys within k
+    * share at least one of their (k·q+1) globally-rarest grams. Each
+    * key therefore posts only its k·q+1 rarest distinct grams (rank =
+    * (global df, gram) — the df table is charset^q-bounded model
+    * metadata) into the inverted index; keys too short to carry grams
+    * that survive k edits (klen ≤ q−1+k) post a shared sentinel bucket
+    * instead. Candidates get a |len_a−len_b| ≤ k filter and an exact
+    * `levenshtein` verify — integer-exact, so the oracle can demand the
+    * full all-pairs answer and a missed block, wrong prefix length, or
+    * df-order tie flip all hash-fail.
+    *
+    * Scale shape: grams are hashed (xxhash64) before the bucket
+    * self-join — a collision only MERGES buckets (adds candidates the
+    * verify rejects), never loses a pair; the index carries k·q+1 posts
+    * per key (constant), the verify runs on bounded-length keys, and
+    * the rarest-gram preference is precisely what keeps bucket sizes
+    * sub-linear on skewed real-text gram distributions. */
+  def fuzzyDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                    prefixTokens: Int = 6, maxDist: Int = 4,
+                    qgramLen: Int = 2): DataFrame = {
+    require(prefixTokens >= 1, "prefixTokens must be positive")
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(qgramLen >= 1, "qgramLen must be positive")
+    val q = qgramLen
+    val prefixLen = maxDist * q + 1
+    val keyed = docs.select(col(idCol).as("id"),
+        concat_ws(" ",
+          slice(Text.tokens(lower(col(textCol))), 1, prefixTokens)).as("k"))
+      .withColumn("klen", length(col("k")))
+    // distinct q-gram types per key (guarded: sequence(1, hi) with
+    // hi < 1 would generate a DESCENDING range, not an empty one)
+    val grams = keyed.withColumn("gs",
+      when(col("klen") >= q, array_distinct(expr(
+        s"transform(sequence(1, length(k) - ${q - 1}), i -> substr(k, i, $q))")))
+        .otherwise(array().cast("array<string>")))
+    val exploded = grams.select(col("id"), explode(col("gs")).as("g_s"))
+    // global df per gram type: bounded by |charset|^q — model metadata
+    val dfTab = exploded.groupBy("g_s").agg(count(lit(1)).as("g_df"))
+    val ranked = exploded.join(dfTab, Seq("g_s"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("g_df"), col("g_s"))))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), xxhash64(col("g_s")).as("g"))
+    // short keys (klen <= q-1+maxDist) can lose every gram to k edits —
+    // and any partner within k is itself short — so they meet in one
+    // sentinel bucket (a vanishing population at corpus scale)
+    val sentinel = keyed.filter(col("klen") <= q - 1 + maxDist)
+      .select(col("id"), lit(Long.MinValue).as("g"))
+    val posts = ranked.unionByName(sentinel)
+    val cand = posts.as("x").join(posts.as("y"), Seq("g"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val ka = keyed.select(col("id").as("id_a"), col("k").as("k_a"),
+      col("klen").as("len_a"))
+    val kb = keyed.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("klen").as("len_b"))
+    cand.join(ka, Seq("id_a")).join(kb, Seq("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Cross-source duplication PROVENANCE matrix — the curation
     * accounting table behind "which sources should be deduplicated
     * against which": near-dup pairs from [[jaccardPairs]] roll up to
@@ -732,6 +853,59 @@ object Dedup {
         // token — so the sequence bounds stay ascending.)
         coalesce(size(col("kept")), lit(0)).cast("long").as("n_tok_clean"),
         coalesce(array_join(col("kept"), " "), lit("")).as("text_clean"))
+  }
+
+  /** Boilerplate removal at block granularity — the CCNet frequent-line
+    * filter re-expressed on the [[blockDedup]] grid: a block whose
+    * DOCUMENT frequency reaches `minDocFreq` is boilerplate (headers,
+    * navigation chrome, license banners) and EVERY copy is dropped —
+    * unlike [[blockDedup]], which keeps one winner per distinct block.
+    * The df rule counts distinct documents, not occurrences, so a block
+    * repeated inside one template-y doc is not boilerplate (that is
+    * [[graft.functions.Text.topNgramFrac]]'s q60 regime).
+    *
+    * Scale shape (the q95 ledger): blocks travel as 128-bit salted hash
+    * pairs — block STRINGS never shuffle; the df aggregate and the
+    * hot-set semi-join are both block-key-grain; drop sets (∝
+    * boilerplate volume) aggregate per doc and the rebuild is the
+    * narrow positional gather over original-case tokens. The df
+    * threshold is an exact integer compare, so the oracle can replay
+    * the drop rule block-string-for-block-string. */
+  def boilerplateBlocks(docs: DataFrame, idCol: String, textCol: String,
+                        blockTokens: Int, minDocFreq: Long): DataFrame = {
+    require(blockTokens >= 1, "blockTokens must be positive")
+    require(minDocFreq >= 2, "minDocFreq below 2 would drop every block")
+    val nblk = floor((size(col("t")) - 1) / lit(blockTokens)).cast("long") + 1L
+    val blocks = docs.select(col(idCol).as("id"),
+        Text.tokens(lower(col(textCol))).as("t"))
+      .select(col("id"), posexplode(transform(
+          sequence(lit(0L), nblk - 1L),
+          i => concat_ws(" ", slice(col("t"),
+            (i * blockTokens + 1L).cast("int"), lit(blockTokens)))))
+        .as(Seq("pos", "blk")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("blk")).as("h1"),
+        xxhash64(lit("graft.block.salt"), col("blk")).as("h2"))
+    val hot = blocks.groupBy("h1", "h2")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("h1", "h2")
+    val dropped = blocks.join(hot, Seq("h1", "h2"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("drop_pos"))
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .join(dropped, Seq("id"), "left")
+      .withColumn("kept", flatten(transform(
+        array_except(
+          sequence(lit(0L),
+            floor((size(col("toks")) - 1) / lit(blockTokens)).cast("long")),
+          coalesce(col("drop_pos"), lit(Array.emptyLongArray))),
+        p => slice(col("toks"), (p * blockTokens + 1L).cast("int"),
+          lit(blockTokens)))))
+      .select(col("id"),
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_tok_clean"),
+        coalesce(array_join(col("kept"), " "), lit("")).as("text_clean"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long")
+          .as("n_blocks_dropped"))
   }
 
   /** Keep-BEST survivor selection over dedup clusters: production

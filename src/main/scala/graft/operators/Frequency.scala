@@ -482,4 +482,41 @@ object Frequency {
       round(when(varY > 0, covN * covN / (varX * varY))
         .otherwise(lit(0.0)), 6).as("r2"))
   }
+
+  /** Exponentially-DECAYED top-k — the "trending now" counter every
+    * event pipeline keeps: each event weighs 2^−age_buckets where
+    * age_buckets = ⌊(t_max − ts) / halflife⌋, so one halflife ago counts
+    * half. Bucketed (integer) decay instead of continuous exp() is
+    * deliberate: weights are exact powers of two on a 2^−40 grid
+    * (buckets clamp at 40 — beyond that a weight is below any
+    * realizable ulp), so per-key sums are EXACT dyadic rationals,
+    * independent of partial-aggregation order, and the ranking
+    * hash-replays in any engine — the same determinism device as the
+    * md5 hex grid (Sampling.hexInt). t_max comes from the data in-plan
+    * (1-row broadcast gate), so the operator is a pure function of its
+    * input — streaming deployments pin it to the watermark instead.
+    *
+    * Scale shape: one key-grain aggregate (map-side partials — weights
+    * add) + TakeOrderedAndProject for the top-k; the rank window runs
+    * over k rows, not the corpus. */
+  def decayedTopK(events: DataFrame, keyCol: String, tsCol: String,
+                  halflifeSec: Long, k: Int): DataFrame = {
+    require(halflifeSec >= 1, "halflifeSec must be positive")
+    require(k >= 1, "k must be positive")
+    val mx = events.agg(max(unix_micros(col(tsCol))).as("mx"))
+    val top = events
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("us"))
+      .crossJoin(broadcast(mx))
+      .withColumn("bucket",
+        least(expr(s"(mx - us) div ${halflifeSec * 1000000L}"), lit(40L)))
+      .withColumn("w", lit(1.0) / expr("shiftleft(1L, cast(bucket as int))")
+        .cast("double"))
+      .groupBy("key")
+      .agg(sum(col("w")).as("decayed_w"), count(lit(1)).as("n_events"))
+      .orderBy(col("decayed_w").desc, col("key"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("decayed_w").desc, col("key"))).cast("long"))
+      .select(col("key"), col("decayed_w"), col("n_events"), col("rank"))
+  }
 }

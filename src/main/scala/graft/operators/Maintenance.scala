@@ -78,4 +78,36 @@ object Maintenance {
         sum(when(col("u_bytes") >= col("target"), 1L).otherwise(0L))
           .as("n_oversize"))
   }
+
+  /** Data-versioning MANIFEST with order-invariant content checksums —
+    * the integrity record a snapshot release carries so any consumer
+    * (or a later [[graft.operators.Incremental]] ingest) can verify a
+    * shard byte-for-byte without trusting file metadata: per partition
+    * unit, row count, payload bytes, and two independent content
+    * checksums, each the SUM over rows of a 24-bit md5-derived integer
+    * of (id ':' payload) under a distinct salt, reduced mod 2^61−1.
+    * Sums commute, so the checksum is independent of row order, file
+    * layout, and partitioning — a rewritten/compacted shard verifies
+    * equal, while any dropped, duplicated, or altered ROW moves it
+    * (two salts push the per-shard collision odds to ~2^−48).
+    *
+    * Scale shape: one corpus scan, one unit-grain aggregate (map-side
+    * partial sums — the exchange carries one row per unit); the sum is
+    * exact DECIMAL(38) before the modulus, so there is no overflow
+    * wraparound ambiguity between engines. The digit arithmetic is
+    * [[Sampling.hexInt]] — the repo's single replay-exact device. */
+  def shardManifest(df: DataFrame, partCols: Seq[String], idCol: String,
+                    payload: Column): DataFrame = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    val rowKey = concat(col(idCol).cast("string"), lit(":"), payload)
+    def chk(salt: String): Column =
+      sum(Sampling.hexInt(rowKey, salt).cast("decimal(38,0)"))
+    df.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(octet_length(payload)).cast("long").as("n_bytes"),
+        chk(":manifest.a").as("__ca"), chk(":manifest.b").as("__cb"))
+      .select(partCols.map(col) ++ Seq(col("n_rows"), col("n_bytes"),
+        expr("CAST(__ca % 2305843009213693951 AS BIGINT)").as("checksum_a"),
+        expr("CAST(__cb % 2305843009213693951 AS BIGINT)").as("checksum_b")): _*)
+  }
 }

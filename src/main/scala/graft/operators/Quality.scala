@@ -566,4 +566,40 @@ object Quality {
         h / (log(col("vocab").cast("double")) / lg2))
         .otherwise(lit(0.0)), 6).as("norm_entropy"))
   }
+
+  /** k-ANONYMOUS publication gate for grouped corpus statistics — the
+    * privacy floor a released datasheet applies before publishing
+    * per-slice numbers (Sweeney 2002's k-anonymity at the aggregate
+    * grain): a group with fewer than `k` rows identifies its members
+    * and is SUPPRESSED — its mass moves, undropped, into one
+    * `__suppressed__` rollup row, so the published table still sums to
+    * the corpus total (the "complementary release" discipline: the
+    * rollup discloses only the union of suppressed cells, never a
+    * small cell itself). Output: group columns (string-cast; the
+    * rollup row holds the sentinel), `n_rows`, `n_groups` (1 per
+    * visible group, the suppressed-cell count on the rollup row), and
+    * `sum_w` (the published measure).
+    *
+    * Scale shape: one group-grain aggregate over the corpus; the
+    * suppression split and rollup run at GROUP grain (report-sized).
+    * All-integer when `weight` is integral — the gate and both output
+    * branches hash-replay exactly. */
+  def kAnonymizedStats(df: DataFrame, groupCols: Seq[String], k: Long,
+                       weight: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 1, "k must be positive")
+    val g = df.groupBy(groupCols.map(c => col(c).cast("string").as(c)): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(weight).cast("long").as("sum_w"))
+    val visible = g.filter(col("n_rows") >= k)
+      .select(groupCols.map(col) :+ col("n_rows") :+
+        lit(1L).as("n_groups") :+ col("sum_w"): _*)
+    val suppressed = g.filter(col("n_rows") < k)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(col("sum_w")).as("sum_w"))
+      .filter(col("n_rows").isNotNull)
+      .select(groupCols.map(c => lit("__suppressed__").as(c)) :+
+        col("n_rows") :+ col("n_groups") :+ col("sum_w"): _*)
+    visible.unionByName(suppressed)
+  }
 }

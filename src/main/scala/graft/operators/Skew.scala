@@ -49,4 +49,41 @@ object Skew {
     bigHot.join(broadcast(small), Seq(key))
       .unionByName(bigCold.join(small, Seq(key)))
   }
+
+  /** SALT PLAN for a self-joined inverted index — the skew-mitigation
+    * manifest behind the dedup candidate joins ([[Dedup.jaccardPairs]]
+    * and friends): a key with document frequency df contributes
+    * df·(df−1)/2 candidate pairs, all materialized in ONE reducer's
+    * partition, so the largest key's df² — not the corpus size — decides
+    * the straggler at 100 TB. The plan lists every key whose df exceeds
+    * `cap` with the salt factor that splits it (salt = ceil(df/cap)),
+    * the pair volume it would have produced unsalted, and the EXACT
+    * residual volume after splitting into `salt` near-equal parts
+    * (sizes ⌈df/salt⌉ × r and ⌊df/salt⌋ × (salt−r), r = df mod salt) —
+    * what one reducer still materializes, the number a capacity planner
+    * compares against executor memory. Salting a self-join loses
+    * cross-part pairs, which is exactly the LSH/prefix-filter recall
+    * trade the caller is deciding on — the plan quantifies it
+    * (`pairs_lost`).
+    *
+    * Scale shape: one token-grain aggregate over the exploded index
+    * (the same exchange the join itself would run), then everything is
+    * at HOT-KEY grain — bounded by |keys with df > cap|, report-sized.
+    * All-integer arithmetic end to end: the whole manifest hash-replays
+    * in any engine. */
+  def saltPlan(index: DataFrame, keyCol: Column, cap: Long): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    val dfc = col("df")
+    index.groupBy(keyCol.as("key")).agg(count(lit(1)).as("df"))
+      .filter(dfc > cap)
+      .withColumn("salt", expr(s"(df + ${cap - 1}) div $cap"))
+      .withColumn("q", expr("df div salt"))
+      .withColumn("r", dfc - col("q") * col("salt"))
+      .withColumn("pairs_before", expr("df * (df - 1) div 2"))
+      .withColumn("pairs_after",
+        expr("r * ((q + 1) * q div 2) + (salt - r) * (q * (q - 1) div 2)"))
+      .select(col("key"), dfc, col("salt"), col("pairs_before"),
+        col("pairs_after"),
+        (col("pairs_before") - col("pairs_after")).as("pairs_lost"))
+  }
 }

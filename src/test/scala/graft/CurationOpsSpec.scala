@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Frequency, Maintenance, Quality, Skew}
+
+/** Round-15 curation operators: containment, fuzzy (edit-distance)
+  * pairs, boilerplate removal, k-anonymity, decayed top-k, salt
+  * planning, shard checksums. */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("containmentPairs: subset scores 1.0 toward its superset, not back") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon"), // prefix of 1
+      (3L, "iota kappa lambda mu nu xi"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc2's three 3-gram shingles all appear in doc1 → 2→1 is 1.0;
+    // doc1 has 6 shingles, only 3 in doc2 → 1→2 is 0.5 (below gate);
+    // doc3 shares nothing
+    assert(out == Set((2L, 1L, 1.0)), s"got $out")
+  }
+
+  test("containmentPairs: exact ratio matches a brute-force recompute") {
+    import spark.implicits._
+    val words = Vector("a", "b", "c", "d", "e", "f", "g")
+    def text(seed: Int): String =
+      (0 until 12).map(i => words((seed * 7 + i * 3) % words.size))
+        .mkString(" ")
+    val docs = (1 to 20).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.5, shingleLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force on the driver with the same shingle definition
+    val rows = docs.select(col("doc_id"),
+        graft.functions.Text.shingles(lower(col("text")), 2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia != ib
+      c = (sa & sb).size.toDouble / sa.size if c >= 0.5
+    } yield (ia, ib, math.rint(c * 1e6) / 1e6)).toSet
+    assert(got == want)
+  }
+
+  test("fuzzyDupPairs: recall-complete vs brute-force levenshtein") {
+    import spark.implicits._
+    val words = Vector("key", "row", "scan", "fast", "table", "agg", "a")
+    def text(seed: Int): String =
+      (0 until 8).map(i => words((seed * 5 + i * 3) % words.size))
+        .mkString(" ")
+    val docs = (1 to 30).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val got = Dedup.fuzzyDupPairs(docs, "doc_id", "text",
+        prefixTokens = 4, maxDist = 3, qgramLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = docs.select(col("doc_id"), concat_ws(" ",
+        slice(graft.functions.Text.tokens(lower(col("text"))), 1, 4)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys if ia < ib
+      dist = lev(ka, kb) if dist <= 3
+    } yield (ia, ib, dist.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("fuzzyDupPairs: gramless and short keys meet via the sentinel") {
+    import spark.implicits._
+    // keys shorter than q-1+k post the sentinel: 'x' vs 'xy zz' (lev 4
+    // at maxDist 4) must be FOUND even though 'x' has no 2-gram
+    val docs = Seq((1L, "x"), (2L, "xy zz"), (3L, "completely different text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyDupPairs(docs, "doc_id", "text",
+        prefixTokens = 6, maxDist = 4, qgramLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"got $got")
+  }
+
+  test("boilerplateBlocks: every copy of a hot block drops; unique stays") {
+    import spark.implicits._
+    val chrome = "subscribe to our newsletter"        // 4-token boilerplate
+    val docs = Seq(
+      (1L, s"$chrome unique alpha beta gamma"),
+      (2L, s"$chrome other delta epsilon zeta"),
+      (3L, "totally unrelated content lives here still"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateBlocks(docs, "doc_id", "text",
+        blockTokens = 4, minDocFreq = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, "unique alpha beta gamma", 1L)))
+    assert(out(2L) == ((4L, "other delta epsilon zeta", 1L)))
+    assert(out(3L)._3 == 0L && out(3L)._1 == 6L)
+  }
+
+  test("boilerplateBlocks: a doc that is all boilerplate empties, never drops") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two three four"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateBlocks(docs, "doc_id", "text", 4, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSet == Set((1L, 0L, ""), (2L, 0L, "")))
+  }
+
+  test("kAnonymizedStats: mass conserved, no visible cell under k") {
+    import spark.implicits._
+    val df = (1 to 100).map(i =>
+      (s"g${i % 7}", if (i % 7 < 2) "rare" else "common", i.toLong))
+      .toDF("a", "b", "w")
+    val out = Quality.kAnonymizedStats(df, Seq("a", "b"), k = 15L, col("w"))
+      .collect()
+    val visible = out.filter(_.getString(0) != "__suppressed__")
+    assert(visible.nonEmpty && visible.forall(_.getLong(2) >= 15L))
+    assert(out.map(_.getLong(2)).sum == 100L)        // rows conserved
+    assert(out.map(_.getLong(4)).sum == (1 to 100).map(_.toLong).sum)
+    val sup = out.filter(_.getString(0) == "__suppressed__")
+    assert(sup.length == 1 && sup.head.getLong(3) ==
+      out.map(_.getLong(3)).sum - visible.length)
+  }
+
+  test("kAnonymizedStats: no suppressed row when every cell clears k") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (s"g${i % 2}", i.toLong)).toDF("a", "w")
+    val out = Quality.kAnonymizedStats(df, Seq("a"), k = 5L, col("w")).collect()
+    assert(out.length == 2 && out.forall(_.getString(0) != "__suppressed__"))
+  }
+
+  test("decayedTopK: exact dyadic weights, bucket clamp, deterministic ties") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    // halflife 100 s: u1 has events at age 0 and 100 (w 1 + 0.5), u2 at
+    // age 0 and 250 (w 1 + 0.25), u3 one PREHISTORIC event (clamp: 2^-40)
+    val ev = Seq((1L, at(250)), (1L, at(150)), (2L, at(250)), (2L, at(0)),
+        (3L, at(-100000000L)))
+      .toDF("user_id", "ts")
+    val out = Frequency.decayedTopK(ev, "user_id", "ts",
+        halflifeSec = 100L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1.5, 1L), (2L, 1.25, 2L),
+      (3L, math.pow(2.0, -40), 3L)), s"got ${out.mkString(",")}")
+  }
+
+  test("saltPlan: exact pair accounting and near-equal part sizes") {
+    import spark.implicits._
+    val index = (1 to 250).map(i => s"hot${i % 2}").toDF("tok")
+      .union(Seq("cold").toDF("tok"))
+    val out = Skew.saltPlan(index, col("tok"), cap = 40L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 2 && out.forall(_._2 > 40L))  // cold excluded
+    for ((_, df, salt, before, after, lost) <- out) {
+      assert(salt == (df + 39) / 40)
+      assert(before == df * (df - 1) / 2)
+      // recompute after from explicit near-equal part sizes
+      val q = df / salt; val r = df % salt
+      val parts = Seq.fill(r.toInt)(q + 1) ++ Seq.fill((salt - r).toInt)(q)
+      assert(parts.sum == df && parts.max - parts.min <= 1)
+      assert(after == parts.map(p => p * (p - 1) / 2).sum)
+      assert(lost == before - after)
+    }
+  }
+
+  test("shardManifest: order/layout-invariant, row-change-sensitive") {
+    import spark.implicits._
+    val rows = (1 to 60).map(i => (s"s${i % 3}", i.toLong, s"payload $i"))
+    val a = rows.toDF("src", "id", "text")
+    val b = scala.util.Random.shuffle(rows).toDF("src", "id", "text")
+      .repartition(7)
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Maintenance.shardManifest(df, Seq("src"), "id", col("text"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(manifest(a) == manifest(b))
+    // altering ONE row moves that shard's checksums only
+    val c = rows.map { case (s, i, t) =>
+      (s, i, if (i == 5) t + "!" else t) }.toDF("src", "id", "text")
+    val (ma, mc) = (manifest(a), manifest(c))
+    assert(ma("s0") == mc("s0") && ma("s1") == mc("s1")) // untouched shards
+    assert(ma("s2")._3 != mc("s2")._3 && ma("s2")._4 != mc("s2")._4)
+  }
+}
