@@ -8734,7 +8734,222 @@ object Queries {
               |    % 2305843009213693951 AS BIGINT) AS checksum_a,
               |  CAST(sum(${HexIntSql("rk", ":manifest.b")})
               |    % 2305843009213693951 AS BIGINT) AS checksum_b
-              |FROM r GROUP BY 1, 2""".stripMargin)))
+              |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    Q("q216_consensus_dedup",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // ensemble dedup vote: a pair must be flagged by ≥ 2 of three
+        // independent signals (3-gram Jaccard ≥ 0.5, 3-gram containment
+        // ≥ 0.6 in either direction, prefix levenshtein ≤ 4) before a
+        // destructive drop — single-signal false positives are
+        // suppressed, attribution flags are kept. Planted truths: every
+        // 15th doc cloned with token #3 replaced — high Jaccard AND
+        // containment (2 sure votes), levenshtein firing only when the
+        // swapped token is short (the attribution varies, which is the
+        // point of the table). All three signals have exact oracles, so
+        // the vote table hash-replays end to end.
+        val docs = tbl("documents").select(col("doc_id"), col("text"))
+        val t = Text.tokens(col("text"))
+        val planted = docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(concat(slice(t, 1, 2), array(lit("zzz")),
+              slice(t, 4, 1000000)), " ").as("text"))
+        val u = docs.unionByName(planted)
+        val jac = Dedup.jaccardPairs(u, "doc_id", "text",
+          threshold = 0.5, shingleLen = 3)
+        val con = Dedup.containmentPairs(u, "doc_id", "text",
+            threshold = 0.6, shingleLen = 3)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+        val fuz = Dedup.fuzzyDupPairs(u, "doc_id", "text",
+          prefixTokens = 6, maxDist = 4, qgramLen = 2)
+        Dedup.consensusVote(
+          Seq("jac" -> jac.select("id_a", "id_b"),
+              "con" -> con,
+              "fuz" -> fuz.select("id_a", "id_b")), minVotes = 2)
+      },
+      Some(s"""WITH u AS (SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 2000000 AS doc_id,
+              |    array_to_string(list_concat(list_concat(
+              |      string_split(text, ' ')[1:2], ['zzz']),
+              |      string_split(text, ' ')[4:]), ' ') AS text
+              |  FROM documents WHERE doc_id % 15 = 0),
+              |tk AS (SELECT doc_id, $ShinglesSql AS sh,
+              |    array_to_string(string_split(lower(text), ' ')[1:6], ' ')
+              |      AS k
+              |  FROM u),
+              |pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM tk a, tk b WHERE a.doc_id < b.doc_id
+              |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              |      >= 0.5),
+              |pc AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+              |    greatest(a.doc_id, b.doc_id) AS id_b
+              |  FROM tk a, tk b WHERE a.doc_id <> b.doc_id
+              |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / len(a.sh) >= 0.6),
+              |pf AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM tk a, tk b WHERE a.doc_id < b.doc_id
+              |    AND abs(length(a.k) - length(b.k)) <= 4
+              |    AND levenshtein(a.k, b.k) <= 4),
+              |v AS (SELECT id_a, id_b, 'jac' AS sig FROM pj
+              |  UNION SELECT id_a, id_b, 'con' FROM pc
+              |  UNION SELECT id_a, id_b, 'fuz' FROM pf),
+              |g AS (SELECT id_a, id_b,
+              |    CAST(max(CASE WHEN sig = 'jac' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS f_jac,
+              |    CAST(max(CASE WHEN sig = 'con' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS f_con,
+              |    CAST(max(CASE WHEN sig = 'fuz' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS f_fuz
+              |  FROM v GROUP BY 1, 2)
+              |SELECT id_a, id_b, f_jac, f_con, f_fuz,
+              |  f_jac + f_con + f_fuz AS votes
+              |FROM g WHERE f_jac + f_con + f_fuz >= 2""".stripMargin)),
+
+    Q("q217_dup_triangles",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // dup-graph transitivity: per-node triangle counts and local
+        // clustering coefficients over the 3-gram-Jaccard ≥ 0.015 pair
+        // graph — cliques (template families) vs chains (borderline
+        // matches) decide collapse-vs-review. Degree-ordered
+        // orientation enumerates each triangle once with O(√m)
+        // wedge fan-out; the edge list is materialized ONCE
+        // (localCheckpoint) and feeds degree/orientation/closure.
+        // Counts are exact integers; clustering is an exact-int IEEE
+        // ratio — the whole table hash-replays.
+        val edges = Dedup.jaccardPairs(tbl("documents"), "doc_id",
+          "text", threshold = 0.015, shingleLen = 3).localCheckpoint(true)
+        operators.Graph.triangleStats(edges, "id_a", "id_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh
+              |          FROM documents),
+              |e AS (SELECT a.doc_id AS u, b.doc_id AS v
+              |  FROM t a, t b WHERE a.doc_id < b.doc_id
+              |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              |      >= 0.015),
+              |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+              |deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY 1),
+              |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+              |             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+              |pn AS (SELECT n, count(*) AS tr FROM
+              |        (SELECT a AS n FROM tri UNION ALL
+              |         SELECT b FROM tri UNION ALL SELECT c FROM tri)
+              |       GROUP BY 1)
+              |SELECT deg.n AS id, CAST(d AS BIGINT) AS degree,
+              |  CAST(coalesce(tr, 0) AS BIGINT) AS triangles,
+              |  CASE WHEN d > 1 THEN CAST(coalesce(tr, 0) AS DOUBLE)
+              |    * 2.0 / CAST(d * (d - 1) AS DOUBLE) ELSE 0.0 END
+              |    AS clustering
+              |FROM deg LEFT JOIN pn USING (n)""".stripMargin)),
+
+    Q("q218_dedup_threshold_sweep",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // dedup-gate tuning curve: pair and flagged-doc counts at each
+        // candidate threshold, from ONE pair materialization at the
+        // loosest gate (0.02) — candidate generation never re-runs per
+        // gate, the sweep is pair-grain. Zero-hit thresholds still
+        // appear (grid left-join), so the curve is complete.
+        val pairs = Dedup.jaccardPairs(tbl("documents"), "doc_id",
+          "text", threshold = 0.02, shingleLen = 3).localCheckpoint(true)
+        Dedup.thresholdSweep(pairs, "jaccard",
+          Seq(0.02, 0.05, 0.1, 0.2, 0.3, 0.5, 0.8))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh
+              |          FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+              |      6) AS jac
+              |  FROM t a, t b WHERE a.doc_id < b.doc_id
+              |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              |      >= 0.02),
+              |grid AS (SELECT unnest([0.02, 0.05, 0.1, 0.2, 0.3, 0.5,
+              |    0.8]) AS threshold),
+              |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+              |  FROM grid JOIN p ON p.jac >= grid.threshold GROUP BY 1),
+              |nd AS (SELECT threshold,
+              |    CAST(count(DISTINCT id) AS BIGINT) AS n_docs_flagged
+              |  FROM (SELECT threshold, id_a AS id FROM grid
+              |          JOIN p ON p.jac >= grid.threshold
+              |        UNION ALL
+              |        SELECT threshold, id_b FROM grid
+              |          JOIN p ON p.jac >= grid.threshold)
+              |  GROUP BY 1)
+              |SELECT g.threshold,
+              |  coalesce(np.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+              |  coalesce(nd.n_docs_flagged, CAST(0 AS BIGINT))
+              |    AS n_docs_flagged
+              |FROM grid g LEFT JOIN np USING (threshold)
+              |            LEFT JOIN nd USING (threshold)""".stripMargin)),
+
+    Q("q219_prefix_families",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // prefix-anchored duplicate families ("same head, different
+        // tail" — syndicated articles with varying footers): documents
+        // sharing their first 8 tokens exactly, keyed by a 128-bit
+        // salted hash pair so anchor strings never enter the family
+        // shuffle. Planted truths: every 20th doc contributes a clone
+        // with the same 8-token head and a divergent tail.
+        val docs = tbl("documents").select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)),
+              lit(" appended tail marker tokens")).as("text"))
+        Dedup.prefixFamilies(docs.unionByName(planted), "doc_id", "text",
+            anchorTokens = 8)
+          .select(col("id").as("doc_id"), col("anchor"),
+            col("family_id"), col("n_members"))
+      },
+      Some("""WITH u AS (SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 3000000 AS doc_id,
+             |    array_to_string(string_split(text, ' ')[1:8], ' ')
+             |      || ' appended tail marker tokens' AS text
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |a AS (SELECT doc_id AS id,
+             |    array_to_string(string_split(lower(text), ' ')[1:8], ' ')
+             |      AS anchor
+             |  FROM u),
+             |f AS (SELECT anchor, CAST(count(*) AS BIGINT) AS n_members,
+             |    min(id) AS family_id
+             |  FROM a GROUP BY 1 HAVING count(*) >= 2)
+             |SELECT a.id AS doc_id, a.anchor, f.family_id, f.n_members
+             |FROM a JOIN f USING (anchor)""".stripMargin)),
+
+    Q("q220_tfidf_keywords",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // per-doc top-3 TF-IDF keywords with the BM25 rational idf
+        // (N-df+0.5)/(df+0.5) — order-equivalent to log-idf but every
+        // score is exact-operand IEEE arithmetic, so the ranking
+        // hash-replays with no epsilon (a libm log ulp could flip a
+        // rank). Per-doc top-k plans as WindowGroupLimit.
+        operators.Frequency.tfidfTopK(tbl("documents"), "doc_id",
+            "text", k = 3)
+          .select(col("id").as("doc_id"), col("tok"), col("tf"),
+            col("score"), col("rank"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY 1, 2),
+             |dfb AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |sc AS (SELECT doc_id, tok, tf,
+             |    tf * ((CAST(n - df AS DOUBLE) + 0.5)
+             |      / (CAST(df AS DOUBLE) + 0.5)) AS score
+             |  FROM tf JOIN dfb USING (tok), n),
+             |r AS (SELECT doc_id, tok, tf, score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, tok) AS BIGINT) AS rank
+             |  FROM sc)
+             |SELECT doc_id, tok, tf, round(score, 6) AS score, rank
+             |FROM r WHERE rank <= 3""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -109,6 +109,93 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Ensemble CONSENSUS over independent duplicate-pair signals — the
+    * precision-boosting vote production dedup runs before destructive
+    * drops: each signal (lexical Jaccard, containment, edit distance,
+    * SimHash, embedding …) has its own false-positive mode, and
+    * demanding agreement from `minVotes` of them suppresses
+    * single-signal artifacts (a hash-band fluke, a boilerplate-inflated
+    * Jaccard) while keeping true near-dups that any two signals see.
+    * Input: (name, pairs) per signal, each with unordered `id_a < id_b`
+    * columns (normalize directed signals first). Output: one row per
+    * pair any signal flagged with votes ≥ `minVotes`, a 0/1 `f_<name>`
+    * flag per signal, and the vote count — the attribution table audit
+    * pipelines keep.
+    *
+    * Scale shape: everything is PAIR grain — a union of the (already
+    * candidate-bounded) signal outputs and one pair-keyed aggregate;
+    * the corpus is never touched. */
+  def consensusVote(signals: Seq[(String, DataFrame)],
+                    minVotes: Int): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(minVotes >= 1 && minVotes <= signals.size,
+      "minVotes must be within the signal count")
+    val u = signals.map { case (name, df) =>
+      df.select(col("id_a"), col("id_b")).distinct()
+        .withColumn("__sig", lit(name))
+    }.reduce(_ unionByName _)
+    val flagCols = signals.map { case (n, _) =>
+      max(when(col("__sig") === n, 1L).otherwise(0L)).as("f_" + n) }
+    u.groupBy("id_a", "id_b").agg(flagCols.head, flagCols.tail: _*)
+      .withColumn("votes", signals.map(s => col("f_" + s._1)).reduce(_ + _))
+      .filter(col("votes") >= minVotes)
+  }
+
+  /** Threshold SWEEP over a materialized pair set — the dedup-tuning
+    * table: how many pairs and how many distinct flagged documents a
+    * given similarity gate would act on, across a threshold grid, from
+    * ONE candidate-pair materialization (the caller localCheckpoints
+    * the pairs; sweeping re-reads them |grid| times at PAIR grain —
+    * never re-running candidate generation per gate, which is the whole
+    * point at 100 TB). Thresholds with zero pairs still appear (the
+    * grid left-join), so the curve is complete. All-integer counts. */
+  def thresholdSweep(pairs: DataFrame, scoreCol: String,
+                     grid: Seq[Double]): DataFrame = {
+    require(grid.nonEmpty, "grid must be non-empty")
+    val gridDf = pairs.sparkSession.range(1)
+      .select(explode(array(grid.map(lit): _*)).as("threshold"))
+    val hits = pairs.crossJoin(broadcast(gridDf))
+      .filter(col(scoreCol) >= col("threshold"))
+    val np = hits.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = hits.select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("__id")).as("n_docs_flagged"))
+    gridDf.join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
+  }
+
+  /** Prefix-ANCHORED duplicate families — the "same head, different
+    * tail" grouping (syndicated articles with varying footers, template
+    * instantiations with appended chrome) that full-text exact dedup
+    * (q22) misses and pair similarity need not flag when tails diverge:
+    * documents sharing their first `anchorTokens` tokens (lowercased)
+    * exactly form a family keyed by min id. Output: one row per member
+    * of a family of size ≥ 2 (id, anchor, family_id, n_members).
+    *
+    * Scale shape: anchors are grouped via a 128-bit salted hash pair
+    * (anchor strings never enter the family aggregate's shuffle); the
+    * family table (collisions only) is small and joins back as a
+    * broadcast, so flagged members are identified without a corpus
+    * exchange. */
+  def prefixFamilies(docs: DataFrame, idCol: String, textCol: String,
+                     anchorTokens: Int): DataFrame = {
+    require(anchorTokens >= 1, "anchorTokens must be positive")
+    val keyed = docs.select(col(idCol).as("id"),
+        concat_ws(" ", slice(Text.tokens(lower(col(textCol))), 1,
+          anchorTokens)).as("anchor"))
+      .withColumn("h1", xxhash64(col("anchor")))
+      .withColumn("h2", xxhash64(lit("graft.anchor.salt"), col("anchor")))
+    val fams = keyed.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("family_id"))
+      .filter(col("n_members") >= 2)
+    keyed.join(fams, Seq("h1", "h2"))
+      .select(col("id"), col("anchor"), col("family_id"), col("n_members"))
+  }
+
   /** Fuzzy (edit-distance) duplicate pairs over a bounded document KEY —
     * the entity-resolution / fuzzy-join primitive: pairs whose
     * normalized key (first `prefixTokens` tokens of lower(text)) is

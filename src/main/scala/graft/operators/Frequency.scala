@@ -483,6 +483,42 @@ object Frequency {
         .otherwise(lit(0.0)), 6).as("r2"))
   }
 
+  /** Per-document top-k TF-IDF keywords — the corpus-indexing /
+    * doc-summarization readout (what q150's per-GROUP distinctive terms
+    * are at document grain). IDF is the BM25 rational form
+    * (N − df + 0.5)/(df + 0.5) rather than a logarithm, deliberately:
+    * it is order-equivalent to log-idf for ranking (both strictly
+    * decrease in df), and it makes every score a product of one
+    * correctly-rounded IEEE division and one multiplication of exact
+    * operands — bit-identical on every engine, so the RANKING (ties →
+    * token) hash-replays with no epsilon anywhere, where a libm log
+    * ulp could flip a rank.
+    *
+    * Scale shape: one (doc, token)-grain count, one token-grain df
+    * aggregate joined back (token ids could be hashed at 100 TB; kept
+    * as strings here because the output IS the token), N as a 1-row
+    * broadcast, and the per-doc top-k plans as WindowGroupLimit —
+    * map-side limit k before the rank exchange. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val tok = docs.select(col(idCol).as("id"),
+      explode(graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
+    val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfTab, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        (((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("tok"), col("tf"),
+        round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Exponentially-DECAYED top-k — the "trending now" counter every
     * event pipeline keeps: each event weighs 2^−age_buckets where
     * age_buckets = ⌊(t_max − ts) / halflife⌋, so one halflife ago counts

@@ -154,4 +154,63 @@ object Graph {
     Checkpoints.release(dangling)
     pr
   }
+
+  /** Per-node TRIANGLE counts and local clustering coefficients over an
+    * undirected pair list — the dup-graph diagnostic behind "are these
+    * near-dup edges a community or a hairball": transitivity separates
+    * template families (cliques → cc ≈ 1) from chains of borderline
+    * matches (cc ≈ 0), which decides whether cluster-collapse dedup
+    * (q57/q58) or pairwise review is appropriate.
+    *
+    * Algorithm: degree-ordered edge orientation (the classic
+    * MapReduce/GraphX device — Suri & Vassilvitskii WWW 2011): every
+    * edge points UP the total order (degree, id), so each triangle is
+    * enumerated exactly once as a wedge at its lowest vertex plus one
+    * closure probe, and a node's wedge fan-out is bounded by its
+    * ORIENTED out-degree ≤ O(√m) rather than its raw degree — the hub
+    * that would explode a naive wedge join fans out only to its few
+    * higher-degree peers.
+    *
+    * Scale shape: one degree aggregate, two id-keyed joins to attach
+    * order keys, one wedge self-join keyed on the low vertex, one
+    * closure LEFT-SEMI keyed on (v, w) — every exchange is node- or
+    * edge-grain, nothing is corpus-sized beyond the edge list itself.
+    * Input must be unique unordered pairs (id_a < id_b, as the dedup
+    * pair generators emit). All outputs are exact integers; clustering
+    * = 2T/(d(d−1)) is an exact-int IEEE ratio — no rounding needed. */
+  def triangleStats(pairs: DataFrame, aCol: String = "id_a",
+                    bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    // orient up the (degree, id) total order; keep the head's order key
+    // so the wedge join can order its two out-neighbors without a third
+    // degree lookup
+    val o = und.join(du, Seq("u")).join(dv, Seq("v"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv"))
+    val x = o.select(col("u"), col("v"), col("dv").as("dv1"))
+    val y = o.select(col("u"), col("v").as("w"), col("dv").as("dv2"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val tri = wedges.join(
+      o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
+      "left_semi")
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("id"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("d") > 1,
+          coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
+            (col("d") * (col("d") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -190,4 +190,67 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ma("s0") == mc("s0") && ma("s1") == mc("s1")) // untouched shards
     assert(ma("s2")._3 != mc("s2")._3 && ma("s2")._4 != mc("s2")._4)
   }
+
+  test("consensusVote: per-signal flags, vote gate, directed dedupe") {
+    import spark.implicits._
+    val s1 = Seq((1L, 2L), (1L, 3L), (1L, 2L)).toDF("id_a", "id_b") // dup row
+    val s2 = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val s3 = Seq((1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.consensusVote(
+        Seq("a" -> s1, "b" -> s2, "c" -> s3), minVotes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set((1L, 2L, 1L, 1L, 0L, 2L), (1L, 3L, 1L, 0L, 1L, 2L),
+      (4L, 5L, 0L, 1L, 1L, 2L)))
+  }
+
+  test("thresholdSweep: complete grid, monotone counts, exact at gate") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.6), (2L, 3L, 0.6),
+      (4L, 5L, 0.31)).toDF("id_a", "id_b", "score")
+    val out = Dedup.thresholdSweep(pairs, "score",
+        Seq(0.3, 0.6, 0.8, 0.95))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((0.3, 4L, 5L), (0.6, 3L, 3L), (0.8, 1L, 2L),
+      (0.95, 0L, 0L)), s"got $out")  // 0.95 present with zeros
+    // monotone non-increasing in both counts
+    assert(out.sliding(2).forall(w =>
+      w(1)._2 <= w(0)._2 && w(1)._3 <= w(0)._3))
+  }
+
+  test("prefixFamilies: same head groups, family keyed by min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "Alpha Beta gamma one two"),
+      (11L, "alpha beta GAMMA three four"),   // same 3-token head (lower)
+      (12L, "different head entirely five six"),
+      (13L, "alpha beta delta seven"))        // differs at token 3
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixFamilies(docs, "doc_id", "text", anchorTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set((10L, "alpha beta gamma", 10L, 2L),
+      (11L, "alpha beta gamma", 10L, 2L)))
+  }
+
+  test("tfidfTopK: rare terms beat common, rank ties break on token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common unique2 rare1"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val out = Frequency.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(4)),
+        (r.getString(1), r.getLong(2)))).toMap
+    // doc 1: 'rare1' (df 2) has idf (3-2+.5)/(2+.5)=0.6 → 0.6;
+    //        'common' tf 3 × idf (3-3+.5)/(3.5)=1/7 → ~0.4286 — rare wins
+    assert(out((1L, 1L)) == (("rare1", 1L)))
+    assert(out((1L, 2L)) == (("common", 3L)))
+    // doc 2: unique2 idf (3-1+.5)/1.5 = 5/3 → top
+    assert(out((2L, 1L)) == (("unique2", 1L)))
+    assert(out((2L, 2L)) == (("rare1", 1L)))
+    // doc 3: only one distinct token → only one row
+    assert(!out.contains((3L, 2L)) && out((3L, 1L))._1 == "common")
+  }
 }

@@ -166,4 +166,32 @@ class GraphSpec extends AnyFunSuite {
     Checkpoints.release(labels)
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("triangleStats: clique, chain, and brute-force equality") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, every node in 3), a chain 5-6-7 (none),
+    // and a pendant 4-5 bridging them
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = graft.operators.Graph.triangleStats(pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(4L) == ((4L, 3L, 0.5)))       // K4 member + pendant
+    assert(out(5L) == ((2L, 0L, 0.0)))
+    assert(out(7L) == ((1L, 0L, 0.0)))       // degree-1 → cc 0, not NaN
+    // brute force on a pseudo-random graph (deterministic edge set)
+    val es = (for (a <- 1L to 24L; b <- (a + 1) to 24L
+      if (a * 31 + b * 17) % 5 == 0) yield (a, b))
+    val got = graft.operators.Graph.triangleStats(es.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = adj.map { case (n, nb) =>
+      val t = nb.toSeq.combinations(2).count(p => adj(p(0)).contains(p(1)))
+      (n, nb.size.toLong, t.toLong)
+    }.toSet
+    assert(got == want)
+  }
 }
