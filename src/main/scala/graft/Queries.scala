@@ -8949,7 +8949,76 @@ object Queries {
              |      ORDER BY score DESC, tok) AS BIGINT) AS rank
              |  FROM sc)
              |SELECT doc_id, tok, tf, round(score, 6) AS score, rank
-             |FROM r WHERE rank <= 3""".stripMargin)))
+             |FROM r WHERE rank <= 3""".stripMargin)),
+
+    Q("q221_event_funnel",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // strict-order funnel view → click → purchase: per stage, users
+        // reaching it (each stage strictly AFTER the user's previous
+        // frontier) and the exact total lag from stage 1 in integer µs.
+        // No per-user ordering window — each stage is one min-aggregate
+        // over that type's slice plus one user-keyed frontier join.
+        Sessionize.funnel(tbl("events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+      },
+      Some("""WITH e AS (SELECT user_id AS u, event_type AS et,
+             |    epoch_us(ts) AS t FROM events),
+             |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'view'
+             |       GROUP BY u),
+             |s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 USING (u)
+             |       WHERE et = 'click' AND t > t1 GROUP BY e.u),
+             |s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 USING (u)
+             |       WHERE et = 'purchase' AND t > t2 GROUP BY e.u)
+             |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+             |UNION ALL
+             |SELECT 2, 'click', CAST(count(*) AS BIGINT),
+             |  CAST(coalesce(sum(t2 - t1), 0) AS BIGINT)
+             |FROM s2 JOIN s1 USING (u)
+             |UNION ALL
+             |SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+             |  CAST(coalesce(sum(t3 - t1), 0) AS BIGINT)
+             |FROM s3 JOIN s1 USING (u)""".stripMargin)),
+
+    Q("q222_retention_cohorts",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // weekly retention: users grouped by first-activity week,
+        // counted once per (cohort, offset) week they return — integer
+        // day/week buckets off the corpus-wide day0 (no calendar
+        // semantics to diverge cross-engine); day0 is a 1-row broadcast.
+        Sessionize.retentionCohorts(tbl("events"), "user_id", "ts")
+      },
+      Some("""WITH e AS (SELECT user_id AS u,
+             |    epoch_us(ts) // 86400000000 AS d FROM events),
+             |d0 AS (SELECT min(d) AS d0 FROM e),
+             |wk AS (SELECT DISTINCT u, (d - d0) // 7 AS week FROM e, d0),
+             |c AS (SELECT u, min(week) AS cohort_week FROM wk GROUP BY u)
+             |SELECT cohort_week, week - cohort_week AS week_offset,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM wk JOIN c USING (u) GROUP BY 1, 2""".stripMargin)),
+
+    Q("q223_event_transitions",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // first-order Markov transition matrix over per-user event
+        // sequences, ordered by (µs, event_id) so concurrent events are
+        // deterministic; p is an exact integer ratio. The only exchange
+        // is the per-user ordering window (activity grain) plus a
+        // |types|²-bounded aggregate.
+        Sessionize.transitionMatrix(tbl("events"), "user_id", "ts",
+          "event_id", "event_type")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS from_type
+             |  FROM events),
+             |c AS (SELECT from_type, event_type AS to_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  CAST(c.n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+             |FROM c JOIN t USING (from_type)""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula
