@@ -9018,7 +9018,112 @@ object Queries {
              |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
              |SELECT c.from_type, c.to_type, c.n,
              |  CAST(c.n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
-             |FROM c JOIN t USING (from_type)""".stripMargin)))
+             |FROM c JOIN t USING (from_type)""".stripMargin)),
+
+    Q("q224_max_coverage_select",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // greedy max-coverage data selection (the submodular coverage
+        // objective; lexical sibling of q177's k-center): 5 rounds,
+        // each the doc adding the most UNCOVERED 3-gram shingles, ties
+        // → id. The oracle replays the greedy trajectory as 5 unrolled
+        // rounds on exact shingle strings — a wrong marginal, a stale
+        // covered set, or a tie broken by anything but id hash-fails.
+        operators.Selection.maxCoverageSelect(tbl("documents"),
+          "doc_id", "text", k = 5, shingleLen = 3)
+          .select(col("round"), col("id").as("doc_id"),
+            col("marginal_gain"), col("covered_total"))
+      },
+      Some {
+        val rounds = (2 to 5).map { r =>
+          s"""m$r AS (SELECT doc_id, count(*) AS g FROM e
+             |  WHERE s NOT IN (SELECT s FROM c${r - 1}) GROUP BY 1),
+             |w$r AS (SELECT doc_id, g FROM m$r
+             |        ORDER BY g DESC, doc_id LIMIT 1),
+             |c$r AS (SELECT s FROM c${r - 1} UNION
+             |        SELECT s FROM e
+             |        WHERE doc_id = (SELECT doc_id FROM w$r))""".stripMargin
+        }.mkString(",\n")
+        val sel = (2 to 5).map(r =>
+          s"""UNION ALL SELECT CAST($r AS BIGINT), doc_id,
+             |  CAST(g AS BIGINT),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM c$r) FROM w$r""".stripMargin)
+          .mkString("\n")
+        s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+           |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           |m1 AS (SELECT doc_id, count(*) AS g FROM e GROUP BY 1),
+           |w1 AS (SELECT doc_id, g FROM m1 ORDER BY g DESC, doc_id
+           |       LIMIT 1),
+           |c1 AS (SELECT DISTINCT s FROM e
+           |       WHERE doc_id = (SELECT doc_id FROM w1)),
+           |$rounds
+           |SELECT CAST(1 AS BIGINT) AS round, doc_id,
+           |  CAST(g AS BIGINT) AS marginal_gain,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total
+           |FROM w1
+           |$sel""".stripMargin
+      }),
+
+    Q("q225_jl_projection",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // Johnson-Lindenstrauss ±1 projection (Achlioptas 2003) 64→16
+        // with a distance-preservation audit on sampled pairs. The sign
+        // matrix is md5-parity-derived — data-independent AND
+        // SQL-replayable, so unlike the PCA family (eigensolver →
+        // invariant oracle) this projection gets a full VALUE-level
+        // oracle: the projection, both squared distances (rounded 6 on
+        // the q177 list_sum device), and the distortion ratio all
+        // hash-compare. The kernel is one narrow codegen'd matVec —
+        // a pure map at 100 TB.
+        val emb = tbl("embeddings")
+          .filter(col("vec_id") % 37 === 0 || col("vec_id") % 41 === 0)
+        val proj = operators.Embeddings.jlProject(emb, "embedding",
+          outDim = 16, dim = 64)
+        val a = proj.filter(col("vec_id") % 37 === 0)
+          .select(col("vec_id").as("id_a"),
+            graft.functions.Vectors.toDouble(col("embedding")).as("va"),
+            col("jl").as("ja"))
+        val b = proj.filter(col("vec_id") % 41 === 0)
+          .select(col("vec_id").as("id_b"),
+            graft.functions.Vectors.toDouble(col("embedding")).as("vb"),
+            col("jl").as("jb"))
+        a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(graft.plans.exprs.sqL2(col("va"), col("vb")), 6)
+              .as("d2_orig"),
+            round(graft.plans.exprs.sqL2(col("ja"), col("jb")), 6)
+              .as("d2_jl"))
+          .filter(col("d2_orig") > 0)
+          .withColumn("distortion",
+            col("d2_jl") / (lit(16.0) * col("d2_orig")))
+      },
+      Some {
+        def digit(arg: String) = {
+          val a = s"ascii(substr(md5($arg), 1, 1))"
+          s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+        }
+        val comps = (0 until 16).map { j =>
+          val sgn = s"(CASE WHEN ${digit(s"'jl:$j:' || (i - 1)")} % 2 = 0" +
+            " THEN 1.0 ELSE -1.0 END)"
+          s"list_sum(list_transform(range(1, 65), i -> v[i] * $sgn))"
+        }.mkString("[\n", ",\n", "\n]")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings
+           |  WHERE vec_id % 37 = 0 OR vec_id % 41 = 0),
+           |p AS (SELECT vec_id, v, $comps AS jl FROM v),
+           |a AS (SELECT vec_id AS id_a, v AS va, jl AS ja FROM p
+           |      WHERE vec_id % 37 = 0),
+           |b AS (SELECT vec_id AS id_b, v AS vb, jl AS jb FROM p
+           |      WHERE vec_id % 41 = 0),
+           |dd AS (SELECT id_a, id_b,
+           |    round(list_sum(list_transform(range(1, 65),
+           |      i -> (va[i] - vb[i]) * (va[i] - vb[i]))), 6) AS d2_orig,
+           |    round(list_sum(list_transform(range(1, 17),
+           |      i -> (ja[i] - jb[i]) * (ja[i] - jb[i]))), 6) AS d2_jl
+           |  FROM a, b WHERE id_a < id_b)
+           |SELECT id_a, id_b, d2_orig, d2_jl,
+           |  d2_jl / (16.0 * d2_orig) AS distortion
+           |FROM dd WHERE d2_orig > 0""".stripMargin
+      }))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

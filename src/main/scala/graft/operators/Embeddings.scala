@@ -264,4 +264,33 @@ object Embeddings {
             (col("n") * (col("n") - 1)).cast("double"))
           .as("mean_cos")): _*)
   }
+
+  /** The ±1 Johnson-Lindenstrauss sign matrix, derived from md5 parity
+    * of (salt:j:i) — data-independent, seedless, and REPLAYABLE in any
+    * engine that has md5 (the [[Sampling.hexInt]] philosophy applied to
+    * a projection matrix: determinism comes from content hashing, never
+    * an RNG). Achlioptas 2003 showed ±1 entries satisfy the JL lemma
+    * with the same guarantees as Gaussians. */
+  def jlSignMatrix(outDim: Int, dim: Int, salt: String): Array[Array[Double]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$j:$i".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0 — the HexIntSql digit
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Johnson-Lindenstrauss projection to `outDim` dims: appends `jl` =
+    * S·v with the [[jlSignMatrix]] signs. ONE narrow codegen'd matVec
+    * kernel (bit-identical sequential accumulation per output axis —
+    * the [[pcaProject]] plan shape), zero shuffle, zero state, and the
+    * matrix is plan-time literals: at 100 TB this is a pure map over
+    * the corpus. Distance preservation: E‖Sv‖² = outDim·‖v‖², so
+    * downstream consumers compare d²_jl / (outDim · d²) against the JL
+    * distortion band (the q225 audit). */
+  def jlProject(emb: DataFrame, vecCol: String, outDim: Int, dim: Int,
+                salt: String = "jl"): DataFrame = {
+    require(outDim >= 1 && dim >= 1, "dims must be positive")
+    emb.withColumn("jl", graft.plans.exprs.matVec(col(vecCol),
+      jlSignMatrix(outDim, dim, salt).flatten, Array.fill(outDim)(0.0), dim))
+  }
 }

@@ -430,4 +430,60 @@ object Selection {
         wanted - lit(maxEpochs) * col("n_avail").cast("double"))
         .otherwise(lit(0.0)), 2).as("tokens_deficit"))
   }
+
+  /** Greedy MAX-COVERAGE selection — the submodular data-subset
+    * primitive (facility location over lexical features; Wei et al.
+    * ICML 2015's coverage objective): pick k documents whose shingle
+    * sets jointly cover the most of the corpus vocabulary, one
+    * farthest-marginal winner per round (the (1−1/e) greedy guarantee;
+    * the lexical sibling of the embedding-space k-center in
+    * [[Similarity.kCenterSelect]]). Ties break on id, so the greedy
+    * trajectory is fully deterministic and oracle-replayable.
+    *
+    * Scale shape: the (id, shingle-hash) index is checkpointed ONCE
+    * and re-read k times — per round, one anti-join against the covered
+    * set (≤ k·shingles-per-doc hashes, broadcast-small by
+    * construction), one id-grain count, one TakeOrderedAndProject →
+    * 1-row driver argmax (the CentroidSet division of labor: the
+    * driver holds winners, never the corpus). Superseded covered-set
+    * checkpoints release per round (the PageRank discipline). The
+    * k ≫ 10² path is lazy-greedy/CELF (marginals are monotone
+    * non-increasing, so stale upper bounds prune re-evaluation) —
+    * documented, not needed at report-sized k. All-integer output. */
+  def maxCoverageSelect(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleLen: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val session = docs.sparkSession
+    import session.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        explode(graft.functions.Text.shingles(lower(col(textCol)),
+          shingleLen)).as("sh_s"))
+      .select(col("id"), xxhash64(col("sh_s")).as("sh"))
+      .localCheckpoint(true)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var covered: DataFrame = null
+    var done = false
+    var r = 1
+    while (r <= k && !done) {
+      val rem = if (covered == null) base
+        else base.join(broadcast(covered), Seq("sh"), "left_anti")
+      val top = rem.groupBy("id").agg(count(lit(1)).as("g"))
+        .orderBy(col("g").desc, col("id")).limit(1).collect()
+      if (top.isEmpty) done = true // everything covered: greedy stops
+      else {
+        val (winner, gain) = (top(0).getLong(0), top(0).getLong(1))
+        val nextCov0 = base.filter(col("id") === winner).select("sh")
+        val nextCov = (if (covered == null) nextCov0
+          else covered.unionByName(nextCov0)).distinct().localCheckpoint(true)
+        val total = nextCov.count()
+        if (covered != null) Checkpoints.release(covered)
+        covered = nextCov
+        acc += ((r.toLong, winner, gain, total))
+        r += 1
+      }
+    }
+    if (covered != null) Checkpoints.release(covered)
+    Checkpoints.release(base)
+    acc.toSeq.toDF("round", "id", "marginal_gain", "covered_total")
+  }
 }

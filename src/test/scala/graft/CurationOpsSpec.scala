@@ -234,6 +234,45 @@ class CurationOpsSpec extends AnyFunSuite {
       (11L, "alpha beta gamma", 10L, 2L)))
   }
 
+  test("maxCoverageSelect: greedy trajectory matches brute force, stops when covered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),         // 4 distinct 3-shingles
+      (2L, "a b c"),               // subset of 1
+      (3L, "x y z w"),             // disjoint, 2 shingles
+      (4L, "x y z"))               // subset of 3
+      .toDF("doc_id", "text")
+    val out = graft.operators.Selection
+      .maxCoverageSelect(docs, "doc_id", "text", k = 4, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    // round 1: doc 1 (4 shingles); round 2: doc 3 (2 new); rounds 3+:
+    // everything remaining is covered → greedy stops at 2 rows
+    assert(out == Seq((1L, 1L, 4L, 4L), (2L, 3L, 2L, 6L)), s"got $out")
+    // marginal gains are non-increasing (submodularity of coverage)
+    assert(out.map(_._3).sliding(2).forall(w => w.last <= w.head))
+  }
+
+  test("jlProject: ±1 matrix deterministic, projection equals driver matmul") {
+    import spark.implicits._
+    val m = graft.operators.Embeddings.jlSignMatrix(4, 8, "jl")
+    assert(m.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(m.map(_.toSeq).toSeq ==
+      graft.operators.Embeddings.jlSignMatrix(4, 8, "jl").map(_.toSeq).toSeq)
+    val vecs = Seq((1L, (1 to 8).map(_.toFloat).toArray),
+        (2L, (1 to 8).map(i => (9 - i).toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Embeddings
+      .jlProject(vecs, "embedding", outDim = 4, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toSeq).toMap
+    val want = Map(
+      1L -> m.map(row => row.zipWithIndex.map { case (s, i) =>
+        s * (i + 1).toDouble }.sum).toSeq,
+      2L -> m.map(row => row.zipWithIndex.map { case (s, i) =>
+        s * (8 - i).toDouble }.sum).toSeq)
+    assert(got == want)
+  }
+
   test("tfidfTopK: rare terms beat common, rank ties break on token") {
     import spark.implicits._
     val docs = Seq(
