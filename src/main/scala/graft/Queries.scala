@@ -9123,7 +9123,102 @@ object Queries {
            |SELECT id_a, id_b, d2_orig, d2_jl,
            |  d2_jl / (16.0 * d2_orig) AS distortion
            |FROM dd WHERE d2_orig > 0""".stripMargin
-      }))
+      }),
+
+    Q("q226_manifest_merge",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // mergeability of the shard checksums: the corpus splits into
+        // an "old" slice and a "delta" slice, each gets its own q215
+        // manifest, and the MERGE of the two (counts add, checksums add
+        // mod p) must equal the direct full-corpus manifest — which is
+        // exactly what the oracle computes. Incremental ingest keeps
+        // the corpus manifest current at delta cost; a wrong modulus
+        // composition or a dropped part hash-fails here.
+        val docs = tbl("documents")
+        val mOld = operators.Maintenance.shardManifest(
+          docs.filter(col("doc_id") % 3 =!= 0), Seq("lang", "source"),
+          "doc_id", col("text"))
+        val mDelta = operators.Maintenance.shardManifest(
+          docs.filter(col("doc_id") % 3 === 0), Seq("lang", "source"),
+          "doc_id", col("text"))
+        operators.Maintenance.mergeManifests(Seq(mOld, mDelta),
+          Seq("lang", "source"))
+      },
+      Some(s"""WITH r AS (SELECT lang, source,
+              |    CAST(doc_id AS VARCHAR) || ':' || text AS rk,
+              |    strlen(text) AS nb
+              |  FROM documents)
+              |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+              |  CAST(sum(${HexIntSql("rk", ":manifest.a")})
+              |    % 2305843009213693951 AS BIGINT) AS checksum_a,
+              |  CAST(sum(${HexIntSql("rk", ":manifest.b")})
+              |    % 2305843009213693951 AS BIGINT) AS checksum_b
+              |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    Q("q227_knn_outliers",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // density outliers (Ramaswamy et al. 2000): distance to the
+        // 5th nearest neighbor, top-10 by score — the embedding-space
+        // junk screen. Broadcast sampled queries, ONE corpus scan,
+        // per-query WindowGroupLimit; distances round at 6 before the
+        // outlier ranking (ties → id) so the table hash-replays on the
+        // q177 list_sum device.
+        val emb = tbl("embeddings")
+        operators.Similarity.knnOutliers(emb,
+          emb.filter(col("vec_id") % 23 === 0), "vec_id", "embedding",
+          k = 5, topN = 10)
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM v
+             |      WHERE vec_id % 23 = 0),
+             |dd AS (SELECT qid, vec_id AS nid,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> (qv[i] - v.v[i]) * (qv[i] - v.v[i]))) AS dist
+             |  FROM q, v WHERE vec_id <> qid),
+             |r AS (SELECT qid, dist, row_number() OVER
+             |        (PARTITION BY qid ORDER BY dist, nid) AS rnk
+             |      FROM dd),
+             |kth AS (SELECT qid AS id, round(dist, 6) AS knn_dist
+             |        FROM r WHERE rnk = 5),
+             |top AS (SELECT id, knn_dist, CAST(row_number() OVER
+             |          (ORDER BY knn_dist DESC, id) AS BIGINT) AS rank
+             |        FROM kth)
+             |SELECT id, knn_dist, rank FROM top WHERE rank <= 10""".stripMargin)),
+
+    Q("q228_label_agreement",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // kNN label-agreement mislabel screen: for each sampled labeled
+        // vector, how many of its 5 nearest neighbors share its label;
+        // suspected = fewer than 2 (an integer gate — no float can flip
+        // it). The per-class consensus filter noisy-label curation runs
+        // before training classifiers (q146/q151) on the labels.
+        val emb = tbl("embeddings")
+        operators.Similarity.labelAgreement(emb,
+          emb.filter(col("vec_id") % 23 === 0), "vec_id", "embedding",
+          "label", k = 5, minAgree = 2)
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+             |      FROM v WHERE vec_id % 23 = 0),
+             |dd AS (SELECT qid, qlabel, vec_id AS nid, label AS nlabel,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> (qv[i] - v.v[i]) * (qv[i] - v.v[i]))) AS dist
+             |  FROM q, v WHERE vec_id <> qid),
+             |r AS (SELECT qid, qlabel, nlabel, row_number() OVER
+             |        (PARTITION BY qid ORDER BY dist, nid) AS rnk
+             |      FROM dd),
+             |g AS (SELECT qid AS id, CAST(qlabel AS BIGINT) AS label,
+             |    CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_agree
+             |  FROM r WHERE rnk <= 5 GROUP BY 1, 2)
+             |SELECT id, label, n_agree,
+             |  CAST(n_agree AS DOUBLE) / 5.0 AS agreement,
+             |  CAST(CASE WHEN n_agree < 2 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS suspected
+             |FROM g""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

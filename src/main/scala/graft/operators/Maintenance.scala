@@ -110,4 +110,25 @@ object Maintenance {
         expr("CAST(__ca % 2305843009213693951 AS BIGINT)").as("checksum_a"),
         expr("CAST(__cb % 2305843009213693951 AS BIGINT)").as("checksum_b")): _*)
   }
+
+  /** MERGE of [[shardManifest]] outputs — the property that makes the
+    * checksums a distributed-systems primitive rather than a report:
+    * sums mod p compose, so manifest(old ∪ delta) = merge(manifest(old),
+    * manifest(delta)) without ever rescanning old data. An incremental
+    * ingest maintains the corpus manifest at DELTA cost; a backfill
+    * audit verifies merge-of-parts against a direct scan (q226's
+    * oracle). Pure unit-grain arithmetic; DECIMAL-exact before the
+    * modulus so part counts never overflow-wrap. */
+  def mergeManifests(parts: Seq[DataFrame],
+                     partCols: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "parts must be non-empty")
+    parts.reduce(_ unionByName _)
+      .groupBy(partCols.map(col): _*)
+      .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(col("n_bytes")).cast("long").as("n_bytes"),
+        expr("CAST(sum(CAST(checksum_a AS DECIMAL(38,0)))" +
+          " % 2305843009213693951 AS BIGINT)").as("checksum_a"),
+        expr("CAST(sum(CAST(checksum_b AS DECIMAL(38,0)))" +
+          " % 2305843009213693951 AS BIGINT)").as("checksum_b"))
+  }
 }

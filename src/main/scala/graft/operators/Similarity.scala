@@ -91,6 +91,61 @@ object Similarity {
         col("rnk").cast("long").as("rnk"), col("dist"))
   }
 
+  /** k-NN-DISTANCE outliers — the density-based cleaning pass embedding
+    * pipelines run before dedup/clustering (Ramaswamy et al. SIGMOD
+    * 2000's "distance to the k-th neighbor" score): points whose k-th
+    * nearest neighbor is farthest sit in sparse regions — encoding
+    * failures, off-distribution junk, adversarial inserts. Returns the
+    * `topN` highest-scoring query points with deterministic ranks.
+    *
+    * Scale shape: [[bruteForceTopKL2]]'s broadcast-queries/one-corpus-
+    * scan shape (queries are a SAMPLE — the standard audit regime; the
+    * full-corpus variant routes through the IVF/PQ machinery instead);
+    * the k-th-distance extraction and the final rank window run at
+    * query grain. Distances round at 6 before ranking (ties → id), so
+    * the outlier table hash-replays. */
+  def knnOutliers(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, topN: Int): DataFrame = {
+    require(k >= 1 && topN >= 1, "k and topN must be positive")
+    val kth = bruteForceTopKL2(corpus, queries, idCol, vecCol, k)
+      .filter(col("rnk") === k)
+      .select(col("query_id").as("id"), round(col("dist"), 6).as("knn_dist"))
+    kth.orderBy(col("knn_dist").desc, col("id")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("knn_dist").desc, col("id"))).cast("long"))
+  }
+
+  /** k-NN LABEL-AGREEMENT noise detection — the deep-kNN mislabel
+    * screen (Papernot & McDaniel 2018's neighborhood-conformity idea at
+    * curation grain): a labeled point whose nearest neighbors
+    * overwhelmingly carry a DIFFERENT label is a suspected annotation
+    * error. Emits per sampled point its label, the agreeing-neighbor
+    * count, the exact-ratio agreement, and a 0/1 `suspected` flag
+    * (agreement < minAgree, gated as an INTEGER compare so the flag
+    * cannot flip cross-engine).
+    *
+    * Scale shape: one broadcast-queries corpus scan for the k-NN, one
+    * query-grain aggregate; the label join on the neighbor side rides
+    * the same scan. */
+  def labelAgreement(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String, k: Int,
+                     minAgree: Int): DataFrame = {
+    require(k >= 1 && minAgree >= 0, "k must be positive")
+    val nn = bruteForceTopKL2(corpus, queries, idCol, vecCol, k)
+    val nl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("__nl"))
+    val ql = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("label")))
+    nn.join(nl, Seq("neighbor_id")).join(ql, Seq("query_id"))
+      .groupBy(col("query_id").as("id"), col("label"))
+      .agg(sum(when(col("__nl") === col("label"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .select(col("id"), col("label"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(k.toDouble)).as("agreement"),
+        graft.functions.Clean.flag(col("n_agree") < minAgree).as("suspected"))
+  }
+
   /** HARD-NEGATIVE mining for embedding/retrieval training: for each
     * query vector, the top-k most-similar vectors of a DIFFERENT class
     * that are not near-duplicates (`cos < dupThreshold` screens out

@@ -191,6 +191,56 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ma("s2")._3 != mc("s2")._3 && ma("s2")._4 != mc("s2")._4)
   }
 
+  test("mergeManifests: merge of parts equals the direct full manifest") {
+    import spark.implicits._
+    val rows = (1 to 90).map(i => (s"s${i % 4}", i.toLong, s"text $i"))
+    val full = rows.toDF("src", "id", "text")
+    // uneven split: shard s3 lives ONLY in part b's slice for ids > 60
+    val a = rows.filter(_._2 <= 60).toDF("src", "id", "text")
+    val b = rows.filter(_._2 > 60).toDF("src", "id", "text")
+    def mf(df: org.apache.spark.sql.DataFrame) =
+      Maintenance.shardManifest(df, Seq("src"), "id", col("text"))
+    val merged = Maintenance.mergeManifests(Seq(mf(a), mf(b)), Seq("src"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val direct = mf(full)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(merged == direct)
+  }
+
+  test("knnOutliers: a planted far point ranks first") {
+    import spark.implicits._
+    // a tight cluster around the origin plus one far outlier; every
+    // point is also a query so the outlier must rank itself first
+    val vecs = (1L to 30L).map(i =>
+        (i, Array.tabulate(4)(j => ((i * 7 + j) % 5).toFloat / 10f))) :+
+      (99L, Array(50f, 50f, 50f, 50f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.knnOutliers(emb, emb,
+        "vec_id", "embedding", k = 3, topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.head == ((99L, 1L)), s"got ${out.mkString(",")}")
+  }
+
+  test("labelAgreement: a mislabeled point inside a tight cluster flags") {
+    import spark.implicits._
+    // cluster A (label 0) at ~origin, cluster B (label 1) far away;
+    // vec 5 sits in cluster A but carries label 1 → 0/3 agreement
+    val vecs =
+      (1L to 4L).map(i => (i, Array(0f, i.toFloat / 100f), 0)) ++
+      Seq((5L, Array(0f, 0.025f), 1)) ++
+      (11L to 14L).map(i => (i, Array(90f, i.toFloat), 1))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.labelAgreement(emb, emb,
+        "vec_id", "embedding", "label", k = 3, minAgree = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(5L) == ((0L, 0.0, 1L)), s"got ${out(5L)}")   // flagged
+    assert(out(12L)._3 == 0L && out(12L)._1 == 3L)          // clean B
+    assert(out(1L)._3 == 0L)                                // clean A
+  }
+
   test("consensusVote: per-signal flags, vote gate, directed dedupe") {
     import spark.implicits._
     val s1 = Seq((1L, 2L), (1L, 3L), (1L, 2L)).toDF("id_a", "id_b") // dup row
