@@ -9218,7 +9218,216 @@ object Queries {
              |  CAST(n_agree AS DOUBLE) / 5.0 AS agreement,
              |  CAST(CASE WHEN n_agree < 2 THEN 1 ELSE 0 END AS BIGINT)
              |    AS suspected
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    Q("q229_streaming_manifest",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STREAMING shard-manifest maintenance — q226's mergeability at
+        // ingestion time (the q196 store discipline): each micro-batch
+        // contributes its own manifest, merged into the running store
+        // (read store_{b-1}, merge, write store_b; AvailableNow
+        // serializes the chain). Per-batch cost ∝ batch + |units|;
+        // history is NEVER rescanned and never re-checksummed. The
+        // oracle is the MONOLITHIC full-corpus manifest — the mod-p sum
+        // identity makes streaming accumulation exactly equal to having
+        // seen the corpus at once.
+        import java.nio.file.Files
+        val docs = tbl("documents").select(col("doc_id"), col("lang"),
+          col("source"), col("text"))
+        val dir = tempStagingDir("graft_q229_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        stageStreamFile(docs.filter(col("doc_id") % 2 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(docs.filter(col("doc_id") % 2 =!= 0), src,
+          "batch_b", now - 60000)
+        val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val bm = operators.Maintenance.shardManifest(batch,
+            Seq("lang", "source"), "doc_id", col("text"))
+          val merged =
+            if (batchId == 0) bm
+            else operators.Maintenance.mergeManifests(Seq(bm,
+              batch.sparkSession.read.parquet(s"$out/store_${batchId - 1}")),
+              Seq("lang", "source"))
+          merged.write.mode("overwrite").parquet(s"$out/store_$batchId")
+        }
+        val query = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$out/store_1")
+      },
+      Some(s"""WITH r AS (SELECT lang, source,
+              |    CAST(doc_id AS VARCHAR) || ':' || text AS rk,
+              |    strlen(text) AS nb
+              |  FROM documents)
+              |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+              |  CAST(sum(${HexIntSql("rk", ":manifest.a")})
+              |    % 2305843009213693951 AS BIGINT) AS checksum_a,
+              |  CAST(sum(${HexIntSql("rk", ":manifest.b")})
+              |    % 2305843009213693951 AS BIGINT) AS checksum_b
+              |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    Q("q230_jl_ann_recall",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // recall of brute-force kNN run in the 16-dim JL space against
+        // the exact 64-dim ground truth — the measured answer to "how
+        // much ANN quality does 4× dimensionality reduction cost".
+        // Both spaces are deterministic and SQL-replayable (the q225
+        // sign matrix), so per-query overlap counts are oracle-exact —
+        // a recall degradation from a wrong projection or a tie
+        // mis-break hash-fails.
+        val emb = tbl("embeddings")
+        val queries = emb.filter(col("vec_id") % 29 === 0)
+        val exact = operators.Similarity.bruteForceTopKL2(emb, queries,
+          "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+        val proj = operators.Embeddings.jlProject(emb, "embedding",
+          outDim = 16, dim = 64)
+        val jlNN = operators.Similarity.bruteForceTopKL2(
+          proj.select(col("vec_id"), col("jl")),
+          proj.filter(col("vec_id") % 29 === 0)
+            .select(col("vec_id"), col("jl")),
+          "vec_id", "jl", k = 5).select("query_id", "neighbor_id")
+        val overlap = exact.join(jlNN, Seq("query_id", "neighbor_id"),
+            "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)).cast("double") / 5.0)
+              .as("recall"))
+      },
+      Some {
+        def digit(arg: String) = {
+          val a = s"ascii(substr(md5($arg), 1, 1))"
+          s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+        }
+        val comps = (0 until 16).map { j =>
+          val sgn = s"(CASE WHEN ${digit(s"'jl:$j:' || (i - 1)")} % 2 = 0" +
+            " THEN 1.0 ELSE -1.0 END)"
+          s"list_sum(list_transform(range(1, 65), i -> v[i] * $sgn))"
+        }.mkString("[\n", ",\n", "\n]")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |          FROM embeddings),
+           |p AS (SELECT vec_id, v, $comps AS jl FROM v),
+           |q AS (SELECT vec_id AS qid, v AS qv, jl AS qjl FROM p
+           |      WHERE vec_id % 29 = 0),
+           |de AS (SELECT qid, p.vec_id AS nid, row_number() OVER
+           |    (PARTITION BY qid ORDER BY list_sum(list_transform(
+           |      range(1, 65), i -> (qv[i] - p.v[i]) * (qv[i] - p.v[i]))),
+           |      p.vec_id) AS rnk
+           |  FROM q, p WHERE p.vec_id <> qid),
+           |dj AS (SELECT qid, p.vec_id AS nid, row_number() OVER
+           |    (PARTITION BY qid ORDER BY list_sum(list_transform(
+           |      range(1, 17), i -> (qjl[i] - p.jl[i]) * (qjl[i] - p.jl[i]))),
+           |      p.vec_id) AS rnk
+           |  FROM q, p WHERE p.vec_id <> qid),
+           |ov AS (SELECT de.qid, count(*) AS n_overlap
+           |  FROM (SELECT qid, nid FROM de WHERE rnk <= 5) de
+           |  JOIN (SELECT qid, nid FROM dj WHERE rnk <= 5) dj
+           |    USING (qid, nid) GROUP BY 1)
+           |SELECT q.qid AS query_id,
+           |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |  CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5.0 AS recall
+           |FROM q LEFT JOIN ov ON ov.qid = q.qid""".stripMargin
+      }),
+
+    Q("q231_curation_v2",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // second-generation curation funnel under ONE oracle, built
+        // from the round-15 operators: boilerplate-block removal →
+        // prefix-family dedup ON THE CLEANED TEXT (cleaning changes
+        // anchors — the coupling a per-stage oracle can't see) →
+        // quality re-score of the cleaned text with a min-length floor.
+        // Full per-doc ledger: what was removed, why a doc dropped,
+        // what survived — the drop-ledger discipline (q178) applied to
+        // the new stages.
+        val cleaned = Dedup.boilerplateBlocks(tbl("documents"), "doc_id",
+          "text", blockTokens = 4, minDocFreq = 2L)
+        val fams = Dedup.prefixFamilies(
+          cleaned.select(col("id"), col("text_clean")), "id",
+          "text_clean", anchorTokens = 8)
+        val dup = fams.filter(col("id") =!= col("family_id"))
+          .select(col("id"), lit(1L).as("is_dup"))
+        cleaned.join(dup, Seq("id"), "left")
+          .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+          .withColumn("quality",
+            round(Text.qualityScore(col("text_clean"), Stopwords), 6))
+          .withColumn("kept", when(col("is_dup") === 0 &&
+              col("n_tok_clean") >= 8 && col("quality") >= 0.5, 1L)
+            .otherwise(0L))
+          .select(col("id").as("doc_id"), col("n_tok_clean"),
+            col("n_blocks_dropped"), col("is_dup"), col("quality"),
+            col("kept"))
+      },
+      Some(s"""WITH st AS (SELECT doc_id, string_split(text, ' ') AS w,
+              |             string_split(lower(text), ' ') AS lw
+              |           FROM documents),
+              |b AS (SELECT st.doc_id, u.pos,
+              |        array_to_string(st.lw[u.pos*4+1 :
+              |          least(len(st.lw), (u.pos+1)*4)], ' ') AS blk,
+              |        st.w[u.pos*4+1 : least(len(st.w), (u.pos+1)*4)]
+              |          AS otoks
+              |      FROM st, unnest(range(0, (len(st.lw)+3)//4)) AS u(pos)),
+              |hot AS (SELECT blk FROM
+              |         (SELECT blk, count(DISTINCT doc_id) AS df
+              |          FROM b GROUP BY blk)
+              |        WHERE df >= 2),
+              |agg AS (SELECT doc_id,
+              |          CAST(sum(len(otoks)) AS BIGINT) AS n_tok_clean,
+              |          string_agg(array_to_string(otoks, ' '), ' '
+              |            ORDER BY pos) AS text_clean
+              |        FROM b WHERE blk NOT IN (SELECT blk FROM hot)
+              |        GROUP BY doc_id),
+              |dr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+              |       FROM b WHERE blk IN (SELECT blk FROM hot)
+              |       GROUP BY doc_id),
+              |cl AS (SELECT st.doc_id,
+              |    coalesce(a.n_tok_clean, CAST(0 AS BIGINT))
+              |      AS n_tok_clean,
+              |    coalesce(a.text_clean, '') AS text_clean,
+              |    coalesce(dr.nd, CAST(0 AS BIGINT)) AS n_blocks_dropped
+              |  FROM st LEFT JOIN agg a USING (doc_id)
+              |          LEFT JOIN dr USING (doc_id)),
+              |anch AS (SELECT doc_id, array_to_string(
+              |    string_split(lower(text_clean), ' ')[1:8], ' ')
+              |      AS anchor
+              |  FROM cl),
+              |fam AS (SELECT anchor, min(doc_id) AS family_id
+              |  FROM anch GROUP BY 1 HAVING count(*) >= 2),
+              |dup AS (SELECT a.doc_id, 1 AS is_dup FROM anch a
+              |  JOIN fam f USING (anchor) WHERE a.doc_id <> f.family_id),
+              |m AS (SELECT doc_id, n_tok_clean, n_blocks_dropped,
+              |    len(string_split(text_clean, ' ')) AS n_tok,
+              |    len(list_distinct(string_split(text_clean, ' ')))
+              |      AS n_dis,
+              |    len(list_filter(string_split(text_clean, ' '),
+              |        t -> t IN ($StopSql))) AS n_sw,
+              |    length(text_clean) AS n_ch,
+              |    length(regexp_replace(text_clean, '[[:punct:]]', '',
+              |      'g')) AS n_nopunct
+              |  FROM cl),
+              |sc AS (SELECT doc_id, n_tok_clean, n_blocks_dropped, round(
+              |    least(CAST(n_tok AS DOUBLE) / 50, 1.0) * 0.3
+              |    + (CAST(n_dis AS DOUBLE) / n_tok) * 0.3
+              |    + least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5,
+              |        1.0) * 0.2
+              |    + greatest(0.0, 1.0 - (CAST(n_ch - n_nopunct AS DOUBLE)
+              |        / greatest(n_ch, 1)) * 4) * 0.2, 6) AS quality
+              |  FROM m)
+              |SELECT sc.doc_id, sc.n_tok_clean, sc.n_blocks_dropped,
+              |  CAST(coalesce(dup.is_dup, 0) AS BIGINT) AS is_dup,
+              |  sc.quality,
+              |  CAST(CASE WHEN coalesce(dup.is_dup, 0) = 0
+              |    AND sc.n_tok_clean >= 8 AND sc.quality >= 0.5
+              |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+              |FROM sc LEFT JOIN dup USING (doc_id)""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

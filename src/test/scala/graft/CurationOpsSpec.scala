@@ -241,6 +241,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(1L)._3 == 0L)                                // clean A
   }
 
+  test("curation coupling: boilerplate removal exposes prefix families") {
+    import spark.implicits._
+    // A carries chrome + body, B is the bare body, C shares the chrome:
+    // raw anchors of A and B differ, but after the chrome block (df 2
+    // via A and C) drops, A's cleaned text == B's → they family up.
+    val chrome = "subscribe to our newsletter"
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = Seq((1L, s"$chrome $body"), (2L, body),
+        (3L, s"$chrome totally different tail content here"))
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.boilerplateBlocks(docs, "doc_id", "text", 4, 2L)
+    val fams = Dedup.prefixFamilies(
+        cleaned.select(col("id"), col("text_clean")), "id", "text_clean",
+        anchorTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(fams == Set((1L, 1L, 2L), (2L, 1L, 2L)), s"got $fams")
+    // the RAW prefixes would NOT have familied A with B
+    val rawFams = Dedup.prefixFamilies(docs, "doc_id", "text", 8)
+      .collect()
+    assert(rawFams.isEmpty)
+  }
+
   test("consensusVote: per-signal flags, vote gate, directed dedupe") {
     import spark.implicits._
     val s1 = Seq((1L, 2L), (1L, 3L), (1L, 2L)).toDF("id_a", "id_b") // dup row
