@@ -9427,7 +9427,44 @@ object Queries {
               |  CAST(CASE WHEN coalesce(dup.is_dup, 0) = 0
               |    AND sc.n_tok_clean >= 8 AND sc.quality >= 0.5
               |    THEN 1 ELSE 0 END AS BIGINT) AS kept
-              |FROM sc LEFT JOIN dup USING (doc_id)""".stripMargin)))
+              |FROM sc LEFT JOIN dup USING (doc_id)""".stripMargin)),
+
+    Q("q232_robust_scaling",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // median/MAD robust z-scores of per-doc token counts within
+        // each language — the signal-normalization step before fusing
+        // incommensurable quality signals (mean/stddev is what a heavy
+        // tail corrupts). Median and MAD ride the q87 exact-percentile
+        // device, so z is a quotient of exact operands and the |z| > 3
+        // outlier gate cannot flip cross-engine.
+        operators.Quality.robustZ(
+            tbl("documents").select(col("lang"), col("doc_id"),
+              Text.tokenCount(col("text")).as("n_tok")),
+            "lang", col("n_tok"))
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+            round(col("z"), 6).as("z"), col("is_outlier"))
+      },
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |med AS (SELECT lang, quantile_cont(n_tok, 0.5) AS med
+             |        FROM b GROUP BY 1),
+             |dev AS (SELECT b.*, med,
+             |    abs(CAST(n_tok AS DOUBLE) - med) AS ad
+             |  FROM b JOIN med USING (lang)),
+             |mad AS (SELECT lang, quantile_cont(ad, 0.5) AS mad
+             |        FROM dev GROUP BY 1),
+             |z AS (SELECT doc_id, lang, n_tok, med, mad,
+             |    CASE WHEN mad > 0
+             |      THEN (CAST(n_tok AS DOUBLE) - med) / mad
+             |      ELSE 0.0 END AS z
+             |  FROM dev JOIN mad USING (lang))
+             |SELECT doc_id, lang, n_tok, round(med, 6) AS med,
+             |  round(mad, 6) AS mad, round(z, 6) AS z,
+             |  CAST(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS is_outlier
+             |FROM z""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

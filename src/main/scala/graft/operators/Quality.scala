@@ -567,6 +567,42 @@ object Quality {
         .otherwise(lit(0.0)), 6).as("norm_entropy"))
   }
 
+  /** ROBUST per-group normalization — median/MAD z-scores, the signal-
+    * fusion prerequisite (rank blends and threshold gates assume
+    * comparable scales; mean/stddev scaling is exactly what a heavy
+    * tail corrupts, which is why curation uses the 50%-breakdown
+    * median/MAD pair). Appends `z` = (x − med_g)/MAD_g
+    * (0 when MAD_g = 0 — a constant group has no scale) and an
+    * `is_outlier` flag at |z| > 3.
+    *
+    * Determinism: median and MAD come from exact R-7 percentile
+    * interpolation (the q87 device — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, exact IEEE on integer-grid inputs, and the
+    * absolute deviations of integer values from a .5-grid median stay
+    * on an exact dyadic grid), so z is a quotient of exact operands —
+    * bit-identical cross-engine, no epsilon at the outlier gate.
+    *
+    * Scale shape: two group-grain percentile aggregates (per-group
+    * state ∝ distinct values — bounded for integer telemetry like
+    * token counts) + two broadcast-small group-table joins; the corpus
+    * is scanned twice, never shuffled at row grain. */
+  def robustZ(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(valueCol, lit(0.5)).as("__med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__v", valueCol.cast("double"))
+      .withColumn("__ad", abs(col("__v") - col("__med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("__ad"), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("z", when(col("__mad") > 0,
+        (col("__v") - col("__med")) / col("__mad")).otherwise(lit(0.0)))
+      .withColumn("is_outlier",
+        graft.functions.Clean.flag(abs(col("z")) > 3))
+      .drop("__v", "__ad")
+      .withColumnRenamed("__med", "med").withColumnRenamed("__mad", "mad")
+  }
+
   /** k-ANONYMOUS publication gate for grouped corpus statistics — the
     * privacy floor a released datasheet applies before publishing
     * per-slice numbers (Sweeney 2002's k-anonymity at the aggregate

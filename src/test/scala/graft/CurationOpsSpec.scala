@@ -241,6 +241,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(1L)._3 == 0L)                                // clean A
   }
 
+  test("robustZ: hand-checked median/MAD, constant group guarded") {
+    import spark.implicits._
+    // group a: values 1..9 → med 5, |dev| = {4,3,2,1,0,1,2,3,4} → MAD 2
+    // group b: constant → MAD 0 → z = 0, never outlier
+    // group c: tight cluster + one wild point → outlier flag fires
+    val df = ((1 to 9).map(v => ("a", v.toLong)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L)) ++
+      (Seq(8L, 9L, 10L, 10L, 10L, 11L, 12L, 100L).map("c" -> _)))
+      .toDF("g", "v")
+    val out = graft.operators.Quality.robustZ(df, "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(4), r.getLong(5))).toSeq
+    val aRows = out.filter(_._1 == "a")
+    assert(aRows.find(_._2 == 9L).get._3 == 2.0)   // (9-5)/2
+    assert(aRows.find(_._2 == 1L).get._3 == -2.0)
+    assert(aRows.forall(_._4 == 0L))
+    assert(out.filter(_._1 == "b").forall(r => r._3 == 0.0 && r._4 == 0L))
+    val wild = out.filter(r => r._1 == "c" && r._2 == 100L)
+    assert(wild.nonEmpty && wild.head._4 == 1L, s"got $wild")
+  }
+
   test("curation coupling: boilerplate removal exposes prefix families") {
     import spark.implicits._
     // A carries chrome + body, B is the bare body, C shares the chrome:
