@@ -8638,33 +8638,46 @@ object Queries {
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // k-anonymous datasheet slice: per-(lang, source) row counts
         // and char mass, cells under k=12 suppressed into one rollup
-        // row that preserves the corpus total. All-integer — the gate
-        // and both branches hash-replay exactly.
+        // row that preserves the corpus total; when exactly one cell
+        // is small the smallest VISIBLE cell is co-suppressed
+        // (complementary suppression — a 1-cell rollup re-identifies
+        // its member). All-integer — the gate, the complement pick and
+        // both branches hash-replay exactly.
         operators.Quality.kAnonymizedStats(tbl("documents"),
           Seq("lang", "source"), k = 12L, weight = col("n_chars"))
       },
       Some("""WITH g AS (SELECT lang, source,
              |    CAST(count(*) AS BIGINT) AS n_rows,
              |    CAST(sum(n_chars) AS BIGINT) AS sum_w
-             |  FROM documents GROUP BY 1, 2)
+             |  FROM documents GROUP BY 1, 2),
+             |ns AS (SELECT count(*) FILTER (n_rows < 12) AS n_small
+             |       FROM g),
+             |v AS (SELECT g.*, row_number() OVER
+             |        (ORDER BY n_rows, lang, source) AS rn, ns.n_small
+             |      FROM g, ns WHERE n_rows >= 12),
+             |m AS (SELECT *, (n_small = 1 AND rn = 1) AS supp FROM v)
              |SELECT lang, source, n_rows, CAST(1 AS BIGINT) AS n_groups,
              |  sum_w
-             |FROM g WHERE n_rows >= 12
+             |FROM m WHERE NOT supp
              |UNION ALL
              |SELECT '__suppressed__', '__suppressed__',
              |  CAST(sum(n_rows) AS BIGINT),
              |  CAST(count(*) AS BIGINT), CAST(sum(sum_w) AS BIGINT)
-             |FROM g WHERE n_rows < 12
+             |FROM (SELECT n_rows, sum_w FROM g WHERE n_rows < 12
+             |      UNION ALL
+             |      SELECT n_rows, sum_w FROM m WHERE supp)
              |HAVING count(*) > 0""".stripMargin)),
 
     Q("q213_decayed_topk",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // exponentially-decayed top-20 users by event mass (halflife
         // 2 days, integer age buckets): weights are exact powers of two
-        // on a 2^-40 grid, so per-user sums are EXACT dyadic rationals
-        // — independent of partial-aggregation order, hash-identical in
-        // any engine WITHOUT rounding. t_max is in-plan (1-row
-        // broadcast); the rank window runs over 20 rows.
+        // on a 2^-40 grid, ACCUMULATED AS INTEGER UNITS of 2^-40 in
+        // DECIMAL(38,0) — exact for any event count (a double sum is
+        // only order-independent below ~2^13 events/key), ranked on
+        // the exact unit sum; decayed_w converts to double once for
+        // output. t_max is in-plan (1-row broadcast); the rank window
+        // runs over 20 rows.
         operators.Frequency.decayedTopK(tbl("events"), "user_id", "ts",
             halflifeSec = 172800L, k = 20)
           .select(col("key").as("user_id"), col("decayed_w"),
@@ -8676,13 +8689,15 @@ object Queries {
              |      AS bucket
              |  FROM events, mx),
              |g AS (SELECT user_id,
-             |    sum(1.0 / (1::BIGINT << bucket)) AS decayed_w,
+             |    sum(1::BIGINT << CAST(40 - bucket AS INT)) AS wu_sum,
              |    count(*) AS n_events
              |  FROM w GROUP BY 1)
-             |SELECT user_id, decayed_w, n_events,
-             |  CAST(row_number() OVER (ORDER BY decayed_w DESC, user_id)
+             |SELECT user_id,
+             |  CAST(wu_sum AS DOUBLE) / 1099511627776.0 AS decayed_w,
+             |  n_events,
+             |  CAST(row_number() OVER (ORDER BY wu_sum DESC, user_id)
              |    AS BIGINT) AS rank
-             |FROM g ORDER BY decayed_w DESC, user_id LIMIT 20""".stripMargin)),
+             |FROM g ORDER BY wu_sum DESC, user_id LIMIT 20""".stripMargin)),
 
     Q("q214_salt_plan",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._

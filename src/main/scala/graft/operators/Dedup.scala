@@ -251,10 +251,18 @@ object Dedup {
         .orderBy(col("g_df"), col("g_s"))))
       .filter(col("rn") <= prefixLen)
       .select(col("id"), xxhash64(col("g_s")).as("g"))
-    // short keys (klen <= q-1+maxDist) can lose every gram to k edits —
-    // and any partner within k is itself short — so they meet in one
-    // sentinel bucket (a vanishing population at corpus scale)
-    val sentinel = keyed.filter(col("klen") <= q - 1 + maxDist)
+    // short keys can lose EVERY gram instance to k edits whenever the
+    // instance count (klen-q+1) is <= k*q — each edit destroys at most
+    // q instances — so the sentinel must cover klen <= q-1+maxDist*q,
+    // not merely keys that form no gram at all. Such keys still post
+    // all their gram types above (type count <= instance count <= k*q
+    // < prefixLen), so a LONGER partner within k meets them through a
+    // shared posted type: the partner can miss at most k*q of its own
+    // types (>=1 destroyed instance each), so one of its k*q+1 rarest
+    // posted types survives in the short key's full posting. Short-vs-
+    // short pairs meet in the sentinel bucket (a vanishing population
+    // at corpus scale for multi-token prefixes).
+    val sentinel = keyed.filter(col("klen") <= q - 1 + maxDist * q)
       .select(col("id"), lit(Long.MinValue).as("g"))
     val posts = ranked.unionByName(sentinel)
     val cand = posts.as("x").join(posts.as("y"), Seq("g"))

@@ -525,12 +525,20 @@ object Frequency {
     * half. Bucketed (integer) decay instead of continuous exp() is
     * deliberate: weights are exact powers of two on a 2^−40 grid
     * (buckets clamp at 40 — beyond that a weight is below any
-    * realizable ulp), so per-key sums are EXACT dyadic rationals,
-    * independent of partial-aggregation order, and the ranking
-    * hash-replays in any engine — the same determinism device as the
-    * md5 hex grid (Sampling.hexInt). t_max comes from the data in-plan
-    * (1-row broadcast gate), so the operator is a pure function of its
-    * input — streaming deployments pin it to the watermark instead.
+    * realizable ulp), ACCUMULATED AS INTEGER UNITS of 2^−40 in
+    * DECIMAL(38,0) — a double sum is only exact while a key's mass
+    * stays under 2^13 (53-bit significand over the 2^−40 grid); a hot
+    * key with ~8k near-full-weight events would make the sum rounding-
+    * and order-dependent. Decimal units make per-key sums EXACT for
+    * any event count (2^40 units/event × 10^25 events fits 38 digits),
+    * independent of partial-aggregation order; the RANK compares the
+    * exact unit sums, and only the published `decayed_w` converts to
+    * double (one IEEE rounding of an exact integer — identical in any
+    * engine) — so the ranking hash-replays, the same determinism
+    * device as the md5 hex grid (Sampling.hexInt). t_max comes from
+    * the data in-plan (1-row broadcast gate), so the operator is a
+    * pure function of its input — streaming deployments pin it to the
+    * watermark instead.
     *
     * Scale shape: one key-grain aggregate (map-side partials — weights
     * add) + TakeOrderedAndProject for the top-k; the rank window runs
@@ -545,14 +553,17 @@ object Frequency {
       .crossJoin(broadcast(mx))
       .withColumn("bucket",
         least(expr(s"(mx - us) div ${halflifeSec * 1000000L}"), lit(40L)))
-      .withColumn("w", lit(1.0) / expr("shiftleft(1L, cast(bucket as int))")
-        .cast("double"))
+      // integer units of 2^-40: weight 2^-bucket = 2^(40-bucket) units
+      .withColumn("wu", expr("shiftleft(1L, cast(40 - bucket as int))")
+        .cast("decimal(38,0)"))
       .groupBy("key")
-      .agg(sum(col("w")).as("decayed_w"), count(lit(1)).as("n_events"))
-      .orderBy(col("decayed_w").desc, col("key"))
+      .agg(sum(col("wu")).as("wu_sum"), count(lit(1)).as("n_events"))
+      .orderBy(col("wu_sum").desc, col("key"))
       .limit(k)
     top.withColumn("rank", row_number().over(Window.partitionBy(lit(1))
-        .orderBy(col("decayed_w").desc, col("key"))).cast("long"))
+        .orderBy(col("wu_sum").desc, col("key"))).cast("long"))
+      .withColumn("decayed_w",
+        col("wu_sum").cast("double") / lit(1099511627776.0))
       .select(col("key"), col("decayed_w"), col("n_events"), col("rank"))
   }
 }

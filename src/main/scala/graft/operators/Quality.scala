@@ -611,13 +611,20 @@ object Quality {
     * `__suppressed__` rollup row, so the published table still sums to
     * the corpus total (the "complementary release" discipline: the
     * rollup discloses only the union of suppressed cells, never a
-    * small cell itself). Output: group columns (string-cast; the
+    * small cell itself). When exactly ONE group falls below k, the
+    * rollup alone would re-identify it (n_groups=1 carries the small
+    * cell's exact mass, and its identity is the complement of the
+    * visible groups) — so the standard COMPLEMENTARY suppression step
+    * co-suppresses the smallest visible group (ties broken by the
+    * group columns, ascending), guaranteeing every published rollup
+    * mixes >= 2 cells. Output: group columns (string-cast; the
     * rollup row holds the sentinel), `n_rows`, `n_groups` (1 per
     * visible group, the suppressed-cell count on the rollup row), and
     * `sum_w` (the published measure).
     *
     * Scale shape: one group-grain aggregate over the corpus; the
-    * suppression split and rollup run at GROUP grain (report-sized).
+    * suppression split, complement pick (a rank window over the
+    * report-sized group table), and rollup all run at GROUP grain.
     * All-integer when `weight` is integral — the gate and both output
     * branches hash-replay exactly. */
   def kAnonymizedStats(df: DataFrame, groupCols: Seq[String], k: Long,
@@ -626,10 +633,24 @@ object Quality {
     require(k >= 1, "k must be positive")
     val g = df.groupBy(groupCols.map(c => col(c).cast("string").as(c)): _*)
       .agg(count(lit(1)).as("n_rows"), sum(weight).cast("long").as("sum_w"))
-    val visible = g.filter(col("n_rows") >= k)
+    // 1-row small-cell census, broadcast into the group-grain plan
+    val census = g.agg(
+      sum(when(col("n_rows") < k, lit(1L)).otherwise(lit(0L)))
+        .as("__n_small"))
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy(
+      col("n_rows") +: groupCols.map(col): _*)
+    val marked = g.filter(col("n_rows") >= k)
+      .withColumn("__rn", row_number().over(rankW))
+      .crossJoin(broadcast(census))
+      .withColumn("__supp",
+        col("__n_small") === 1L && col("__rn") === 1L)
+    val visible = marked.filter(!col("__supp"))
       .select(groupCols.map(col) :+ col("n_rows") :+
         lit(1L).as("n_groups") :+ col("sum_w"): _*)
-    val suppressed = g.filter(col("n_rows") < k)
+    val allSmall = g.filter(col("n_rows") < k)
+      .unionByName(marked.filter(col("__supp"))
+        .select(groupCols.map(col) :+ col("n_rows") :+ col("sum_w"): _*))
+    val suppressed = allSmall
       .agg(sum(col("n_rows")).as("n_rows"),
         count(lit(1)).as("n_groups"),
         sum(col("sum_w")).as("sum_w"))

@@ -440,21 +440,40 @@ object Selection {
     * [[Similarity.kCenterSelect]]). Ties break on id, so the greedy
     * trajectory is fully deterministic and oracle-replayable.
     *
-    * Scale shape: the (id, shingle-hash) index is checkpointed ONCE
-    * and re-read k times — per round, one anti-join against the covered
-    * set (≤ k·shingles-per-doc hashes, broadcast-small by
-    * construction), one id-grain count, one TakeOrderedAndProject →
-    * 1-row driver argmax (the CentroidSet division of labor: the
-    * driver holds winners, never the corpus). Superseded covered-set
-    * checkpoints release per round (the PageRank discipline). The
-    * k ≫ 10² path is lazy-greedy/CELF (marginals are monotone
-    * non-increasing, so stale upper bounds prune re-evaluation) —
-    * documented, not needed at report-sized k. All-integer output. */
+    * Scale shape — CELF lazy-greedy (Leskovec et al. KDD 2007):
+    * marginal gains are monotone non-increasing under submodularity,
+    * so a gain evaluated in an earlier round is an UPPER BOUND on the
+    * current one. Round 1 evaluates every doc once (unavoidable — no
+    * bounds exist yet) and seeds a doc-grain bound table; every later
+    * round re-evaluates ONLY candidates whose stale bound could still
+    * beat the best freshly-evaluated gain — in batches of ≤ 64 per
+    * inner pass, each pass one semi-join-restricted read of the
+    * checkpointed (id, shingle-hash) index + one anti-join against the
+    * covered set (≤ k·shingles-per-doc hashes, broadcast-small) + one
+    * id-grain count. A round settles when no stale bound remains that
+    * exceeds the fresh winner's gain — INCLUDING the exact tie-break
+    * (a stale bound EQUAL to the fresh gain with a smaller id is still
+    * re-evaluated), so the greedy trajectory is bit-identical to naive
+    * greedy and oracle-replayable. Total re-evaluations ≈ n + O(k·B)
+    * instead of naive's n·k (spec-pinned). The driver holds winners
+    * and 1-row argmaxes, never the corpus; superseded covered-set and
+    * bound-table checkpoints release per round (the PageRank
+    * discipline). All-integer output. */
   def maxCoverageSelect(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, shingleLen: Int = 3): DataFrame = {
+                        k: Int, shingleLen: Int = 3): DataFrame =
+    maxCoverageSelectCounted(docs, idCol, textCol, k, shingleLen)._1
+
+  /** [[maxCoverageSelect]] plus the CELF re-evaluation count (number
+    * of marginal-gain computations across all rounds, round-1 full
+    * sweep included) — the spec observability hook for the
+    * "re-evaluations ≪ n·k" contract. */
+  private[graft] def maxCoverageSelectCounted(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleLen: Int = 3): (DataFrame, Long) = {
     require(k >= 1, "k must be positive")
     val session = docs.sparkSession
     import session.implicits._
+    val batchCap = 64
     val base = docs.select(col(idCol).cast("long").as("id"),
         explode(graft.functions.Text.shingles(lower(col(textCol)),
           shingleLen)).as("sh_s"))
@@ -462,16 +481,85 @@ object Selection {
       .localCheckpoint(true)
     val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var covered: DataFrame = null
+    var bounds: DataFrame = null // (id, ub): stale upper bounds
+    var reevals = 0L
     var done = false
     var r = 1
+    // true marginal gains for a restricted id set (0-gain docs kept:
+    // a fully-covered doc's bound must drop to 0, not vanish)
+    def gains(ids: DataFrame): DataFrame = {
+      val rem = (if (covered == null) base
+        else base.join(broadcast(covered), Seq("sh"), "left_anti"))
+        .join(ids, Seq("id"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("g"))
+      ids.join(rem, Seq("id"), "left")
+        .select(col("id"), coalesce(col("g"), lit(0L)).as("g"))
+    }
     while (r <= k && !done) {
-      val rem = if (covered == null) base
-        else base.join(broadcast(covered), Seq("sh"), "left_anti")
-      val top = rem.groupBy("id").agg(count(lit(1)).as("g"))
-        .orderBy(col("g").desc, col("id")).limit(1).collect()
-      if (top.isEmpty) done = true // everything covered: greedy stops
-      else {
-        val (winner, gain) = (top(0).getLong(0), top(0).getLong(1))
+      var winner = -1L
+      var gain = -1L
+      if (bounds == null) {
+        // round 1: full sweep seeds the bound table
+        val g1 = base.groupBy("id").agg(count(lit(1)).as("g"))
+          .localCheckpoint(true)
+        reevals += g1.count()
+        val top = g1.orderBy(col("g").desc, col("id")).limit(1).collect()
+        if (top.isEmpty) done = true
+        else { winner = top(0).getLong(0); gain = top(0).getLong(1) }
+        bounds = g1.withColumnRenamed("g", "ub")
+          .filter(col("id") =!= winner)
+      } else {
+        // CELF inner loop: fresh gains accumulated this round
+        var fresh: DataFrame = null
+        var settled = false
+        while (!settled) {
+          val top = if (fresh == null) Array.empty[org.apache.spark.sql.Row]
+            else fresh.orderBy(col("g").desc, col("id")).limit(1).collect()
+          val (fg, fid) = if (top.isEmpty) (-1L, Long.MaxValue)
+            else (top(0).getLong(1), top(0).getLong(0))
+          val stale = if (fresh == null) bounds
+            else bounds.join(fresh.select("id"), Seq("id"), "left_anti")
+          // candidates that could still beat the fresh winner, exact
+          // tie-break included (equal bound + smaller id re-evaluates);
+          // the round's first pass has no fresh winner to prune against,
+          // so it pops a small head batch (the CELF priority-queue pop,
+          // batched to amortize the driver round-trip)
+          val cap = if (fresh == null) 4 else batchCap
+          val batchIds = stale
+            .filter(col("ub") > fg ||
+              (col("ub") === fg && col("id") < fid))
+            .orderBy(col("ub").desc, col("id")).limit(cap)
+            .select("id").localCheckpoint(true)
+          val nBatch = batchIds.count()
+          if (nBatch == 0L) {
+            settled = true
+            if (fg >= 0L) { winner = fid; gain = fg }
+            else done = true // bound table empty: nothing selectable
+            Checkpoints.release(batchIds)
+          } else {
+            reevals += nBatch
+            val bg = gains(batchIds).localCheckpoint(true)
+            val nf = if (fresh == null) bg
+              else fresh.unionByName(bg).localCheckpoint(true)
+            if (fresh != null) { Checkpoints.release(fresh)
+              Checkpoints.release(bg) }
+            fresh = nf
+            Checkpoints.release(batchIds)
+          }
+        }
+        if (!done && gain == 0L) done = true // everything covered
+        if (!done && fresh != null) {
+          // fold fresh exact values into the bound table, drop winner
+          val nb = bounds.join(fresh.select("id"), Seq("id"), "left_anti")
+            .unionByName(fresh.withColumnRenamed("g", "ub"))
+            .filter(col("id") =!= winner)
+            .localCheckpoint(true)
+          Checkpoints.release(bounds)
+          bounds = nb
+        }
+        if (fresh != null) Checkpoints.release(fresh)
+      }
+      if (!done) {
         val nextCov0 = base.filter(col("id") === winner).select("sh")
         val nextCov = (if (covered == null) nextCov0
           else covered.unionByName(nextCov0)).distinct().localCheckpoint(true)
@@ -483,7 +571,8 @@ object Selection {
       }
     }
     if (covered != null) Checkpoints.release(covered)
+    if (bounds != null) Checkpoints.release(bounds)
     Checkpoints.release(base)
-    acc.toSeq.toDF("round", "id", "marginal_gain", "covered_total")
+    (acc.toSeq.toDF("round", "id", "marginal_gain", "covered_total"), reevals)
   }
 }

@@ -47,10 +47,17 @@ object Sessionize {
     * Scale shape: NO per-user ordering window — stage s is one
     * user-grain min-aggregate over that stage's events plus one
     * user-keyed join against the stage-(s−1) frontier (events filtered
-    * to one type before each exchange). |stages| passes over filtered
-    * slices beats one corpus-wide sort at 100 TB because each slice is
-    * a fraction of the stream and the frontier is |users| rows.
-    * All-integer output (µs lags), exact in any engine. */
+    * to one type before each exchange). Each frontier is EAGERLY
+    * localCheckpointed (the pageRank discipline): stage s's lazy plan
+    * would otherwise embed stages 1..s−1 and the per-stage output row
+    * would re-join the stage-1 frontier per branch — O(S²) scans of
+    * the event stream instead of the |stages| passes this contract
+    * promises. |stages| passes over filtered slices beats one
+    * corpus-wide sort at 100 TB because each slice is a fraction of
+    * the stream and the frontier is |users| rows (checkpoint storage
+    * is user-grain; the frontiers stay referenced by the returned plan
+    * so they are NOT released here — block lifetime follows the
+    * result). All-integer output (µs lags), exact in any engine. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
@@ -64,12 +71,15 @@ object Sessionize {
       }
       gated.groupBy("u").agg(min(col("t")).as("stage_t"))
     }
-    val frontiers = stages.tail.scanLeft(stageMin(stages.head, None)) {
+    val frontiers = stages.tail.scanLeft(
+      stageMin(stages.head, None).localCheckpoint(true)) {
       (prev, stage) =>
-        stageMin(stage, Some(prev.select(col("u"), col("stage_t").as("prev_t"))))
+        stageMin(stage,
+          Some(prev.select(col("u"), col("stage_t").as("prev_t"))))
+          .localCheckpoint(true)
     }
+    val first = frontiers.head.select(col("u"), col("stage_t").as("t0"))
     stages.zip(frontiers).zipWithIndex.map { case ((name, fr), i) =>
-      val first = frontiers.head.select(col("u"), col("stage_t").as("t0"))
       fr.join(first, Seq("u"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("stage_t") - col("t0")).cast("long").as("sum_lag_us"))

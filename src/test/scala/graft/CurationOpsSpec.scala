@@ -87,6 +87,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)), s"got $got")
   }
 
+  test("fuzzyDupPairs: short repetitive keys that share NO gram still pair") {
+    import spark.implicits._
+    // lev(abcdef, axcyez) = 3 <= maxDist 4 but the two keys share ZERO
+    // bigrams — with <= maxDist*q gram instances each, k edits can
+    // destroy every gram, so only the widened sentinel
+    // (klen <= q-1+maxDist*q) catches the pair
+    val docs = Seq((1L, "abcdef"), (2L, "axcyez"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzz entirely unrelated content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyDupPairs(docs, "doc_id", "text",
+        prefixTokens = 6, maxDist = 4, qgramLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L)), s"got $got")
+  }
+
+  test("fuzzyDupPairs: sentinel-regime key meets a LONGER non-sentinel partner") {
+    import spark.implicits._
+    // A has 7 gram instances (<= k*q = 8, posts sentinel + all types);
+    // B has 11 instances (no sentinel) — the pair must meet through a
+    // type B posts in its k*q+1 rarest prefix (lev = 4 = maxDist)
+    val docs = Seq((1L, "aabbccdd"), (2L, "aabbccddxxyy"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyDupPairs(docs, "doc_id", "text",
+        prefixTokens = 6, maxDist = 4, qgramLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 4L)), s"got $got")
+  }
+
   test("boilerplateBlocks: every copy of a hot block drops; unique stays") {
     import spark.implicits._
     val chrome = "subscribe to our newsletter"        // 4-token boilerplate
@@ -127,6 +155,37 @@ class CurationOpsSpec extends AnyFunSuite {
     val sup = out.filter(_.getString(0) == "__suppressed__")
     assert(sup.length == 1 && sup.head.getLong(3) ==
       out.map(_.getLong(3)).sum - visible.length)
+  }
+
+  test("kAnonymizedStats: a lone small cell co-suppresses the smallest visible cell") {
+    import spark.implicits._
+    // exactly ONE group under k: without complementary suppression the
+    // rollup would carry that cell's exact mass with n_groups=1 and its
+    // identity inferable as the complement of the visible groups
+    val rows = (1 to 20).map(i => ("g_small_vis", i.toLong)) ++
+      (1 to 30).map(i => ("g_big", 100L + i)) ++
+      (1 to 3).map(i => ("g_tiny", 1000L + i))
+    val out = Quality.kAnonymizedStats(rows.toDF("a", "w"), Seq("a"),
+      k = 15L, col("w")).collect()
+    val visible = out.filter(_.getString(0) != "__suppressed__")
+    val sup = out.filter(_.getString(0) == "__suppressed__")
+    assert(visible.map(_.getString(0)).toSet == Set("g_big"))
+    assert(sup.length == 1)
+    assert(sup.head.getLong(1) == 23L)      // n_rows: 3 tiny + 20 smallest-visible
+    assert(sup.head.getLong(2) == 2L)       // n_groups >= 2: never a lone cell
+    assert(out.map(_.getLong(1)).sum == 53L)            // mass conserved
+    assert(out.map(_.getLong(3)).sum == rows.map(_._2).sum)
+  }
+
+  test("kAnonymizedStats: two small cells need no complementary suppression") {
+    import spark.implicits._
+    val rows = (1 to 20).map(i => ("vis", i.toLong)) ++
+      Seq(("t1", 500L), ("t1", 501L), ("t2", 600L))
+    val out = Quality.kAnonymizedStats(rows.toDF("a", "w"), Seq("a"),
+      k = 15L, col("w")).collect()
+    assert(out.filter(_.getString(0) == "vis").length == 1)
+    val sup = out.filter(_.getString(0) == "__suppressed__").head
+    assert(sup.getLong(2) == 2L && sup.getLong(1) == 3L)
   }
 
   test("kAnonymizedStats: no suppressed row when every cell clears k") {
@@ -344,6 +403,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L, 4L, 4L), (2L, 3L, 2L, 6L)), s"got $out")
     // marginal gains are non-increasing (submodularity of coverage)
     assert(out.map(_._3).sliding(2).forall(w => w.last <= w.head))
+  }
+
+  test("maxCoverageSelect: CELF trajectory equals naive greedy, re-evals << n*k") {
+    import spark.implicits._
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll")
+    def text(seed: Int): String =
+      (0 until 10).map(i => words((seed * 5 + i * i) % words.size))
+        .mkString(" ")
+    val n = 40
+    val k = 6
+    val docs = (1 to n).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val (outDf, reevals) = graft.operators.Selection
+      .maxCoverageSelectCounted(docs, "doc_id", "text", k, shingleLen = 3)
+    val got = outDf.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSeq
+    // driver-side naive greedy on the same shingle sets
+    val sets = docs.select(col("doc_id"),
+        graft.functions.Text.shingles(lower(col("text")), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .sortBy(_._1)
+    var covered = Set.empty[String]
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var stop = false
+    for (r <- 1 to k if !stop) {
+      val (wid, wgain) = sets.map { case (id, s) => (id, (s -- covered).size) }
+        .maxBy { case (id, g) => (g, -id) }
+      if (wgain == 0) stop = true
+      else {
+        covered ++= sets.find(_._1 == wid).get._2
+        want += ((r.toLong, wid, wgain.toLong, covered.size.toLong))
+      }
+    }
+    assert(got == want.toSeq, s"got $got want $want")
+    // CELF contract: round 1 sweeps all n docs once; later rounds only
+    // re-evaluate bound-order heads — far fewer than naive's n per round
+    assert(reevals >= n, s"round-1 sweep missing: $reevals")
+    assert(reevals < n.toLong * k, s"re-evals $reevals not < n*k=${n * k}")
+    assert(reevals <= n + 3L * 64 * (k - 1),
+      s"re-evals $reevals above the lazy-greedy envelope")
   }
 
   test("jlProject: ±1 matrix deterministic, projection equals driver matmul") {
