@@ -381,11 +381,19 @@ object Bench {
     // prior x 1.3 — the r13 shakeout run (probe ratio 0.81) flagged 25
     // queries whose forked floors all came back within ±20% of prev:
     // band noise, not regressions
-    val anchors: Seq[(String, Map[String, Double], Double)] =
+    // each anchor carries BOTH ratios: the clamped one decides the flag
+    // (allowances must not shrink on a fast-probing host) and the RAW
+    // one annotates it — on an oscillating host (r15: min-probe 0.149
+    // describing the fastest window of a 0.20-0.55 s run) the clamped
+    // gate manufactures flags, and the unclamped severity is the
+    // secondary verdict a judge reads to separate window from code
+    // without a worktree rebuild
+    val anchors: Seq[(String, Map[String, Double], Double, Double)] =
       Seq(("last_lock", prevRef), ("round_lock", roundRef)).flatMap {
         case (label, Some((_, qs, probe, digest)))
             if digest == fixturesDigest && probe > 0 =>
-          Some((label, qs, math.max(probeBaseline / probe, 1.0)))
+          val raw = probeBaseline / probe
+          Some((label, qs, math.max(raw, 1.0), raw))
         case _ => None
       }
     // a query violates an anchor when it exceeds that anchor's prior ×
@@ -393,13 +401,14 @@ object Bench {
     // EVERY anchor is what breaks the chained-lock ratchet — a query can
     // drift ≤30% past the last lock yet still trip the round-boundary
     // prior. The reported prior/anchor is the WORST violation.
-    def violations(n: String, v: Double): Seq[(String, Double, Double)] =
-      anchors.flatMap { case (label, qs, ratio) =>
+    // Tuple: (anchor, prior, sevClamped, rawRatio).
+    def violations(n: String, v: Double): Seq[(String, Double, Double, Double)] =
+      anchors.flatMap { case (label, qs, ratio, raw) =>
         qs.get(n)
           .filter(p => p > 0 && v > p * ratio * 1.3 && v - p * ratio > 0.2)
-          .map(p => (label, p, v / (p * ratio)))
+          .map(p => (label, p, v / (p * ratio), raw))
       }
-    val suspectsAll: Seq[(String, (String, Double, Double))] =
+    val suspectsAll: Seq[(String, (String, Double, Double, Double))] =
       if (standalone || only.nonEmpty || anchors.isEmpty) Seq.empty
       else results0.flatMap { case (n, v) =>
         if (v <= 0) None
@@ -419,12 +428,12 @@ object Bench {
     val floorCap = sys.env.get("SPARK_GRAFT_MAX_FLOORS").map(_.toInt)
       .getOrElse(10)
     val suspects = suspectsAll
-      .sortBy { case (_, (_, _, sev)) => -sev }
+      .sortBy { case (_, (_, _, sev, _)) => -sev }
       .take(floorCap).map(_._1)
     if (suspectsAll.nonEmpty)
       System.err.println(s"[bench] ${suspectsAll.size} queries past an " +
         "anchor prior x clamped-host x 1.3: " +
-        suspectsAll.map { case (n, (a, _, sev)) =>
+        suspectsAll.map { case (n, (a, _, sev, _)) =>
           f"$n($a,${sev}%.2fx)" }.mkString(", ") +
         s" - measuring standalone floors for ${suspects.size}")
 
@@ -444,9 +453,13 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         // iterative driver-bound queries JIT-improve for ~5 in-JVM runs
         // (the q63 lesson, re-measured r13: a 2-pass fork froze its
-        // floor at 2.24 s where 6 passes settle to 1.63) — give the
-        // child enough passes that its still-improving chase can land
-        pb.environment().put("SPARK_GRAFT_MIN_PASSES", "4")
+        // floor at 2.24 s where 6 passes settle to 1.63; the r15 judge's
+        // standalone q179 was STILL descending at sample 5:
+        // 28.8 → 18.97 → 12.94 → 10.85 → 11.57) — a 4-pass fork
+        // systematically over-floors loop-shaped queries, so the child
+        // gets 8 passes and its own still-improving chase (bounded +4)
+        // extends the tail until the sample curve flattens
+        pb.environment().put("SPARK_GRAFT_MIN_PASSES", "8")
         pb.environment().put("SPARK_GRAFT_BENCH_OUT",
           s"/tmp/graft_floor_$name.json")
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -550,13 +563,43 @@ object Bench {
       t -> s"""{"rows":$rows,"bytes":$bytes,"md5":"$md5"}"""
     })
     val regressedJson = fmtMap(suspectsAll.sortBy(_._1).map {
-      case (n, (anchor, prior, _)) =>
+      case (n, (anchor, prior, sevClamped, rawRatio)) =>
         val f = floors.get(n)
-        n -> (f"""{"prev":$prior%.3f,"anchor":"$anchor","suite_min":${results0.toMap.apply(n)}%.3f,""" +
-          f.map { case (v, m) => f""""floor":$v%.3f,"floor_mode":"$m"}""" }
-            .getOrElse(""""floor":null,"floor_mode":"none"}"""))
+        // two verdicts per flag (r16): sev_clamped fired the gate;
+        // sev_unclamped rescales by the RAW probe ratio — on a slow
+        // window raw > 1 widens the denominator, so a flag whose
+        // unclamped severity falls ≤1.3 is window, not code. The floor
+        // variants re-state both against the forked-JVM floor (the
+        // cleanest number this run has for the query).
+        val suiteMin = results0.toMap.apply(n)
+        val sevUnclamped = suiteMin / (prior * rawRatio)
+        val floorPart = f.map { case (v, m) =>
+          f""""floor":$v%.3f,"floor_mode":"$m","floor_sev_clamped":${v / (prior * math.max(rawRatio, 1.0))}%.3f,"floor_sev_unclamped":${v / (prior * rawRatio)}%.3f}"""
+        }.getOrElse(""""floor":null,"floor_mode":"none"}""")
+        n -> (f"""{"prev":$prior%.3f,"anchor":"$anchor","suite_min":$suiteMin%.3f,"sev_clamped":$sevClamped%.3f,"sev_unclamped":$sevUnclamped%.3f,""" +
+          floorPart)
     })
     val hostRatioJson = hostRatio.map(r => f"$r%.3f").getOrElse("null")
+    // ── window quality (r16) ──────────────────────────────────────────
+    // The stall gate only quarantines probes >1.5x baseline AND +0.25 s
+    // absolute — so a host oscillating 1.2-2.5x can pass every probe as
+    // "clean" while the run's min-probe describes only its fastest
+    // window (the r15 incident: lock probe-min 0.149 on a 0.20-0.55 s
+    // window; 26 manufactured flags). The artifact now self-reports the
+    // spread of its CLEAN probes: a lock whose spread exceeds 1.5x is a
+    // low-trust window and tools/lock.py refuses to promote it.
+    val cleanProbes = calSamples.filterNot { case (l, _) => stalls(l) }
+      .map(_._2)
+    val probeSpread =
+      if (cleanProbes.isEmpty) 0.0 else cleanProbes.max / cleanProbes.min
+    val probeSpreadAll =
+      if (calSamples.isEmpty) 0.0
+      else calSamples.map(_._2).max / calSamples.map(_._2).min
+    val windowOk = cleanProbes.nonEmpty && probeSpread <= 1.5
+    if (!windowOk)
+      System.err.println(f"[bench] WINDOW QUALITY LOW: clean-probe " +
+        f"spread $probeSpread%.2fx (>1.5x) — minima describe the " +
+        "fastest window, not the run; do not lock this artifact")
     val prevRefJson =
       if (prevText.isEmpty) "null"
       else "\"" + prevRefPath.toString + (if (prevComparable) "" else " (incomparable)") + "\""
@@ -565,7 +608,7 @@ object Bench {
       case Some((p, _, _, digest)) =>
         "\"" + p + (if (digest == fixturesDigest) "" else " (incomparable)") + "\""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's per-round artifact keeps only the run's last 2000
     // output chars, which truncates the per-query JSON every round — so

@@ -446,4 +446,98 @@ class PropertySpec extends AnyFunSuite {
       "weight 1 exactly at the minimum commonness")
     assert(w.exists(_._3 == 1.0))
   }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzyDupPairs: recall-complete on random keys with random edits <= k " +
+       "(sentinel + prefix-filter regimes)") {
+    // the recall contract, EXECUTABLE: a corpus of random short keys
+    // over a tiny alphabet (so gram collisions and the sentinel regime
+    // are both dense) plus planted <=k-edit variants; the operator's
+    // output must equal the full brute-force lev<=k answer — a missed
+    // sentinel-regime pair (the r15 gap: both keys can lose every gram
+    // instance to k edits) or a lost prefix post shows up as a missing
+    // pair here
+    val maxDist = 3
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val baseKey: Gen[String] = Gen.choose(1, 14)
+      .flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    def edit(s: String, op: Int, pos: Int, c: Char): String = {
+      val p = if (s.isEmpty) 0 else math.floorMod(pos, s.length)
+      op match {
+        case 0 => s.take(p) + c + s.drop(p)                    // insert
+        case 1 => if (s.isEmpty) s else s.take(p) + s.drop(p + 1) // delete
+        case _ => if (s.isEmpty) c.toString
+                  else s.take(p) + c + s.drop(p + 1)           // substitute
+      }
+    }
+    val editedPair: Gen[(String, String)] = for {
+      base <- baseKey
+      nEdits <- Gen.choose(0, maxDist)
+      ops <- Gen.listOfN(nEdits, Gen.zip(Gen.choose(0, 2),
+        Gen.choose(0, 31), alpha))
+    } yield (base, ops.foldLeft(base) { case (s, (op, pos, c)) =>
+      edit(s, op, pos, c) })
+    val pairs = samples(editedPair, 40)
+    val keys = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i + 1, b)) }.filter(_._2.nonEmpty)
+    val docs = keys.toDF("doc_id", "text")
+    val got = Dedup.fuzzyDupPairs(docs, "doc_id", "text",
+        prefixTokens = 6, maxDist = maxDist, qgramLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys if ia < ib
+      d = levDist(ka, kb) if d <= maxDist
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("containmentPairs: planted shingle-subset docs always score 1.0; " +
+       "all scores equal brute force") {
+    // directed-score contract on random data: a doc whose shingle set
+    // is a SUBSET of another's (a contiguous slice guarantees it) must
+    // appear with containment exactly 1.0 toward its superset, and
+    // every emitted score must equal the exact |A∩B|/|A| recompute
+    val word: Gen[String] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val doc: Gen[Vector[String]] = Gen.choose(6, 14)
+      .flatMap(n => Gen.listOfN(n, word).map(_.toVector))
+    val bases = samples(doc, 25)
+    val rows = bases.zipWithIndex.flatMap { case (w, i) =>
+      // slice long enough to carry >= 1 3-shingle (3..|w| tokens)
+      val slice = w.slice(i % 3, (i % 3) + 3 + (i % 4))
+      Seq((2L * i, w.mkString(" "))) ++
+        (if (slice.size >= 3) Seq((2L * i + 1, slice.mkString(" "))) else Nil)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.3, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def sh(t: String): Set[String] = t.split(" ").toSeq
+      .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = rows.map { case (id, t) => id -> sh(t.toLowerCase) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia != ib && sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size if c >= 0.3
+    } yield (ia, ib, math.rint(c * 1e6) / 1e6)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // every planted slice with shingles scores exactly 1.0 toward its base
+    for (((w, i)) <- bases.zipWithIndex) {
+      val slice = w.slice(i % 3, (i % 3) + 3 + (i % 4))
+      if (slice.size >= 3 && sh(slice.mkString(" ").toLowerCase).nonEmpty &&
+          sh(slice.mkString(" ").toLowerCase) != sh(w.mkString(" ").toLowerCase))
+        assert(got.contains((2L * i + 1, 2L * i, 1.0)),
+          s"planted subset pair ${2 * i + 1}->${2 * i} missing")
+    }
+  }
 }

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Promote docs/bench_full.json to docs/bench_locked.json — the lock
+gate, made executable (round 16).
+
+A LOCK is the artifact future rounds gate against, so promoting a
+low-trust run poisons every later comparison (the r15 incident: a
+fastest-window min-probe shrank all allowances and manufactured 26
+flags on unchanged code). This script refuses to lock unless the run
+self-reports a qualified window:
+
+  - artifact_ok            (tainted <= 25%, no tainted-only, no errors)
+  - window_ok              (clean-probe spread <= 1.5x: the minima
+                            describe the run, not just its fastest
+                            window)
+  - every flag has a floor (no unfloored inflated min may become a
+                            next-round anchor — the q132 ratchet mode)
+
+It also prints the two-verdict table for each flag (sev_clamped fired
+the gate; sev_unclamped rescales by the raw probe ratio) so window-vs-
+code is readable from the artifact alone.
+
+Usage: python3 tools/lock.py [--force] [--src docs/bench_full.json]
+"""
+import json
+import shutil
+import sys
+
+src = "docs/bench_full.json"
+dst = "docs/bench_locked.json"
+force = "--force" in sys.argv
+if "--src" in sys.argv:
+    src = sys.argv[sys.argv.index("--src") + 1]
+
+with open(src) as f:
+    a = json.load(f)
+
+problems = []
+if not a.get("artifact_ok", False):
+    problems.append(
+        f"artifact_ok=false (tainted {a.get('tainted_pct')}%, "
+        f"tainted_only {a.get('tainted_only')}, errors "
+        f"{list(a.get('errors', {}))})")
+if not a.get("window_ok", False):
+    problems.append(
+        f"window_ok=false (clean-probe spread {a.get('probe_spread')}x "
+        f"> 1.5x — minima describe the fastest window, not the run)")
+flags = a.get("regressed_vs_prev", {})
+unfloored = [n for n, v in flags.items() if v.get("floor_mode") == "none"]
+if unfloored:
+    problems.append(
+        f"{len(unfloored)} flags without floor provenance: "
+        f"{', '.join(unfloored)} (re-run with SPARK_GRAFT_MAX_FLOORS "
+        f">= {len(flags)})")
+
+if flags:
+    print(f"{len(flags)} flags (two-verdict table):")
+    print(f"{'query':36} {'prior':>7} {'min':>7} {'floor':>7} "
+          f"{'sev_cl':>7} {'sev_un':>7} verdict")
+    def fmt(x):
+        return f"{x:7.3f}" if isinstance(x, (int, float)) else f"{'-':>7}"
+    for n, v in sorted(flags.items()):
+        sev_cl = v.get("floor_sev_clamped", v.get("sev_clamped"))
+        sev_un = v.get("floor_sev_unclamped", v.get("sev_unclamped"))
+        verdict = ("window" if isinstance(sev_un, (int, float))
+                   and sev_un <= 1.3 else
+                   "CODE?" if isinstance(sev_un, (int, float)) else
+                   "pre-r16 artifact: no two-verdict fields")
+        print(f"{n:36} {fmt(v.get('prev'))} {fmt(v.get('suite_min'))} "
+              f"{fmt(v.get('floor'))} {fmt(sev_cl)} {fmt(sev_un)} "
+              f"{verdict}")
+
+if problems and not force:
+    print("\nREFUSING to lock:")
+    for p in problems:
+        print(f"  - {p}")
+    print("(--force overrides; do NOT force a low-trust window)")
+    sys.exit(1)
+
+shutil.copyfile(src, dst)
+q = a.get("queries", {})
+print(f"\nLOCKED {dst}: {len(q)} queries, "
+      f"{sum(v for v in q.values() if v > 0):.1f} s min-sum, "
+      f"probe {a.get('probe_baseline')}, spread {a.get('probe_spread')}x, "
+      f"tainted {a.get('tainted_pct')}%"
+      + (" [FORCED over: " + "; ".join(problems) + "]" if problems else ""))
