@@ -9479,7 +9479,116 @@ object Queries {
              |  round(mad, 6) AS mad, round(z, 6) AS z,
              |  CAST(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS BIGINT)
              |    AS is_outlier
-             |FROM z""".stripMargin)))
+             |FROM z""".stripMargin)),
+
+    Q("q233_margin_mining",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // margin-based pair mining (Artetxe & Schwenk 2019): each
+        // sampled source vector mines its best target by RATIO margin —
+        // cosine normalized by both sides' k-NN neighborhood means, the
+        // hub-vector correction raw cosine lacks. Broadcast source side,
+        // one target scan, every ranking a partial WindowGroupLimit;
+        // cosines and means round at 6 so the margin chain hash-replays.
+        val emb = tbl("embeddings")
+        operators.Similarity.marginMine(
+          emb.filter(col("vec_id") % 37 === 0),
+          emb.filter(col("vec_id") % 37 =!= 0),
+          "vec_id", "embedding", k = 4, threshold = 1.0)
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |x AS (SELECT vec_id AS src_id, v AS xv FROM v
+             |      WHERE vec_id % 37 = 0),
+             |y AS (SELECT vec_id AS dst_id, v AS yv FROM v
+             |      WHERE vec_id % 37 <> 0),
+             |p AS (SELECT src_id, dst_id,
+             |        round(list_cosine_similarity(xv, yv), 6) AS cos
+             |      FROM x, y),
+             |mx AS (SELECT src_id, round(avg(cos), 6) AS mx FROM
+             |        (SELECT src_id, cos, row_number() OVER
+             |           (PARTITION BY src_id ORDER BY cos DESC, dst_id)
+             |           AS r FROM p)
+             |       WHERE r <= 4 GROUP BY 1),
+             |my AS (SELECT dst_id, round(avg(cos), 6) AS my FROM
+             |        (SELECT dst_id, cos, row_number() OVER
+             |           (PARTITION BY dst_id ORDER BY cos DESC, src_id)
+             |           AS r FROM p)
+             |       WHERE r <= 4 GROUP BY 1),
+             |m AS (SELECT p.src_id, p.dst_id, cos,
+             |        round(cos / ((mx + my) / 2), 6) AS margin
+             |      FROM p JOIN mx USING (src_id) JOIN my USING (dst_id)),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+             |        ORDER BY margin DESC, dst_id) AS rk FROM m)
+             |SELECT src_id, dst_id, cos, margin FROM r
+             |WHERE rk = 1 AND margin >= 1.0""".stripMargin)),
+
+    Q("q234_l_diversity",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // l-diversity publication gate (Machanavajjhala et al. 2006) —
+        // k-anonymity's companion for attribute disclosure: per-source
+        // stats publish only when the source spans >= 5 distinct
+        // languages; failing cells roll up with complementary
+        // suppression (a lone failing cell is the complement of the
+        // visible rows). All-integer.
+        operators.Quality.lDiverseStats(tbl("documents"),
+          Seq("source"), "lang", l = 5L, weight = col("n_chars"))
+      },
+      Some("""WITH g AS (SELECT source,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS n_sv,
+             |    CAST(sum(n_chars) AS BIGINT) AS sum_w
+             |  FROM documents GROUP BY 1),
+             |ns AS (SELECT count(*) FILTER (n_sv < 5) AS n_small FROM g),
+             |vv AS (SELECT g.*, row_number() OVER
+             |        (ORDER BY n_rows, source) AS rn, ns.n_small
+             |      FROM g, ns WHERE n_sv >= 5),
+             |m AS (SELECT *, (n_small = 1 AND rn = 1) AS supp FROM vv),
+             |sup AS (SELECT source FROM g WHERE n_sv < 5
+             |        UNION ALL SELECT source FROM m WHERE supp)
+             |SELECT source, n_rows, n_sv, CAST(1 AS BIGINT) AS n_groups,
+             |  sum_w
+             |FROM m WHERE NOT supp
+             |UNION ALL
+             |SELECT '__suppressed__',
+             |  CAST(sum(n_rows) AS BIGINT),
+             |  (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+             |   FROM documents WHERE source IN (SELECT source FROM sup)),
+             |  CAST(count(*) AS BIGINT), CAST(sum(sum_w) AS BIGINT)
+             |FROM g WHERE source IN (SELECT source FROM sup)
+             |HAVING count(*) > 0""".stripMargin)),
+
+    Q("q235_decayed_counts_merge",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // MERGEABLE decayed top-k: grid-aligned (key, bucket) counts
+        // built from two disjoint event halves, MERGED, then evaluated
+        // with exact dyadic units — the oracle recomputes directly from
+        // the full table, so the merge identity (state(a ∪ b) ==
+        // merge(state(a), state(b))) is itself under the hash gate,
+        // the KMV/CMS/HLL mergeable-summaries discipline.
+        val ev = tbl("events")
+        val a = operators.Frequency.decayedBucketCounts(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "ts", 172800L)
+        val b = operators.Frequency.decayedBucketCounts(
+          ev.filter(col("event_id") % 2 =!= 0), "user_id", "ts", 172800L)
+        operators.Frequency.decayedTopKFromCounts(
+            operators.Frequency.mergeDecayedCounts(a, b), k = 20)
+          .select(col("key").as("user_id"), col("decayed_w"),
+            col("n_events"), col("rank"))
+      },
+      Some("""WITH w AS (SELECT user_id,
+             |    epoch_us(ts) // 172800000000 AS bucket FROM events),
+             |mx AS (SELECT max(bucket) AS bmax FROM w),
+             |g AS (SELECT user_id,
+             |    sum(1::BIGINT <<
+             |      CAST(40 - least(bmax - bucket, 40) AS INT)) AS wu,
+             |    count(*) AS n_events
+             |  FROM w, mx GROUP BY 1)
+             |SELECT user_id,
+             |  CAST(wu AS DOUBLE) / 1099511627776.0 AS decayed_w,
+             |  n_events,
+             |  CAST(row_number() OVER (ORDER BY wu DESC, user_id)
+             |    AS BIGINT) AS rank
+             |FROM g ORDER BY wu DESC, user_id LIMIT 20""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

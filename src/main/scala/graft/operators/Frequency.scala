@@ -566,4 +566,60 @@ object Frequency {
         col("wu_sum").cast("double") / lit(1099511627776.0))
       .select(col("key"), col("decayed_w"), col("n_events"), col("rank"))
   }
+
+  /** GRID-ALIGNED decayed counts — the MERGEABLE form of
+    * [[decayedTopK]] (the mergeable-summaries citizenship the KMV /
+    * CMS / HLL stores have): state is (key, grid_bucket, n) where
+    * grid_bucket = ⌊ts / halflife⌋ — a pure function of the EVENT, not
+    * of t_max — so two batches' states merge by (key, bucket) addition
+    * and history is never rescanned. [[decayedTopK]] cannot be
+    * maintained incrementally: its age buckets move with t_max, so
+    * every arrival re-ages all history. The price is grid-aligned
+    * decay (weight 2^−(b_max − b) steps at halflife GRID boundaries
+    * rather than exactly t_max − halflife) — the standard sliding-
+    * window-counter trade, semantics documented, not hidden.
+    *
+    * Scale shape: one (key, bucket)-grain aggregate per batch (state ∝
+    * keys × active buckets, and buckets older than 40 halflives all
+    * weigh exactly 2^−40 — the clamp bounds the evaluation, the state
+    * stays exact). All-integer. */
+  def decayedBucketCounts(events: DataFrame, keyCol: String, tsCol: String,
+                          halflifeSec: Long): DataFrame = {
+    require(halflifeSec >= 1, "halflifeSec must be positive")
+    events.select(col(keyCol).as("key"),
+        expr(s"unix_micros(`$tsCol`) div ${halflifeSec * 1000000L}")
+          .as("bucket"))
+      .groupBy("key", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge two [[decayedBucketCounts]] states — (key, bucket) addition;
+    * associative and commutative, so shard/batch/epoch groupings all
+    * produce the identical state. */
+  def mergeDecayedCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("key", "bucket").agg(sum(col("n")).as("n"))
+
+  /** Evaluate a [[decayedBucketCounts]] state to the same table
+    * [[decayedTopK]] publishes (grid-aligned semantics): weight
+    * 2^−min(b_max − b, 40) per event, accumulated as exact integer
+    * units of 2^−40 in DECIMAL(38,0), ranked on the exact unit sum;
+    * b_max comes from the state in-plan (1-row broadcast) — streaming
+    * deployments pin it to the watermark bucket instead. */
+  def decayedTopKFromCounts(counts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val mx = counts.agg(max(col("bucket")).as("bmax"))
+    val top = counts.crossJoin(broadcast(mx))
+      .withColumn("age", least(col("bmax") - col("bucket"), lit(40L)))
+      .withColumn("wu", (col("n").cast("decimal(38,0)") *
+        expr("shiftleft(1L, cast(40 - age as int))").cast("decimal(38,0)"))
+        .cast("decimal(38,0)"))
+      .groupBy("key")
+      .agg(sum(col("wu")).as("wu_sum"), sum(col("n")).as("n_events"))
+      .orderBy(col("wu_sum").desc, col("key"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("wu_sum").desc, col("key"))).cast("long"))
+      .withColumn("decayed_w",
+        col("wu_sum").cast("double") / lit(1099511627776.0))
+      .select(col("key"), col("decayed_w"), col("n_events"), col("rank"))
+  }
 }

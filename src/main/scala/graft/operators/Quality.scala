@@ -659,4 +659,67 @@ object Quality {
         col("n_rows") :+ col("n_groups") :+ col("sum_w"): _*)
     visible.unionByName(suppressed)
   }
+
+  /** l-DIVERSITY publication gate — [[kAnonymizedStats]]'s companion
+    * for the attribute-disclosure threat k-anonymity misses (Machanava-
+    * jjhala et al. ICDE 2006): a group can clear k on SIZE yet carry a
+    * homogeneous sensitive attribute (everyone in the cell shares one
+    * value, so membership alone discloses it). A group publishes only
+    * when its sensitive column carries ≥ l DISTINCT values; failing
+    * groups roll up into one `__suppressed__` row that conserves the
+    * corpus total, with the same COMPLEMENTARY-suppression rule as the
+    * k gate (a lone failing group would be re-identifiable as the
+    * complement of the visible rows — co-suppress the smallest visible
+    * group, ties on the group columns). Output: group columns
+    * (string-cast), `n_rows`, `n_sv` (distinct sensitive values; on the
+    * rollup row, distinct across ALL suppressed rows — never a single
+    * group's), `n_groups`, `sum_w`.
+    *
+    * Scale shape: one (group, sensitive)-grain distinct + group-grain
+    * aggregates over the corpus; the complement pick is a rank window
+    * over the report-sized group table; the rollup's distinct-sensitive
+    * recount runs over the suppressed groups' (group, sensitive) pairs
+    * only. All-integer when `weight` is integral. */
+  def lDiverseStats(df: DataFrame, groupCols: Seq[String],
+                    sensitiveCol: String, l: Long,
+                    weight: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(l >= 1, "l must be positive")
+    val gc = groupCols.map(c => col(c).cast("string").as(c))
+    val g = df.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sv"),
+        sum(weight).cast("long").as("sum_w"))
+    val census = g.agg(
+      sum(when(col("n_sv") < l, lit(1L)).otherwise(lit(0L)))
+        .as("__n_small"))
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy(
+      col("n_rows") +: groupCols.map(col): _*)
+    val marked = g.filter(col("n_sv") >= l)
+      .withColumn("__rn", row_number().over(rankW))
+      .crossJoin(broadcast(census))
+      .withColumn("__supp",
+        col("__n_small") === 1L && col("__rn") === 1L)
+    val visible = marked.filter(!col("__supp"))
+      .select(groupCols.map(col) :+ col("n_rows") :+ col("n_sv") :+
+        lit(1L).as("n_groups") :+ col("sum_w"): _*)
+    val suppGroups = g.filter(col("n_sv") < l).select(groupCols.map(col): _*)
+      .unionByName(marked.filter(col("__supp"))
+        .select(groupCols.map(col): _*))
+    // the rollup's n_sv is the distinct count across the UNION of
+    // suppressed cells — recomputed from rows, not summed per group
+    // (values repeat across groups)
+    val svAll = df.select(gc :+ col(sensitiveCol).as("__sv"): _*)
+      .join(suppGroups, groupCols)
+      .agg(countDistinct(col("__sv")).as("n_sv"))
+    val massAll = g.join(suppGroups, groupCols)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(col("sum_w")).as("sum_w"))
+    val suppressed = massAll.crossJoin(svAll)
+      .filter(col("n_rows").isNotNull)
+      .select(groupCols.map(c => lit("__suppressed__").as(c)) :+
+        col("n_rows") :+ col("n_sv") :+ col("n_groups") :+ col("sum_w"): _*)
+    visible.unionByName(suppressed)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Frequency, Maintenance, Quality, Skew}
+import graft.operators.{Dedup, Frequency, Maintenance, Quality, Similarity, Skew}
 
 /** Round-15 curation operators: containment, fuzzy (edit-distance)
   * pairs, boilerplate removal, k-anonymity, decayed top-k, salt
@@ -443,6 +443,117 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(reevals < n.toLong * k, s"re-evals $reevals not < n*k=${n * k}")
     assert(reevals <= n + 3L * 64 * (k - 1),
       s"re-evals $reevals above the lazy-greedy envelope")
+  }
+
+  test("marginMine: equals brute-force ratio margin; hub vector demoted") {
+    import spark.implicits._
+    // deterministic pseudo-random unit-ish vectors + one HUB target
+    // that is moderately close to everything: raw cosine would mine
+    // the hub for several sources; the margin denominator (its k-NN
+    // mean is also high) demotes it
+    def vec(seed: Int): Array[Float] = Array.tabulate(8) { i =>
+      (math.sin(seed * 2.39996 + i * 1.7) * 0.5).toFloat }
+    val hub = Array.tabulate(8)(i => 0.35f + 0.01f * i)
+    val src = (1 to 5).map(i => (i.toLong * 37, vec(i), 0))
+    val dst = (1 to 12).map(i => (1000L + i, vec(100 + i), 0)) :+
+      ((2000L, hub, 0))
+    val srcDf = src.toDF("vec_id", "embedding", "label")
+    val dstDf = dst.toDF("vec_id", "embedding", "label")
+    val k = 3
+    val got = Similarity.marginMine(srcDf, dstDf, "vec_id", "embedding",
+        k = k, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    // driver brute force with the identical rounding discipline
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pairs = for ((si, sv, _) <- src; (di, dv, _) <- dst)
+      yield (si, di, cos(sv, dv))
+    val mxm = pairs.groupBy(_._1).map { case (s, ps) =>
+      s -> r6(ps.sortBy(p => (-p._3, p._2)).take(k).map(_._3).sum / k) }
+    val mym = pairs.groupBy(_._2).map { case (t, ps) =>
+      t -> r6(ps.sortBy(p => (-p._3, p._1)).take(k).map(_._3).sum / k) }
+    val want = pairs.map { case (s, t, c) =>
+        (s, t, c, r6(c / ((mxm(s) + mym(t)) / 2.0))) }
+      .groupBy(_._1).map { case (_, ps) =>
+        ps.minBy(p => (-p._4, p._2)) }.toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("lDiverseStats: homogeneous group suppressed even when large; lone " +
+       "failure co-suppresses; rollup n_sv is the union distinct") {
+    import spark.implicits._
+    // g_homog clears any k on size but carries ONE sensitive value —
+    // the attribute-disclosure case k-anonymity passes
+    val rows = (1 to 40).map(i => ("g_homog", "only", i.toLong)) ++
+      (1 to 30).map(i => ("g_div", s"v${i % 5}", 100L + i)) ++
+      (1 to 20).map(i => ("g_div2", s"w${i % 4}", 200L + i))
+    val out = Quality.lDiverseStats(rows.toDF("a", "sv", "w"), Seq("a"),
+      "sv", l = 3L, col("w")).collect()
+    val sup = out.filter(_.getString(0) == "__suppressed__")
+    val visible = out.filter(_.getString(0) != "__suppressed__")
+    // exactly ONE group fails l => complementary suppression kicks in:
+    // g_homog (1 value) fails; smallest visible (g_div2, 20 rows)
+    // co-suppresses; only g_div publishes
+    assert(visible.map(_.getString(0)).toSet == Set("g_div"))
+    assert(sup.length == 1)
+    assert(sup.head.getLong(1) == 60L)             // 40 + 20 rows
+    assert(sup.head.getLong(2) == 5L)              // {only, w0..w3}
+    assert(sup.head.getLong(3) == 2L)              // >= 2 cells always
+    assert(out.map(_.getLong(1)).sum == 90L)
+    assert(out.map(_.getLong(4)).sum == rows.map(_._3).sum)
+  }
+
+  test("decayedBucketCounts: merge identity — state(a)+state(b) == state(all); " +
+       "eval equals driver recompute") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val ev = (1 to 60).map(i =>
+      (i.toLong, (i % 7).toLong, at(i.toLong * 97 % 1000)))
+      .toDF("event_id", "user_id", "ts")
+    val h = 100L
+    val all = Frequency.decayedBucketCounts(ev, "user_id", "ts", h)
+    val merged = Frequency.mergeDecayedCounts(
+      Frequency.decayedBucketCounts(ev.filter(col("event_id") % 2 === 0),
+        "user_id", "ts", h),
+      Frequency.decayedBucketCounts(ev.filter(col("event_id") % 2 =!= 0),
+        "user_id", "ts", h))
+    def st(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st(all) == st(merged), "merge identity broken")
+    // shard-grouping invariance: a 3-way split merges to the same state
+    val m3 = Frequency.mergeDecayedCounts(
+      Frequency.mergeDecayedCounts(
+        Frequency.decayedBucketCounts(ev.filter(col("event_id") % 3 === 0),
+          "user_id", "ts", h),
+        Frequency.decayedBucketCounts(ev.filter(col("event_id") % 3 === 1),
+          "user_id", "ts", h)),
+      Frequency.decayedBucketCounts(ev.filter(col("event_id") % 3 === 2),
+        "user_id", "ts", h))
+    assert(st(all) == st(m3), "3-way grouping changed the state")
+    // eval: exact dyadic recompute on the driver
+    val got = Frequency.decayedTopKFromCounts(merged, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
+    val buckets = (1 to 60).map(i =>
+      ((i % 7).toLong, (i.toLong * 97 % 1000) * 1000000L / (h * 1000000L)))
+    val bmax = buckets.map(_._2).max
+    val wu = buckets.groupBy(_._1).map { case (u, bs) =>
+      u -> bs.map { case (_, b) =>
+        BigInt(1) << (40 - math.min(bmax - b, 40L).toInt) }.sum }
+    val want = wu.toSeq.map { case (u, w) =>
+        (u, w, buckets.count(_._1 == u).toLong) }
+      .sortBy { case (u, w, _) => (-w, u) }.take(3).zipWithIndex
+      .map { case ((u, w, n), i) =>
+        (u, (BigDecimal(w) / BigDecimal(BigInt(1) << 40)).toDouble,
+          n, i + 1L) }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
 
   test("jlProject: ±1 matrix deterministic, projection equals driver matmul") {
