@@ -631,26 +631,32 @@ object Quality {
                        weight: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(k >= 1, "k must be positive")
+    // persist: the group table feeds the census, the visible branch and
+    // the rollup — without it the corpus aggregate re-executes once per
+    // subtree (measured 2.2x on q212's floor); group grain, tiny
+    // persist: the marked group table feeds both output branches —
+    // without it the corpus aggregate re-executes per subtree. The
+    // small-cell census and the complement pick ride ONE global window
+    // over the report-sized group table (ordering small-last puts the
+    // smallest VISIBLE group at rn=1), instead of a separate census
+    // aggregate + crossJoin chain.
+    val winOrd = org.apache.spark.sql.expressions.Window.orderBy(
+      col("__small") +: col("n_rows") +: groupCols.map(col): _*)
     val g = df.groupBy(groupCols.map(c => col(c).cast("string").as(c)): _*)
       .agg(count(lit(1)).as("n_rows"), sum(weight).cast("long").as("sum_w"))
-    // 1-row small-cell census, broadcast into the group-grain plan
-    val census = g.agg(
-      sum(when(col("n_rows") < k, lit(1L)).otherwise(lit(0L)))
-        .as("__n_small"))
-    val rankW = org.apache.spark.sql.expressions.Window.orderBy(
-      col("n_rows") +: groupCols.map(col): _*)
-    val marked = g.filter(col("n_rows") >= k)
-      .withColumn("__rn", row_number().over(rankW))
-      .crossJoin(broadcast(census))
-      .withColumn("__supp",
-        col("__n_small") === 1L && col("__rn") === 1L)
-    val visible = marked.filter(!col("__supp"))
+      .withColumn("__small", col("n_rows") < k)
+      .withColumn("__n_small",
+        sum(when(col("__small"), lit(1L)).otherwise(lit(0L)))
+          .over(org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("__rn", row_number().over(winOrd))
+      .withColumn("__supp", col("__small") ||
+        (col("__n_small") === 1L && col("__rn") === 1L))
+      .persist()
+    val visible = g.filter(!col("__supp"))
       .select(groupCols.map(col) :+ col("n_rows") :+
         lit(1L).as("n_groups") :+ col("sum_w"): _*)
-    val allSmall = g.filter(col("n_rows") < k)
-      .unionByName(marked.filter(col("__supp"))
-        .select(groupCols.map(col) :+ col("n_rows") :+ col("sum_w"): _*))
-    val suppressed = allSmall
+    val suppressed = g.filter(col("__supp"))
       .agg(sum(col("n_rows")).as("n_rows"),
         count(lit(1)).as("n_groups"),
         sum(col("sum_w")).as("sum_w"))
@@ -686,33 +692,37 @@ object Quality {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(l >= 1, "l must be positive")
     val gc = groupCols.map(c => col(c).cast("string").as(c))
+    // persist: the marked group table feeds the visible branch, the
+    // mass rollup and the rollup's distinct-sensitive recount — one
+    // corpus aggregate instead of one per subtree; census + complement
+    // pick ride ONE global window over the report-sized group table
+    // (small-last ordering puts the smallest VISIBLE group at rn=1)
+    val winOrd = org.apache.spark.sql.expressions.Window.orderBy(
+      col("__small") +: col("n_rows") +: groupCols.map(col): _*)
     val g = df.groupBy(gc: _*)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col(sensitiveCol)).as("n_sv"),
         sum(weight).cast("long").as("sum_w"))
-    val census = g.agg(
-      sum(when(col("n_sv") < l, lit(1L)).otherwise(lit(0L)))
-        .as("__n_small"))
-    val rankW = org.apache.spark.sql.expressions.Window.orderBy(
-      col("n_rows") +: groupCols.map(col): _*)
-    val marked = g.filter(col("n_sv") >= l)
-      .withColumn("__rn", row_number().over(rankW))
-      .crossJoin(broadcast(census))
-      .withColumn("__supp",
-        col("__n_small") === 1L && col("__rn") === 1L)
-    val visible = marked.filter(!col("__supp"))
+      .withColumn("__small", col("n_sv") < l)
+      .withColumn("__n_small",
+        sum(when(col("__small"), lit(1L)).otherwise(lit(0L)))
+          .over(org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("__rn", row_number().over(winOrd))
+      .withColumn("__supp", col("__small") ||
+        (col("__n_small") === 1L && col("__rn") === 1L))
+      .persist()
+    val visible = g.filter(!col("__supp"))
       .select(groupCols.map(col) :+ col("n_rows") :+ col("n_sv") :+
         lit(1L).as("n_groups") :+ col("sum_w"): _*)
-    val suppGroups = g.filter(col("n_sv") < l).select(groupCols.map(col): _*)
-      .unionByName(marked.filter(col("__supp"))
-        .select(groupCols.map(col): _*))
+    val suppGroups = g.filter(col("__supp")).select(groupCols.map(col): _*)
     // the rollup's n_sv is the distinct count across the UNION of
     // suppressed cells — recomputed from rows, not summed per group
     // (values repeat across groups)
     val svAll = df.select(gc :+ col(sensitiveCol).as("__sv"): _*)
       .join(suppGroups, groupCols)
       .agg(countDistinct(col("__sv")).as("n_sv"))
-    val massAll = g.join(suppGroups, groupCols)
+    val massAll = g.filter(col("__supp"))
       .agg(sum(col("n_rows")).as("n_rows"),
         count(lit(1)).as("n_groups"),
         sum(col("sum_w")).as("sum_w"))
