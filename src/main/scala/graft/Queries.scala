@@ -9481,46 +9481,36 @@ object Queries {
              |    AS is_outlier
              |FROM z""".stripMargin)),
 
-    Q("q233_margin_mining",
+    Q("q233_slice_confounding",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
-        // margin-based pair mining (Artetxe & Schwenk 2019): each
-        // sampled source vector mines its best target by RATIO margin —
-        // cosine normalized by both sides' k-NN neighborhood means, the
-        // hub-vector correction raw cosine lacks. Broadcast source side,
-        // one target scan, every ranking a partial WindowGroupLimit;
-        // cosines and means round at 6 so the margin chain hash-replays.
-        val emb = tbl("embeddings")
-        operators.Similarity.marginMine(
-          emb.filter(col("vec_id") % 37 === 0),
-          emb.filter(col("vec_id") % 37 =!= 0),
-          "vec_id", "embedding", k = 4, threshold = 1.0)
+        // slice-confounding audit: mutual information between the two
+        // slicing dimensions of the corpus datasheet (lang vs source) —
+        // a mixture card that reweights one silently reweights the
+        // other when they're associated. MI = H(A)+H(B)-H(A,B) from
+        // one contingency-grain aggregate; entropies in bits, NMI by
+        // the arithmetic-mean normalization, round-6 (the q200 device).
+        operators.Quality.columnAssociation(
+          tbl("documents"), "lang", "source")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             |          FROM embeddings),
-             |x AS (SELECT vec_id AS src_id, v AS xv FROM v
-             |      WHERE vec_id % 37 = 0),
-             |y AS (SELECT vec_id AS dst_id, v AS yv FROM v
-             |      WHERE vec_id % 37 <> 0),
-             |p AS (SELECT src_id, dst_id,
-             |        round(list_cosine_similarity(xv, yv), 6) AS cos
-             |      FROM x, y),
-             |mx AS (SELECT src_id, round(avg(cos), 6) AS mx FROM
-             |        (SELECT src_id, cos, row_number() OVER
-             |           (PARTITION BY src_id ORDER BY cos DESC, dst_id)
-             |           AS r FROM p)
-             |       WHERE r <= 4 GROUP BY 1),
-             |my AS (SELECT dst_id, round(avg(cos), 6) AS my FROM
-             |        (SELECT dst_id, cos, row_number() OVER
-             |           (PARTITION BY dst_id ORDER BY cos DESC, src_id)
-             |           AS r FROM p)
-             |       WHERE r <= 4 GROUP BY 1),
-             |m AS (SELECT p.src_id, p.dst_id, cos,
-             |        round(cos / ((mx + my) / 2), 6) AS margin
-             |      FROM p JOIN mx USING (src_id) JOIN my USING (dst_id)),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
-             |        ORDER BY margin DESC, dst_id) AS rk FROM m)
-             |SELECT src_id, dst_id, cos, margin FROM r
-             |WHERE rk = 1 AND margin >= 1.0""".stripMargin)),
+      Some("""WITH c AS (SELECT lang AS a, source AS b,
+             |    CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM c),
+             |hab AS (SELECT -sum((n_ab / CAST(n AS DOUBLE)) *
+             |    log2(n_ab / CAST(n AS DOUBLE))) AS h_ab FROM c, t),
+             |ha AS (SELECT -sum(p * log2(p)) AS h_a FROM
+             |        (SELECT sum(n_ab) / CAST(max(n) AS DOUBLE) AS p
+             |         FROM c, t GROUP BY a)),
+             |hb AS (SELECT -sum(p * log2(p)) AS h_b FROM
+             |        (SELECT sum(n_ab) / CAST(max(n) AS DOUBLE) AS p
+             |         FROM c, t GROUP BY b))
+             |SELECT t.n, round(ha.h_a, 6) AS h_a, round(hb.h_b, 6) AS h_b,
+             |  round(ha.h_a + hb.h_b - hab.h_ab, 6) AS mi,
+             |  round(CASE WHEN ha.h_a + hb.h_b > 0
+             |    THEN (ha.h_a + hb.h_b - hab.h_ab) /
+             |         ((ha.h_a + hb.h_b) / 2)
+             |    ELSE 0.0 END, 6) AS nmi
+             |FROM t, ha, hb, hab""".stripMargin)),
 
     Q("q234_l_diversity",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._

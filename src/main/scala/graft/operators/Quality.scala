@@ -732,4 +732,59 @@ object Quality {
         col("n_rows") :+ col("n_sv") :+ col("n_groups") :+ col("sum_w"): _*)
     visible.unionByName(suppressed)
   }
+
+  /** SLICE-CONFOUNDING audit — mutual information between two slicing
+    * dimensions of a corpus datasheet (is `lang` confounded with
+    * `source`? is a quality bucket really just a domain bucket?): a
+    * mixture card that reweights one dimension silently reweights any
+    * dimension it is associated with, so datasheets publish the
+    * association strength. One row: `n`, marginal entropies `h_a`/`h_b`
+    * (bits), `mi` (bits), and `nmi` = MI / ((H_a + H_b) / 2) — the
+    * arithmetic-mean normalization (Kvålseth 1987's symmetric variant;
+    * 0 = independent, 1 = identical partitions), pinned to exact 0.0
+    * when either entropy is 0 (a constant column is associated with
+    * nothing).
+    *
+    * Scale shape: ONE (a, b)-grain aggregate over the corpus — the
+    * contingency table, |A|·|B| rows — then everything (margins,
+    * entropies, MI) derives at contingency grain; the 1-row total
+    * broadcasts. Counts are exact integers; the log terms follow the
+    * round-6 float convention (the q200 entropy device). */
+  def columnAssociation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val lg2 = log(lit(2.0))
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist()
+    val tot = cells.agg(sum(col("n_ab")).as("n"))
+    val ma = cells.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy("b").agg(sum(col("n_ab")).as("n_b"))
+    val joined = cells.crossJoin(broadcast(tot))
+    val pab = col("n_ab").cast("double") / col("n").cast("double")
+    // MI = H(A) + H(B) − H(A,B): three entropies under one convention
+    // beats the direct Σ p·log(p/(p_a·p_b)) form cross-engine (one log
+    // shape, round once at the end)
+    val stats = joined.agg(
+      max(col("n")).as("n"),
+      (-sum(pab * log(pab) / lg2)).as("__h_ab"))
+    // H(A), H(B) from the margins (each term counted once, not per cell)
+    val ha = ma.crossJoin(broadcast(tot)).agg(
+      (-sum((col("n_a").cast("double") / col("n").cast("double")) *
+        log(col("n_a").cast("double") / col("n").cast("double")) / lg2))
+        .as("h_a"))
+    val hb = mb.crossJoin(broadcast(tot)).agg(
+      (-sum((col("n_b").cast("double") / col("n").cast("double")) *
+        log(col("n_b").cast("double") / col("n").cast("double")) / lg2))
+        .as("h_b"))
+    stats.crossJoin(ha).crossJoin(hb)
+      .select(col("n"),
+        round(col("h_a"), 6).as("h_a"),
+        round(col("h_b"), 6).as("h_b"),
+        round(col("h_a") + col("h_b") - col("__h_ab"), 6).as("mi"),
+        round(when(col("h_a") + col("h_b") > 0,
+          (col("h_a") + col("h_b") - col("__h_ab")) /
+            ((col("h_a") + col("h_b")) / 2.0))
+          .otherwise(lit(0.0)), 6).as("nmi"))
+  }
 }

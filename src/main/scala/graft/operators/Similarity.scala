@@ -146,56 +146,6 @@ object Similarity {
         graft.functions.Clean.flag(col("n_agree") < minAgree).as("suspected"))
   }
 
-  /** MARGIN-BASED pair mining (Artetxe & Schwenk ACL 2019's ratio
-    * margin, the standard bitext/parallel-pair miner): raw cosine
-    * over-selects hub vectors (points similar to EVERYTHING), so each
-    * candidate pair (x, y) is scored by its cosine RELATIVE to the two
-    * sides' neighborhoods — margin = cos(x,y) / ((avg cos of x's k-NN
-    * in Y + avg cos of y's k-NN in X) / 2) — and each source vector
-    * mines its single best-margin target, gated at `threshold`. The
-    * curation use: pairing near-duplicate/translated/paraphrased
-    * documents across two corpus slices for alignment or contrastive
-    * training data.
-    *
-    * Scale shape: the audit/sample regime of [[knnOutliers]] — the
-    * source side broadcasts, ONE scan of the target side builds the
-    * pair table, and every per-side ranking (`rnk <= k`, final argmax
-    * `rank = 1`) plans as a partial WindowGroupLimit (map-side limit
-    * before the rank exchange); the full-corpus variant routes the
-    * candidate generation through IVF/PQ and reuses the same margin
-    * arithmetic. Determinism: cosines round at 6 at pair grain, the
-    * k-NN means (≤ k rounded addends) round at 6, margin is one IEEE
-    * division of identically-rounded operands rounded at 6, ties → id
-    * — the full chain hash-replays. */
-  def marginMine(source: DataFrame, target: DataFrame, idCol: String,
-                 vecCol: String, k: Int, threshold: Double): DataFrame = {
-    require(k >= 1, "k must be positive")
-    val x = broadcast(source.select(col(idCol).as("src_id"),
-      col(vecCol).as("__xv")))
-    val pairs = target.select(col(idCol).as("dst_id"), col(vecCol).as("__yv"))
-      .crossJoin(x)
-      .withColumn("cos", round(Vectors.cosine(col("__xv"), col("__yv")), 6))
-      .select(col("src_id"), col("dst_id"), col("cos"))
-    val wx = Window.partitionBy(col("src_id"))
-      .orderBy(col("cos").desc, col("dst_id"))
-    val wy = Window.partitionBy(col("dst_id"))
-      .orderBy(col("cos").desc, col("src_id"))
-    val mx = pairs.withColumn("rx", row_number().over(wx))
-      .filter(col("rx") <= k)
-      .groupBy("src_id").agg(round(avg(col("cos")), 6).as("__mx"))
-    val my = pairs.withColumn("ry", row_number().over(wy))
-      .filter(col("ry") <= k)
-      .groupBy("dst_id").agg(round(avg(col("cos")), 6).as("__my"))
-    val scored = pairs.join(mx, Seq("src_id")).join(my, Seq("dst_id"))
-      .withColumn("margin",
-        round(col("cos") / ((col("__mx") + col("__my")) / 2.0), 6))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("src_id"))
-          .orderBy(col("margin").desc, col("dst_id"))))
-      .filter(col("rank") === 1 && col("margin") >= threshold)
-      .select(col("src_id"), col("dst_id"), col("cos"), col("margin"))
-  }
-
   /** HARD-NEGATIVE mining for embedding/retrieval training: for each
     * query vector, the top-k most-similar vectors of a DIFFERENT class
     * that are not near-duplicates (`cos < dupThreshold` screens out

@@ -445,44 +445,34 @@ class CurationOpsSpec extends AnyFunSuite {
       s"re-evals $reevals above the lazy-greedy envelope")
   }
 
-  test("marginMine: equals brute-force ratio margin; hub vector demoted") {
+  test("columnAssociation: independent columns score 0, identical score 1, " +
+       "hand-checked MI in between") {
     import spark.implicits._
-    // deterministic pseudo-random unit-ish vectors + one HUB target
-    // that is moderately close to everything: raw cosine would mine
-    // the hub for several sources; the margin denominator (its k-NN
-    // mean is also high) demotes it
-    def vec(seed: Int): Array[Float] = Array.tabulate(8) { i =>
-      (math.sin(seed * 2.39996 + i * 1.7) * 0.5).toFloat }
-    val hub = Array.tabulate(8)(i => 0.35f + 0.01f * i)
-    val src = (1 to 5).map(i => (i.toLong * 37, vec(i), 0))
-    val dst = (1 to 12).map(i => (1000L + i, vec(100 + i), 0)) :+
-      ((2000L, hub, 0))
-    val srcDf = src.toDF("vec_id", "embedding", "label")
-    val dstDf = dst.toDF("vec_id", "embedding", "label")
-    val k = 3
-    val got = Similarity.marginMine(srcDf, dstDf, "vec_id", "embedding",
-        k = k, threshold = 0.0)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3))).toSet
-    // driver brute force with the identical rounding discipline
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) { d += a(i).toDouble * b(i)
-        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
-      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
-    }
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
-    val pairs = for ((si, sv, _) <- src; (di, dv, _) <- dst)
-      yield (si, di, cos(sv, dv))
-    val mxm = pairs.groupBy(_._1).map { case (s, ps) =>
-      s -> r6(ps.sortBy(p => (-p._3, p._2)).take(k).map(_._3).sum / k) }
-    val mym = pairs.groupBy(_._2).map { case (t, ps) =>
-      t -> r6(ps.sortBy(p => (-p._3, p._1)).take(k).map(_._3).sum / k) }
-    val want = pairs.map { case (s, t, c) =>
-        (s, t, c, r6(c / ((mxm(s) + mym(t)) / 2.0))) }
-      .groupBy(_._1).map { case (_, ps) =>
-        ps.minBy(p => (-p._4, p._2)) }.toSet
-    assert(got == want, s"got $got\nwant $want")
+    // independent: a uniform over 2, b uniform over 3, all 6 cells equal
+    val ind = (for (i <- 0 until 60) yield (s"a${i % 2}", s"b${i % 3}"))
+      .toDF("x", "y")
+    val r1 = Quality.columnAssociation(ind, "x", "y").collect()(0)
+    assert(r1.getLong(0) == 60L)
+    assert(r1.getDouble(1) == 1.0 && math.abs(r1.getDouble(2) - 1.584963) < 1e-6)
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(4) == 0.0)
+    // identical partitions: NMI exactly 1
+    val same = (for (i <- 0 until 30) yield (s"v${i % 3}", s"w${i % 3}"))
+      .toDF("x", "y")
+    val r2 = Quality.columnAssociation(same, "x", "y").collect()(0)
+    assert(r2.getDouble(4) == 1.0 && math.abs(r2.getDouble(3) - r2.getDouble(1)) < 1e-6)
+    // hand-checked 2x2: cells (a0,b0)=3 (a0,b1)=1 (a1,b0)=1 (a1,b1)=3
+    val rows = Seq.fill(3)(("a0", "b0")) ++ Seq(("a0", "b1")) ++
+      Seq(("a1", "b0")) ++ Seq.fill(3)(("a1", "b1"))
+    val r3 = Quality.columnAssociation(rows.toDF("x", "y"), "x", "y")
+      .collect()(0)
+    def h(ps: Seq[Double]) = -ps.map(p => p * math.log(p) / math.log(2)).sum
+    val want = math.rint((2 * h(Seq(0.5, 0.5)) -
+      h(Seq(0.375, 0.125, 0.125, 0.375))) * 1e6) / 1e6
+    assert(math.abs(r3.getDouble(3) - want) < 1e-6, s"mi=${r3.getDouble(3)} want $want")
+    // constant column: entropy 0, nmi pinned to exact 0.0
+    val const = (for (i <- 0 until 10) yield ("k", s"b${i % 2}")).toDF("x", "y")
+    val r4 = Quality.columnAssociation(const, "x", "y").collect()(0)
+    assert(r4.getDouble(1) == 0.0 && r4.getDouble(3) == 0.0)
   }
 
   test("lDiverseStats: homogeneous group suppressed even when large; lone " +

@@ -287,22 +287,6 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("Partial"), plan.take(1200))
   }
 
-  test("marginMine plan: broadcast source side, map-side-limited rankings") {
-    val emb = Tables(spark, TestSpark.sf0001, "embeddings").repartition(5)
-    val plan = Similarity.marginMine(emb.filter($"vec_id" % 37 === 0),
-        emb.filter($"vec_id" % 37 =!= 0), "vec_id", "embedding",
-        k = 4, threshold = 1.0)
-      .queryExecution.executedPlan.toString
-    // the pair table is a broadcast NLJ (source sample ships to the
-    // target scan — the corpus side never shuffles to build pairs)
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
-    // every rnk<=k / rank=1 filter plans as WindowGroupLimit with a
-    // map-side Partial phase — partitions forward at most k rows per
-    // group into the rank exchange
-    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
-    assert(plan.contains("Partial"), plan.take(1500))
-  }
-
   test("splitOversizedCells bounds fat cells on a skewed corpus") {
     // 900 vectors jammed in one tight region + 100 spread out: k-means
     // with few cells collapses the dense region into one fat cell
