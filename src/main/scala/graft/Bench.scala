@@ -595,6 +595,14 @@ object Bench {
     val probeSpreadAll =
       if (calSamples.isEmpty) 0.0
       else calSamples.map(_._2).max / calSamples.map(_._2).min
+    // median clean probe: on an oscillating host the MIN-probe describes
+    // the fastest window while most samples ran elsewhere — the median
+    // is the representative host unit a reader should normalize per-
+    // query minima by when window_ok is false
+    val probeP50 = if (cleanProbes.isEmpty) 0.0 else {
+      val s = cleanProbes.sorted
+      s((s.size - 1) / 2)
+    }
     val windowOk = cleanProbes.nonEmpty && probeSpread <= 1.5
     if (!windowOk)
       System.err.println(f"[bench] WINDOW QUALITY LOW: clean-probe " +
@@ -608,7 +616,7 @@ object Bench {
       case Some((p, _, _, digest)) =>
         "\"" + p + (if (digest == fixturesDigest) "" else " (incomparable)") + "\""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"probe_p50":${f"$probeP50%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's per-round artifact keeps only the run's last 2000
     // output chars, which truncates the per-query JSON every round — so

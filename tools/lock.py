@@ -80,6 +80,7 @@ shutil.copyfile(src, dst)
 q = a.get("queries", {})
 print(f"\nLOCKED {dst}: {len(q)} queries, "
       f"{sum(v for v in q.values() if v > 0):.1f} s min-sum, "
-      f"probe {a.get('probe_baseline')}, spread {a.get('probe_spread')}x, "
+      f"probe {a.get('probe_baseline')} (p50 {a.get('probe_p50')}), "
+      f"spread {a.get('probe_spread')}x, "
       f"tainted {a.get('tainted_pct')}%"
       + (" [FORCED over: " + "; ".join(problems) + "]" if problems else ""))
