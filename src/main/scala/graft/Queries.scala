@@ -9578,6 +9578,66 @@ object Queries {
              |  n_events,
              |  CAST(row_number() OVER (ORDER BY wu DESC, user_id)
              |    AS BIGINT) AS rank
+             |FROM g ORDER BY wu DESC, user_id LIMIT 20""".stripMargin)),
+
+    Q("q236_streaming_decayed_counts",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STREAMING decayed-counter maintenance — q235's mergeability at
+        // ingestion time (the q196/q229 store discipline): each
+        // micro-batch contributes its (key, grid-bucket) counts, merged
+        // into the running store (read store_{b-1}, merge, write
+        // store_b; AvailableNow serializes the chain). Per-batch cost ∝
+        // batch + |active buckets|; history is never rescanned or
+        // re-aged (grid buckets are a pure function of the event — the
+        // property q213's t_max-relative buckets lack). The oracle is
+        // the MONOLITHIC grid recompute over the full events table, so
+        // streaming accumulation must equal having seen the stream at
+        // once, exact to the dyadic unit.
+        import java.nio.file.Files
+        val ev = tbl("events").select(col("event_id"), col("user_id"),
+          col("ts"))
+        val dir = tempStagingDir("graft_q236_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        stageStreamFile(ev.filter(col("event_id") % 2 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(ev.filter(col("event_id") % 2 =!= 0), src,
+          "batch_b", now - 60000)
+        val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val bm = operators.Frequency.decayedBucketCounts(batch,
+            "user_id", "ts", 172800L)
+          val merged =
+            if (batchId == 0) bm
+            else operators.Frequency.mergeDecayedCounts(bm,
+              batch.sparkSession.read.parquet(s"$out/store_${batchId - 1}"))
+          merged.write.mode("overwrite").parquet(s"$out/store_$batchId")
+        }
+        val query = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        operators.Frequency.decayedTopKFromCounts(
+            s.read.parquet(s"$out/store_1"), k = 20)
+          .select(col("key").as("user_id"), col("decayed_w"),
+            col("n_events"), col("rank"))
+      },
+      Some("""WITH w AS (SELECT user_id,
+             |    epoch_us(ts) // 172800000000 AS bucket FROM events),
+             |mx AS (SELECT max(bucket) AS bmax FROM w),
+             |g AS (SELECT user_id,
+             |    sum(1::BIGINT <<
+             |      CAST(40 - least(bmax - bucket, 40) AS INT)) AS wu,
+             |    count(*) AS n_events
+             |  FROM w, mx GROUP BY 1)
+             |SELECT user_id,
+             |  CAST(wu AS DOUBLE) / 1099511627776.0 AS decayed_w,
+             |  n_events,
+             |  CAST(row_number() OVER (ORDER BY wu DESC, user_id)
+             |    AS BIGINT) AS rank
              |FROM g ORDER BY wu DESC, user_id LIMIT 20""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]

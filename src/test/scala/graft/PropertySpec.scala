@@ -456,6 +456,42 @@ class PropertySpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("kAnonymizedStats/lDiverseStats: privacy invariants on random groupings") {
+    // the publication-gate contracts, executable over random data:
+    // (1) mass conservation — published rows and weights sum to the
+    //     corpus totals regardless of which cells suppress;
+    // (2) no visible cell violates its gate (n_rows >= k / n_sv >= l);
+    // (3) the rollup NEVER carries a single cell (complementary
+    //     suppression: n_groups >= 2 whenever a rollup row exists)
+    val gen = for {
+      nGroups <- Gen.choose(2, 9)
+      rows <- Gen.choose(30, 120)
+      seeds <- Gen.listOfN(rows, Gen.choose(0, 10000))
+    } yield seeds.zipWithIndex.map { case (s0, i) =>
+      (s"g${s0 % nGroups}", s"s${(s0 / 7) % 4}", (i + 1).toLong) }
+    for ((rows, runIdx) <- samples(gen, 8).zipWithIndex) {
+      val df = rows.toDF("a", "sv", "w")
+      val k = 5L + (runIdx % 3) * 5L
+      val ka = graft.operators.Quality
+        .kAnonymizedStats(df, Seq("a"), k, col("w")).collect()
+      assert(ka.map(_.getLong(1)).sum == rows.size.toLong)
+      assert(ka.map(_.getLong(3)).sum == rows.map(_._3).sum)
+      val kaVis = ka.filter(_.getString(0) != "__suppressed__")
+      assert(kaVis.forall(_.getLong(1) >= k), s"k=$k visible under gate")
+      ka.filter(_.getString(0) == "__suppressed__").foreach { r =>
+        assert(r.getLong(2) >= 2L, "k-anon rollup carries a lone cell") }
+      val l = 2L + (runIdx % 2)
+      val ld = graft.operators.Quality
+        .lDiverseStats(df, Seq("a"), "sv", l, col("w")).collect()
+      assert(ld.map(_.getLong(1)).sum == rows.size.toLong)
+      assert(ld.map(_.getLong(4)).sum == rows.map(_._3).sum)
+      val ldVis = ld.filter(_.getString(0) != "__suppressed__")
+      assert(ldVis.forall(_.getLong(2) >= l), s"l=$l visible under gate")
+      ld.filter(_.getString(0) == "__suppressed__").foreach { r =>
+        assert(r.getLong(3) >= 2L, "l-div rollup carries a lone cell") }
+    }
+  }
+
   test("fuzzyDupPairs: recall-complete on random keys with random edits <= k " +
        "(sentinel + prefix-filter regimes)") {
     // the recall contract, EXECUTABLE: a corpus of random short keys
