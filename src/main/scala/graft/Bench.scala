@@ -44,9 +44,34 @@ import org.apache.spark.sql.SparkSession
   * its totals carry per-query first-run JIT (~40% measured), which the
   * min-over-samples protocol discounts but pass-total readers before
   * r12 could not.
+  *
+  * Budget + crash safety (r17 — the r16 rc=124 lesson, where a driver
+  * timeout left NO artifact and a stopped-SparkContext stack):
+  *   - a WALL-CLOCK budget (SPARK_GRAFT_DEADLINE_SEC; defaults to
+  *     2700 s for a full parent suite run, unlimited for standalone
+  *     floor children and dev single-query filters, 0 = unlimited)
+  *     degrades the protocol gracefully instead of dying mid-run:
+  *     later suite passes are skipped first, then settle reruns, then
+  *     floor children get fewer passes, then floors are skipped
+  *     entirely — every degradation is recorded in `degraded` and any
+  *     of them forces window_ok scrutiny downstream (unfloored flags
+  *     already make tools/lock.py refuse);
+  *   - a shutdown hook flushes the partial artifact (per-query minima,
+  *     probes, stall classification — all in memory when SIGTERM
+  *     lands) as parsable JSON with `"partial":true` and
+  *     artifact_ok=false, so even a hard timeout yields data instead
+  *     of a stack trace. Samples in the probe-unclosed tail segment
+  *     are classified tainted (no closing probe ever validated them).
+  *   - probe cadence relaxes from every 10 queries (pass 1 — the
+  *     baseline-discovery pass) to every 15 on later passes, and a
+  *     single-query floor child exits its pass loop once the sample
+  *     curve flattens (settled-tail detection used to EXIT, not just
+  *     to extend) — together they buy the driver budget back without
+  *     coarsening pass-1 quarantine granularity.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val tWall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -62,6 +87,31 @@ object Bench {
     // first measured query doesn't absorb one-time init
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    val only = args.toSet // optional query-name filter (dev use)
+    val queries = Queries.all.filter(q => only.isEmpty || only(q.name))
+    // a forked single-query floor child (SPARK_GRAFT_STANDALONE) skips
+    // parent-artifact bookkeeping (fixture hashing) and runs unbudgeted
+    // — the parent bounds it with the fork timeout
+    val standalone = sys.env.contains("SPARK_GRAFT_STANDALONE")
+
+    // ── wall-clock budget (r17) ───────────────────────────────────────
+    // The driver's per-round bench run has a hard external timeout; the
+    // r16 run hit it at rc=124 with zero artifact. Degrade inside the
+    // budget instead: 2700 s default for the full parent suite
+    // (override with SPARK_GRAFT_DEADLINE_SEC; <= 0 disables — a lock
+    // run that wants full rigor on a slow window should disable and
+    // accept the wall time).
+    val deadlineSec: Option[Double] =
+      sys.env.get("SPARK_GRAFT_DEADLINE_SEC").map(_.toDouble) match {
+        case Some(d) if d <= 0 => None
+        case Some(d) => Some(d)
+        case None => if (standalone || only.nonEmpty) None else Some(2700.0)
+      }
+    def elapsedWall: Double = (System.nanoTime() - tWall0) / 1e9
+    def remainingSec: Double =
+      deadlineSec.map(_ - elapsedWall).getOrElse(Double.MaxValue)
+    val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
+
     // ── fixture provenance ────────────────────────────────────────────
     // The artifact fingerprints its INPUTS: per-table byte-md5 + size +
     // row count, plus one combined digest. A testdata regeneration
@@ -73,14 +123,8 @@ object Bench {
     // layout/metadata and therefore scan timings.
     val fixtureTables = Seq("region", "nation", "customer", "supplier",
       "part", "orders", "lineitem", "events", "documents", "embeddings")
-    // a forked single-query floor child (SPARK_GRAFT_STANDALONE) skips
-    // the provenance pass: hashing every fixture parquet byte-for-byte
-    // and re-counting rows is parent-artifact bookkeeping the floor
-    // output never consults, and it taxes exactly the path whose whole
-    // purpose is a quick clean measurement
-    val childStandalone = sys.env.contains("SPARK_GRAFT_STANDALONE")
     val fixtures =
-      if (childStandalone) Seq.empty[(String, Long, Long, String)]
+      if (standalone) Seq.empty[(String, Long, Long, String)]
       else fixtureTables.flatMap { t =>
         val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
         if (!java.nio.file.Files.isRegularFile(p)) None
@@ -157,21 +201,24 @@ object Bench {
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get("docs/bench_round_prev.json"))
     val roundRef = loadRef(roundRefPath)
-    val prevText: Option[String] = prevRef.map(_ => "")
-    val prevQueries: Map[String, Double] =
-      prevRef.map(_._2).getOrElse(Map.empty)
     val prevProbe: Option[Double] = prevRef.map(_._3)
     val prevComparable = prevRef.exists(_._4 == fixturesDigest)
-    val only = args.toSet // optional query-name filter (dev use)
-    val queries = Queries.all.filter(q => only.isEmpty || only(q.name))
 
     // every measurement is (query, seconds, closing-probe label): the
     // probe that CLOSES a segment decides — retroactively re-decidable —
-    // whether its samples were clean or contended
+    // whether its samples were clean or contended. ALL mutations go
+    // through `stateLock`: the shutdown hook snapshots these buffers
+    // from another thread while the main thread may still be appending.
+    val stateLock = new Object
     val measurements = scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
     val errors = scala.collection.mutable.Map.empty[String, String]
     val reruns = scala.collection.mutable.Map.empty[String, Int]
     val segment = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // floors accumulate INCREMENTALLY so a shutdown mid-floor-stage
+    // still flushes the floors already measured
+    val floorsAcc = scala.collection.mutable.Map.empty[String, (Double, String)]
 
     def runOnce(q: Queries.Q): Double = {
       // cold plans only: queries that persist() intermediates (q35, q51)
@@ -192,15 +239,19 @@ object Bench {
         // count-star shortcuts skip the actual work)
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        segment += q.name -> dt
-        errors.remove(q.name) // a later success supersedes an earlier failure
+        stateLock.synchronized {
+          segment += q.name -> dt
+          errors.remove(q.name) // a later success supersedes an earlier failure
+        }
         dt
       } catch {
         case e: Throwable => // a failed attempt must NOT count as a time
-          errors(q.name) = e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("")
-              .map(c => if (c >= ' ' && c <= '~' && c != '"' && c != '\\') c else ' ')
-              .take(200)
+          stateLock.synchronized {
+            errors(q.name) = e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")
+                .map(c => if (c >= ' ' && c <= '~' && c != '"' && c != '\\') c else ' ')
+                .take(200)
+          }
           0.0
       }
     }
@@ -211,8 +262,6 @@ object Bench {
     // 17-minute run). Sized ~0.5 s so scheduler jitter is small RELATIVE
     // to the probe (the old 0.2 s probe showed 1.7x jitter on an idle
     // host — indistinguishable from real 1.5x contention).
-    val calEvery = 10
-    val calSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val pinnedBaseline = sys.env.get("SPARK_GRAFT_PROBE_BASELINE").map(_.toDouble)
     def timeProbeOnce(): Double = {
       val t0 = System.nanoTime()
@@ -234,9 +283,11 @@ object Bench {
     /** Close the pending segment under `label`'s probe. */
     def calibrate(label: String): Unit = {
       val t = timeProbe()
-      calSamples += label -> t
-      for ((name, dt) <- segment) measurements += ((name, dt, label))
-      segment.clear()
+      stateLock.synchronized {
+        calSamples += label -> t
+        for ((name, dt) <- segment) measurements += ((name, dt, label))
+        segment.clear()
+      }
     }
 
     def probeBaseline: Double = {
@@ -245,69 +296,27 @@ object Bench {
     }
     /** Labels of probes currently judged contended (vs the running-min
       * baseline — monotonically tightens, so a clean verdict can flip to
-      * stalled later, never the reverse once the min is final). */
-    def stalledLabels: Set[String] = {
-      val base = probeBaseline
-      calSamples.filter { case (_, t) => t > 1.5 * base && t > base + 0.25 }
-        .map(_._1).toSet
-    }
-    /** (clean, tainted) samples per query under the current baseline. */
-    def classify(): (Map[String, Seq[Double]], Map[String, Seq[Double]]) = {
-      val bad = stalledLabels
-      val (t, c) = measurements.partition { case (_, _, l) => bad(l) }
+      * stalled later, never the reverse once the min is final). The
+      * sentinel "unclosed" label (samples flushed by the shutdown hook
+      * with no closing probe) is ALWAYS tainted: nothing validated the
+      * window they ran in. */
+    def stalledOf(cals: Seq[(String, Double)], base: Double): Set[String] =
+      cals.filter { case (_, t) => t > 1.5 * base && t > base + 0.25 }
+        .map(_._1).toSet + "unclosed"
+    def stalledLabels: Set[String] = stalledOf(calSamples.toSeq, probeBaseline)
+    def classifyOf(meas: Seq[(String, Double, String)], bad: Set[String])
+        : (Map[String, Seq[Double]], Map[String, Seq[Double]]) = {
+      val (t, c) = meas.partition { case (_, _, l) => bad(l) }
       (c.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq },
        t.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq })
     }
+    /** (clean, tainted) samples per query under the current baseline. */
+    def classify(): (Map[String, Seq[Double]], Map[String, Seq[Double]]) =
+      classifyOf(measurements.toSeq, stalledLabels)
     def needingClean(want: Int): Seq[Queries.Q] = {
       val clean = classify()._1
       queries.filter(q => !errors.contains(q.name) &&
         clean.get(q.name).map(_.size).getOrElse(0) < want)
-    }
-
-    val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // dev knob: floor-finding runs (e.g. root-causing one query's settle
-    // point) want more in-JVM passes than the 2-pass default
-    var maxPasses = sys.env.get("SPARK_GRAFT_MIN_PASSES").map(_.toInt).getOrElse(2)
-    var pass = 0
-    while (pass < maxPasses) {
-      pass += 1
-      calibrate(s"p$pass.start")
-      var passTotal = 0.0
-      for ((q, i) <- queries.zipWithIndex) {
-        System.err.println(s"[bench] pass $pass ${q.name}")
-        passTotal += runOnce(q)
-        if ((i + 1) % calEvery == 0 && i + 1 < queries.size)
-          calibrate(s"p$pass.q${i + 1}")
-      }
-      calibrate(s"p$pass.end")
-      passTotals += passTotal
-      // two passes that disagree >1.25x mean one pass absorbed a broad
-      // stall or pass-1 JIT never settled — buy one clean pass (bounded:
-      // at most one extra). The r9 artifact's 1.31 pass ratio slipped
-      // under the old 1.5 trigger and shipped 2-3x per-query regressions
-      // on untouched code, so the trigger sits just above same-host
-      // pass-to-pass noise (~1.1x) instead.
-      if (pass == 2 && maxPasses == 2 &&
-          passTotals.max > 1.25 * passTotals.min) {
-        System.err.println(s"[bench] pass totals diverge ${passTotals.mkString(", ")} — running a third pass")
-        maxPasses = 3
-      }
-    }
-
-    // requeue sweeps: queries whose samples were quarantined by a stall
-    // window get re-measured until each has at least one clean sample —
-    // bounded at 2 sweeps so sustained contention terminates with the
-    // artifact honestly marked not-ok rather than looping forever
-    var sweep = 0
-    while (sweep < 2 && needingClean(1).nonEmpty) {
-      sweep += 1
-      val todo = needingClean(1)
-      System.err.println(s"[bench] requeue sweep $sweep (${todo.size} contended): ${todo.map(_.name).mkString(", ")}")
-      for ((q, i) <- todo.zipWithIndex) {
-        runOnce(q)
-        if ((i + 1) % 5 == 0 || i + 1 == todo.size)
-          calibrate(s"requeue$sweep.${q.name}")
-      }
     }
 
     // per-query settle defense: until the two FASTEST clean samples of a
@@ -315,9 +324,7 @@ object Bench {
     // number (JIT warm-up, cache population, or a sub-probe-resolution
     // stall) — re-measure, bounded at 2 extra samples per query. The
     // 0.05 s absolute guard keeps sub-tenth-second timer jitter on
-    // trivial queries from eating the rerun budget. Each rerun is closed
-    // by its own probe so a contended rerun quarantines instead of
-    // committing.
+    // trivial queries from eating the rerun budget.
     def divergent(ts: Seq[Double]): Boolean = {
       val best = ts.sorted.take(2)
       best.size == 2 && best(1) > 1.3 * best(0) && best(1) - best(0) > 0.05
@@ -329,58 +336,19 @@ object Bench {
     // samples 6.2, 2.5, 2.0, 2.1, 1.8, 1.74, 1.71, 1.77 — r10 shipped
     // the 2.1 and flagged a phantom regression vs r8's 1.69). While the
     // LATEST sample improves the running min by >7%, the query has not
-    // settled; keep measuring. Bounded at 4 extra samples total.
+    // settled; keep measuring.
     def stillImproving(ts: Seq[Double]): Boolean =
       ts.size >= 2 && ts.last < ts.init.min * 0.93 && ts.init.min - ts.last > 0.05
-    for (q <- queries) {
-      var extra = 0
-      while (extra < 4 && classify()._1.get(q.name).exists(ts =>
-          divergent(ts) || stillImproving(ts)) &&
-          (extra < 2 || classify()._1.get(q.name).exists(stillImproving))) {
-        System.err.println(s"[bench] re-running ${q.name}: clean samples ${classify()._1(q.name).mkString(", ")} (diverge >1.3x or still improving)")
-        runOnce(q)
-        calibrate(s"rerun.${q.name}.$extra")
-        extra += 1
-        reruns(q.name) = extra
-      }
-    }
 
-    // final classification under the final (tightest) baseline
-    val (clean, taintedM) = classify()
-    val stalls = stalledLabels
-    val requeuedCounts = taintedM.map { case (k, v) => k -> v.size }
-    // a query with zero clean samples falls back to its tainted min so
-    // the artifact still covers it — flagged in `tainted_only` AND it
-    // forces artifact_ok=false
-    val taintedOnly = queries.map(_.name).filter(n =>
-      !errors.contains(n) && clean.get(n).forall(_.isEmpty) && taintedM.get(n).exists(_.nonEmpty))
-    val results0 = queries.map { q =>
-      val c = clean.get(q.name).filter(_.nonEmpty).map(_.min)
-      val d = taintedM.get(q.name).filter(_.nonEmpty).map(_.min)
-      q.name -> c.orElse(d).getOrElse(-1.0)
-    }
-
-    // ── standalone floors for cross-round regressions (r13) ──────────
-    // host_ratio rescales the previous round's minima to this host's
-    // measured speed; a query past the 1.3x band (and >0.2 s absolute —
-    // timer jitter on trivial queries is not a regression) is suspect.
-    // Its floor is measured in a FORKED fresh JVM (the SCALE.md
-    // standalone protocol, automated): same classpath, same JVM flags,
-    // one query, its own 2-pass protocol — immune to this process's
-    // accumulated heap/block-manager state. If the fork cannot run
-    // (classpath quirks), an in-process quiesced re-measure is the
-    // labeled fallback. The floor REPLACES the suite min in `queries`
-    // when faster (both are clean measurements of the same code+data;
-    // the suite number stays in `regressed_vs_prev.suite_min`).
-    val standalone = sys.env.contains("SPARK_GRAFT_STANDALONE")
-    val hostRatio: Option[Double] =
-      if (prevComparable) Some(probeBaseline / prevProbe.get) else None
+    // ── anchor/flag machinery, parameterized by the probe baseline so
+    // both the main flow and the (possibly partial) emission compute
+    // identically ─────────────────────────────────────────────────────
     // the flag threshold CLAMPS each anchor's ratio at 1.0: the CPU
     // probe and a full query don't speed up in lockstep, so a
     // faster-probing host must not shrink the allowance below
     // prior x 1.3 — the r13 shakeout run (probe ratio 0.81) flagged 25
     // queries whose forked floors all came back within ±20% of prev:
-    // band noise, not regressions
+    // band noise, not regressions.
     // each anchor carries BOTH ratios: the clamped one decides the flag
     // (allowances must not shrink on a fast-probing host) and the RAW
     // one annotates it — on an oscillating host (r15: min-probe 0.149
@@ -388,11 +356,11 @@ object Bench {
     // gate manufactures flags, and the unclamped severity is the
     // secondary verdict a judge reads to separate window from code
     // without a worktree rebuild
-    val anchors: Seq[(String, Map[String, Double], Double, Double)] =
+    def anchorsOf(pb: Double): Seq[(String, Map[String, Double], Double, Double)] =
       Seq(("last_lock", prevRef), ("round_lock", roundRef)).flatMap {
         case (label, Some((_, qs, probe, digest)))
             if digest == fixturesDigest && probe > 0 =>
-          val raw = probeBaseline / probe
+          val raw = pb / probe
           Some((label, qs, math.max(raw, 1.0), raw))
         case _ => None
       }
@@ -402,21 +370,339 @@ object Bench {
     // drift ≤30% past the last lock yet still trip the round-boundary
     // prior. The reported prior/anchor is the WORST violation.
     // Tuple: (anchor, prior, sevClamped, rawRatio).
-    def violations(n: String, v: Double): Seq[(String, Double, Double, Double)] =
-      anchors.flatMap { case (label, qs, ratio, raw) =>
-        qs.get(n)
-          .filter(p => p > 0 && v > p * ratio * 1.3 && v - p * ratio > 0.2)
-          .map(p => (label, p, v / (p * ratio), raw))
-      }
-    val suspectsAll: Seq[(String, (String, Double, Double, Double))] =
+    def suspectsOf(results0: Seq[(String, Double)], pb: Double)
+        : Seq[(String, (String, Double, Double, Double))] = {
+      val anchors = anchorsOf(pb)
       if (standalone || only.nonEmpty || anchors.isEmpty) Seq.empty
       else results0.flatMap { case (n, v) =>
         if (v <= 0) None
         else {
-          val vio = violations(n, v)
+          val vio = anchors.flatMap { case (label, qs, ratio, raw) =>
+            qs.get(n)
+              .filter(p => p > 0 && v > p * ratio * 1.3 && v - p * ratio > 0.2)
+              .map(p => (label, p, v / (p * ratio), raw))
+          }
           if (vio.isEmpty) None else Some(n -> vio.maxBy(_._3))
         }
       }
+    }
+
+    // ── artifact emission — callable from the normal end of run AND
+    // from the shutdown hook on SIGTERM/timeout (r17). Snapshots all
+    // mutable state under the lock, then computes the full artifact
+    // from the snapshot; `partial` marks a crash flush and forces
+    // artifact_ok=false. ──────────────────────────────────────────────
+    def emit(partial: Boolean): String = {
+      val (meas, cals, errs, rrs, pts, flrs) = stateLock.synchronized {
+        (measurements.toVector ++
+           segment.toVector.map { case (n, d) => (n, d, "unclosed") },
+         calSamples.toVector, errors.toMap, reruns.toMap,
+         passTotals.toVector, floorsAcc.toMap)
+      }
+      val pb = {
+        val m = if (cals.isEmpty) Double.MaxValue else cals.map(_._2).min
+        math.min(pinnedBaseline.getOrElse(Double.MaxValue), m)
+      }
+      val stalls = stalledOf(cals, pb)
+      val (clean, taintedM) = classifyOf(meas, stalls)
+      val requeuedCounts = taintedM.map { case (k, v) => k -> v.size }
+      // a query with zero clean samples falls back to its tainted min so
+      // the artifact still covers it — flagged in `tainted_only` AND it
+      // forces artifact_ok=false
+      val taintedOnly = queries.map(_.name).filter(n =>
+        !errs.contains(n) && clean.get(n).forall(_.isEmpty) &&
+          taintedM.get(n).exists(_.nonEmpty))
+      val results0 = queries.map { q =>
+        val c = clean.get(q.name).filter(_.nonEmpty).map(_.min)
+        val d = taintedM.get(q.name).filter(_.nonEmpty).map(_.min)
+        q.name -> c.orElse(d).getOrElse(-1.0)
+      }
+      // the floor REPLACES the suite min in `queries` when faster (both
+      // are clean measurements of the same code+data; the suite number
+      // stays in `regressed_vs_prev.suite_min`)
+      val results = results0.map { case (n, v) =>
+        n -> flrs.get(n).map(_._1).filter(f => f > 0 && f < v).getOrElse(v)
+      }
+      val suspectsAll = suspectsOf(results0, pb)
+      val hostRatio: Option[Double] =
+        if (prevComparable && prevProbe.exists(_ > 0)) Some(pb / prevProbe.get)
+        else None
+      val attempts = meas.size
+      val taintedCount = taintedM.values.map(_.size).sum
+      val taintedPct = if (attempts == 0) 0.0 else 100.0 * taintedCount / attempts
+      val artifactOk = !partial && taintedPct <= 25.0 && taintedOnly.isEmpty &&
+        errs.isEmpty
+      if (!artifactOk)
+        System.err.println(f"[bench] ARTIFACT NOT OK: partial=$partial, " +
+          f"$taintedPct%.1f%% samples contended, ${taintedOnly.size} " +
+          f"queries tainted-only, ${errs.size} errors")
+      if (stalls.size > 1) // "unclosed" is always present
+        System.err.println(s"[bench] stall windows: ${(stalls - "unclosed").mkString(", ")}")
+
+      def fmtMap(entries: Seq[(String, String)]): String =
+        entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val qs = fmtMap(results.map { case (k, v) => k -> v.toString })
+      def samplesOf(m: Map[String, Seq[Double]]) =
+        fmtMap(queries.flatMap(q => m.get(q.name).filter(_.nonEmpty).map(ts =>
+          q.name -> ts.map(v => f"$v%.3f").mkString("[", ",", "]"))))
+      val samplesJson = samplesOf(clean)
+      val taintedJson = samplesOf(taintedM)
+      val rerunsJson = fmtMap(rrs.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
+      val requeuedJson = fmtMap(requeuedCounts.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
+      val errJson = errs.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val calJson = cals
+        .map { case (l, v) => "{\"at\":\"" + l + "\",\"sec\":" + f"$v%.3f" + "}" }
+        .mkString("[", ",", "]")
+      val stallJson = cals.map(_._1).filter(stalls)
+        .map(l => "\"" + l + "\"").mkString("[", ",", "]")
+      val taintedOnlyJson = taintedOnly.map(l => "\"" + l + "\"").mkString("[", ",", "]")
+      val passJson = pts.map(v => f"$v%.2f").mkString("[", ",", "]")
+      // pass 1 is WARMUP by construction: its samples absorb per-query
+      // first-run JIT (~40% inflation measured r11) and the min-over-
+      // samples protocol already discounts them — labeling the role makes
+      // pass totals self-consistent instead of looking like a regression
+      val passRolesJson = pts.indices
+        .map(i => if (i == 0) "\"warmup\"" else "\"measure\"")
+        .mkString("[", ",", "]")
+      val fixturesJson = fmtMap(fixtures.map { case (t, rows, bytes, md5) =>
+        t -> s"""{"rows":$rows,"bytes":$bytes,"md5":"$md5"}"""
+      })
+      val regressedJson = fmtMap(suspectsAll.sortBy(_._1).map {
+        case (n, (anchor, prior, sevClamped, rawRatio)) =>
+          val f = flrs.get(n)
+          // two verdicts per flag (r16): sev_clamped fired the gate;
+          // sev_unclamped rescales by the RAW probe ratio — on a slow
+          // window raw > 1 widens the denominator, so a flag whose
+          // unclamped severity falls ≤1.3 is window, not code. The floor
+          // variants re-state both against the forked-JVM floor (the
+          // cleanest number this run has for the query).
+          val suiteMin = results0.toMap.apply(n)
+          val sevUnclamped = suiteMin / (prior * rawRatio)
+          val floorPart = f.map { case (v, m) =>
+            f""""floor":$v%.3f,"floor_mode":"$m","floor_sev_clamped":${v / (prior * math.max(rawRatio, 1.0))}%.3f,"floor_sev_unclamped":${v / (prior * rawRatio)}%.3f}"""
+          }.getOrElse(""""floor":null,"floor_mode":"none"}""")
+          n -> (f"""{"prev":$prior%.3f,"anchor":"$anchor","suite_min":$suiteMin%.3f,"sev_clamped":$sevClamped%.3f,"sev_unclamped":$sevUnclamped%.3f,""" +
+            floorPart)
+      })
+      val hostRatioJson = hostRatio.map(r => f"$r%.3f").getOrElse("null")
+      // ── window quality (r16) ────────────────────────────────────────
+      // The stall gate only quarantines probes >1.5x baseline AND
+      // +0.25 s absolute — so a host oscillating 1.2-2.5x can pass every
+      // probe as "clean" while the run's min-probe describes only its
+      // fastest window (the r15 incident: lock probe-min 0.149 on a
+      // 0.20-0.55 s window; 26 manufactured flags). The artifact
+      // self-reports the spread of its CLEAN probes: a lock whose spread
+      // exceeds 1.5x is a low-trust window and tools/lock.py refuses to
+      // promote it.
+      val cleanProbes = cals.filterNot { case (l, _) => stalls(l) }.map(_._2)
+      val probeSpread =
+        if (cleanProbes.isEmpty) 0.0 else cleanProbes.max / cleanProbes.min
+      val probeSpreadAll =
+        if (cals.isEmpty) 0.0 else cals.map(_._2).max / cals.map(_._2).min
+      // median clean probe: on an oscillating host the MIN-probe
+      // describes the fastest window while most samples ran elsewhere —
+      // the median is the representative host unit a reader should
+      // normalize per-query minima by when window_ok is false
+      val probeP50 = if (cleanProbes.isEmpty) 0.0 else {
+        val s = cleanProbes.sorted
+        s((s.size - 1) / 2)
+      }
+      val windowOk = cleanProbes.nonEmpty && probeSpread <= 1.5
+      if (!windowOk)
+        System.err.println(f"[bench] WINDOW QUALITY LOW: clean-probe " +
+          f"spread $probeSpread%.2fx (>1.5x) — minima describe the " +
+          "fastest window, not the run; do not lock this artifact")
+      val prevRefJson =
+        if (prevRef.isEmpty) "null"
+        else "\"" + prevRefPath.toString + (if (prevComparable) "" else " (incomparable)") + "\""
+      val roundRefJson = roundRef match {
+        case None => "null"
+        case Some((p, _, _, digest)) =>
+          "\"" + p + (if (digest == fixturesDigest) "" else " (incomparable)") + "\""
+      }
+      val degradedJson = degraded.toSeq
+        .map(d => "\"" + d + "\"").mkString("[", ",", "]")
+      val deadlineJson = deadlineSec.map(d => f"$d%.0f").getOrElse("null")
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$pb%.3f"},"probe_p50":${f"$probeP50%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"deadline_sec":$deadlineJson,"elapsed_sec":${f"$elapsedWall%.1f"},"degraded":$degradedJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
+      println(json)
+      // the driver's per-round artifact keeps only the run's last 2000
+      // output chars, which truncates the per-query JSON every round — so
+      // the complete line is ALSO written into the repo, making the bench
+      // artifact self-contained regardless of driver capture limits
+      try {
+        // repo-relative default: the bench runs from the checkout root
+        // (both the harness driver and the verify recipe do), so the
+        // artifact follows the working copy instead of a hardcoded machine
+        // path; override with SPARK_GRAFT_BENCH_OUT for other layouts
+        Option(benchOutPath.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(benchOutPath, json + "\n")
+        System.err.println(s"[bench] full JSON written to $benchOutPath" +
+          (if (partial) " (PARTIAL — crash flush)" else ""))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not persist full JSON: ${e.getMessage}")
+      }
+      json
+    }
+
+    // crash-robust flush: on SIGTERM (the driver's timeout sends it
+    // before SIGKILL) the hook writes whatever passes completed as a
+    // parsable partial artifact — the r16 run died at rc=124 with the
+    // per-query minima all in memory and nothing on disk
+    // the flag is CLAIMED (compareAndSet) by whichever emission path
+    // runs first, so a SIGTERM racing the normal end of run cannot
+    // overwrite the complete artifact with a partial one
+    val emittedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val flushHook = new Thread(() => {
+      if (emittedFinal.compareAndSet(false, true)) {
+        System.err.println(f"[bench] shutdown at $elapsedWall%.0f s before " +
+          "completion — flushing partial artifact")
+        try { emit(partial = true); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] partial flush failed: ${e.getMessage}")
+        }
+      }
+    }, "bench-partial-flush")
+    Runtime.getRuntime.addShutdownHook(flushHook)
+
+    // ── measurement passes ────────────────────────────────────────────
+    // dev knob: floor-finding runs (e.g. root-causing one query's settle
+    // point) want more in-JVM passes than the 2-pass default
+    var maxPasses = sys.env.get("SPARK_GRAFT_MIN_PASSES").map(_.toInt).getOrElse(2)
+    var pass = 0
+    var budgetStop = false
+    while (pass < maxPasses && !budgetStop) {
+      pass += 1
+      // probe cadence: every 10 queries on pass 1 (the pass that
+      // discovers the baseline and carries first-run JIT — fine
+      // quarantine granularity matters most there), every 15 after —
+      // ~1 s per calibration point × ~24 points × passes is real driver
+      // budget on a 236-query suite
+      val calEvery = if (pass == 1) 10 else 15
+      calibrate(s"p$pass.start")
+      var passTotal = 0.0
+      var i = 0
+      while (i < queries.size && !budgetStop) {
+        val q = queries(i)
+        System.err.println(s"[bench] pass $pass ${q.name}")
+        passTotal += runOnce(q)
+        if ((i + 1) % calEvery == 0 && i + 1 < queries.size)
+          calibrate(s"p$pass.q${i + 1}")
+        // hard mid-pass budget stop: close the open segment with a real
+        // probe so its samples classify normally, then fall through to
+        // emission with whatever was measured
+        if (remainingSec <= 0) {
+          budgetStop = true
+          degraded += s"pass$pass.stopped_at_q${i + 1}"
+          System.err.println(s"[bench] BUDGET exhausted mid-pass $pass " +
+            s"(query ${i + 1}/${queries.size}) — stopping measurements")
+        }
+        i += 1
+      }
+      calibrate(s"p$pass.end")
+      stateLock.synchronized { passTotals += passTotal }
+      // two passes that disagree >1.25x mean one pass absorbed a broad
+      // stall or pass-1 JIT never settled — buy one clean pass (bounded:
+      // at most one extra). The r9 artifact's 1.31 pass ratio slipped
+      // under the old 1.5 trigger and shipped 2-3x per-query regressions
+      // on untouched code, so the trigger sits just above same-host
+      // pass-to-pass noise (~1.1x) instead.
+      if (pass == 2 && maxPasses == 2 &&
+          passTotals.max > 1.25 * passTotals.min) {
+        System.err.println(s"[bench] pass totals diverge ${passTotals.mkString(", ")} — running a third pass")
+        maxPasses = 3
+      }
+      // settled-tail EXIT for a single-query floor child (r17): the
+      // 8-pass floor exists to chase iterative queries' JIT descent, but
+      // most floors flatten by pass 3-4 — once the samples neither
+      // diverge nor still-improve, more passes only burn the parent's
+      // fork budget (measured: q216's 8-pass floor spends 130+ s on a
+      // query that settles by pass 4)
+      if (standalone && only.size == 1 && pass >= 3 && pass < maxPasses) {
+        val settled = classify()._1.get(queries.head.name).exists(ts =>
+          ts.size >= 3 && !divergent(ts) && !stillImproving(ts))
+        if (settled) {
+          System.err.println(s"[bench] floor settled after $pass passes " +
+            s"(samples ${classify()._1(queries.head.name).map(v => f"$v%.2f").mkString(", ")}) — exiting early")
+          maxPasses = pass
+        }
+      }
+      // budget gate between passes: starting another full pass costs
+      // ~last-pass-total + probe overhead; skip remaining passes (the
+      // FIRST degradation step — minima from completed passes stand)
+      // while reserving ~300 s for requeue/settle/floors
+      if (!budgetStop && pass < maxPasses &&
+          remainingSec < passTotal * 1.1 + 300) {
+        degraded += s"passes_capped_at_$pass"
+        System.err.println(f"[bench] BUDGET: $remainingSec%.0f s left < " +
+          f"next pass (~${passTotal * 1.1}%.0f s) + 300 s reserve — " +
+          s"capping at $pass passes")
+        maxPasses = pass
+      }
+    }
+
+    // requeue sweeps: queries whose samples were quarantined by a stall
+    // window get re-measured until each has at least one clean sample —
+    // bounded at 2 sweeps so sustained contention terminates with the
+    // artifact honestly marked not-ok rather than looping forever
+    var sweep = 0
+    while (sweep < 2 && needingClean(1).nonEmpty && remainingSec > 120) {
+      sweep += 1
+      val todo = needingClean(1)
+      System.err.println(s"[bench] requeue sweep $sweep (${todo.size} contended): ${todo.map(_.name).mkString(", ")}")
+      for ((q, i) <- todo.zipWithIndex if remainingSec > 60) {
+        runOnce(q)
+        if ((i + 1) % 5 == 0 || i + 1 == todo.size)
+          calibrate(s"requeue$sweep.${q.name}")
+      }
+    }
+
+    // per-query settle reruns (see divergent/stillImproving above) —
+    // bounded at 4 extra samples per query, each rerun closed by its own
+    // probe so a contended rerun quarantines instead of committing.
+    // Budget: the settle stage degrades SECOND (after pass capping) —
+    // skipping it leaves first-sample minima that the floor stage or the
+    // next round's anchors still catch
+    var settleSkipped = false
+    for (q <- queries) {
+      var extra = 0
+      while (extra < 4 && remainingSec > 90 && classify()._1.get(q.name).exists(ts =>
+          divergent(ts) || stillImproving(ts)) &&
+          (extra < 2 || classify()._1.get(q.name).exists(stillImproving))) {
+        System.err.println(s"[bench] re-running ${q.name}: clean samples ${classify()._1(q.name).mkString(", ")} (diverge >1.3x or still improving)")
+        runOnce(q)
+        calibrate(s"rerun.${q.name}.$extra")
+        extra += 1
+        stateLock.synchronized { reruns(q.name) = extra }
+      }
+      if (remainingSec <= 90 && !settleSkipped &&
+          classify()._1.get(q.name).exists(ts => divergent(ts) || stillImproving(ts))) {
+        settleSkipped = true
+        degraded += "settle_reruns_skipped"
+        System.err.println("[bench] BUDGET: skipping remaining settle reruns")
+      }
+    }
+
+    // ── standalone floors for cross-round regressions (r13) ──────────
+    // a query past an anchor's 1.3x band (and >0.2 s absolute — timer
+    // jitter on trivial queries is not a regression) is suspect. Its
+    // floor is measured in a FORKED fresh JVM (the SCALE.md standalone
+    // protocol, automated): same classpath, same JVM flags, one query,
+    // its own multi-pass protocol — immune to this process's
+    // accumulated heap/block-manager state. If the fork cannot run
+    // (classpath quirks), an in-process quiesced re-measure is the
+    // labeled fallback.
+    val resultsLive: Seq[(String, Double)] = {
+      val (clean, taintedM) = classify()
+      queries.map { q =>
+        val c = clean.get(q.name).filter(_.nonEmpty).map(_.min)
+        val d = taintedM.get(q.name).filter(_.nonEmpty).map(_.min)
+        q.name -> c.orElse(d).getOrElse(-1.0)
+      }
+    }
+    val suspectsAll = suspectsOf(resultsLive, probeBaseline)
     // fork cost is ~1-2 min per query; bound a pathological run (e.g. a
     // global slowdown the probe missed) at the 10 worst offenders by
     // default — the rest still land in `regressed_vs_prev` with
@@ -437,7 +723,7 @@ object Bench {
           f"$n($a,${sev}%.2fx)" }.mkString(", ") +
         s" - measuring standalone floors for ${suspects.size}")
 
-    def forkFloor(name: String): Option[Double] = {
+    def forkFloor(name: String, childPasses: Int, timeoutMin: Long): Option[Double] = {
       import scala.jdk.CollectionConverters._
       try {
         val javaBin = java.nio.file.Paths
@@ -457,22 +743,23 @@ object Bench {
         // standalone q179 was STILL descending at sample 5:
         // 28.8 → 18.97 → 12.94 → 10.85 → 11.57) — a 4-pass fork
         // systematically over-floors loop-shaped queries, so the child
-        // gets 8 passes and its own still-improving chase (bounded +4)
-        // extends the tail until the sample curve flattens
-        pb.environment().put("SPARK_GRAFT_MIN_PASSES", "8")
+        // gets 8 passes by default, its own still-improving chase
+        // (bounded +4), AND the settled-tail early exit (r17) so flat
+        // queries stop at pass 3 instead of burning all 8
+        pb.environment().put("SPARK_GRAFT_MIN_PASSES", childPasses.toString)
         pb.environment().put("SPARK_GRAFT_BENCH_OUT",
           s"/tmp/graft_floor_$name.json")
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         // stdout goes to a FILE, not a pipe we drain inline: reading
         // the pipe to EOF before waitFor would block for as long as a
-        // hung child holds stdout open, making the 20-minute timeout
-        // dead code exactly when the fork exists to bound a hang
+        // hung child holds stdout open, making the timeout dead code
+        // exactly when the fork exists to bound a hang
         val outFile = java.nio.file.Files
           .createTempFile(s"graft_floor_out_$name", ".txt")
         pb.redirectOutput(outFile.toFile)
         val p = pb.start()
         try {
-          if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+          if (!p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)) {
             p.destroyForcibly(); None
           } else {
             val out = new String(
@@ -512,127 +799,46 @@ object Bench {
       }.filter(_ > 0)
       if (ts.isEmpty) None else Some(ts.min)
     }
-    val floors: Map[String, (Double, String)] = suspects.flatMap { n =>
-      forkFloor(n).map(n -> (_, "forked-jvm"))
-        .orElse(Queries.byName.get(n).flatMap(q =>
-          inprocFloor(q).map(n -> (_, "in-process"))))
-    }.toMap
-    for ((n, (f, mode)) <- floors)
-      System.err.println(f"[bench] standalone floor $n = $f%.2f s ($mode; " +
-        f"suite min ${results0.toMap.apply(n)}%.2f)")
-    val results = results0.map { case (n, v) =>
-      n -> floors.get(n).map(_._1).filter(f => f > 0 && f < v).getOrElse(v)
+    // budget-aware floor stage (degrades THIRD): floors run newest-
+    // worst-first; per-fork child passes shrink as the budget tightens
+    // (8 → 4 → 2), and floors are skipped entirely (the LAST resort —
+    // an unfloored flag makes tools/lock.py refuse, which is the honest
+    // outcome for a run that ran out of time) below 120 s remaining
+    var floorsSkipped = 0
+    for ((n, idx) <- suspects.zipWithIndex) {
+      val perFloorBudget = remainingSec / math.max(1, suspects.size - idx)
+      if (remainingSec <= 120) {
+        floorsSkipped += 1
+      } else {
+        val childPasses =
+          if (perFloorBudget >= 300 || deadlineSec.isEmpty) 8
+          else if (perFloorBudget >= 150) 4
+          else 2
+        if (childPasses < 8)
+          degraded += s"floor_$n.passes_$childPasses"
+        val timeoutMin = math.max(2L,
+          math.min(20L, (remainingSec * 0.9 / 60).toLong))
+        val floor = forkFloor(n, childPasses, timeoutMin)
+          .map((_, "forked-jvm"))
+          .orElse(Queries.byName.get(n).flatMap(q =>
+            inprocFloor(q).map((_, "in-process"))))
+        floor.foreach { case (f, mode) =>
+          stateLock.synchronized { floorsAcc(n) = (f, mode) }
+          System.err.println(f"[bench] standalone floor $n = $f%.2f s ($mode; " +
+            f"suite min ${resultsLive.toMap.apply(n)}%.2f)")
+        }
+      }
     }
-    val attempts = measurements.size
-    val taintedCount = taintedM.values.map(_.size).sum
-    val taintedPct = if (attempts == 0) 0.0 else 100.0 * taintedCount / attempts
-    val artifactOk = taintedPct <= 25.0 && taintedOnly.isEmpty && errors.isEmpty
-    if (!artifactOk)
-      System.err.println(f"[bench] ARTIFACT NOT OK: $taintedPct%.1f%% samples contended, ${taintedOnly.size} queries tainted-only, ${errors.size} errors")
-    if (stalls.nonEmpty)
-      System.err.println(s"[bench] stall windows: ${stalls.mkString(", ")}")
+    if (floorsSkipped > 0) {
+      degraded += s"floors_skipped_$floorsSkipped"
+      System.err.println(s"[bench] BUDGET: skipped $floorsSkipped floors " +
+        "(<=120 s remaining) — their flags stay unfloored in the artifact")
+    }
 
-    def fmtMap(entries: Seq[(String, String)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = fmtMap(results.map { case (k, v) => k -> v.toString })
-    def samplesOf(m: Map[String, Seq[Double]]) =
-      fmtMap(queries.flatMap(q => m.get(q.name).filter(_.nonEmpty).map(ts =>
-        q.name -> ts.map(v => f"$v%.3f").mkString("[", ",", "]"))))
-    val samplesJson = samplesOf(clean)
-    val taintedJson = samplesOf(taintedM)
-    val rerunsJson = fmtMap(reruns.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
-    val requeuedJson = fmtMap(requeuedCounts.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
-    val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val calJson = calSamples
-      .map { case (l, v) => "{\"at\":\"" + l + "\",\"sec\":" + f"$v%.3f" + "}" }
-      .mkString("[", ",", "]")
-    val stallJson = calSamples.map(_._1).filter(stalls)
-      .map(l => "\"" + l + "\"").mkString("[", ",", "]")
-    val taintedOnlyJson = taintedOnly.map(l => "\"" + l + "\"").mkString("[", ",", "]")
-    val passJson = passTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
-    // pass 1 is WARMUP by construction: its samples absorb per-query
-    // first-run JIT (~40% inflation measured r11) and the min-over-
-    // samples protocol already discounts them — labeling the role makes
-    // pass totals self-consistent instead of looking like a regression
-    val passRolesJson = passTotals.indices
-      .map(i => if (i == 0) "\"warmup\"" else "\"measure\"")
-      .mkString("[", ",", "]")
-    val fixturesJson = fmtMap(fixtures.map { case (t, rows, bytes, md5) =>
-      t -> s"""{"rows":$rows,"bytes":$bytes,"md5":"$md5"}"""
-    })
-    val regressedJson = fmtMap(suspectsAll.sortBy(_._1).map {
-      case (n, (anchor, prior, sevClamped, rawRatio)) =>
-        val f = floors.get(n)
-        // two verdicts per flag (r16): sev_clamped fired the gate;
-        // sev_unclamped rescales by the RAW probe ratio — on a slow
-        // window raw > 1 widens the denominator, so a flag whose
-        // unclamped severity falls ≤1.3 is window, not code. The floor
-        // variants re-state both against the forked-JVM floor (the
-        // cleanest number this run has for the query).
-        val suiteMin = results0.toMap.apply(n)
-        val sevUnclamped = suiteMin / (prior * rawRatio)
-        val floorPart = f.map { case (v, m) =>
-          f""""floor":$v%.3f,"floor_mode":"$m","floor_sev_clamped":${v / (prior * math.max(rawRatio, 1.0))}%.3f,"floor_sev_unclamped":${v / (prior * rawRatio)}%.3f}"""
-        }.getOrElse(""""floor":null,"floor_mode":"none"}""")
-        n -> (f"""{"prev":$prior%.3f,"anchor":"$anchor","suite_min":$suiteMin%.3f,"sev_clamped":$sevClamped%.3f,"sev_unclamped":$sevUnclamped%.3f,""" +
-          floorPart)
-    })
-    val hostRatioJson = hostRatio.map(r => f"$r%.3f").getOrElse("null")
-    // ── window quality (r16) ──────────────────────────────────────────
-    // The stall gate only quarantines probes >1.5x baseline AND +0.25 s
-    // absolute — so a host oscillating 1.2-2.5x can pass every probe as
-    // "clean" while the run's min-probe describes only its fastest
-    // window (the r15 incident: lock probe-min 0.149 on a 0.20-0.55 s
-    // window; 26 manufactured flags). The artifact now self-reports the
-    // spread of its CLEAN probes: a lock whose spread exceeds 1.5x is a
-    // low-trust window and tools/lock.py refuses to promote it.
-    val cleanProbes = calSamples.filterNot { case (l, _) => stalls(l) }
-      .map(_._2)
-    val probeSpread =
-      if (cleanProbes.isEmpty) 0.0 else cleanProbes.max / cleanProbes.min
-    val probeSpreadAll =
-      if (calSamples.isEmpty) 0.0
-      else calSamples.map(_._2).max / calSamples.map(_._2).min
-    // median clean probe: on an oscillating host the MIN-probe describes
-    // the fastest window while most samples ran elsewhere — the median
-    // is the representative host unit a reader should normalize per-
-    // query minima by when window_ok is false
-    val probeP50 = if (cleanProbes.isEmpty) 0.0 else {
-      val s = cleanProbes.sorted
-      s((s.size - 1) / 2)
-    }
-    val windowOk = cleanProbes.nonEmpty && probeSpread <= 1.5
-    if (!windowOk)
-      System.err.println(f"[bench] WINDOW QUALITY LOW: clean-probe " +
-        f"spread $probeSpread%.2fx (>1.5x) — minima describe the " +
-        "fastest window, not the run; do not lock this artifact")
-    val prevRefJson =
-      if (prevText.isEmpty) "null"
-      else "\"" + prevRefPath.toString + (if (prevComparable) "" else " (incomparable)") + "\""
-    val roundRefJson = roundRef match {
-      case None => "null"
-      case Some((p, _, _, digest)) =>
-        "\"" + p + (if (digest == fixturesDigest) "" else " (incomparable)") + "\""
-    }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$probeBaseline%.3f"},"probe_p50":${f"$probeP50%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
-    println(json)
-    // the driver's per-round artifact keeps only the run's last 2000
-    // output chars, which truncates the per-query JSON every round — so
-    // the complete line is ALSO written into the repo, making the bench
-    // artifact self-contained regardless of driver capture limits
-    try {
-      // repo-relative default: the bench runs from the checkout root
-      // (both the harness driver and the verify recipe do), so the
-      // artifact follows the working copy instead of a hardcoded machine
-      // path; override with SPARK_GRAFT_BENCH_OUT for other layouts
-      Option(benchOutPath.getParent)
-        .foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(benchOutPath, json + "\n")
-      System.err.println(s"[bench] full JSON written to $benchOutPath")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not persist full JSON: ${e.getMessage}")
+    if (emittedFinal.compareAndSet(false, true)) {
+      try Runtime.getRuntime.removeShutdownHook(flushHook)
+      catch { case _: IllegalStateException => () } // already shutting down
+      emit(partial = false)
     }
     spark.stop()
   }

@@ -617,7 +617,14 @@ object Quality {
     * visible groups) — so the standard COMPLEMENTARY suppression step
     * co-suppresses the smallest visible group (ties broken by the
     * group columns, ascending), guaranteeing every published rollup
-    * mixes >= 2 cells. Output: group columns (string-cast; the
+    * mixes >= 2 cells WHENEVER at least one visible row exists.
+    * Degenerate case, exempt by design: when NO group clears the gate
+    * there is no published complement to infer against, so the rollup
+    * publishes even if it carries a single cell (n_groups may be 1
+    * with zero visible rows) — it then discloses only the corpus
+    * total under the sentinel identity, which any datasheet publishes
+    * anyway, and suppressing it instead would break mass
+    * conservation. Output: group columns (string-cast; the
     * rollup row holds the sentinel), `n_rows`, `n_groups` (1 per
     * visible group, the suppressed-cell count on the rollup row), and
     * `sum_w` (the published measure).
@@ -628,18 +635,27 @@ object Quality {
     * All-integer when `weight` is integral — the gate and both output
     * branches hash-replay exactly. */
   def kAnonymizedStats(df: DataFrame, groupCols: Seq[String], k: Long,
-                       weight: Column): DataFrame = {
+                       weight: Column): DataFrame =
+    kAnonymizedStatsManaged(df, groupCols, k, weight).df
+
+  /** [[kAnonymizedStats]] with the persist-lifecycle handle
+    * ([[ManagedFrame]], the [[Incremental.dedupHashesAgainstManaged]]
+    * discipline): the operator's ONE owned persist is the marked
+    * group-grain table feeding both output branches; `release()` after
+    * materializing `df` unpersists exactly it. The unmanaged variant
+    * leaves the (report-sized) block to the session CacheManager —
+    * fine for one-shot jobs; long-lived services should use this. */
+  def kAnonymizedStatsManaged(df: DataFrame, groupCols: Seq[String],
+                              k: Long, weight: Column): ManagedFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(k >= 1, "k must be positive")
-    // persist: the group table feeds the census, the visible branch and
-    // the rollup — without it the corpus aggregate re-executes once per
-    // subtree (measured 2.2x on q212's floor); group grain, tiny
-    // persist: the marked group table feeds both output branches —
-    // without it the corpus aggregate re-executes per subtree. The
-    // small-cell census and the complement pick ride ONE global window
-    // over the report-sized group table (ordering small-last puts the
-    // smallest VISIBLE group at rn=1), instead of a separate census
-    // aggregate + crossJoin chain.
+    // persist: the marked group table feeds the census, the visible
+    // branch and the rollup — without it the corpus aggregate
+    // re-executes once per subtree (measured 2.2x on q212's floor);
+    // group grain, tiny. The small-cell census and the complement pick
+    // ride ONE global window over the report-sized group table
+    // (ordering small-last puts the smallest VISIBLE group at rn=1),
+    // instead of a separate census aggregate + crossJoin chain.
     val winOrd = org.apache.spark.sql.expressions.Window.orderBy(
       col("__small") +: col("n_rows") +: groupCols.map(col): _*)
     val g = df.groupBy(groupCols.map(c => col(c).cast("string").as(c)): _*)
@@ -663,7 +679,7 @@ object Quality {
       .filter(col("n_rows").isNotNull)
       .select(groupCols.map(c => lit("__suppressed__").as(c)) :+
         col("n_rows") :+ col("n_groups") :+ col("sum_w"): _*)
-    visible.unionByName(suppressed)
+    ManagedFrame(visible.unionByName(suppressed), cached = Seq(g))
   }
 
   /** l-DIVERSITY publication gate — [[kAnonymizedStats]]'s companion
@@ -676,7 +692,10 @@ object Quality {
     * corpus total, with the same COMPLEMENTARY-suppression rule as the
     * k gate (a lone failing group would be re-identifiable as the
     * complement of the visible rows — co-suppress the smallest visible
-    * group, ties on the group columns). Output: group columns
+    * group, ties on the group columns) and the same zero-visible
+    * exemption (no visible row → no complement to infer against → the
+    * rollup publishes even as a single cell, disclosing only the
+    * corpus total). Output: group columns
     * (string-cast), `n_rows`, `n_sv` (distinct sensitive values; on the
     * rollup row, distinct across ALL suppressed rows — never a single
     * group's), `n_groups`, `sum_w`.
@@ -688,7 +707,16 @@ object Quality {
     * only. All-integer when `weight` is integral. */
   def lDiverseStats(df: DataFrame, groupCols: Seq[String],
                     sensitiveCol: String, l: Long,
-                    weight: Column): DataFrame = {
+                    weight: Column): DataFrame =
+    lDiverseStatsManaged(df, groupCols, sensitiveCol, l, weight).df
+
+  /** [[lDiverseStats]] with the persist-lifecycle handle — same
+    * [[ManagedFrame]] contract as [[kAnonymizedStatsManaged]]: the one
+    * owned persist is the marked group table; `release()` after
+    * materializing frees exactly it. */
+  def lDiverseStatsManaged(df: DataFrame, groupCols: Seq[String],
+                           sensitiveCol: String, l: Long,
+                           weight: Column): ManagedFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(l >= 1, "l must be positive")
     val gc = groupCols.map(c => col(c).cast("string").as(c))
@@ -730,7 +758,7 @@ object Quality {
       .filter(col("n_rows").isNotNull)
       .select(groupCols.map(c => lit("__suppressed__").as(c)) :+
         col("n_rows") :+ col("n_sv") :+ col("n_groups") :+ col("sum_w"): _*)
-    visible.unionByName(suppressed)
+    ManagedFrame(visible.unionByName(suppressed), cached = Seq(g))
   }
 
   /** SLICE-CONFOUNDING audit — mutual information between two slicing
@@ -751,8 +779,18 @@ object Quality {
     * broadcasts. Counts are exact integers; the log terms follow the
     * round-6 float convention (the q200 entropy device). */
   def columnAssociation(df: DataFrame, aCol: String,
-                        bCol: String): DataFrame = {
+                        bCol: String): DataFrame =
+    columnAssociationManaged(df, aCol, bCol).df
+
+  /** [[columnAssociation]] with the persist-lifecycle handle — the one
+    * owned persist is the contingency table (feeds the total, both
+    * margins and the joint entropy); same [[ManagedFrame]] contract as
+    * [[kAnonymizedStatsManaged]]. */
+  def columnAssociationManaged(df: DataFrame, aCol: String,
+                               bCol: String): ManagedFrame = {
     val lg2 = log(lit(2.0))
+    // persist: the contingency table feeds four subtrees (total, both
+    // margins, joint entropy) — one corpus aggregate instead of four
     val cells = df.groupBy(col(aCol).cast("string").as("a"),
         col(bCol).cast("string").as("b"))
       .agg(count(lit(1)).as("n_ab"))
@@ -777,7 +815,7 @@ object Quality {
       (-sum((col("n_b").cast("double") / col("n").cast("double")) *
         log(col("n_b").cast("double") / col("n").cast("double")) / lg2))
         .as("h_b"))
-    stats.crossJoin(ha).crossJoin(hb)
+    val out = stats.crossJoin(ha).crossJoin(hb)
       .select(col("n"),
         round(col("h_a"), 6).as("h_a"),
         round(col("h_b"), 6).as("h_b"),
@@ -786,5 +824,6 @@ object Quality {
           (col("h_a") + col("h_b") - col("__h_ab")) /
             ((col("h_a") + col("h_b")) / 2.0))
           .otherwise(lit(0.0)), 6).as("nmi"))
+    ManagedFrame(out, cached = Seq(cells))
   }
 }

@@ -453,8 +453,13 @@ object Selection {
     * id-grain count. A round settles when no stale bound remains that
     * exceeds the fresh winner's gain — INCLUDING the exact tie-break
     * (a stale bound EQUAL to the fresh gain with a smaller id is still
-    * re-evaluated), so the greedy trajectory is bit-identical to naive
-    * greedy and oracle-replayable. Total re-evaluations ≈ n + O(k·B)
+    * re-evaluated) and INCLUDING the fetch boundary (the winner must
+    * dominate the last fetched entry's bound, else the head is
+    * re-fetched at double depth: an un-fetched doc could otherwise
+    * hide a higher true gain behind a truncated head on corpora with
+    * >64 near-duplicates of an earlier winner), so the greedy
+    * trajectory is bit-identical to naive greedy and
+    * oracle-replayable. Total re-evaluations ≈ n + O(k·B)
     * instead of naive's n·k (spec-pinned). The driver holds winners
     * and 1-row argmaxes, never the corpus; superseded covered-set and
     * bound-table checkpoints release per round (the PageRank
@@ -510,20 +515,28 @@ object Selection {
         val top = g1.orderBy(col("ub").desc, col("id")).limit(1).collect()
         return top.headOption.map(t => (t.getLong(0), t.getLong(1)))
       }
-      // fetch enough of the immutable head that, after dropping
-      // selected ids and applying the overlay, it still contains the
-      // top-batchCap CURRENT stale bounds: entries outside the fetch
-      // have round-1 ub ≤ the fetch boundary, and overlay values only
-      // decrease, so the max remaining stale bound is always attained
-      // inside this candidate list
-      val fetchN = batchCap + overlay.size + selected.size
-      val head = g1.orderBy(col("ub").desc, col("id")).limit(fetchN)
-        .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
-      val cand = head.filterNot(p => selected(p._1))
-        .map { case (id, ub) => (id, overlay.getOrElse(id, ub)) }
-      if (cand.isEmpty) return None
+      // fetch a head of the immutable (ub desc, id asc) bound table.
+      // Entries OUTSIDE the fetch have (ub < boundary.ub) or
+      // (ub == boundary.ub && id > boundary.id) where boundary is the
+      // last fetched entry — so a round may settle on a fresh winner
+      // (wid, wg) only when the winner also dominates the boundary:
+      // wg > boundary.ub, or wg == boundary.ub with wid ≤ boundary.id
+      // (every unfetched tying bound has a larger id and loses the
+      // tie-break). Otherwise an unfetched doc could still hold the
+      // true greedy winner, and the head is re-fetched at double depth
+      // until the winner dominates the boundary or the table is
+      // exhausted.
+      def fetchHead(n: Int): Array[(Long, Long)] =
+        g1.orderBy(col("ub").desc, col("id")).limit(n)
+          .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+      var fetchN = batchCap + overlay.size + selected.size
+      var head = fetchHead(fetchN)
       val fresh = scala.collection.mutable.HashMap.empty[Long, Long]
       while (true) {
+        val cand = head.filterNot(p => selected(p._1))
+          .map { case (id, ub) => (id, overlay.getOrElse(id, ub)) }
+        val exhausted = head.length < fetchN // whole bound table fetched
+        if (cand.isEmpty && exhausted) return None
         val remaining = cand.filterNot(p => fresh.contains(p._1))
         val best = if (fresh.isEmpty) None
           else Some(fresh.minBy { case (id, g) => (-g, id) })
@@ -534,15 +547,26 @@ object Selection {
             .filter { case (id, ub) => ub > wg || (ub == wg && id < wid) }
             .sortBy { case (id, ub) => (-ub, id) }.take(batchCap)
         }
-        if (beaters.isEmpty) {
-          // no stale bound can beat the fresh winner, tie-break
-          // included — the exact greedy winner is settled
-          return best.map { case (wid, wg) => (wid, wg) }
+        if (beaters.nonEmpty) {
+          val gains = coveredGains(beaters.map(_._1))
+          reevals += beaters.size
+          fresh ++= gains
+          overlay ++= gains // still upper bounds for every later round
+        } else {
+          // no FETCHED stale bound can beat the fresh winner,
+          // tie-break included — settled only if the winner also
+          // dominates the fetch boundary (else un-fetched bounds
+          // could still hide the true winner: re-fetch deeper)
+          val settled = best.exists { case (wid, wg) =>
+            exhausted || {
+              val (bid, bub) = head.last
+              wg > bub || (wg == bub && wid <= bid)
+            }
+          }
+          if (settled) return best
+          fetchN = math.max(fetchN * 2, fetchN + batchCap)
+          head = fetchHead(fetchN)
         }
-        val gains = coveredGains(beaters.map(_._1))
-        reevals += beaters.size
-        fresh ++= gains
-        overlay ++= gains // still upper bounds for every later round
       }
       None // unreachable
     }

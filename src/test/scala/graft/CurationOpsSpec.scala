@@ -445,6 +445,30 @@ class CurationOpsSpec extends AnyFunSuite {
       s"re-evals $reevals above the lazy-greedy envelope")
   }
 
+  test("maxCoverageSelect: fetch-boundary re-fetch — 67-doc subset flood " +
+       "past the 64-entry head hides the true round-2 winner") {
+    import spark.implicits._
+    // doc 0: 103 distinct tokens → 101 distinct 3-shingles (round-1
+    // winner). docs 1..65: identical 101-token prefixes of doc 0 (99
+    // shingles each, all ⊂ doc 0's) — round-1 bound 99, true round-2
+    // gain 0, and MORE of them than the 64-entry head fetch. doc 999:
+    // 100 disjoint tokens → 98 fresh shingles, the true round-2 winner
+    // sitting BEYOND the fetch boundary. Before the boundary re-fetch,
+    // CELF settled round 2 on gain 0 (early stop) without ever looking
+    // at doc 999.
+    val w = (1 to 103).map(i => s"w$i")
+    val d = (1 to 100).map(i => s"d$i")
+    val docs = (Seq((0L, w.mkString(" "))) ++
+      (1 to 65).map(i => (i.toLong, w.take(101).mkString(" "))) ++
+      Seq((999L, d.mkString(" ")))).toDF("doc_id", "text")
+    val out = graft.operators.Selection
+      .maxCoverageSelect(docs, "doc_id", "text", k = 2, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq((1L, 0L, 101L, 101L), (2L, 999L, 98L, 199L)),
+      s"got $out")
+  }
+
   test("columnAssociation: independent columns score 0, identical score 1, " +
        "hand-checked MI in between") {
     import spark.implicits._

@@ -461,15 +461,21 @@ class PropertySpec extends AnyFunSuite {
     // (1) mass conservation — published rows and weights sum to the
     //     corpus totals regardless of which cells suppress;
     // (2) no visible cell violates its gate (n_rows >= k / n_sv >= l);
-    // (3) the rollup NEVER carries a single cell (complementary
-    //     suppression: n_groups >= 2 whenever a rollup row exists)
+    // (3) complementary suppression: the rollup never carries a single
+    //     cell WHEN a visible row exists (zero-visible corpora are the
+    //     documented exemption — no complement to infer against — and
+    //     are pinned explicitly below so the generator can't miss them)
     val gen = for {
       nGroups <- Gen.choose(2, 9)
       rows <- Gen.choose(30, 120)
       seeds <- Gen.listOfN(rows, Gen.choose(0, 10000))
     } yield seeds.zipWithIndex.map { case (s0, i) =>
       (s"g${s0 % nGroups}", s"s${(s0 / 7) % 4}", (i + 1).toLong) }
-    for ((rows, runIdx) <- samples(gen, 8).zipWithIndex) {
+    // planted degenerate corpora: a single group that fails the k gate
+    // (3 rows < k) and is sensitive-homogeneous (1 distinct sv < l) —
+    // zero visible rows in both gates
+    val degenerate = (1 to 3).map(i => ("only", "same", i.toLong))
+    for ((rows, runIdx) <- (samples(gen, 8) :+ degenerate).zipWithIndex) {
       val df = rows.toDF("a", "sv", "w")
       val k = 5L + (runIdx % 3) * 5L
       val ka = graft.operators.Quality
@@ -479,7 +485,8 @@ class PropertySpec extends AnyFunSuite {
       val kaVis = ka.filter(_.getString(0) != "__suppressed__")
       assert(kaVis.forall(_.getLong(1) >= k), s"k=$k visible under gate")
       ka.filter(_.getString(0) == "__suppressed__").foreach { r =>
-        assert(r.getLong(2) >= 2L, "k-anon rollup carries a lone cell") }
+        assert(r.getLong(2) >= 2L || kaVis.isEmpty,
+          "k-anon rollup carries a lone cell beside visible rows") }
       val l = 2L + (runIdx % 2)
       val ld = graft.operators.Quality
         .lDiverseStats(df, Seq("a"), "sv", l, col("w")).collect()
@@ -488,7 +495,17 @@ class PropertySpec extends AnyFunSuite {
       val ldVis = ld.filter(_.getString(0) != "__suppressed__")
       assert(ldVis.forall(_.getLong(2) >= l), s"l=$l visible under gate")
       ld.filter(_.getString(0) == "__suppressed__").foreach { r =>
-        assert(r.getLong(3) >= 2L, "l-div rollup carries a lone cell") }
+        assert(r.getLong(3) >= 2L || ldVis.isEmpty,
+          "l-div rollup carries a lone cell beside visible rows") }
+      if (rows eq degenerate) {
+        // the exempt shape, pinned: exactly ONE published row — the
+        // rollup with n_groups=1 carrying the whole corpus mass
+        assert(kaVis.isEmpty && ka.length == 1 && ka(0).getLong(2) == 1L
+          && ka(0).getLong(1) == 3L, s"k-anon degenerate: ${ka.toSeq}")
+        assert(ldVis.isEmpty && ld.length == 1 && ld(0).getLong(3) == 1L
+          && ld(0).getLong(1) == 3L && ld(0).getLong(2) == 1L,
+          s"l-div degenerate: ${ld.toSeq}")
+      }
     }
   }
 
@@ -574,6 +591,102 @@ class PropertySpec extends AnyFunSuite {
           sh(slice.mkString(" ").toLowerCase) != sh(w.mkString(" ").toLowerCase))
         assert(got.contains((2L * i + 1, 2L * i, 1.0)),
           s"planted subset pair ${2 * i + 1}->${2 * i} missing")
+    }
+  }
+
+  test("maxCoverageSelect: CELF == naive greedy on subset-heavy adversarial " +
+       "corpora (n > 150, subset floods past the head fetch)") {
+    // the adversarial regime the n=40 trajectory spec cannot reach
+    // (round-16 verdict finding #1): 3 anchors with wide shingle spans,
+    // each flooded with MORE near-full prefix-subset copies than the
+    // 64-entry head fetch — their round-1 bounds crowd the head while
+    // their true later-round gains collapse to ~0 — plus disjoint
+    // decoys whose bounds sit just BELOW the flood's, i.e. beyond the
+    // truncated head exactly when they become the true greedy winner.
+    val corpusGen: Gen[Vector[Vector[String]]] = for {
+      anchorLens <- Gen.listOfN(3, Gen.choose(40, 80))
+      floodSizes <- Gen.listOfN(3, Gen.choose(55, 80))
+      trims <- Gen.listOfN(300, Gen.choose(1, 4))
+      decoyLens <- Gen.listOfN(4, Gen.choose(10, 35))
+    } yield {
+      val anchors = anchorLens.zipWithIndex.map { case (len, a) =>
+        (1 to len + 2).map(i => s"a${a}w$i").toVector }.toVector
+      val floods = anchors.zipWithIndex.flatMap { case (an, a) =>
+        (0 until floodSizes(a)).map { j =>
+          an.take(an.size - trims((a * 100 + j) % trims.size)) } }
+      val decoys = decoyLens.zipWithIndex.map { case (len, d) =>
+        (1 to len + 2).map(i => s"z${d}d$i").toVector }
+      anchors ++ floods ++ decoys
+    }
+    for ((toks, trial) <- samples(corpusGen, 3).zipWithIndex) {
+      assert(toks.size > 150, s"trial $trial corpus too small: ${toks.size}")
+      val rows = toks.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val docs = rows.toDF("doc_id", "text")
+      val k = 6
+      val got = graft.operators.Selection
+        .maxCoverageSelect(docs, "doc_id", "text", k, shingleLen = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      // driver-side naive greedy over the SAME shingle sets
+      val sets = docs.select(col("doc_id"),
+          Text.shingles(lower(col("text")), 3))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+        .sortBy(_._1)
+      var covered = Set.empty[String]
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var stop = false
+      for (r <- 1 to k if !stop) {
+        val (wid, wgain) = sets.map { case (id, s) => (id, (s -- covered).size) }
+          .maxBy { case (id, g) => (g, -id) }
+        if (wgain == 0) stop = true
+        else {
+          covered ++= sets.find(_._1 == wid).get._2
+          want += ((r.toLong, wid, wgain.toLong, covered.size.toLong))
+        }
+      }
+      assert(got == want.toSeq, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("decayed-counts merge lattice: eval(merge(parts)) == eval(whole) " +
+       "exactly, over random partitions and random grouping orders") {
+    // the mergeable-summaries contract, executable (round-16 verdict
+    // item 6): split a random event set into random shards, build
+    // per-shard decayedBucketCounts states, merge them left-fold AND
+    // right-fold (associativity), evaluate — the exact dyadic units
+    // make the published doubles byte-identical to evaluating the
+    // whole set's state directly, not merely close.
+    import graft.operators.Frequency
+    val eventsGen = for {
+      n <- Gen.choose(20, 120)
+      keys <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      secs <- Gen.listOfN(n, Gen.choose(0L, 500000L))
+      nShards <- Gen.choose(2, 5)
+      assign <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield (keys.zip(secs), nShards, assign.map(_ % nShards))
+    for (((evs, nShards, assign), trial) <- samples(eventsGen, 5).zipWithIndex) {
+      val half = 3600L
+      def mkDf(rows: Seq[(String, Long)]) =
+        rows.toDF("key", "secs")
+          .withColumn("ts", timestamp_seconds(col("secs")))
+      def evalRows(state: org.apache.spark.sql.DataFrame) =
+        Frequency.decayedTopKFromCounts(state, 10).collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+            r.getLong(3))).toSeq
+      val direct = evalRows(
+        Frequency.decayedBucketCounts(mkDf(evs), "key", "ts", half))
+      val shardStates = (0 until nShards).map { s =>
+        Frequency.decayedBucketCounts(
+          mkDf(evs.zip(assign).collect { case (e, a) if a == s => e }),
+          "key", "ts", half)
+      }
+      val leftFold = evalRows(shardStates.reduceLeft(Frequency.mergeDecayedCounts))
+      val rightFold = evalRows(shardStates.reduceRight(Frequency.mergeDecayedCounts))
+      assert(leftFold == direct,
+        s"trial $trial left-fold merge diverges: $leftFold vs $direct")
+      assert(rightFold == direct,
+        s"trial $trial right-fold merge diverges: $rightFold vs $direct")
     }
   }
 }

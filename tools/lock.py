@@ -35,6 +35,13 @@ with open(src) as f:
     a = json.load(f)
 
 problems = []
+if a.get("partial", False):
+    problems.append("partial=true (crash-flushed artifact — the run never "
+                    "completed its measurement protocol)")
+degraded = a.get("degraded", [])
+if degraded:
+    problems.append(f"budget-degraded run: {', '.join(degraded)} "
+                    "(re-run with SPARK_GRAFT_DEADLINE_SEC=0 for a lock)")
 if not a.get("artifact_ok", False):
     problems.append(
         f"artifact_ok=false (tainted {a.get('tainted_pct')}%, "
