@@ -44,6 +44,32 @@ object ScaleProbeMain {
       }
     }
 
+    // candidate-bucket skew: posts per gram bucket (the inverted
+    // index the self-join runs over) — max and p99
+    def bucketStats(d: org.apache.spark.sql.DataFrame, q: Int = 2)
+        : org.apache.spark.sql.Row = {
+      val maxDist = 4; val prefixTokens = 6
+      val keyed = d.select(col("doc_id").as("id"), concat_ws(" ",
+        slice(graft.functions.Text.tokens(lower(col("text"))), 1,
+          prefixTokens)).as("k"))
+        .withColumn("klen", length(col("k")))
+      val grams = keyed.withColumn("gs",
+        when(col("klen") >= q, array_distinct(expr(
+          s"transform(sequence(1, length(k) - ${q - 1}), i -> substr(k, i, $q))")))
+          .otherwise(array().cast("array<string>")))
+        .select(col("id"), explode(col("gs")).as("g"))
+      val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      val ranked = grams.join(dfTab, Seq("g"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("df"), col("g"))))
+        .filter(col("rn") <= maxDist * q + 1)
+      ranked.groupBy("g").agg(count(lit(1)).as("b"))
+        .agg(max("b").as("mx"),
+          expr("percentile(b, 0.99)").as("p99"),
+          count(lit(1)).as("nbuckets")).collect()(0)
+    }
+
     if (which == "fuzzy" || which == "all") {
       // two sweeps: the first absorbs JIT, report the second (warm)
       for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
@@ -53,34 +79,78 @@ object ScaleProbeMain {
         val pairs = graft.operators.Dedup
           .fuzzyDupPairs(d, "doc_id", "text").count()
         val dt = (System.nanoTime() - t0) / 1e9
-        // candidate-bucket skew: posts per gram bucket (the inverted
-        // index the self-join runs over) — max and p99
-        val posts = {
-          val q = 2; val maxDist = 4; val prefixTokens = 6
-          val keyed = d.select(col("doc_id").as("id"), concat_ws(" ",
-            slice(graft.functions.Text.tokens(lower(col("text"))), 1,
-              prefixTokens)).as("k"))
-            .withColumn("klen", length(col("k")))
-          val grams = keyed.withColumn("gs",
-            when(col("klen") >= q, array_distinct(expr(
-              s"transform(sequence(1, length(k) - ${q - 1}), i -> substr(k, i, $q))")))
-              .otherwise(array().cast("array<string>")))
-            .select(col("id"), explode(col("gs")).as("g"))
-          val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
-          val ranked = grams.join(dfTab, Seq("g"))
-            .withColumn("rn", row_number().over(
-              org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-                .orderBy(col("df"), col("g"))))
-            .filter(col("rn") <= maxDist * q + 1)
-          ranked.groupBy("g").agg(count(lit(1)).as("b"))
-            .agg(max("b").as("mx"),
-              expr("percentile(b, 0.99)").as("p99"),
-              count(lit(1)).as("nbuckets")).collect()(0)
-        }
+        val posts = bucketStats(d)
         val n = d.count()
         println(f"FUZZY sf=$sf docs=$n pairs=$pairs wall=$dt%7.2f s " +
           s"bucketMax=${posts.get(0)} bucketP99=${posts.get(1)} " +
           s"buckets=${posts.get(2)}")
+      }
+    }
+
+    if (which == "fuzzydiv") {
+      // the round-16 SCALE.md caveat, closed by measurement: the
+      // synthetic documents fixture's 6-token prefixes saturate the
+      // 2-gram domain (96 buckets, hot bucket ∝ n), so the sub-linear-
+      // bucket claim could not be tested on it. This probe builds a
+      // DIVERSE-vocabulary corpus (Zipf-ish draw over a 20k-word
+      // vocabulary — the gram-diversity regime real text has) with
+      // planted ≤k-edit near-duplicates, and measures the inverted
+      // index's bucket distribution at n and 10n: sub-linear hot-bucket
+      // growth is the claim under test. Deterministic (splitmix-style
+      // mix of the doc index — no RNG state), so rows reproduce.
+      import spark.implicits._
+      val vocabSize = 20000
+      def mix(z0: Long): Long = { // splitmix64 finalizer
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      def word(i: Int): String = {
+        // 4-9 lowercase chars, each independently mixed from the index —
+        // the 2-gram domain of the vocabulary approaches the full
+        // charset² like real text's does
+        val ls = "abcdefghijklmnopqrstuvwxyz"
+        val len = 4 + (i % 6)
+        (0 until len).map(p =>
+          ls((((mix(i.toLong * 16 + p) % 26) + 26) % 26).toInt)).mkString
+      }
+      def docText(i: Long): String =
+        (0 until 10).map { j =>
+          val u = (mix(i * 31 + j) >>> 11).toDouble / (1L << 53).toDouble
+          word(((u * u) * vocabSize).toInt.min(vocabSize - 1)) // mild Zipf skew
+        }.mkString(" ")
+      def corpus(n: Int) = (0L until n.toLong).map { i =>
+        // every 7th doc is a 1-char-edit near-dup of its predecessor —
+        // recall work exists, pairs stay ∝ n
+        if (i % 7 == 0 && i > 0) (i, docText(i - 1) + "x")
+        else (i, docText(i))
+      }.toDF("doc_id", "text").repartition(32).localCheckpoint(true)
+      // q=2's gram domain is bounded by charset² (~730 with the space),
+      // so at n ≫ domain the hot bucket grows ∝ n/domain on ANY
+      // vocabulary — report the bucket distribution only (the operator
+      // run at 50k/q=2 is the known-linear regime, minutes of candidate
+      // verify). The documented mitigation — larger q — is what the
+      // operator rows measure: q=3's ~19k-gram domain plus the
+      // rarest-gram preference is where sub-linear posting holds.
+      for (n <- Seq(5000, 50000)) {
+        val d = corpus(n)
+        val posts2 = bucketStats(d, q = 2)
+        println(s"FUZZYDIV q=2 docs=$n bucketMax=${posts2.get(0)} " +
+          s"bucketP99=${posts2.get(1)} buckets=${posts2.get(2)} (stats only)")
+        graft.operators.Checkpoints.release(d)
+      }
+      for (n <- Seq(5000, 5000, 50000)) { // first 5k run absorbs JIT
+        val d = corpus(n)
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Dedup
+          .fuzzyDupPairs(d, "doc_id", "text", qgramLen = 3).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val posts = bucketStats(d, q = 3)
+        println(f"FUZZYDIV q=3 docs=$n pairs=$pairs wall=$dt%7.2f s " +
+          s"bucketMax=${posts.get(0)} bucketP99=${posts.get(1)} " +
+          s"buckets=${posts.get(2)}")
+        graft.operators.Checkpoints.release(d)
       }
     }
 
