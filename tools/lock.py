@@ -60,21 +60,45 @@ if unfloored:
         f">= {len(flags)})")
 
 if flags:
-    print(f"{len(flags)} flags (two-verdict table):")
+    # r17: two display fixes learned from the round-17 refusal.
+    # (1) A floor measured in a SLOW window can come back above the
+    #     suite min; reading floor_sev alone then overstates (q82: floor
+    #     5.2x vs suite 1.9x on byte-identical code). The verdict takes
+    #     the BEST (lowest) available unclamped severity — both are
+    #     clean measurements of the same code.
+    # (2) On an oscillating window (window_ok=false) the min-probe
+    #     describes only the fastest segment; the representative host
+    #     unit is probe_p50. sev_p50 rescales the best severity by
+    #     probe_baseline/probe_p50 — the r16-verdict reading, made
+    #     executable. The verdict column reads sev_p50; the raw columns
+    #     stay for cross-checking.
+    # p50 rescaling applies ONLY to oscillating windows: on a clean
+    # window pb ~= p50 and rescaling would soften real regressions
+    pb = a.get("probe_baseline")
+    p50 = a.get("probe_p50") or pb
+    p50_scale = (pb / p50) if (not a.get("window_ok", False) and
+                               isinstance(pb, (int, float)) and
+                               isinstance(p50, (int, float)) and p50 > 0) else 1.0
+    print(f"{len(flags)} flags (two-verdict table; "
+          f"p50 unit = min-probe x {1 / p50_scale:.2f}):")
     print(f"{'query':36} {'prior':>7} {'min':>7} {'floor':>7} "
-          f"{'sev_cl':>7} {'sev_un':>7} verdict")
+          f"{'sev_cl':>7} {'sev_un':>7} {'sev_p50':>7} verdict")
     def fmt(x):
         return f"{x:7.3f}" if isinstance(x, (int, float)) else f"{'-':>7}"
     for n, v in sorted(flags.items()):
         sev_cl = v.get("floor_sev_clamped", v.get("sev_clamped"))
-        sev_un = v.get("floor_sev_unclamped", v.get("sev_unclamped"))
-        verdict = ("window" if isinstance(sev_un, (int, float))
-                   and sev_un <= 1.3 else
-                   "CODE?" if isinstance(sev_un, (int, float)) else
+        candidates = [s for s in (v.get("sev_unclamped"),
+                                  v.get("floor_sev_unclamped"))
+                      if isinstance(s, (int, float))]
+        sev_un = min(candidates) if candidates else None
+        sev_p50 = sev_un * p50_scale if sev_un is not None else None
+        verdict = ("window" if isinstance(sev_p50, (int, float))
+                   and sev_p50 <= 1.3 else
+                   "CODE?" if isinstance(sev_p50, (int, float)) else
                    "pre-r16 artifact: no two-verdict fields")
         print(f"{n:36} {fmt(v.get('prev'))} {fmt(v.get('suite_min'))} "
               f"{fmt(v.get('floor'))} {fmt(sev_cl)} {fmt(sev_un)} "
-              f"{verdict}")
+              f"{fmt(sev_p50)} {verdict}")
 
 if problems and not force:
     print("\nREFUSING to lock:")
