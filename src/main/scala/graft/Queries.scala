@@ -9638,7 +9638,176 @@ object Queries {
              |  n_events,
              |  CAST(row_number() OVER (ORDER BY wu DESC, user_id)
              |    AS BIGINT) AS rank
-             |FROM g ORDER BY wu DESC, user_id LIMIT 20""".stripMargin)))
+             |FROM g ORDER BY wu DESC, user_id LIMIT 20""".stripMargin)),
+
+    Q("q237_t_closeness",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // t-closeness datasheet gate (the third privacy rung after
+        // q212's k and q234's l): per-source length-band distribution
+        // (n_chars // 40) must sit within EMD t = 13/200 of the global
+        // one or the cell suppresses into the mass-conserving rollup,
+        // complementary suppression included. The gate is EXACT
+        // integer arithmetic — tDen·Σ|N·C_i − n_g·D_i| vs
+        // tNum·(m−1)·n_g·N in DECIMAL(38,0) — so gate, complement pick
+        // and both branches hash-replay; emd is one division of those
+        // exact integers.
+        operators.Quality.tCloseStats(tbl("documents"), Seq("source"),
+          col("n_chars") / lit(40L), tNum = 13L, tDen = 200L,
+          weight = col("n_chars"))
+      },
+      Some("""WITH s AS (SELECT source, n_chars // 40 AS v, n_chars
+             |          FROM documents),
+             |gv AS (SELECT source, v, count(*) AS c, sum(n_chars) AS w
+             |       FROM s GROUP BY 1, 2),
+             |dom AS (SELECT v, sum(c) AS d FROM gv GROUP BY 1),
+             |domc AS (SELECT v, sum(d) OVER (ORDER BY v) AS dc FROM dom),
+             |tot AS (SELECT CAST(sum(d) AS HUGEINT) AS n,
+             |               CAST(count(*) AS HUGEINT) AS m FROM dom),
+             |grp AS (SELECT source, sum(c) AS n_g, sum(w) AS sum_w
+             |        FROM gv GROUP BY 1),
+             |cc AS (SELECT g.source, g.n_g, g.sum_w, d.v, d.dc,
+             |    sum(coalesce(gv.c, 0)) OVER
+             |      (PARTITION BY g.source ORDER BY d.v) AS cgc
+             |  FROM grp g CROSS JOIN domc d
+             |  LEFT JOIN gv ON gv.source = g.source AND gv.v = d.v),
+             |sg AS (SELECT source, any_value(n_g) AS n_rows,
+             |    any_value(sum_w) AS sum_w,
+             |    sum(abs(tot.n * cgc - CAST(n_g AS HUGEINT) * dc)) AS sv,
+             |    any_value(tot.n) AS n, any_value(tot.m) AS m
+             |  FROM cc, tot GROUP BY 1),
+             |mk AS (SELECT *, sv * 200 > 13 * (m - 1) * n_rows * n
+             |         AS small FROM sg),
+             |ns AS (SELECT count(*) FILTER (small) AS n_small FROM mk),
+             |v2 AS (SELECT mk.*, ns.n_small, row_number() OVER
+             |    (ORDER BY small, n_rows, source) AS rn FROM mk, ns),
+             |m2 AS (SELECT *, small OR (n_small = 1 AND rn = 1) AS supp
+             |       FROM v2),
+             |sup AS (SELECT source FROM m2 WHERE supp),
+             |uv AS (SELECT v, sum(c) AS uc FROM gv
+             |       WHERE source IN (SELECT source FROM sup) GROUP BY 1),
+             |un AS (SELECT CAST(sum(uc) AS HUGEINT) AS un FROM uv),
+             |us AS (SELECT sum(abs(tot.n * ucg - un.un * dc)) AS sv,
+             |         any_value(un.un) AS un, any_value(tot.n) AS n,
+             |         any_value(tot.m) AS m
+             |       FROM (SELECT d.v, d.dc, sum(coalesce(uv.uc, 0))
+             |               OVER (ORDER BY d.v) AS ucg
+             |             FROM domc d LEFT JOIN uv ON uv.v = d.v), tot, un)
+             |SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CASE WHEN m > 1 THEN round(CAST(sv AS DOUBLE) /
+             |    CAST((m - 1) * n_rows * n AS DOUBLE), 9) ELSE 0.0 END
+             |    AS emd,
+             |  CAST(1 AS BIGINT) AS n_groups, CAST(sum_w AS BIGINT) AS sum_w
+             |FROM m2 WHERE NOT supp
+             |UNION ALL
+             |SELECT '__suppressed__', CAST(sum(m2.n_rows) AS BIGINT),
+             |  CASE WHEN any_value(us.m) > 1 THEN
+             |    round(CAST(any_value(us.sv) AS DOUBLE) /
+             |      CAST((any_value(us.m) - 1) * any_value(us.un)
+             |        * any_value(us.n) AS DOUBLE), 9) ELSE 0.0 END,
+             |  CAST(count(*) AS BIGINT), CAST(sum(m2.sum_w) AS BIGINT)
+             |FROM m2, us WHERE supp HAVING count(*) > 0""".stripMargin)),
+
+    Q("q238_conformal_gate",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // split-conformal curation gate: the type-token-ratio score is
+        // calibrated on the doc_id%4==3 split at α = 1/10 — τ = the
+        // ⌈(n+1)·0.9⌉-th largest calibration score, guaranteeing ≥ 90%
+        // of exchangeable documents clear the gate, distribution-free.
+        // k is exact integer arithmetic (aDen·cum ≥ (n+1)·(aDen−aNum));
+        // τ is an exact order statistic (never interpolated); the score
+        // is an exact integer-ratio double — every comparison
+        // hash-replays.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = size(array_distinct(toks)).cast("double") / size(toks)
+        val gated = operators.Classifier.conformalGate(
+          docs.filter(col("doc_id") % 4 === 3),
+          docs.filter(col("doc_id") % 4 =!= 3),
+          score, alphaNum = 1L, alphaDen = 10L)
+        gated.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("k")).as("k"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+             |      AS DOUBLE) / len(string_split(lower(text), ' ')) AS s,
+             |    doc_id % 4 = 3 AS is_cal FROM documents),
+             |d AS (SELECT s, count(*) AS c FROM sc WHERE is_cal
+             |      GROUP BY 1),
+             |n AS (SELECT sum(c) AS n FROM d),
+             |cd AS (SELECT s, sum(c) OVER (ORDER BY s DESC) AS cum
+             |       FROM d),
+             |thr AS (SELECT max(s) AS tau FROM cd, n
+             |        WHERE cum * 10 >= (n.n + 1) * 9),
+             |k AS (SELECT CAST(n.n AS BIGINT) AS n_calib,
+             |        CAST(((n.n + 1) * 9 + 9) // 10 AS BIGINT) AS k
+             |      FROM n)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN tau IS NULL OR s >= tau
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+             |  any_value(tau) AS threshold,
+             |  any_value(k.n_calib) AS n_calib, any_value(k.k) AS k,
+             |  CAST(sum(CASE WHEN tau IS NULL OR s >= tau
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
+             |FROM sc, thr, k WHERE NOT is_cal
+             |GROUP BY lang""".stripMargin)),
+
+    Q("q239_mondrian_conformal",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // GROUP-CONDITIONAL (Mondrian) conformal gate — q238 per
+        // language: each lang calibrates its own τ_g on its own slice
+        // of the doc_id%4==3 split, so P(accept | lang) ≥ 90% holds
+        // PER LANGUAGE, not just marginally (the marginal gate may
+        // over-accept an easy lang and starve a hard one). Same exact
+        // integer-k / exact-order-statistic arithmetic, keyed by lang;
+        // the cumulative window partitions by group — no
+        // single-partition state at any scale.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = size(array_distinct(toks)).cast("double") / size(toks)
+        operators.Classifier.conformalGateByGroup(
+            docs.filter(col("doc_id") % 4 === 3),
+            docs.filter(col("doc_id") % 4 =!= 3),
+            Seq("lang"), score, alphaNum = 1L, alphaDen = 10L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("k")).as("k"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+             |      AS DOUBLE) / len(string_split(lower(text), ' ')) AS s,
+             |    doc_id % 4 = 3 AS is_cal FROM documents),
+             |d AS (SELECT lang, s, count(*) AS c FROM sc WHERE is_cal
+             |      GROUP BY 1, 2),
+             |n AS (SELECT lang, sum(c) AS n FROM d GROUP BY 1),
+             |cd AS (SELECT lang, s, sum(c) OVER
+             |    (PARTITION BY lang ORDER BY s DESC) AS cum FROM d),
+             |thr AS (SELECT cd.lang, max(s) AS tau FROM cd
+             |        JOIN n ON n.lang = cd.lang
+             |        WHERE cum * 10 >= (n.n + 1) * 9 GROUP BY 1),
+             |kk AS (SELECT n.lang, CAST(n.n AS BIGINT) AS n_calib,
+             |         CAST(((n.n + 1) * 9 + 9) // 10 AS BIGINT) AS k,
+             |         thr.tau
+             |       FROM n LEFT JOIN thr ON thr.lang = n.lang)
+             |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN kk.tau IS NULL OR sc.s >= kk.tau
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+             |  any_value(kk.tau) AS threshold,
+             |  any_value(kk.n_calib) AS n_calib, any_value(kk.k) AS k,
+             |  CAST(sum(CASE WHEN kk.tau IS NULL OR sc.s >= kk.tau
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
+             |FROM sc LEFT JOIN kk ON kk.lang = sc.lang
+             |WHERE NOT is_cal GROUP BY sc.lang""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -125,6 +125,145 @@ object Classifier {
     w
   }
 
+  /** SPLIT-CONFORMAL calibration of a selection threshold (Vovk et
+    * al.'s inductive conformal prediction; Angelopoulos & Bates 2021
+    * §1 exposition) — the DISTRIBUTION-FREE upgrade to "pick a score
+    * cutoff by eye": given a held-out calibration sample of the score,
+    * τ = the k-th LARGEST calibration score with
+    * k = ⌈(n+1)·(1−α)⌉ guarantees P(score_new ≥ τ) ≥ 1−α for any
+    * exchangeable score distribution — no model of the score, no
+    * normality, finite-sample. In curation terms: gate the corpus at τ
+    * and at most an α fraction of in-distribution documents is lost,
+    * guaranteed, whatever the classifier's calibration curve looks
+    * like. α is a rational αNum/αDen so k is EXACT integer arithmetic;
+    * the k-th order statistic is an exact value from the sample (never
+    * an interpolated quantile), so the whole calibration hash-replays.
+    *
+    * Returns ONE row: `n_calib`, `k`, `threshold` (null when
+    * k > n — α too tight for the sample; the gate is then vacuous and
+    * [[conformalGate]] accepts everything, the honest reading of "not
+    * enough calibration data to reject at this confidence").
+    *
+    * Scale shape: the order statistic runs at DISTINCT-SCORE grain
+    * (the q155 R-7 percentile discipline) — a score-grain aggregate,
+    * one cumulative window over the distinct scores ordered
+    * descending, and the rank-k filter as the pure-integer inequality
+    * aDen·cum ≥ (n+1)·(aDen−aNum) (⟺ cum ≥ ⌈(n+1)(1−α)⌉ — no
+    * division, no float anywhere in the gate); `n` rides a 1-row
+    * broadcast. Never a global row sort, never a collect. The
+    * single-partition window is over DISTINCT scores, so a CONTINUOUS
+    * score must be grid-bounded first: round it to the 1e-6 grid (the
+    * repo-wide round-then-compare convention) on BOTH the calibration
+    * and apply sides — conformal's guarantee holds for any measurable
+    * transform of the score applied to both sides, and the window
+    * state is then ≤ 10^6+1 rows at any corpus size. */
+  def conformalThreshold(calib: DataFrame, scoreCol: Column,
+                         alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    val d = calib.select(scoreCol.cast("double").as("__s"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val tot = d.agg(sum(col("__c")).as("n_calib"))
+    val cum = d.withColumn("__cum", sum(col("__c")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)))
+    // k = ⌈(n+1)(1−α)⌉ as floor((A + aDen − 1)/aDen), A = (n+1)(aDen−αNum);
+    // exact in double below 2^53 — A tops out ~10^13 at a 10^12-row
+    // calibration sample (and calibration sets are samples by design)
+    val kCol = floor((((col("n_calib") + 1) * lit(alphaDen - alphaNum) +
+      lit(alphaDen - 1)).cast("double")) / lit(alphaDen.toDouble))
+      .cast("long").as("k")
+    cum.crossJoin(broadcast(tot))
+      // cum ≥ ⌈A/aDen⌉ ⟺ aDen·cum ≥ A for positive integers
+      .filter(col("__cum") * lit(alphaDen) >=
+        (col("n_calib") + 1) * lit(alphaDen - alphaNum))
+      .groupBy(col("n_calib"))
+      .agg(max(col("__s")).as("threshold"))
+      .select(col("n_calib"), col("threshold"))
+      // re-attach via the 1-row total so k>n (empty filter) still
+      // yields the vacuous-gate row instead of an empty frame
+      .join(broadcast(tot), Seq("n_calib"), "right")
+      .select(col("n_calib"), kCol, col("threshold"))
+  }
+
+  /** GROUP-CONDITIONAL (Mondrian) conformal calibration — one
+    * [[conformalThreshold]] per group, giving the PER-GROUP guarantee
+    * the marginal gate cannot: P(score ≥ τ_g | group g) ≥ 1−α for
+    * EVERY group (Vovk's Mondrian taxonomy; the fairness form of
+    * conformal). The marginal gate is free to buy its 1−α coverage by
+    * over-accepting an easy language and starving a hard one — per-lang
+    * calibration pins the floor per slice, which is exactly what a
+    * multilingual curation card promises. Same exact arithmetic as the
+    * marginal gate, keyed by group; a group whose k > n_g gets the
+    * vacuous null τ (not enough calibration data AT THAT SLICE to
+    * reject at confidence α — the honest per-slice reading).
+    *
+    * Scale shape: (group, score)-grain aggregate, cumulative window
+    * PARTITIONED BY GROUP (no single-partition state at any grain),
+    * group-grain totals joined back — everything at report × grid
+    * size. */
+  def conformalThresholdByGroup(calib: DataFrame, groupCols: Seq[String],
+                                scoreCol: Column, alphaNum: Long,
+                                alphaDen: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    val gc = groupCols.map(c => col(c).cast("string").as(c))
+    val d = calib.select(gc :+ scoreCol.cast("double").as("__s"): _*)
+      .groupBy(groupCols.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val tot = d.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c")).as("n_calib"))
+    val cum = d.withColumn("__cum", sum(col("__c")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col("__s").desc)))
+    val kCol = floor((((col("n_calib") + 1) * lit(alphaDen - alphaNum) +
+      lit(alphaDen - 1)).cast("double")) / lit(alphaDen.toDouble))
+      .cast("long").as("k")
+    cum.join(tot, groupCols)
+      .filter(col("__cum") * lit(alphaDen) >=
+        (col("n_calib") + 1) * lit(alphaDen - alphaNum))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__s")).as("threshold"))
+      .join(tot, groupCols, "right")
+      .select(groupCols.map(col) :+ col("n_calib") :+ kCol :+
+        col("threshold"): _*)
+  }
+
+  /** Apply a [[conformalThreshold]] calibration to a corpus: every row
+    * gains the broadcast `threshold`, `n_calib`, `k` and an `accept`
+    * flag (score ≥ τ; a null τ — k > n — accepts everything). One
+    * 1-row broadcast join, zero shuffle of the corpus, pure codegen
+    * comparison per row. */
+  def conformalGate(calib: DataFrame, applyDf: DataFrame,
+                    scoreCol: Column, alphaNum: Long,
+                    alphaDen: Long): DataFrame = {
+    val thr = conformalThreshold(calib, scoreCol, alphaNum, alphaDen)
+    applyDf.crossJoin(broadcast(thr))
+      .withColumn("accept", graft.functions.Clean.flag(
+        col("threshold").isNull ||
+          scoreCol.cast("double") >= col("threshold")))
+  }
+
+  /** Apply a [[conformalThresholdByGroup]] calibration: each row joins
+    * its group's τ (a broadcast report-sized join) and gains the same
+    * `accept` semantics — null τ (k > n_g) OR a group absent from the
+    * calibration sample accepts, because no per-slice rejection is
+    * warranted without per-slice evidence. */
+  def conformalGateByGroup(calib: DataFrame, applyDf: DataFrame,
+                           groupCols: Seq[String], scoreCol: Column,
+                           alphaNum: Long, alphaDen: Long): DataFrame = {
+    val thr = conformalThresholdByGroup(calib, groupCols, scoreCol,
+      alphaNum, alphaDen)
+      .withColumnsRenamed(groupCols.map(c => c -> s"__g_$c").toMap)
+    val cond = groupCols.map(c =>
+      applyDf(c).cast("string") === thr(s"__g_$c")).reduce(_ && _)
+    applyDf.join(broadcast(thr), cond, "left")
+      .withColumn("accept", graft.functions.Clean.flag(
+        col("threshold").isNull ||
+          scoreCol.cast("double") >= col("threshold")))
+      .drop(groupCols.map(c => s"__g_$c"): _*)
+  }
+
   /** One GD update over `df`: w ← w − lr·(Σ(σ(w·x) − y)·x / n). An
     * EMPTY input (an SGD batch whose coin selected no rows) carries no
     * gradient and leaves the weights unchanged — without the guard the

@@ -826,4 +826,144 @@ object Quality {
           .otherwise(lit(0.0)), 6).as("nmi"))
     ManagedFrame(out, cached = Seq(cells))
   }
+
+  /** t-CLOSENESS publication gate — the third rung of the privacy
+    * ladder after [[kAnonymizedStats]] (size) and [[lDiverseStats]]
+    * (distinct sensitive values): a group can clear both yet still
+    * leak through its sensitive-value DISTRIBUTION (Li, Li &
+    * Venkatasubramanian, ICDE 2007 — 49 of 50 cell members sharing one
+    * salary band is "diverse" under l=2 but discloses the band with
+    * 98% confidence). A group publishes only when the Earth Mover's
+    * Distance between its sensitive distribution and the GLOBAL one is
+    * <= t; for an ORDERED attribute with m domain values and unit
+    * adjacent-step ground distance (the paper's §5.2 numeric case),
+    *   EMD = (1/(m-1)) * Σ_i |C_i/n_g − D_i/N|
+    * over cumulative counts C (group) and D (global).
+    *
+    * HASH-EXACT GATE: the comparison never touches a float. Scaling by
+    * (m−1)·n_g·N makes the distance the exact integer
+    * S_g = Σ_i |N·C_i − n_g·D_i| and the gate, for rational
+    * t = tNum/tDen, the exact DECIMAL(38,0) inequality
+    * tDen·S_g <= tNum·(m−1)·n_g·N — a SQL oracle replays it bit-equal
+    * at any corpus size (products reach n_g·N ≈ 10^24 at 100 TB; the
+    * 38-digit lattice holds them). The published `emd` double is ONE
+    * division of those exact integers, performed after the gate.
+    *
+    * Suppression follows the house discipline: failing groups roll up
+    * into one `__suppressed__` row conserving the corpus total, with
+    * COMPLEMENTARY suppression (a lone failing group co-suppresses the
+    * smallest visible group — ties on the group columns) and the
+    * zero-visible exemption (no complement to infer against). The
+    * rollup's `emd` is RECOMPUTED over the union of the suppressed
+    * cells' rows — never a single cell's distance, which is the value
+    * the gate just refused to publish. Degenerate m=1 (constant
+    * sensitive column): every distance is 0 and everything publishes.
+    *
+    * Output: group columns (string-cast; sentinel on the rollup),
+    * `n_rows`, `emd`, `n_groups`, `sum_w`.
+    *
+    * Scale shape: one (group, value)-grain aggregate over the corpus;
+    * the domain margin (m rows) broadcasts onto the report-sized group
+    * table as a grid of |G|·m rows (sensitive domains are small by
+    * construction — a wide-open domain is already not publishable);
+    * cumulative sums are per-group windows over m rows; census +
+    * complement pick ride ONE global window over the group table. */
+  def tCloseStats(df: DataFrame, groupCols: Seq[String],
+                  sensitiveCol: Column, tNum: Long, tDen: Long,
+                  weight: Column): DataFrame =
+    tCloseStatsManaged(df, groupCols, sensitiveCol, tNum, tDen, weight).df
+
+  /** [[tCloseStats]] with the persist-lifecycle handle — same
+    * [[ManagedFrame]] contract as [[kAnonymizedStatsManaged]]: the two
+    * owned persists are the (group, value)-grain counts (feed the
+    * grid, the group margins and the rollup's union recompute) and the
+    * marked group table (feeds both output branches). */
+  def tCloseStatsManaged(df: DataFrame, groupCols: Seq[String],
+                         sensitiveCol: Column, tNum: Long, tDen: Long,
+                         weight: Column): ManagedFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(tDen >= 1 && tNum >= 0, "t must be a non-negative rational")
+    val gc = groupCols.map(c => col(c).cast("string").as(c))
+    val dec = "decimal(38,0)"
+    // (group, value) grain — the only corpus-sized aggregate
+    val gv = df.groupBy(gc :+ sensitiveCol.cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"), sum(weight).cast("long").as("__w"))
+      .persist()
+    // global domain margin: per-value totals, cumulative D_i, rank
+    val domW = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val dom = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__d"))
+      .withColumn("__dc", sum(col("__d")).over(domW))
+    // 1-row corpus totals (N, m) — broadcasts everywhere downstream
+    val tot = dom.agg(sum(col("__d")).cast(dec).as("__n"),
+      count(lit(1)).cast(dec).as("__m"))
+    // group margins
+    val grp = gv.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c")).as("n_rows"), sum(col("__w")).as("sum_w"))
+    // grid: every group × every domain value; C_i per group by window.
+    // The i = m term is always 0 (N·n_g − n_g·N) so summing ALL m
+    // terms equals the paper's m−1-term sum — no filter needed.
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+    val sTerm = abs(col("__n") * sum(coalesce(col("__c"), lit(0L)))
+        .over(cumW).cast(dec) -
+      col("n_rows").cast(dec) * col("__dc").cast(dec))
+    val sg = grp.crossJoin(broadcast(dom))
+      .join(gv, groupCols :+ "__v", "left")
+      .crossJoin(broadcast(tot))
+      .select(groupCols.map(col) :+ col("n_rows") :+ col("sum_w") :+
+        col("__n") :+ col("__m") :+ sTerm.as("__t"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("n_rows")).as("n_rows"), first(col("sum_w")).as("sum_w"),
+        first(col("__n")).as("__n"), first(col("__m")).as("__m"),
+        sum(col("__t")).as("__s"))
+    // the exact-integer gate, then the house census/complement window
+    val denom = (col("__m") - lit(1)) * col("n_rows").cast(dec) * col("__n")
+    val winOrd = org.apache.spark.sql.expressions.Window.orderBy(
+      col("__small") +: col("n_rows") +: groupCols.map(col): _*)
+    val g = sg
+      .withColumn("__small",
+        col("__s") * lit(tDen) > denom * lit(tNum))
+      .withColumn("emd", when(col("__m") > 1,
+          round(col("__s").cast("double") / denom.cast("double"), 9))
+        .otherwise(lit(0.0)))
+      .withColumn("__n_small",
+        sum(when(col("__small"), lit(1L)).otherwise(lit(0L)))
+          .over(org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("__rn", row_number().over(winOrd))
+      .withColumn("__supp", col("__small") ||
+        (col("__n_small") === 1L && col("__rn") === 1L))
+      .persist()
+    val visible = g.filter(!col("__supp"))
+      .select(groupCols.map(col) :+ col("n_rows") :+ col("emd") :+
+        lit(1L).as("n_groups") :+ col("sum_w"): _*)
+    // rollup: mass sums at group grain; EMD recomputed over the UNION
+    // of the suppressed cells' (value) counts against the same global
+    // margin — the union is its own distribution, not a sum of
+    // per-group distances
+    val suppGroups = g.filter(col("__supp")).select(groupCols.map(col): _*)
+    val uv = gv.join(suppGroups, groupCols)
+      .groupBy(col("__v")).agg(sum(col("__c")).as("__uc"))
+    val un = uv.agg(sum(col("__uc")).cast(dec).as("__un"))
+    val uTerm = abs(col("__n") * sum(coalesce(col("__uc"), lit(0L)))
+        .over(domW).cast(dec) - col("__un") * col("__dc").cast(dec))
+    val uDen = (col("__m") - lit(1)) * col("__un") * col("__n")
+    val uEmd = dom.join(uv, Seq("__v"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(un))
+      .select(col("__m"), col("__un"), col("__n"), uTerm.as("__t"))
+      .agg(when(first(col("__m")) > 1,
+          round(sum(col("__t")).cast("double") /
+            (first((col("__m") - lit(1)) * col("__un") * col("__n")))
+              .cast("double"), 9))
+        .otherwise(lit(0.0)).as("emd"))
+    val massAll = g.filter(col("__supp"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(col("sum_w")).as("sum_w"))
+    val suppressed = massAll.crossJoin(uEmd)
+      .filter(col("n_rows").isNotNull)
+      .select(groupCols.map(c => lit("__suppressed__").as(c)) :+
+        col("n_rows") :+ col("emd") :+ col("n_groups") :+ col("sum_w"): _*)
+    ManagedFrame(visible.unionByName(suppressed), cached = Seq(gv, g))
+  }
 }

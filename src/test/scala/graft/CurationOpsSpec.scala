@@ -609,4 +609,131 @@ class CurationOpsSpec extends AnyFunSuite {
     // doc 3: only one distinct token → only one row
     assert(!out.contains((3L, 2L)) && out((3L, 1L))._1 == "common")
   }
+
+  test("tCloseStats: distribution-skewed group suppressed; lone failure " +
+       "co-suppresses smallest visible; rollup emd is the union recompute") {
+    import spark.implicits._
+    // domain {0,1,2}; global d=(17,17,26), N=60, m=3. Hand EMDs:
+    //  g_uniform (10,10,10): (3/60 + 6/60)/2  = 0.075
+    //  g_mid     (7,7,6):    (4/60 + 8/60)/2  = 0.100
+    //  g_skew    (0,0,10):   (17/60 + 34/60)/2 = 0.425
+    val rows =
+      (1 to 10).flatMap(i => Seq(("g_uniform", 0L), ("g_uniform", 1L),
+        ("g_uniform", 2L))) ++
+      (1 to 7).flatMap(i => Seq(("g_mid", 0L), ("g_mid", 1L))) ++
+      (1 to 6).map(_ => ("g_mid", 2L)) ++
+      (1 to 10).map(_ => ("g_skew", 2L))
+    val df = rows.zipWithIndex
+      .map { case ((g, v), i) => (g, v, i.toLong + 1) }.toDF("a", "v", "w")
+    // t = 0.2: only g_skew fails → lone failure → co-suppress the
+    // smallest visible group (g_mid, 20 rows < 30)
+    val out = Quality.tCloseStats(df, Seq("a"), col("v"),
+      tNum = 1L, tDen = 5L, weight = col("w")).collect()
+    val visible = out.filter(_.getString(0) != "__suppressed__")
+    val sup = out.filter(_.getString(0) == "__suppressed__")
+    assert(visible.map(_.getString(0)).toSet == Set("g_uniform"))
+    assert(math.abs(visible.head.getDouble(2) - 0.075) < 1e-9)
+    assert(sup.length == 1)
+    assert(sup.head.getLong(1) == 30L)            // 10 skew + 20 mid rows
+    assert(sup.head.getLong(3) == 2L)             // never a lone cell
+    // union distribution (7,7,16)/30 vs global: (3/60 + 6/60)/2 = 0.075
+    assert(math.abs(sup.head.getDouble(2) - 0.075) < 1e-9)
+    assert(out.map(_.getLong(1)).sum == 60L)                // rows conserved
+    assert(out.map(_.getLong(4)).sum == (1 to 60).map(_.toLong).sum)
+  }
+
+  test("tCloseStats: constant sensitive column (m=1) publishes everything " +
+       "at emd 0; all-fail corpus hits the zero-visible exemption") {
+    import spark.implicits._
+    val const = (1 to 30).map(i => (s"g${i % 3}", 7L, 1L)).toDF("a", "v", "w")
+    val o1 = Quality.tCloseStats(const, Seq("a"), col("v"), 0L, 1L,
+      col("w")).collect()
+    assert(o1.length == 3 && o1.forall(r =>
+      r.getString(0) != "__suppressed__" && r.getDouble(2) == 0.0))
+    // t = 0 with disjoint per-group values: every group's distribution
+    // differs from the global one → all fail → the rollup publishes
+    // alone (no complement to infer against), union == global → emd 0
+    val split = ((1 to 10).map(_ => ("gA", 0L, 1L)) ++
+      (1 to 10).map(_ => ("gB", 1L, 1L))).toDF("a", "v", "w")
+    val o2 = Quality.tCloseStats(split, Seq("a"), col("v"), 0L, 1L,
+      col("w")).collect()
+    assert(o2.length == 1 && o2.head.getString(0) == "__suppressed__")
+    assert(o2.head.getLong(1) == 20L && o2.head.getLong(3) == 2L)
+    assert(o2.head.getDouble(2) == 0.0)
+  }
+
+  test("conformalThreshold: exact k-th-largest order statistic; ties " +
+       "keep the guarantee; k > n yields the vacuous gate") {
+    import spark.implicits._
+    // n = 9, α = 1/3: k = ceil(10·2/3) = 7 → τ = 7th largest = 0.3
+    val scores = Seq(0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1)
+    val cal = scores.toDF("s")
+    val r = graft.operators.Classifier.conformalThreshold(cal, col("s"),
+      alphaNum = 1L, alphaDen = 3L).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 9L &&
+      r.head.getLong(1) == 7L && r.head.getDouble(2) == 0.3)
+    // ties: τ = max s with #{scores ≥ s} ≥ k (never under-covers)
+    val tied = Seq(0.5, 0.5, 0.5, 0.2, 0.2, 0.1).toDF("s")
+    val r2 = graft.operators.Classifier.conformalThreshold(tied, col("s"),
+      alphaNum = 1L, alphaDen = 2L).collect()
+    // k = ceil(7/2) = 4 → cum(0.5)=3 < 4, cum(0.2)=5 ≥ 4 → τ = 0.2
+    assert(r2.head.getLong(1) == 4L && r2.head.getDouble(2) == 0.2)
+    // k > n: α = 1/100 on n = 5 → k = ceil(6·99/100) = 6 > 5 → null τ
+    val small = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("s")
+    val r3 = graft.operators.Classifier.conformalThreshold(small, col("s"),
+      alphaNum = 1L, alphaDen = 100L).collect()
+    assert(r3.length == 1 && r3.head.getLong(0) == 5L &&
+      r3.head.getLong(1) == 6L && r3.head.isNullAt(2))
+    val gated = graft.operators.Classifier.conformalGate(small,
+      Seq(0.01, 99.0).toDF("s"), col("s"), 1L, 100L).collect()
+    assert(gated.forall(_.getAs[Long]("accept") == 1L))
+  }
+
+  test("conformalThresholdByGroup: per-group result equals the marginal " +
+       "gate run on each group alone; absent group accepts") {
+    import spark.implicits._
+    val cal = (Seq.tabulate(9)(i => ("en", (i + 1) / 10.0)) ++
+      Seq.tabulate(5)(i => ("fr", (i + 1) / 10.0))).toDF("lang", "s")
+    val byG = graft.operators.Classifier.conformalThresholdByGroup(
+      cal, Seq("lang"), col("s"), 1L, 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    for (g <- Seq("en", "fr")) {
+      val solo = graft.operators.Classifier.conformalThreshold(
+        cal.filter(col("lang") === g), col("s"), 1L, 3L).collect().head
+      assert(byG(g) == ((solo.getLong(0), solo.getLong(1),
+        if (solo.isNullAt(2)) None else Some(solo.getDouble(2)))),
+        s"group $g diverges from the marginal gate on its slice")
+    }
+    // en: n=9, k=ceil(10*2/3)=7 → τ = 7th largest = 0.3
+    assert(byG("en") == ((9L, 7L, Some(0.3))))
+    // fr: n=5, k=ceil(6*2/3)=4 → τ = 4th largest of .1..odd → 0.2
+    assert(byG("fr") == ((5L, 4L, Some(0.2))))
+    // a group with no calibration rows accepts everything
+    val gated = graft.operators.Classifier.conformalGateByGroup(cal,
+      Seq(("de", 0.01), ("en", 0.25), ("en", 0.35)).toDF("lang", "s"),
+      Seq("lang"), col("s"), 1L, 3L)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[Long]("accept")))
+    assert(gated.toSet == Set(("de", 0.01, 1L), ("en", 0.25, 0L),
+      ("en", 0.35, 1L)))
+  }
+
+  test("conformalThreshold: leave-one-out exchangeability — exactly k of " +
+       "n+1 distinct scores are covered by the other n's threshold") {
+    import spark.implicits._
+    // the finite-sample coverage theorem, checked combinatorially: for
+    // distinct scores the covered count is EXACTLY k = ceil((n+1)(1-α))
+    val pool = Seq(0.91, 0.84, 0.77, 0.65, 0.58, 0.44, 0.39, 0.27,
+      0.18, 0.12, 0.07, 0.03)                     // n+1 = 12
+    val (aNum, aDen) = (1L, 4L)                   // k = ceil(12·3/4) = 9
+    val covered = pool.indices.count { i =>
+      val cal = pool.zipWithIndex.filter(_._2 != i).map(_._1).toDF("s")
+      val t = graft.operators.Classifier.conformalThreshold(cal, col("s"),
+        aNum, aDen).collect().head
+      !t.isNullAt(2) && pool(i) >= t.getDouble(2)
+    }
+    assert(covered == 9, s"covered $covered of ${pool.size}, want 9")
+  }
 }

@@ -689,4 +689,103 @@ class PropertySpec extends AnyFunSuite {
         s"trial $trial right-fold merge diverges: $rightFold vs $direct")
     }
   }
+
+  test("tCloseStats == driver brute force (exact-integer EMD gate, " +
+       "complementary suppression, union-recomputed rollup)") {
+    import spark.implicits._
+    val corpus = for {
+      n <- Gen.choose(20, 70)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("g0", "g1", "g2", "g3")
+        v <- Gen.choose(0L, 3L)
+        w <- Gen.choose(1L, 9L)
+      } yield (g, v, w))
+      tNum <- Gen.choose(0L, 4L)
+      tDen <- Gen.choose(5L, 12L)
+    } yield (rows, tNum, tDen)
+    for (((rows, tNum, tDen), trial) <- samples(corpus, 10).zipWithIndex) {
+      val dom = rows.map(_._2).distinct.sorted
+      val m = dom.size
+      val bigN = BigInt(rows.size)
+      val dCum = dom.map(v => BigInt(rows.count(_._2 <= v)))
+      case class G(name: String, nG: Long, sumW: Long, s: BigInt) {
+        def small: Boolean =
+          s * tDen > BigInt(tNum) * (m - 1) * nG * bigN
+        def emd: Double =
+          if (m <= 1) 0.0
+          else (BigDecimal(s) / BigDecimal(BigInt(m - 1) * nG * bigN))
+            .toDouble
+      }
+      val groups = rows.map(_._1).distinct.sorted.map { g =>
+        val mine = rows.filter(_._1 == g)
+        val cCum = dom.map(v => BigInt(mine.count(_._2 <= v)))
+        val s = dCum.zip(cCum)
+          .map { case (di, ci) => (bigN * ci - BigInt(mine.size) * di).abs }
+          .sum
+        G(g, mine.size.toLong, mine.map(_._3).sum, s)
+      }
+      val nSmall = groups.count(_.small)
+      val ordered = groups.sortBy(g => (g.small, g.nG, g.name))
+      val suppNames = (groups.filter(_.small).map(_.name) ++
+        (if (nSmall == 1) Seq(ordered.head.name) else Nil)).toSet
+      val expVisible = groups.filterNot(g => suppNames(g.name))
+      val out = graft.operators.Quality.tCloseStats(
+        rows.toDF("a", "v", "w"), Seq("a"), col("v"), tNum, tDen,
+        col("w")).collect()
+      val gotVisible = out.filter(_.getString(0) != "__suppressed__")
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+          r.getLong(4), r.getDouble(2))).sortBy(_._1)
+      assert(gotVisible.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+        expVisible.map(g => (g.name, g.nG, 1L, g.sumW)),
+        s"trial $trial visible mismatch")
+      gotVisible.zip(expVisible).foreach { case (got, exp) =>
+        assert(math.abs(got._5 - exp.emd) < 1e-9,
+          s"trial $trial emd ${got._5} vs ${exp.emd} for ${exp.name}")
+      }
+      val sup = out.filter(_.getString(0) == "__suppressed__")
+      if (suppNames.isEmpty) assert(sup.isEmpty, s"trial $trial phantom rollup")
+      else {
+        val union = rows.filter(r => suppNames(r._1))
+        val uCum = dom.map(v => BigInt(union.count(_._2 <= v)))
+        val uS = dCum.zip(uCum)
+          .map { case (di, ci) =>
+            (bigN * ci - BigInt(union.size) * di).abs }.sum
+        val uEmd =
+          if (m <= 1) 0.0
+          else (BigDecimal(uS) /
+            BigDecimal(BigInt(m - 1) * union.size * bigN)).toDouble
+        assert(sup.length == 1 && sup.head.getLong(1) == union.size.toLong &&
+          sup.head.getLong(3) == suppNames.size.toLong &&
+          sup.head.getLong(4) == union.map(_._3).sum,
+          s"trial $trial rollup mass mismatch")
+        assert(math.abs(sup.head.getDouble(2) - uEmd) < 1e-9,
+          s"trial $trial rollup emd ${sup.head.getDouble(2)} vs $uEmd")
+      }
+    }
+  }
+
+  test("conformalThreshold == driver order statistic for random " +
+       "multisets and alphas") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(3, 40)
+      scores <- Gen.listOfN(n, Gen.choose(0, 20)
+        .map(i => i.toDouble / 20.0))           // duplicates likely
+      aNum <- Gen.choose(1L, 9L)
+      aDen <- Gen.choose(10L, 20L)
+    } yield (scores, aNum, aDen)
+    for (((scores, aNum, aDen), trial) <- samples(gen, 15).zipWithIndex) {
+      val n = scores.size.toLong
+      val k = ((n + 1) * (aDen - aNum) + aDen - 1) / aDen
+      val expected =
+        if (k > n) None
+        else Some(scores.sorted(Ordering[Double].reverse)(k.toInt - 1))
+      val r = graft.operators.Classifier.conformalThreshold(
+        scores.toDF("s"), col("s"), aNum, aDen).collect().head
+      assert(r.getLong(0) == n && r.getLong(1) == k, s"trial $trial n/k")
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(got == expected,
+        s"trial $trial tau $got vs $expected (n=$n k=$k)")
+    }
+  }
 }
