@@ -9807,7 +9807,65 @@ object Queries {
              |  CAST(sum(CASE WHEN kk.tau IS NULL OR sc.s >= kk.tau
              |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
              |FROM sc LEFT JOIN kk ON kk.lang = sc.lang
-             |WHERE NOT is_cal GROUP BY sc.lang""".stripMargin)))
+             |WHERE NOT is_cal GROUP BY sc.lang""".stripMargin)),
+
+    Q("q240_incremental_conformal",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // INCREMENTAL conformal calibration — q238's threshold
+        // maintained from MERGEABLE score states (the q235/KMV
+        // mergeable-summaries citizenship): the calibration split
+        // arrives as three id-sharded batches, each contributing only
+        // its distinct-score counts; states fold by addition and the
+        // threshold reads off the fold — exactly equal to the
+        // monolithic calibration (integer counts, no sketch error),
+        // history never rescanned. The oracle IS the monolithic q238
+        // computation, so the merge identity itself sits under the
+        // hash gate.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = size(array_distinct(toks)).cast("double") / size(toks)
+        val calib = docs.filter(col("doc_id") % 4 === 3)
+        val state = Seq(0L, 1L, 2L)
+          .map(r => operators.Classifier.scoreState(
+            calib.filter(col("doc_id") % 3 === r), score))
+          .reduce(operators.Classifier.mergeScoreStates)
+        val thr = operators.Classifier.conformalFromState(state, 1L, 10L)
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .crossJoin(broadcast(thr))
+          .withColumn("accept", graft.functions.Clean.flag(
+            col("threshold").isNull || score >= col("threshold")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("k")).as("k"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+             |      AS DOUBLE) / len(string_split(lower(text), ' ')) AS s,
+             |    doc_id % 4 = 3 AS is_cal FROM documents),
+             |d AS (SELECT s, count(*) AS c FROM sc WHERE is_cal
+             |      GROUP BY 1),
+             |n AS (SELECT sum(c) AS n FROM d),
+             |cd AS (SELECT s, sum(c) OVER (ORDER BY s DESC) AS cum
+             |       FROM d),
+             |thr AS (SELECT max(s) AS tau FROM cd, n
+             |        WHERE cum * 10 >= (n.n + 1) * 9),
+             |k AS (SELECT CAST(n.n AS BIGINT) AS n_calib,
+             |        CAST(((n.n + 1) * 9 + 9) // 10 AS BIGINT) AS k
+             |      FROM n)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN tau IS NULL OR s >= tau
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+             |  any_value(tau) AS threshold,
+             |  any_value(k.n_calib) AS n_calib, any_value(k.k) AS k,
+             |  CAST(sum(CASE WHEN tau IS NULL OR s >= tau
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
+             |FROM sc, thr, k WHERE NOT is_cal
+             |GROUP BY lang""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -158,11 +158,33 @@ object Classifier {
     * transform of the score applied to both sides, and the window
     * state is then ≤ 10^6+1 rows at any corpus size. */
   def conformalThreshold(calib: DataFrame, scoreCol: Column,
-                         alphaNum: Long, alphaDen: Long): DataFrame = {
+                         alphaNum: Long, alphaDen: Long): DataFrame =
+    conformalFromState(scoreState(calib, scoreCol), alphaNum, alphaDen)
+
+  /** The calibration's SUFFICIENT STATISTIC as a mergeable state —
+    * distinct-score counts `(score, n)`. States merge by ADDITION
+    * ([[mergeScoreStates]]), so the conformal threshold is maintained
+    * incrementally at BATCH cost (the KMV/CMS/HLL/q235 mergeable-
+    * summaries citizenship): shard/batch/epoch states fold in any
+    * grouping and [[conformalFromState]] of the fold equals the
+    * monolithic calibration — exactly, not approximately (counts are
+    * integers; no sketch error term). History is never rescanned. */
+  def scoreState(calib: DataFrame, scoreCol: Column): DataFrame =
+    calib.select(scoreCol.cast("double").as("score"))
+      .groupBy(col("score")).agg(count(lit(1)).as("n"))
+
+  /** Merge two [[scoreState]]s — associative, commutative, exact. */
+  def mergeScoreStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("score")).agg(sum(col("n")).as("n"))
+
+  /** [[conformalThreshold]] evaluated from a [[scoreState]] — the
+    * read side of the incremental calibration. Same exact arithmetic
+    * and output row as the direct form. */
+  def conformalFromState(state: DataFrame, alphaNum: Long,
+                         alphaDen: Long): DataFrame = {
     require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
       "alpha must be a rational in [0, 1]")
-    val d = calib.select(scoreCol.cast("double").as("__s"))
-      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val d = state.select(col("score").as("__s"), col("n").as("__c"))
     val tot = d.agg(sum(col("__c")).as("n_calib"))
     val cum = d.withColumn("__cum", sum(col("__c")).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)))

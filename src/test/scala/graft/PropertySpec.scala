@@ -786,6 +786,19 @@ class PropertySpec extends AnyFunSuite {
       val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
       assert(got == expected,
         s"trial $trial tau $got vs $expected (n=$n k=$k)")
+      // merge lattice: fold of sharded score states == monolithic
+      // calibration, exactly, for a random 3-way partition
+      val shard = scores.zipWithIndex
+        .groupBy { case (_, i) => (i * 2654435761L) % 3 }
+      val folded = (0L to 2L)
+        .map(si => graft.operators.Classifier.scoreState(
+          shard.getOrElse(si, Nil).map(_._1).toDF("s"), col("s")))
+        .reduce(graft.operators.Classifier.mergeScoreStates)
+      val rm = graft.operators.Classifier.conformalFromState(
+        folded, aNum, aDen).collect().head
+      assert(rm.getLong(0) == n && rm.getLong(1) == k &&
+        (if (rm.isNullAt(2)) None else Some(rm.getDouble(2))) == got,
+        s"trial $trial merged state diverges from monolithic")
     }
   }
 }
