@@ -68,6 +68,22 @@ import org.apache.spark.sql.SparkSession
   *     curve flattens (settled-tail detection used to EXIT, not just
   *     to extend) — together they buy the driver budget back without
   *     coarsening pass-1 quarantine granularity.
+  *
+  * Per-query min-window provenance (r17 — the five-refusals lesson):
+  * the global clean-probe spread refuses a lock when ANY window in a
+  * 45-minute run strayed past 1.5x, even though the published minima
+  * may all have been measured at baseline speed (the +0.25 s absolute
+  * stall guard keeps 1.5-2.8x windows "clean" on a fast host). Each
+  * query therefore records `min_windows[q]` = the closing probe of the
+  * window its published minimum ran in, as a ratio to the baseline
+  * (-1 = floor-published, the forked fresh-JVM protocol); fast-window
+  * CHASE sweeps re-measure queries whose minima lack ≤1.3x provenance;
+  * `minima_window_ok` = every query provenanced. tools/lock.py accepts
+  * a blown global spread when the per-sample evidence certifies every
+  * locked number — stricter than the old gate where it matters (a
+  * 1.4x-spread run with slow-window minima no longer locks) and
+  * honest where the old gate was a lottery (the host may oscillate
+  * BETWEEN measurements, not inside them).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -514,6 +530,43 @@ object Bench {
         System.err.println(f"[bench] WINDOW QUALITY LOW: clean-probe " +
           f"spread $probeSpread%.2fx (>1.5x) — minima describe the " +
           "fastest window, not the run; do not lock this artifact")
+      // ── per-query min-window PROVENANCE (r17) ───────────────────────
+      // The global spread refuses a run when ANY clean probe strayed
+      // past 1.5x — even when every published minimum was measured in a
+      // fast window (the stall gate's +0.25 s absolute guard lets
+      // 1.5-2.8x windows stay "clean" on a ~0.15 s baseline, so one
+      // slow stretch anywhere in a 45-minute run blows the max). What a
+      // lock actually needs is narrower: THE SAMPLES BEING LOCKED must
+      // come from windows comparable to the baseline. So each query
+      // records the probe of the window its published minimum ran in,
+      // as a ratio to the baseline: ≤ 1.3 (the settle band) means the
+      // locked value was measured at baseline speed; -1 marks a
+      // floor-published value (fresh forked JVM — the stronger r13
+      // standalone protocol, provenanced by construction).
+      // `minima_window_ok` = every query provenanced fast — the
+      // per-sample criterion tools/lock.py accepts when the global
+      // spread is blown by windows no locked sample ran in.
+      val probeOfLabel: Map[String, Double] = cals.toMap
+      val minWindows: Map[String, Double] = queries.flatMap { q =>
+        val cs = meas.filter(m => m._1 == q.name && !stalls(m._3))
+        if (cs.isEmpty) None
+        else {
+          val mn = cs.minBy(_._2)
+          if (flrs.get(q.name).exists(f => f._1 > 0 && f._1 < mn._2))
+            Some(q.name -> -1.0)
+          else probeOfLabel.get(mn._3).map(p => q.name -> p / pb)
+        }
+      }.toMap
+      val minimaWindowOk = !partial && queries.forall(q =>
+        errs.contains(q.name) ||
+          minWindows.get(q.name).exists(r => r == -1.0 || r <= 1.3))
+      if (!windowOk && minimaWindowOk)
+        System.err.println("[bench] minima window provenance OK: every " +
+          "published minimum was measured in a <=1.3x-of-baseline " +
+          "window or a forked floor — per-sample evidence supersedes " +
+          "the global spread")
+      val minWindowsJson = fmtMap(queries.flatMap(q =>
+        minWindows.get(q.name).map(r => q.name -> f"$r%.3f")))
       val prevRefJson =
         if (prevRef.isEmpty) "null"
         else "\"" + prevRefPath.toString + (if (prevComparable) "" else " (incomparable)") + "\""
@@ -525,7 +578,7 @@ object Bench {
       val degradedJson = degraded.toSeq
         .map(d => "\"" + d + "\"").mkString("[", ",", "]")
       val deadlineJson = deadlineSec.map(d => f"$d%.0f").getOrElse("null")
-      val json = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$pb%.3f"},"probe_p50":${f"$probeP50%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"deadline_sec":$deadlineJson,"elapsed_sec":${f"$elapsedWall%.1f"},"degraded":$degradedJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$pb%.3f"},"probe_p50":${f"$probeP50%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"min_windows":$minWindowsJson,"minima_window_ok":$minimaWindowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"deadline_sec":$deadlineJson,"elapsed_sec":${f"$elapsedWall%.1f"},"degraded":$degradedJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
       println(json)
       // the driver's per-round artifact keeps only the run's last 2000
       // output chars, which truncates the per-query JSON every round — so
@@ -656,6 +709,45 @@ object Bench {
         runOnce(q)
         if ((i + 1) % 5 == 0 || i + 1 == todo.size)
           calibrate(s"requeue$sweep.${q.name}")
+      }
+    }
+
+    // fast-window CHASE sweeps (r17): a query whose current minimum was
+    // measured only in a slow-but-unquarantined window (closing probe
+    // > 1.3x baseline — "clean" under the stall gate's absolute guard,
+    // but not comparable to the baseline the lock normalizes by) gets
+    // re-measured until its minimum carries fast-window provenance.
+    // This converts the global window lottery (45 straight clean
+    // minutes or no lock) into a per-query completion criterion: the
+    // host may oscillate BETWEEN measurements as long as every locked
+    // minimum itself ran at baseline speed. Bounded sweeps — sustained
+    // contention terminates with minima_window_ok=false, the honest
+    // outcome.
+    def slowMinQueries(): Seq[Queries.Q] = {
+      val (measSnap, cals2) = stateLock.synchronized(
+        (measurements.toVector, calSamples.toVector))
+      val pb2 = probeBaseline
+      val stalls2 = stalledOf(cals2, pb2)
+      val probeOf2 = cals2.toMap
+      queries.filter { q =>
+        !errors.contains(q.name) && {
+          val cs = measSnap.filter(m => m._1 == q.name && !stalls2(m._3))
+          cs.nonEmpty &&
+            probeOf2.get(cs.minBy(_._2)._3).exists(_ > 1.3 * pb2)
+        }
+      }
+    }
+    var chase = 0
+    while (chase < 3 && slowMinQueries().nonEmpty && remainingSec > 120) {
+      chase += 1
+      val todo = slowMinQueries()
+      System.err.println(s"[bench] fast-window chase $chase " +
+        s"(${todo.size} slow-window minima): " +
+        todo.map(_.name).mkString(", "))
+      for ((q, i) <- todo.zipWithIndex if remainingSec > 60) {
+        runOnce(q)
+        if ((i + 1) % 5 == 0 || i + 1 == todo.size)
+          calibrate(s"chase$chase.${q.name}")
       }
     }
 

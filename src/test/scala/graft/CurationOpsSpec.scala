@@ -720,6 +720,45 @@ class CurationOpsSpec extends AnyFunSuite {
       ("en", 0.35, 1L)))
   }
 
+  test("plan shape: tCloseStats domain margin broadcasts (grid never " +
+       "shuffles the corpus twice); conformalGate adds zero exchanges " +
+       "to the apply side") {
+    import graft.sources.Tables
+    def fmt(df: org.apache.spark.sql.DataFrame): String = {
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      spark.catalog.clearCache()
+      txt
+    }
+    def shuffles(plan: String): Int =
+      "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(plan)
+        .matchData.map(_.matched).toSet.size
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    // t-closeness: the domain margin and 1-row totals ride broadcasts;
+    // a wider sensitive domain (bucket width 40 → 10) must not add a
+    // single exchange — m sizes broadcast tables, never the plan shape
+    def tPlan(w: Long): String = fmt(graft.operators.Quality.tCloseStats(
+      docs, Seq("source"), col("n_chars") / lit(w), 13L, 200L,
+      col("n_chars")))
+    val t40 = tPlan(40L)
+    assert(t40.contains("BroadcastExchange"),
+      s"domain margin must broadcast:\n${t40.take(1500)}")
+    assert(shuffles(t40) == shuffles(tPlan(10L)),
+      "domain size must never change the exchange count")
+    // conformal: the calibration threshold reaches the corpus as a
+    // 1-row broadcast — gating adds ZERO shuffles beyond computing
+    // the threshold itself (the apply side is a pure narrow map)
+    val score = graft.functions.Text.distinctTokenRatio(col("text"))
+    val thrPlan = fmt(graft.operators.Classifier.conformalThreshold(
+      docs.filter(col("doc_id") % 4 === 3), score, 1L, 10L))
+    val gatePlan = fmt(graft.operators.Classifier.conformalGate(
+      docs.filter(col("doc_id") % 4 === 3),
+      docs.filter(col("doc_id") % 4 =!= 3), score, 1L, 10L))
+    assert(shuffles(gatePlan) == shuffles(thrPlan),
+      s"gate must add no exchange: gate ${shuffles(gatePlan)} vs " +
+        s"threshold ${shuffles(thrPlan)}")
+  }
+
   test("conformalThreshold: leave-one-out exchangeability — exactly k of " +
        "n+1 distinct scores are covered by the other n's threshold") {
     import spark.implicits._

@@ -48,9 +48,28 @@ if not a.get("artifact_ok", False):
         f"tainted_only {a.get('tainted_only')}, errors "
         f"{list(a.get('errors', {}))})")
 if not a.get("window_ok", False):
-    problems.append(
-        f"window_ok=false (clean-probe spread {a.get('probe_spread')}x "
-        f"> 1.5x — minima describe the fastest window, not the run)")
+    # r17: per-query min-window provenance supersedes the global
+    # spread. The spread refuses a run when ANY clean probe strayed
+    # past 1.5x — even when every published minimum was measured in a
+    # fast window (the +0.25 s absolute stall guard keeps 1.5-2.8x
+    # windows "clean" on a ~0.15 s baseline, so one slow stretch
+    # anywhere in a 45-minute run blows the max). What the lock
+    # actually needs is that THE SAMPLES BEING LOCKED ran at baseline
+    # speed: minima_window_ok certifies each query's published minimum
+    # was measured in a <=1.3x-of-baseline window (or in a forked
+    # floor, the stronger standalone protocol). Accept on that
+    # per-sample evidence; refuse when it is absent or incomplete.
+    if a.get("minima_window_ok", False):
+        mw = [r for r in a.get("min_windows", {}).values() if r >= 0]
+        print(f"window_ok=false (spread {a.get('probe_spread')}x) but "
+              f"minima provenance OK: {len(mw)} suite minima all in "
+              f"<=1.3x windows (max {max(mw):.3f}x)"
+              if mw else "minima provenance OK (all floors)")
+    else:
+        problems.append(
+            f"window_ok=false (clean-probe spread {a.get('probe_spread')}x"
+            f" > 1.5x) and minima_window_ok=false — neither the run nor "
+            f"the locked samples have fast-window provenance")
 flags = a.get("regressed_vs_prev", {})
 unfloored = [n for n, v in flags.items() if v.get("floor_mode") == "none"]
 if unfloored:
