@@ -172,6 +172,43 @@ object ScaleProbeMain {
         graft.operators.Checkpoints.release(sk)
       }
     }
+    if (which == "tclose") {
+      // t-closeness scale anatomy (r17): corpus cost must scale with
+      // rows (the one (group,value)-grain aggregate) while the grid
+      // stays |G|·m — report × domain — whatever the corpus size. Two
+      // axes: corpus 10× at fixed grid (sf0.01 → sf0.1), and grid 25×
+      // at fixed corpus (|G| 20 → 100 via finer source shards × domain
+      // m via bucket width 40 → 8).
+      // pass 1 is a discarded JIT warmup (the bench warmup discipline);
+      // only pass-2 rows are comparable
+      for (pass <- 1 to 2;
+           (sf, wide) <- Seq(("sf0.01", false), ("sf0.1", false),
+                             ("sf0.1", true))) {
+        val d = graft.sources.Tables(spark,
+          s"/root/testdata/$sf", "documents")
+          .withColumn("src2",
+            // modulus COPRIME with the fixture's source = src{id%20}
+            // derivation — %5 would be determined by the source and
+            // widen nothing
+            if (wide) concat_ws("#", col("source"),
+              (col("doc_id") % 7).cast("string"))
+            else col("source"))
+        val width = if (wide) 8L else 40L
+        val n = d.count()
+        val groups = d.select(col("src2")).distinct().count()
+        val m = d.select((col("n_chars") / lit(width)).cast("long"))
+          .distinct().count()
+        val t0 = System.nanoTime()
+        val out = graft.operators.Quality.tCloseStatsManaged(d, Seq("src2"),
+          col("n_chars") / lit(width), 13L, 200L, col("n_chars"))
+        val rows = out.df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        out.release()
+        if (pass == 2)
+          println(f"TCLOSE sf=$sf wide=$wide docs=$n |G|=$groups m=$m " +
+            f"grid=${groups * m} outRows=$rows wall=$dt%6.2f s")
+      }
+    }
     spark.stop()
   }
 }
