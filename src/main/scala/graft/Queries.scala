@@ -9710,19 +9710,29 @@ object Queries {
     Q("q238_conformal_gate",
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // split-conformal curation gate: the type-token-ratio score is
-        // calibrated on the doc_id%4==3 split at α = 1/10 — τ = the
+        // calibrated on the doc_id%7==3 split at α = 1/10 — τ = the
         // ⌈(n+1)·0.9⌉-th largest calibration score, guaranteeing ≥ 90%
         // of exchangeable documents clear the gate, distribution-free.
         // k is exact integer arithmetic (aDen·cum ≥ (n+1)·(aDen−aNum));
-        // τ is an exact order statistic (never interpolated); the score
-        // is an exact integer-ratio double — every comparison
-        // hash-replays.
+        // τ is an exact order statistic (never interpolated). The split
+        // modulus 7 is COPRIME with the fixture's source derivation
+        // (source = src{doc_id % 20} — the FIXTURES.md mod-20 trap, cf.
+        // q240's % 3 shards): a % 4 split selects exactly 5 of the 20
+        // sources as calibration and the other 15 as apply, structurally
+        // violating the exchangeability premise; % 7 spans all 20
+        // sources on both sides. The score is rounded to the 1e-6 grid
+        // on BOTH sides (conformalThreshold's continuous-score
+        // contract: the distinct-score window state stays ≤ 10^6+1 rows
+        // at any corpus size, and conformal's guarantee is invariant
+        // under a shared monotone-measurable transform) — every
+        // comparison hash-replays.
         val docs = tbl("documents")
         val toks = split(lower(col("text")), " ")
-        val score = size(array_distinct(toks)).cast("double") / size(toks)
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
         val gated = operators.Classifier.conformalGate(
-          docs.filter(col("doc_id") % 4 === 3),
-          docs.filter(col("doc_id") % 4 =!= 3),
+          docs.filter(col("doc_id") % 7 === 3),
+          docs.filter(col("doc_id") % 7 =!= 3),
           score, alphaNum = 1L, alphaDen = 10L)
         gated.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_apply"),
@@ -9734,9 +9744,10 @@ object Queries {
             col("n_accept").cast("double") / col("n_apply"))
       },
       Some("""WITH sc AS (SELECT doc_id, lang,
-             |    CAST(len(list_distinct(string_split(lower(text), ' ')))
-             |      AS DOUBLE) / len(string_split(lower(text), ' ')) AS s,
-             |    doc_id % 4 = 3 AS is_cal FROM documents),
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
              |d AS (SELECT s, count(*) AS c FROM sc WHERE is_cal
              |      GROUP BY 1),
              |n AS (SELECT sum(c) AS n FROM d),
@@ -9761,18 +9772,21 @@ object Queries {
       (s, d) => { val ctx = new Ctx(s, d); import ctx._
         // GROUP-CONDITIONAL (Mondrian) conformal gate — q238 per
         // language: each lang calibrates its own τ_g on its own slice
-        // of the doc_id%4==3 split, so P(accept | lang) ≥ 90% holds
-        // PER LANGUAGE, not just marginally (the marginal gate may
-        // over-accept an easy lang and starve a hard one). Same exact
-        // integer-k / exact-order-statistic arithmetic, keyed by lang;
-        // the cumulative window partitions by group — no
-        // single-partition state at any scale.
+        // of the doc_id%7==3 split (coprime with the fixture's mod-20
+        // source derivation — see q238), so P(accept | lang) ≥ 90%
+        // holds PER LANGUAGE, not just marginally (the marginal gate
+        // may over-accept an easy lang and starve a hard one). Same
+        // exact integer-k / exact-order-statistic arithmetic, keyed by
+        // lang; the score rides the shared 1e-6 grid (the continuous-
+        // score contract); the cumulative window partitions by group —
+        // no single-partition state at any scale.
         val docs = tbl("documents")
         val toks = split(lower(col("text")), " ")
-        val score = size(array_distinct(toks)).cast("double") / size(toks)
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
         operators.Classifier.conformalGateByGroup(
-            docs.filter(col("doc_id") % 4 === 3),
-            docs.filter(col("doc_id") % 4 =!= 3),
+            docs.filter(col("doc_id") % 7 === 3),
+            docs.filter(col("doc_id") % 7 =!= 3),
             Seq("lang"), score, alphaNum = 1L, alphaDen = 10L)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_apply"),
@@ -9784,9 +9798,10 @@ object Queries {
             col("n_accept").cast("double") / col("n_apply"))
       },
       Some("""WITH sc AS (SELECT doc_id, lang,
-             |    CAST(len(list_distinct(string_split(lower(text), ' ')))
-             |      AS DOUBLE) / len(string_split(lower(text), ' ')) AS s,
-             |    doc_id % 4 = 3 AS is_cal FROM documents),
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
              |d AS (SELECT lang, s, count(*) AS c FROM sc WHERE is_cal
              |      GROUP BY 1, 2),
              |n AS (SELECT lang, sum(c) AS n FROM d GROUP BY 1),
@@ -9821,16 +9836,22 @@ object Queries {
         // history never rescanned. The oracle IS the monolithic q238
         // computation, so the merge identity itself sits under the
         // hash gate.
+        // split modulus 7 (was 4): coprime with the fixture's mod-20
+        // source derivation AND with the % 3 shard modulus — the
+        // calibration spans all 20 sources and every shard is a
+        // cross-source sample (see q238). The score rides the 1e-6
+        // grid per conformalThreshold's continuous-score contract.
         val docs = tbl("documents")
         val toks = split(lower(col("text")), " ")
-        val score = size(array_distinct(toks)).cast("double") / size(toks)
-        val calib = docs.filter(col("doc_id") % 4 === 3)
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val calib = docs.filter(col("doc_id") % 7 === 3)
         val state = Seq(0L, 1L, 2L)
           .map(r => operators.Classifier.scoreState(
             calib.filter(col("doc_id") % 3 === r), score))
           .reduce(operators.Classifier.mergeScoreStates)
         val thr = operators.Classifier.conformalFromState(state, 1L, 10L)
-        docs.filter(col("doc_id") % 4 =!= 3)
+        docs.filter(col("doc_id") % 7 =!= 3)
           .crossJoin(broadcast(thr))
           .withColumn("accept", graft.functions.Clean.flag(
             col("threshold").isNull || score >= col("threshold")))
@@ -9844,9 +9865,10 @@ object Queries {
             col("n_accept").cast("double") / col("n_apply"))
       },
       Some("""WITH sc AS (SELECT doc_id, lang,
-             |    CAST(len(list_distinct(string_split(lower(text), ' ')))
-             |      AS DOUBLE) / len(string_split(lower(text), ' ')) AS s,
-             |    doc_id % 4 = 3 AS is_cal FROM documents),
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
              |d AS (SELECT s, count(*) AS c FROM sc WHERE is_cal
              |      GROUP BY 1),
              |n AS (SELECT sum(c) AS n FROM d),
@@ -9865,7 +9887,83 @@ object Queries {
              |  CAST(sum(CASE WHEN tau IS NULL OR s >= tau
              |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
              |FROM sc, thr, k WHERE NOT is_cal
-             |GROUP BY lang""".stripMargin)))
+             |GROUP BY lang""".stripMargin)),
+
+    Q("q241_weighted_conformal",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // WEIGHTED split-conformal gate under COVARIATE SHIFT
+        // (Tibshirani et al. 2019): the apply population is a
+        // deliberately source-shifted subsample — sources src0–src9 in
+        // full, src10–src19 thinned to the doc_id%3 comb (a pure shift
+        // of the source MIX; %3 is coprime with the fixture's mod-20
+        // source derivation so the comb thins every source uniformly
+        // rather than selecting a source subset). Each calibration
+        // score is reweighted by the empirical likelihood ratio of its
+        // source on the 1e-6 grid, and τ_t is the weighted quantile per
+        // test source — exact integer arithmetic end to end (weighted
+        // counts are longs, the rank inequality runs in DECIMAL(38,0)),
+        // so the whole gate hash-replays. Uniform weights reduce to
+        // q238's unweighted gate exactly (property-pinned in
+        // CurationOpsSpec).
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val calib = docs.filter(col("doc_id") % 7 === 3)
+        val app = docs.filter(col("doc_id") % 7 =!= 3 &&
+          (col("doc_id") % 20 < 10 || col("doc_id") % 3 === 0))
+        operators.Classifier.weightedConformalGate(
+            calib, app, "source", score, alphaNum = 1L, alphaDen = 10L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("w6")).as("w6"),
+            first(col("n_calib")).as("n_calib"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, source,
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    doc_id % 7 = 3 AS is_cal,
+             |    doc_id % 7 <> 3 AND (doc_id % 20 < 10 OR doc_id % 3 = 0)
+             |      AS is_app FROM documents),
+             |cg AS (SELECT source, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1),
+             |ag AS (SELECT source, count(*) AS a FROM sc WHERE is_app
+             |       GROUP BY 1),
+             |ct AS (SELECT sum(c) AS ct FROM cg),
+             |at2 AS (SELECT sum(a) AS at FROM ag),
+             |w AS (SELECT cg.source,
+             |    CAST(round(1000000.0 * CAST(coalesce(ag.a, 0) * ct.ct
+             |      AS DOUBLE) / CAST(cg.c * at2.at AS DOUBLE), 0)
+             |      AS BIGINT) AS w6
+             |  FROM cg LEFT JOIN ag USING (source), ct, at2),
+             |d AS (SELECT source, s, count(*) AS c FROM sc WHERE is_cal
+             |      GROUP BY 1, 2),
+             |dw AS (SELECT d.s, sum(d.c * w.w6) AS wcs, sum(d.c) AS cs
+             |       FROM d JOIN w USING (source) GROUP BY 1),
+             |tot AS (SELECT sum(wcs) AS wtot, sum(cs) AS n_calib FROM dw),
+             |cum AS (SELECT s, sum(wcs) OVER (ORDER BY s DESC) AS cum
+             |        FROM dw),
+             |thr AS (SELECT w.source, max(cum.s) AS tau
+             |        FROM cum, tot, w
+             |        WHERE cum.cum * 10 >= (tot.wtot + w.w6) * 9
+             |        GROUP BY 1),
+             |th2 AS (SELECT w.source, w.w6, thr.tau, tot.n_calib
+             |        FROM w LEFT JOIN thr USING (source), tot)
+             |SELECT sc.source, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN th2.tau IS NULL OR sc.s >= th2.tau
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+             |  any_value(th2.tau) AS threshold,
+             |  any_value(th2.w6) AS w6,
+             |  CAST(any_value(th2.n_calib) AS BIGINT) AS n_calib,
+             |  CAST(sum(CASE WHEN th2.tau IS NULL OR sc.s >= th2.tau
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
+             |FROM sc LEFT JOIN th2 ON th2.source = sc.source
+             |WHERE is_app GROUP BY 1""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -286,6 +286,120 @@ object Classifier {
       .drop(groupCols.map(c => s"__g_$c"): _*)
   }
 
+  /** WEIGHTED split-conformal calibration under COVARIATE SHIFT
+    * (Tibshirani, Barber, Candès & Ramdas, NeurIPS 2019 "Conformal
+    * prediction under covariate shift") — the principled gate when the
+    * calibration and apply populations differ by a KNOWN discrete
+    * covariate (here: the source mix): each calibration score is
+    * reweighted by the likelihood ratio w(x) = dP_apply/dP_calib(x),
+    * and the threshold for a test point from group t is the weighted
+    * quantile
+    *   τ_t = max{ s : aDen·Σ_{s_i ≥ s} w_i ≥ (aDen−aNum)·(Σ_j w_j + w_t) }
+    * — the direct weighted generalization of [[conformalThreshold]]'s
+    * rank inequality (uniform weights reduce to it EXACTLY; pinned by a
+    * property test). A test group with no calibration evidence (absent
+    * from `weights`) gets the vacuous null τ, the [[conformalGateByGroup]]
+    * reading.
+    *
+    * Weights arrive as a (group, w6) frame of NON-NEGATIVE LONGS on the
+    * 1e-6 grid (w6 = round(10^6·w) — the repo-wide round-then-compare
+    * convention applied to the weight function; conformal's guarantee
+    * tolerates any shared reweighting estimate, and estimated
+    * likelihood ratios carry sampling error anyway), so the whole gate
+    * is EXACT integer arithmetic — weighted counts c·w6 are longs, the
+    * cumulative is an integer window, and the rank inequality runs in
+    * DECIMAL(38,0) (the q237 t-closeness discipline) so no product can
+    * wrap at any corpus size. No float anywhere in the gate.
+    *
+    * Scale shape: one (group, score)-grain aggregate over the
+    * calibration sample, a |G|-row broadcast of the weight table, ONE
+    * cumulative window over the distinct scores (grid-bounded — the
+    * [[conformalThreshold]] continuous-score contract applies: round a
+    * continuous score to the 1e-6 grid on BOTH sides), and a
+    * |scores|×|G| candidate filter at report×grid grain. Returns one
+    * row per weight-table group: `group`, `n_calib` (global), `w6`,
+    * `w_total` = Σ_j w_j on the grid, `threshold` (null = vacuous). */
+  def weightedConformalThreshold(calib: DataFrame, groupCol: String,
+                                 scoreCol: Column, weights: DataFrame,
+                                 alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    val w = weights.select(col(groupCol).cast("string").as(groupCol),
+      col("w6").cast("long").as("w6"))
+    val d = calib
+      .select(col(groupCol).cast("string").as(groupCol),
+        scoreCol.cast("double").as("__s"))
+      .groupBy(col(groupCol), col("__s")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(w), Seq(groupCol))
+      .withColumn("__wc", col("__c") * col("w6"))
+    val tot = d.agg(sum(col("__wc")).as("w_total"),
+      sum(col("__c")).as("n_calib"))
+    val cum = d.groupBy(col("__s")).agg(sum(col("__wc")).as("__wcs"))
+      .withColumn("__cum", sum(col("__wcs")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)))
+    val wt = w.crossJoin(broadcast(tot))
+    // aDen·cum ≥ (aDen−aNum)·(W + w_t) in DECIMAL(38,0): cum tops out at
+    // 10^6·n_calib, so long×long products would wrap near 10^18 — the
+    // decimal comparison is exact at any corpus size
+    val dec = "decimal(38,0)"
+    cum.crossJoin(broadcast(wt))
+      .filter(col("__cum").cast(dec) * lit(alphaDen) >=
+        (col("w_total") + col("w6")).cast(dec) * lit(alphaDen - alphaNum))
+      .groupBy(col(groupCol))
+      .agg(max(col("__s")).as("threshold"))
+      .join(broadcast(wt), Seq(groupCol), "right")
+      .select(col(groupCol), col("n_calib"), col("w6"), col("w_total"),
+        col("threshold"))
+  }
+
+  /** Likelihood-ratio weights for a DISCRETE covariate shift, on the
+    * 1e-6 grid: for each calibration group g,
+    *   w6_g = round(10^6 · (a_g·C) / (c_g·A))
+    * where a_g/A are the apply-side group count/total and c_g/C the
+    * calibration-side — the exact empirical estimate of
+    * dP_apply/dP_calib at g, with the float ops in the FIXED order
+    * (long product → double cast → ×10^6 → ÷ → half-up round) so an
+    * ANSI-SQL replay is bit-identical. Groups absent from the apply
+    * side get weight 0 (they carry no mass where the gate applies);
+    * groups absent from calibration are simply absent (vacuous
+    * downstream). Two group-grain aggregates; the result is |G| rows. */
+  def sourceShiftWeights(calib: DataFrame, applyDf: DataFrame,
+                         groupCol: String): DataFrame = {
+    val cg = calib.select(col(groupCol).cast("string").as(groupCol))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    val ag = applyDf.select(col(groupCol).cast("string").as(groupCol))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__a"))
+    val ct = cg.agg(sum(col("__c")).as("__ct"))
+    val at = ag.agg(sum(col("__a")).as("__at"))
+    cg.join(ag, Seq(groupCol), "left")
+      .na.fill(0L, Seq("__a"))
+      .crossJoin(broadcast(ct)).crossJoin(broadcast(at))
+      .select(col(groupCol),
+        round(lit(1e6) * (col("__a") * col("__ct")).cast("double") /
+          (col("__c") * col("__at")).cast("double"), 0)
+          .cast("long").as("w6"))
+  }
+
+  /** [[weightedConformalThreshold]] applied end-to-end with
+    * [[sourceShiftWeights]] estimated from the two populations: every
+    * apply row joins its group's τ_t (a |G|-row broadcast join — zero
+    * corpus shuffle) and gains `accept` = (τ_t null OR score ≥ τ_t),
+    * plus the weight provenance columns. The coverage statement is
+    * per-test-group: P(score ≥ τ_t) ≥ 1−α under the estimated shift. */
+  def weightedConformalGate(calib: DataFrame, applyDf: DataFrame,
+                            groupCol: String, scoreCol: Column,
+                            alphaNum: Long, alphaDen: Long): DataFrame = {
+    val thr = weightedConformalThreshold(calib, groupCol, scoreCol,
+      sourceShiftWeights(calib, applyDf, groupCol), alphaNum, alphaDen)
+      .withColumnRenamed(groupCol, s"__g_$groupCol")
+    applyDf.join(broadcast(thr),
+        applyDf(groupCol).cast("string") === thr(s"__g_$groupCol"), "left")
+      .withColumn("accept", graft.functions.Clean.flag(
+        col("threshold").isNull ||
+          scoreCol.cast("double") >= col("threshold")))
+      .drop(s"__g_$groupCol")
+  }
+
   /** One GD update over `df`: w ← w − lr·(Σ(σ(w·x) − y)·x / n). An
     * EMPTY input (an SGD batch whose coin selected no rows) carries no
     * gradient and leaves the weights unchanged — without the guard the

@@ -720,6 +720,70 @@ class CurationOpsSpec extends AnyFunSuite {
       ("en", 0.35, 1L)))
   }
 
+  test("weightedConformalThreshold: uniform weights reduce to the " +
+       "unweighted gate exactly, for every test group") {
+    import spark.implicits._
+    val cal = Seq(("gX", 0.9), ("gY", 0.8), ("gX", 0.7), ("gY", 0.6),
+      ("gX", 0.5), ("gY", 0.4), ("gX", 0.3), ("gY", 0.2), ("gX", 0.1))
+      .toDF("g", "s")
+    val uni = Seq(("gX", 1000000L), ("gY", 1000000L)).toDF("g", "w6")
+    val w = graft.operators.Classifier.weightedConformalThreshold(
+      cal, "g", col("s"), uni, 1L, 3L).collect()
+    val u = graft.operators.Classifier.conformalThreshold(
+      cal, col("s"), 1L, 3L).collect().head
+    // n = 9, k = ⌈10·2/3⌉ = 7 → τ = 0.3; with w6 ≡ 10^6 the weighted
+    // inequality is the unweighted one times 10^6 — identical τ per group
+    assert(u.getLong(1) == 7L && u.getDouble(2) == 0.3)
+    assert(w.length == 2)
+    for (r <- w) {
+      assert(r.getLong(1) == u.getLong(0), "n_calib mismatch")
+      assert(r.getLong(3) == 9000000L, "w_total on the grid")
+      assert(r.getDouble(4) == u.getDouble(2),
+        s"uniform-weight τ for ${r.getString(0)} diverges from unweighted")
+    }
+  }
+
+  test("sourceShiftWeights: exact empirical likelihood ratios on the " +
+       "1e-6 grid; apply-absent calibration group weighs 0") {
+    import spark.implicits._
+    val cal = Seq("gA", "gA", "gB", "gB", "gZ").toDF("g")
+    val app = Seq("gA", "gA", "gA", "gB", "gC").toDF("g")
+    val w = graft.operators.Classifier.sourceShiftWeights(cal, app, "g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // C = 5, A = 5: gA = (3·5)/(2·5) = 1.5; gB = (1·5)/(2·5) = 0.5;
+    // gZ absent from apply → 0; gC absent from calibration → no row
+    assert(w == Map("gA" -> 1500000L, "gB" -> 500000L, "gZ" -> 0L))
+  }
+
+  test("weightedConformalGate: the shifted source mix moves each test " +
+       "group's τ; calibration-absent test group accepts vacuously") {
+    import spark.implicits._
+    val cal = Seq(("gA", 0.9), ("gA", 0.8), ("gA", 0.7),
+      ("gB", 0.3), ("gB", 0.2), ("gB", 0.1)).toDF("g", "s")
+    val app = Seq(("gA", 0.5), ("gB", 0.25), ("gB", 0.15), ("gB", 0.05),
+      ("gC", 0.0)).toDF("g", "s")
+    // weights: C = 6, A = 5 → gA = (1·6)/(3·5) = 0.4, gB = (3·6)/(3·5)
+    // = 1.2; W = 3·400000 + 3·1200000 = 4.8e6. α = 1/3: 3·cum ≥
+    // 2·(W + w_t) → τ_gA = 0.2 (cum 3.6e6), τ_gB = 0.1 (cum 4.8e6) —
+    // the heavy low-score gB mass lowers gB's bar below the unweighted
+    // τ = 0.2 (k = ⌈7·2/3⌉ = 5 → 5th largest)
+    val thr = graft.operators.Classifier.weightedConformalThreshold(
+      cal, "g", col("s"),
+      graft.operators.Classifier.sourceShiftWeights(cal, app, "g"),
+      1L, 3L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(thr == Map(
+      "gA" -> ((6L, 400000L, 4800000L, 0.2)),
+      "gB" -> ((6L, 1200000L, 4800000L, 0.1))), s"got $thr")
+    val gated = graft.operators.Classifier.weightedConformalGate(
+      cal, app, "g", col("s"), 1L, 3L)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[Long]("accept"))).toSet
+    assert(gated == Set(("gA", 0.5, 1L), ("gB", 0.25, 1L),
+      ("gB", 0.15, 1L), ("gB", 0.05, 0L), ("gC", 0.0, 1L)), s"got $gated")
+  }
+
   test("plan shape: tCloseStats domain margin broadcasts (grid never " +
        "shuffles the corpus twice); conformalGate adds zero exchanges " +
        "to the apply side") {
