@@ -69,21 +69,37 @@ import org.apache.spark.sql.SparkSession
   *     to extend) — together they buy the driver budget back without
   *     coarsening pass-1 quarantine granularity.
   *
-  * Per-query min-window provenance (r17 — the five-refusals lesson):
-  * the global clean-probe spread refuses a lock when ANY window in a
-  * 45-minute run strayed past 1.5x, even though the published minima
-  * may all have been measured at baseline speed (the +0.25 s absolute
-  * stall guard keeps 1.5-2.8x windows "clean" on a fast host). Each
-  * query therefore records `min_windows[q]` = the closing probe of the
-  * window its published minimum ran in, as a ratio to the baseline
-  * (-1 = floor-published, the forked fresh-JVM protocol); fast-window
-  * CHASE sweeps re-measure queries whose minima lack ≤1.3x provenance;
-  * `minima_window_ok` = every query provenanced. tools/lock.py accepts
-  * a blown global spread when the per-sample evidence certifies every
-  * locked number — stricter than the old gate where it matters (a
-  * 1.4x-spread run with slow-window minima no longer locks) and
-  * honest where the old gate was a lottery (the host may oscillate
-  * BETWEEN measurements, not inside them).
+  * Per-query min-window provenance (r17 — the five-refusals lesson;
+  * dual-probe r18): the global clean-probe spread refuses a lock when
+  * ANY window in a 45-minute run strayed past 1.5x, even though the
+  * published minima may all have been measured at baseline speed (the
+  * +0.25 s absolute stall guard keeps 1.5-2.8x windows "clean" on a
+  * fast host). Each query therefore records the window its published
+  * minimum ran in, as probe ratios to the baseline — BOTH bounding
+  * probes since r18 (the closing probe alone certifies a window whose
+  * mid-window burst subsided before the closing calibrate):
+  * `min_windows[q]` = max(opening, closing)/baseline — the
+  * CERTIFICATION ratio (≤1.3 ⇒ the sample verifiably ran at baseline
+  * speed; -1 = floor-published, the forked fresh-JVM protocol) — and
+  * `min_windows_lo[q]` = min(opening, closing)/baseline — the
+  * CONSERVATIVE normalization divisor (dividing a slow-window sample
+  * by the smaller ratio under-normalizes, so a normalized lock entry
+  * can never be faster than the code warrants). Granularity limit: a
+  * burst that rises and fully subsides strictly between the two
+  * bounding probes is invisible to both; the settle band and
+  * cross-round anchors remain the backstop for that case. Fast-window
+  * CHASE sweeps re-measure queries whose minima lack ≤1.3x
+  * certification; `minima_window_ok` = every query certified.
+  * tools/lock.py accepts a blown global spread when the per-sample
+  * evidence certifies every locked number, and since r18 can
+  * alternatively NORMALIZE a slow-window minimum into the baseline
+  * probe unit (raw ÷ min_windows_lo) at lock time — the same
+  * probe-unit rescaling the two-verdict adjudication already trusts,
+  * applied when it helps instead of after a refusal. Cross-run flag
+  * comparisons normalize symmetrically: suspectsOf divides the
+  * current minimum by ITS window ratio before comparing against an
+  * anchor, so a slow-window sample is judged in the unit the anchors
+  * are expressed in.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -335,6 +351,30 @@ object Bench {
         clean.get(q.name).map(_.size).getOrElse(0) < want)
     }
 
+    /** Window provenance of each query's current clean minimum
+      * (r18 dual-probe): the minimum's segment is bounded by the probe
+      * that OPENED it (the previous calibration) and the probe that
+      * CLOSED it. Returns q -> (minSec, hi, lo) with
+      * hi = max(open, close)/pb (the certification ratio) and
+      * lo = min(open, close)/pb (the conservative normalization
+      * divisor). Queries with no clean samples are absent. */
+    def minWindowRatiosOf(meas: Seq[(String, Double, String)],
+                          cals: Seq[(String, Double)], pb: Double)
+        : Map[String, (Double, Double, Double)] = {
+      val idx = cals.map(_._1).zipWithIndex.toMap
+      val bad = stalledOf(cals, pb)
+      meas.filterNot(m => bad(m._3)).groupBy(_._1).flatMap {
+        case (n, ms) =>
+          val mn = ms.minBy(_._2)
+          idx.get(mn._3).map { i =>
+            val close = cals(i)._2
+            val open = if (i > 0) cals(i - 1)._2 else close
+            n -> ((mn._2, math.max(open, close) / pb,
+              math.min(open, close) / pb))
+          }
+      }
+    }
+
     // per-query settle defense: until the two FASTEST clean samples of a
     // query agree within 1.3x, at least one of them is not a steady-state
     // number (JIT warm-up, cache population, or a sub-probe-resolution
@@ -385,18 +425,29 @@ object Bench {
     // EVERY anchor is what breaks the chained-lock ratchet — a query can
     // drift ≤30% past the last lock yet still trip the round-boundary
     // prior. The reported prior/anchor is the WORST violation.
-    // Tuple: (anchor, prior, sevClamped, rawRatio).
-    def suspectsOf(results0: Seq[(String, Double)], pb: Double)
-        : Seq[(String, (String, Double, Double, Double))] = {
+    // r18: the compared value is the current minimum NORMALIZED into the
+    // baseline probe unit (v ÷ its window's conservative lo ratio) —
+    // the anchors are expressed at their run's probe_baseline (lock.py
+    // normalizes slow-window entries at promotion), so a slow-window
+    // sample must be judged in the same unit or every host oscillation
+    // manufactures a flag (then a wasted floor fork). The lo ratio
+    // under-normalizes by construction, so a real regression cannot
+    // hide behind it.
+    // Tuple: (anchor, prior, sevClamped, rawRatio, vNorm).
+    def suspectsOf(results0: Seq[(String, Double)], pb: Double,
+                   ratiosLo: Map[String, Double] = Map.empty)
+        : Seq[(String, (String, Double, Double, Double, Double))] = {
       val anchors = anchorsOf(pb)
       if (standalone || only.nonEmpty || anchors.isEmpty) Seq.empty
       else results0.flatMap { case (n, v) =>
         if (v <= 0) None
         else {
+          val vn = v / math.max(1.0, ratiosLo.getOrElse(n, 1.0))
           val vio = anchors.flatMap { case (label, qs, ratio, raw) =>
             qs.get(n)
-              .filter(p => p > 0 && v > p * ratio * 1.3 && v - p * ratio > 0.2)
-              .map(p => (label, p, v / (p * ratio), raw))
+              .filter(p => p > 0 && vn > p * ratio * 1.3 &&
+                vn - p * ratio > 0.2)
+              .map(p => (label, p, vn / (p * ratio), raw, vn))
           }
           if (vio.isEmpty) None else Some(n -> vio.maxBy(_._3))
         }
@@ -439,7 +490,9 @@ object Bench {
       val results = results0.map { case (n, v) =>
         n -> flrs.get(n).map(_._1).filter(f => f > 0 && f < v).getOrElse(v)
       }
-      val suspectsAll = suspectsOf(results0, pb)
+      val winRatios = minWindowRatiosOf(meas, cals, pb)
+      val suspectsAll = suspectsOf(results0, pb,
+        winRatios.map { case (n, (_, _, lo)) => n -> lo })
       val hostRatio: Option[Double] =
         if (prevComparable && prevProbe.exists(_ > 0)) Some(pb / prevProbe.get)
         else None
@@ -486,20 +539,22 @@ object Bench {
         t -> s"""{"rows":$rows,"bytes":$bytes,"md5":"$md5"}"""
       })
       val regressedJson = fmtMap(suspectsAll.sortBy(_._1).map {
-        case (n, (anchor, prior, sevClamped, rawRatio)) =>
+        case (n, (anchor, prior, sevClamped, rawRatio, vNorm)) =>
           val f = flrs.get(n)
           // two verdicts per flag (r16): sev_clamped fired the gate;
           // sev_unclamped rescales by the RAW probe ratio — on a slow
           // window raw > 1 widens the denominator, so a flag whose
           // unclamped severity falls ≤1.3 is window, not code. The floor
           // variants re-state both against the forked-JVM floor (the
-          // cleanest number this run has for the query).
+          // cleanest number this run has for the query). r18: the gate
+          // fired on the window-NORMALIZED minimum (suite_min_norm);
+          // the raw suite_min stays for cross-checking.
           val suiteMin = results0.toMap.apply(n)
-          val sevUnclamped = suiteMin / (prior * rawRatio)
+          val sevUnclamped = vNorm / (prior * rawRatio)
           val floorPart = f.map { case (v, m) =>
             f""""floor":$v%.3f,"floor_mode":"$m","floor_sev_clamped":${v / (prior * math.max(rawRatio, 1.0))}%.3f,"floor_sev_unclamped":${v / (prior * rawRatio)}%.3f}"""
           }.getOrElse(""""floor":null,"floor_mode":"none"}""")
-          n -> (f"""{"prev":$prior%.3f,"anchor":"$anchor","suite_min":$suiteMin%.3f,"sev_clamped":$sevClamped%.3f,"sev_unclamped":$sevUnclamped%.3f,""" +
+          n -> (f"""{"prev":$prior%.3f,"anchor":"$anchor","suite_min":$suiteMin%.3f,"suite_min_norm":$vNorm%.3f,"sev_clamped":$sevClamped%.3f,"sev_unclamped":$sevUnclamped%.3f,""" +
             floorPart)
       })
       val hostRatioJson = hostRatio.map(r => f"$r%.3f").getOrElse("null")
@@ -530,7 +585,7 @@ object Bench {
         System.err.println(f"[bench] WINDOW QUALITY LOW: clean-probe " +
           f"spread $probeSpread%.2fx (>1.5x) — minima describe the " +
           "fastest window, not the run; do not lock this artifact")
-      // ── per-query min-window PROVENANCE (r17) ───────────────────────
+      // ── per-query min-window PROVENANCE (r17; dual-probe r18) ───────
       // The global spread refuses a run when ANY clean probe strayed
       // past 1.5x — even when every published minimum was measured in a
       // fast window (the stall gate's +0.25 s absolute guard lets
@@ -538,35 +593,42 @@ object Bench {
       // slow stretch anywhere in a 45-minute run blows the max). What a
       // lock actually needs is narrower: THE SAMPLES BEING LOCKED must
       // come from windows comparable to the baseline. So each query
-      // records the probe of the window its published minimum ran in,
-      // as a ratio to the baseline: ≤ 1.3 (the settle band) means the
-      // locked value was measured at baseline speed; -1 marks a
-      // floor-published value (fresh forked JVM — the stronger r13
-      // standalone protocol, provenanced by construction).
-      // `minima_window_ok` = every query provenanced fast — the
+      // records the window its published minimum ran in, via BOTH
+      // bounding probes (closing alone certified windows whose
+      // mid-window burst subsided before the closing calibrate):
+      // `min_windows` = max(open, close)/baseline — the certification
+      // ratio (≤ 1.3, the settle band, means the locked value was
+      // verifiably measured at baseline speed); `min_windows_lo` =
+      // min(open, close)/baseline — the conservative divisor lock.py
+      // uses to NORMALIZE a slow-window minimum into the baseline
+      // probe unit (under-normalizing by construction). -1 in both
+      // marks a floor-published value (fresh forked JVM — the stronger
+      // r13 standalone protocol, provenanced by construction).
+      // `minima_window_ok` = every query certified fast — the
       // per-sample criterion tools/lock.py accepts when the global
       // spread is blown by windows no locked sample ran in.
-      val probeOfLabel: Map[String, Double] = cals.toMap
-      val minWindows: Map[String, Double] = queries.flatMap { q =>
-        val cs = meas.filter(m => m._1 == q.name && !stalls(m._3))
-        if (cs.isEmpty) None
-        else {
-          val mn = cs.minBy(_._2)
-          if (flrs.get(q.name).exists(f => f._1 > 0 && f._1 < mn._2))
-            Some(q.name -> -1.0)
-          else probeOfLabel.get(mn._3).map(p => q.name -> p / pb)
-        }
-      }.toMap
+      def floorPublished(q: String, mn: Double): Boolean =
+        flrs.get(q).exists(f => f._1 > 0 && f._1 < mn)
+      val minWindows: Map[String, Double] = winRatios.map {
+        case (n, (mn, hi, _)) =>
+          n -> (if (floorPublished(n, mn)) -1.0 else hi)
+      }
+      val minWindowsLo: Map[String, Double] = winRatios.map {
+        case (n, (mn, _, lo)) =>
+          n -> (if (floorPublished(n, mn)) -1.0 else lo)
+      }
       val minimaWindowOk = !partial && queries.forall(q =>
         errs.contains(q.name) ||
           minWindows.get(q.name).exists(r => r == -1.0 || r <= 1.3))
       if (!windowOk && minimaWindowOk)
         System.err.println("[bench] minima window provenance OK: every " +
           "published minimum was measured in a <=1.3x-of-baseline " +
-          "window or a forked floor — per-sample evidence supersedes " +
-          "the global spread")
+          "window (both bounding probes) or a forked floor — " +
+          "per-sample evidence supersedes the global spread")
       val minWindowsJson = fmtMap(queries.flatMap(q =>
         minWindows.get(q.name).map(r => q.name -> f"$r%.3f")))
+      val minWindowsLoJson = fmtMap(queries.flatMap(q =>
+        minWindowsLo.get(q.name).map(r => q.name -> f"$r%.3f")))
       val prevRefJson =
         if (prevRef.isEmpty) "null"
         else "\"" + prevRefPath.toString + (if (prevComparable) "" else " (incomparable)") + "\""
@@ -578,7 +640,7 @@ object Bench {
       val degradedJson = degraded.toSeq
         .map(d => "\"" + d + "\"").mkString("[", ",", "]")
       val deadlineJson = deadlineSec.map(d => f"$d%.0f").getOrElse("null")
-      val json = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$pb%.3f"},"probe_p50":${f"$probeP50%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"min_windows":$minWindowsJson,"minima_window_ok":$minimaWindowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"deadline_sec":$deadlineJson,"elapsed_sec":${f"$elapsedWall%.1f"},"degraded":$degradedJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"artifact_ok":$artifactOk,"tainted_pct":${f"$taintedPct%.1f"},"queries":$qs,"samples":$samplesJson,"tainted_samples":$taintedJson,"tainted_only":$taintedOnlyJson,"reruns":$rerunsJson,"requeued":$requeuedJson,"errors":$errJson,"calibration":$calJson,"probe_baseline":${f"$pb%.3f"},"probe_p50":${f"$probeP50%.3f"},"probe_spread":${f"$probeSpread%.3f"},"probe_spread_all":${f"$probeSpreadAll%.3f"},"window_ok":$windowOk,"min_windows":$minWindowsJson,"min_windows_lo":$minWindowsLoJson,"minima_window_ok":$minimaWindowOk,"stall_windows":$stallJson,"pass_totals":$passJson,"pass_roles":$passRolesJson,"deadline_sec":$deadlineJson,"elapsed_sec":${f"$elapsedWall%.1f"},"degraded":$degradedJson,"fixtures":$fixturesJson,"fixtures_digest":"$fixturesDigest","fixtures_changed_since_prev":$fixturesChanged,"prev_ref":$prevRefJson,"round_ref":$roundRefJson,"host_ratio":$hostRatioJson,"regressed_vs_prev":$regressedJson,"sf":"$sfDir"}"""
       println(json)
       // the driver's per-round artifact keeps only the run's last 2000
       // output chars, which truncates the per-query JSON every round — so
@@ -597,6 +659,26 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not persist full JSON: ${e.getMessage}")
       }
+      // ── compact driver-channel summary (r18) ────────────────────────
+      // The driver tail-captures only the last ~2000 chars of stdout, so
+      // the full artifact line above has NEVER parsed on the driver side
+      // (BENCH_r13/r15/r17 all rc=0 yet parsed:null). The FINAL stdout
+      // line is therefore a <1 KiB summary that survives any tail
+      // window: totals, the window verdict, and the worst-3 normalized
+      // severities — the full per-query artifact stays in benchOutPath.
+      val p50Scale =
+        if (!windowOk && probeP50 > 0 && pb > 0) pb / probeP50 else 1.0
+      val worst = suspectsAll.map { case (n, (_, prior, _, raw, vNorm)) =>
+        val sevUn = vNorm / (prior * raw)
+        val best = flrs.get(n).map(_._1 / (prior * raw))
+          .map(math.min(_, sevUn)).getOrElse(sevUn)
+        n -> best * p50Scale
+      }.sortBy(-_._2).take(3)
+      val worstJson = worst
+        .map { case (n, s) => s"""{"q":"$n","sev_p50":${f"$s%.3f"}}""" }
+        .mkString("[", ",", "]")
+      val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","summary":true,"n_queries":${results.count(_._2 >= 0)},"artifact_ok":$artifactOk,"partial":$partial,"window_ok":$windowOk,"minima_window_ok":$minimaWindowOk,"probe_baseline":${f"$pb%.3f"},"probe_p50":${f"$probeP50%.3f"},"probe_spread":${f"$probeSpread%.3f"},"tainted_pct":${f"$taintedPct%.1f"},"errors_n":${errs.size},"flags_n":${suspectsAll.size},"worst":$worstJson,"degraded":$degradedJson,"elapsed_sec":${f"$elapsedWall%.1f"},"full":"$benchOutPath"}"""
+      println(compact)
       json
     }
 
@@ -626,14 +708,24 @@ object Bench {
     var maxPasses = sys.env.get("SPARK_GRAFT_MIN_PASSES").map(_.toInt).getOrElse(2)
     var pass = 0
     var budgetStop = false
+    // r18 ladder state: lowBudget drops floors + settle + probe density
+    // to protect the first MEASURE pass; measureComplete tracks whether
+    // a full non-warmup pass finished — an artifact without one is
+    // emitted partial:true (lock.py's existing refusal names it) instead
+    // of masquerading as a complete warmup-only measurement (the r17
+    // driver artifact: passes_capped_at_1 + floors_skipped_10, its
+    // totals 1.4-3.6x inflated vs the same code at full rigor).
+    var lowBudget = false
+    var measureComplete = maxPasses <= 1 // an explicit 1-pass dev run is intentional
     while (pass < maxPasses && !budgetStop) {
       pass += 1
       // probe cadence: every 10 queries on pass 1 (the pass that
       // discovers the baseline and carries first-run JIT — fine
       // quarantine granularity matters most there), every 15 after —
       // ~1 s per calibration point × ~24 points × passes is real driver
-      // budget on a 236-query suite
-      val calEvery = if (pass == 1) 10 else 15
+      // budget on a 236-query suite; 20 under lowBudget (the probe-
+      // density rung of the ladder)
+      val calEvery = if (pass == 1) 10 else if (lowBudget) 20 else 15
       calibrate(s"p$pass.start")
       var passTotal = 0.0
       var i = 0
@@ -655,6 +747,7 @@ object Bench {
         i += 1
       }
       calibrate(s"p$pass.end")
+      if (!budgetStop && pass >= 2) measureComplete = true
       stateLock.synchronized { passTotals += passTotal }
       // two passes that disagree >1.25x mean one pass absorbed a broad
       // stall or pass-1 JIT never settled — buy one clean pass (bounded:
@@ -682,17 +775,33 @@ object Bench {
           maxPasses = pass
         }
       }
-      // budget gate between passes: starting another full pass costs
-      // ~last-pass-total + probe overhead; skip remaining passes (the
-      // FIRST degradation step — minima from completed passes stand)
-      // while reserving ~300 s for requeue/settle/floors
-      if (!budgetStop && pass < maxPasses &&
-          remainingSec < passTotal * 1.1 + 300) {
-        degraded += s"passes_capped_at_$pass"
-        System.err.println(f"[bench] BUDGET: $remainingSec%.0f s left < " +
-          f"next pass (~${passTotal * 1.1}%.0f s) + 300 s reserve — " +
-          s"capping at $pass passes")
-        maxPasses = pass
+      // ── budget gate between passes (r18 degradation ladder) ─────────
+      // Rungs drop in order of information value: floors and settle
+      // reruns FIRST, then probe density, and only then measure passes
+      // — never below one completed measure pass. The pre-r18 ladder
+      // capped passes first while reserving 300 s for floors, so a
+      // tight budget kept the floors and sacrificed the only measure
+      // pass: a warmup-only artifact whose totals carry ~40% first-run
+      // JIT, useless for regression reading (the r17 driver run).
+      if (!budgetStop && pass < maxPasses) {
+        val nextCost = passTotal * 1.1
+        if (pass == 1) {
+          if (remainingSec < nextCost + 300 && !lowBudget) {
+            lowBudget = true
+            degraded += "floors_and_settle_dropped_for_measure_pass"
+            degraded += "probe_cadence_relaxed"
+            System.err.println(f"[bench] BUDGET: $remainingSec%.0f s " +
+              f"left < measure pass (~$nextCost%.0f s) + 300 s reserve " +
+              "— dropping floors + settle reruns and relaxing probe " +
+              "cadence to protect the measure pass")
+          }
+        } else if (remainingSec < nextCost + 300) {
+          degraded += s"passes_capped_at_$pass"
+          System.err.println(f"[bench] BUDGET: $remainingSec%.0f s left " +
+            f"< next pass (~$nextCost%.0f s) + 300 s reserve — " +
+            s"capping at $pass passes")
+          maxPasses = pass
+        }
       }
     }
 
@@ -726,16 +835,12 @@ object Bench {
     def slowMinQueries(): Seq[Queries.Q] = {
       val (measSnap, cals2) = stateLock.synchronized(
         (measurements.toVector, calSamples.toVector))
-      val pb2 = probeBaseline
-      val stalls2 = stalledOf(cals2, pb2)
-      val probeOf2 = cals2.toMap
-      queries.filter { q =>
-        !errors.contains(q.name) && {
-          val cs = measSnap.filter(m => m._1 == q.name && !stalls2(m._3))
-          cs.nonEmpty &&
-            probeOf2.get(cs.minBy(_._2)._3).exists(_ > 1.3 * pb2)
-        }
-      }
+      val ratios = minWindowRatiosOf(measSnap, cals2, probeBaseline)
+      // r18: chase on the CERTIFICATION ratio (max of the two bounding
+      // probes) so the sweeps chase exactly what minima_window_ok
+      // requires
+      queries.filter(q => !errors.contains(q.name) &&
+        ratios.get(q.name).exists(_._2 > 1.3))
     }
     var chase = 0
     while (chase < 3 && slowMinQueries().nonEmpty && remainingSec > 120) {
@@ -758,7 +863,7 @@ object Bench {
     // skipping it leaves first-sample minima that the floor stage or the
     // next round's anchors still catch
     var settleSkipped = false
-    for (q <- queries) {
+    for (q <- queries if !lowBudget) {
       var extra = 0
       while (extra < 4 && remainingSec > 90 && classify()._1.get(q.name).exists(ts =>
           divergent(ts) || stillImproving(ts)) &&
@@ -794,7 +899,13 @@ object Bench {
         q.name -> c.orElse(d).getOrElse(-1.0)
       }
     }
-    val suspectsAll = suspectsOf(resultsLive, probeBaseline)
+    val suspectsAll = {
+      val (measSnap, cals2) = stateLock.synchronized(
+        (measurements.toVector, calSamples.toVector))
+      val ratiosLo = minWindowRatiosOf(measSnap, cals2, probeBaseline)
+        .map { case (n, (_, _, lo)) => n -> lo }
+      suspectsOf(resultsLive, probeBaseline, ratiosLo)
+    }
     // fork cost is ~1-2 min per query; bound a pathological run (e.g. a
     // global slowdown the probe missed) at the 10 worst offenders by
     // default — the rest still land in `regressed_vs_prev` with
@@ -806,12 +917,12 @@ object Bench {
     val floorCap = sys.env.get("SPARK_GRAFT_MAX_FLOORS").map(_.toInt)
       .getOrElse(10)
     val suspects = suspectsAll
-      .sortBy { case (_, (_, _, sev, _)) => -sev }
+      .sortBy { case (_, (_, _, sev, _, _)) => -sev }
       .take(floorCap).map(_._1)
     if (suspectsAll.nonEmpty)
       System.err.println(s"[bench] ${suspectsAll.size} queries past an " +
-        "anchor prior x clamped-host x 1.3: " +
-        suspectsAll.map { case (n, (a, _, sev, _)) =>
+        "anchor prior x clamped-host x 1.3 (window-normalized): " +
+        suspectsAll.map { case (n, (a, _, sev, _, _)) =>
           f"$n($a,${sev}%.2fx)" }.mkString(", ") +
         s" - measuring standalone floors for ${suspects.size}")
 
@@ -899,7 +1010,7 @@ object Bench {
     var floorsSkipped = 0
     for ((n, idx) <- suspects.zipWithIndex) {
       val perFloorBudget = remainingSec / math.max(1, suspects.size - idx)
-      if (remainingSec <= 120) {
+      if (lowBudget || remainingSec <= 120) {
         floorsSkipped += 1
       } else {
         val childPasses =
@@ -930,7 +1041,13 @@ object Bench {
     if (emittedFinal.compareAndSet(false, true)) {
       try Runtime.getRuntime.removeShutdownHook(flushHook)
       catch { case _: IllegalStateException => () } // already shutting down
-      emit(partial = false)
+      // no completed measure pass ⇒ the minima are warmup samples;
+      // partial:true is the honest label (lock.py refuses it by name)
+      if (!measureComplete)
+        System.err.println("[bench] no completed measure pass — " +
+          "emitting partial:true (warmup-only minima are not a " +
+          "measurement)")
+      emit(partial = !measureComplete)
     }
     spark.stop()
   }
