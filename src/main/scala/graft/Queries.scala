@@ -9963,7 +9963,131 @@ object Queries {
              |  CAST(sum(CASE WHEN th2.tau IS NULL OR sc.s >= th2.tau
              |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
              |FROM sc LEFT JOIN th2 ON th2.source = sc.source
-             |WHERE is_app GROUP BY 1""".stripMargin)))
+             |WHERE is_app GROUP BY 1""".stripMargin)),
+
+    Q("q242_risk_control_gate",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // CONFORMAL RISK CONTROL admission gate (Angelopoulos et al.,
+        // ICLR 2024): where q238 bounds how many in-distribution docs
+        // are LOST, this bounds how much BAD MASS is ADMITTED — the
+        // loss is "the admitted doc is too short" (< 25 tokens; ~15%
+        // of the fixture), and τ̂ is the most permissive threshold
+        // whose corrected empirical admitted-loss clears α = 1/10:
+        // (Σ_{s_i≥τ}ℓ_i + 1) ≤ α(n+1), pure integer feasibility over
+        // distinct scores. The TTR score CONCENTRATES the loss at high
+        // scores (short docs have high type-token ratios), so the
+        // feasible τ is a real clamp — the case a lost-mass gate like
+        // q238 cannot express. Same %7 split and 1e-6 score grid as
+        // the rest of the conformal family.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val loss = graft.functions.Clean.flag(size(toks) < 25)
+        operators.Classifier.riskControlGate(
+            docs.filter(col("doc_id") % 7 === 3),
+            docs.filter(col("doc_id") % 7 =!= 3),
+            score, loss, alphaNum = 1L, alphaDen = 10L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("admit_all")).as("admit_all"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("n_bad")).as("n_bad"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    CASE WHEN len(string_split(lower(text), ' ')) < 25
+             |      THEN 1 ELSE 0 END AS l,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
+             |g AS (SELECT s, count(*) AS c, sum(l) AS b FROM sc
+             |      WHERE is_cal GROUP BY 1),
+             |tot AS (SELECT sum(c) AS n, sum(b) AS nb FROM g),
+             |cd AS (SELECT s, sum(b) OVER (ORDER BY s DESC) AS cb
+             |       FROM g),
+             |thr AS (SELECT min(s) AS tau FROM cd, tot
+             |        WHERE (cb + 1) * 10 <= (tot.n + 1)),
+             |fl AS (SELECT CAST(tot.n AS BIGINT) AS n_calib,
+             |         CAST(tot.nb AS BIGINT) AS n_bad,
+             |         CASE WHEN (tot.nb + 1) * 10 <= (tot.n + 1)
+             |           THEN 1 ELSE 0 END AS admit_all, thr.tau
+             |       FROM tot, thr)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN fl.admit_all = 1 OR (fl.tau IS NOT
+             |    NULL AND sc.s >= fl.tau) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_accept,
+             |  any_value(fl.tau) AS threshold,
+             |  CAST(any_value(fl.admit_all) AS BIGINT) AS admit_all,
+             |  any_value(fl.n_calib) AS n_calib,
+             |  any_value(fl.n_bad) AS n_bad,
+             |  CAST(sum(CASE WHEN fl.admit_all = 1 OR (fl.tau IS NOT
+             |    NULL AND sc.s >= fl.tau) THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS accept_rate
+             |FROM sc, fl WHERE NOT is_cal
+             |GROUP BY lang""".stripMargin)),
+
+    Q("q243_fdr_select",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // FDR-CONTROLLED selection via conformal p-values (Jin &
+        // Candès 2023 + Benjamini–Hochberg): the calibration sample is
+        // the %7==3 split's SHORT docs (< 40 tokens — the "junk" null
+        // population), the score is the raw token count (integer —
+        // exact, no grid rounding needed), and BH at q = 1/5 selects
+        // the test docs confidently LONGER than the junk population
+        // with at most 20% false flags in expectation. p-values are
+        // exact rationals over n+1; the BH boundary cross-multiplies
+        // to DECIMAL(38,0) integers; the selection collapses to one
+        // score threshold s* broadcast back onto the corpus.
+        val docs = tbl("documents")
+        val score = size(split(lower(col("text")), " "))
+        operators.Classifier.conformalFdrSelect(
+            docs.filter(col("doc_id") % 7 === 3 && score < 40),
+            docs.filter(col("doc_id") % 7 =!= 3),
+            score, qNum = 1L, qDen = 5L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(col("selected")).as("n_selected"),
+            first(col("threshold")).as("threshold"),
+            first(col("n_calib")).as("n_calib"))
+          .withColumn("select_rate",
+            col("n_selected").cast("double") / col("n_test"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+             |      AS s,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
+             |cal AS (SELECT s, count(*) AS cc FROM sc
+             |        WHERE is_cal AND s < 40 GROUP BY 1),
+             |app AS (SELECT s, count(*) AS ac FROM sc
+             |        WHERE NOT is_cal GROUP BY 1),
+             |u AS (SELECT coalesce(cal.s, app.s) AS s,
+             |        coalesce(cc, 0) AS cc, coalesce(ac, 0) AS ac
+             |      FROM cal FULL OUTER JOIN app ON cal.s = app.s),
+             |tot AS (SELECT sum(cc) AS n, sum(ac) AS m FROM u),
+             |cum AS (SELECT s, ac,
+             |    sum(cc) OVER (ORDER BY s DESC) AS c,
+             |    sum(ac) OVER (ORDER BY s DESC) AS k FROM u),
+             |thr AS (SELECT min(s) AS s_star FROM cum, tot
+             |        WHERE ac > 0 AND (c + 1) * 5 * tot.m
+             |          <= k * 1 * (tot.n + 1)),
+             |fl AS (SELECT CAST(tot.n AS BIGINT) AS n_calib,
+             |         thr.s_star FROM tot, thr)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN fl.s_star IS NOT NULL AND
+             |    sc.s >= fl.s_star THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_selected,
+             |  any_value(fl.s_star) AS threshold,
+             |  any_value(fl.n_calib) AS n_calib,
+             |  CAST(sum(CASE WHEN fl.s_star IS NOT NULL AND
+             |    sc.s >= fl.s_star THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS select_rate
+             |FROM sc, fl WHERE NOT is_cal
+             |GROUP BY lang""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

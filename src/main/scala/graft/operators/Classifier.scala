@@ -400,6 +400,143 @@ object Classifier {
       .drop(s"__g_$groupCol")
   }
 
+  /** CONFORMAL RISK CONTROL of a selection threshold (Angelopoulos,
+    * Bates, Fisch, Lei & Schuster, "Conformal Risk Control", ICLR
+    * 2024) — the generalization of [[conformalThreshold]] from
+    * miscoverage to ANY monotone bounded loss: given a calibration
+    * sample with a per-row loss ℓ_i ∈ {0, 1} incurred WHEN THE ROW IS
+    * ADMITTED (e.g. "this document is boilerplate/too short/wrong
+    * language"), pick the most permissive threshold τ̂ whose corrected
+    * empirical risk clears α:
+    *   τ̂ = min{ τ : (Σ_{s_i ≥ τ} ℓ_i + B) ≤ α·(n+1) },  B = max ℓ = 1
+    * guaranteeing E[ℓ of the next admitted exchangeable row] ≤ α —
+    * distribution-free, finite-sample. Where the q238 gate bounds HOW
+    * MANY in-distribution rows are lost, this bounds HOW MUCH BAD MASS
+    * is let through. α is rational so feasibility is the pure-integer
+    * inequality (cumLoss + 1)·aDen ≤ aNum·(n+1); the candidate
+    * thresholds are the distinct calibration scores plus −∞.
+    *
+    * Returns ONE row: `n_calib`, `n_bad` (Σℓ), `threshold` (the
+    * minimal feasible score; null when NO candidate is feasible — α
+    * too tight ⇒ the gate admits NOTHING, the vacuity DUAL of q238's
+    * accept-all: there the sample cannot justify rejecting, here it
+    * cannot justify admitting), and `admit_all` (1 when even the
+    * accept-everything gate is feasible: (n_bad+1)·aDen ≤ aNum·(n+1) —
+    * τ̂ = −∞).
+    *
+    * Scale shape: identical to [[conformalThreshold]] — (score)-grain
+    * aggregate carrying the loss sum, ONE cumulative window over
+    * distinct scores (grid-bound continuous scores to 1e-6 on both
+    * sides), integer filter, 1-row broadcast. Zero corpus shuffle. */
+  def riskControlThreshold(calib: DataFrame, scoreCol: Column,
+                           lossCol: Column, alphaNum: Long,
+                           alphaDen: Long): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    val d = calib.select(scoreCol.cast("double").as("__s"),
+        lossCol.cast("long").as("__l"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__c"), sum(col("__l")).as("__b"))
+    val tot = d.agg(sum(col("__c")).as("n_calib"),
+      sum(col("__b")).as("n_bad"))
+    val cum = d.withColumn("__cb", sum(col("__b")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)))
+    val admitAll = graft.functions.Clean.flag(
+      (col("n_bad") + 1) * lit(alphaDen) <=
+        lit(alphaNum) * (col("n_calib") + 1)).as("admit_all")
+    cum.crossJoin(broadcast(tot))
+      .filter((col("__cb") + 1) * lit(alphaDen) <=
+        lit(alphaNum) * (col("n_calib") + 1))
+      .groupBy(col("n_calib"))
+      .agg(min(col("__s")).as("threshold"))
+      .join(broadcast(tot), Seq("n_calib"), "right")
+      .select(col("n_calib"), col("n_bad"), col("threshold"), admitAll)
+  }
+
+  /** Apply a [[riskControlThreshold]] calibration: every row gains the
+    * broadcast gate columns and `accept` = admit_all OR (τ non-null AND
+    * score ≥ τ); a null τ with admit_all = 0 admits NOTHING (the
+    * sample cannot certify any admission at risk α). One 1-row
+    * broadcast join, zero corpus shuffle. */
+  def riskControlGate(calib: DataFrame, applyDf: DataFrame,
+                      scoreCol: Column, lossCol: Column, alphaNum: Long,
+                      alphaDen: Long): DataFrame = {
+    val thr = riskControlThreshold(calib, scoreCol, lossCol,
+      alphaNum, alphaDen)
+    applyDf.crossJoin(broadcast(thr))
+      .withColumn("accept", graft.functions.Clean.flag(
+        col("admit_all") === 1 ||
+          (col("threshold").isNotNull &&
+            scoreCol.cast("double") >= col("threshold"))))
+  }
+
+  /** SELECTION WITH FALSE-DISCOVERY-RATE CONTROL via conformal
+    * p-values (Jin & Candès 2023, "Selection by prediction with
+    * conformal p-values"; Benjamini–Hochberg 1995): given a
+    * calibration sample drawn from the NULL population (e.g. known
+    * low-quality documents), each test row gets the conformal p-value
+    *   p_j = (1 + #{ i : s_i ≥ s_j }) / (n+1)
+    * — the exact rank of its score in the null sample — and BH at
+    * level q selects every row with p ≤ p*, p* = the largest p_(k)
+    * with p_(k) ≤ k·q/m. The selected set's false discovery rate
+    * (fraction of selections that are actually null) is ≤ q,
+    * finite-sample, for exchangeable nulls. In curation terms: "flag
+    * documents as confidently above the junk population, with at most
+    * a q fraction of false flags in expectation".
+    *
+    * Every quantity is exact integer arithmetic: p-values are rationals
+    * over n+1, the BH boundary cross-multiplies to
+    *   (1 + c(s))·qDen·m ≤ k(s)·qNum·(n+1)
+    * (c(s) = null scores ≥ s, k(s) = test rows with score ≥ s — BH's
+    * rank k at the tie-block granularity, which is exactly how BH
+    * treats ties), run in DECIMAL(38,0) so no product wraps at any
+    * corpus size. Because p is monotone in the score, the selection is
+    * a single score threshold s* = the minimal feasible score.
+    *
+    * Scale shape: BOTH sides collapse to distinct-score grain (test
+    * p-values take at most n+1 distinct values; grid-bound continuous
+    * scores to 1e-6 on both sides), a full-outer join of the two
+    * distinct-score tables, ONE cumulative window over the union, and
+    * a 1-row broadcast of s* back onto the corpus with a `selected`
+    * flag. Zero corpus shuffle, no per-row p-value materialization
+    * needed for the decision.
+    *
+    * Returns the apply frame + broadcast `n_calib`, `m_test`,
+    * `threshold` (s*; null = nothing selectable at FDR q) and
+    * `selected`. */
+  def conformalFdrSelect(calibNull: DataFrame, applyDf: DataFrame,
+                         scoreCol: Column, qNum: Long,
+                         qDen: Long): DataFrame = {
+    require(qDen >= 1 && qNum >= 0 && qNum <= qDen,
+      "q must be a rational in [0, 1]")
+    val cal = calibNull.select(scoreCol.cast("double").as("__s"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__cc"))
+    val app = applyDf.select(scoreCol.cast("double").as("__s"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__ac"))
+    val u = cal.join(app, Seq("__s"), "full_outer")
+      .na.fill(0L, Seq("__cc", "__ac"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)
+    val cum = u.withColumn("__c", sum(col("__cc")).over(w))
+      .withColumn("__k", sum(col("__ac")).over(w))
+    val tot = u.agg(sum(col("__cc")).as("n_calib"),
+      sum(col("__ac")).as("m_test"))
+    val dec = "decimal(38,0)"
+    val thr = cum.crossJoin(broadcast(tot))
+      // only test scores are BH candidates; the boundary inequality in
+      // DECIMAL(38,0): (1+c)·qDen·m ≤ k·qNum·(n+1)
+      .filter(col("__ac") > 0 &&
+        (col("__c") + 1).cast(dec) * lit(qDen) * col("m_test") <=
+          col("__k").cast(dec) * lit(qNum) * (col("n_calib") + 1))
+      .groupBy(col("m_test"))
+      .agg(min(col("__s")).as("threshold"))
+      .join(broadcast(tot), Seq("m_test"), "right")
+      .select(col("n_calib"), col("m_test"), col("threshold"))
+    applyDf.crossJoin(broadcast(thr))
+      .withColumn("selected", graft.functions.Clean.flag(
+        col("threshold").isNotNull &&
+          scoreCol.cast("double") >= col("threshold")))
+  }
+
   /** One GD update over `df`: w ← w − lr·(Σ(σ(w·x) − y)·x / n). An
     * EMPTY input (an SGD batch whose coin selected no rows) carries no
     * gradient and leaves the weights unchanged — without the guard the

@@ -784,6 +784,114 @@ class CurationOpsSpec extends AnyFunSuite {
       ("gB", 0.15, 1L), ("gB", 0.05, 0L), ("gC", 0.0, 1L)), s"got $gated")
   }
 
+  test("riskControlThreshold: most-permissive feasible τ; admit-all " +
+       "and admit-nothing vacuities are the honest duals") {
+    import spark.implicits._
+    val cal = Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.6, 0L), (0.5, 0L),
+      (0.4, 1L), (0.3, 0L), (0.2, 0L), (0.1, 0L)).toDF("s", "l")
+    // α = 1/5: feasible ⟺ (cumLoss+1)·5 ≤ 10 ⟺ cumLoss ≤ 1 → τ = 0.8
+    // (cum loss above 0.8 is 1); admit_all needs (3+1)·5 ≤ 10 → no
+    val r = graft.operators.Classifier.riskControlThreshold(
+      cal, col("s"), col("l"), 1L, 5L).collect().head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 0.8 && r.getLong(3) == 0L)
+    // α = 1/2: cumLoss ≤ 4 always → τ = min score AND admit_all fires
+    val r2 = graft.operators.Classifier.riskControlThreshold(
+      cal, col("s"), col("l"), 1L, 2L).collect().head
+    assert(r2.getDouble(2) == 0.1 && r2.getLong(3) == 1L)
+    // every calibration row bad, α tight: nothing is admissible
+    val allBad = Seq((0.9, 1L), (0.5, 1L), (0.1, 1L)).toDF("s", "l")
+    val r3 = graft.operators.Classifier.riskControlThreshold(
+      allBad, col("s"), col("l"), 1L, 4L).collect().head
+    assert(r3.isNullAt(2) && r3.getLong(3) == 0L)
+    val gated = graft.operators.Classifier.riskControlGate(allBad,
+      Seq(0.95, 0.05).toDF("s"), col("s"), col("l"), 1L, 4L).collect()
+    assert(gated.forall(_.getAs[Long]("accept") == 0L),
+      "admit-nothing vacuity must reject every apply row")
+  }
+
+  test("riskControlThreshold == naive driver search on random " +
+       "score/loss multisets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(181)
+    for (trial <- 1 to 8) {
+      val n = 3 + rnd.nextInt(20)
+      val cal = Seq.fill(n)((rnd.nextInt(9) / 10.0 + 0.1,
+        if (rnd.nextBoolean()) 1L else 0L))
+      val (aNum, aDen) = (1L + rnd.nextInt(3), 4L + rnd.nextInt(6))
+      val r = graft.operators.Classifier.riskControlThreshold(
+        cal.toDF("s", "l"), col("s"), col("l"), aNum, aDen)
+        .collect().head
+      // naive: candidate τ = each distinct score; feasible when
+      // (Σ loss at scores ≥ τ) + 1 ≤ α(n+1)
+      val feas = cal.map(_._1).distinct.filter(t =>
+        (cal.filter(_._1 >= t).map(_._2).sum + 1) * aDen <=
+          aNum * (n + 1))
+      val expTau = if (feas.isEmpty) None else Some(feas.min)
+      val gotTau = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(gotTau == expTau, s"trial $trial: τ $gotTau vs $expTau")
+      val expAll = if ((cal.map(_._2).sum + 1) * aDen <= aNum * (n + 1))
+        1L else 0L
+      assert(r.getLong(3) == expAll, s"trial $trial: admit_all")
+    }
+  }
+
+  test("conformalFdrSelect: BH over conformal p-values at tie-block " +
+       "granularity; empty and full selections at the extremes") {
+    import spark.implicits._
+    val nulls = Seq(1.0, 2.0, 3.0, 4.0).toDF("s")
+    val tests = Seq(0.0, 2.0, 3.0, 5.0, 5.0, 6.0).toDF("s")
+    // p = (1+c)/5 per test score: 6→.2, 5→.2, 3→.6, 2→.8, 0→1; BH at
+    // q=1/2, m=6: k*=3 (p_(3)=.2 ≤ 3/12) → p*=.2 → s*=5; the s=6
+    // singleton is infeasible ALONE (k=1) but enters via the tie block
+    val out = graft.operators.Classifier.conformalFdrSelect(
+      nulls, tests, col("s"), 1L, 2L).collect()
+    assert(out.forall(r => r.getLong(1) == 4L && r.getLong(2) == 6L &&
+      r.getDouble(3) == 5.0))
+    val sel = out.map(r => (r.getDouble(0), r.getAs[Long]("selected")))
+      .sortBy(_._1).toSeq
+    assert(sel == Seq((0.0, 0L), (2.0, 0L), (3.0, 0L), (5.0, 1L),
+      (5.0, 1L), (6.0, 1L)), s"got $sel")
+    // every null above every test → nothing selectable
+    val none = graft.operators.Classifier.conformalFdrSelect(
+      Seq(9.0, 8.0).toDF("s"), Seq(1.0, 2.0).toDF("s"), col("s"), 1L, 2L)
+      .collect()
+    assert(none.forall(r => r.isNullAt(3) &&
+      r.getAs[Long]("selected") == 0L))
+    // every null below every test → everything selected
+    val all = graft.operators.Classifier.conformalFdrSelect(
+      Seq(1.0, 2.0).toDF("s"), Seq(3.0, 4.0).toDF("s"), col("s"), 1L, 2L)
+      .collect()
+    assert(all.forall(_.getAs[Long]("selected") == 1L))
+  }
+
+  test("conformalFdrSelect == naive driver BH on random multisets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(182)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(12)
+      val m = 2 + rnd.nextInt(15)
+      val nulls = Seq.fill(n)(rnd.nextInt(12).toDouble)
+      val tests = Seq.fill(m)(rnd.nextInt(12).toDouble)
+      val (qNum, qDen) = (1L + rnd.nextInt(2), 2L + rnd.nextInt(4))
+      val out = graft.operators.Classifier.conformalFdrSelect(
+        nulls.toDF("s"), tests.toDF("s"), col("s"), qNum, qDen)
+        .collect().map(r => (r.getDouble(0), r.getAs[Long]("selected")))
+      // naive BH: p_j = (1+#{null ≥ s_j})/(n+1) sorted ascending;
+      // k* = max{k : p_(k)·qDen·m ≤ k·qNum} (cross-multiplied with
+      // p's denominator n+1); select p ≤ p_(k*)
+      val ps = tests.map(t => (1L + nulls.count(_ >= t), t))
+      val sorted = ps.sortBy(_._1)
+      val ks = (1 to m).filter(k =>
+        sorted(k - 1)._1 * qDen * m <= k.toLong * qNum * (n + 1))
+      val pStar = if (ks.isEmpty) -1L else sorted(ks.max - 1)._1
+      val exp = ps.map { case (p, t) => (t, if (pStar >= 0 && p <= pStar)
+        1L else 0L) }.sorted
+      assert(out.toSeq.sorted == exp,
+        s"trial $trial: ${out.toSeq.sorted} vs $exp")
+    }
+  }
+
   test("plan shape: tCloseStats domain margin broadcasts (grid never " +
        "shuffles the corpus twice); conformalGate adds zero exchanges " +
        "to the apply side") {
