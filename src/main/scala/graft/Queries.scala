@@ -10087,6 +10087,157 @@ object Queries {
              |    sc.s >= fl.s_star THEN 1 ELSE 0 END) AS DOUBLE)
              |    / count(*) AS select_rate
              |FROM sc, fl WHERE NOT is_cal
+             |GROUP BY lang""".stripMargin)),
+
+    Q("q244_mondrian_risk_control",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // GROUP-CONDITIONAL (Mondrian) conformal risk control — q242
+        // per language: each lang's admitted-loss budget holds ON ITS
+        // OWN SLICE (E[too-short admitted | lang] ≤ α = 1/5), so the
+        // marginal gate cannot buy its budget on an easy language and
+        // flood a hard one. Slices whose sample cannot certify ANY
+        // admission at α get the admit-nothing vacuity (null τ_g) —
+        // and a lang absent from calibration admits nothing (the
+        // deliberate ASYMMETRY with q239, where absence accepts: no
+        // evidence to reject ≠ evidence the admitted loss clears α).
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val loss = graft.functions.Clean.flag(size(toks) < 25)
+        operators.Classifier.riskControlGateByGroup(
+            docs.filter(col("doc_id") % 7 === 3),
+            docs.filter(col("doc_id") % 7 =!= 3),
+            Seq("lang"), score, loss, alphaNum = 1L, alphaDen = 5L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("admit_all")).as("admit_all"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("n_bad")).as("n_bad"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    CASE WHEN len(string_split(lower(text), ' ')) < 25
+             |      THEN 1 ELSE 0 END AS l,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
+             |g AS (SELECT lang, s, count(*) AS c, sum(l) AS b FROM sc
+             |      WHERE is_cal GROUP BY 1, 2),
+             |tot AS (SELECT lang, sum(c) AS n, sum(b) AS nb FROM g
+             |        GROUP BY 1),
+             |cd AS (SELECT lang, s, sum(b) OVER
+             |    (PARTITION BY lang ORDER BY s DESC) AS cb FROM g),
+             |thr AS (SELECT cd.lang, min(s) AS tau FROM cd
+             |        JOIN tot USING (lang)
+             |        WHERE (cb + 1) * 5 <= (tot.n + 1) GROUP BY 1),
+             |fl AS (SELECT tot.lang, CAST(tot.n AS BIGINT) AS n_calib,
+             |         CAST(tot.nb AS BIGINT) AS n_bad,
+             |         CASE WHEN (tot.nb + 1) * 5 <= (tot.n + 1)
+             |           THEN 1 ELSE 0 END AS admit_all, thr.tau
+             |       FROM tot LEFT JOIN thr ON thr.lang = tot.lang)
+             |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN fl.admit_all = 1 OR (fl.tau IS NOT
+             |    NULL AND sc.s >= fl.tau) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_accept,
+             |  any_value(fl.tau) AS threshold,
+             |  CAST(any_value(fl.admit_all) AS BIGINT) AS admit_all,
+             |  any_value(fl.n_calib) AS n_calib,
+             |  any_value(fl.n_bad) AS n_bad,
+             |  CAST(sum(CASE WHEN fl.admit_all = 1 OR (fl.tau IS NOT
+             |    NULL AND sc.s >= fl.tau) THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS accept_rate
+             |FROM sc LEFT JOIN fl ON fl.lang = sc.lang
+             |WHERE NOT is_cal GROUP BY sc.lang""".stripMargin)),
+
+    Q("q245_streaming_conformal",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // STREAMING conformal calibration maintenance — q240's
+        // mergeable score state maintained at INGESTION time (the
+        // q236/q196/q229 foreachBatch store discipline): each
+        // micro-batch of calibration documents contributes its
+        // distinct-score counts, merged into the running store (read
+        // store_{b-1}, merge by addition, write store_b; AvailableNow
+        // serializes the chain), and the threshold reads off the final
+        // fold. Per-batch cost ∝ batch + |distinct scores ≤ 10^6+1|;
+        // history is never rescanned. The oracle is the MONOLITHIC
+        // q238 calibration over the full table, so streaming
+        // accumulation must equal having seen the calibration split at
+        // once — exactly (integer counts, no sketch error). Batches
+        // shard by doc_id % 3 (coprime with the %7 split and the
+        // fixture's mod-20 source derivation).
+        import java.nio.file.Files
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val calib = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        val dir = tempStagingDir("graft_q245_")
+        val src = Files.createDirectories(dir.resolve("in"))
+        val out = dir.resolve("out").toString
+        val now = System.currentTimeMillis()
+        stageStreamFile(calib.filter(col("doc_id") % 3 === 0), src,
+          "batch_a", now - 120000)
+        stageStreamFile(calib.filter(col("doc_id") % 3 =!= 0), src,
+          "batch_b", now - 60000)
+        val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val bm = operators.Classifier.scoreState(batch, score)
+          val merged =
+            if (batchId == 0) bm
+            else operators.Classifier.mergeScoreStates(bm,
+              batch.sparkSession.read.parquet(s"$out/store_${batchId - 1}"))
+          merged.write.mode("overwrite").parquet(s"$out/store_$batchId")
+        }
+        val query = s.readStream.schema(calib.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val thr = operators.Classifier.conformalFromState(
+          s.read.parquet(s"$out/store_1"), 1L, 10L)
+        docs.filter(col("doc_id") % 7 =!= 3)
+          .crossJoin(broadcast(thr))
+          .withColumn("accept", graft.functions.Clean.flag(
+            col("threshold").isNull || score >= col("threshold")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("k")).as("k"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
+             |d AS (SELECT s, count(*) AS c FROM sc WHERE is_cal
+             |      GROUP BY 1),
+             |n AS (SELECT sum(c) AS n FROM d),
+             |cd AS (SELECT s, sum(c) OVER (ORDER BY s DESC) AS cum
+             |       FROM d),
+             |thr AS (SELECT max(s) AS tau FROM cd, n
+             |        WHERE cum * 10 >= (n.n + 1) * 9),
+             |k AS (SELECT CAST(n.n AS BIGINT) AS n_calib,
+             |        CAST(((n.n + 1) * 9 + 9) // 10 AS BIGINT) AS k
+             |      FROM n)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN tau IS NULL OR s >= tau
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+             |  any_value(tau) AS threshold,
+             |  any_value(k.n_calib) AS n_calib, any_value(k.k) AS k,
+             |  CAST(sum(CASE WHEN tau IS NULL OR s >= tau
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
+             |FROM sc, thr, k WHERE NOT is_cal
              |GROUP BY lang""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]

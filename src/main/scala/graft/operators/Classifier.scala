@@ -470,6 +470,75 @@ object Classifier {
             scoreCol.cast("double") >= col("threshold"))))
   }
 
+  /** GROUP-CONDITIONAL (Mondrian) conformal risk control — one
+    * [[riskControlThreshold]] per group, the q239↔q238 relationship
+    * applied to the monotone-loss gate: E[ℓ admitted | group g] ≤ α
+    * for EVERY group, so a marginal gate cannot buy its risk budget by
+    * over-admitting an easy slice and flooding a hard one (the
+    * fairness form, Vovk's Mondrian taxonomy over CRC). Same
+    * pure-integer feasibility keyed by group; a group with no feasible
+    * candidate gets the admit-nothing vacuity ON ITS SLICE (null τ_g,
+    * admit_all_g = 0) and a group absent from calibration admits
+    * nothing either — with NO per-slice evidence, CRC cannot certify
+    * any admission at risk α (note the deliberate asymmetry with
+    * [[conformalGateByGroup]], where an absent group ACCEPTS: there
+    * absence means no evidence to REJECT in-distribution rows, here it
+    * means no evidence the admitted loss clears α).
+    *
+    * Scale shape: (group, score)-grain aggregate carrying loss sums,
+    * cumulative window PARTITIONED BY GROUP, group-grain totals joined
+    * back — report × grid size, zero corpus shuffle in the gate. */
+  def riskControlThresholdByGroup(calib: DataFrame, groupCols: Seq[String],
+                                  scoreCol: Column, lossCol: Column,
+                                  alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    val gc = groupCols.map(c => col(c).cast("string").as(c))
+    val d = calib.select(gc :+ scoreCol.cast("double").as("__s") :+
+        lossCol.cast("long").as("__l"): _*)
+      .groupBy(groupCols.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"), sum(col("__l")).as("__b"))
+    val tot = d.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c")).as("n_calib"), sum(col("__b")).as("n_bad"))
+    val cum = d.withColumn("__cb", sum(col("__b")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col("__s").desc)))
+    val admitAll = graft.functions.Clean.flag(
+      (col("n_bad") + 1) * lit(alphaDen) <=
+        lit(alphaNum) * (col("n_calib") + 1)).as("admit_all")
+    cum.join(tot, groupCols)
+      .filter((col("__cb") + 1) * lit(alphaDen) <=
+        lit(alphaNum) * (col("n_calib") + 1))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("__s")).as("threshold"))
+      .join(tot, groupCols, "right")
+      .select(groupCols.map(col) :+ col("n_calib") :+ col("n_bad") :+
+        col("threshold") :+ admitAll: _*)
+  }
+
+  /** Apply a [[riskControlThresholdByGroup]] calibration: each row
+    * joins its group's gate (a report-sized broadcast join) and gains
+    * `accept` = admit_all_g OR (τ_g non-null AND score ≥ τ_g); rows of
+    * groups absent from calibration get accept = 0 (see the
+    * threshold's scaladoc for why absence admits nothing here). */
+  def riskControlGateByGroup(calib: DataFrame, applyDf: DataFrame,
+                             groupCols: Seq[String], scoreCol: Column,
+                             lossCol: Column, alphaNum: Long,
+                             alphaDen: Long): DataFrame = {
+    val thr = riskControlThresholdByGroup(calib, groupCols, scoreCol,
+      lossCol, alphaNum, alphaDen)
+      .withColumnsRenamed(groupCols.map(c => c -> s"__g_$c").toMap)
+    val cond = groupCols.map(c =>
+      applyDf(c).cast("string") === thr(s"__g_$c")).reduce(_ && _)
+    applyDf.join(broadcast(thr), cond, "left")
+      .withColumn("accept", graft.functions.Clean.flag(
+        col("admit_all") === 1 ||
+          (col("threshold").isNotNull &&
+            scoreCol.cast("double") >= col("threshold"))))
+      .drop(groupCols.map(c => s"__g_$c"): _*)
+  }
+
   /** SELECTION WITH FALSE-DISCOVERY-RATE CONTROL via conformal
     * p-values (Jin & Candès 2023, "Selection by prediction with
     * conformal p-values"; Benjamini–Hochberg 1995): given a

@@ -836,6 +836,45 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("riskControlThresholdByGroup: per-group equals the marginal " +
+       "gate on each slice; calibration-absent group admits nothing") {
+    import spark.implicits._
+    val cal = (Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.6, 0L),
+      (0.5, 0L), (0.4, 1L), (0.3, 0L), (0.2, 0L), (0.1, 0L))
+        .map { case (s, l) => ("en", s, l) } ++
+      Seq(("fr", 0.9, 0L), ("fr", 0.5, 1L), ("fr", 0.1, 0L)))
+      .toDF("lang", "s", "l")
+    val byG = graft.operators.Classifier.riskControlThresholdByGroup(
+      cal, Seq("lang"), col("s"), col("l"), 1L, 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getLong(4)))).toMap
+    for (g <- Seq("en", "fr")) {
+      val solo = graft.operators.Classifier.riskControlThreshold(
+        cal.filter(col("lang") === g), col("s"), col("l"), 1L, 3L)
+        .collect().head
+      assert(byG(g) == ((solo.getLong(0), solo.getLong(1),
+        if (solo.isNullAt(2)) None else Some(solo.getDouble(2)),
+        solo.getLong(3))),
+        s"group $g diverges from the marginal gate on its slice")
+    }
+    // en: cumLoss ≤ 2 down to s = 0.5 → τ = 0.5; fr: cumLoss must be 0
+    // → τ = 0.9; neither slice admits everything
+    assert(byG("en") == ((9L, 3L, Some(0.5), 0L)))
+    assert(byG("fr") == ((3L, 1L, Some(0.9), 0L)))
+    val gated = graft.operators.Classifier.riskControlGateByGroup(cal,
+      Seq(("de", 0.99), ("en", 0.6), ("en", 0.4), ("fr", 0.9),
+        ("fr", 0.8)).toDF("lang", "s"),
+      Seq("lang"), col("s"), col("l"), 1L, 3L)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[Long]("accept"))).toSet
+    // the "de" row has NO per-slice evidence → admits nothing (the
+    // deliberate asymmetry with conformalGateByGroup, where it accepts)
+    assert(gated == Set(("de", 0.99, 0L), ("en", 0.6, 1L),
+      ("en", 0.4, 0L), ("fr", 0.9, 1L), ("fr", 0.8, 0L)), s"got $gated")
+  }
+
   test("conformalFdrSelect: BH over conformal p-values at tie-block " +
        "granularity; empty and full selections at the extremes") {
     import spark.implicits._
