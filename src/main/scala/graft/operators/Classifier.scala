@@ -342,12 +342,15 @@ object Classifier {
     // 10^6·n_calib, so long×long products would wrap near 10^18 — the
     // decimal comparison is exact at any corpus size
     val dec = "decimal(38,0)"
-    cum.crossJoin(broadcast(wt))
+    // group-keyed τ re-attached via LEFT join with the τ table
+    // broadcast (a right-outer with a broadcast build side is
+    // unsupported and would fall back to a shuffle join)
+    val taus = cum.crossJoin(broadcast(wt))
       .filter(col("__cum").cast(dec) * lit(alphaDen) >=
         (col("w_total") + col("w6")).cast(dec) * lit(alphaDen - alphaNum))
       .groupBy(col(groupCol))
       .agg(max(col("__s")).as("threshold"))
-      .join(broadcast(wt), Seq(groupCol), "right")
+    wt.join(broadcast(taus), Seq(groupCol), "left")
       .select(col(groupCol), col("n_calib"), col("w6"), col("w_total"),
         col("threshold"))
   }
@@ -444,12 +447,14 @@ object Classifier {
     val admitAll = graft.functions.Clean.flag(
       (col("n_bad") + 1) * lit(alphaDen) <=
         lit(alphaNum) * (col("n_calib") + 1)).as("admit_all")
-    cum.crossJoin(broadcast(tot))
+    // a GLOBAL min over the (possibly empty) feasible set is always
+    // exactly one row (null when empty), so the vacuous case needs no
+    // outer join — two 1-row broadcasts compose the result
+    val tau = cum.crossJoin(broadcast(tot))
       .filter((col("__cb") + 1) * lit(alphaDen) <=
         lit(alphaNum) * (col("n_calib") + 1))
-      .groupBy(col("n_calib"))
       .agg(min(col("__s")).as("threshold"))
-      .join(broadcast(tot), Seq("n_calib"), "right")
+    tot.crossJoin(broadcast(tau))
       .select(col("n_calib"), col("n_bad"), col("threshold"), admitAll)
   }
 
@@ -507,12 +512,14 @@ object Classifier {
     val admitAll = graft.functions.Clean.flag(
       (col("n_bad") + 1) * lit(alphaDen) <=
         lit(alphaNum) * (col("n_calib") + 1)).as("admit_all")
-    cum.join(tot, groupCols)
+    val taus = cum.join(tot, groupCols)
       .filter((col("__cb") + 1) * lit(alphaDen) <=
         lit(alphaNum) * (col("n_calib") + 1))
       .groupBy(groupCols.map(col): _*)
       .agg(min(col("__s")).as("threshold"))
-      .join(tot, groupCols, "right")
+    // LEFT join with the report-sized τ table broadcast (see
+    // weightedConformalThreshold for why not a right-outer)
+    tot.join(broadcast(taus), groupCols, "left")
       .select(groupCols.map(col) :+ col("n_calib") :+ col("n_bad") :+
         col("threshold") :+ admitAll: _*)
   }
@@ -578,27 +585,31 @@ object Classifier {
                          qDen: Long): DataFrame = {
     require(qDen >= 1 && qNum >= 0 && qNum <= qDen,
       "q must be a rational in [0, 1]")
-    val cal = calibNull.select(scoreCol.cast("double").as("__s"))
-      .groupBy(col("__s")).agg(count(lit(1)).as("__cc"))
-    val app = applyDf.select(scoreCol.cast("double").as("__s"))
-      .groupBy(col("__s")).agg(count(lit(1)).as("__ac"))
-    val u = cal.join(app, Seq("__s"), "full_outer")
-      .na.fill(0L, Seq("__cc", "__ac"))
+    // the two distinct-score tables merge by UNION + re-aggregate (a
+    // full-outer join would plan a sort-merge join; the union is one
+    // grain-sized hash aggregate instead)
+    val cal = calibNull.select(scoreCol.cast("double").as("__s"),
+      lit(1L).as("__cc"), lit(0L).as("__ac"))
+    val app = applyDf.select(scoreCol.cast("double").as("__s"),
+      lit(0L).as("__cc"), lit(1L).as("__ac"))
+    val u = cal.unionByName(app).groupBy(col("__s"))
+      .agg(sum(col("__cc")).as("__cc"), sum(col("__ac")).as("__ac"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)
     val cum = u.withColumn("__c", sum(col("__cc")).over(w))
       .withColumn("__k", sum(col("__ac")).over(w))
     val tot = u.agg(sum(col("__cc")).as("n_calib"),
       sum(col("__ac")).as("m_test"))
     val dec = "decimal(38,0)"
-    val thr = cum.crossJoin(broadcast(tot))
-      // only test scores are BH candidates; the boundary inequality in
-      // DECIMAL(38,0): (1+c)·qDen·m ≤ k·qNum·(n+1)
+    // only test scores are BH candidates; the boundary inequality in
+    // DECIMAL(38,0): (1+c)·qDen·m ≤ k·qNum·(n+1). A global min over
+    // the feasible set is always one row (null when empty), so the
+    // nothing-selectable case needs no outer join.
+    val tau = cum.crossJoin(broadcast(tot))
       .filter(col("__ac") > 0 &&
         (col("__c") + 1).cast(dec) * lit(qDen) * col("m_test") <=
           col("__k").cast(dec) * lit(qNum) * (col("n_calib") + 1))
-      .groupBy(col("m_test"))
       .agg(min(col("__s")).as("threshold"))
-      .join(broadcast(tot), Seq("m_test"), "right")
+    val thr = tot.crossJoin(broadcast(tau))
       .select(col("n_calib"), col("m_test"), col("threshold"))
     applyDf.crossJoin(broadcast(thr))
       .withColumn("selected", graft.functions.Clean.flag(

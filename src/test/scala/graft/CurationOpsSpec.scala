@@ -931,6 +931,58 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shape: the r18 gates (weighted conformal, risk control, " +
+       "FDR select) reach the corpus as broadcasts — zero apply-side " +
+       "exchanges, no shuffle joins anywhere") {
+    import graft.sources.Tables
+    def fmt(df: org.apache.spark.sql.DataFrame): String = {
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      spark.catalog.clearCache()
+      txt
+    }
+    def shuffles(plan: String): Int =
+      "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(plan)
+        .matchData.map(_.matched).toSet.size
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val cal = docs.filter(col("doc_id") % 7 === 3)
+    val app = docs.filter(col("doc_id") % 7 =!= 3)
+    val score = graft.functions.Text.distinctTokenRatio(col("text"))
+    val loss = graft.functions.Clean.flag(col("n_chars") < 200)
+    // weighted conformal: the gate adds no exchange beyond its own
+    // threshold computation (per-source τ_t rides a |G|-row broadcast)
+    val wThr = fmt(graft.operators.Classifier.weightedConformalThreshold(
+      cal, "source", score,
+      graft.operators.Classifier.sourceShiftWeights(cal, app, "source"),
+      1L, 10L))
+    val wGate = fmt(graft.operators.Classifier.weightedConformalGate(
+      cal, app, "source", score, 1L, 10L))
+    assert(shuffles(wGate) == shuffles(wThr),
+      s"weighted gate must add no exchange: ${shuffles(wGate)} vs " +
+        s"${shuffles(wThr)}")
+    // risk control: same contract as the conformal gate it generalizes
+    val rThr = fmt(graft.operators.Classifier.riskControlThreshold(
+      cal, score, loss, 1L, 10L))
+    val rGate = fmt(graft.operators.Classifier.riskControlGate(
+      cal, app, score, loss, 1L, 10L))
+    assert(shuffles(rGate) == shuffles(rThr),
+      s"risk gate must add no exchange: ${shuffles(rGate)} vs " +
+        s"${shuffles(rThr)}")
+    // all three gates (incl. FDR select, whose s* is inlined): the
+    // corpus must never meet the calibration through a shuffle join —
+    // only broadcasts
+    val fdr = fmt(graft.operators.Classifier.conformalFdrSelect(
+      cal, app, score, 1L, 5L))
+    for ((name, plan) <- Seq("weighted" -> wGate, "risk" -> rGate,
+        "fdr" -> fdr)) {
+      assert(plan.contains("BroadcastExchange"),
+        s"$name gate must broadcast:\n${plan.take(800)}")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"$name gate must not shuffle-join the corpus")
+    }
+  }
+
   test("plan shape: tCloseStats domain margin broadcasts (grid never " +
        "shuffles the corpus twice); conformalGate adds zero exchanges " +
        "to the apply side") {
