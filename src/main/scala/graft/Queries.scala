@@ -10238,7 +10238,78 @@ object Queries {
              |  CAST(sum(CASE WHEN tau IS NULL OR s >= tau
              |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
              |FROM sc, thr, k WHERE NOT is_cal
-             |GROUP BY lang""".stripMargin)))
+             |GROUP BY lang""".stripMargin)),
+
+    Q("q246_risk_coverage_curve",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // RISK–COVERAGE CURVE (Geifman & El-Yaniv 2017): the full
+        // operating-point menu behind any selective gate — for every
+        // distinct score threshold, the corpus fraction kept and the
+        // bad-mass fraction among the kept (loss = "too short"), read
+        // off in one pass at distinct-score grain. The curve is what a
+        // curation dashboard plots before choosing where q242's risk
+        // bound should sit.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val loss = graft.functions.Clean.flag(size(toks) < 25)
+        operators.Classifier.riskCoverageCurve(docs, score, loss)
+      },
+      Some("""WITH sc AS (SELECT
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    CASE WHEN len(string_split(lower(text), ' ')) < 25
+             |      THEN 1 ELSE 0 END AS l FROM documents),
+             |g AS (SELECT s AS threshold, count(*) AS c, sum(l) AS b
+             |      FROM sc GROUP BY 1),
+             |t AS (SELECT sum(c) AS n FROM g),
+             |c2 AS (SELECT threshold,
+             |    sum(c) OVER (ORDER BY threshold DESC) AS n_covered,
+             |    sum(b) OVER (ORDER BY threshold DESC) AS n_bad_covered
+             |  FROM g)
+             |SELECT threshold, CAST(n_covered AS BIGINT) AS n_covered,
+             |  CAST(n_bad_covered AS BIGINT) AS n_bad_covered,
+             |  CAST(n_covered AS DOUBLE) / t.n AS coverage,
+             |  CAST(n_bad_covered AS DOUBLE) / n_covered
+             |    AS selective_risk
+             |FROM c2, t""".stripMargin)),
+
+    Q("q247_auc_exact",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // EXACT tie-corrected ROC AUC (Mann–Whitney U with midranks;
+        // Hanley & McNeil 1982): does the type-token ratio separate
+        // adequate-length documents from too-short ones? The statistic
+        // 2U = Σ_s c_pos(s)·(2·cumNeg(<s) + c_neg(s)) is an exact
+        // integer at distinct-score grain (DECIMAL(38,0) products) —
+        // the only float is the final division. Complements q147's
+        // fixed-threshold confusion metrics with the
+        // threshold-independent ranking quality.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val label = graft.functions.Clean.flag(size(toks) >= 25)
+        operators.Classifier.aucExact(docs, score, label)
+      },
+      Some("""WITH sc AS (SELECT
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    CASE WHEN len(string_split(lower(text), ' ')) >= 25
+             |      THEN 1 ELSE 0 END AS y FROM documents),
+             |g AS (SELECT s, sum(y) AS cp, count(*) - sum(y) AS cn
+             |      FROM sc GROUP BY 1),
+             |c2 AS (SELECT cp, cn,
+             |    sum(cn) OVER (ORDER BY s) AS cumn FROM g),
+             |a AS (SELECT sum(cp * (2 * (cumn - cn) + cn)) AS u2,
+             |        sum(cp) AS np, sum(cn) AS nn FROM c2)
+             |SELECT CAST(np AS BIGINT) AS n_pos,
+             |  CAST(nn AS BIGINT) AS n_neg,
+             |  CAST(u2 AS BIGINT) AS u2,
+             |  CAST(u2 AS DOUBLE) / (2.0 * np * nn) AS auc
+             |FROM a""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -617,6 +617,71 @@ object Classifier {
           scoreCol.cast("double") >= col("threshold")))
   }
 
+  /** RISK–COVERAGE CURVE for selective prediction (Geifman &
+    * El-Yaniv, NeurIPS 2017): for every candidate gate threshold τ
+    * (the distinct scores), the fraction of the corpus the gate keeps
+    * (coverage) and the bad-mass fraction AMONG the kept (selective
+    * risk) — the full operating-point menu behind any [[riskControlThreshold]]
+    * or [[confusionAt]] cut, read off in ONE pass. All counts are
+    * exact integers at distinct-score grain (grid-bound continuous
+    * scores to 1e-6 on both sides); coverage and risk are single
+    * divisions of exact integers. One (score)-grain aggregate, one
+    * cumulative window, a 1-row broadcast total — report × grid
+    * output, zero extra corpus scans. */
+  def riskCoverageCurve(df: DataFrame, scoreCol: Column,
+                        lossCol: Column): DataFrame = {
+    val d = df.select(scoreCol.cast("double").as("threshold"),
+        lossCol.cast("long").as("__l"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__c"), sum(col("__l")).as("__b"))
+    val tot = d.agg(sum(col("__c")).as("__n"))
+    d.withColumn("n_covered", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("threshold").desc)))
+      .withColumn("n_bad_covered", sum(col("__b")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("threshold").desc)))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_covered"), col("n_bad_covered"),
+        (col("n_covered").cast("double") / col("__n")).as("coverage"),
+        (col("n_bad_covered").cast("double") / col("n_covered"))
+          .as("selective_risk"))
+  }
+
+  /** EXACT ROC AUC — the Mann–Whitney U statistic with midrank tie
+    * correction (Hanley & McNeil 1982 equivalence): AUC =
+    * P(score_pos > score_neg) + ½·P(tie). Computed at distinct-score
+    * grain as the INTEGER
+    *   2U = Σ_s c_pos(s) · (2·Σ_{t<s} c_neg(t) + c_neg(s))
+    * so the statistic itself is exact (no float until the final
+    * division AUC = 2U / (2·n_pos·n_neg)); the per-score product runs
+    * in DECIMAL(38,0) so nothing wraps at any corpus size. Returns ONE
+    * row: `n_pos`, `n_neg`, `u2` (= 2U, the exact integer), `auc`.
+    * One (score)-grain aggregate + one cumulative window + a 1-row
+    * total — the same shape as every gate in this file. */
+  def aucExact(df: DataFrame, scoreCol: Column,
+               labelCol: Column): DataFrame = {
+    val d = df.select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__cp"),
+        (count(lit(1)) - sum(col("__y"))).as("__cn"))
+    val dec = "decimal(38,0)"
+    val cumN = d.withColumn("__cumn", sum(col("__cn")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("__s"))))
+    cumN.select(
+        (col("__cp").cast(dec) *
+          (lit(2) * (col("__cumn") - col("__cn")) + col("__cn"))
+            .cast(dec)).as("__u"),
+        col("__cp"), col("__cn"))
+      .agg(sum(col("__u")).cast(dec).as("u2"),
+        sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2").cast("long").as("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
   /** One GD update over `df`: w ← w − lr·(Σ(σ(w·x) − y)·x / n). An
     * EMPTY input (an SGD batch whose coin selected no rows) carries no
     * gradient and leaves the weights unchanged — without the guard the

@@ -931,6 +931,52 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("riskCoverageCurve: exact operating points at distinct-score " +
+       "grain; full-coverage tail row closes the curve") {
+    import spark.implicits._
+    val df = Seq((0.9, 0L), (0.9, 1L), (0.5, 0L), (0.1, 1L))
+      .toDF("s", "l")
+    val out = graft.operators.Classifier.riskCoverageCurve(
+      df, col("s"), col("l"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(-_._1).toSeq
+    assert(out == Seq(
+      (0.9, 2L, 1L, 0.5, 0.5),
+      (0.5, 3L, 1L, 0.75, 1.0 / 3.0),
+      (0.1, 4L, 2L, 1.0, 0.5)), s"got $out")
+  }
+
+  test("aucExact: perfect separation, pure ties, and random multisets " +
+       "vs the brute-force pair count") {
+    import spark.implicits._
+    val perfect = Seq((3.0, 1L), (4.0, 1L), (1.0, 0L), (2.0, 0L))
+      .toDF("s", "y")
+    val p = graft.operators.Classifier.aucExact(perfect, col("s"),
+      col("y")).collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L &&
+      p.getLong(2) == 8L && p.getDouble(3) == 1.0)
+    val tied = Seq((1.0, 1L), (1.0, 0L)).toDF("s", "y")
+    val t = graft.operators.Classifier.aucExact(tied, col("s"),
+      col("y")).collect().head
+    assert(t.getLong(2) == 1L && t.getDouble(3) == 0.5)
+    val rnd = new scala.util.Random(183)
+    for (trial <- 1 to 6) {
+      val rows = Seq.fill(5 + rnd.nextInt(25))(
+        (rnd.nextInt(8).toDouble, if (rnd.nextBoolean()) 1L else 0L))
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val u2 = (for (a <- pos; b <- neg) yield
+          if (a > b) 2L else if (a == b) 1L else 0L).sum
+        val r = graft.operators.Classifier.aucExact(rows.toDF("s", "y"),
+          col("s"), col("y")).collect().head
+        assert(r.getLong(2) == u2 && r.getLong(0) == pos.size &&
+          r.getLong(1) == neg.size,
+          s"trial $trial: u2 ${r.getLong(2)} vs brute $u2")
+      }
+    }
+  }
+
   test("plan shape: the r18 gates (weighted conformal, risk control, " +
        "FDR select) reach the corpus as broadcasts — zero apply-side " +
        "exchanges, no shuffle joins anywhere") {
