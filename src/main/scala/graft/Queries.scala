@@ -10309,7 +10309,64 @@ object Queries {
              |  CAST(nn AS BIGINT) AS n_neg,
              |  CAST(u2 AS BIGINT) AS u2,
              |  CAST(u2 AS DOUBLE) / (2.0 * np * nn) AS auc
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    Q("q248_facility_location",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // FACILITY-LOCATION greedy selection (Wei/Iyer/Bilmes 2015):
+        // pick 4 exemplar embeddings (candidate pool vec_id % 7 == 0)
+        // maximizing Σ_j max(0, max_i sim(i, j)) — the submodular
+        // representativeness objective behind exemplar-based data
+        // selection. Similarities ride the 1e-4 integer grid (the
+        // q26-proven cosine parity grid), so the greedy trajectory —
+        // gains, best-service map, objective — is exact integer
+        // arithmetic and the oracle replays all 4 unrolled rounds.
+        operators.Selection.facilityLocationSelect(
+          tbl("embeddings"),
+          tbl("embeddings").filter(col("vec_id") % 7 === 0),
+          "vec_id", "embedding", k = 4)
+      },
+      Some {
+        val rounds = (2 to 4).map { r =>
+          val prev = (1 until r).map(i => s"SELECT c FROM w$i")
+            .mkString(" UNION ")
+          s"""g$r AS (SELECT c, sum(greatest(s - best, 0)) AS g
+             |  FROM p JOIN b${r - 1} USING (j)
+             |  WHERE c NOT IN ($prev) GROUP BY 1),
+             |w$r AS (SELECT c, g FROM g$r ORDER BY g DESC, c LIMIT 1),
+             |b$r AS (SELECT b${r - 1}.j,
+             |    greatest(b${r - 1}.best, coalesce(p.s, 0)) AS best
+             |  FROM b${r - 1} LEFT JOIN p ON p.j = b${r - 1}.j
+             |    AND p.c = (SELECT c FROM w$r))""".stripMargin
+        }.mkString(",\n")
+        val sel = (2 to 4).map(r =>
+          s"""UNION ALL SELECT CAST($r AS BIGINT), c,
+             |  CAST(g AS BIGINT),
+             |  (SELECT CAST(sum(best) AS BIGINT) FROM b$r) FROM w$r""".stripMargin)
+          .mkString("\n")
+        s"""WITH cnd AS (SELECT vec_id AS c,
+           |    CAST(embedding AS DOUBLE[]) AS vc FROM embeddings
+           |  WHERE vec_id % 7 = 0),
+           |e AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS vj
+           |      FROM embeddings),
+           |p AS (SELECT c, j, CAST(round(
+           |    list_cosine_similarity(vc, vj) * 10000.0, 0) AS BIGINT)
+           |    AS s FROM cnd, e),
+           |b0 AS (SELECT j, CAST(0 AS BIGINT) AS best FROM e),
+           |g1 AS (SELECT c, sum(greatest(s - best, 0)) AS g
+           |       FROM p JOIN b0 USING (j) GROUP BY 1),
+           |w1 AS (SELECT c, g FROM g1 ORDER BY g DESC, c LIMIT 1),
+           |b1 AS (SELECT b0.j, greatest(b0.best, coalesce(p.s, 0))
+           |    AS best FROM b0 LEFT JOIN p ON p.j = b0.j
+           |    AND p.c = (SELECT c FROM w1)),
+           |$rounds
+           |SELECT CAST(1 AS BIGINT) AS round, c AS vec_id,
+           |  CAST(g AS BIGINT) AS marginal_gain,
+           |  (SELECT CAST(sum(best) AS BIGINT) FROM b1)
+           |    AS objective_total
+           |FROM w1
+           |$sel""".stripMargin
+      }))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -594,4 +594,77 @@ object Selection {
     Checkpoints.release(base)
     (acc.toSeq.toDF("round", "id", "marginal_gain", "covered_total"), reevals)
   }
+
+  /** FACILITY-LOCATION greedy data selection over an embedding column
+    * (the submodular representativeness objective of Wei/Iyer/Bilmes
+    * ICML 2015 "Submodularity in data subset selection"; Krause &
+    * Golovin 2014 survey): pick k candidates maximizing
+    * F(S) = Σ_{j ∈ corpus} max(0, max_{i ∈ S} sim(i, j)) — every
+    * corpus point "served" by its most similar selected exemplar. The
+    * (1 − 1/e) greedy picks, each round, the candidate with the
+    * largest marginal gain Σ_j max(0, sim(c, j) − best_j); ties break
+    * on the lowest id, so the trajectory is a total order.
+    *
+    * Determinism: similarities are QUANTIZED to the 1e-4 grid as longs
+    * (s = round(cosine·10⁴) — the grid q26's oracle already proves
+    * engine-portable on this kernel), so gains, the running best_j
+    * map, and the objective are EXACT integer arithmetic — a
+    * cross-engine replay of the greedy trajectory cannot diverge on a
+    * float sum order (the hazard the k-center/min-based ops avoid by
+    * construction but any SUM-based submodular objective must face).
+    * The clamp at 0 makes negative-similarity pairs contribute
+    * nothing, keeping F monotone.
+    *
+    * Scale shape: the candidate×corpus similarity table is computed
+    * ONCE (codegen'd native cosine; candidates broadcast) and
+    * persisted; each of the k rounds is one integer aggregate over it
+    * plus a 1-row driver collect (the winner — model parameters, the
+    * CELF/CC-loop exception) and a narrow best_j update
+    * (localCheckpointed so lineage stays flat). At 100 TB the pair
+    * table is the product to bound: restrict `candidates` (a curated
+    * pool, not the corpus) and route the corpus side through the IVF /
+    * LSH bucketing ([[Similarity]]) so each candidate meets only its
+    * cell — the aggregate shape is unchanged. */
+  def facilityLocationSelect(corpus: DataFrame, candidates: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             simScale: Double = 1e4): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(col(idCol).cast("long").as("__c"),
+      col(vecCol).as("__vc"))
+    val corp = corpus.select(col(idCol).cast("long").as("__j"),
+      col(vecCol).as("__vj"))
+    val pairs = corp.crossJoin(broadcast(cand))
+      .select(col("__c"), col("__j"),
+        round(graft.functions.Vectors.cosine(col("__vc"), col("__vj")) *
+          lit(simScale), 0).cast("long").as("__s"))
+      .persist()
+    var best = corp.select(col("__j"), lit(0L).as("__b"))
+      .localCheckpoint(true)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    var objective = 0L
+    for (r <- 1 to k) {
+      val gains0 = pairs.join(best, Seq("__j"))
+        .groupBy(col("__c"))
+        .agg(sum(greatest(col("__s") - col("__b"), lit(0L))).as("__g"))
+      val gains = if (chosen.isEmpty) gains0
+        else gains0.filter(!col("__c").isin(chosen.toSeq: _*))
+      val w = gains.orderBy(col("__g").desc, col("__c")).limit(1)
+        .collect().head
+      val (wid, wg) = (w.getLong(0), w.getLong(1))
+      objective += wg
+      chosen += wid
+      sel += ((r.toLong, wid, wg, objective))
+      best = best
+        .join(pairs.filter(col("__c") === wid)
+          .select(col("__j"), col("__s")), Seq("__j"), "left")
+        .select(col("__j"),
+          greatest(col("__b"), coalesce(col("__s"), lit(0L))).as("__b"))
+        .localCheckpoint(true)
+    }
+    pairs.unpersist(false)
+    sel.toSeq.toDF("round", idCol, "marginal_gain", "objective_total")
+  }
 }

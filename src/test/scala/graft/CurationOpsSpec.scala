@@ -977,6 +977,57 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("facilityLocationSelect: orthogonal-cluster hand case and " +
+       "driver-greedy replay on the quantized similarity table") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 1f, 0f)),
+      (5L, Array(0f, 0f, 1f)), (6L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Selection.facilityLocationSelect(
+      vecs, vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // every cluster pair serves itself + its copy (2·10⁴); ties break
+    // on the lowest id: round 1 → id 1, round 2 → id 3 (id 2's gain
+    // collapses to 0 once cluster 1 is served)
+    assert(out == Seq((1L, 1L, 20000L, 20000L),
+      (2L, 3L, 20000L, 40000L)), s"got $out")
+    // random fixture: the operator must equal a driver greedy replay
+    // run on the SAME quantized similarity table
+    val rnd = new scala.util.Random(184)
+    val rv = Seq.tabulate(10)(i =>
+      ((i + 1).toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cand = rv.filter(col("vec_id") <= 5)
+    val got = graft.operators.Selection.facilityLocationSelect(
+      rv, cand, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val sims = rv.crossJoin(cand.select(col("vec_id").as("c"),
+        col("embedding").as("ce")))
+      .select(col("c"), col("vec_id").as("j"),
+        round(graft.functions.Vectors.cosine(col("ce"),
+          col("embedding")) * lit(1e4), 0).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val best = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    var obj = 0L
+    val exp = (1 to 3).map { r =>
+      val gains = sims.filterNot(p => chosen(p._1)).groupBy(_._1)
+        .map { case (c, ps) =>
+          c -> ps.map(p => math.max(p._3 - best(p._2), 0L)).sum }
+      val (wid, wg) = gains.toSeq.sortBy { case (c, g) => (-g, c) }.head
+      chosen += wid; obj += wg
+      sims.filter(_._1 == wid).foreach(p =>
+        best(p._2) = math.max(best(p._2), p._3))
+      (r.toLong, wid, wg, obj)
+    }
+    assert(got == exp, s"got $got vs driver greedy $exp")
+  }
+
   test("plan shape: the r18 gates (weighted conformal, risk control, " +
        "FDR select) reach the corpus as broadcasts — zero apply-side " +
        "exchanges, no shuffle joins anywhere") {
