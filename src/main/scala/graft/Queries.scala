@@ -10366,7 +10366,79 @@ object Queries {
            |    AS objective_total
            |FROM w1
            |$sel""".stripMargin
-      }))
+      }),
+
+    Q("q249_incremental_risk_control",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // INCREMENTAL conformal risk control — q242's threshold
+        // maintained from MERGEABLE (score, n, loss_sum) states (the
+        // q240 construction extended to the monotone-loss gate): the
+        // calibration split arrives as three id-sharded batches, each
+        // contributing only its distinct-score count/loss sums; states
+        // fold by addition and τ̂ reads off the fold — exactly equal
+        // to the monolithic calibration, history never rescanned. The
+        // oracle IS the monolithic q242 computation, so the merge
+        // identity sits under the hash gate. Shards by % 3, coprime
+        // with the % 7 split and the fixture's mod-20 source
+        // derivation.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val loss = graft.functions.Clean.flag(size(toks) < 25)
+        val calib = docs.filter(col("doc_id") % 7 === 3)
+        val state = Seq(0L, 1L, 2L)
+          .map(r => operators.Classifier.lossState(
+            calib.filter(col("doc_id") % 3 === r), score, loss))
+          .reduce(operators.Classifier.mergeLossStates)
+        val thr = operators.Classifier.riskControlFromState(state, 1L, 10L)
+        docs.filter(col("doc_id") % 7 =!= 3)
+          .crossJoin(broadcast(thr))
+          .withColumn("accept", graft.functions.Clean.flag(
+            col("admit_all") === 1 ||
+              (col("threshold").isNotNull && score >= col("threshold"))))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("admit_all")).as("admit_all"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("n_bad")).as("n_bad"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    CASE WHEN len(string_split(lower(text), ' ')) < 25
+             |      THEN 1 ELSE 0 END AS l,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
+             |g AS (SELECT s, count(*) AS c, sum(l) AS b FROM sc
+             |      WHERE is_cal GROUP BY 1),
+             |tot AS (SELECT sum(c) AS n, sum(b) AS nb FROM g),
+             |cd AS (SELECT s, sum(b) OVER (ORDER BY s DESC) AS cb
+             |       FROM g),
+             |thr AS (SELECT min(s) AS tau FROM cd, tot
+             |        WHERE (cb + 1) * 10 <= (tot.n + 1)),
+             |fl AS (SELECT CAST(tot.n AS BIGINT) AS n_calib,
+             |         CAST(tot.nb AS BIGINT) AS n_bad,
+             |         CASE WHEN (tot.nb + 1) * 10 <= (tot.n + 1)
+             |           THEN 1 ELSE 0 END AS admit_all, thr.tau
+             |       FROM tot, thr)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN fl.admit_all = 1 OR (fl.tau IS NOT
+             |    NULL AND sc.s >= fl.tau) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_accept,
+             |  any_value(fl.tau) AS threshold,
+             |  CAST(any_value(fl.admit_all) AS BIGINT) AS admit_all,
+             |  any_value(fl.n_calib) AS n_calib,
+             |  any_value(fl.n_bad) AS n_bad,
+             |  CAST(sum(CASE WHEN fl.admit_all = 1 OR (fl.tau IS NOT
+             |    NULL AND sc.s >= fl.tau) THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS accept_rate
+             |FROM sc, fl WHERE NOT is_cal
+             |GROUP BY lang""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -433,13 +433,39 @@ object Classifier {
     * sides), integer filter, 1-row broadcast. Zero corpus shuffle. */
   def riskControlThreshold(calib: DataFrame, scoreCol: Column,
                            lossCol: Column, alphaNum: Long,
+                           alphaDen: Long): DataFrame =
+    riskControlFromState(lossState(calib, scoreCol, lossCol),
+      alphaNum, alphaDen)
+
+  /** The risk-control calibration's SUFFICIENT STATISTIC as a
+    * mergeable state — per distinct score, the row count and the loss
+    * sum `(score, n, loss_sum)`. States merge by ADDITION
+    * ([[mergeLossStates]]): the [[scoreState]]/KMV/CMS mergeable-
+    * summaries citizenship extended to the monotone-loss gate, so τ̂
+    * is maintained incrementally at batch cost and history is never
+    * rescanned — exactly, not approximately (integer counts, no
+    * sketch error). */
+  def lossState(calib: DataFrame, scoreCol: Column,
+                lossCol: Column): DataFrame =
+    calib.select(scoreCol.cast("double").as("score"),
+        lossCol.cast("long").as("loss"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("loss")).as("loss_sum"))
+
+  /** Merge two [[lossState]]s — associative, commutative, exact. */
+  def mergeLossStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("score"))
+      .agg(sum(col("n")).as("n"), sum(col("loss_sum")).as("loss_sum"))
+
+  /** [[riskControlThreshold]] evaluated from a [[lossState]] — the
+    * read side of the incremental calibration. Same exact arithmetic
+    * and output row as the direct form. */
+  def riskControlFromState(state: DataFrame, alphaNum: Long,
                            alphaDen: Long): DataFrame = {
     require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
       "alpha must be a rational in [0, 1]")
-    val d = calib.select(scoreCol.cast("double").as("__s"),
-        lossCol.cast("long").as("__l"))
-      .groupBy(col("__s"))
-      .agg(count(lit(1)).as("__c"), sum(col("__l")).as("__b"))
+    val d = state.select(col("score").as("__s"), col("n").as("__c"),
+      col("loss_sum").as("__b"))
     val tot = d.agg(sum(col("__c")).as("n_calib"),
       sum(col("__b")).as("n_bad"))
     val cum = d.withColumn("__cb", sum(col("__b")).over(

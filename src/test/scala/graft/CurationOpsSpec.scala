@@ -875,6 +875,26 @@ class CurationOpsSpec extends AnyFunSuite {
       ("en", 0.4, 0L), ("fr", 0.9, 1L), ("fr", 0.8, 0L)), s"got $gated")
   }
 
+  test("lossState merge identity: riskControlFromState of folded " +
+       "shards equals the monolithic calibration exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(185)
+    val rows = Seq.fill(40)((rnd.nextInt(9) / 10.0 + 0.1,
+      if (rnd.nextInt(3) == 0) 1L else 0L, rnd.nextInt(3)))
+    val whole = rows.map(r => (r._1, r._2)).toDF("s", "l")
+    val folded = (0 until 3)
+      .map(i => rows.filter(_._3 == i).map(r => (r._1, r._2))
+        .toDF("s", "l"))
+      .map(df => graft.operators.Classifier.lossState(
+        df, col("s"), col("l")))
+      .reduce(graft.operators.Classifier.mergeLossStates)
+    val a = graft.operators.Classifier.riskControlFromState(
+      folded, 1L, 6L).collect().head
+    val b = graft.operators.Classifier.riskControlThreshold(
+      whole, col("s"), col("l"), 1L, 6L).collect().head
+    assert(a.toSeq == b.toSeq, s"merged $a vs monolithic $b")
+  }
+
   test("conformalFdrSelect: BH over conformal p-values at tie-block " +
        "granularity; empty and full selections at the extremes") {
     import spark.implicits._
