@@ -10438,7 +10438,82 @@ object Queries {
              |    NULL AND sc.s >= fl.tau) THEN 1 ELSE 0 END) AS DOUBLE)
              |    / count(*) AS accept_rate
              |FROM sc, fl WHERE NOT is_cal
-             |GROUP BY lang""".stripMargin)))
+             |GROUP BY lang""".stripMargin)),
+
+    Q("q250_incremental_weighted_conformal",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // INCREMENTAL weighted conformal — q241's covariate-shift gate
+        // maintained from MERGEABLE (source, score, n) states: both
+        // the per-source counts the likelihood-ratio weights need and
+        // the weighted score distribution derive from the fold, so the
+        // whole gate (weights → per-test-source τ_t → accept) reads
+        // off merged shards exactly equal to the monolithic
+        // calibration. The oracle IS q241's monolithic computation, so
+        // the merge identity for the full weighted pipeline sits under
+        // the hash gate. Shards by % 3 (coprime with % 7 and mod-20).
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val calib = docs.filter(col("doc_id") % 7 === 3)
+        val app = docs.filter(col("doc_id") % 7 =!= 3 &&
+          (col("doc_id") % 20 < 10 || col("doc_id") % 3 === 0))
+        val state = Seq(0L, 1L, 2L)
+          .map(r => operators.Classifier.groupScoreState(
+            calib.filter(col("doc_id") % 3 === r), "source", score))
+          .reduce(operators.Classifier.mergeGroupScoreStates)
+        operators.Classifier.weightedConformalGateFromState(
+            state, app, "source", score, alphaNum = 1L, alphaDen = 10L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("accept")).as("n_accept"),
+            first(col("threshold")).as("threshold"),
+            first(col("w6")).as("w6"),
+            first(col("n_calib")).as("n_calib"))
+          .withColumn("accept_rate",
+            col("n_accept").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, source,
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    doc_id % 7 = 3 AS is_cal,
+             |    doc_id % 7 <> 3 AND (doc_id % 20 < 10 OR doc_id % 3 = 0)
+             |      AS is_app FROM documents),
+             |cg AS (SELECT source, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1),
+             |ag AS (SELECT source, count(*) AS a FROM sc WHERE is_app
+             |       GROUP BY 1),
+             |ct AS (SELECT sum(c) AS ct FROM cg),
+             |at2 AS (SELECT sum(a) AS at FROM ag),
+             |w AS (SELECT cg.source,
+             |    CAST(round(1000000.0 * CAST(coalesce(ag.a, 0) * ct.ct
+             |      AS DOUBLE) / CAST(cg.c * at2.at AS DOUBLE), 0)
+             |      AS BIGINT) AS w6
+             |  FROM cg LEFT JOIN ag USING (source), ct, at2),
+             |d AS (SELECT source, s, count(*) AS c FROM sc WHERE is_cal
+             |      GROUP BY 1, 2),
+             |dw AS (SELECT d.s, sum(d.c * w.w6) AS wcs, sum(d.c) AS cs
+             |       FROM d JOIN w USING (source) GROUP BY 1),
+             |tot AS (SELECT sum(wcs) AS wtot, sum(cs) AS n_calib FROM dw),
+             |cum AS (SELECT s, sum(wcs) OVER (ORDER BY s DESC) AS cum
+             |        FROM dw),
+             |thr AS (SELECT w.source, max(cum.s) AS tau
+             |        FROM cum, tot, w
+             |        WHERE cum.cum * 10 >= (tot.wtot + w.w6) * 9
+             |        GROUP BY 1),
+             |th2 AS (SELECT w.source, w.w6, thr.tau, tot.n_calib
+             |        FROM w LEFT JOIN thr USING (source), tot)
+             |SELECT sc.source, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN th2.tau IS NULL OR sc.s >= th2.tau
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+             |  any_value(th2.tau) AS threshold,
+             |  any_value(th2.w6) AS w6,
+             |  CAST(any_value(th2.n_calib) AS BIGINT) AS n_calib,
+             |  CAST(sum(CASE WHEN th2.tau IS NULL OR sc.s >= th2.tau
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
+             |FROM sc LEFT JOIN th2 ON th2.source = sc.source
+             |WHERE is_app GROUP BY 1""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

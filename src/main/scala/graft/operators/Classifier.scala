@@ -321,15 +321,47 @@ object Classifier {
     * `w_total` = Σ_j w_j on the grid, `threshold` (null = vacuous). */
   def weightedConformalThreshold(calib: DataFrame, groupCol: String,
                                  scoreCol: Column, weights: DataFrame,
-                                 alphaNum: Long, alphaDen: Long): DataFrame = {
+                                 alphaNum: Long, alphaDen: Long): DataFrame =
+    weightedConformalFromState(
+      groupScoreState(calib, groupCol, scoreCol), groupCol, weights,
+      alphaNum, alphaDen)
+
+  /** The weighted calibration's SUFFICIENT STATISTIC as a mergeable
+    * state — `(group, score, n)` counts at (covariate, distinct-score)
+    * grain. States merge by ADDITION ([[mergeGroupScoreStates]]), the
+    * [[scoreState]]/[[lossState]] citizenship extended to the
+    * covariate-shift gate: both the per-group calibration counts the
+    * likelihood-ratio weights need AND the weighted score distribution
+    * derive from the fold, so τ_t is maintained incrementally at batch
+    * cost with history never rescanned — exactly (integer counts). */
+  def groupScoreState(calib: DataFrame, groupCol: String,
+                      scoreCol: Column): DataFrame =
+    calib.select(col(groupCol).cast("string").as(groupCol),
+        scoreCol.cast("double").as("score"))
+      .groupBy(col(groupCol), col("score"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge two [[groupScoreState]]s — associative, commutative,
+    * exact. */
+  def mergeGroupScoreStates(a: DataFrame, b: DataFrame): DataFrame = {
+    val groupCol = a.columns.head
+    a.unionByName(b).groupBy(col(groupCol), col("score"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** [[weightedConformalThreshold]] evaluated from a
+    * [[groupScoreState]] — the read side of the incremental weighted
+    * calibration. Same exact arithmetic and output rows as the direct
+    * form. */
+  def weightedConformalFromState(state: DataFrame, groupCol: String,
+                                 weights: DataFrame, alphaNum: Long,
+                                 alphaDen: Long): DataFrame = {
     require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
       "alpha must be a rational in [0, 1]")
     val w = weights.select(col(groupCol).cast("string").as(groupCol),
       col("w6").cast("long").as("w6"))
-    val d = calib
-      .select(col(groupCol).cast("string").as(groupCol),
-        scoreCol.cast("double").as("__s"))
-      .groupBy(col(groupCol), col("__s")).agg(count(lit(1)).as("__c"))
+    val d = state
+      .select(col(groupCol), col("score").as("__s"), col("n").as("__c"))
       .join(broadcast(w), Seq(groupCol))
       .withColumn("__wc", col("__c") * col("w6"))
     val tot = d.agg(sum(col("__wc")).as("w_total"),
@@ -381,6 +413,48 @@ object Classifier {
         round(lit(1e6) * (col("__a") * col("__ct")).cast("double") /
           (col("__c") * col("__at")).cast("double"), 0)
           .cast("long").as("w6"))
+  }
+
+  /** [[sourceShiftWeights]] with the calibration side read from a
+    * [[groupScoreState]] fold (c_g = Σ_s n at group grain) instead of
+    * rescanning the calibration rows — the incremental path's weight
+    * estimation. Same fixed float-op order, same |G|-row output. */
+  def shiftWeightsFromState(state: DataFrame, applyDf: DataFrame,
+                            groupCol: String): DataFrame = {
+    val cg = state.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("__c"))
+    val ag = applyDf.select(col(groupCol).cast("string").as(groupCol))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__a"))
+    val ct = cg.agg(sum(col("__c")).as("__ct"))
+    val at = ag.agg(sum(col("__a")).as("__at"))
+    cg.join(ag, Seq(groupCol), "left")
+      .na.fill(0L, Seq("__a"))
+      .crossJoin(broadcast(ct)).crossJoin(broadcast(at))
+      .select(col(groupCol),
+        round(lit(1e6) * (col("__a") * col("__ct")).cast("double") /
+          (col("__c") * col("__at")).cast("double"), 0)
+          .cast("long").as("w6"))
+  }
+
+  /** [[weightedConformalGate]] evaluated from a [[groupScoreState]]
+    * fold: weights estimated via [[shiftWeightsFromState]], thresholds
+    * via [[weightedConformalFromState]], gate identical — so the
+    * incremental weighted calibration equals the monolithic one
+    * exactly (pinned by q250's oracle, which IS the monolithic
+    * computation). */
+  def weightedConformalGateFromState(state: DataFrame,
+                                     applyDf: DataFrame, groupCol: String,
+                                     scoreCol: Column, alphaNum: Long,
+                                     alphaDen: Long): DataFrame = {
+    val thr = weightedConformalFromState(state, groupCol,
+      shiftWeightsFromState(state, applyDf, groupCol), alphaNum, alphaDen)
+      .withColumnRenamed(groupCol, s"__g_$groupCol")
+    applyDf.join(broadcast(thr),
+        applyDf(groupCol).cast("string") === thr(s"__g_$groupCol"), "left")
+      .withColumn("accept", graft.functions.Clean.flag(
+        col("threshold").isNull ||
+          scoreCol.cast("double") >= col("threshold")))
+      .drop(s"__g_$groupCol")
   }
 
   /** [[weightedConformalThreshold]] applied end-to-end with

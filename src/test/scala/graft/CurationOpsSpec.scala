@@ -895,6 +895,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"merged $a vs monolithic $b")
   }
 
+  test("groupScoreState merge identity: the weighted gate from folded " +
+       "shards equals the monolithic calibration exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(186)
+    val rows = Seq.fill(36)((if (rnd.nextBoolean()) "gA" else "gB",
+      rnd.nextInt(9) / 10.0 + 0.1, rnd.nextInt(3)))
+    val whole = rows.map(r => (r._1, r._2)).toDF("g", "s")
+    val app = Seq(("gA", 0.35), ("gA", 0.85), ("gB", 0.15),
+      ("gB", 0.55), ("gB", 0.95)).toDF("g", "s")
+    val folded = (0 until 3)
+      .map(i => rows.filter(_._3 == i).map(r => (r._1, r._2))
+        .toDF("g", "s"))
+      .map(df => graft.operators.Classifier.groupScoreState(
+        df, "g", col("s")))
+      .reduce(graft.operators.Classifier.mergeGroupScoreStates)
+    val a = graft.operators.Classifier.weightedConformalGateFromState(
+      folded, app, "g", col("s"), 1L, 4L)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[Long]("accept"))).toSet
+    val b = graft.operators.Classifier.weightedConformalGate(
+      whole, app, "g", col("s"), 1L, 4L)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[Long]("accept"))).toSet
+    assert(a == b, s"merged $a vs monolithic $b")
+  }
+
   test("conformalFdrSelect: BH over conformal p-values at tie-block " +
        "granularity; empty and full selections at the extremes") {
     import spark.implicits._
