@@ -22,6 +22,12 @@ artifact (usually docs/bench_locked.json), recompute for each query:
   sev_ext   (f * ref_probe / f_probe) / prior for an EXTERNAL standalone
             floor passed as --floor q=<sec>@<probe> — the r17 standalone
             protocol (floor rescaled into the reference probe unit)
+  sev_raw   best severity recomputed against the reference's RAW
+            (pre-normalization) value when the reference is a
+            probe-normalized lock carrying queries_raw — the r18
+            over-normalization check: a flag whose sev_raw ≤ 1.3 is the
+            lock's normalization divisor overstating speed (a
+            mid-window fast dip inflated min_windows_lo), not code
 
 Verdict per query: window if the best available severity <= 1.3, CODE?
 otherwise. The r17 exonerations reproduce from the committed artifacts:
@@ -86,8 +92,9 @@ def main():
 
     print(f"{'query':36} {'prior':>7} {'min':>7} {'floor':>7} "
           f"{'sev_un':>7} {'sev_p50':>7} {'sev_nrm':>7} {'sev_ext':>7} "
-          f"{'mw':>6} verdict")
+          f"{'sev_raw':>7} {'mw':>6} verdict")
     n_window = n_code = 0
+    raw_map = ref.get("queries_raw", {})
     for q in queries:
         prior = ref.get("queries", {}).get(q)
         ent = flags.get(q, {})
@@ -112,6 +119,21 @@ def main():
             f_sec, f_probe = floors[q]
             sev_ext = (f_sec * pb_r / f_probe) / prior
             best.append(sev_ext)
+        sev_raw = None
+        raw_prior = raw_map.get(q)
+        if isinstance(raw_prior, (int, float)) and raw_prior > 0 and \
+           raw_prior != prior:
+            # best severity against the PRE-normalization measurement —
+            # same fixture, same protocol; ≤1.3 here with >1.3 against
+            # the normalized prior means the divisor, not the code
+            raws = [m / (raw_prior * raw) * p50_scale]
+            if isinstance(floor, (int, float)) and floor > 0:
+                raws.append(floor / (raw_prior * raw) * p50_scale)
+            if q in floors:
+                f_sec, f_probe = floors[q]
+                raws.append((f_sec * pb_r / f_probe) / raw_prior)
+            sev_raw = min(raws)
+            best.append(sev_raw)
         verdict = "window" if min(best) <= 1.3 else "CODE?"
         if verdict == "window":
             n_window += 1
@@ -120,6 +142,7 @@ def main():
         prov = mw.get(q)
         print(f"{q:36} {fmt(prior)} {fmt(m)} {fmt(floor)} {fmt(sev_un)} "
               f"{fmt(sev_p50)} {fmt(sev_nrm)} {fmt(sev_ext)} "
+              f"{fmt(sev_raw)} "
               f"{prov if prov is None else format(prov, '6.2f')} {verdict}")
     print(f"\n{n_window} window, {n_code} CODE?"
           + (" — CODE? holdouts need a standalone floor "
