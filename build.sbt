@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver BENCH channel (r19): the driver runs `sbt "runMain graft.Bench"`
+// and JSON-parses the LAST stdout line. With the default LoggedOutput
+// strategy every forked-stdout line arrives wrapped in "[info] " and sbt
+// appends a "[success] Total time: ..." banner — both defeat the parse
+// (BENCH_r13..r18 all rc=0 yet parsed:null). StdoutOutput passes the
+// forked process's stdout through verbatim, and showSuccess drops the
+// banner, so Bench's compact summary line is genuinely last + unprefixed.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// both keys are consumed by the command engine, not a task graph —
+// lintUnused false-positives on them
+Global / excludeLintKeys ++= Set(showSuccess, outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

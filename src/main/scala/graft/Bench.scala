@@ -1061,10 +1061,34 @@ object Bench {
       val needProv = {
         val (measSnap, cals2) = stateLock.synchronized(
           (measurements.toVector, calSamples.toVector))
-        minWindowRatiosOf(measSnap, cals2, probeBaseline)
-          .filter { case (n, (_, hi, _)) => hi > 3.0 }
-          .keys.filterNot(n => floorsAcc.contains(n) ||
-            errors.contains(n)).toSeq.sorted.take(6)
+        val ratios = minWindowRatiosOf(measSnap, cals2, probeBaseline)
+        // two tiers, worst-first WITHIN each (r19 — the advisor's
+        // no-silent-caps finding: the old alphabetical take(6) could
+        // drop the worst offender and leave lock.py refusing with no
+        // hint the CAP, not the evidence, was the cause):
+        //  1. hi > 3.0 — uncertifiable AND unnormalizable (lock.py
+        //     refuses the whole run without a floor here);
+        //  2. lo > 1.45 — normalizable, but in the measured band
+        //     (r18: 1.49-1.76x divisors, inflated by mid-window fast
+        //     dips) where a normalized anchor manufactures flags on a
+        //     slow host. A floor certifies the query absolutely and
+        //     takes it out of normalization entirely.
+        val all = ratios.toSeq
+          .filterNot { case (n, _) =>
+            floorsAcc.contains(n) || errors.contains(n) }
+          .collect {
+            case (n, (_, hi, _)) if hi > 3.0 => (n, 0, hi)
+            case (n, (_, hi, lo)) if lo > 1.45 => (n, 1, lo)
+          }
+          .sortBy { case (_, tier, sev) => (tier, -sev) }
+        val kept = all.take(6)
+        if (all.size > kept.size)
+          System.err.println(s"[bench] provenance-floor cap: taking " +
+            s"${kept.size} of ${all.size} candidates, DROPPED: " +
+            all.drop(kept.size).map { case (n, t, s) =>
+              f"$n(${if (t == 0) "hi" else "lo"}=$s%.2f)" }
+              .mkString(", "))
+        kept.map(_._1)
       }
       for (n <- needProv if remainingSec > 120) {
         val timeoutMin = math.max(2L,
@@ -1075,7 +1099,8 @@ object Bench {
         floor.foreach { case (f, mode) =>
           stateLock.synchronized { floorsAcc(n) = (f, mode) }
           System.err.println(f"[bench] provenance floor $n = $f%.2f s " +
-            s"($mode; certification window beyond the 3x rescale bound)")
+            s"($mode; window uncertifiable or lo-divisor in the " +
+            "manufactured-flag band)")
         }
       }
     }

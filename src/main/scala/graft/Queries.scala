@@ -10513,7 +10513,276 @@ object Queries {
              |  CAST(sum(CASE WHEN th2.tau IS NULL OR sc.s >= th2.tau
              |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accept_rate
              |FROM sc LEFT JOIN th2 ON th2.source = sc.source
-             |WHERE is_app GROUP BY 1""".stripMargin)))
+             |WHERE is_app GROUP BY 1""".stripMargin)),
+
+    Q("q251_incremental_auc",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // INCREMENTAL exact AUC — q247's tie-corrected Mann–Whitney
+        // statistic maintained from MERGEABLE (score, n_pos, n_neg)
+        // states (the q249/q250 construction extended to ranking
+        // evaluation): the corpus arrives as three id-sharded batches,
+        // each contributing only its distinct-score label counts;
+        // states fold by addition and the exact integer 2U reads off
+        // the fold — equal to the monolithic statistic, history never
+        // rescanned. The direct aucExact is DEFINED as
+        // aucFromState ∘ labelScoreState, so the two forms cannot
+        // drift; the oracle IS the monolithic q247 computation, so the
+        // merge identity sits under the hash gate. Shards by % 3
+        // (coprime with the fixture's mod-20 source derivation).
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val label = graft.functions.Clean.flag(size(toks) >= 25)
+        val state = Seq(0L, 1L, 2L)
+          .map(r => operators.Classifier.labelScoreState(
+            docs.filter(col("doc_id") % 3 === r), score, label))
+          .reduce(operators.Classifier.mergeLabelScoreStates)
+        operators.Classifier.aucFromState(state)
+      },
+      Some("""WITH sc AS (SELECT
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    CASE WHEN len(string_split(lower(text), ' ')) >= 25
+             |      THEN 1 ELSE 0 END AS y FROM documents),
+             |g AS (SELECT s, sum(y) AS cp, count(*) - sum(y) AS cn
+             |      FROM sc GROUP BY 1),
+             |c2 AS (SELECT cp, cn,
+             |    sum(cn) OVER (ORDER BY s) AS cumn FROM g),
+             |a AS (SELECT sum(cp * (2 * (cumn - cn) + cn)) AS u2,
+             |        sum(cp) AS np, sum(cn) AS nn FROM c2)
+             |SELECT CAST(np AS BIGINT) AS n_pos,
+             |  CAST(nn AS BIGINT) AS n_neg,
+             |  CAST(u2 AS BIGINT) AS u2,
+             |  CAST(u2 AS DOUBLE) / (2.0 * np * nn) AS auc
+             |FROM a""".stripMargin)),
+
+    Q("q252_incremental_risk_coverage",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // INCREMENTAL risk–coverage curve — q246's full operating-point
+        // menu maintained from the SAME mergeable (score, n, loss_sum)
+        // states the q242/q249 risk-control gate folds: shard states
+        // merge by addition and the curve reads off the fold, exactly
+        // equal to the monolithic curve (integer counts at
+        // distinct-score grain). One state family now serves BOTH the
+        // gate and its dashboard. The direct riskCoverageCurve is
+        // DEFINED as riskCoverageFromState ∘ lossState, so the forms
+        // cannot drift; the oracle IS the monolithic q246 computation.
+        // Shards by % 3 (coprime with the mod-20 source derivation).
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val loss = graft.functions.Clean.flag(size(toks) < 25)
+        val state = Seq(0L, 1L, 2L)
+          .map(r => operators.Classifier.lossState(
+            docs.filter(col("doc_id") % 3 === r), score, loss))
+          .reduce(operators.Classifier.mergeLossStates)
+        operators.Classifier.riskCoverageFromState(state)
+      },
+      Some("""WITH sc AS (SELECT
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    CASE WHEN len(string_split(lower(text), ' ')) < 25
+             |      THEN 1 ELSE 0 END AS l FROM documents),
+             |g AS (SELECT s AS threshold, count(*) AS c, sum(l) AS b
+             |      FROM sc GROUP BY 1),
+             |t AS (SELECT sum(c) AS n FROM g),
+             |c2 AS (SELECT threshold,
+             |    sum(c) OVER (ORDER BY threshold DESC) AS n_covered,
+             |    sum(b) OVER (ORDER BY threshold DESC) AS n_bad_covered
+             |  FROM g)
+             |SELECT threshold, CAST(n_covered AS BIGINT) AS n_covered,
+             |  CAST(n_bad_covered AS BIGINT) AS n_bad_covered,
+             |  CAST(n_covered AS DOUBLE) / t.n AS coverage,
+             |  CAST(n_bad_covered AS DOUBLE) / n_covered
+             |    AS selective_risk
+             |FROM c2, t""".stripMargin)),
+
+    Q("q253_facility_location_bucketed",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // BUCKETED facility-location greedy — q248's submodular
+        // selection with the corpus side routed through an IVF-style
+        // cell assignment (centroid pool vec_id % 100 == 7, quantized
+        // nearest-centroid argmax on the 1e-4 cosine grid, ties → the
+        // smaller centroid id), so each candidate meets only its own
+        // cell and the persisted pair table shrinks by ~|cells| — the
+        // 100 TB shape q248's scaladoc promises, as code. Cross-cell
+        // similarity is treated as 0 (the clamp-at-0 reading), and the
+        // whole trajectory — routing, gains, best-service map,
+        // objective — stays exact integer arithmetic on the grid, so
+        // the oracle replays all 4 unrolled greedy rounds over the
+        // SAME cell-restricted pair table.
+        operators.Selection.facilityLocationSelectBucketed(
+          tbl("embeddings"),
+          tbl("embeddings").filter(col("vec_id") % 7 === 0),
+          tbl("embeddings").filter(col("vec_id") % 100 === 7),
+          "vec_id", "embedding", k = 4)
+      },
+      Some {
+        val rounds = (2 to 4).map { r =>
+          val prev = (1 until r).map(i => s"SELECT c FROM w$i")
+            .mkString(" UNION ")
+          s"""g$r AS (SELECT c, sum(greatest(s - best, 0)) AS g
+             |  FROM p JOIN b${r - 1} USING (j)
+             |  WHERE c NOT IN ($prev) GROUP BY 1),
+             |w$r AS (SELECT c, g FROM g$r ORDER BY g DESC, c LIMIT 1),
+             |b$r AS (SELECT b${r - 1}.j,
+             |    greatest(b${r - 1}.best, coalesce(p.s, 0)) AS best
+             |  FROM b${r - 1} LEFT JOIN p ON p.j = b${r - 1}.j
+             |    AND p.c = (SELECT c FROM w$r))""".stripMargin
+        }.mkString(",\n")
+        val sel = (2 to 4).map(r =>
+          s"""UNION ALL SELECT CAST($r AS BIGINT), c,
+             |  CAST(g AS BIGINT),
+             |  (SELECT CAST(sum(best) AS BIGINT) FROM b$r) FROM w$r""".stripMargin)
+          .mkString("\n")
+        s"""WITH cnd AS (SELECT vec_id AS c,
+           |    CAST(embedding AS DOUBLE[]) AS vc FROM embeddings
+           |  WHERE vec_id % 7 = 0),
+           |e AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS vj
+           |      FROM embeddings),
+           |cents AS (SELECT vec_id AS cid,
+           |    CAST(embedding AS DOUBLE[]) AS vn FROM embeddings
+           |  WHERE vec_id % 100 = 7),
+           |cellj AS (SELECT j, cid AS cell FROM (
+           |    SELECT e.j, cents.cid, row_number() OVER (PARTITION BY e.j
+           |        ORDER BY CAST(round(list_cosine_similarity(cents.vn,
+           |          e.vj) * 10000.0, 0) AS BIGINT) DESC, cents.cid) AS rn
+           |    FROM e, cents) WHERE rn = 1),
+           |cellc AS (SELECT c, cid AS cell FROM (
+           |    SELECT cnd.c, cents.cid, row_number() OVER (PARTITION BY
+           |        cnd.c ORDER BY CAST(round(list_cosine_similarity(
+           |          cents.vn, cnd.vc) * 10000.0, 0) AS BIGINT) DESC,
+           |        cents.cid) AS rn
+           |    FROM cnd, cents) WHERE rn = 1),
+           |p AS (SELECT cnd.c, e.j, CAST(round(
+           |    list_cosine_similarity(cnd.vc, e.vj) * 10000.0, 0)
+           |    AS BIGINT) AS s
+           |  FROM cnd JOIN cellc ON cellc.c = cnd.c
+           |    JOIN cellj ON TRUE JOIN e ON e.j = cellj.j
+           |  WHERE cellc.cell = cellj.cell),
+           |b0 AS (SELECT j, CAST(0 AS BIGINT) AS best FROM e),
+           |g1 AS (SELECT c, sum(greatest(s - best, 0)) AS g
+           |       FROM p JOIN b0 USING (j) GROUP BY 1),
+           |w1 AS (SELECT c, g FROM g1 ORDER BY g DESC, c LIMIT 1),
+           |b1 AS (SELECT b0.j, greatest(b0.best, coalesce(p.s, 0))
+           |    AS best FROM b0 LEFT JOIN p ON p.j = b0.j
+           |    AND p.c = (SELECT c FROM w1)),
+           |$rounds
+           |SELECT CAST(1 AS BIGINT) AS round, c AS vec_id,
+           |  CAST(g AS BIGINT) AS marginal_gain,
+           |  (SELECT CAST(sum(best) AS BIGINT) FROM b1)
+           |    AS objective_total
+           |FROM w1
+           |$sel""".stripMargin
+      }),
+
+    Q("q254_conformal_coverage_audit",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // EMPIRICAL COVERAGE AUDIT of the conformal gate family — the
+        // "did the promise hold" evidence row the gates lacked: q238's
+        // marginal, q239's Mondrian and q241's weighted gate are each
+        // calibrated on the doc_id%7==3 split and applied to a DISJOINT
+        // exchangeable holdout (doc_id%7==5 — same coprime-with-mod-20
+        // discipline), then coverageAudit reports exact integer accept
+        // counts per (gate, group) against the promised 1−α floor;
+        // meets_floor is the pure-integer inequality
+        // aDen·n_accept ≥ (aDen−aNum)·n_holdout. The audit REPORTS (a
+        // fixed holdout can dip below the floor without indicting the
+        // gate — the guarantee is marginal over exchangeable draws; the
+        // calibration-side bound is deterministic and property-pinned
+        // in CurationOpsSpec). One report-grain aggregate per gate.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val calib = docs.filter(col("doc_id") % 7 === 3)
+        val hold = docs.filter(col("doc_id") % 7 === 5)
+        val marginal = operators.Classifier.coverageAudit(
+          operators.Classifier.conformalGate(calib, hold, score, 1L, 10L),
+          "marginal", None, 1L, 10L)
+        val mondrian = operators.Classifier.coverageAudit(
+          operators.Classifier.conformalGateByGroup(calib, hold,
+            Seq("lang"), score, 1L, 10L),
+          "mondrian", Some("lang"), 1L, 10L)
+        val weighted = operators.Classifier.coverageAudit(
+          operators.Classifier.weightedConformalGate(calib, hold,
+            "source", score, 1L, 10L),
+          "weighted", Some("source"), 1L, 10L)
+        marginal.unionByName(mondrian).unionByName(weighted)
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang, source,
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    doc_id % 7 = 3 AS is_cal,
+             |    doc_id % 7 = 5 AS is_hold FROM documents),
+             |d1 AS (SELECT s, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1),
+             |n1 AS (SELECT sum(c) AS n FROM d1),
+             |cd1 AS (SELECT s, sum(c) OVER (ORDER BY s DESC) AS cum
+             |        FROM d1),
+             |t1 AS (SELECT max(s) AS tau FROM cd1, n1
+             |       WHERE cum * 10 >= (n1.n + 1) * 9),
+             |d2 AS (SELECT lang, s, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1, 2),
+             |n2 AS (SELECT lang, sum(c) AS n FROM d2 GROUP BY 1),
+             |cd2 AS (SELECT lang, s, sum(c) OVER
+             |    (PARTITION BY lang ORDER BY s DESC) AS cum FROM d2),
+             |t2 AS (SELECT cd2.lang, max(s) AS tau FROM cd2
+             |       JOIN n2 ON n2.lang = cd2.lang
+             |       WHERE cum * 10 >= (n2.n + 1) * 9 GROUP BY 1),
+             |cg AS (SELECT source, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1),
+             |ag AS (SELECT source, count(*) AS a FROM sc WHERE is_hold
+             |       GROUP BY 1),
+             |ct AS (SELECT sum(c) AS ct FROM cg),
+             |at2 AS (SELECT sum(a) AS at FROM ag),
+             |w AS (SELECT cg.source,
+             |    CAST(round(1000000.0 * CAST(coalesce(ag.a, 0) * ct.ct
+             |      AS DOUBLE) / CAST(cg.c * at2.at AS DOUBLE), 0)
+             |      AS BIGINT) AS w6
+             |  FROM cg LEFT JOIN ag USING (source), ct, at2),
+             |dd AS (SELECT source, s, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1, 2),
+             |dw AS (SELECT dd.s, sum(dd.c * w.w6) AS wcs
+             |       FROM dd JOIN w USING (source) GROUP BY 1),
+             |tw AS (SELECT sum(wcs) AS wtot FROM dw),
+             |cw AS (SELECT s, sum(wcs) OVER (ORDER BY s DESC) AS cum
+             |       FROM dw),
+             |t3 AS (SELECT w.source, max(cw.s) AS tau
+             |       FROM cw, tw, w
+             |       WHERE cw.cum * 10 >= (tw.wtot + w.w6) * 9
+             |       GROUP BY 1),
+             |a1 AS (SELECT 'marginal' AS gate, 'ALL' AS grp,
+             |    count(*) AS nh,
+             |    sum(CASE WHEN t1.tau IS NULL OR sc.s >= t1.tau
+             |      THEN 1 ELSE 0 END) AS na
+             |  FROM sc, t1 WHERE is_hold),
+             |a2 AS (SELECT 'mondrian' AS gate, sc.lang AS grp,
+             |    count(*) AS nh,
+             |    sum(CASE WHEN t2.tau IS NULL OR sc.s >= t2.tau
+             |      THEN 1 ELSE 0 END) AS na
+             |  FROM sc LEFT JOIN t2 ON t2.lang = sc.lang
+             |  WHERE is_hold GROUP BY 2),
+             |a3 AS (SELECT 'weighted' AS gate, sc.source AS grp,
+             |    count(*) AS nh,
+             |    sum(CASE WHEN t3.tau IS NULL OR sc.s >= t3.tau
+             |      THEN 1 ELSE 0 END) AS na
+             |  FROM sc LEFT JOIN t3 ON t3.source = sc.source
+             |  WHERE is_hold GROUP BY 2),
+             |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+             |      UNION ALL SELECT * FROM a3)
+             |SELECT gate, grp, CAST(nh AS BIGINT) AS n_holdout,
+             |  CAST(na AS BIGINT) AS n_accept,
+             |  CAST(na AS DOUBLE) / nh AS coverage,
+             |  CAST(0.9 AS DOUBLE) AS promised,
+             |  CAST(CASE WHEN na * 10 >= 9 * nh THEN 1 ELSE 0 END
+             |    AS BIGINT) AS meets_floor
+             |FROM u""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

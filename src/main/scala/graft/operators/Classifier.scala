@@ -306,10 +306,12 @@ object Classifier {
     * convention applied to the weight function; conformal's guarantee
     * tolerates any shared reweighting estimate, and estimated
     * likelihood ratios carry sampling error anyway), so the whole gate
-    * is EXACT integer arithmetic — weighted counts c·w6 are longs, the
-    * cumulative is an integer window, and the rank inequality runs in
-    * DECIMAL(38,0) (the q237 t-closeness discipline) so no product can
-    * wrap at any corpus size. No float anywhere in the gate.
+    * is EXACT integer arithmetic — weighted counts c·w6, their
+    * cumulative window, and the rank inequality all run in
+    * DECIMAL(38,0) from the first multiply (the q237 t-closeness
+    * discipline), so no product can wrap at any corpus size even when
+    * a tiny calibration group makes w6 itself ~10^10+. No float
+    * anywhere in the gate.
     *
     * Scale shape: one (group, score)-grain aggregate over the
     * calibration sample, a |G|-row broadcast of the weight table, ONE
@@ -358,28 +360,34 @@ object Classifier {
                                  alphaDen: Long): DataFrame = {
     require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
       "alpha must be a rational in [0, 1]")
+    // ALL weighted-count arithmetic runs in DECIMAL(38,0) from the first
+    // multiply (r19): a tiny calibration group under a heavy shift makes
+    // w6 itself ~10^6·C/c_g (≥ 10^10 at a 10^5:1 group imbalance), so
+    // c·w6 and its cumulative can wrap a LONG long before the rank
+    // inequality — the decimal cast must precede the product, not just
+    // the comparison. The OUTPUT `w_total` column is DECIMAL(38,0) too:
+    // a long output would throw CAST_OVERFLOW (ANSI) exactly in the
+    // extreme-weight regime the decimal arithmetic exists for.
+    val dec = "decimal(38,0)"
     val w = weights.select(col(groupCol).cast("string").as(groupCol),
       col("w6").cast("long").as("w6"))
     val d = state
       .select(col(groupCol), col("score").as("__s"), col("n").as("__c"))
       .join(broadcast(w), Seq(groupCol))
-      .withColumn("__wc", col("__c") * col("w6"))
-    val tot = d.agg(sum(col("__wc")).as("w_total"),
+      .withColumn("__wc", col("__c").cast(dec) * col("w6").cast(dec))
+    val tot = d.agg(sum(col("__wc")).cast(dec).as("w_total"),
       sum(col("__c")).as("n_calib"))
-    val cum = d.groupBy(col("__s")).agg(sum(col("__wc")).as("__wcs"))
+    val cum = d.groupBy(col("__s")).agg(sum(col("__wc")).cast(dec).as("__wcs"))
       .withColumn("__cum", sum(col("__wcs")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)))
+        org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc))
+        .cast(dec))
     val wt = w.crossJoin(broadcast(tot))
-    // aDen·cum ≥ (aDen−aNum)·(W + w_t) in DECIMAL(38,0): cum tops out at
-    // 10^6·n_calib, so long×long products would wrap near 10^18 — the
-    // decimal comparison is exact at any corpus size
-    val dec = "decimal(38,0)"
     // group-keyed τ re-attached via LEFT join with the τ table
     // broadcast (a right-outer with a broadcast build side is
     // unsupported and would fall back to a shuffle join)
     val taus = cum.crossJoin(broadcast(wt))
-      .filter(col("__cum").cast(dec) * lit(alphaDen) >=
-        (col("w_total") + col("w6")).cast(dec) * lit(alphaDen - alphaNum))
+      .filter(col("__cum") * lit(alphaDen) >=
+        (col("w_total") + col("w6").cast(dec)) * lit(alphaDen - alphaNum))
       .groupBy(col(groupCol))
       .agg(max(col("__s")).as("threshold"))
     wt.join(broadcast(taus), Seq(groupCol), "left")
@@ -475,6 +483,39 @@ object Classifier {
         col("threshold").isNull ||
           scoreCol.cast("double") >= col("threshold")))
       .drop(s"__g_$groupCol")
+  }
+
+  /** EMPIRICAL COVERAGE AUDIT of an applied conformal gate (r19 — the
+    * "did the promise hold" read the gate family lacked): given a
+    * gated frame (any of [[conformalGate]] / [[conformalGateByGroup]] /
+    * [[weightedConformalGate]] applied to a DISJOINT exchangeable
+    * holdout split), report per group the exact integer accept counts
+    * against the promised floor 1−α. `meets_floor` is the pure-integer
+    * inequality aDen·n_accept ≥ (aDen−aNum)·n_holdout — no float in
+    * the verdict; `coverage` and `promised` are single divisions of
+    * exact integers for the report. Conformal's guarantee is
+    * P(accept) ≥ 1−α marginally over exchangeable draws — a fixed
+    * holdout realization can dip below the floor without indicting the
+    * gate (on the CALIBRATION sample itself the bound is deterministic
+    * by the order-statistic construction, pinned in CurationOpsSpec) —
+    * so the audit is the curation card's evidence row, not an
+    * assertion. Scale shape: ONE report-grain aggregate over the
+    * holdout, zero extra scans; `group` = 'ALL' for a marginal
+    * gate. */
+  def coverageAudit(gated: DataFrame, gateName: String,
+                    groupCol: Option[String], alphaNum: Long,
+                    alphaDen: Long): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    val g = groupCol.map(c => col(c).cast("string")).getOrElse(lit("ALL"))
+    gated.groupBy(lit(gateName).as("gate"), g.as("grp"))
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(col("accept")).as("n_accept"))
+      .select(col("gate"), col("grp"), col("n_holdout"), col("n_accept"),
+        (col("n_accept").cast("double") / col("n_holdout")).as("coverage"),
+        lit((alphaDen - alphaNum).toDouble / alphaDen).as("promised"),
+        graft.functions.Clean.flag(col("n_accept") * lit(alphaDen) >=
+          lit(alphaDen - alphaNum) * col("n_holdout")).as("meets_floor"))
   }
 
   /** CONFORMAL RISK CONTROL of a selection threshold (Angelopoulos,
@@ -729,11 +770,21 @@ object Classifier {
     * cumulative window, a 1-row broadcast total — report × grid
     * output, zero extra corpus scans. */
   def riskCoverageCurve(df: DataFrame, scoreCol: Column,
-                        lossCol: Column): DataFrame = {
-    val d = df.select(scoreCol.cast("double").as("threshold"),
-        lossCol.cast("long").as("__l"))
-      .groupBy(col("threshold"))
-      .agg(count(lit(1)).as("__c"), sum(col("__l")).as("__b"))
+                        lossCol: Column): DataFrame =
+    riskCoverageFromState(lossState(df, scoreCol, lossCol))
+
+  /** [[riskCoverageCurve]] evaluated from a [[lossState]] — the curve's
+    * sufficient statistic IS the risk-control gate's `(score, n,
+    * loss_sum)` state, so the full operating-point menu joins the
+    * mergeable-summaries family for free: shard/batch states fold by
+    * addition ([[mergeLossStates]]) and the curve of the fold equals
+    * the monolithic curve exactly (integer counts, no sketch term).
+    * The direct form is DEFINED as this evaluation ∘ state extraction
+    * (the [[conformalThreshold]] discipline), so the two cannot
+    * drift. */
+  def riskCoverageFromState(state: DataFrame): DataFrame = {
+    val d = state.select(col("score").as("threshold"),
+      col("n").as("__c"), col("loss_sum").as("__b"))
     val tot = d.agg(sum(col("__c")).as("__n"))
     d.withColumn("n_covered", sum(col("__c")).over(
         org.apache.spark.sql.expressions.Window
@@ -758,14 +809,49 @@ object Classifier {
     * in DECIMAL(38,0) so nothing wraps at any corpus size. Returns ONE
     * row: `n_pos`, `n_neg`, `u2` (= 2U, the exact integer), `auc`.
     * One (score)-grain aggregate + one cumulative window + a 1-row
-    * total — the same shape as every gate in this file. */
+    * total — the same shape as every gate in this file.
+    *
+    * Vacuity (r19): a single-class input has no ranking to score —
+    * `auc` is an explicit NULL when n_pos·n_neg = 0 (the sibling
+    * gates' vacuous-row reading), never NaN/Infinity. Output bound,
+    * documented: the `u2` OUTPUT column is a long for schema
+    * stability, saturating only past 2·n_pos·n_neg > 9.2e18 (≈ 2.1e9
+    * rows per class); the decimal form is exact internally and the
+    * `auc` division reads the decimal, not the long. */
   def aucExact(df: DataFrame, scoreCol: Column,
-               labelCol: Column): DataFrame = {
-    val d = df.select(scoreCol.cast("double").as("__s"),
+               labelCol: Column): DataFrame =
+    aucFromState(labelScoreState(df, scoreCol, labelCol))
+
+  /** The AUC's SUFFICIENT STATISTIC as a mergeable state — per distinct
+    * score, the positive and negative counts `(score, n_pos, n_neg)`.
+    * States merge by ADDITION ([[mergeLabelScoreStates]]): the
+    * [[scoreState]]/[[lossState]] mergeable-summaries citizenship
+    * extended to ranking evaluation, so the exact tie-corrected AUC is
+    * maintained incrementally at batch cost — shard/epoch states fold
+    * in any grouping and [[aucFromState]] of the fold equals the
+    * monolithic statistic exactly (integer counts, no sketch term).
+    * History is never rescanned. */
+  def labelScoreState(df: DataFrame, scoreCol: Column,
+                      labelCol: Column): DataFrame =
+    df.select(scoreCol.cast("double").as("score"),
         labelCol.cast("long").as("__y"))
-      .groupBy(col("__s"))
-      .agg(sum(col("__y")).as("__cp"),
-        (count(lit(1)) - sum(col("__y"))).as("__cn"))
+      .groupBy(col("score"))
+      .agg(sum(col("__y")).as("n_pos"),
+        (count(lit(1)) - sum(col("__y"))).as("n_neg"))
+
+  /** Merge two [[labelScoreState]]s — associative, commutative,
+    * exact. */
+  def mergeLabelScoreStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("score"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+
+  /** [[aucExact]] evaluated from a [[labelScoreState]] — the read side
+    * of the incremental statistic. The direct form is DEFINED as this
+    * evaluation ∘ state extraction (the [[conformalThreshold]]
+    * discipline), so direct and incremental AUC cannot drift. */
+  def aucFromState(state: DataFrame): DataFrame = {
+    val d = state.select(col("score").as("__s"),
+      col("n_pos").as("__cp"), col("n_neg").as("__cn"))
     val dec = "decimal(38,0)"
     val cumN = d.withColumn("__cumn", sum(col("__cn")).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("__s"))))
@@ -778,8 +864,11 @@ object Classifier {
         sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
         col("u2").cast("long").as("u2"),
-        (col("u2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+        when(coalesce(col("n_pos"), lit(0L)) === 0 ||
+            coalesce(col("n_neg"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
   /** One GD update over `df`: w ← w − lr·(Σ(σ(w·x) − y)·x / n). An

@@ -629,8 +629,6 @@ object Selection {
                              idCol: String, vecCol: String, k: Int,
                              simScale: Double = 1e4): DataFrame = {
     require(k >= 1, "need k >= 1")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cand = candidates.select(col(idCol).cast("long").as("__c"),
       col(vecCol).as("__vc"))
     val corp = corpus.select(col(idCol).cast("long").as("__j"),
@@ -639,32 +637,118 @@ object Selection {
       .select(col("__c"), col("__j"),
         round(graft.functions.Vectors.cosine(col("__vc"), col("__vj")) *
           lit(simScale), 0).cast("long").as("__s"))
-      .persist()
-    var best = corp.select(col("__j"), lit(0L).as("__b"))
+    greedyFacilityLoop(pairs, corp.select(col("__j")), idCol, k)
+  }
+
+  /** The shared greedy loop of [[facilityLocationSelect]] /
+    * [[facilityLocationSelectBucketed]]: k rounds of one integer
+    * aggregate over the (persisted-once) pair table + a 1-row winner
+    * collect (model parameters, the CELF/CC-loop exception) + a narrow
+    * localCheckpointed best-service update. Candidates absent from the
+    * pair table (a bucketed candidate whose cell holds no corpus point)
+    * are unpickable; when NO candidate remains pickable (k past the
+    * pool, or an empty pool/corpus) the loop returns the PARTIAL
+    * trajectory instead of an opaque NoSuchElementException (r19,
+    * advisor finding). */
+  private def greedyFacilityLoop(pairs0: DataFrame, corpusIds: DataFrame,
+                                 idCol: String, k: Int): DataFrame = {
+    val spark = pairs0.sparkSession
+    import spark.implicits._
+    val pairs = pairs0.persist()
+    var best = corpusIds.select(col("__j"), lit(0L).as("__b"))
       .localCheckpoint(true)
     val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     val chosen = scala.collection.mutable.Set.empty[Long]
     var objective = 0L
-    for (r <- 1 to k) {
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
       val gains0 = pairs.join(best, Seq("__j"))
         .groupBy(col("__c"))
         .agg(sum(greatest(col("__s") - col("__b"), lit(0L))).as("__g"))
       val gains = if (chosen.isEmpty) gains0
         else gains0.filter(!col("__c").isin(chosen.toSeq: _*))
-      val w = gains.orderBy(col("__g").desc, col("__c")).limit(1)
-        .collect().head
-      val (wid, wg) = (w.getLong(0), w.getLong(1))
-      objective += wg
-      chosen += wid
-      sel += ((r.toLong, wid, wg, objective))
-      best = best
-        .join(pairs.filter(col("__c") === wid)
-          .select(col("__j"), col("__s")), Seq("__j"), "left")
-        .select(col("__j"),
-          greatest(col("__b"), coalesce(col("__s"), lit(0L))).as("__b"))
-        .localCheckpoint(true)
+      val head = gains.orderBy(col("__g").desc, col("__c")).limit(1)
+        .collect()
+      // k past the candidate pool (or an empty pool/corpus) leaves no
+      // pickable candidate: return the partial trajectory instead of an
+      // opaque NoSuchElementException mid-loop (r19, advisor finding)
+      if (head.isEmpty) exhausted = true
+      else {
+        val (wid, wg) = (head.head.getLong(0), head.head.getLong(1))
+        objective += wg
+        chosen += wid
+        sel += ((r.toLong, wid, wg, objective))
+        best = best
+          .join(pairs.filter(col("__c") === wid)
+            .select(col("__j"), col("__s")), Seq("__j"), "left")
+          .select(col("__j"),
+            greatest(col("__b"), coalesce(col("__s"), lit(0L))).as("__b"))
+          .localCheckpoint(true)
+        r += 1
+      }
     }
     pairs.unpersist(false)
     sel.toSeq.toDF("round", idCol, "marginal_gain", "objective_total")
+  }
+
+  /** [[facilityLocationSelect]] with the corpus side routed through an
+    * IVF-style CELL assignment — the 100 TB shape the dense form's
+    * scaladoc promises, now code: each candidate meets only the corpus
+    * points of its own cell, so the persisted pair table is
+    * |corpus|·|candidates|/|cells| in expectation instead of the dense
+    * product (measured in docs/SCALE.md). Semantics: similarity is
+    * treated as 0 across cell boundaries — the clamp-at-0 reading
+    * (cross-cell pairs contribute nothing to F), so with ONE cell the
+    * bucketed trajectory equals the dense form EXACTLY (pinned in
+    * SelectionSpec); with many cells it is the standard IVF recall
+    * trade the ANN family already documents.
+    *
+    * Cell assignment is the QUANTIZED nearest-centroid argmax:
+    * s4 = round(cosine·10⁴) (the q26-proven cross-engine grid), ties →
+    * the smaller centroid id — deterministic and engine-portable, so an
+    * oracle replays the routing exactly (the float-argmax of
+    * [[Similarity.assignCells]] is the production routing when
+    * cross-engine replay is not required; the plan shape is the same).
+    * Centroids are collected once (model parameters, |cells|×dim) and
+    * the per-row assignment is a ZERO-SHUFFLE codegen'd projection — a
+    * greatest() fold over per-centroid (s4, −id, id) structs, no join,
+    * no window; the only exchange added over the dense form is none at
+    * all (the pair join stays broadcast). */
+  def facilityLocationSelectBucketed(corpus: DataFrame,
+                                     candidates: DataFrame,
+                                     centroids: DataFrame, idCol: String,
+                                     vecCol: String, k: Int,
+                                     simScale: Double = 1e4): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col(idCol).cast("long"),
+        graft.functions.Vectors.toDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "need at least one centroid")
+    def cellOf(vec: Column): Column = {
+      val structs = cents.map { case (cid, v) =>
+        struct(
+          round(graft.functions.Vectors.cosine(vec, typedLit(v)) *
+            lit(simScale), 0).cast("long").as("s4"),
+          lit(-cid).as("negid"), lit(cid).as("cid"))
+      }
+      val winner =
+        if (structs.length == 1) structs.head else greatest(structs: _*)
+      winner.getField("cid")
+    }
+    val cand = candidates.select(col(idCol).cast("long").as("__c"),
+      col(vecCol).as("__vc"))
+      .withColumn("__cell", cellOf(col("__vc")))
+    val corp = corpus.select(col(idCol).cast("long").as("__j"),
+      col(vecCol).as("__vj"))
+      .withColumn("__cell", cellOf(col("__vj")))
+    val pairs = corp.join(broadcast(cand), Seq("__cell"))
+      .select(col("__c"), col("__j"),
+        round(graft.functions.Vectors.cosine(col("__vc"), col("__vj")) *
+          lit(simScale), 0).cast("long").as("__s"))
+    greedyFacilityLoop(pairs, corp.select(col("__j")), idCol, k)
   }
 }

@@ -737,7 +737,8 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(w.length == 2)
     for (r <- w) {
       assert(r.getLong(1) == u.getLong(0), "n_calib mismatch")
-      assert(r.getLong(3) == 9000000L, "w_total on the grid")
+      assert(r.getDecimal(3).longValueExact == 9000000L,
+        "w_total on the grid")
       assert(r.getDouble(4) == u.getDouble(2),
         s"uniform-weight τ for ${r.getString(0)} diverges from unweighted")
     }
@@ -772,7 +773,7 @@ class CurationOpsSpec extends AnyFunSuite {
       graft.operators.Classifier.sourceShiftWeights(cal, app, "g"),
       1L, 3L).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4)))).toMap
+        r.getDecimal(3).longValueExact, r.getDouble(4)))).toMap
     assert(thr == Map(
       "gA" -> ((6L, 400000L, 4800000L, 0.2)),
       "gB" -> ((6L, 1200000L, 4800000L, 0.1))), s"got $thr")
@@ -1072,6 +1073,213 @@ class CurationOpsSpec extends AnyFunSuite {
       (r.toLong, wid, wg, obj)
     }
     assert(got == exp, s"got $got vs driver greedy $exp")
+  }
+
+  test("facilityLocationSelect: k past the candidate pool returns the " +
+       "partial trajectory, not an exception; empty pool returns empty") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0f, 0f, 1f)), (4L, Array(1f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cand = vecs.filter(col("vec_id") <= 2)
+    val out = graft.operators.Selection.facilityLocationSelect(
+      vecs, cand, "vec_id", "embedding", k = 5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L),
+      s"2-candidate pool at k=5 must stop after 2 rounds, got $out")
+    val empty = graft.operators.Selection.facilityLocationSelect(
+      vecs, vecs.filter(col("vec_id") < 0), "vec_id", "embedding", k = 2)
+    assert(empty.count() == 0L, "empty candidate pool returns no rounds")
+  }
+
+  test("facilityLocationSelectBucketed: one cell covers all pairs and " +
+       "equals the dense trajectory exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9127)
+    val rv = Seq.tabulate(14)(i =>
+      ((i + 1).toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cand = rv.filter(col("vec_id") % 3 === 0)
+    val dense = graft.operators.Selection.facilityLocationSelect(
+      rv, cand, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val oneCell = graft.operators.Selection.facilityLocationSelectBucketed(
+      rv, cand, rv.filter(col("vec_id") === 1), "vec_id", "embedding",
+      k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(oneCell == dense,
+      s"one-cell bucketed $oneCell diverges from dense $dense")
+  }
+
+  test("facilityLocationSelectBucketed: multi-cell routing equals a " +
+       "driver greedy replay over the cell-restricted pair table") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4451)
+    val rv = Seq.tabulate(16)(i =>
+      ((i + 1).toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cand = rv.filter(col("vec_id") % 3 === 0)
+    val cents = rv.filter(col("vec_id") % 5 === 2) // ids 2, 7, 12
+    val got = graft.operators.Selection.facilityLocationSelectBucketed(
+      rv, cand, cents, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // driver replay: quantized nearest-centroid cells (ties → smaller
+    // centroid id) from the SAME engine cosine kernel, then the greedy
+    // over only cell-matched pairs
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.crossJoin(cents.select(col("vec_id").as("cid"),
+          col("embedding").as("cv")))
+        .select(col("vec_id"), col("cid"),
+          round(graft.functions.Vectors.cosine(col("cv"),
+            col("embedding")) * lit(1e4), 0).cast("long").as("s4"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.sortBy(t => (-t._3, t._2)).head._2 }
+    val cellJ = cellsOf(rv)
+    val cellC = cellsOf(cand)
+    val sims = rv.crossJoin(cand.select(col("vec_id").as("c"),
+        col("embedding").as("ce")))
+      .select(col("c"), col("vec_id").as("j"),
+        round(graft.functions.Vectors.cosine(col("ce"),
+          col("embedding")) * lit(1e4), 0).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => cellC(p._1) == cellJ(p._2))
+    assert(sims.nonEmpty && sims.size <
+      rv.count().toInt * cand.count().toInt,
+      "cells must genuinely restrict the pair table in this fixture")
+    val best = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    var obj = 0L
+    val exp = (1 to 3).map { r =>
+      val gains = sims.filterNot(p => chosen(p._1)).groupBy(_._1)
+        .map { case (c, ps) =>
+          c -> ps.map(p => math.max(p._3 - best(p._2), 0L)).sum }
+      val (wid, wg) = gains.toSeq.sortBy { case (c, g) => (-g, c) }.head
+      chosen += wid; obj += wg
+      sims.filter(_._1 == wid).foreach(p =>
+        best(p._2) = math.max(best(p._2), p._3))
+      (r.toLong, wid, wg, obj)
+    }
+    assert(got == exp, s"got $got vs driver bucketed greedy $exp")
+  }
+
+  test("aucFromState: shard states merge to the monolithic statistic " +
+       "exactly, under two different shardings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7312)
+    val rows = Seq.tabulate(400) { i =>
+      // coarse score grid forces heavy ties; label correlates weakly
+      val s = math.rint(rnd.nextDouble() * 20) / 20.0
+      (i.toLong, s, if (rnd.nextDouble() < s * 0.8 + 0.1) 1L else 0L)
+    }
+    val df = rows.toDF("id", "s", "y")
+    val direct = graft.operators.Classifier.aucExact(
+      df, col("s"), col("y")).collect().head
+    for (m <- Seq(3, 5)) {
+      val state = (0 until m)
+        .map(r => graft.operators.Classifier.labelScoreState(
+          df.filter(col("id") % m === r), col("s"), col("y")))
+        .reduce(graft.operators.Classifier.mergeLabelScoreStates)
+      val inc = graft.operators.Classifier.aucFromState(state)
+        .collect().head
+      assert(inc.getLong(0) == direct.getLong(0) &&
+        inc.getLong(1) == direct.getLong(1) &&
+        inc.getLong(2) == direct.getLong(2) &&
+        inc.getDouble(3) == direct.getDouble(3),
+        s"%$m-sharded AUC state diverges: $inc vs $direct")
+    }
+  }
+
+  test("aucExact: single-class input yields an explicit null auc, " +
+       "never NaN/Infinity") {
+    import spark.implicits._
+    for (y <- Seq(0L, 1L)) {
+      val df = Seq((0.9, y), (0.5, y), (0.1, y)).toDF("s", "y")
+      val r = graft.operators.Classifier.aucExact(
+        df, col("s"), col("y")).collect().head
+      assert(r.isNullAt(3), s"single-class (y=$y) auc must be null")
+      assert(r.getLong(2) == 0L, "no discordant mass in a single class")
+    }
+  }
+
+  test("riskCoverageFromState: shard states merge to the monolithic " +
+       "curve exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5521)
+    val rows = Seq.tabulate(300) { i =>
+      val s = math.rint(rnd.nextDouble() * 15) / 15.0
+      (i.toLong, s, if (rnd.nextDouble() < 0.3) 1L else 0L)
+    }
+    val df = rows.toDF("id", "s", "l")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))
+    val direct = graft.operators.Classifier.riskCoverageCurve(
+      df, col("s"), col("l")).collect().map(key).sortBy(_._1).toSeq
+    val state = Seq(0, 1, 2, 3)
+      .map(r => graft.operators.Classifier.lossState(
+        df.filter(col("id") % 4 === r), col("s"), col("l")))
+      .reduce(graft.operators.Classifier.mergeLossStates)
+    val inc = graft.operators.Classifier.riskCoverageFromState(state)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(inc == direct, "4-sharded risk-coverage state diverges")
+  }
+
+  test("weightedConformalFromState: weighted counts that wrap a LONG " +
+       "still gate correctly (decimal from the first multiply)") {
+    import spark.implicits._
+    // two calibration rows, each carrying w6 = 5e18: the cumulative at
+    // the lower score is 1e19 — past Long.MaxValue. α = 1/2 ⇒ the
+    // feasibility at score s is 2·cum(s) ≥ (W + w_t) = 1.5e19, so only
+    // the bottom score (cum = 1e19) qualifies: τ = 0.1 for both groups.
+    val cal = Seq(("gA", 0.9), ("gB", 0.1)).toDF("g", "s")
+    val w = Seq(("gA", 5000000000000000000L),
+      ("gB", 5000000000000000000L)).toDF("g", "w6")
+    val thr = graft.operators.Classifier.weightedConformalThreshold(
+      cal, "g", col("s"), w, 1L, 2L)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(thr == Map("gA" -> Some(0.1), "gB" -> Some(0.1)),
+      s"long-wrapping weighted cumulative mis-gated: $thr")
+  }
+
+  test("coverageAudit: calibration-side coverage meets the promised " +
+       "floor deterministically (the order-statistic bound), at every " +
+       "alpha; holdout audit REPORTS exact integer counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2209)
+    val cal = Seq.tabulate(157)(i =>
+        (i.toLong, math.rint(rnd.nextDouble() * 40) / 40.0))
+      .toDF("id", "s")
+    for ((aNum, aDen) <- Seq((1L, 10L), (1L, 3L), (1L, 2L), (9L, 10L))) {
+      val gated = graft.operators.Classifier.conformalGate(
+        cal, cal, col("s"), aNum, aDen)
+      val audit = graft.operators.Classifier.coverageAudit(
+        gated, "self", None, aNum, aDen).collect()
+      assert(audit.length == 1)
+      val r = audit.head
+      assert(r.getString(0) == "self" && r.getString(1) == "ALL")
+      assert(r.getLong(6) == 1L,
+        s"alpha $aNum/$aDen: calibration-side coverage " +
+          s"${r.getDouble(4)} must meet the ${r.getDouble(5)} floor " +
+          "(k-th order statistic construction)")
+      assert(r.getDouble(5) == (aDen - aNum).toDouble / aDen)
+    }
+    // integer audit on a hand case: α = 1/2 over {0.9, 0.5, 0.1} gives
+    // k = ⌈4/2⌉ = 2 → τ = 0.5 → accepts 2 of 3 on itself; the floor
+    // inequality 2·2 ≥ 1·3 holds
+    val tiny = Seq(0.9, 0.5, 0.1).toDF("s")
+    val g = graft.operators.Classifier.conformalGate(
+      tiny, tiny, col("s"), 1L, 2L)
+    val a = graft.operators.Classifier.coverageAudit(
+      g, "tiny", None, 1L, 2L).collect().head
+    assert(a.getLong(2) == 3L && a.getLong(3) == 2L &&
+      a.getLong(6) == 1L, s"hand audit: $a")
   }
 
   test("plan shape: the r18 gates (weighted conformal, risk control, " +

@@ -24,6 +24,48 @@ class PropertySpec extends AnyFunSuite {
   private val sentence: Gen[String] = Gen.choose(1, 30)
     .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
+  test("mergeable eval states: aucFromState and riskCoverageFromState " +
+       "of randomly-partitioned shard states equal the monolithic form") {
+    // the merge-identity citizenship (q251/q252): for ANY partition of
+    // the rows into shards, folding per-shard sufficient statistics by
+    // addition and evaluating equals evaluating the whole — exactly
+    val rowGen = for {
+      s <- Gen.choose(0, 25).map(_ / 25.0) // coarse grid forces ties
+      y <- Gen.oneOf(0L, 1L)
+      l <- Gen.oneOf(0L, 1L)
+    } yield (s, y, l)
+    for (trial <- 0 until 3) {
+      val nShards = 2 + trial * 3 // 2, 5, 8
+      // partition assignment is itself generated, not id-derived
+      val shards = samples(Gen.choose(0, nShards - 1), 300)
+      val rows = samples(rowGen, 300).zipWithIndex.map { case ((s, y, l), i) =>
+        (i.toLong, s, y, l, shards(i))
+      }
+      val df = rows.toDF("id", "s", "y", "l", "shard")
+      val aucDirect = graft.operators.Classifier.aucExact(
+        df, col("s"), col("y")).collect().head
+      val aucState = (0 until nShards)
+        .map(r => graft.operators.Classifier.labelScoreState(
+          df.filter(col("shard") === r), col("s"), col("y")))
+        .reduce(graft.operators.Classifier.mergeLabelScoreStates)
+      val aucInc = graft.operators.Classifier.aucFromState(aucState)
+        .collect().head
+      assert(aucInc.toSeq == aucDirect.toSeq,
+        s"$nShards-shard AUC state diverges: $aucInc vs $aucDirect")
+      def curve(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Double]).toSeq
+      val rcDirect = curve(graft.operators.Classifier.riskCoverageCurve(
+        df, col("s"), col("l")))
+      val rcState = (0 until nShards)
+        .map(r => graft.operators.Classifier.lossState(
+          df.filter(col("shard") === r), col("s"), col("l")))
+        .reduce(graft.operators.Classifier.mergeLossStates)
+      val rcInc = curve(
+        graft.operators.Classifier.riskCoverageFromState(rcState))
+      assert(rcInc == rcDirect, s"$nShards-shard risk-coverage diverges")
+    }
+  }
+
   test("decade: y - decade(y) in [0,10) and result divisible by 10") {
     val ys = samples(Gen.choose(-3000, 3000), 200)
     val rows = ys.toDF("y")

@@ -31,6 +31,8 @@ the gate; sev_unclamped rescales by the raw probe ratio) so window-vs-
 code is readable from the artifact alone.
 
 Usage: python3 tools/lock.py [--force] [--src docs/bench_full.json]
+                             [--dst docs/bench_locked.json]
+                             [--floors floors.json]
 """
 import json
 import shutil
@@ -41,6 +43,8 @@ dst = "docs/bench_locked.json"
 force = "--force" in sys.argv
 if "--src" in sys.argv:
     src = sys.argv[sys.argv.index("--src") + 1]
+if "--dst" in sys.argv:
+    dst = sys.argv[sys.argv.index("--dst") + 1]
 
 with open(src) as f:
     a = json.load(f)
@@ -124,6 +128,40 @@ if not a.get("window_ok", False):
                   f"window {rmax:.3f}x), {len(covered) - len(slow)} "
                   f"certified fast or floor-published")
 flags = a.get("regressed_vs_prev", {})
+
+# ── floor-corroborated divisor bound (r19 — the r18 measured residual:
+# ~3% of normalized anchors carried lo-divisors 1.49-1.76x inflated by
+# mid-window fast dips, manufacturing 1.4-1.6x flags on slow hosts). A
+# fresh-JVM floor is a CLEAN measurement of the same code whose own
+# window is at worst RMAX slow, so a normalized anchor below floor/RMAX
+# is provably over-normalized — cap it there (equivalently: cap the
+# divisor at raw·RMAX/floor). Floor sources: the artifact's own flag
+# floors (regressed_vs_prev) and an optional --floors sidecar
+# (q -> seconds, e.g. standalone adjudication floors). Queries the
+# Bench floor stage certified outright carry min_windows = -1 and are
+# never normalized, so this bound mainly consumes sidecar floors. ──
+if normalized:
+    floors = {n: v.get("floor") for n, v in flags.items()
+              if isinstance(v.get("floor"), (int, float))}
+    if "--floors" in sys.argv:
+        floors.update(json.load(
+            open(sys.argv[sys.argv.index("--floors") + 1])))
+    capped = {}
+    rawq = a.get("queries", {})
+    for n in list(normalized):
+        f = floors.get(n)
+        if isinstance(f, (int, float)) and f > 0 and qmap[n] < f / RMAX:
+            bounded = min(rawq[n], f / RMAX)  # divisor stays >= 1
+            capped[n] = {"was": qmap[n], "floor": f,
+                         "divisor": rawq[n] / bounded}
+            qmap[n] = bounded
+            normalized[n] = rawq[n] / bounded
+    if capped:
+        print(f"{len(capped)} normalized anchors floor-corroborated "
+              "(anchor < floor/RMAX would manufacture flags): " +
+              ", ".join(f"{n} {v['was']:.3f}->{qmap[n]:.3f}s "
+                        f"(floor {v['floor']:.3f})"
+                        for n, v in sorted(capped.items())))
 unfloored = [n for n, v in flags.items() if v.get("floor_mode") == "none"]
 if unfloored:
     problems.append(
