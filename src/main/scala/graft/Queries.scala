@@ -10782,7 +10782,123 @@ object Queries {
              |  CAST(0.9 AS DOUBLE) AS promised,
              |  CAST(CASE WHEN na * 10 >= 9 * nh THEN 1 ELSE 0 END
              |    AS BIGINT) AS meets_floor
-             |FROM u""".stripMargin)))
+             |FROM u""".stripMargin)),
+
+    Q("q255_facility_location_lazy",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // CELF lazy-greedy facility location (Leskovec et al. 2007) —
+        // q248's selection with lazy evaluation under submodularity:
+        // a candidate's marginal gain only decreases as the selected
+        // set grows, so its last evaluated gain upper-bounds it
+        // forever and each round touches the pair table only for the
+        // top stale bounds (a broadcast batch semi-join) instead of
+        // every candidate. The trajectory is BIT-IDENTICAL to naive
+        // greedy (settle rule dominates ties and the fetch boundary),
+        // so the oracle IS q248's unrolled-greedy replay — the scale
+        // optimization sits under the same hash gate as the thing it
+        // optimizes. Evaluations ≈ |candidates| + O(k·batch) vs
+        // naive's |candidates|·k (spec-pinned).
+        operators.Selection.facilityLocationSelectLazy(
+          tbl("embeddings"),
+          tbl("embeddings").filter(col("vec_id") % 7 === 0),
+          "vec_id", "embedding", k = 4)
+      },
+      Some {
+        val rounds = (2 to 4).map { r =>
+          val prev = (1 until r).map(i => s"SELECT c FROM w$i")
+            .mkString(" UNION ")
+          s"""g$r AS (SELECT c, sum(greatest(s - best, 0)) AS g
+             |  FROM p JOIN b${r - 1} USING (j)
+             |  WHERE c NOT IN ($prev) GROUP BY 1),
+             |w$r AS (SELECT c, g FROM g$r ORDER BY g DESC, c LIMIT 1),
+             |b$r AS (SELECT b${r - 1}.j,
+             |    greatest(b${r - 1}.best, coalesce(p.s, 0)) AS best
+             |  FROM b${r - 1} LEFT JOIN p ON p.j = b${r - 1}.j
+             |    AND p.c = (SELECT c FROM w$r))""".stripMargin
+        }.mkString(",\n")
+        val sel = (2 to 4).map(r =>
+          s"""UNION ALL SELECT CAST($r AS BIGINT), c,
+             |  CAST(g AS BIGINT),
+             |  (SELECT CAST(sum(best) AS BIGINT) FROM b$r) FROM w$r""".stripMargin)
+          .mkString("\n")
+        s"""WITH cnd AS (SELECT vec_id AS c,
+           |    CAST(embedding AS DOUBLE[]) AS vc FROM embeddings
+           |  WHERE vec_id % 7 = 0),
+           |e AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS vj
+           |      FROM embeddings),
+           |p AS (SELECT c, j, CAST(round(
+           |    list_cosine_similarity(vc, vj) * 10000.0, 0) AS BIGINT)
+           |    AS s FROM cnd, e),
+           |b0 AS (SELECT j, CAST(0 AS BIGINT) AS best FROM e),
+           |g1 AS (SELECT c, sum(greatest(s - best, 0)) AS g
+           |       FROM p JOIN b0 USING (j) GROUP BY 1),
+           |w1 AS (SELECT c, g FROM g1 ORDER BY g DESC, c LIMIT 1),
+           |b1 AS (SELECT b0.j, greatest(b0.best, coalesce(p.s, 0))
+           |    AS best FROM b0 LEFT JOIN p ON p.j = b0.j
+           |    AND p.c = (SELECT c FROM w1)),
+           |$rounds
+           |SELECT CAST(1 AS BIGINT) AS round, c AS vec_id,
+           |  CAST(g AS BIGINT) AS marginal_gain,
+           |  (SELECT CAST(sum(best) AS BIGINT) FROM b1)
+           |    AS objective_total
+           |FROM w1
+           |$sel""".stripMargin
+      }),
+
+    Q("q256_conformal_interval",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // SPLIT-CONFORMAL PREDICTION INTERVAL (Papadopoulos et al.
+        // 2002; Lei et al. 2018) — the canonical conformal form over a
+        // point predictor: predict n_chars from the whitespace token
+        // count (ŷ = 6·tokens, a fixed predictor — conformal's
+        // guarantee holds for ANY predictor), calibrate q̂ = the
+        // ⌈(n+1)·0.9⌉-th smallest |residual| on the doc_id%7==3 split,
+        // and P(|y−ŷ| ≤ q̂) ≥ 90% for exchangeable documents. The
+        // calibration is conformalFromState on the NEGATED residual
+        // grid, so it inherits the gate family's exact integer-k
+        // arithmetic and mergeable-state citizenship; residuals are
+        // integer-valued (exact in double), so every comparison
+        // hash-replays. Reported per language over the apply split:
+        // interval coverage, width, and the calibration row.
+        val docs = tbl("documents")
+        val toks = size(split(lower(col("text")), " "))
+        val pred = (toks * 6).cast("long")
+        operators.Classifier.conformalIntervalGate(
+            docs.filter(col("doc_id") % 7 === 3),
+            docs.filter(col("doc_id") % 7 =!= 3),
+            pred, col("n_chars"), alphaNum = 1L, alphaDen = 10L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("covered")).as("n_covered"),
+            first(col("q_hat")).as("q_hat"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("k")).as("k"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    abs(n_chars - 6 * len(string_split(lower(text), ' ')))
+             |      AS r,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
+             |d AS (SELECT r, count(*) AS c FROM sc WHERE is_cal
+             |      GROUP BY 1),
+             |n AS (SELECT sum(c) AS n FROM d),
+             |cd AS (SELECT r, sum(c) OVER (ORDER BY r ASC) AS cum
+             |       FROM d),
+             |qh AS (SELECT CAST(min(r) AS DOUBLE) AS q FROM cd, n
+             |       WHERE cum * 10 >= (n.n + 1) * 9),
+             |kk AS (SELECT CAST(n.n AS BIGINT) AS n_calib,
+             |         CAST(((n.n + 1) * 9 + 9) // 10 AS BIGINT) AS k
+             |       FROM n)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN qh.q IS NULL OR sc.r <= qh.q
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  any_value(qh.q) AS q_hat,
+             |  any_value(kk.n_calib) AS n_calib, any_value(kk.k) AS k,
+             |  CAST(sum(CASE WHEN qh.q IS NULL OR sc.r <= qh.q
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+             |FROM sc, qh, kk WHERE NOT is_cal
+             |GROUP BY lang""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -485,6 +485,57 @@ object Classifier {
       .drop(s"__g_$groupCol")
   }
 
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL (Papadopoulos et al. 2002;
+    * Lei et al. 2018 exposition) — the canonical conformal form the
+    * gate family lacked: given a calibration sample with a point
+    * prediction and the realized value, q̂ = the k-th SMALLEST absolute
+    * residual with k = ⌈(n+1)·(1−α)⌉ guarantees
+    * P(|y_new − ŷ_new| ≤ q̂) ≥ 1−α for exchangeable rows —
+    * distribution-free, finite-sample, any predictor. The calibration
+    * is DEFINED as [[conformalFromState]] on the NEGATED residual grid
+    * (the k-th smallest residual is the k-th largest negated residual),
+    * so the interval inherits the gate's exact integer-k arithmetic,
+    * its mergeable [[scoreState]] citizenship (fold residual states by
+    * addition, read q̂ off the fold), and its vacuity row (k > n ⇒
+    * null q̂ = the infinite interval — the sample cannot justify any
+    * finite width at confidence 1−α) — one definition, cannot drift.
+    * Returns ONE row: `n_calib`, `k`, `q_hat`. Residuals follow the
+    * continuous-score contract: grid-bound them (integer-valued or
+    * 1e-6-rounded) on BOTH sides. */
+  def conformalIntervalFromState(state: DataFrame, alphaNum: Long,
+                                 alphaDen: Long): DataFrame =
+    conformalFromState(
+      state.select((-col("score")).as("score"), col("n")),
+      alphaNum, alphaDen)
+      .select(col("n_calib"), col("k"), (-col("threshold")).as("q_hat"))
+
+  /** The interval calibration's mergeable sufficient statistic — the
+    * [[scoreState]] of the absolute residual. */
+  def residualState(calib: DataFrame, predCol: Column,
+                    actualCol: Column): DataFrame =
+    scoreState(calib,
+      abs(actualCol.cast("double") - predCol.cast("double")))
+
+  /** Apply a split-conformal interval: every apply row gains the 1-row
+    * broadcast calibration (`n_calib`, `k`, `q_hat`), the interval
+    * endpoints `lo`/`hi` = ŷ ∓ q̂ (null for the vacuous infinite
+    * interval), and — when the realized value is available, e.g. on an
+    * audit holdout — `covered` = |y − ŷ| ≤ q̂ (vacuous covers
+    * everything). One broadcast join, zero corpus shuffle. */
+  def conformalIntervalGate(calib: DataFrame, applyDf: DataFrame,
+                            predCol: Column, actualCol: Column,
+                            alphaNum: Long, alphaDen: Long): DataFrame = {
+    val qh = conformalIntervalFromState(
+      residualState(calib, predCol, actualCol), alphaNum, alphaDen)
+    applyDf.crossJoin(broadcast(qh))
+      .withColumn("lo", predCol.cast("double") - col("q_hat"))
+      .withColumn("hi", predCol.cast("double") + col("q_hat"))
+      .withColumn("covered", graft.functions.Clean.flag(
+        col("q_hat").isNull ||
+          abs(actualCol.cast("double") - predCol.cast("double")) <=
+            col("q_hat")))
+  }
+
   /** EMPIRICAL COVERAGE AUDIT of an applied conformal gate (r19 — the
     * "did the promise hold" read the gate family lacked): given a
     * gated frame (any of [[conformalGate]] / [[conformalGateByGroup]] /

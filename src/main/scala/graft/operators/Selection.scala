@@ -658,6 +658,7 @@ object Selection {
     var best = corpusIds.select(col("__j"), lit(0L).as("__b"))
       .localCheckpoint(true)
     val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var superseded: DataFrame = null
     val chosen = scala.collection.mutable.Set.empty[Long]
     var objective = 0L
     var r = 1
@@ -679,17 +680,158 @@ object Selection {
         objective += wg
         chosen += wid
         sel += ((r.toLong, wid, wg, objective))
+        superseded = best
         best = best
           .join(pairs.filter(col("__c") === wid)
             .select(col("__j"), col("__s")), Seq("__j"), "left")
           .select(col("__j"),
             greatest(col("__b"), coalesce(col("__s"), lit(0L))).as("__b"))
           .localCheckpoint(true)
+        // the superseded best-service checkpoint is corpus-id-sized;
+        // release it the moment the next round's state materializes
+        // (the PageRank/Checkpoints discipline) — k un-released copies
+        // is a real block-manager leak at corpus scale (r19)
+        Checkpoints.release(superseded)
         r += 1
       }
     }
     pairs.unpersist(false)
+    Checkpoints.release(best)
     sel.toSeq.toDF("round", idCol, "marginal_gain", "objective_total")
+  }
+
+  /** CELF lazy-greedy facility location (Leskovec et al. KDD 2007
+    * "Cost-effective outbreak detection" — lazy evaluation under
+    * submodularity): BIT-IDENTICAL trajectory to
+    * [[facilityLocationSelect]] (spec-pinned, same oracle), evaluating
+    * only the candidates whose stale upper bound could still win. A
+    * candidate's marginal gain is monotone non-increasing in the
+    * selected set (submodularity), so its last evaluated gain is a
+    * valid upper bound forever; each round evaluates batches of the
+    * top stale bounds until the best fresh gain dominates every
+    * remaining bound AND the fetch boundary, ties (smaller id wins)
+    * included — the [[maxCoverageSelect]] settle rule on the gain
+    * objective. Round 1's full sweep is unavoidable (no bounds exist)
+    * and seeds the IMMUTABLE bound table; later rounds touch the pair
+    * table only for the evaluated batch (a broadcast semi-join of ≤
+    * batch ids), so total gain evaluations ≈ |candidates| + O(k·batch)
+    * instead of naive's |candidates|·k — at a 100 TB pair table the
+    * difference is k-fold fewer full-table aggregates. */
+  def facilityLocationSelectLazy(corpus: DataFrame, candidates: DataFrame,
+                                 idCol: String, vecCol: String, k: Int,
+                                 simScale: Double = 1e4): DataFrame =
+    facilityLocationSelectLazyCounted(corpus, candidates, idCol, vecCol,
+      k, simScale)._1
+
+  /** [[facilityLocationSelectLazy]] plus the evaluation count (round-1
+    * full sweep included) — the spec hook for "evaluations ≪ n·k". */
+  private[graft] def facilityLocationSelectLazyCounted(
+      corpus: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, simScale: Double = 1e4): (DataFrame, Long) = {
+    require(k >= 1, "need k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val batchCap = 64
+    val seedCap = 4 // first batch of a round: bounds are usually tight,
+                    // so seed small and let the beater rule widen
+    val cand = candidates.select(col(idCol).cast("long").as("__c"),
+      col(vecCol).as("__vc"))
+    val corp = corpus.select(col(idCol).cast("long").as("__j"),
+      col(vecCol).as("__vj"))
+    val pairs = corp.crossJoin(broadcast(cand))
+      .select(col("__c"), col("__j"),
+        round(graft.functions.Vectors.cosine(col("__vc"), col("__vj")) *
+          lit(simScale), 0).cast("long").as("__s"))
+      .persist()
+    var best = corp.select(col("__j"), lit(0L).as("__b"))
+      .localCheckpoint(true)
+    // round-1 full sweep = the immutable bound table (gains vs best=0)
+    val g1 = pairs.groupBy(col("__c"))
+      .agg(sum(greatest(col("__s"), lit(0L))).as("ub"))
+      .localCheckpoint(true)
+    var evals = g1.count()
+    val overlay = scala.collection.mutable.HashMap.empty[Long, Long]
+    val selected = scala.collection.mutable.HashSet.empty[Long]
+    def freshGains(ids: Seq[Long]): Map[Long, Long] = {
+      val g = pairs.filter(col("__c").isin(ids: _*))
+        .join(best, Seq("__j"))
+        .groupBy(col("__c"))
+        .agg(sum(greatest(col("__s") - col("__b"), lit(0L))).as("__g"))
+        .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      ids.map(i => i -> g.getOrElse(i, 0L)).toMap
+    }
+    def pickWinner(r: Int): Option[(Long, Long)] = {
+      def fetchHead(n: Int): Array[(Long, Long)] =
+        g1.orderBy(col("ub").desc, col("__c")).limit(n)
+          .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+      if (r == 1) {
+        return fetchHead(1).headOption
+      }
+      var fetchN = batchCap + overlay.size + selected.size
+      var head = fetchHead(fetchN)
+      val fresh = scala.collection.mutable.HashMap.empty[Long, Long]
+      while (true) {
+        val cands = head.filterNot(p => selected(p._1))
+          .map { case (id, ub) => (id, overlay.getOrElse(id, ub)) }
+        val exhausted = head.length < fetchN
+        if (cands.isEmpty && exhausted) return None
+        val remaining = cands.filterNot(p => fresh.contains(p._1))
+        val bestFresh = if (fresh.isEmpty) None
+          else Some(fresh.minBy { case (id, g) => (-g, id) })
+        val beaters = bestFresh match {
+          case None => remaining.sortBy { case (id, ub) => (-ub, id) }
+            .take(seedCap)
+          case Some((wid, wg)) => remaining
+            .filter { case (id, ub) => ub > wg || (ub == wg && id < wid) }
+            .sortBy { case (id, ub) => (-ub, id) }.take(batchCap)
+        }
+        if (beaters.nonEmpty) {
+          val gains = freshGains(beaters.map(_._1))
+          evals += beaters.size
+          fresh ++= gains
+          overlay ++= gains // monotone: still valid bounds later
+        } else {
+          val settled = bestFresh.exists { case (wid, wg) =>
+            exhausted || {
+              val (bid, bub) = head.last
+              wg > bub || (wg == bub && wid <= bid)
+            }
+          }
+          if (settled) return bestFresh
+          fetchN = math.max(fetchN * 2, fetchN + batchCap)
+          head = fetchHead(fetchN)
+        }
+      }
+      None // unreachable
+    }
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var objective = 0L
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      pickWinner(r) match {
+        case None => exhausted = true
+        case Some((wid, wg)) =>
+          objective += wg
+          selected += wid
+          overlay.remove(wid)
+          sel += ((r.toLong, wid, wg, objective))
+          val superseded = best
+          best = best
+            .join(pairs.filter(col("__c") === wid)
+              .select(col("__j"), col("__s")), Seq("__j"), "left")
+            .select(col("__j"),
+              greatest(col("__b"), coalesce(col("__s"), lit(0L))).as("__b"))
+            .localCheckpoint(true)
+          Checkpoints.release(superseded)
+          r += 1
+      }
+    }
+    pairs.unpersist(false)
+    Checkpoints.release(best)
+    Checkpoints.release(g1)
+    (sel.toSeq.toDF("round", idCol, "marginal_gain", "objective_total"),
+      evals)
   }
 
   /** [[facilityLocationSelect]] with the corpus side routed through an

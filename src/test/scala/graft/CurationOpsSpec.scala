@@ -1093,6 +1093,80 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(empty.count() == 0L, "empty candidate pool returns no rounds")
   }
 
+  test("facilityLocationSelectLazy: bit-identical trajectory to naive " +
+       "greedy; evaluations well under the naive candidates x rounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6618)
+    val rv = Seq.tabulate(30)(i =>
+      ((i + 1).toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cand = rv.filter(col("vec_id") % 3 =!= 1) // 20 candidates
+    def traj(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val naive = traj(graft.operators.Selection.facilityLocationSelect(
+      rv, cand, "vec_id", "embedding", k = 4))
+    val (lazyDf, evals) =
+      graft.operators.Selection.facilityLocationSelectLazyCounted(
+        rv, cand, "vec_id", "embedding", k = 4)
+    assert(traj(lazyDf) == naive,
+      s"lazy trajectory ${traj(lazyDf)} diverges from naive $naive")
+    val nCand = cand.count()
+    assert(evals < nCand * 4,
+      s"CELF must beat naive: $evals evaluations vs naive ${nCand * 4}")
+    // k past the pool: partial trajectory, same as the naive guard
+    val tiny = graft.operators.Selection.facilityLocationSelectLazy(
+      rv, rv.filter(col("vec_id") <= 2), "vec_id", "embedding", k = 5)
+    assert(tiny.count() == 2L, "lazy loop stops when the pool runs out")
+  }
+
+  test("conformalIntervalGate: exact k-th-smallest-residual width, " +
+       "vacuous infinite interval, calibration-side coverage, and " +
+       "merge identity through residualState") {
+    import spark.implicits._
+    // residuals 0..9 (pred = 0): α = 1/5 ⇒ k = ⌈11·4/5⌉ = 9 ⇒ q̂ = 8
+    val cal = (0 to 9).map(r => (0L, r.toLong)).toDF("pred", "y")
+    val app = Seq((0L, 8L), (0L, 9L), (10L, 3L)).toDF("pred", "y")
+    val out = graft.operators.Classifier.conformalIntervalGate(
+      cal, app, col("pred"), col("y"), 1L, 5L)
+      .select(col("pred"), col("y"), col("q_hat"), col("lo"), col("hi"),
+        col("covered"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(out == Set((0L, 8L, 8.0, -8.0, 8.0, 1L),
+      (0L, 9L, 8.0, -8.0, 8.0, 0L), (10L, 3L, 8.0, 2.0, 18.0, 1L)),
+      s"got $out")
+    // α too tight for the sample ⇒ null q̂ = the infinite interval,
+    // which covers everything (the accept-all vacuity, interval form)
+    val vac = graft.operators.Classifier.conformalIntervalGate(
+      cal, app, col("pred"), col("y"), 1L, 100L)
+      .select(col("q_hat"), col("lo"), col("covered")).collect()
+    assert(vac.forall(r => r.isNullAt(0) && r.isNullAt(1) &&
+      r.getLong(2) == 1L), "k > n must yield the covering null interval")
+    // calibration-side coverage >= 1−α deterministically (cum(q̂) >= k)
+    for ((aNum, aDen) <- Seq((1L, 10L), (1L, 3L), (1L, 2L))) {
+      val g = graft.operators.Classifier.conformalIntervalGate(
+        cal, cal, col("pred"), col("y"), aNum, aDen)
+      val cov = g.agg(sum(col("covered")), count(lit(1))).collect().head
+      assert(cov.getLong(0) * aDen >= (aDen - aNum) * cov.getLong(1),
+        s"alpha $aNum/$aDen: calibration-side interval coverage dips " +
+          "below the floor")
+    }
+    // merge identity: sharded residual states fold to the direct q̂
+    val calW = cal.withColumn("id", col("y"))
+    val direct = graft.operators.Classifier.conformalIntervalFromState(
+      graft.operators.Classifier.residualState(
+        calW, col("pred"), col("y")), 1L, 5L).collect().head
+    val state = Seq(0L, 1L, 2L)
+      .map(r => graft.operators.Classifier.residualState(
+        calW.filter(col("id") % 3 === r), col("pred"), col("y")))
+      .reduce(graft.operators.Classifier.mergeScoreStates)
+    val inc = graft.operators.Classifier.conformalIntervalFromState(
+      state, 1L, 5L).collect().head
+    assert(inc.toSeq == direct.toSeq,
+      s"sharded interval calibration diverges: $inc vs $direct")
+  }
+
   test("facilityLocationSelectBucketed: one cell covers all pairs and " +
        "equals the dense trajectory exactly") {
     import spark.implicits._
