@@ -10898,7 +10898,79 @@ object Queries {
              |  CAST(sum(CASE WHEN qh.q IS NULL OR sc.r <= qh.q
              |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
              |FROM sc, qh, kk WHERE NOT is_cal
-             |GROUP BY lang""".stripMargin)))
+             |GROUP BY lang""".stripMargin)),
+
+    Q("q257_weighted_conformal_interval",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // WEIGHTED conformal interval under COVARIATE SHIFT — the
+        // actual subject of Tibshirani et al. 2019, closing the
+        // conformal family: q256's interval calibrated per test source
+        // under q241's likelihood-ratio reweighting (the apply
+        // population is the same deliberately source-shifted subsample
+        // as q241 — src0–src9 in full, src10–src19 thinned to the %3
+        // comb). q̂_t = the weighted ⌈…⌉-quantile of |n_chars −
+        // 6·tokens| per test source, via the negated-grid reduction
+        // through the DECIMAL(38,0) weighted machinery — exact integer
+        // arithmetic end to end, hash-replayable. Reported per source:
+        // interval coverage on the shifted population, q̂_t, w6.
+        val docs = tbl("documents")
+        val toks = size(split(lower(col("text")), " "))
+        val pred = (toks * 6).cast("long")
+        val calib = docs.filter(col("doc_id") % 7 === 3)
+        val app = docs.filter(col("doc_id") % 7 =!= 3 &&
+          (col("doc_id") % 20 < 10 || col("doc_id") % 3 === 0))
+        operators.Classifier.weightedConformalIntervalGate(
+            calib, app, "source", pred, col("n_chars"),
+            alphaNum = 1L, alphaDen = 10L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("covered")).as("n_covered"),
+            first(col("q_hat")).as("q_hat"),
+            first(col("w6")).as("w6"),
+            first(col("n_calib")).as("n_calib"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, source,
+             |    CAST(abs(n_chars - 6 * len(string_split(lower(text),
+             |      ' '))) AS DOUBLE) AS r,
+             |    doc_id % 7 = 3 AS is_cal,
+             |    doc_id % 7 <> 3 AND (doc_id % 20 < 10 OR doc_id % 3 = 0)
+             |      AS is_app FROM documents),
+             |cg AS (SELECT source, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1),
+             |ag AS (SELECT source, count(*) AS a FROM sc WHERE is_app
+             |       GROUP BY 1),
+             |ct AS (SELECT sum(c) AS ct FROM cg),
+             |at2 AS (SELECT sum(a) AS at FROM ag),
+             |w AS (SELECT cg.source,
+             |    CAST(round(1000000.0 * CAST(coalesce(ag.a, 0) * ct.ct
+             |      AS DOUBLE) / CAST(cg.c * at2.at AS DOUBLE), 0)
+             |      AS BIGINT) AS w6
+             |  FROM cg LEFT JOIN ag USING (source), ct, at2),
+             |dd AS (SELECT source, r, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1, 2),
+             |dw AS (SELECT dd.r, sum(dd.c * w.w6) AS wcs, sum(dd.c) AS cs
+             |       FROM dd JOIN w USING (source) GROUP BY 1),
+             |tot AS (SELECT sum(wcs) AS wtot, sum(cs) AS n_calib FROM dw),
+             |cum AS (SELECT r, sum(wcs) OVER (ORDER BY r ASC) AS cum
+             |        FROM dw),
+             |thr AS (SELECT w.source, min(cum.r) AS q
+             |        FROM cum, tot, w
+             |        WHERE cum.cum * 10 >= (tot.wtot + w.w6) * 9
+             |        GROUP BY 1),
+             |th2 AS (SELECT w.source, w.w6, thr.q, tot.n_calib
+             |        FROM w LEFT JOIN thr USING (source), tot)
+             |SELECT sc.source, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN th2.q IS NULL OR sc.r <= th2.q
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  any_value(th2.q) AS q_hat,
+             |  any_value(th2.w6) AS w6,
+             |  CAST(any_value(th2.n_calib) AS BIGINT) AS n_calib,
+             |  CAST(sum(CASE WHEN th2.q IS NULL OR sc.r <= th2.q
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+             |FROM sc LEFT JOIN th2 ON th2.source = sc.source
+             |WHERE is_app GROUP BY 1""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -536,6 +536,58 @@ object Classifier {
             col("q_hat")))
   }
 
+  /** WEIGHTED split-conformal interval under COVARIATE SHIFT — the
+    * actual subject of Tibshirani et al. 2019: per test group t, the
+    * interval half-width q̂_t is the weighted (1−α)-quantile of the
+    * calibration residuals under the likelihood-ratio reweighting, so
+    * P(|y−ŷ| ≤ q̂_t | group t) ≥ 1−α under the estimated shift. Same
+    * negated-grid reduction as [[conformalIntervalFromState]] applied
+    * to [[weightedConformalFromState]], so it inherits the weighted
+    * gate's DECIMAL(38,0) exactness, |G|-row weight broadcast, and
+    * per-group vacuity (null q̂_t = the infinite interval). */
+  def weightedConformalIntervalFromState(state: DataFrame,
+                                         groupCol: String,
+                                         weights: DataFrame,
+                                         alphaNum: Long,
+                                         alphaDen: Long): DataFrame =
+    weightedConformalFromState(
+      state.select(col(groupCol), (-col("score")).as("score"), col("n")),
+      groupCol, weights, alphaNum, alphaDen)
+      .select(col(groupCol), col("n_calib"), col("w6"), col("w_total"),
+        (-col("threshold")).as("q_hat"))
+
+  /** The weighted interval's mergeable sufficient statistic — the
+    * [[groupScoreState]] of the absolute residual. */
+  def groupResidualState(calib: DataFrame, groupCol: String,
+                         predCol: Column, actualCol: Column): DataFrame =
+    groupScoreState(calib, groupCol,
+      abs(actualCol.cast("double") - predCol.cast("double")))
+
+  /** Apply a weighted conformal interval end-to-end: weights estimated
+    * from the two populations ([[sourceShiftWeights]]), per-group q̂_t
+    * joined as a |G|-row broadcast, endpoints ŷ ∓ q̂_t, and `covered`
+    * for audit rows where the realized value is known (a group absent
+    * from calibration, or one whose sample cannot fund a finite width
+    * at 1−α, gets the covering null interval). Zero corpus shuffle. */
+  def weightedConformalIntervalGate(calib: DataFrame, applyDf: DataFrame,
+                                    groupCol: String, predCol: Column,
+                                    actualCol: Column, alphaNum: Long,
+                                    alphaDen: Long): DataFrame = {
+    val thr = weightedConformalIntervalFromState(
+      groupResidualState(calib, groupCol, predCol, actualCol), groupCol,
+      sourceShiftWeights(calib, applyDf, groupCol), alphaNum, alphaDen)
+      .withColumnRenamed(groupCol, s"__g_$groupCol")
+    applyDf.join(broadcast(thr),
+        applyDf(groupCol).cast("string") === thr(s"__g_$groupCol"), "left")
+      .withColumn("lo", predCol.cast("double") - col("q_hat"))
+      .withColumn("hi", predCol.cast("double") + col("q_hat"))
+      .withColumn("covered", graft.functions.Clean.flag(
+        col("q_hat").isNull ||
+          abs(actualCol.cast("double") - predCol.cast("double")) <=
+            col("q_hat")))
+      .drop(s"__g_$groupCol")
+  }
+
   /** EMPIRICAL COVERAGE AUDIT of an applied conformal gate (r19 — the
     * "did the promise hold" read the gate family lacked): given a
     * gated frame (any of [[conformalGate]] / [[conformalGateByGroup]] /

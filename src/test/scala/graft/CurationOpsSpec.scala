@@ -1167,6 +1167,43 @@ class CurationOpsSpec extends AnyFunSuite {
       s"sharded interval calibration diverges: $inc vs $direct")
   }
 
+  test("weightedConformalIntervalGate: uniform weights reduce to the " +
+       "POOLED unweighted interval for every test group (the q241 " +
+       "reduction, interval form); calibration-absent group gets the " +
+       "covering null interval") {
+    import spark.implicits._
+    // residuals 0..9 on group gA, 100..109 on gB (pred = 0): the
+    // weighted quantile POOLS all calibration residuals (Tibshirani et
+    // al.'s construction — per-group is the Mondrian axis, not this
+    // one), so uniform weights give every group the pooled q̂
+    val cal = ((0 to 9).map(r => ("gA", 0L, r.toLong)) ++
+      (0 to 9).map(r => ("gB", 0L, 100L + r))).toDF("g", "pred", "y")
+    val uni = Seq(("gA", 1000000L), ("gB", 1000000L)).toDF("g", "w6")
+    val w = graft.operators.Classifier.weightedConformalIntervalFromState(
+      graft.operators.Classifier.groupResidualState(
+        cal, "g", col("pred"), col("y")), "g", uni, 1L, 5L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val pooled = graft.operators.Classifier.conformalIntervalFromState(
+      graft.operators.Classifier.residualState(
+        cal, col("pred"), col("y")), 1L, 5L).collect().head.getDouble(2)
+    // pooled n = 20, α = 1/5 ⇒ k = ⌈21·4/5⌉ = 17 ⇒ q̂ = 106
+    assert(pooled == 106.0, s"pooled q_hat: $pooled")
+    assert(w == Map("gA" -> pooled, "gB" -> pooled), s"got $w")
+    // end-to-end: an apply mix concentrated on gB raises gB's weight;
+    // a group absent from calibration covers vacuously
+    val app = Seq(("gA", 0L, 5L), ("gB", 0L, 109L), ("gC", 0L, 7L))
+      .toDF("g", "pred", "y")
+    val gated = graft.operators.Classifier.weightedConformalIntervalGate(
+      cal, app, "g", col("pred"), col("y"), 1L, 5L)
+      .select(col("g"), col("covered"), col("q_hat")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(gated.exists { case (g, c, q) => g == "gC" && c == 1L && q.isEmpty },
+      s"calibration-absent group must cover vacuously: $gated")
+    assert(gated.collect { case ("gA", c, Some(_)) => c } == Set(1L),
+      s"gA residual 5 must be covered: $gated")
+  }
+
   test("facilityLocationSelectBucketed: one cell covers all pairs and " +
        "equals the dense trajectory exactly") {
     import spark.implicits._
