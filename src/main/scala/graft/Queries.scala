@@ -10970,7 +10970,97 @@ object Queries {
              |  CAST(sum(CASE WHEN th2.q IS NULL OR sc.r <= th2.q
              |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
              |FROM sc LEFT JOIN th2 ON th2.source = sc.source
-             |WHERE is_app GROUP BY 1""".stripMargin)))
+             |WHERE is_app GROUP BY 1""".stripMargin)),
+
+    Q("q258_risk_audit",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // EMPIRICAL RISK AUDIT — q254's dual for the CRC family: did
+        // the admitted bad-mass rate stay within the promised α?
+        // q242's marginal and q244's Mondrian risk gates (loss = "too
+        // short", α = 1/10) calibrate on doc_id%7==3 and are audited
+        // on the DISJOINT doc_id%7==5 holdout: exact integer admitted
+        // counts and admitted-loss sums per (gate, group), realized
+        // risk, and the pure-integer meets_bound
+        // aDen·loss_admitted ≤ aNum·n_admitted. Reports (the CRC
+        // guarantee is an expectation over exchangeable draws; a slice
+        // the gate admits nothing on yields the vacuous null-risk
+        // row). One report-grain aggregate per gate.
+        val docs = tbl("documents")
+        val toks = split(lower(col("text")), " ")
+        val score = round(
+          size(array_distinct(toks)).cast("double") / size(toks), 6)
+        val loss = graft.functions.Clean.flag(size(toks) < 25)
+        val calib = docs.filter(col("doc_id") % 7 === 3)
+        val hold = docs.filter(col("doc_id") % 7 === 5)
+        val marginal = operators.Classifier.riskAudit(
+          operators.Classifier.riskControlGate(calib, hold, score, loss,
+            1L, 10L),
+          "marginal", None, loss, 1L, 10L)
+        val mondrian = operators.Classifier.riskAudit(
+          operators.Classifier.riskControlGateByGroup(calib, hold,
+            Seq("lang"), score, loss, 1L, 10L),
+          "mondrian", Some("lang"), loss, 1L, 10L)
+        marginal.unionByName(mondrian)
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    round(CAST(len(list_distinct(string_split(lower(text),
+             |      ' '))) AS DOUBLE) / len(string_split(lower(text),
+             |      ' ')), 6) AS s,
+             |    CASE WHEN len(string_split(lower(text), ' ')) < 25
+             |      THEN 1 ELSE 0 END AS l,
+             |    doc_id % 7 = 3 AS is_cal,
+             |    doc_id % 7 = 5 AS is_hold FROM documents),
+             |g1 AS (SELECT s, count(*) AS c, sum(l) AS b FROM sc
+             |       WHERE is_cal GROUP BY 1),
+             |t1 AS (SELECT sum(c) AS n, sum(b) AS nb FROM g1),
+             |c1 AS (SELECT s, sum(b) OVER (ORDER BY s DESC) AS cb
+             |       FROM g1),
+             |m1 AS (SELECT min(s) AS tau FROM c1, t1
+             |       WHERE (cb + 1) * 10 <= (t1.n + 1)),
+             |f1 AS (SELECT m1.tau,
+             |         CASE WHEN (t1.nb + 1) * 10 <= (t1.n + 1)
+             |           THEN 1 ELSE 0 END AS admit_all
+             |       FROM m1, t1),
+             |g2 AS (SELECT lang, s, count(*) AS c, sum(l) AS b FROM sc
+             |       WHERE is_cal GROUP BY 1, 2),
+             |t2 AS (SELECT lang, sum(c) AS n, sum(b) AS nb FROM g2
+             |       GROUP BY 1),
+             |c2 AS (SELECT lang, s, sum(b) OVER
+             |    (PARTITION BY lang ORDER BY s DESC) AS cb FROM g2),
+             |m2 AS (SELECT c2.lang, min(s) AS tau FROM c2
+             |       JOIN t2 ON t2.lang = c2.lang
+             |       WHERE (cb + 1) * 10 <= (t2.n + 1) GROUP BY 1),
+             |f2 AS (SELECT t2.lang, m2.tau,
+             |         CASE WHEN (t2.nb + 1) * 10 <= (t2.n + 1)
+             |           THEN 1 ELSE 0 END AS admit_all
+             |       FROM t2 LEFT JOIN m2 ON m2.lang = t2.lang),
+             |a1 AS (SELECT 'marginal' AS gate, 'ALL' AS grp,
+             |    count(*) AS nh,
+             |    sum(CASE WHEN f1.admit_all = 1 OR (f1.tau IS NOT NULL
+             |      AND sc.s >= f1.tau) THEN 1 ELSE 0 END) AS na,
+             |    sum(CASE WHEN f1.admit_all = 1 OR (f1.tau IS NOT NULL
+             |      AND sc.s >= f1.tau) THEN sc.l ELSE 0 END) AS la
+             |  FROM sc, f1 WHERE is_hold),
+             |a2 AS (SELECT 'mondrian' AS gate, sc.lang AS grp,
+             |    count(*) AS nh,
+             |    sum(CASE WHEN f2.lang IS NOT NULL AND (f2.admit_all = 1
+             |      OR (f2.tau IS NOT NULL AND sc.s >= f2.tau))
+             |      THEN 1 ELSE 0 END) AS na,
+             |    sum(CASE WHEN f2.lang IS NOT NULL AND (f2.admit_all = 1
+             |      OR (f2.tau IS NOT NULL AND sc.s >= f2.tau))
+             |      THEN sc.l ELSE 0 END) AS la
+             |  FROM sc LEFT JOIN f2 ON f2.lang = sc.lang
+             |  WHERE is_hold GROUP BY 2),
+             |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+             |SELECT gate, grp, CAST(nh AS BIGINT) AS n_holdout,
+             |  CAST(na AS BIGINT) AS n_admitted,
+             |  CAST(la AS BIGINT) AS loss_admitted,
+             |  CASE WHEN na = 0 THEN NULL
+             |    ELSE CAST(la AS DOUBLE) / na END AS realized_risk,
+             |  CAST(0.1 AS DOUBLE) AS promised,
+             |  CAST(CASE WHEN la * 10 <= na THEN 1 ELSE 0 END
+             |    AS BIGINT) AS meets_bound
+             |FROM u""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -621,6 +621,40 @@ object Classifier {
           lit(alphaDen - alphaNum) * col("n_holdout")).as("meets_floor"))
   }
 
+  /** EMPIRICAL RISK AUDIT of an applied risk-control gate — the
+    * [[coverageAudit]] dual for the CRC family: where the coverage
+    * audit checks "did enough get through", this checks "was the bad
+    * mass admitted per unit ≤ the promised α": per (gate, group), the
+    * exact integer admitted count and admitted-loss sum on a DISJOINT
+    * exchangeable holdout, with `meets_bound` the pure-integer
+    * inequality aDen·loss_admitted ≤ aNum·n_admitted. Same honesty
+    * contract as the coverage audit: CRC's guarantee is an EXPECTATION
+    * over exchangeable draws, so a fixed holdout can exceed α without
+    * indicting the gate — the audit reports; a gate admitting NOTHING
+    * on a slice yields the vacuous n_admitted = 0 row (realized risk
+    * null, bound trivially met). One report-grain aggregate, zero
+    * extra scans. */
+  def riskAudit(gated: DataFrame, gateName: String,
+                groupCol: Option[String], lossCol: Column,
+                alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    val g = groupCol.map(c => col(c).cast("string")).getOrElse(lit("ALL"))
+    gated.groupBy(lit(gateName).as("gate"), g.as("grp"))
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(col("accept")).as("n_admitted"),
+        sum(col("accept") * lossCol.cast("long")).as("loss_admitted"))
+      .select(col("gate"), col("grp"), col("n_holdout"),
+        col("n_admitted"), col("loss_admitted"),
+        when(col("n_admitted") === 0, lit(null).cast("double"))
+          .otherwise(col("loss_admitted").cast("double") /
+            col("n_admitted")).as("realized_risk"),
+        lit(alphaNum.toDouble / alphaDen).as("promised"),
+        graft.functions.Clean.flag(
+          col("loss_admitted") * lit(alphaDen) <=
+            lit(alphaNum) * col("n_admitted")).as("meets_bound"))
+  }
+
   /** CONFORMAL RISK CONTROL of a selection threshold (Angelopoulos,
     * Bates, Fisch, Lei & Schuster, "Conformal Risk Control", ICLR
     * 2024) — the generalization of [[conformalThreshold]] from

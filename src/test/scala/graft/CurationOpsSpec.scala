@@ -1204,6 +1204,33 @@ class CurationOpsSpec extends AnyFunSuite {
       s"gA residual 5 must be covered: $gated")
   }
 
+  test("riskAudit: exact admitted-loss accounting; the vacuous " +
+       "admit-nothing gate yields a null-risk row with the bound met") {
+    import spark.implicits._
+    val cal = Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.6, 0L), (0.5, 0L),
+      (0.4, 1L), (0.3, 0L), (0.2, 0L), (0.1, 0L)).toDF("s", "l")
+    // α = 1/5 ⇒ τ = 0.8 (cum loss ≤ 1): auditing the gate back on the
+    // calibration sample admits {0.9 (loss), 0.8} — realized risk 0.5
+    // EXCEEDS α on this fixed sample (CRC bounds the next exchangeable
+    // row in expectation, with the +1 correction; the audit reports)
+    val g = graft.operators.Classifier.riskControlGate(
+      cal, cal, col("s"), col("l"), 1L, 5L)
+    val a = graft.operators.Classifier.riskAudit(
+      g, "crc", None, col("l"), 1L, 5L).collect().head
+    assert(a.getString(0) == "crc" && a.getString(1) == "ALL")
+    assert(a.getLong(2) == 9L && a.getLong(3) == 2L &&
+      a.getLong(4) == 1L && a.getDouble(5) == 0.5 &&
+      a.getDouble(6) == 0.2 && a.getLong(7) == 0L, s"audit row: $a")
+    // α = 1/20: nothing feasible ⇒ the gate admits NOTHING; the audit
+    // row is vacuous — null realized risk, bound trivially met
+    val g2 = graft.operators.Classifier.riskControlGate(
+      cal, cal, col("s"), col("l"), 1L, 20L)
+    val a2 = graft.operators.Classifier.riskAudit(
+      g2, "crc", None, col("l"), 1L, 20L).collect().head
+    assert(a2.getLong(3) == 0L && a2.isNullAt(5) && a2.getLong(7) == 1L,
+      s"vacuous audit row: $a2")
+  }
+
   test("facilityLocationSelectBucketed: one cell covers all pairs and " +
        "equals the dense trajectory exactly") {
     import spark.implicits._
