@@ -11060,7 +11060,100 @@ object Queries {
              |  CAST(0.1 AS DOUBLE) AS promised,
              |  CAST(CASE WHEN la * 10 <= na THEN 1 ELSE 0 END
              |    AS BIGINT) AS meets_bound
-             |FROM u""".stripMargin)))
+             |FROM u""".stripMargin)),
+
+    Q("q259_mondrian_conformal_interval",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // GROUP-CONDITIONAL (Mondrian) conformal interval — q256 per
+        // language, completing the {threshold, interval} × {marginal,
+        // Mondrian, weighted} matrix: each lang calibrates its own
+        // q̂_g on its own slice of the %7==3 split, so
+        // P(|n_chars − 6·tokens| ≤ q̂_g | lang) ≥ 90% holds PER
+        // LANGUAGE (an easy lang's tight residuals cannot buy coverage
+        // for a hard one). Same exact per-group order-statistic
+        // arithmetic as q239 on the negated residual grid; a slice
+        // that cannot fund a finite width gets the covering null
+        // interval. Reported per lang over the apply split.
+        val docs = tbl("documents")
+        val toks = size(split(lower(col("text")), " "))
+        val pred = (toks * 6).cast("long")
+        operators.Classifier.conformalIntervalGateByGroup(
+            docs.filter(col("doc_id") % 7 === 3),
+            docs.filter(col("doc_id") % 7 =!= 3),
+            Seq("lang"), pred, col("n_chars"),
+            alphaNum = 1L, alphaDen = 10L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_apply"),
+            sum(col("covered")).as("n_covered"),
+            first(col("q_hat")).as("q_hat"),
+            first(col("n_calib")).as("n_calib"),
+            first(col("k")).as("k"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_apply"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |    abs(n_chars - 6 * len(string_split(lower(text), ' ')))
+             |      AS r,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
+             |d AS (SELECT lang, r, count(*) AS c FROM sc WHERE is_cal
+             |      GROUP BY 1, 2),
+             |n AS (SELECT lang, sum(c) AS n FROM d GROUP BY 1),
+             |cd AS (SELECT lang, r, sum(c) OVER
+             |    (PARTITION BY lang ORDER BY r ASC) AS cum FROM d),
+             |qh AS (SELECT cd.lang, CAST(min(r) AS DOUBLE) AS q
+             |       FROM cd JOIN n ON n.lang = cd.lang
+             |       WHERE cum * 10 >= (n.n + 1) * 9 GROUP BY 1),
+             |kk AS (SELECT n.lang, CAST(n.n AS BIGINT) AS n_calib,
+             |         CAST(((n.n + 1) * 9 + 9) // 10 AS BIGINT) AS k,
+             |         qh.q
+             |       FROM n LEFT JOIN qh ON qh.lang = n.lang)
+             |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_apply,
+             |  CAST(sum(CASE WHEN kk.q IS NULL OR sc.r <= kk.q
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  any_value(kk.q) AS q_hat,
+             |  any_value(kk.n_calib) AS n_calib, any_value(kk.k) AS k,
+             |  CAST(sum(CASE WHEN kk.q IS NULL OR sc.r <= kk.q
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+             |FROM sc LEFT JOIN kk ON kk.lang = sc.lang
+             |WHERE NOT is_cal GROUP BY sc.lang""".stripMargin)),
+
+    Q("q260_conformal_pvalues",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // CONFORMAL P-VALUE TABLE — q243's evidence, materialized at
+        // distinct-score grain: for every distinct apply-side token
+        // count, the EXACT rational p-value (1 + #{junk-null calib
+        // scores ≥ s}) / (n+1) as integer numerator/denominator plus
+        // the double. Same null population and score as q243 (the
+        // %7==3 split's < 40-token docs), so BH over this table at
+        // q = 1/5 re-derives q243's s* exactly; downstream consumers
+        // (any-q BH, p-value histograms for null diagnosis) read this
+        // report×grid table instead of rescanning the corpus.
+        val docs = tbl("documents")
+        val score = size(split(lower(col("text")), " "))
+        operators.Classifier.conformalPValues(
+          docs.filter(col("doc_id") % 7 === 3 && score < 40),
+          docs.filter(col("doc_id") % 7 =!= 3),
+          score)
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+             |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+             |      AS s,
+             |    doc_id % 7 = 3 AS is_cal FROM documents),
+             |cal AS (SELECT s, count(*) AS cc FROM sc
+             |        WHERE is_cal AND s < 40 GROUP BY 1),
+             |app AS (SELECT s, count(*) AS ac FROM sc
+             |        WHERE NOT is_cal GROUP BY 1),
+             |u AS (SELECT coalesce(cal.s, app.s) AS s,
+             |        coalesce(cc, 0) AS cc, coalesce(ac, 0) AS ac
+             |      FROM cal FULL OUTER JOIN app ON cal.s = app.s),
+             |tot AS (SELECT sum(cc) AS n FROM u),
+             |cum AS (SELECT s, ac,
+             |    sum(cc) OVER (ORDER BY s DESC) AS c FROM u)
+             |SELECT s AS score, CAST(ac AS BIGINT) AS n_apply,
+             |  CAST(c + 1 AS BIGINT) AS p_num,
+             |  CAST(tot.n + 1 AS BIGINT) AS p_den,
+             |  CAST(c + 1 AS DOUBLE) / (tot.n + 1) AS p_value
+             |FROM cum, tot WHERE ac > 0""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -536,6 +536,82 @@ object Classifier {
             col("q_hat")))
   }
 
+  /** GROUP-CONDITIONAL (Mondrian) conformal interval — one
+    * [[conformalIntervalFromState]] per group, completing the
+    * {threshold, interval} × {marginal, Mondrian, weighted} matrix:
+    * P(|y−ŷ| ≤ q̂_g | group g) ≥ 1−α for EVERY group, so an easy
+    * slice's tight residuals cannot buy coverage for a hard slice's
+    * wide ones (the q239↔q238 relationship, interval form). Same
+    * negated-grid reduction through [[conformalThresholdByGroup]]'s
+    * exact per-group arithmetic; a group whose slice cannot fund a
+    * finite width at 1−α (k > n_g), or one absent from calibration,
+    * gets the covering null interval. Report × grid size, cumulative
+    * window partitioned by group. */
+  def conformalIntervalByGroup(calib: DataFrame, groupCols: Seq[String],
+                               predCol: Column, actualCol: Column,
+                               alphaNum: Long, alphaDen: Long): DataFrame =
+    conformalThresholdByGroup(calib, groupCols,
+      -abs(actualCol.cast("double") - predCol.cast("double")),
+      alphaNum, alphaDen)
+      .select(groupCols.map(col) :+ col("n_calib") :+ col("k") :+
+        (-col("threshold")).as("q_hat"): _*)
+
+  /** Apply a [[conformalIntervalByGroup]] calibration: each row joins
+    * its group's q̂_g (a report-sized broadcast), gains `lo`/`hi` =
+    * ŷ ∓ q̂_g and — where the realized value is known — `covered`
+    * (the null interval covers everything). Zero corpus shuffle. */
+  def conformalIntervalGateByGroup(calib: DataFrame, applyDf: DataFrame,
+                                   groupCols: Seq[String], predCol: Column,
+                                   actualCol: Column, alphaNum: Long,
+                                   alphaDen: Long): DataFrame = {
+    val thr = conformalIntervalByGroup(calib, groupCols, predCol,
+      actualCol, alphaNum, alphaDen)
+      .withColumnsRenamed(groupCols.map(c => c -> s"__g_$c").toMap)
+    val cond = groupCols.map(c =>
+      applyDf(c).cast("string") === thr(s"__g_$c")).reduce(_ && _)
+    applyDf.join(broadcast(thr), cond, "left")
+      .withColumn("lo", predCol.cast("double") - col("q_hat"))
+      .withColumn("hi", predCol.cast("double") + col("q_hat"))
+      .withColumn("covered", graft.functions.Clean.flag(
+        col("q_hat").isNull ||
+          abs(actualCol.cast("double") - predCol.cast("double")) <=
+            col("q_hat")))
+      .drop(groupCols.map(c => s"__g_$c"): _*)
+  }
+
+  /** CONFORMAL P-VALUE TABLE at distinct-score grain — the reusable
+    * evidence behind [[conformalFdrSelect]], materialized: for every
+    * distinct apply-side score s, the exact rational conformal p-value
+    *   p(s) = (1 + #{null calib scores ≥ s}) / (n+1)
+    * as integer numerator/denominator columns (`p_num`, `p_den`) plus
+    * the double for reporting. Downstream consumers — BH at any q
+    * (re-derives q243 exactly), calibration plots, p-value histograms
+    * for null diagnosis — read this table instead of rescanning the
+    * corpus. Scale shape: both sides collapse to distinct-score grain
+    * (union + re-aggregate, the q243 full-outer-avoidance), ONE
+    * cumulative window over the union, a 1-row broadcast total —
+    * report × grid output, zero corpus shuffle, no per-row p-values
+    * ever materialized. */
+  def conformalPValues(calibNull: DataFrame, applyDf: DataFrame,
+                       scoreCol: Column): DataFrame = {
+    val cal = calibNull.select(scoreCol.cast("double").as("score"),
+      lit(1L).as("__cc"), lit(0L).as("__ac"))
+    val app = applyDf.select(scoreCol.cast("double").as("score"),
+      lit(0L).as("__cc"), lit(1L).as("__ac"))
+    val u = cal.unionByName(app).groupBy(col("score"))
+      .agg(sum(col("__cc")).as("__cc"), sum(col("__ac")).as("__ac"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+    val tot = u.agg(sum(col("__cc")).as("n_calib"))
+    u.withColumn("__c", sum(col("__cc")).over(w))
+      .filter(col("__ac") > 0) // p-values only for scores the apply side has
+      .crossJoin(broadcast(tot))
+      .select(col("score"), col("__ac").as("n_apply"),
+        (col("__c") + 1).as("p_num"),
+        (col("n_calib") + 1).as("p_den"),
+        ((col("__c") + 1).cast("double") / (col("n_calib") + 1))
+          .as("p_value"))
+  }
+
   /** WEIGHTED split-conformal interval under COVARIATE SHIFT — the
     * actual subject of Tibshirani et al. 2019: per test group t, the
     * interval half-width q̂_t is the weighted (1−α)-quantile of the

@@ -1204,6 +1204,52 @@ class CurationOpsSpec extends AnyFunSuite {
       s"gA residual 5 must be covered: $gated")
   }
 
+  test("conformalIntervalByGroup: each group's width equals the solo " +
+       "interval on its slice; calibration-absent group covers " +
+       "vacuously") {
+    import spark.implicits._
+    val cal = ((0 to 9).map(r => ("gA", 0L, r.toLong)) ++
+      (0 to 9).map(r => ("gB", 0L, 100L + r))).toDF("g", "pred", "y")
+    val byG = graft.operators.Classifier.conformalIntervalByGroup(
+      cal, Seq("g"), col("pred"), col("y"), 1L, 5L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for (g <- Seq("gA", "gB")) {
+      val solo = graft.operators.Classifier.conformalIntervalFromState(
+        graft.operators.Classifier.residualState(
+          cal.filter(col("g") === g), col("pred"), col("y")), 1L, 5L)
+        .collect().head.getDouble(2)
+      assert(byG(g) == solo, s"group $g q_hat diverges from its slice")
+    }
+    // per-slice n = 10, α = 1/5 ⇒ k = 9 ⇒ q̂_gA = 8, q̂_gB = 108 —
+    // exactly what the pooled weighted form CANNOT give (q257's test)
+    assert(byG == Map("gA" -> 8.0, "gB" -> 108.0), s"got $byG")
+    val gated = graft.operators.Classifier.conformalIntervalGateByGroup(
+      cal, Seq(("gA", 0L, 9L), ("gC", 0L, 999L)).toDF("g", "pred", "y"),
+      Seq("g"), col("pred"), col("y"), 1L, 5L)
+      .select(col("g"), col("covered")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gated == Set(("gA", 0L), ("gC", 1L)),
+      s"gA residual 9 > 8 must miss; absent gC must cover: $gated")
+  }
+
+  test("conformalPValues: exact rationals at distinct-score grain, " +
+       "monotone in the score") {
+    import spark.implicits._
+    val calNull = (1 to 10).map(_.toDouble).toDF("s")
+    val app = Seq(5.0, 10.0, 12.0, 12.0).toDF("s")
+    val p = graft.operators.Classifier.conformalPValues(
+      calNull, app, col("s"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    // n = 10: p(5) = (1+6)/11, p(10) = (1+1)/11, p(12) = (1+0)/11;
+    // 12 appears twice on the apply side → n_apply = 2, one grain row
+    assert(p == Seq((5.0, 1L, 7L, 11L, 7.0 / 11),
+      (10.0, 1L, 2L, 11L, 2.0 / 11), (12.0, 2L, 1L, 11L, 1.0 / 11)),
+      s"got $p")
+    assert(p.sliding(2).forall(w => w.head._5 >= w.last._5),
+      "p-values must be non-increasing in the score")
+  }
+
   test("riskAudit: exact admitted-loss accounting; the vacuous " +
        "admit-nothing gate yields a null-risk row with the bound met") {
     import spark.implicits._
