@@ -1066,19 +1066,30 @@ object Bench {
         // no-silent-caps finding: the old alphabetical take(6) could
         // drop the worst offender and leave lock.py refusing with no
         // hint the CAP, not the evidence, was the cause):
-        //  1. hi > 3.0 — uncertifiable AND unnormalizable (lock.py
-        //     refuses the whole run without a floor here);
-        //  2. lo > 1.45 — normalizable, but in the measured band
-        //     (r18: 1.49-1.76x divisors, inflated by mid-window fast
-        //     dips) where a normalized anchor manufactures flags on a
-        //     slow host. A floor certifies the query absolutely and
-        //     takes it out of normalization entirely.
+        //  1. hi > RescaleBound (= lock.py's RMAX = 3.0) —
+        //     uncertifiable AND unnormalizable (lock.py refuses the
+        //     whole run without a floor here);
+        //  2. lo > ManufacturedFlagBand (1.45) — normalizable, but in
+        //     the measured band (r18: 1.49-1.76x divisors, inflated by
+        //     mid-window fast dips) where a normalized anchor
+        //     manufactures flags on a slow host. A floor certifies the
+        //     query absolutely and takes it out of normalization
+        //     entirely.
+        // PAIRED THRESHOLDS: lock.py's floor-corroboration block caps
+        // normalized anchors at floor/RMAX — it consumes exactly the
+        // floors this stage emits, sized by these two bands. Retune
+        // RescaleBound together with lock.py RMAX, and
+        // ManufacturedFlagBand together with the residual it encodes
+        // (re-measure the lo-divisor distribution before moving it).
+        val RescaleBound = 3.0       // == tools/lock.py RMAX
+        val ManufacturedFlagBand = 1.45
         val all = ratios.toSeq
           .filterNot { case (n, _) =>
             floorsAcc.contains(n) || errors.contains(n) }
           .collect {
-            case (n, (_, hi, _)) if hi > 3.0 => (n, 0, hi)
-            case (n, (_, hi, lo)) if lo > 1.45 => (n, 1, lo)
+            case (n, (_, hi, _)) if hi > RescaleBound => (n, 0, hi)
+            case (n, (_, hi, lo)) if lo > ManufacturedFlagBand =>
+              (n, 1, lo)
           }
           .sortBy { case (_, tier, sev) => (tier, -sev) }
         val kept = all.take(6)

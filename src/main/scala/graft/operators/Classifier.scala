@@ -1028,9 +1028,12 @@ object Classifier {
     * `auc` is an explicit NULL when n_pos·n_neg = 0 (the sibling
     * gates' vacuous-row reading), never NaN/Infinity. Output bound,
     * documented: the `u2` OUTPUT column is a long for schema
-    * stability, saturating only past 2·n_pos·n_neg > 9.2e18 (≈ 2.1e9
-    * rows per class); the decimal form is exact internally and the
-    * `auc` division reads the decimal, not the long. */
+    * stability, saturating AT Long.MaxValue (an explicit `least`
+    * clamp BEFORE the cast — a bare DECIMAL→long cast would throw
+    * under Spark 4's ANSI default, not saturate) once
+    * 2·n_pos·n_neg > 9.2e18 (≈ 2.1e9 rows per class); the decimal
+    * form is exact internally and the `auc` division reads the
+    * decimal, not the long. */
   def aucExact(df: DataFrame, scoreCol: Column,
                labelCol: Column): DataFrame =
     aucFromState(labelScoreState(df, scoreCol, labelCol))
@@ -1076,7 +1079,10 @@ object Classifier {
       .agg(sum(col("__u")).cast(dec).as("u2"),
         sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        col("u2").cast("long").as("u2"),
+        // u2 ≥ 0, so a one-sided clamp saturates; without it the
+        // DECIMAL(38,0)→long cast THROWS past Long.MaxValue (ANSI)
+        least(col("u2"), lit(Long.MaxValue).cast(dec))
+          .cast("long").as("u2"),
         when(coalesce(col("n_pos"), lit(0L)) === 0 ||
             coalesce(col("n_neg"), lit(0L)) === 0,
           lit(null).cast("double"))

@@ -853,10 +853,14 @@ object Selection {
     * [[Similarity.assignCells]] is the production routing when
     * cross-engine replay is not required; the plan shape is the same).
     * Centroids are collected once (model parameters, |cells|×dim) and
-    * the per-row assignment is a ZERO-SHUFFLE codegen'd projection — a
-    * greatest() fold over per-centroid (s4, −id, id) structs, no join,
-    * no window; the only exchange added over the dense form is none at
-    * all (the pair join stays broadcast). */
+    * the per-row assignment is a ZERO-SHUFFLE codegen'd projection —
+    * the native [[graft.plans.NearestCellQuantized]] kernel (one
+    * method call at ANY centroid count; the r19 greatest()-fold form
+    * built |cells| cosine subtrees in a single expression and would
+    * fall out of codegen past a few hundred centroids — r19 advisory,
+    * pinned equal to the kernel in SelectionSpec), no join, no window;
+    * the only exchange added over the dense form is none at all (the
+    * pair join stays broadcast). */
   def facilityLocationSelectBucketed(corpus: DataFrame,
                                      candidates: DataFrame,
                                      centroids: DataFrame, idCol: String,
@@ -870,17 +874,14 @@ object Selection {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "need at least one centroid")
-    def cellOf(vec: Column): Column = {
-      val structs = cents.map { case (cid, v) =>
-        struct(
-          round(graft.functions.Vectors.cosine(vec, typedLit(v)) *
-            lit(simScale), 0).cast("long").as("s4"),
-          lit(-cid).as("negid"), lit(cid).as("cid"))
-      }
-      val winner =
-        if (structs.length == 1) structs.head else greatest(structs: _*)
-      winner.getField("cid")
-    }
+    // ragged centroids would mis-slice the flattened matrix (a wrong
+    // total that happens divisible by k slips the kernel's % check)
+    require(cents.map(_._2.length).distinct.size == 1,
+      "centroid vectors must share one dimension")
+    val cellIds = cents.map(_._1)
+    val matrix = cents.flatMap(_._2)
+    def cellOf(vec: Column): Column =
+      graft.plans.exprs.nearestCellQuantized(vec, cellIds, matrix, simScale)
     val cand = candidates.select(col(idCol).cast("long").as("__c"),
       col(vecCol).as("__vc"))
       .withColumn("__cell", cellOf(col("__vc")))

@@ -273,6 +273,50 @@ case class NearestCells(child: Expression, cellIds: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Quantized-grid nearest cell (see [[VectorOps.nearestCellQuantized]]):
+  * argmax over cells of round(cosine·simScale) as a long, ties → smaller
+  * id — the cross-engine-exact routing of the bucketed facility-location
+  * family, one codegen'd call at ANY centroid count (replaces a
+  * |cells|-struct `greatest()` fold that outgrows codegen). Centroids
+  * ship once per task via `ctx.addReferenceObj` (model parameters, the
+  * [[NearestCells]] shape). */
+case class NearestCellQuantized(child: Expression, cellIds: Array[Long],
+                                centers: Array[Double],
+                                simScale: Double) extends UnaryExpression {
+  require(cellIds.nonEmpty, "centroid set must be non-empty")
+  require(centers.length % cellIds.length == 0,
+    s"centroid matrix length ${centers.length} not a multiple of k=${cellIds.length}")
+  require(simScale > 0 && !simScale.isNaN && !simScale.isInfinite,
+    "simScale must be a positive finite double")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.requireType("nearest_cell_quantized", child.dataType,
+      ExprUtil.isNumericVector, "array<float|double>")
+  private lazy val isF = ExprUtil.isFloatArray(child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.nearestCellQuantized(v.asInstanceOf[ArrayData], isF, cellIds,
+      centers, simScale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    val ctrRef = ctx.addReferenceObj("centers", centers, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.VectorOps.nearestCellQuantized($v, $isF, $idsRef, $ctrRef, $simScale)")
+  }
+  // content equality over the Array fields (the NearestCells rationale:
+  // reference equality defeats canonicalization across identical sets)
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCellQuantized => child == o.child &&
+      simScale == o.simScale && java.util.Arrays.equals(cellIds, o.cellIds) &&
+      java.util.Arrays.equals(centers, o.centers)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    java.lang.Double.valueOf(simScale),
+    Integer.valueOf(java.util.Arrays.hashCode(cellIds)),
+    Integer.valueOf(java.util.Arrays.hashCode(centers)))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points for the custom expressions. */
 /** Product-quantization encode (see [[VectorOps.pqEncode]]): m codes of
   * the squared-L2-nearest codeword per subspace. The codebook ships as a
@@ -497,6 +541,10 @@ object exprs {
   def nearestCells(v: Column, cellIds: Array[Long], centers: Array[Double],
                    n: Int): Column =
     column(NearestCells(expression(v), cellIds, centers, n))
+
+  def nearestCellQuantized(v: Column, cellIds: Array[Long],
+                           centers: Array[Double], simScale: Double): Column =
+    column(NearestCellQuantized(expression(v), cellIds, centers, simScale))
 
   def topNgramFrac(text: Column, n: Int): Column =
     column(TopNgramFrac(expression(text), n))

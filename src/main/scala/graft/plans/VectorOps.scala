@@ -616,6 +616,63 @@ object VectorOps {
     ArrayData.toArrayData(out)
   }
 
+  /** QUANTIZED-grid nearest centroid: argmax over cells of
+    * round(cosine·simScale) as a LONG (ties → smaller cell id) — the
+    * cross-engine-exact routing of the bucketed facility-location
+    * family, where an independent SQL oracle must replay the argmax
+    * bit-for-bit. Semantically identical to the `greatest()` fold over
+    * per-centroid (s4, −id, id) structs it replaces, but ONE codegen'd
+    * method call regardless of |cells| — the struct fold builds
+    * |cells| cosine subtrees in a single expression and falls out of
+    * codegen past a few hundred centroids (r19 advisory).
+    *
+    * Exactness contract: the accumulation is the sequential
+    * dot/√(na)·√(nb) loop of [[cosine]] with the ROW vector as the
+    * left operand (x) and the centroid as the right (y) — the same
+    * fp-association the Column form `cosine(vec, typedLit(centroid))`
+    * produces — and the rounding is Spark `round(_, 0)`'s
+    * BigDecimal.valueOf(x).setScale(0, HALF_UP) (= half away from
+    * zero, DuckDB's ROUND), so the quantized sims are bit-identical to
+    * the struct fold's `s4` column. A NaN cosine (zero/degenerate
+    * vector) quantizes to Long.MinValue — never preferred, selection
+    * stays total (the [[nearestCells]] reading; the struct fold's
+    * ANSI NaN→long cast THREW there, so this is a strict hardening). */
+  def nearestCellQuantized(v: ArrayData, isFloat: Boolean,
+                           cellIds: Array[Long], centers: Array[Double],
+                           simScale: Double): Long = {
+    val k = cellIds.length
+    val dim = if (k == 0) 0 else centers.length / k
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearestCellQuantized: vector dim ${v.numElements()} != " +
+          s"centroid dim $dim")
+    var bestQ = Long.MinValue
+    var bestId = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = elem(v, i, isFloat); val y = centers(base + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val s = dot / (math.sqrt(na) * math.sqrt(nb))
+      val q =
+        if (java.lang.Double.isNaN(s)) Long.MinValue
+        else java.math.BigDecimal.valueOf(s * simScale)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue().toLong
+      if (q > bestQ || (q == bestQ && cellIds(c) < bestId)) {
+        bestQ = q
+        bestId = cellIds(c)
+      }
+      c += 1
+    }
+    bestId
+  }
+
   /** Dense matrix×vector projection with per-row offsets:
     * out[r] = Σ_d m[r·dim + d]·v[d] − offs[r] — the PCA
     * rotation/whitening kernel (the matrix rows are the axes, the

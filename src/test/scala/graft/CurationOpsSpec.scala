@@ -1352,6 +1352,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == exp, s"got $got vs driver bucketed greedy $exp")
   }
 
+  test("aucFromState: u2 SATURATES at Long.MaxValue past 9.2e18 (the " +
+       "scaladoc's claim — a bare decimal->long cast would THROW under " +
+       "ANSI); auc still reads the exact decimal") {
+    import spark.implicits._
+    // perfect separation at 3e9 rows per class: 2U = 2*np*nn = 1.8e19,
+    // past Long.MaxValue — the state-grain entry makes the extreme
+    // regime testable without 6e9 rows
+    val np = 3000000000L
+    val st = Seq((0.0, 0L, np), (1.0, np, 0L)).toDF("score", "n_pos", "n_neg")
+    val r = graft.operators.Classifier.aucFromState(st).collect().head
+    assert(r.getLong(0) == np && r.getLong(1) == np)
+    assert(r.getLong(2) == Long.MaxValue,
+      s"u2 must saturate at Long.MaxValue, got ${r.getLong(2)}")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12,
+      s"auc reads the decimal, not the saturated long: ${r.getDouble(3)}")
+  }
+
   test("aucFromState: shard states merge to the monolithic statistic " +
        "exactly, under two different shardings") {
     import spark.implicits._

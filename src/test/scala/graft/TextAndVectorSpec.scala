@@ -282,6 +282,69 @@ class TextAndVectorSpec extends AnyFunSuite {
     assert(a != mk(Array(1.0, 0.0, 0.0, 0.5)))
   }
 
+  test("nearestCellQuantized: kernel == the greatest()-struct fold it " +
+       "replaces, at a centroid count past the fold's codegen comfort") {
+    val rnd = new scala.util.Random(20251)
+    val nCells = 300
+    val dim = 8
+    val cents = Seq.tabulate(nCells)(i =>
+      ((i + 1).toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val cellIds = cents.map(_._1).toArray
+    val matrix = cents.flatMap(_._2).toArray
+    // the r19 form: one greatest() over per-centroid (s4, -id, id)
+    // structs — semantically the spec of the kernel
+    val fold = {
+      val structs = cents.map { case (cid, c) =>
+        struct(
+          round(Vectors.cosine(col("v"), typedLit(c.toSeq)) * lit(1e4), 0)
+            .cast("long").as("s4"),
+          lit(-cid).as("negid"), lit(cid).as("cid"))
+      }
+      greatest(structs: _*).getField("cid")
+    }
+    val diff = rows.select(col("id"),
+        graft.plans.exprs.nearestCellQuantized(col("v"), cellIds, matrix,
+          1e4).as("k"),
+        fold.as("f"))
+      .filter(col("k") =!= col("f"))
+    assert(diff.count() == 0,
+      s"kernel diverges from the struct fold: ${diff.take(3).mkString}")
+    // quantized ties break to the SMALLER cell id: two identical
+    // centroids under different ids
+    val c0 = Array(1.0, 0.0)
+    val tie = Seq((0L, Array(0.6f, 0.8f))).toDF("id", "v")
+      .select(graft.plans.exprs.nearestCellQuantized(col("v"),
+        Array(7L, 3L), c0 ++ c0, 1e4))
+      .head().getLong(0)
+    assert(tie == 3L, s"tie must break to the smaller id, got $tie")
+    // a zero vector's cosines are all NaN — selection stays TOTAL
+    // (smallest id wins), where the struct fold's ANSI NaN→long cast
+    // threw; this is the nearestCells never-preferred reading
+    val zv = Seq((0L, Array(0.0f, 0.0f))).toDF("id", "v")
+      .select(graft.plans.exprs.nearestCellQuantized(col("v"),
+        Array(7L, 3L), Array(1.0, 0.0, 0.0, 1.0), 1e4))
+      .head().getLong(0)
+    assert(zv == 3L, s"NaN row must fall to the smallest id, got $zv")
+    // wrong-dimension vectors fail loudly (the nearestCells contract)
+    val e = intercept[Exception] {
+      Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("id", "v")
+        .select(graft.plans.exprs.nearestCellQuantized(col("v"),
+          Array(1L), Array(1.0, 0.0), 1e4)).collect()
+    }
+    assert(e.getMessage != null)
+    // content-based equality (canonicalization across identical sets)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.expression
+    val child = expression(col("v"))
+    def mk(m: Array[Double]) =
+      graft.plans.NearestCellQuantized(child, Array(0L, 1L), m, 1e4)
+    val (a, b) = (mk(Array(1.0, 0.0, 0.0, 1.0)), mk(Array(1.0, 0.0, 0.0, 1.0)))
+    assert(a == b && a.hashCode == b.hashCode && a.semanticEquals(b))
+    assert(a != mk(Array(1.0, 0.0, 0.0, 0.5)))
+  }
+
   test("knownItemEval: reciprocal ranks, missed probe scores 0, MRR") {
     import graft.operators.Retrieval
     // doc 1's unique term ranks itself first; doc 2 probes with a term

@@ -73,6 +73,9 @@ if not a.get("artifact_ok", False):
 # silently weakening.
 FAST = 1.3   # the settle band — Bench's certification criterion
 RMAX = 3.0   # beyond this, probe-linearity is not a credible rescale
+# PAIRED with Bench.scala's provenance-floor stage (RescaleBound == RMAX;
+# its ManufacturedFlagBand 1.45 sizes the floors this file's
+# floor-corroboration block consumes) — retune the pair together.
 qmap = dict(a.get("queries", {}))
 mw = a.get("min_windows", {})
 mwlo = a.get("min_windows_lo", {})
@@ -144,8 +147,19 @@ if normalized:
     floors = {n: v.get("floor") for n, v in flags.items()
               if isinstance(v.get("floor"), (int, float))}
     if "--floors" in sys.argv:
-        floors.update(json.load(
-            open(sys.argv[sys.argv.index("--floors") + 1])))
+        # a bad sidecar must land in the refusal path, not a traceback —
+        # silently promoting WITHOUT the floors the operator asked for
+        # would be worse than refusing
+        sidecar = sys.argv[sys.argv.index("--floors") + 1]
+        try:
+            with open(sidecar) as fh:
+                extra = json.load(fh)
+            if not isinstance(extra, dict):
+                raise ValueError(f"expected a JSON object, got "
+                                 f"{type(extra).__name__}")
+            floors.update(extra)
+        except (OSError, ValueError) as e:
+            problems.append(f"--floors sidecar {sidecar} unusable: {e}")
     capped = {}
     rawq = a.get("queries", {})
     for n in list(normalized):
