@@ -11153,7 +11153,111 @@ object Queries {
              |  CAST(c + 1 AS BIGINT) AS p_num,
              |  CAST(tot.n + 1 AS BIGINT) AS p_den,
              |  CAST(c + 1 AS DOUBLE) / (tot.n + 1) AS p_value
-             |FROM cum, tot WHERE ac > 0""".stripMargin)))
+             |FROM cum, tot WHERE ac > 0""".stripMargin)),
+
+    Q("q261_interval_coverage_audit",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // EMPIRICAL COVERAGE AUDIT of the INTERVAL gate family — q254's
+        // sibling, closing the {threshold, interval} × {marginal,
+        // Mondrian, weighted} × {gate, audit} matrix: q256's marginal,
+        // q259's per-lang Mondrian and q257's per-source weighted
+        // interval are each calibrated on the doc_id%7==3 split and
+        // applied to the DISJOINT %7==5 holdout (the q254 audit split),
+        // then coverageAudit counts the gates' `covered` evidence per
+        // (gate, group) against the promised 1−α floor — meets_floor is
+        // the same pure-integer inequality, the audit the same honest
+        // REPORT (a fixed holdout can dip under the marginal guarantee;
+        // the calibration-side bound is what CurationOpsSpec pins). The
+        // weighted gate's likelihood ratios are estimated calib vs THIS
+        // holdout, so the audit reads the gate exactly as deployed on
+        // it. One report-grain aggregate per gate, zero corpus shuffle.
+        val docs = tbl("documents")
+        val toks = size(split(lower(col("text")), " "))
+        val pred = (toks * 6).cast("long")
+        val calib = docs.filter(col("doc_id") % 7 === 3)
+        val hold = docs.filter(col("doc_id") % 7 === 5)
+        val marginal = operators.Classifier.coverageAudit(
+          operators.Classifier.conformalIntervalGate(calib, hold,
+            pred, col("n_chars"), 1L, 10L),
+          "interval_marginal", None, col("covered"), 1L, 10L)
+        val mondrian = operators.Classifier.coverageAudit(
+          operators.Classifier.conformalIntervalGateByGroup(calib, hold,
+            Seq("lang"), pred, col("n_chars"), 1L, 10L),
+          "interval_mondrian", Some("lang"), col("covered"), 1L, 10L)
+        val weighted = operators.Classifier.coverageAudit(
+          operators.Classifier.weightedConformalIntervalGate(calib, hold,
+            "source", pred, col("n_chars"), 1L, 10L),
+          "interval_weighted", Some("source"), col("covered"), 1L, 10L)
+        marginal.unionByName(mondrian).unionByName(weighted)
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang, source,
+             |    CAST(abs(n_chars - 6 * len(string_split(lower(text),
+             |      ' '))) AS DOUBLE) AS r,
+             |    doc_id % 7 = 3 AS is_cal,
+             |    doc_id % 7 = 5 AS is_hold FROM documents),
+             |d1 AS (SELECT r, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1),
+             |n1 AS (SELECT sum(c) AS n FROM d1),
+             |cd1 AS (SELECT r, sum(c) OVER (ORDER BY r ASC) AS cum
+             |        FROM d1),
+             |q1 AS (SELECT min(r) AS q FROM cd1, n1
+             |       WHERE cum * 10 >= (n1.n + 1) * 9),
+             |d2 AS (SELECT lang, r, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1, 2),
+             |n2 AS (SELECT lang, sum(c) AS n FROM d2 GROUP BY 1),
+             |cd2 AS (SELECT lang, r, sum(c) OVER
+             |    (PARTITION BY lang ORDER BY r ASC) AS cum FROM d2),
+             |q2 AS (SELECT cd2.lang, min(r) AS q FROM cd2
+             |       JOIN n2 ON n2.lang = cd2.lang
+             |       WHERE cum * 10 >= (n2.n + 1) * 9 GROUP BY 1),
+             |cg AS (SELECT source, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1),
+             |ag AS (SELECT source, count(*) AS a FROM sc WHERE is_hold
+             |       GROUP BY 1),
+             |ct AS (SELECT sum(c) AS ct FROM cg),
+             |at2 AS (SELECT sum(a) AS at FROM ag),
+             |w AS (SELECT cg.source,
+             |    CAST(round(1000000.0 * CAST(coalesce(ag.a, 0) * ct.ct
+             |      AS DOUBLE) / CAST(cg.c * at2.at AS DOUBLE), 0)
+             |      AS BIGINT) AS w6
+             |  FROM cg LEFT JOIN ag USING (source), ct, at2),
+             |dd AS (SELECT source, r, count(*) AS c FROM sc WHERE is_cal
+             |       GROUP BY 1, 2),
+             |dw AS (SELECT dd.r, sum(dd.c * w.w6) AS wcs
+             |       FROM dd JOIN w USING (source) GROUP BY 1),
+             |tw AS (SELECT sum(wcs) AS wtot FROM dw),
+             |cw AS (SELECT r, sum(wcs) OVER (ORDER BY r ASC) AS cum
+             |       FROM dw),
+             |q3 AS (SELECT w.source, min(cw.r) AS q
+             |       FROM cw, tw, w
+             |       WHERE cw.cum * 10 >= (tw.wtot + w.w6) * 9
+             |       GROUP BY 1),
+             |a1 AS (SELECT 'interval_marginal' AS gate, 'ALL' AS grp,
+             |    count(*) AS nh,
+             |    sum(CASE WHEN q1.q IS NULL OR sc.r <= q1.q
+             |      THEN 1 ELSE 0 END) AS na
+             |  FROM sc, q1 WHERE is_hold),
+             |a2 AS (SELECT 'interval_mondrian' AS gate, sc.lang AS grp,
+             |    count(*) AS nh,
+             |    sum(CASE WHEN q2.q IS NULL OR sc.r <= q2.q
+             |      THEN 1 ELSE 0 END) AS na
+             |  FROM sc LEFT JOIN q2 ON q2.lang = sc.lang
+             |  WHERE is_hold GROUP BY 2),
+             |a3 AS (SELECT 'interval_weighted' AS gate,
+             |    sc.source AS grp, count(*) AS nh,
+             |    sum(CASE WHEN q3.q IS NULL OR sc.r <= q3.q
+             |      THEN 1 ELSE 0 END) AS na
+             |  FROM sc LEFT JOIN q3 ON q3.source = sc.source
+             |  WHERE is_hold GROUP BY 2),
+             |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+             |      UNION ALL SELECT * FROM a3)
+             |SELECT gate, grp, CAST(nh AS BIGINT) AS n_holdout,
+             |  CAST(na AS BIGINT) AS n_accept,
+             |  CAST(na AS DOUBLE) / nh AS coverage,
+             |  CAST(0.9 AS DOUBLE) AS promised,
+             |  CAST(CASE WHEN na * 10 >= 9 * nh THEN 1 ELSE 0 END
+             |    AS BIGINT) AS meets_floor
+             |FROM u""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

@@ -683,13 +683,26 @@ object Classifier {
     * gate. */
   def coverageAudit(gated: DataFrame, gateName: String,
                     groupCol: Option[String], alphaNum: Long,
-                    alphaDen: Long): DataFrame = {
+                    alphaDen: Long): DataFrame =
+    coverageAudit(gated, gateName, groupCol, col("accept"),
+      alphaNum, alphaDen)
+
+  /** [[coverageAudit]] generalized to ANY 0/1 evidence column (r20):
+    * the threshold gates emit `accept`, the interval gates emit
+    * `covered` — both promise P(evidence = 1) ≥ 1−α, so one audit
+    * serves the whole {threshold, interval} × {marginal, Mondrian,
+    * weighted} matrix. `n_accept` keeps its name across evidence kinds
+    * (it counts evidence-true rows) so every audit row is
+    * schema-identical and unions cleanly into one report. */
+  def coverageAudit(gated: DataFrame, gateName: String,
+                    groupCol: Option[String], evidenceCol: Column,
+                    alphaNum: Long, alphaDen: Long): DataFrame = {
     require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
       "alpha must be a rational in [0, 1]")
     val g = groupCol.map(c => col(c).cast("string")).getOrElse(lit("ALL"))
     gated.groupBy(lit(gateName).as("gate"), g.as("grp"))
       .agg(count(lit(1)).as("n_holdout"),
-        sum(col("accept")).as("n_accept"))
+        sum(evidenceCol.cast("long")).as("n_accept"))
       .select(col("gate"), col("grp"), col("n_holdout"), col("n_accept"),
         (col("n_accept").cast("double") / col("n_holdout")).as("coverage"),
         lit((alphaDen - alphaNum).toDouble / alphaDen).as("promised"),

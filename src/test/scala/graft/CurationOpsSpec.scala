@@ -1449,6 +1449,46 @@ class CurationOpsSpec extends AnyFunSuite {
       s"long-wrapping weighted cumulative mis-gated: $thr")
   }
 
+  test("coverageAudit over `covered` evidence: calibration-side " +
+       "INTERVAL coverage meets the floor deterministically, at every " +
+       "alpha, across all three interval gates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6619)
+    val cal = Seq.tabulate(171) { i =>
+      (i.toLong, s"g${i % 3}", rnd.nextDouble() * 50,
+        math.rint(rnd.nextDouble() * 60))
+    }.toDF("id", "g", "pred", "y")
+    for ((aNum, aDen) <- Seq((1L, 10L), (1L, 3L), (1L, 2L), (9L, 10L))) {
+      // |{r_i <= q_hat}| >= k = ceil((n+1)(1-α)) >= n(1-α) on the
+      // calibration sample itself — the order-statistic construction,
+      // interval form; vacuous (null q_hat) groups cover everything
+      val gates = Seq(
+        "marginal" -> graft.operators.Classifier.conformalIntervalGate(
+          cal, cal, col("pred"), col("y"), aNum, aDen),
+        "mondrian" -> graft.operators.Classifier
+          .conformalIntervalGateByGroup(
+            cal, cal, Seq("g"), col("pred"), col("y"), aNum, aDen),
+        "weighted" -> graft.operators.Classifier
+          .weightedConformalIntervalGate(
+            cal, cal, "g", col("pred"), col("y"), aNum, aDen))
+      for ((name, gated) <- gates) {
+        // mondrian's PER-GROUP order statistic makes the per-group
+        // floor deterministic; weighted's quantile is a GLOBALLY
+        // weighted order statistic (per-group only in expectation under
+        // the shift), so like marginal it is audited marginally — on
+        // cal==apply all likelihood ratios are exactly 1, reducing it
+        // to the marginal bound
+        val grp = if (name == "mondrian") Some("g") else None
+        val bad = graft.operators.Classifier.coverageAudit(
+            gated, name, grp, col("covered"), aNum, aDen)
+          .filter(col("meets_floor") =!= 1L).collect()
+        assert(bad.isEmpty,
+          s"alpha $aNum/$aDen $name: calibration-side interval " +
+            s"coverage dips under the floor: ${bad.mkString}")
+      }
+    }
+  }
+
   test("coverageAudit: calibration-side coverage meets the promised " +
        "floor deterministically (the order-statistic bound), at every " +
        "alpha; holdout audit REPORTS exact integer counts") {
