@@ -716,7 +716,16 @@ object Selection {
     * table only for the evaluated batch (a broadcast semi-join of ≤
     * batch ids), so total gain evaluations ≈ |candidates| + O(k·batch)
     * instead of naive's |candidates|·k — at a 100 TB pair table the
-    * difference is k-fold fewer full-table aggregates. */
+    * difference is k-fold fewer full-table aggregates.
+    *
+    * Driver bound (r20): the settle-widening fetch of the stale bound
+    * table is CAPPED at fetchCapBatches·batchCap (+|selected|) rows per
+    * round — on an adversarial pool of near-tied bounds (where pure
+    * widening would pull the whole bound table to the driver) the round
+    * falls back to ONE exact DataFrame-side argmax over the pair table
+    * (the naive round's plan, 1-row collect), so the trajectory stays
+    * bit-identical to naive greedy while driver rows per round stay
+    * O(batch), never O(|candidates|). */
   def facilityLocationSelectLazy(corpus: DataFrame, candidates: DataFrame,
                                  idCol: String, vecCol: String, k: Int,
                                  simScale: Double = 1e4): DataFrame =
@@ -724,16 +733,25 @@ object Selection {
       k, simScale)._1
 
   /** [[facilityLocationSelectLazy]] plus the evaluation count (round-1
-    * full sweep included) — the spec hook for "evaluations ≪ n·k". */
+    * full sweep included; an exact-fallback round counts the whole
+    * remaining pool) and the LARGEST single driver fetch of the bound
+    * table — the spec hooks for "evaluations ≪ n·k" and "driver rows
+    * per round are bounded". `batchCap`/`fetchCapBatches` are
+    * spec-tunable to force the adversarial paths on small fixtures.
+    * Returns (trajectory, evals, maxFetch, nFallbacks). */
   private[graft] def facilityLocationSelectLazyCounted(
       corpus: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, simScale: Double = 1e4): (DataFrame, Long) = {
+      vecCol: String, k: Int, simScale: Double = 1e4,
+      batchCap: Int = 64,
+      fetchCapBatches: Int = 16): (DataFrame, Long, Long, Long) = {
     require(k >= 1, "need k >= 1")
+    require(batchCap >= 1 && fetchCapBatches >= 1,
+      "batchCap and fetchCapBatches must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val batchCap = 64
-    val seedCap = 4 // first batch of a round: bounds are usually tight,
-                    // so seed small and let the beater rule widen
+    val seedCap = math.min(4, batchCap) // first batch of a round:
+                    // bounds are usually tight, so seed small and let
+                    // the beater rule widen
     val cand = candidates.select(col(idCol).cast("long").as("__c"),
       col(vecCol).as("__vc"))
     val corp = corpus.select(col(idCol).cast("long").as("__j"),
@@ -750,6 +768,9 @@ object Selection {
       .agg(sum(greatest(col("__s"), lit(0L))).as("ub"))
       .localCheckpoint(true)
     var evals = g1.count()
+    val nCand = evals
+    var maxFetch = 0L
+    var nFallbacks = 0L
     val overlay = scala.collection.mutable.HashMap.empty[Long, Long]
     val selected = scala.collection.mutable.HashSet.empty[Long]
     def freshGains(ids: Seq[Long]): Map[Long, Long] = {
@@ -760,14 +781,35 @@ object Selection {
         .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
       ids.map(i => i -> g.getOrElse(i, 0L)).toMap
     }
+    // one exact naive-shaped round: full-table gain aggregate, 1-row
+    // argmax collect — the CAPPED escape from settle-widening. Same
+    // (gain desc, id asc) rule as greedyFacilityLoop, so the trajectory
+    // cannot diverge; costs one full aggregate like a naive round.
+    def exactArgmax(): Option[(Long, Long)] = {
+      val gains0 = pairs.join(best, Seq("__j"))
+        .groupBy(col("__c"))
+        .agg(sum(greatest(col("__s") - col("__b"), lit(0L))).as("__g"))
+      val gains = if (selected.isEmpty) gains0
+        else gains0.filter(!col("__c").isin(selected.toSeq: _*))
+      evals += nCand - selected.size
+      nFallbacks += 1
+      gains.orderBy(col("__g").desc, col("__c")).limit(1).collect()
+        .headOption.map(r0 => (r0.getLong(0), r0.getLong(1)))
+    }
     def pickWinner(r: Int): Option[(Long, Long)] = {
-      def fetchHead(n: Int): Array[(Long, Long)] =
+      // per-round driver bound: never pull more than this many bound
+      // rows; past it, exactArgmax() answers in one aggregate
+      val fetchCap = fetchCapBatches.toLong * batchCap + selected.size
+      def fetchHead(n: Int): Array[(Long, Long)] = {
+        maxFetch = math.max(maxFetch, n.toLong)
         g1.orderBy(col("ub").desc, col("__c")).limit(n)
           .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+      }
       if (r == 1) {
         return fetchHead(1).headOption
       }
-      var fetchN = batchCap + overlay.size + selected.size
+      var fetchN = math.min(
+        (batchCap + overlay.size + selected.size).toLong, fetchCap).toInt
       var head = fetchHead(fetchN)
       val fresh = scala.collection.mutable.HashMap.empty[Long, Long]
       while (true) {
@@ -798,7 +840,10 @@ object Selection {
             }
           }
           if (settled) return bestFresh
-          fetchN = math.max(fetchN * 2, fetchN + batchCap)
+          if (fetchN >= fetchCap) return exactArgmax()
+          fetchN = math.min(
+            math.max(fetchN.toLong * 2, fetchN.toLong + batchCap),
+            fetchCap).toInt
           head = fetchHead(fetchN)
         }
       }
@@ -831,7 +876,7 @@ object Selection {
     Checkpoints.release(best)
     Checkpoints.release(g1)
     (sel.toSeq.toDF("round", idCol, "marginal_gain", "objective_total"),
-      evals)
+      evals, maxFetch, nFallbacks)
   }
 
   /** [[facilityLocationSelect]] with the corpus side routed through an

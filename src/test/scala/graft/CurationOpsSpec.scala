@@ -1106,7 +1106,7 @@ class CurationOpsSpec extends AnyFunSuite {
         r.getLong(3))).sortBy(_._1).toSeq
     val naive = traj(graft.operators.Selection.facilityLocationSelect(
       rv, cand, "vec_id", "embedding", k = 4))
-    val (lazyDf, evals) =
+    val (lazyDf, evals, _, _) =
       graft.operators.Selection.facilityLocationSelectLazyCounted(
         rv, cand, "vec_id", "embedding", k = 4)
     assert(traj(lazyDf) == naive,
@@ -1118,6 +1118,44 @@ class CurationOpsSpec extends AnyFunSuite {
     val tiny = graft.operators.Selection.facilityLocationSelectLazy(
       rv, rv.filter(col("vec_id") <= 2), "vec_id", "embedding", k = 5)
     assert(tiny.count() == 2L, "lazy loop stops when the pool runs out")
+  }
+
+  test("facilityLocationSelectLazy: driver fetch of the bound table is " +
+       "CAPPED — an adversarial near-tied pool falls back to the exact " +
+       "argmax round and the trajectory still equals naive greedy") {
+    import spark.implicits._
+    // adversarial shape: every candidate is a tiny perturbation of one
+    // direction, so round-1 bounds are high and NEAR-TIED, while after
+    // the first pick every true gain collapses toward 0 — stale bounds
+    // then beat every fresh gain and pure settle-widening would pull
+    // the ENTIRE bound table to the driver
+    val rnd = new scala.util.Random(7741)
+    val rv = Seq.tabulate(36) { i =>
+      val base = Array(1.0f, 0.0f, 0.0f, 0.0f)
+      base(1) = (rnd.nextFloat() - 0.5f) * 0.01f
+      base(2) = (rnd.nextFloat() - 0.5f) * 0.01f
+      ((i + 1).toLong, base)
+    }.toDF("vec_id", "embedding")
+    val cand = rv.filter(col("vec_id") % 2 === 0) // 18 candidates
+    def traj(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val naive = traj(graft.operators.Selection.facilityLocationSelect(
+      rv, cand, "vec_id", "embedding", k = 5))
+    // tiny caps force the fallback on this fixture: per-round fetch
+    // may never exceed fetchCapBatches*batchCap + |selected| = 8 + 4
+    val (capped, _, maxFetch, nFallbacks) =
+      graft.operators.Selection.facilityLocationSelectLazyCounted(
+        rv, cand, "vec_id", "embedding", k = 5, batchCap = 4,
+        fetchCapBatches = 2)
+    assert(traj(capped) == naive,
+      s"capped-fallback trajectory ${traj(capped)} diverges from $naive")
+    assert(maxFetch <= 2L * 4 + 4,
+      s"driver fetch $maxFetch exceeded the documented cap; the bound " +
+        "table must never be pulled wholesale")
+    assert(nFallbacks >= 1,
+      "fixture must be adversarial enough that the exact-argmax " +
+        "fallback actually fires (otherwise this test proves nothing)")
   }
 
   test("conformalIntervalGate: exact k-th-smallest-residual width, " +
