@@ -1390,6 +1390,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == exp, s"got $got vs driver bucketed greedy $exp")
   }
 
+  test("facilityLocationSelectBucketed: the reported objective is a " +
+       "LOWER BOUND on the dense objective of the same selection " +
+       "(clamp-at-0 cross-cell reading), and equals it at one cell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3307)
+    val rv = Seq.tabulate(24)(i =>
+      ((i + 1).toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cand = rv.filter(col("vec_id") % 3 === 0)
+    // dense F(S) = Σ_j max(0, max_{c∈S} s4(c,j)) — the unclamped value
+    // of ANY selection
+    def denseF(sel: Seq[Long]): Long =
+      rv.select(col("vec_id").as("j"), col("embedding").as("vj"))
+        .crossJoin(cand.filter(col("vec_id").isin(sel: _*))
+          .select(col("vec_id").as("c"), col("embedding").as("vc")))
+        .select(col("j"),
+          round(graft.functions.Vectors.cosine(col("vc"), col("vj")) *
+            lit(1e4), 0).cast("long").as("s"))
+        .groupBy(col("j")).agg(max(col("s")).as("m"))
+        .agg(sum(greatest(col("m"), lit(0L)))).collect()(0).getLong(0)
+    for (nCells <- Seq(1, 3, 6)) {
+      val cents = rv.orderBy(col("vec_id")).limit(nCells)
+      val traj = graft.operators.Selection.facilityLocationSelectBucketed(
+        rv, cand, cents, "vec_id", "embedding", k = 3).collect()
+      val reported = traj.map(_.getLong(2)).sum
+      val dense = denseF(traj.map(_.getLong(1)).toSeq)
+      assert(reported <= dense,
+        s"cells=$nCells: reported bucketed objective $reported must " +
+          s"lower-bound the dense value $dense of the same selection")
+      if (nCells == 1)
+        assert(reported == dense,
+          s"one cell clamps nothing: $reported != $dense")
+    }
+  }
+
   test("aucFromState: u2 SATURATES at Long.MaxValue past 9.2e18 (the " +
        "scaladoc's claim — a bare decimal->long cast would THROW under " +
        "ANSI); auc still reads the exact decimal") {

@@ -154,6 +154,68 @@ object ScaleProbeMain {
       }
     }
 
+    if (which == "flcells") {
+      // r20 (verdict item): the bucketed facility-location's RECALL
+      // trade, measured — cross-cell similarity clamps to 0, so the
+      // bucketed objective is a LOWER BOUND on the dense objective of
+      // the same selection; this sweeps |cells| and reports objective
+      // ratio bucketed/dense alongside the pair-table reduction (the
+      // IVF probe-recall discipline, facility-location form). Centroid
+      // pools are NESTED prefixes of the vec_id order so the sweep
+      // varies exactly one thing.
+      val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+        .localCheckpoint(true)
+      val cand = emb.filter(col("vec_id") % 7 === 0).localCheckpoint(true)
+      val k = 4
+      // dense F(S) = Σ_j max(0, max_{c∈S} round(cos·1e4)) — evaluates
+      // ANY selection on the UNclamped objective (the true-quality
+      // read; the bucketed run's own objective is its internal clamped
+      // lower bound)
+      def denseF(sel: Seq[Long]): Long =
+        emb.select(col("vec_id").as("j"), col("embedding").as("vj"))
+          .crossJoin(broadcast(cand
+            .filter(col("vec_id").isin(sel: _*))
+            .select(col("vec_id").as("c"), col("embedding").as("vc"))))
+          .select(col("j"),
+            round(graft.functions.Vectors.cosine(col("vc"), col("vj")) *
+              lit(1e4), 0).cast("long").as("s"))
+          .groupBy(col("j")).agg(max(col("s")).as("m"))
+          .agg(sum(greatest(col("m"), lit(0L)))).collect()(0).getLong(0)
+      val denseTraj = graft.operators.Selection.facilityLocationSelect(
+        emb, cand, "vec_id", "embedding", k).collect()
+      val denseObj = denseTraj.map(_.getLong(2)).sum
+      val nPairsDense = emb.count() * cand.count()
+      println(s"FLCELLS dense obj=$denseObj pairs=$nPairsDense " +
+        s"sel=${denseTraj.map(_.getLong(1)).mkString(",")}")
+      for (c <- Seq(1, 5, 20, 100)) {
+        val cents = emb.orderBy(col("vec_id")).limit(c)
+        val traj = graft.operators.Selection.facilityLocationSelectBucketed(
+          emb, cand, cents, "vec_id", "embedding", k).collect()
+        val obj = traj.map(_.getLong(2)).sum
+        // pair-table size under this routing (the measured reduction)
+        val centArr = cents.select(col("vec_id").cast("long"),
+            graft.functions.Vectors.toDouble(col("embedding")))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+        val ids = centArr.map(_._1); val mat = centArr.flatMap(_._2)
+        def cell(v: org.apache.spark.sql.Column) =
+          graft.plans.exprs.nearestCellQuantized(v, ids, mat, 1e4)
+        val nPairs = emb.select(col("vec_id").as("j"),
+            cell(col("embedding")).as("cell"))
+          .join(cand.select(col("vec_id").as("cc"),
+            cell(col("embedding")).as("cell")), Seq("cell"))
+          .count()
+        val trueF = denseF(traj.map(_.getLong(1)).toSeq)
+        println(f"FLCELLS cells=$c%-4d obj=$obj bound_ratio=${
+          obj.toDouble / denseObj}%.4f denseF(sel)=$trueF quality=${
+          trueF.toDouble / denseObj}%.4f pairs=$nPairs " +
+          f"reduction=${nPairsDense.toDouble / nPairs}%.1fx " +
+          s"sel=${traj.map(_.getLong(1)).mkString(",")}")
+      }
+      graft.operators.Checkpoints.release(emb)
+      graft.operators.Checkpoints.release(cand)
+    }
+
     if (which == "kmv" || which == "all") {
       // two sweeps: the first absorbs JIT, report the second (warm)
       for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
