@@ -11257,7 +11257,150 @@ object Queries {
              |  CAST(0.9 AS DOUBLE) AS promised,
              |  CAST(CASE WHEN na * 10 >= 9 * nh THEN 1 ELSE 0 END
              |    AS BIGINT) AS meets_floor
-             |FROM u""".stripMargin)))
+             |FROM u""".stripMargin)),
+
+    Q("q262_unimax_allocation",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // UniMax budget allocation (Chung et al. ICLR 2023) — the
+        // TEMPERATURE-FREE mixture solve q202's epoch plan lacks:
+        // distribute B = ⌊1.5 × corpus tokens⌋ UNIFORMLY across
+        // languages under a 2-epoch cap, redistributing every capped
+        // language's surplus to the open ones (water-filling on
+        // capacity n_g·E). The capped set is decided by a PURE-INTEGER
+        // prefix inequality in ascending-capacity order (one cumulative
+        // window over the |langs|-row table), so the oracle replays the
+        // whole solve exactly — on this fixture every non-en language
+        // caps at 2 epochs and en absorbs the remainder, exercising
+        // both branches and the uniform-share arithmetic.
+        operators.Selection.unimaxAllocation(tbl("documents"), "lang",
+          size(split(col("text"), " ")), budgetNum = 3L, budgetDen = 2L,
+          epochNum = 2L, epochDen = 1L)
+      },
+      Some("""WITH a AS (SELECT lang, count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS n_avail
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n_avail) AS N, count(*) AS G FROM a),
+             |b AS (SELECT N * 3 // 2 AS B, G FROM t),
+             |r AS (SELECT a.*, b.B, b.G,
+             |    row_number() OVER (ORDER BY n_avail, lang) AS i,
+             |    coalesce(sum(n_avail) OVER (ORDER BY n_avail, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS pre
+             |  FROM a, b),
+             |c AS (SELECT *,
+             |    n_avail * 2 * (G - i + 1) <= B * 1 - 2 * pre AS capped
+             |  FROM r),
+             |u AS (SELECT *,
+             |    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS ncap,
+             |    coalesce(sum(CASE WHEN capped THEN n_avail END)
+             |      OVER (), 0) AS captoks FROM c),
+             |f AS (SELECT *, B * 1 - 2 * captoks AS runits,
+             |    CASE WHEN capped THEN n_avail * CAST(2 AS DOUBLE) / 1
+             |      ELSE CAST(runits AS DOUBLE) / (1 * CAST(G - ncap
+             |        AS DOUBLE)) END AS alloc
+             |  FROM u)
+             |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_avail AS BIGINT) AS n_avail,
+             |  CAST(B AS BIGINT) AS budget,
+             |  round(alloc, 6) AS allocation,
+             |  round(alloc / CAST(n_avail AS DOUBLE), 6) AS epochs,
+             |  CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT)
+             |    AS capped,
+             |  round(CASE WHEN ncap = G
+             |    THEN CAST(runits AS DOUBLE) / 1 ELSE 0.0 END, 6)
+             |    AS budget_left
+             |FROM f""".stripMargin)),
+
+    Q("q263_mixture_ess",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // MIXTURE FEASIBILITY / EFFECTIVE-SAMPLE-SIZE card (Kong 1992
+        // importance-sampling ESS; the 1/(1+χ²(w‖p)) identity) — the
+        // evaluation step between optimizing a mixture and
+        // materializing it: reweighting the corpus's per-lang token
+        // mass p_g to the sqrt-temperature target w_g ∝ √n_g, report
+        // per lang the IS ratio w_g/p_g (= implied epochs at a
+        // one-corpus-mass budget — the repetition the mixture demands)
+        // and corpus-level the effective token count and fraction.
+        // mixtureEss renormalizes the supplied card, so feeding the
+        // UNnormalized √masses exercises the hygiene path; sqrt is
+        // IEEE-exact in both engines, the |G|-row double sums sit
+        // ~1e-12 under the round-6 grid.
+        val docs = tbl("documents")
+        val toks = size(split(col("text"), " "))
+        val w = docs.groupBy(col("lang"))
+          .agg(sum(toks.cast("long")).as("m"))
+          .select(col("lang"), sqrt(col("m").cast("double")).as("w"))
+        operators.Sampling.mixtureEss(docs, "lang", toks, w, "w")
+      },
+      Some("""WITH a AS (SELECT lang, count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS n_avail
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n_avail) AS N,
+             |    sum(sqrt(CAST(n_avail AS DOUBLE))) AS Z FROM a),
+             |j AS (SELECT a.*, t.N,
+             |    sqrt(CAST(n_avail AS DOUBLE)) / t.Z AS w,
+             |    CAST(n_avail AS DOUBLE) / t.N AS p FROM a, t),
+             |r AS (SELECT *, w / p AS ir FROM j),
+             |s AS (SELECT sum(n_avail * ir) AS s1,
+             |    sum(n_avail * ir * ir) AS s2 FROM r)
+             |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_avail AS BIGINT) AS n_avail,
+             |  round(p, 6) AS p_frac, round(w, 6) AS w_target,
+             |  round(ir, 6) AS is_ratio,
+             |  round(s1 * s1 / s2, 2) AS ess_tokens,
+             |  round(s1 * s1 / s2 / N, 6) AS ess_frac
+             |FROM r, s""".stripMargin)),
+
+    Q("q264_doremi_ess",
+      (s, d) => { val ctx = new Ctx(s, d); import ctx._
+        // the q175 composition discipline applied to mixture
+        // EVALUATION: q172's optimized DoReMi card, passed through
+        // mixtureEss against the corpus's own per-source token mass —
+        // "how much effective data survives the learned mixture, and
+        // what repetition does it demand per source". ONE oracle
+        // replays the whole chain (both LMs → domain excess → MW
+        // update → round-6 card → renormalization → χ² ESS), pinning
+        // the coupling the per-stage oracles cannot see: the card
+        // being audited is exactly the card that was optimized.
+        implicit val ss = s
+        val docs = tbl("documents")
+        val uni = operators.Quality.perplexityBuckets(docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
+        val bi = operators.Quality.bigramPerplexityBuckets(
+            docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
+        val perDoc = docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .join(uni, Seq("doc_id")).join(bi, Seq("doc_id"))
+        val weights = Selection.doremiWeights(perDoc, "source",
+          log(col("ppl_u")), log(col("ppl_b")), col("n_tok"),
+          eta = 1.0, smoothing = 0.125)
+        operators.Sampling.mixtureEss(docs, "source",
+          size(split(col("text"), " ")), weights, "weight")
+      },
+      Some(s"""$DoremiCtes,
+             |wt AS (SELECT source,
+             |    round(0.875 * (upd / sup) + 0.125 / k, 6) AS w0
+             |  FROM up, sm, k),
+             |av AS (SELECT source, count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS n_avail
+             |  FROM documents GROUP BY 1),
+             |jw AS (SELECT av.*, coalesce(wt.w0, 0) AS w1
+             |  FROM av LEFT JOIN wt USING (source)),
+             |tw AS (SELECT sum(w1) AS sw, sum(n_avail) AS N FROM jw),
+             |rr AS (SELECT jw.*, tw.N, w1 / tw.sw AS w,
+             |    CAST(n_avail AS DOUBLE) / tw.N AS p,
+             |    (w1 / tw.sw) / (CAST(n_avail AS DOUBLE) / tw.N) AS ir
+             |  FROM jw, tw),
+             |es AS (SELECT sum(n_avail * ir) AS s1,
+             |    sum(n_avail * ir * ir) AS s2 FROM rr)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_avail AS BIGINT) AS n_avail,
+             |  round(p, 6) AS p_frac, round(w, 6) AS w_target,
+             |  round(ir, 6) AS is_ratio,
+             |  round(s1 * s1 / s2, 2) AS ess_tokens,
+             |  round(s1 * s1 / s2 / N, 6) AS ess_frac
+             |FROM rr, es""".stripMargin)))
 
   /** DuckDB replay of [[graft.operators.Multimodal.perceptualHashes]]
     * over the synthesized image corpus: the pixel formula

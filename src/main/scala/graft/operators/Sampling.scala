@@ -213,6 +213,63 @@ object Sampling {
       .drop("rate_g")
   }
 
+  /** MIXTURE FEASIBILITY / EFFECTIVE-SAMPLE-SIZE card — "if this corpus
+    * is resampled to mixture w, how much data do we effectively have,
+    * and what repetition does it demand": the importance-sampling ESS
+    * (Kong 1992; the 1/(1+χ²(w‖p)) identity) of reweighting the
+    * corpus's token mass p_g = n_g/N to a TARGET mixture w_g — the
+    * evaluation step every optimized mixture card
+    * ([[Selection.doremiWeights]], [[Selection.unimaxAllocation]],
+    * temperature weights) should pass before materialization. Per
+    * group: the IS ratio r_g = w_g/p_g, which at a one-corpus-mass
+    * budget IS the implied epochs over that group (the repetition the
+    * mixture demands); corpus-level: ess_tokens =
+    * (Σ_g n_g·r_g)²/Σ_g n_g·r_g² and ess_frac = ess_tokens/N — the
+    * fraction of the corpus that still carries independent signal
+    * under the reweighting (1.0 iff w = p; χ²-degraded as the mixture
+    * departs from the data).
+    *
+    * Weight hygiene follows [[mixtureByWeights]]: the weight table is
+    * aggregated to one row per group (max, NULLs ignored) before the
+    * join; a group absent from the table carries mixture mass 0
+    * (ratio 0, contributes nothing); weights are RENORMALIZED over the
+    * groups present in the corpus, so a pre-rounded card (doremiWeights'
+    * round-6 rows) or one mentioning absent groups still yields a
+    * proper distribution. Determinism: n_g/N are exact integer ratios;
+    * the |G|-row double sums sit ~1e-12 under the 1e-6 output grid
+    * (the doremiWeights argument).
+    *
+    * Scale shape: ONE corpus aggregate to (group, n_docs, n_avail);
+    * the weight table and the two totals are |G|-row/1-row broadcasts;
+    * zero corpus shuffle beyond the aggregate. */
+  def mixtureEss(docs: DataFrame, groupCol: String, tokCol: Column,
+                 weights: DataFrame, weightCol: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = docs.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokCol.cast("long")).as("n_avail"))
+      .join(weights.groupBy(col(groupCol))
+          .agg(max(col(weightCol)).as("__w0")),
+        Seq(groupCol), "left")
+      .withColumn("__w1", coalesce(col("__w0"), lit(0.0)))
+      .withColumn("__N", sum(col("n_avail")).over(all))
+      .withColumn("__w", col("__w1") / sum(col("__w1")).over(all))
+      .withColumn("__p", col("n_avail").cast("double") / col("__N"))
+      .withColumn("__r", col("__w") / col("__p"))
+    val g = base
+      .withColumn("__s1", sum(col("n_avail") * col("__r")).over(all))
+      .withColumn("__s2",
+        sum(col("n_avail") * col("__r") * col("__r")).over(all))
+      .withColumn("__ess", col("__s1") * col("__s1") / col("__s2"))
+    g.select(col(groupCol), col("n_docs"), col("n_avail"),
+      round(col("__p"), 6).as("p_frac"),
+      round(col("__w"), 6).as("w_target"),
+      round(col("__r"), 6).as("is_ratio"),
+      round(col("__ess"), 2).as("ess_tokens"),
+      round(col("__ess") / col("__N").cast("double"), 6).as("ess_frac"))
+  }
+
   /** Repetition-factor UPSAMPLING — the other half of mixture assembly
     * ([[temperatureMixture]] clamps rates at 1): each row of group g is
     * materialized `rate_g = targetFactor·q_g/p_g` times in expectation,

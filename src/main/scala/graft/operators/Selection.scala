@@ -431,6 +431,91 @@ object Selection {
         .otherwise(lit(0.0)), 2).as("tokens_deficit"))
   }
 
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023) — the TEMPERATURE-FREE mixture solve:
+    * where [[epochPlan]] shapes the mixture by n^alpha and forfeits the
+    * capped deficit, UniMax distributes the token budget UNIFORMLY
+    * across groups subject to the per-group epoch cap, redistributing
+    * every capped group's surplus to the still-open ones — the unique
+    * allocation that is as close to uniform as the caps allow (the
+    * paper's fairness reading; equivalently water-filling on group
+    * budget with capacity c_g = n_g·E).
+    *
+    * EXACT integer arithmetic end to end (the conformal-gate
+    * discipline applied to mixture planning): budget B =
+    * ⌊total·bNum/bDen⌋ tokens, epoch cap E = eNum/eDen, and the capped
+    * set is decided by the PURE-INTEGER prefix test in ascending
+    * capacity order (ties → group name)
+    *   capped_i  ⟺  n_i·eNum·(G−i+1) ≤ B·eDen − eNum·Σ_{j<i} n_j
+    * which is the sequential uniform-share recursion in closed form:
+    * once false it stays false (c_{i+1} ≥ c_i shrinks the remaining
+    * budget slower than the share), so the capped set is a prefix and
+    * ONE cumulative window over the |G|-row table decides it. Every
+    * uncapped group receives the identical share
+    * (B·eDen − eNum·Σ_capped n_j)/(eDen·u) — doubles derived from
+    * exact integers by one IEEE division, cross-engine replayable.
+    * When the budget exceeds total capacity every group is capped and
+    * the surplus is reported in `budget_left`.
+    *
+    * Scale shape: ONE corpus aggregate to (group, n_docs, n_avail);
+    * everything after is |G|-row arithmetic under a single 1-row
+    * broadcast total. Integer headroom: n·eNum·G — at 2.5e13 tokens,
+    * eNum ≤ 8 and 4k groups that is ~8e17, inside long. */
+  def unimaxAllocation(docs: DataFrame, groupCol: String, tokCol: Column,
+                       budgetNum: Long, budgetDen: Long,
+                       epochNum: Long, epochDen: Long): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget ratio must be positive")
+    require(epochNum > 0 && epochDen > 0, "epoch cap must be positive")
+    val avail = docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokCol.cast("long")).as("n_avail"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val asc = Window.partitionBy(lit(1))
+      .orderBy(col("n_avail"), col(groupCol).cast("string"))
+    val g = avail
+      .withColumn("__G", count(lit(1)).over(all))
+      // integer floor division (Column./ is DOUBLE division — a float
+      // quotient would lose exactness right where the integer
+      // discipline matters)
+      .withColumn("__BT", sum(col("n_avail")).over(all) * lit(budgetNum))
+      .withColumn("__B", expr(s"__BT div $budgetDen"))
+      .withColumn("__i", row_number().over(asc))
+      .withColumn("__pre",
+        coalesce(sum(col("n_avail")).over(
+          asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__capped",
+        col("n_avail") * lit(epochNum) * (col("__G") - col("__i") + 1) <=
+          col("__B") * lit(epochDen) - lit(epochNum) * col("__pre"))
+    val u = g
+      .withColumn("__ncap", sum(when(col("__capped"), 1L).otherwise(0L))
+        .over(all))
+      .withColumn("__captoks",
+        coalesce(sum(when(col("__capped"), col("n_avail"))).over(all),
+          lit(0L)))
+      // remaining budget in 1/eDen token units; every uncapped group
+      // gets the identical share
+      .withColumn("__runits",
+        col("__B") * lit(epochDen) - lit(epochNum) * col("__captoks"))
+      .withColumn("__alloc", when(col("__capped"),
+          col("n_avail").cast("double") * lit(epochNum.toDouble) /
+            lit(epochDen.toDouble))
+        .otherwise(col("__runits").cast("double") /
+          (lit(epochDen.toDouble) * (col("__G") - col("__ncap"))
+            .cast("double"))))
+    u.select(col(groupCol), col("n_docs"), col("n_avail"),
+      col("__B").as("budget"),
+      round(col("__alloc"), 6).as("allocation"),
+      round(col("__alloc") / col("n_avail").cast("double"), 6)
+        .as("epochs"),
+      graft.functions.Clean.flag(col("__capped")).as("capped"),
+      // surplus the caps strand (nonzero only when EVERY group capped)
+      round(when(col("__ncap") === col("__G"),
+          col("__runits").cast("double") / lit(epochDen.toDouble))
+        .otherwise(lit(0.0)), 6).as("budget_left"))
+  }
+
   /** Greedy MAX-COVERAGE selection — the submodular data-subset
     * primitive (facility location over lexical features; Wei et al.
     * ICML 2015's coverage objective): pick k documents whose shingle

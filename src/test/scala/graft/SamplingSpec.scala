@@ -687,4 +687,51 @@ class SamplingSpec extends AnyFunSuite {
         toks.slice(p.toInt, p.toInt + L).mkString(" "))
     }
   }
+
+  test("mixtureEss: identity mixture scores ESS 1.0, skew degrades by " +
+       "the chi-square identity, renormalization and missing-group " +
+       "hygiene hold") {
+    import spark.implicits._
+    val docs = (Seq.fill(4)(("a", 100)) ++ Seq.fill(2)(("b", 50)) ++
+        Seq.fill(2)(("c", 250)))
+      .zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+      .toDF("id", "grp", "n_tok")
+    // masses: a 400, b 100, c 500, N = 1000
+    // identity card w = p (fed UNnormalized as the raw masses —
+    // renormalization hygiene): every ratio 1, ESS = N exactly
+    val idCard = Seq(("a", 400.0), ("b", 100.0), ("c", 500.0))
+      .toDF("grp", "w")
+    val idRows = Sampling.mixtureEss(docs, "grp", col("n_tok"),
+      idCard, "w").collect()
+    assert(idRows.forall(_.getAs[Double]("is_ratio") == 1.0))
+    assert(idRows.forall(_.getAs[Double]("ess_frac") == 1.0))
+    assert(idRows.forall(_.getAs[Double]("ess_tokens") == 1000.0))
+    // skewed card w = (0.5, 0.3, 0.2) vs p = (0.4, 0.1, 0.5):
+    // chi2 + 1 = sum_g w_g^2/p_g = 0.25/0.4 + 0.09/0.1 + 0.04/0.5
+    //          = 0.625 + 0.9 + 0.08 = 1.605 → ess_frac = 1/1.605
+    val skew = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("grp", "w")
+    val sk = Sampling.mixtureEss(docs, "grp", col("n_tok"), skew, "w")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(math.abs(sk("a").getAs[Double]("ess_frac") - 1.0 / 1.605)
+      < 1e-6)
+    assert(sk("b").getAs[Double]("is_ratio") == 3.0,
+      "b's 10% of mass must carry 30% of the mixture: 3 implied epochs")
+    assert(sk("a").getAs[Double]("p_frac") == 0.4 &&
+      sk("a").getAs[Double]("w_target") == 0.5)
+    // a group missing from the card carries mixture mass 0 (ratio 0),
+    // and the card renormalizes over what remains
+    val partial = Seq(("a", 0.5), ("c", 0.5)).toDF("grp", "w")
+    val pt = Sampling.mixtureEss(docs, "grp", col("n_tok"), partial, "w")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(pt("b").getAs[Double]("is_ratio") == 0.0 &&
+      pt("b").getAs[Double]("w_target") == 0.0)
+    assert(pt("a").getAs[Double]("w_target") == 0.5)
+    // duplicate card rows collapse by max before the join (the
+    // mixtureByWeights grain rule)
+    val dup = Seq(("a", 0.5), ("a", 0.2), ("b", 0.3), ("c", 0.2))
+      .toDF("grp", "w")
+    val dp = Sampling.mixtureEss(docs, "grp", col("n_tok"), dup, "w")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(dp("a").getAs[Double]("w_target") == 0.5)
+  }
 }

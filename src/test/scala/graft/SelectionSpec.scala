@@ -370,4 +370,85 @@ class SelectionSpec extends AnyFunSuite {
     assert(p0("b").getAs[Double]("epochs") == 1.25)
     assert(p0("b").getAs[Double]("tokens_deficit") == 0.0)
   }
+
+  test("unimaxAllocation: closed-form capped prefix equals the paper's " +
+       "sequential redistribution; hand case, conservation, all-capped " +
+       "surplus, and uniform share across the uncapped") {
+    import spark.implicits._
+    // hand case: masses 100/200/700, budget = floor(1.5*1000) = 1500,
+    // cap 2 epochs → capacities 200/400/1400. Ascending walk:
+    //   a: 200*3=600 <= 1500        → capped, alloc 200
+    //   b: 400*2=800 <= 1300        → capped, alloc 400
+    //   c: 1400*1=1400 > 900        → open,  alloc 900 (epochs 9/7)
+    val docs = ((1 to 1) .map(_ => ("a", 100)) ++
+                (1 to 1).map(_ => ("b", 200)) ++
+                (1 to 1).map(_ => ("c", 700)))
+      .toDF("grp", "n_tok")
+    val m = Selection.unimaxAllocation(docs, "grp", col("n_tok"),
+        budgetNum = 3L, budgetDen = 2L, epochNum = 2L, epochDen = 1L)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(m("a").getAs[Double]("allocation") == 200.0 &&
+      m("a").getAs[Long]("capped") == 1L &&
+      m("a").getAs[Double]("epochs") == 2.0)
+    assert(m("b").getAs[Double]("allocation") == 400.0 &&
+      m("b").getAs[Long]("capped") == 1L)
+    assert(m("c").getAs[Double]("allocation") == 900.0 &&
+      m("c").getAs[Long]("capped") == 0L &&
+      math.abs(m("c").getAs[Double]("epochs") - 1.285714) < 1e-9)
+    assert(m.values.map(_.getAs[Double]("allocation")).sum == 1500.0,
+      "open groups absorb the capped surplus exactly")
+    assert(m.values.forall(_.getAs[Double]("budget_left") == 0.0))
+    // all-capped: budget 3x total, cap 1 epoch → every group capped at
+    // its mass, surplus = B - total reported
+    val ac = Selection.unimaxAllocation(docs, "grp", col("n_tok"),
+        budgetNum = 3L, budgetDen = 1L, epochNum = 1L, epochDen = 1L)
+      .collect()
+    assert(ac.forall(_.getAs[Long]("capped") == 1L))
+    assert(ac.forall(_.getAs[Double]("budget_left") == 2000.0))
+    assert(ac.map(_.getAs[Double]("allocation")).sum == 1000.0)
+    // randomized pools: the one-window closed form must equal a driver
+    // replay of the sequential uniform-redistribution algorithm
+    val rnd = new scala.util.Random(8812)
+    for (trial <- 1 to 8) {
+      val masses = Seq.tabulate(3 + rnd.nextInt(8))(g =>
+        (s"g$g", 1 + rnd.nextInt(500)))
+      val (bn, bd, en, ed) = (1 + rnd.nextInt(4).toLong,
+        1 + rnd.nextInt(2).toLong, 1 + rnd.nextInt(4).toLong,
+        1 + rnd.nextInt(3).toLong)
+      val df = masses.toDF("grp", "n_tok")
+      val got = Selection.unimaxAllocation(df, "grp", col("n_tok"),
+          bn, bd, en, ed)
+        .collect()
+        .map(r => r.getAs[String]("grp") ->
+          (r.getAs[Double]("allocation"), r.getAs[Long]("capped")))
+        .toMap
+      // sequential replay (Chung et al. alg.): ascending capacity,
+      // equal share of the remaining budget, cap-and-redistribute —
+      // exact integer arithmetic in 1/ed token units; once a group is
+      // open every later (larger-capacity) group gets the SAME share
+      val sorted = masses.sortBy(p => (p._2, p._1))
+      var r2 = masses.map(_._2.toLong).sum * bn / bd * ed
+      var left = sorted.size
+      val exp2 = scala.collection.mutable.Map.empty[String, (Double, Long)]
+      var stillCapping = true
+      for ((gname, mass) <- sorted) {
+        val capUnits = mass.toLong * en
+        if (stillCapping && capUnits * left <= r2) {
+          exp2(gname) = (capUnits.toDouble / ed, 1L)
+          r2 -= capUnits
+          left -= 1
+        } else {
+          stillCapping = false
+          exp2(gname) = (r2.toDouble / (ed.toDouble * left), 0L)
+        }
+      }
+      for ((gname, (alloc, capped)) <- exp2) {
+        val (ga, gc) = got(gname)
+        assert(gc == capped && math.abs(ga -
+          math.rint(alloc * 1e6) / 1e6) < 1e-9,
+          s"trial $trial $gname: got ($ga, $gc) vs sequential " +
+            s"($alloc, $capped)")
+      }
+    }
+  }
 }
