@@ -1093,9 +1093,13 @@ object Classifier {
         sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
         // u2 ≥ 0, so a one-sided clamp saturates; without it the
-        // DECIMAL(38,0)→long cast THROWS past Long.MaxValue (ANSI)
-        least(col("u2"), lit(Long.MaxValue).cast(dec))
-          .cast("long").as("u2"),
+        // DECIMAL(38,0)→long cast THROWS past Long.MaxValue (ANSI).
+        // least() SKIPS nulls, so an EMPTY input's null u2 must be
+        // passed through explicitly — least(null, MAX) = MAX would
+        // turn the vacuous row into a spurious saturated statistic
+        when(col("u2").isNull, lit(null).cast("long"))
+          .otherwise(least(col("u2"), lit(Long.MaxValue).cast(dec))
+            .cast("long")).as("u2"),
         when(coalesce(col("n_pos"), lit(0L)) === 0 ||
             coalesce(col("n_neg"), lit(0L)) === 0,
           lit(null).cast("double"))

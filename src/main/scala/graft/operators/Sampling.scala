@@ -239,6 +239,15 @@ object Sampling {
     * the |G|-row double sums sit ~1e-12 under the 1e-6 output grid
     * (the doremiWeights argument).
     *
+    * Zero-mass groups (r20): a group whose rows carry NO token mass
+    * has p_g = 0 — its ratio w_g/p_g is undefined, and left alone the
+    * 0·∞ = NaN would poison every output row through the sums. The
+    * row reports `is_ratio` NULL; a zero-mass group with POSITIVE
+    * target weight makes the mixture UNSAMPLABLE from this corpus
+    * (infinite repetition demanded), so the card reports ess_tokens =
+    * ess_frac = 0.0 — the honest limit; with zero weight the group
+    * simply contributes nothing.
+    *
     * Scale shape: ONE corpus aggregate to (group, n_docs, n_avail);
     * the weight table and the two totals are |G|-row/1-row broadcasts;
     * zero corpus shuffle beyond the aggregate. */
@@ -256,12 +265,21 @@ object Sampling {
       .withColumn("__N", sum(col("n_avail")).over(all))
       .withColumn("__w", col("__w1") / sum(col("__w1")).over(all))
       .withColumn("__p", col("n_avail").cast("double") / col("__N"))
-      .withColumn("__r", col("__w") / col("__p"))
+      // a zero-mass group's ratio is undefined (NULL, not 0/0 = NaN)
+      .withColumn("__r", when(col("n_avail") === 0,
+        lit(null).cast("double")).otherwise(col("__w") / col("__p")))
     val g = base
-      .withColumn("__s1", sum(col("n_avail") * col("__r")).over(all))
-      .withColumn("__s2",
-        sum(col("n_avail") * col("__r") * col("__r")).over(all))
-      .withColumn("__ess", col("__s1") * col("__s1") / col("__s2"))
+      // zero-mass rows contribute nothing to the sums (their true
+      // n·r limit is 0); a zero-mass group with POSITIVE weight makes
+      // the mixture unsamplable — ESS pins to the honest limit 0
+      .withColumn("__unsamplable", max(graft.functions.Clean.flag(
+        col("n_avail") === 0 && col("__w") > 0)).over(all))
+      .withColumn("__s1",
+        sum(coalesce(col("n_avail") * col("__r"), lit(0.0))).over(all))
+      .withColumn("__s2", sum(coalesce(
+        col("n_avail") * col("__r") * col("__r"), lit(0.0))).over(all))
+      .withColumn("__ess", when(col("__unsamplable") === 1L, lit(0.0))
+        .otherwise(col("__s1") * col("__s1") / col("__s2")))
     g.select(col(groupCol), col("n_docs"), col("n_avail"),
       round(col("__p"), 6).as("p_frac"),
       round(col("__w"), 6).as("w_target"),

@@ -507,8 +507,11 @@ object Selection {
     u.select(col(groupCol), col("n_docs"), col("n_avail"),
       col("__B").as("budget"),
       round(col("__alloc"), 6).as("allocation"),
-      round(col("__alloc") / col("n_avail").cast("double"), 6)
-        .as("epochs"),
+      // a zero-mass group (capacity 0, allocation 0) has no epoch
+      // reading — explicit NULL, not 0/0 = NaN
+      when(col("n_avail") === 0, lit(null).cast("double"))
+        .otherwise(round(col("__alloc") / col("n_avail").cast("double"),
+          6)).as("epochs"),
       graft.functions.Clean.flag(col("__capped")).as("capped"),
       // surplus the caps strand (nonzero only when EVERY group capped)
       round(when(col("__ncap") === col("__G"),
@@ -886,9 +889,13 @@ object Selection {
       // rows; past it, exactArgmax() answers in one aggregate
       val fetchCap = fetchCapBatches.toLong * batchCap + selected.size
       def fetchHead(n: Int): Array[(Long, Long)] = {
-        maxFetch = math.max(maxFetch, n.toLong)
-        g1.orderBy(col("ub").desc, col("__c")).limit(n)
+        val rows = g1.orderBy(col("ub").desc, col("__c")).limit(n)
           .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+        // record rows actually RETURNED, not the requested limit — a
+        // pool smaller than fetchN would otherwise overstate the
+        // driver-rows measurement ~6x (r20 review)
+        maxFetch = math.max(maxFetch, rows.length.toLong)
+        rows
       }
       if (r == 1) {
         return fetchHead(1).headOption

@@ -293,14 +293,19 @@ case class NearestCellQuantized(child: Expression, cellIds: Array[Long],
     ExprUtil.requireType("nearest_cell_quantized", child.dataType,
       ExprUtil.isNumericVector, "array<float|double>")
   private lazy val isF = ExprUtil.isFloatArray(child.dataType)
+  // row-invariant centroid norms, hoisted once per expression (same
+  // accumulation order as the fused loop — bit-identical quantization)
+  private lazy val norms: Array[Double] =
+    VectorOps.centroidNorms(cellIds, centers)
   override protected def nullSafeEval(v: Any): Any =
     VectorOps.nearestCellQuantized(v.asInstanceOf[ArrayData], isF, cellIds,
-      centers, simScale)
+      centers, norms, simScale)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val idsRef = ctx.addReferenceObj("cellIds", cellIds, "long[]")
     val ctrRef = ctx.addReferenceObj("centers", centers, "double[]")
+    val nrmRef = ctx.addReferenceObj("centroidNorms", norms, "double[]")
     defineCodeGen(ctx, ev, v =>
-      s"graft.plans.VectorOps.nearestCellQuantized($v, $isF, $idsRef, $ctrRef, $simScale)")
+      s"graft.plans.VectorOps.nearestCellQuantized($v, $isF, $idsRef, $ctrRef, $nrmRef, $simScale)")
   }
   // content equality over the Array fields (the NearestCells rationale:
   // reference equality defeats canonicalization across identical sets)

@@ -637,9 +637,26 @@ object VectorOps {
     * vector) quantizes to Long.MinValue — never preferred, selection
     * stays total (the [[nearestCells]] reading; the struct fold's
     * ANSI NaN→long cast THREW there, so this is a strict hardening). */
+  /** Per-centroid √(Σy²) with the SAME sequential accumulation order
+    * the fused loop used — hoisting the row-invariant centroid norms
+    * out of the per-row kernel is free exactness-wise (the product
+    * sqrt(na)·norms(c) is bit-identical to sqrt(na)·sqrt(nb)) and
+    * saves a third of the per-row multiply-adds. */
+  def centroidNorms(cellIds: Array[Long],
+                    centers: Array[Double]): Array[Double] = {
+    val k = cellIds.length
+    val dim = if (k == 0) 0 else centers.length / k
+    Array.tabulate(k) { c =>
+      val base = c * dim
+      var nb = 0.0; var i = 0
+      while (i < dim) { val y = centers(base + i); nb += y * y; i += 1 }
+      math.sqrt(nb)
+    }
+  }
+
   def nearestCellQuantized(v: ArrayData, isFloat: Boolean,
                            cellIds: Array[Long], centers: Array[Double],
-                           simScale: Double): Long = {
+                           norms: Array[Double], simScale: Double): Long = {
     val k = cellIds.length
     val dim = if (k == 0) 0 else centers.length / k
     if (v.numElements() != dim)
@@ -651,14 +668,14 @@ object VectorOps {
     var c = 0
     while (c < k) {
       val base = c * dim
-      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var dot = 0.0; var na = 0.0
       var i = 0
       while (i < dim) {
         val x = elem(v, i, isFloat); val y = centers(base + i)
-        dot += x * y; na += x * x; nb += y * y
+        dot += x * y; na += x * x
         i += 1
       }
-      val s = dot / (math.sqrt(na) * math.sqrt(nb))
+      val s = dot / (math.sqrt(na) * norms(c))
       val q =
         if (java.lang.Double.isNaN(s)) Long.MinValue
         else java.math.BigDecimal.valueOf(s * simScale)

@@ -1440,6 +1440,13 @@ class CurationOpsSpec extends AnyFunSuite {
       s"u2 must saturate at Long.MaxValue, got ${r.getLong(2)}")
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12,
       s"auc reads the decimal, not the saturated long: ${r.getDouble(3)}")
+    // EMPTY input: the clamp must pass the vacuous null through —
+    // least() skips nulls, so an unguarded least(null, MAX) would
+    // report a spurious saturated statistic (r20 review)
+    val empty = graft.operators.Classifier.aucFromState(
+      st.filter(col("score") > 99)).collect().head
+    assert(empty.isNullAt(2) && empty.isNullAt(3),
+      s"empty input must stay vacuous, got $empty")
   }
 
   test("aucFromState: shard states merge to the monolithic statistic " +

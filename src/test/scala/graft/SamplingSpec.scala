@@ -733,5 +733,25 @@ class SamplingSpec extends AnyFunSuite {
     val dp = Sampling.mixtureEss(docs, "grp", col("n_tok"), dup, "w")
       .collect().map(r => r.getAs[String]("grp") -> r).toMap
     assert(dp("a").getAs[Double]("w_target") == 0.5)
+    // a ZERO-MASS group must not poison the card with 0*Inf = NaN
+    // (r20 review): ratio NULL; positive target weight on it pins
+    // ESS to the honest unsamplable limit 0, zero weight leaves the
+    // rest of the card intact
+    val withEmpty = docs.unionByName(
+      Seq((99L, "z", 0)).toDF("id", "grp", "n_tok"))
+    val bad = Sampling.mixtureEss(withEmpty, "grp", col("n_tok"),
+        Seq(("a", 0.4), ("b", 0.1), ("c", 0.4), ("z", 0.1))
+          .toDF("grp", "w"), "w")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(bad("z").isNullAt(bad("z").fieldIndex("is_ratio")))
+    assert(bad("a").getAs[Double]("ess_frac") == 0.0 &&
+      bad("z").getAs[Double]("ess_tokens") == 0.0,
+      "positive weight on a zero-mass group = unsamplable, ESS 0")
+    val ok = Sampling.mixtureEss(withEmpty, "grp", col("n_tok"),
+        Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("grp", "w"), "w")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(ok("z").isNullAt(ok("z").fieldIndex("is_ratio")))
+    assert(math.abs(ok("a").getAs[Double]("ess_frac") - 1.0 / 1.605)
+      < 1e-6, "a weightless zero-mass group must not perturb the ESS")
   }
 }

@@ -406,6 +406,17 @@ class SelectionSpec extends AnyFunSuite {
     assert(ac.forall(_.getAs[Long]("capped") == 1L))
     assert(ac.forall(_.getAs[Double]("budget_left") == 2000.0))
     assert(ac.map(_.getAs[Double]("allocation")).sum == 1000.0)
+    // a zero-mass group: capacity 0 → capped at allocation 0, epochs
+    // explicitly NULL (not 0/0 = NaN — r20 review)
+    val z = Selection.unimaxAllocation(
+        docs.unionByName(Seq(("z", 0)).toDF("grp", "n_tok")),
+        "grp", col("n_tok"), 3L, 2L, 2L, 1L)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(z("z").getAs[Double]("allocation") == 0.0 &&
+      z("z").getAs[Long]("capped") == 1L &&
+      z("z").isNullAt(z("z").fieldIndex("epochs")))
+    assert(z("c").getAs[Long]("capped") == 0L,
+      "the zero-mass group must not disturb the water-fill")
     // randomized pools: the one-window closed form must equal a driver
     // replay of the sequential uniform-redistribution algorithm
     val rnd = new scala.util.Random(8812)

@@ -157,6 +157,16 @@ if normalized:
             if not isinstance(extra, dict):
                 raise ValueError(f"expected a JSON object, got "
                                  f"{type(extra).__name__}")
+            # every value must be a positive number — a stringified
+            # float would be silently dropped by the isinstance filter
+            # below (promoting WITHOUT the floor the operator asked
+            # for), and a JSON true passes isinstance(int) and would
+            # apply a nonsense floor of 1.0
+            bad = {k: v for k, v in extra.items()
+                   if isinstance(v, bool)
+                   or not isinstance(v, (int, float)) or v <= 0}
+            if bad:
+                raise ValueError(f"non-positive-number floors: {bad}")
             floors.update(extra)
         except (OSError, ValueError) as e:
             problems.append(f"--floors sidecar {sidecar} unusable: {e}")
