@@ -8770,12 +8770,36 @@ object Queries {
             array_join(concat(slice(t, 1, 2), array(lit("zzz")),
               slice(t, 4, 1000000)), " ").as("text"))
         val u = docs.unionByName(planted)
-        val jac = Dedup.jaccardPairs(u, "doc_id", "text",
-          threshold = 0.5, shingleLen = 3)
-        val con = Dedup.containmentPairs(u, "doc_id", "text",
-            threshold = 0.6, shingleLen = 3)
-          .select(least(col("id_a"), col("id_b")).as("id_a"),
-            greatest(col("id_a"), col("id_b")).as("id_b"))
+        // jac and con self-join the SAME 3-gram inverted index — build
+        // it once (lightweight proxy: id, size, 8-byte shingle hash)
+        // and checkpoint, so the union+shingle+explode subtree runs 1x
+        // instead of once per signal side (was 4x; guide §2.4). Both
+        // signals then gate the SAME unordered co-occurrence aggregate
+        // (|A∩B|, |A|, |B|): jaccard is inter/(szA+szB−inter), and
+        // "containment ≥ t in EITHER direction, normalized to the
+        // unordered pair" is exactly inter/min(szA,szB) ≥ t (IEEE
+        // division is monotone in a positive denominator), so the
+        // token-keyed pair join+aggregate runs once, not once per
+        // signal. The vote table keeps only the pair ids, so the
+        // per-signal score columns the library operators emit are
+        // never needed here.
+        val inv = Dedup.shingleIndex(u, "doc_id", "text", shingleLen = 3)
+          .localCheckpoint(true)
+        val invA = inv.select(col("id").as("id_a"), col("sz").as("sz_a"),
+          col("tok"))
+        val invB = inv.select(col("id").as("id_b"), col("sz").as("sz_b"),
+          col("tok"))
+        val co = invA.join(invB, Seq("tok"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b", "sz_a", "sz_b")
+          .agg(count(lit(1)).as("inter"))
+          .localCheckpoint(true)
+        val jac = co.filter(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")) >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        val con = co.filter(col("inter").cast("double") /
+            least(col("sz_a"), col("sz_b")) >= 0.6)
+          .select(col("id_a"), col("id_b"))
         val fuz = Dedup.fuzzyDupPairs(u, "doc_id", "text",
           prefixTokens = 6, maxDist = 4, qgramLen = 2)
         Dedup.consensusVote(

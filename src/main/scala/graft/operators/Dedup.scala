@@ -32,26 +32,48 @@ object Dedup {
     * oracle-exact parity). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleLen: Int = 1,
-                   maxDocFreq: Double = 1.0): DataFrame = {
+                   maxDocFreq: Double = 1.0): DataFrame =
+    jaccardPairsFromIndex(
+      hotFiltered(docs, shingleIndex(docs, idCol, textCol, shingleLen),
+        maxDocFreq),
+      threshold)
+
+  /** The shared inverted shingle index both [[jaccardPairs]] and
+    * [[containmentPairs]] self-join: one row per (doc, distinct
+    * shingle), shingles lowercased then xxhash64'd BEFORE the index
+    * joins so every downstream shuffle keys on the 8-byte id instead of
+    * the shingle string (distinct strings stay distinct w.h.p., so
+    * |A∩B| and doc-frequency counts are unchanged). Ensemble callers
+    * that need several signals over the SAME corpus should build this
+    * once, `localCheckpoint(true)` it, and feed the `FromIndex`
+    * variants — the index is a lightweight proxy (id, size, 8-byte
+    * hash), so materializing it once replaces 2 corpus
+    * scans+shingle-explodes PER SIGNAL SIDE with one. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       Text.shingles(lower(col(textCol)), shingleLen).as("toks"))
       .withColumn("sz", size(col("toks")))
-    // hash BEFORE the index joins: every downstream shuffle keys on the
-    // 8-byte id instead of the shingle string (distinct strings stay
-    // distinct w.h.p., so |A∩B| and doc-frequency counts are unchanged)
-    val inv0 = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok_s"))
+    toks.select(col("id"), col("sz"), explode(col("toks")).as("tok_s"))
       .select(col("id"), col("sz"), xxhash64(col("tok_s")).as("tok"))
-    val inv =
-      if (maxDocFreq >= 1.0) inv0
-      else {
-        // corpus size computed IN-PLAN (1-row aggregate, broadcast) —
-        // no driver-side count() action at composition time
-        val total = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
-        val hot = inv0.groupBy("tok").count()
-          .crossJoin(broadcast(total))
-          .filter(col("count") > col("__n_docs") * maxDocFreq).select("tok")
-        inv0.join(broadcast(hot), Seq("tok"), "left_anti")
-      }
+  }
+
+  /** `maxDocFreq` prefix-filter over a [[shingleIndex]] (corpus size
+    * computed IN-PLAN as a 1-row broadcast aggregate — no driver-side
+    * count() action at composition time); identity when disabled. */
+  private def hotFiltered(docs: DataFrame, inv0: DataFrame,
+                          maxDocFreq: Double): DataFrame =
+    if (maxDocFreq >= 1.0) inv0
+    else {
+      val total = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+      val hot = inv0.groupBy("tok").count()
+        .crossJoin(broadcast(total))
+        .filter(col("count") > col("__n_docs") * maxDocFreq).select("tok")
+      inv0.join(broadcast(hot), Seq("tok"), "left_anti")
+    }
+
+  /** [[jaccardPairs]]' pair stage over a prepared [[shingleIndex]]. */
+  def jaccardPairsFromIndex(inv: DataFrame, threshold: Double): DataFrame = {
     val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
     val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
     a.join(b, Seq("tok"))
@@ -81,21 +103,15 @@ object Dedup {
     * threshold gate cannot flip cross-engine. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, shingleLen: Int = 3,
-                       maxDocFreq: Double = 1.0): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      Text.shingles(lower(col(textCol)), shingleLen).as("toks"))
-      .withColumn("sz", size(col("toks")))
-    val inv0 = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok_s"))
-      .select(col("id"), col("sz"), xxhash64(col("tok_s")).as("tok"))
-    val inv =
-      if (maxDocFreq >= 1.0) inv0
-      else {
-        val total = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
-        val hot = inv0.groupBy("tok").count()
-          .crossJoin(broadcast(total))
-          .filter(col("count") > col("__n_docs") * maxDocFreq).select("tok")
-        inv0.join(broadcast(hot), Seq("tok"), "left_anti")
-      }
+                       maxDocFreq: Double = 1.0): DataFrame =
+    containmentPairsFromIndex(
+      hotFiltered(docs, shingleIndex(docs, idCol, textCol, shingleLen),
+        maxDocFreq),
+      threshold)
+
+  /** [[containmentPairs]]' pair stage over a prepared [[shingleIndex]]. */
+  def containmentPairsFromIndex(inv: DataFrame,
+                                threshold: Double): DataFrame = {
     val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
     val b = inv.select(col("id").as("id_b"), col("tok"))
     a.join(b, Seq("tok"))
@@ -233,24 +249,36 @@ object Dedup {
     require(qgramLen >= 1, "qgramLen must be positive")
     val q = qgramLen
     val prefixLen = maxDist * q + 1
+    // keyed/exploded/posts each feed SEVERAL downstream branches (df
+    // table + rank join; candidate self-join x/y; the two enrichment
+    // sides) — Catalyst plans every branch independently, so without
+    // materialization the scan+tokenize+gram-explode subtree runs up
+    // to 6x (measured: 16 parquet scans, 2 full window subtrees at
+    // fixture scale). All three are lightweight proxies of the corpus
+    // (id + a `prefixTokens`-token key / a 2-char gram), so eager
+    // localCheckpoints pay one materialization for one-pass candidate
+    // generation — guide §2.4/§8's "decide on small rows" shape.
     val keyed = docs.select(col(idCol).as("id"),
         concat_ws(" ",
           slice(Text.tokens(lower(col(textCol))), 1, prefixTokens)).as("k"))
       .withColumn("klen", length(col("k")))
+      .localCheckpoint(true)
     // distinct q-gram types per key (guarded: sequence(1, hi) with
     // hi < 1 would generate a DESCENDING range, not an empty one)
     val grams = keyed.withColumn("gs",
       when(col("klen") >= q, array_distinct(expr(
         s"transform(sequence(1, length(k) - ${q - 1}), i -> substr(k, i, $q))")))
         .otherwise(array().cast("array<string>")))
-    val exploded = grams.select(col("id"), explode(col("gs")).as("g_s"))
+    val exploded = grams.select(col("id"), col("klen"),
+        explode(col("gs")).as("g_s"))
+      .localCheckpoint(true)
     // global df per gram type: bounded by |charset|^q — model metadata
     val dfTab = exploded.groupBy("g_s").agg(count(lit(1)).as("g_df"))
     val ranked = exploded.join(dfTab, Seq("g_s"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
         .orderBy(col("g_df"), col("g_s"))))
       .filter(col("rn") <= prefixLen)
-      .select(col("id"), xxhash64(col("g_s")).as("g"))
+      .select(col("id"), col("klen"), xxhash64(col("g_s")).as("g"))
     // short keys can lose EVERY gram instance to k edits whenever the
     // instance count (klen-q+1) is <= k*q — each edit destroys at most
     // q instances — so the sentinel must cover klen <= q-1+maxDist*q,
@@ -263,20 +291,28 @@ object Dedup {
     // short pairs meet in the sentinel bucket (a vanishing population
     // at corpus scale for multi-token prefixes).
     val sentinel = keyed.filter(col("klen") <= q - 1 + maxDist * q)
-      .select(col("id"), lit(Long.MinValue).as("g"))
-    val posts = ranked.unionByName(sentinel)
+      .select(col("id"), col("klen"), lit(Long.MinValue).as("g"))
+    // posts feeds both sides of the candidate self-join: checkpoint so
+    // the df-rank window runs once, not once per side
+    val posts = ranked.unionByName(sentinel).localCheckpoint(true)
+    // the |len| <= maxDist band is a NECESSARY condition for lev <= k,
+    // so applying it on the posted klen BEFORE the pair distinct (and
+    // before the key-string enrichment) prunes candidates at the
+    // cheapest point without touching recall — the verify filter below
+    // re-implies it
     val cand = posts.as("x").join(posts.as("y"), Seq("g"))
-      .filter(col("x.id") < col("y.id"))
+      .filter(col("x.id") < col("y.id") &&
+        abs(col("x.klen") - col("y.klen")) <= maxDist)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val ka = keyed.select(col("id").as("id_a"), col("k").as("k_a"),
-      col("klen").as("len_a"))
-    val kb = keyed.select(col("id").as("id_b"), col("k").as("k_b"),
-      col("klen").as("len_b"))
+    val ka = keyed.select(col("id").as("id_a"), col("k").as("k_a"))
+    val kb = keyed.select(col("id").as("id_b"), col("k").as("k_b"))
     cand.join(ka, Seq("id_a")).join(kb, Seq("id_b"))
-      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
-      .filter(col("dist") <= maxDist)
+      // banded DP: O(len·maxDist) per pair instead of O(len²) — exact
+      // distance when <= maxDist, -1 otherwise, so the gate and the
+      // emitted dist are bit-identical to unbounded levenshtein
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 

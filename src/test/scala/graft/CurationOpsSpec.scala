@@ -47,6 +47,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("shingleIndex FromIndex variants reproduce jaccardPairs/" +
+      "containmentPairs; either-direction containment == min-denominator") {
+    import spark.implicits._
+    val words = Vector("a", "b", "c", "d", "e", "f", "g")
+    def text(seed: Int): String =
+      (0 until 12).map(i => words((seed * 5 + i * 3) % words.size))
+        .mkString(" ")
+    val docs = (1 to 24).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val inv = Dedup.shingleIndex(docs, "doc_id", "text", 2)
+      .localCheckpoint(true)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pset(Dedup.jaccardPairsFromIndex(inv, 0.3)) ==
+      pset(Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, shingleLen = 2)))
+    assert(pset(Dedup.containmentPairsFromIndex(inv, 0.5)) ==
+      pset(Dedup.containmentPairs(docs, "doc_id", "text", 0.5,
+        shingleLen = 2)))
+    // the q216 single-aggregate form: unordered pairs qualifying in
+    // EITHER containment direction == inter/min(szA, szB) >= t
+    val either = Dedup.containmentPairsFromIndex(inv, 0.5)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMin = Dedup.jaccardPairsFromIndex(inv, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet // all co-pairs
+    val invRows = docs.select(col("doc_id"),
+        graft.functions.Text.shingles(lower(col("text")), 2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val minForm = (for {
+      (ia, sa) <- invRows; (ib, sb) <- invRows if ia < ib
+      inter = (sa & sb).size if inter > 0
+      if inter.toDouble / math.min(sa.size, sb.size) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(either == minForm)
+    assert(minForm.subsetOf(viaMin))
+  }
+
   test("fuzzyDupPairs: recall-complete vs brute-force levenshtein") {
     import spark.implicits._
     val words = Vector("key", "row", "scan", "fast", "table", "agg", "a")
