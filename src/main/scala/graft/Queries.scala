@@ -6934,22 +6934,30 @@ object Queries {
         val merges = operators.Tokenizer.trainMergesBatched(
           docs.filter(col("doc_id") % 3 === 0), "text",
           nMerges = 16, maxBatch = 8)
-        val fast = operators.Tokenizer.encode(docs, "doc_id", "text", merges)
-        val slice = docs.filter(col("doc_id") % 11 === 0)
-        val slow = slice.select(col("doc_id"),
-          flatten(transform(
-            filter(split(col("text"), " "), w => length(w) > 0),
-            w => operators.Tokenizer.applyMerges(
-              transform(sequence(lit(1), length(w)),
-                i => w.substr(i, lit(1))), merges))).as("toks"))
-        val eq = fast.filter(col("doc_id") % 11 === 0)
-          .withColumnRenamed("toks", "t_fast")
-          .join(slow.withColumnRenamed("toks", "t_slow"), Seq("doc_id"),
-            "full")
+        // encodeWithText carries the text THROUGH the opaque encode map
+        // (guide §2.4): the round-trip audit aggregates the encode
+        // output directly instead of re-encoding the corpus and
+        // re-attaching text via a corpus-grain join (was: 2 full encode
+        // passes + 2 sort-merge joins; now: 1 full pass + 1 slice pass,
+        // 0 joins). The HOF-replay equality check likewise computes
+        // t_slow from the carried text in the SAME projection — the
+        // %11 slice is filtered BEFORE the map (encode is a
+        // deterministic per-row function, so encode(slice) ==
+        // encode(corpus) restricted to the slice; Catalyst cannot push
+        // the filter through the typed map itself).
+        val sliceEnc = operators.Tokenizer.encodeWithText(
+          docs.filter(col("doc_id") % 11 === 0), "doc_id", "text", merges)
+        val eq = sliceEnc.select(col("toks").as("t_fast"),
+            flatten(transform(
+              filter(split(col("text"), " "), w => length(w) > 0),
+              w => operators.Tokenizer.applyMerges(
+                transform(sequence(lit(1), length(w)),
+                  i => w.substr(i, lit(1))), merges))).as("t_slow"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("t_fast") === col("t_slow"), lit(0L))
               .otherwise(lit(1L))).as("n_diff"))
-        val rt = fast.join(docs, Seq("doc_id"))
+        val rt = operators.Tokenizer.encodeWithText(
+            docs, "doc_id", "text", merges)
           .agg(sum(when(array_join(col("toks"), "") ===
               regexp_replace(col("text"), " ", ""), lit(0L))
             .otherwise(lit(1L))).as("n_bad_rt"),

@@ -7,6 +7,31 @@ import graft.operators.Tokenizer
 class TokenizerSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("applyMergesJvm == applyMerges HOF on random tables incl. " +
+       "overlap chains and chained merges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val syms = Vector("a", "b", "c")
+    val rows = (1 to 60).map { _ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => syms(rnd.nextInt(3))).mkString(" ")
+    } :+ "a a a a" :+ "a" :+ "b b b"
+    // chained table: later merges consume earlier products
+    val table = Seq(("a", "a"), ("aa", "a"), ("b", "b"), ("aaa", "bb"),
+      ("c", "aaabb"))
+    val df = rows.toDF("text")
+    val hof = Tokenizer.toSymbols(df, "text")
+      .select(Tokenizer.applyMerges(col("sym"), table).as("sym"))
+      .collect().map(_.getSeq[String](0).mkString("|")).toList.sorted
+    val jvm = Tokenizer.toSymbols(df, "text")
+      .collect().map { r =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        buf ++= r.getSeq[String](0)
+        graft.operators.Tokenizer.applyMergesJvm(buf, table.toArray)
+          .mkString("|")
+      }.toList.sorted
+    assert(jvm == hof)
+  }
+
   test("trainMerges: hand-traced BPE on a tiny corpus — merge order, " +
        "greedy overlap resolution, final tokenization") {
     import spark.implicits._
