@@ -82,12 +82,21 @@ object Incremental {
                         bands: Int, rowsPerBand: Int,
                         mode: org.apache.spark.sql.SaveMode): Unit = {
     val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ParquetSink.bucketed(sig, table, Seq("content_hash"), numBuckets,
-        mode = mode)
-      ParquetSink.bucketed(bandTable(sig, bands, rowsPerBand),
-        s"${table}_bands", Seq("band", "bucket"), numBuckets, mode = mode)
-    } finally sig.unpersist()
+    try writeBothPrepared(sig, table, numBuckets, bands, rowsPerBand, mode)
+    finally sig.unpersist()
+  }
+
+  /** [[writeBoth]] for a signature set the caller has ALREADY
+    * materialized (persisted or checkpointed): both writes re-read the
+    * barrier instead of re-running the shingle/minhash kernels, and no
+    * second persist is stacked on top of it. */
+  private def writeBothPrepared(sig: DataFrame, table: String,
+                                numBuckets: Int, bands: Int, rowsPerBand: Int,
+                                mode: org.apache.spark.sql.SaveMode): Unit = {
+    ParquetSink.bucketed(sig, table, Seq("content_hash"), numBuckets,
+      mode = mode)
+    ParquetSink.bucketed(bandTable(sig, bands, rowsPerBand),
+      s"${table}_bands", Seq("band", "bucket"), numBuckets, mode = mode)
   }
 
   /** True iff `table` and `table_bands` agree: every store id appears in
@@ -189,12 +198,16 @@ object Incremental {
       val store = spark.table(storeTable).join(batchIds, Seq("id"), "left_anti")
       val storeBands = spark.table(s"${storeTable}_bands")
         .join(batchIds, Seq("id"), "left_anti")
-      val survivors = dedupAgainst(batch, store, idCol,
-        textCol, threshold, shingleLen, bands, rowsPerBand,
-        storeBands = Some(storeBands))
+      // ONE materialized signature set per batch: the dedup stage and
+      // the append below share it — the append otherwise re-runs the
+      // shingle/minhash kernels over the batch it just deduped
+      val nsig = signatures(batch, idCol, textCol, shingleLen, bands,
+        rowsPerBand).localCheckpoint(true)
+      val survivors = dedupAgainstSig(batch, nsig, store, idCol,
+        threshold, bands, rowsPerBand, storeBands = Some(storeBands))
       emit(survivors, batchId)
-      appendToStore(batch, idCol, textCol, storeTable, numBuckets, shingleLen,
-        bands, rowsPerBand)
+      writeBothPrepared(nsig, storeTable, numBuckets, bands, rowsPerBand,
+        org.apache.spark.sql.SaveMode.Append)
     }
 
   /** LSH band-bucket values for a signature column — band b's value is a
@@ -240,9 +253,19 @@ object Incremental {
   def dedupAgainst(newDocs: DataFrame, store: DataFrame, idCol: String,
                    textCol: String, threshold: Double, shingleLen: Int = 3,
                    bands: Int = 32, rowsPerBand: Int = 2,
-                   storeBands: Option[DataFrame] = None): DataFrame = {
-    val nsig = signatures(newDocs, idCol, textCol, shingleLen, bands, rowsPerBand)
-      .localCheckpoint(true)
+                   storeBands: Option[DataFrame] = None): DataFrame =
+    dedupAgainstSig(newDocs,
+      signatures(newDocs, idCol, textCol, shingleLen, bands, rowsPerBand)
+        .localCheckpoint(true),
+      store, idCol, threshold, bands, rowsPerBand, storeBands)
+
+  /** [[dedupAgainst]] over a signature set the caller has already
+    * materialized (the [[dedupSink]] share: dedup and append consume
+    * ONE checkpoint of the batch's signatures). */
+  private def dedupAgainstSig(newDocs: DataFrame, nsig: DataFrame,
+                              store: DataFrame, idCol: String,
+                              threshold: Double, bands: Int, rowsPerBand: Int,
+                              storeBands: Option[DataFrame]): DataFrame = {
     // exact stage: batch-internal min-id per hash, then store anti-join
     val exactKeep = nsig.groupBy("content_hash").agg(min(col("id")).as("id"))
       .select("id")
@@ -340,11 +363,20 @@ object Incremental {
                                  numBuckets: Int, bands: Int, bitsPerBand: Int,
                                  mode: org.apache.spark.sql.SaveMode): Unit = {
     val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ParquetSink.bucketed(sig, table, Seq("id"), numBuckets, mode = mode)
-      ParquetSink.bucketed(embeddingBandTable(sig, bands, bitsPerBand),
-        s"${table}_bands", Seq("band", "bucket"), numBuckets, mode = mode)
-    } finally sig.unpersist()
+    try writeEmbeddingBothPrepared(sig, table, numBuckets, bands, bitsPerBand,
+      mode)
+    finally sig.unpersist()
+  }
+
+  /** [[writeEmbeddingBoth]] for an already-materialized signature set
+    * (the [[writeBothPrepared]] discipline). */
+  private def writeEmbeddingBothPrepared(sig: DataFrame, table: String,
+                                         numBuckets: Int, bands: Int,
+                                         bitsPerBand: Int,
+                                         mode: org.apache.spark.sql.SaveMode): Unit = {
+    ParquetSink.bucketed(sig, table, Seq("id"), numBuckets, mode = mode)
+    ParquetSink.bucketed(embeddingBandTable(sig, bands, bitsPerBand),
+      s"${table}_bands", Seq("band", "bucket"), numBuckets, mode = mode)
   }
 
   /** Rebuild `table_bands` from an EMBEDDING store — the embedding
@@ -394,11 +426,15 @@ object Incremental {
       val store = spark.table(storeTable).join(batchIds, Seq("id"), "left_anti")
       val storeBands = spark.table(s"${storeTable}_bands")
         .join(batchIds, Seq("id"), "left_anti")
-      val survivors = dedupEmbeddingsAgainst(batch, store, idCol, vecCol,
+      // one materialized signature set per batch, shared by dedup and
+      // append (the dedupSink discipline)
+      val nsig = embeddingSignatures(batch, idCol, vecCol, bands, bitsPerBand)
+        .localCheckpoint(true)
+      val survivors = dedupEmbeddingsAgainstSig(batch, nsig, store, idCol,
         threshold, bands, bitsPerBand, storeBands = Some(storeBands))
       emit(survivors, batchId)
-      appendToEmbeddingStore(batch, idCol, vecCol, storeTable, numBuckets,
-        bands, bitsPerBand)
+      writeEmbeddingBothPrepared(nsig, storeTable, numBuckets, bands,
+        bitsPerBand, org.apache.spark.sql.SaveMode.Append)
     }
 
   // ── incremental ANN ingestion: the IVF-PQ index as a bucketed ────────
@@ -621,9 +657,19 @@ object Incremental {
   def dedupEmbeddingsAgainst(newEmb: DataFrame, store: DataFrame,
                              idCol: String, vecCol: String, threshold: Double,
                              bands: Int = 64, bitsPerBand: Int = 16,
-                             storeBands: Option[DataFrame] = None): DataFrame = {
-    val nsig = embeddingSignatures(newEmb, idCol, vecCol, bands, bitsPerBand)
-      .localCheckpoint(true)
+                             storeBands: Option[DataFrame] = None): DataFrame =
+    dedupEmbeddingsAgainstSig(newEmb,
+      embeddingSignatures(newEmb, idCol, vecCol, bands, bitsPerBand)
+        .localCheckpoint(true),
+      store, idCol, threshold, bands, bitsPerBand, storeBands)
+
+  /** [[dedupEmbeddingsAgainst]] over an already-materialized signature
+    * set (the [[embeddingDedupSink]] share). */
+  private def dedupEmbeddingsAgainstSig(newEmb: DataFrame, nsig: DataFrame,
+                                        store: DataFrame, idCol: String,
+                                        threshold: Double, bands: Int,
+                                        bitsPerBand: Int,
+                                        storeBands: Option[DataFrame]): DataFrame = {
     val bandCols = Dedup.hyperplaneBandCols(bands, bitsPerBand)
     val nBand = nsig.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
