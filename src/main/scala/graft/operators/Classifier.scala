@@ -454,8 +454,15 @@ object Classifier {
                                      applyDf: DataFrame, groupCol: String,
                                      scoreCol: Column, alphaNum: Long,
                                      alphaDen: Long): DataFrame = {
-    val thr = weightedConformalFromState(state, groupCol,
-      shiftWeightsFromState(state, applyDf, groupCol), alphaNum, alphaDen)
+    // the folded state feeds BOTH the weight estimate and the
+    // threshold reduction (each with several internal references); a
+    // caller's shard-merge plan would re-run once per reference —
+    // measured 98 scans / 186 exchanges in q250's un-checkpointed
+    // plan. The state is distinct-(group, score)-grain: a lightweight
+    // proxy, safe to materialize eagerly.
+    val st = state.localCheckpoint(true)
+    val thr = weightedConformalFromState(st, groupCol,
+      shiftWeightsFromState(st, applyDf, groupCol), alphaNum, alphaDen)
       .withColumnRenamed(groupCol, s"__g_$groupCol")
     applyDf.join(broadcast(thr),
         applyDf(groupCol).cast("string") === thr(s"__g_$groupCol"), "left")
