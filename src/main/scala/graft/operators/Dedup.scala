@@ -611,10 +611,16 @@ object Dedup {
   def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, bands: Int, rowsPerBand: Int,
                      shingleLen: Int = 3): DataFrame = {
+    // both pair sets feed TWO branches each (the recall join and the
+    // precision anti-join); un-materialized, each branch re-runs the
+    // full inverted-index / banded candidate machinery (measured 48
+    // parquet scans in q195's plan). Pair-grain proxies — checkpoint.
     val exact = jaccardPairs(docs, idCol, textCol, threshold, shingleLen)
+      .localCheckpoint(true)
     val lsh = minhashLshPairs(docs, idCol, textCol, threshold, shingleLen,
         bands, rowsPerBand)
       .select(col("id_a"), col("id_b"), lit(1L).as("detected"))
+      .localCheckpoint(true)
     val joined = exact.join(lsh, Seq("id_a", "id_b"), "left")
       .select(col("jaccard"),
         coalesce(col("detected"), lit(0L)).as("detected"),
@@ -661,8 +667,12 @@ object Dedup {
                                idCol: String, textCol: String,
                                threshold: Double, dupThreshold: Double,
                                shingleLen: Int = 3): DataFrame = {
+    // id-grain proxy consumed by three branches (rep lookup, via_dup
+    // anti-join, final union) — checkpoint so the containment
+    // inverted-index join runs once
     val direct = contaminationPairs(train, evalDocs, idCol, textCol,
       threshold, shingleLen).select(col("train_id").as(idCol)).distinct()
+      .localCheckpoint(true)
     val comps = connectedComponents(
         jaccardPairs(train, idCol, textCol, dupThreshold, shingleLen))
       .select(col("id").as(idCol), col("rep"))
