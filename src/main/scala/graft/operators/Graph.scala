@@ -88,11 +88,14 @@ object Graph {
         Seq("node"), "left_anti")
       .localCheckpoint(true)
     val nDangling = dangling.count()
-    // teleport distribution: uniform 1/n, or the normalized seed
-    // weights (node-grain, materialized once like the layout)
+    // teleport distribution: uniform 1/n (a LAZY constant projection of
+    // the checkpointed node set — a checkpoint of its own would be one
+    // more node-grain copy job for a column the plan folds to a
+    // literal), or the normalized seed weights (a join — materialized
+    // once like the layout)
     val tele = seeds match {
       case None =>
-        nodes.withColumn("t", lit(1.0 / n)).localCheckpoint(true)
+        nodes.withColumn("t", lit(1.0 / n))
       case Some(sd) =>
         val sw = sd.select(col("node").cast("long").as("node"),
           col("weight").cast("double").as("w"))
@@ -106,18 +109,24 @@ object Graph {
             (coalesce(col("w"), lit(0.0)) / col("tw")).as("t"))
           .localCheckpoint(true)
     }
-    // layout is checkpointed; the raw node set's blocks are no longer
-    // referenced by anything downstream
-    Checkpoints.release(nodes)
     // the uniform path keeps its exact historical arithmetic
     // ((1−d)/n as ONE division — the q158 oracle replays that op
     // chain); the personalized path is (1−d)·t_v per node (q159's)
     val teleTerm: Column =
       if (seeds.isEmpty) lit((1.0 - damping) / n)
       else lit(1.0 - damping) * col("t")
+    // pr₀ = t: lazy — the first iteration reads it off the tele/node
+    // checkpoint; a dedicated pr₀ copy job buys nothing.
+    // Iteration checkpoints run at STRIDE 2 on dangling-FREE graphs
+    // (each checkpoint job then computes two joined steps — half the
+    // materialization jobs for the same shuffles, values bit-identical
+    // because a checkpoint never changes arithmetic); dangling graphs
+    // keep stride 1 — their dm sub-aggregate re-reads pr, and a lazy
+    // pr would recompute the previous step once per reference.
     var pr = tele.select(col("node"), col("t").as("pr"))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    var lastCk: Option[DataFrame] = None
+    var depth = 0
+    for (i <- 0 until iters) {
       val contribs = withDeg
         .join(pr, withDeg("src") === pr("node"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
@@ -141,15 +150,22 @@ object Graph {
                 lit(damping) * coalesce(col("in_mass"), lit(0.0)) +
                 lit(damping) * col("dm") * col("t")).as("pr"))
         }
-      val prev = pr
-      pr = stepped.localCheckpoint(true)
-      // the superseded rank vector's blocks are dead the moment the
-      // new one is materialized — free them now, not at session GC
-      Checkpoints.release(prev)
+      depth += 1
+      val strideHit = depth >= (if (nDangling == 0) 2 else 1)
+      if (strideHit || i == iters - 1) {
+        val prev = lastCk
+        pr = stepped.localCheckpoint(true)
+        // the superseded rank vector's blocks are dead the moment the
+        // new one is materialized — free them now, not at session GC
+        prev.foreach(Checkpoints.release)
+        lastCk = Some(pr)
+        depth = 0
+      } else pr = stepped
     }
     // the result is independent of the layout once checkpointed; only
     // the returned vector's blocks remain (callers release after use)
     Checkpoints.release(tele)
+    Checkpoints.release(nodes)
     Checkpoints.release(withDeg)
     Checkpoints.release(dangling)
     pr
