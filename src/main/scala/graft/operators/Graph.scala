@@ -205,10 +205,14 @@ object Graph {
     // orient up the (degree, id) total order; keep the head's order key
     // so the wedge join can order its two out-neighbors without a third
     // degree lookup
+    // the oriented list feeds THREE branches (both wedge sides + the
+    // closure semi-join); edge-grain proxy — checkpoint so the
+    // degree-attach joins run once, not once per branch
     val o = und.join(du, Seq("u")).join(dv, Seq("v"))
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"), col("dv"))
+      .localCheckpoint(true)
     val x = o.select(col("u"), col("v"), col("dv").as("dv1"))
     val y = o.select(col("u"), col("v").as("w"), col("dv").as("dv2"))
     val wedges = x.join(y, Seq("u"))

@@ -173,14 +173,21 @@ object Retrieval {
                         depth: Int, p: Double = 0.75): DataFrame = {
     require(depth >= 1, "depth must be positive")
     require(p > 0 && p < 1, "p must be in (0, 1)")
+    // each run feeds TWO branches (the shared-overlap join and the
+    // query spine); rank lists are ≤ |Q|·depth rows by construction,
+    // so materializing them is free — while an un-materialized run
+    // (e.g. a full BM25 ranking) would execute once per branch
+    // (measured: 118 exchanges in q192's un-checkpointed plan)
+    val a = runA.localCheckpoint(true)
+    val b = runB.localCheckpoint(true)
     def side(df: DataFrame, out: String) =
       df.select(col(queryCol), col(idCol),
           col(rankCol).cast("long").as(out))
         .filter(col(out) <= depth)
-    val shared = side(runA, "ra").join(side(runB, "rb"),
+    val shared = side(a, "ra").join(side(b, "rb"),
         Seq(queryCol, idCol))
       .select(col(queryCol), greatest(col("ra"), col("rb")).as("m"))
-    val qs = runA.select(queryCol).unionByName(runB.select(queryCol))
+    val qs = a.select(queryCol).unionByName(b.select(queryCol))
       .distinct()
     val spine = qs.select(col(queryCol),
       explode(sequence(lit(1), lit(depth))).as("d"))
