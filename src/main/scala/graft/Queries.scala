@@ -4450,12 +4450,18 @@ object Queries {
         val gainOk = errsR.last <= errsU.last &&
           errsR.sliding(2).forall(p => p(1) <= p(0) + 1e-9) &&
           errsU.sliding(2).forall(p => p(1) <= p(0) + 1e-9)
+        // the rotated corpus feeds FOUR consumers (centroid training,
+        // both full-probe rankings, the nProbe=1 probe) and the rotated
+        // twins three — checkpoint so the rotation projection runs once
+        // per side, not once per consumer
         val rotCorpus = Similarity.rotate(mixed, "embedding", rmodel)
           .select(col("vec_id"), col("pc"))
+          .localCheckpoint(true)
         val twins = mixed.filter(col("vec_id") % 101 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
         val rotTwins = Similarity.rotate(twins, "embedding", rmodel)
           .select(col("vec_id"), col("pc"))
+          .localCheckpoint(true)
         val cents = Similarity.trainCentroidsKMeans(rotCorpus, "vec_id", "pc",
           dim = 64, cells = 8, iters = 1)
         // (b) full-probe equivalence, k=3, in the rotated space
@@ -4749,10 +4755,16 @@ object Queries {
           dim = 64, cells = 8, iters = 2)
         val qs = emb.filter(col("vec_id") % 101 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        // exact ground truth feeds three consumers (row-for-row check +
+        // both recall terms) and the raw ADC ranking three (set check,
+        // refine input, recall) — checkpoint the |Q|·k-row lists so the
+        // brute-force / ADC rankings run once each
         val exact = Similarity.bruteForceTopKL2(emb, qs, "vec_id", "embedding", k = 5)
+          .localCheckpoint(true)
         // (a) R = k: same candidate set, possibly reordered
         val raw = Similarity.ivfPqTopK(emb, qs, cents, "vec_id", "embedding",
           model, k = 5, nProbe = 2)
+          .localCheckpoint(true)
         val refSame = Similarity.refineTopK(emb, qs, raw, "vec_id", "embedding", k = 5)
         val setStats = raw.select(col("query_id"), col("neighbor_id"))
           .withColumn("in_raw", lit(1))

@@ -1551,8 +1551,12 @@ object Dedup {
   def winnowDupPairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int, w: Int, maxDocs: Long,
                      minShared: Long): DataFrame = {
+    // (id, h) proxy consumed by the liveness aggregate and both sides
+    // of the pair self-join — checkpoint so the winnowing window runs
+    // once, not once per branch
     val fp = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol), col("h")).distinct()
+      .localCheckpoint(true)
     val live = fp.groupBy(col("h"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= maxDocs)
