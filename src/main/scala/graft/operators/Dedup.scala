@@ -842,14 +842,11 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       spanLen: Int): DataFrame = {
     require(spanLen >= 1, "spanLen must be positive")
-    // (id, h1, h2) window-hash proxy consumed by the df aggregate AND
-    // the per-doc semi-join — checkpoint so tokenize+hash runs once
     val spans = docs.select(col(idCol).as("id"),
         explode(graft.plans.exprs.wordNgrams(lower(col(textCol)), spanLen))
           .as("g"))
       .select(col("id"), xxhash64(col("g")).as("h1"),
         xxhash64(lit("graft.span.salt"), col("g")).as("h2"))
-      .localCheckpoint(true)
     val dupH = spans.select("id", "h1", "h2").distinct()
       .groupBy("h1", "h2").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("h1", "h2")
@@ -895,15 +892,12 @@ object Dedup {
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             spanLen: Int): DataFrame = {
     require(spanLen >= 1, "spanLen must be positive")
-    // positioned window-hash proxy consumed by the keeper aggregate
-    // AND the removal join — checkpoint so tokenize+hash runs once
     val spans = docs.select(col(idCol).as("id"),
         posexplode(graft.plans.exprs.wordNgrams(lower(col(textCol)), spanLen))
           .as(Seq("pos", "g")))
       .select(col("id"), col("pos").cast("long").as("pos"),
         xxhash64(col("g")).as("h1"),
         xxhash64(lit("graft.span.salt"), col("g")).as("h2"))
-      .localCheckpoint(true)
     val keepers = spans.select("id", "h1", "h2").distinct()
       .groupBy("h1", "h2")
       .agg(count(lit(1)).as("nd"), min(col("id")).as("keeper"))
