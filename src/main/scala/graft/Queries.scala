@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Clean, Text}
-import graft.operators.{Corpus, Dedup, Relational, Selection, Sessionize, Similarity}
+import graft.operators.{Checkpoints, Corpus, Dedup, Relational, Selection, Sessionize, Similarity}
 import graft.sources.Tables
 
 /** The engine's query surface: one entry per operator of SURVEY.md §2
@@ -7005,11 +7005,13 @@ object Queries {
         // against the wrong normalizer all hash-fail.
         implicit val ss = s
         val docs = tbl("documents")
-        val uni = operators.Quality.perplexityBuckets(docs, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
-        val bi = operators.Quality.bigramPerplexityBuckets(
-            docs, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
+        // ONE tokenize + unigram-count base trains both LMs (the
+        // proxy and the reference read the same corpus slice — §2.4):
+        // the corpus scan and the token-keyed vocab shuffle run once
+        val (uniB, biB) = operators.Quality.uniAndBigramPerplexityBuckets(
+          docs, "doc_id", "text")
+        val uni = uniB.select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
+        val bi = biB.select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
         val perDoc = docs.select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
           .join(uni, Seq("doc_id")).join(bi, Seq("doc_id"))
@@ -7094,11 +7096,13 @@ object Queries {
         // sample are exactly the weights that were optimized.
         implicit val ss = s
         val docs = tbl("documents")
-        val uni = operators.Quality.perplexityBuckets(docs, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
-        val bi = operators.Quality.bigramPerplexityBuckets(
-            docs, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
+        // ONE tokenize + unigram-count base trains both LMs (the
+        // proxy and the reference read the same corpus slice — §2.4):
+        // the corpus scan and the token-keyed vocab shuffle run once
+        val (uniB, biB) = operators.Quality.uniAndBigramPerplexityBuckets(
+          docs, "doc_id", "text")
+        val uni = uniB.select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
+        val bi = biB.select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
         val perDoc = docs.select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
           .join(uni, Seq("doc_id")).join(bi, Seq("doc_id"))
@@ -8803,23 +8807,32 @@ object Queries {
         // signal. The vote table keeps only the pair ids, so the
         // per-signal score columns the library operators emit are
         // never needed here.
-        val inv = Dedup.shingleIndex(u, "doc_id", "text", shingleLen = 3)
-          .localCheckpoint(true)
+        val inv = Checkpoints.dataGrain(
+          Dedup.shingleIndex(u, "doc_id", "text", shingleLen = 3))
         val invA = inv.select(col("id").as("id_a"), col("sz").as("sz_a"),
           col("tok"))
         val invB = inv.select(col("id").as("id_b"), col("sz").as("sz_b"),
           col("tok"))
+        // the signal gates are deterministic per pair, so evaluate BOTH
+        // flags inside the aggregate's projection and keep only flagged
+        // pairs — the materialization shrinks from every co-occurring
+        // pair (~6.9 M rows at sf0.1, the r20 driver-rig 32-core
+        // blowup) to the near-dup set (proxy grain), and the plan
+        // still computes the shared aggregate once (guide §2.3
+        // "project early" / §5 "filter before materializing")
         val co = invA.join(invB, Seq("tok"))
           .filter(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b", "sz_a", "sz_b")
           .agg(count(lit(1)).as("inter"))
-          .localCheckpoint(true)
-        val jac = co.filter(col("inter").cast("double") /
+          .withColumn("f_j", col("inter").cast("double") /
             (col("sz_a") + col("sz_b") - col("inter")) >= 0.5)
-          .select(col("id_a"), col("id_b"))
-        val con = co.filter(col("inter").cast("double") /
+          .withColumn("f_c", col("inter").cast("double") /
             least(col("sz_a"), col("sz_b")) >= 0.6)
-          .select(col("id_a"), col("id_b"))
+          .filter(col("f_j") || col("f_c"))
+          .select(col("id_a"), col("id_b"), col("f_j"), col("f_c"))
+          .localCheckpoint(true)
+        val jac = co.filter(col("f_j")).select(col("id_a"), col("id_b"))
+        val con = co.filter(col("f_c")).select(col("id_a"), col("id_b"))
         val fuz = Dedup.fuzzyDupPairs(u, "doc_id", "text",
           prefixTokens = 6, maxDist = 4, qgramLen = 2)
         Dedup.consensusVote(
@@ -8878,8 +8891,12 @@ object Queries {
         // (localCheckpoint) and feeds degree/orientation/closure.
         // Counts are exact integers; clustering is an exact-int IEEE
         // ratio — the whole table hash-replays.
-        val edges = Dedup.jaccardPairs(tbl("documents"), "doc_id",
-          "text", threshold = 0.015, shingleLen = 3).localCheckpoint(true)
+        // edge-grain at a loose gate (0.015 keeps most co-occurring
+        // pairs) — spill-safe serialized materialization, not the
+        // deserialized default (the r20 32-core regression lesson)
+        val edges = Checkpoints.dataGrain(
+          Dedup.jaccardPairs(tbl("documents"), "doc_id",
+            "text", threshold = 0.015, shingleLen = 3))
         operators.Graph.triangleStats(edges, "id_a", "id_b")
       },
       Some(s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh
@@ -8912,8 +8929,9 @@ object Queries {
         // loosest gate (0.02) — candidate generation never re-runs per
         // gate, the sweep is pair-grain. Zero-hit thresholds still
         // appear (grid left-join), so the curve is complete.
-        val pairs = Dedup.jaccardPairs(tbl("documents"), "doc_id",
-          "text", threshold = 0.02, shingleLen = 3).localCheckpoint(true)
+        val pairs = Checkpoints.dataGrain(
+          Dedup.jaccardPairs(tbl("documents"), "doc_id",
+            "text", threshold = 0.02, shingleLen = 3))
         Dedup.thresholdSweep(pairs, "jaccard",
           Seq(0.02, 0.05, 0.1, 0.2, 0.3, 0.5, 0.8))
       },
@@ -11408,11 +11426,13 @@ object Queries {
         // being audited is exactly the card that was optimized.
         implicit val ss = s
         val docs = tbl("documents")
-        val uni = operators.Quality.perplexityBuckets(docs, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
-        val bi = operators.Quality.bigramPerplexityBuckets(
-            docs, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
+        // ONE tokenize + unigram-count base trains both LMs (the
+        // proxy and the reference read the same corpus slice — §2.4):
+        // the corpus scan and the token-keyed vocab shuffle run once
+        val (uniB, biB) = operators.Quality.uniAndBigramPerplexityBuckets(
+          docs, "doc_id", "text")
+        val uni = uniB.select(col("id").as("doc_id"), col("ppl").as("ppl_u"))
+        val bi = biB.select(col("id").as("doc_id"), col("ppl").as("ppl_b"))
         val perDoc = docs.select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
           .join(uni, Seq("doc_id")).join(bi, Seq("doc_id"))

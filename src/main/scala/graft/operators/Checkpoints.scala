@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Storage lifecycle for eagerly-checkpointed iteration state.
   *
@@ -34,6 +35,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   * no-op (no LogicalRDD leaf).
   */
 object Checkpoints {
+
+  /** Eager, lineage-truncating materialization for DATA-GRAIN
+    * intermediates — pair/edge/corpus-sized tables whose row count
+    * scales with the data rather than with a bounded proxy (ids,
+    * hashes, rank lists). Same compute-once + flat-lineage semantics
+    * as `localCheckpoint(true)`, but blocks are stored SERIALIZED with
+    * disk fallback (MEMORY_AND_DISK_SER) instead of the default
+    * deserialized MEMORY_AND_DISK: one contiguous buffer per block
+    * instead of ~2 JVM objects per row, so materializing a
+    * multi-million-row pair table under 32 concurrent tasks costs
+    * bounded storage memory and GC (the r20 driver rig regressed
+    * q216/q217 2-7x at 32 cores from exactly this deserialized-block
+    * pressure while its own 8-core run was clean), and memory-pressed
+    * blocks land on disk instead of thrashing the storage pool.
+    * Proxy-grain state keeps plain `localCheckpoint(true)` — its
+    * blocks are small and deserialized reads are cheaper. */
+  def dataGrain(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Unpersist the RDD blocks backing a checkpointed `df` (async). */
   def release(df: DataFrame): Unit =

@@ -96,9 +96,18 @@ object Corpus {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // near-dup dedup: greedy (drop docs with a smaller-id near-dup) or
-    // cluster-consistent (keep one survivor per transitive dup cluster)
-    val pairs = Dedup.jaccardPairs(exact, idCol, textCol,
-      nearDupThreshold, shingleLen = 3, maxDocFreq = maxDocFreq)
+    // cluster-consistent (keep one survivor per transitive dup cluster).
+    // ONE shingle index over the exact-deduped set feeds BOTH the
+    // near-dup pair stage and (with `evalDocs`) the decontamination
+    // train side — without sharing, the tokenize+shingle+explode pass
+    // over the corpus runs once per stage (§2.4). Persisted only when
+    // a second consumer exists.
+    val inv0 = Dedup.shingleIndex(exact, idCol, textCol, shingleLen = 3)
+    val inv =
+      if (evalDocs.isEmpty) inv0
+      else inv0.persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.jaccardPairsFromIndex(
+      Dedup.hotFiltered(exact, inv, maxDocFreq), nearDupThreshold)
     val (dupOf, extraCached) =
       if (!transitiveDedup)
         (pairs.select(col("id_b").as(idCol)).distinct(), Seq.empty[DataFrame])
@@ -110,14 +119,17 @@ object Corpus {
     val deduped = exact.join(dupOf, Seq(idCol), "left_anti")
     // optional eval-set decontamination, LAST: checked on the docs that
     // survive dedup. Persisted when present — the stage references the
-    // deduped set twice (shingle inverted index + the anti-join), and
-    // each reference would otherwise re-run the whole near-dup pipeline.
+    // deduped set twice (train index + the anti-join). The train index
+    // is the shared `inv` filtered to survivors (an id semi-join), not
+    // a second tokenize pass over the corpus.
     val (cleaned, decontCached) = evalDocs match {
       case None => (deduped, Seq.empty[DataFrame])
       case Some(ev) =>
         val d = deduped.persist(StorageLevel.MEMORY_AND_DISK)
-        (Dedup.decontaminate(d, ev, idCol, textCol, contaminationThreshold),
-          Seq(d))
+        val survIdx = inv.join(d.select(col(idCol).as("id")),
+          Seq("id"), "left_semi")
+        (Dedup.decontaminateFromIndex(d, survIdx, ev, idCol, textCol,
+          contaminationThreshold), Seq(d, inv))
     }
     val result = cleaned
       .select(id, Text.tokenCount(text).as("n_tokens"), col("quality"),
@@ -181,15 +193,24 @@ object Corpus {
       .agg(min(id).as(idCol)).select(idCol)
     val exact = gated.join(exactKeep, Seq(idCol), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nearDupIds = Dedup.jaccardPairs(exact, idCol, textCol,
-        nearDupThreshold, shingleLen = 3, maxDocFreq = maxDocFreq)
+    // the prepareManaged shared-index shape: one shingle index feeds
+    // the near-dup stage and (with `evalDocs`) the contamination
+    // train side
+    val inv0 = Dedup.shingleIndex(exact, idCol, textCol, shingleLen = 3)
+    val inv =
+      if (evalDocs.isEmpty) inv0
+      else inv0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nearDupIds = Dedup.jaccardPairsFromIndex(
+        Dedup.hotFiltered(exact, inv, maxDocFreq), nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct()
     val dedupedOpt = evalDocs.map { _ =>
       exact.join(nearDupIds, Seq(idCol), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     val contamIds = evalDocs.zip(dedupedOpt).map { case (ev, deduped) =>
-      Dedup.contaminationPairs(deduped, ev, idCol, textCol,
+      val survIdx = inv.join(deduped.select(col(idCol).as("id")),
+        Seq("id"), "left_semi")
+      Dedup.contaminationPairsFromIndex(survIdx, ev, idCol, textCol,
           contaminationThreshold)
         .select(col("train_id").as(idCol)).distinct()
     }
@@ -209,7 +230,8 @@ object Corpus {
         .when(col("__nd").isNotNull, "near_dup")
         .when(col("__ct").isNotNull, "contaminated")
         .otherwise("kept").as("stage")),
-      cached = Seq(scored, exact) ++ dedupedOpt.toSeq)
+      cached = Seq(scored, exact) ++ dedupedOpt.toSeq ++
+        (if (evalDocs.isEmpty) Nil else Seq(inv)))
   }
 
   /** [[prepareManaged]] without the lifecycle handle — for one-shot jobs

@@ -61,8 +61,8 @@ object Dedup {
   /** `maxDocFreq` prefix-filter over a [[shingleIndex]] (corpus size
     * computed IN-PLAN as a 1-row broadcast aggregate — no driver-side
     * count() action at composition time); identity when disabled. */
-  private def hotFiltered(docs: DataFrame, inv0: DataFrame,
-                          maxDocFreq: Double): DataFrame =
+  private[operators] def hotFiltered(docs: DataFrame, inv0: DataFrame,
+                                     maxDocFreq: Double): DataFrame =
     if (maxDocFreq >= 1.0) inv0
     else {
       val total = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
@@ -72,12 +72,25 @@ object Dedup {
       inv0.join(broadcast(hot), Seq("tok"), "left_anti")
     }
 
-  /** [[jaccardPairs]]' pair stage over a prepared [[shingleIndex]]. */
+  /** [[jaccardPairs]]' pair stage over a prepared [[shingleIndex]].
+    *
+    * Size-ratio prefilter (the length filter of Arasu, Ganti &
+    * Kaushik VLDB 2006): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max, so
+    * J(A,B) ≤ min/max — a pair can only reach `threshold` when
+    * min(szA,szB)/max(szA,szB) ≥ threshold. Applied on the index join
+    * output BEFORE the pair aggregate, it prunes candidates at the
+    * cheapest point on any length-skewed corpus (the sf fixtures are
+    * near-uniform, so the bench barely moves — the win is structural,
+    * guide §3.2 "reduce before the shuffle"). Recall-exact: IEEE
+    * division is correctly rounded hence monotone, so
+    * fl(inter/union) ≥ t ⟹ fl(min/max) ≥ t (property-tested). */
   def jaccardPairsFromIndex(inv: DataFrame, threshold: Double): DataFrame = {
     val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
     val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
     a.join(b, Seq("tok"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")) >= threshold)
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -583,6 +596,45 @@ object Dedup {
                     shingleLen: Int = 3): DataFrame = {
     val bad = contaminationPairs(train, evalDocs, idCol, textCol, threshold,
       shingleLen).select(col("train_id").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** [[contaminationPairs]]' pair stage over a prepared TRAIN-side
+    * [[shingleIndex]] (`id`, `sz`, `tok`) — for pipelines that already
+    * built (and materialized) the train index for a near-dup stage:
+    * the tokenize+shingle+explode pass over the training corpus runs
+    * once and feeds both stages (§2.4). The index construction is
+    * [[shingleIndex]]'s own, so counts are identical to the
+    * from-documents path. */
+  def contaminationPairsFromIndex(trainInv: DataFrame, evalDocs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  threshold: Double,
+                                  shingleLen: Int = 3): DataFrame = {
+    val ti = trainInv.select(col("id").as("train_id"), col("tok"))
+    val ei = evalDocs.select(col(idCol).as("eval_id"),
+        graft.functions.Text.shingles(lower(col(textCol)), shingleLen)
+          .as("toks"))
+      .withColumn("sz_e", size(col("toks")))
+      .select(col("eval_id"), col("sz_e"), explode(col("toks")).as("s"))
+      .select(col("eval_id"), col("sz_e"), xxhash64(col("s")).as("tok"))
+    ti.join(ei, Seq("tok"))
+      .groupBy("train_id", "eval_id", "sz_e")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("sz_e"))
+      .filter(col("containment") >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** [[decontaminate]] over a prepared train-side index (the
+    * [[contaminationPairsFromIndex]] shape): `trainInv` must be the
+    * [[shingleIndex]] of exactly `train`'s documents. */
+  def decontaminateFromIndex(train: DataFrame, trainInv: DataFrame,
+                             evalDocs: DataFrame, idCol: String,
+                             textCol: String, threshold: Double,
+                             shingleLen: Int = 3): DataFrame = {
+    val bad = contaminationPairsFromIndex(trainInv, evalDocs, idCol, textCol,
+      threshold, shingleLen).select(col("train_id").as(idCol)).distinct()
     train.join(bad, Seq(idCol), "left_anti")
   }
 

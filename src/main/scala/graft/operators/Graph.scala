@@ -77,7 +77,9 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(outDeg, Seq("src")).localCheckpoint(true)
+    // edge-grain (the one data-grain table in the loop): serialized
+    // spill-safe storage, not deserialized row objects
+    val withDeg = Checkpoints.dataGrain(e.join(outDeg, Seq("src")))
     val n = nodes.count().toDouble
     require(n > 0, "pageRank: empty edge set")
     // dangling nodes = dst-only nodes, from ONE anti-join against the
@@ -206,13 +208,15 @@ object Graph {
     // so the wedge join can order its two out-neighbors without a third
     // degree lookup
     // the oriented list feeds THREE branches (both wedge sides + the
-    // closure semi-join); edge-grain proxy — checkpoint so the
-    // degree-attach joins run once, not once per branch
-    val o = und.join(du, Seq("u")).join(dv, Seq("v"))
-      .filter(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v")))
-      .select(col("u"), col("v"), col("dv"))
-      .localCheckpoint(true)
+    // closure semi-join); EDGE-grain, so it materializes serialized +
+    // spill-safe (dataGrain) — the r20 deserialized checkpoint of this
+    // exact table was the worst 32-core driver-rig regression — while
+    // still computing the degree-attach joins once, not once per branch
+    val o = Checkpoints.dataGrain(
+      und.join(du, Seq("u")).join(dv, Seq("v"))
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+        .select(col("u"), col("v"), col("dv")))
     val x = o.select(col("u"), col("v"), col("dv").as("dv1"))
     val y = o.select(col("u"), col("v").as("w"), col("dv").as("dv2"))
     val wedges = x.join(y, Seq("u"))

@@ -104,6 +104,16 @@ object Quality {
       explode(graft.functions.Text.tokens(lower(col(textCol)))).as("tok"))
       .persist()
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
+    unigramBucketsFrom(toks, vocab)
+  }
+
+  /** [[perplexityBuckets]]' scoring stage over a prepared exploded
+    * token table and its vocabulary count table (`tok`, `cnt`) — the
+    * arithmetic chain is the historical op order verbatim, so the
+    * rounded ppl values are bit-identical whichever entry point built
+    * the base. */
+  private def unigramBucketsFrom(toks: DataFrame,
+                                 vocab: DataFrame): DataFrame = {
     val total = vocab.agg(sum("cnt").as("total"))
     val scored = toks.join(broadcast(vocab), Seq("tok"))
       .crossJoin(broadcast(total))
@@ -150,11 +160,39 @@ object Quality {
   def bigramPerplexityBuckets(docs: DataFrame, idCol: String,
                               textCol: String, lambda: Double = 0.75)(
       implicit spark: SparkSession): DataFrame = {
-    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
     val base = docs.select(col(idCol).as("id"),
       graft.functions.Text.tokens(lower(col(textCol))).as("w")).persist()
     val toks = base.select(col("id"), explode(col("w")).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1")).persist()
+    bigramBucketsFrom(base, uni, lambda)
+  }
+
+  /** Both LM trainings over ONE tokenize + unigram-count base — the
+    * DoReMi-ensemble entry point (q172/q175/q264 train the unigram
+    * proxy AND the bigram reference over the SAME corpus slice): the
+    * token-array scan and the token-keyed vocabulary shuffle — the two
+    * corpus-sized pieces the separate entry points each pay — run
+    * once and feed both models (guide §2.4). Returns (unigram buckets,
+    * bigram buckets); each output's arithmetic chain is its historical
+    * op order verbatim, so ppl values and buckets are bit-identical to
+    * the separate entry points. */
+  def uniAndBigramPerplexityBuckets(docs: DataFrame, idCol: String,
+                                    textCol: String, lambda: Double = 0.75)(
+      implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.Text.tokens(lower(col(textCol))).as("w")).persist()
+    val toks = base.select(col("id"), explode(col("w")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1")).persist()
+    (unigramBucketsFrom(toks, uni.withColumnRenamed("c1", "cnt")),
+      bigramBucketsFrom(base, uni, lambda))
+  }
+
+  /** [[bigramPerplexityBuckets]]' model + scoring stages over a
+    * prepared token-array base (`id`, `w`) and unigram count table
+    * (`tok`, `c1`), both persisted by the caller. */
+  private def bigramBucketsFrom(base: DataFrame, uni: DataFrame,
+                                lambda: Double): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
     val total = uni.agg(sum("c1").as("total"))
     val pairs = base.select(col("id"),
       explode(zip_with(

@@ -174,18 +174,24 @@ object Retrieval {
     require(depth >= 1, "depth must be positive")
     require(p > 0 && p < 1, "p must be in (0, 1)")
     // each run feeds TWO branches (the shared-overlap join and the
-    // query spine); rank lists are ≤ |Q|·depth rows by construction,
-    // so materializing them is free — while an un-materialized run
-    // (e.g. a full BM25 ranking) would execute once per branch
-    // (measured: 118 exchanges in q192's un-checkpointed plan)
-    val a = runA.localCheckpoint(true)
-    val b = runB.localCheckpoint(true)
+    // query spine), so it materializes once — while an un-materialized
+    // run (e.g. a full BM25 ranking) would execute once per branch
+    // (measured: 118 exchanges in q192's un-checkpointed plan). The
+    // depth filter and the 3-column projection sit ABOVE the
+    // checkpoint (r20 left them below it), so what materializes is
+    // ≤ |Q|·depth narrow rows even when a caller passes an unbounded
+    // ranking. Contract: rows with rank > depth are ignored entirely —
+    // a query whose rows all exceed `depth` contributes nothing (same
+    // as absent; the bm25TopK/rrfFuse top-k shape always carries
+    // rank 1, so such queries do not arise from the library rankers).
     def side(df: DataFrame, out: String) =
       df.select(col(queryCol), col(idCol),
           col(rankCol).cast("long").as(out))
         .filter(col(out) <= depth)
-    val shared = side(a, "ra").join(side(b, "rb"),
-        Seq(queryCol, idCol))
+        .localCheckpoint(true)
+    val a = side(runA, "ra")
+    val b = side(runB, "rb")
+    val shared = a.join(b, Seq(queryCol, idCol))
       .select(col(queryCol), greatest(col("ra"), col("rb")).as("m"))
     val qs = a.select(queryCol).unionByName(b.select(queryCol))
       .distinct()

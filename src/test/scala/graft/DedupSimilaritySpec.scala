@@ -36,6 +36,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("jaccardPairsFromIndex size-ratio prefilter: recall-exact on " +
+      "length-skewed docs (min/max >= t is necessary for jaccard >= t)") {
+    // |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
+    // jaccard <= min/max; IEEE division is correctly rounded hence
+    // monotone, so fl(inter/union) >= t implies fl(min/max) >= t —
+    // the prefiltered output must equal the unfiltered reference
+    // EXACTLY, across thresholds, on docs with widely varying lengths
+    // (the shape the filter exists to prune).
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 120L).map { i =>
+      val len = 1 + rnd.nextInt(30)
+      (i, (0 until len).map(j => s"w${(i + j) % 37}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val inv = Dedup.shingleIndex(docs, "doc_id", "text", 1)
+    val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+    val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+    for (t <- Seq(0.1, 0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardPairsFromIndex(inv, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val ref = a.join(b, Seq("tok"))                // the pre-filter body
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == ref, s"t=$t got-only=${got -- ref} ref-only=${ref -- got}")
+      assert(ref.nonEmpty || t > 0.5, s"t=$t: degenerate fixture (no pairs)")
+    }
+  }
+
   test("jaccardPairs maxDocFreq prefix-filter: drops hot tokens, output ⊆ exact") {
     val docs = Tables(spark, TestSpark.sf0001, "documents")
     // unigram shingles on a ~40-word vocabulary: every token is hot at
