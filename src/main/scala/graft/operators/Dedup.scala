@@ -667,12 +667,12 @@ object Dedup {
     // precision anti-join); un-materialized, each branch re-runs the
     // full inverted-index / banded candidate machinery (measured 48
     // parquet scans in q195's plan). Pair-grain proxies — checkpoint.
-    val exact = jaccardPairs(docs, idCol, textCol, threshold, shingleLen)
-      .localCheckpoint(true)
-    val lsh = minhashLshPairs(docs, idCol, textCol, threshold, shingleLen,
-        bands, rowsPerBand)
-      .select(col("id_a"), col("id_b"), lit(1L).as("detected"))
-      .localCheckpoint(true)
+    val exact = Checkpoints.dataGrain(
+      jaccardPairs(docs, idCol, textCol, threshold, shingleLen))
+    val lsh = Checkpoints.dataGrain(
+      minhashLshPairs(docs, idCol, textCol, threshold, shingleLen,
+          bands, rowsPerBand)
+        .select(col("id_a"), col("id_b"), lit(1L).as("detected")))
     val joined = exact.join(lsh, Seq("id_a", "id_b"), "left")
       .select(col("jaccard"),
         coalesce(col("detected"), lit(0L)).as("detected"),
@@ -1251,9 +1251,9 @@ object Dedup {
     // pipeline — `pairs` is typically a full LSH/inverted-index plan,
     // and a second reference to it would re-run that whole plan just to
     // list node ids (measured ~2 s/extra pass on q57's input).
-    val canon = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+    val canon = Checkpoints.dataGrain(
+      pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
+        .distinct())
     // down-edges (larger -> smaller); self-pairs drop here and resurface
     // as singleton components in the final node join
     var edges = canon.filter(col("u") =!= col("v"))
@@ -1302,12 +1302,12 @@ object Dedup {
         // small-star over the now-directed down-edges: each node's smaller
         // neighbors flatten under its minimum, plus the node itself.
         val ssMin = lsEdges.groupBy("u").agg(min(col("v")).as("m"))
-        val next = lsEdges.join(ssMin, Seq("u"))
-          .filter(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionAll(ssMin.select(col("u"), col("m").as("v")))
-          .distinct()
-          .localCheckpoint(true)
+        val next = Checkpoints.dataGrain(
+          lsEdges.join(ssMin, Seq("u"))
+            .filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionAll(ssMin.select(col("u"), col("m").as("v")))
+            .distinct())
         Checkpoints.release(stats)
         // round 0's edge set is a filter OVER canon's checkpoint (its
         // plan holds canon's LogicalRDD — releasing it would kill the

@@ -139,7 +139,8 @@ object Incremental {
     * (Spark refuses to overwrite a table it is still reading from). */
   def compactStore(spark: SparkSession, table: String, numBuckets: Int,
                    bands: Int = 32, rowsPerBand: Int = 2): Unit =
-    writeBoth(spark.table(table).dropDuplicates("id").localCheckpoint(true),
+    writeBoth(Checkpoints.dataGrain(
+        spark.table(table).dropDuplicates("id")),
       table, numBuckets, bands, rowsPerBand,
       org.apache.spark.sql.SaveMode.Overwrite)
 
@@ -404,7 +405,7 @@ object Incremental {
                             numBuckets: Int, bands: Int = 64,
                             bitsPerBand: Int = 16): Unit =
     writeEmbeddingBoth(
-      spark.table(table).dropDuplicates("id").localCheckpoint(true),
+      Checkpoints.dataGrain(spark.table(table).dropDuplicates("id")),
       table, numBuckets, bands, bitsPerBand,
       org.apache.spark.sql.SaveMode.Overwrite)
 
@@ -583,11 +584,11 @@ object Incremental {
     val enc = annEncode(emb, idCol, vecCol, cs, model)
     // localCheckpoint breaks lineage to the table being overwritten
     // (the compactStore discipline)
-    val merged = spark.table(table).select("cell_id", "id", "codes")
-      .join(enc.select("id"), Seq("id"), "left_anti")
-      .select("cell_id", "id", "codes")
-      .unionByName(enc.select("cell_id", "id", "codes"))
-      .localCheckpoint(true)
+    val merged = Checkpoints.dataGrain(
+      spark.table(table).select("cell_id", "id", "codes")
+        .join(enc.select("id"), Seq("id"), "left_anti")
+        .select("cell_id", "id", "codes")
+        .unionByName(enc.select("cell_id", "id", "codes")))
     ParquetSink.bucketed(merged, table, Seq("cell_id"), numBuckets,
       mode = org.apache.spark.sql.SaveMode.Overwrite)
     Checkpoints.release(merged)
@@ -615,11 +616,11 @@ object Incremental {
     val tomb =
       if (hasDel) spark.table(del).select("id").distinct()
       else spark.emptyDataFrame.withColumn("id", lit(0L)).limit(0)
-    val live = spark.table(table).select("cell_id", "id", "codes")
-      .dropDuplicates("id")
-      .join(tomb, Seq("id"), "left_anti")
-      .select("cell_id", "id", "codes")
-      .localCheckpoint(true)
+    val live = Checkpoints.dataGrain(
+      spark.table(table).select("cell_id", "id", "codes")
+        .dropDuplicates("id")
+        .join(tomb, Seq("id"), "left_anti")
+        .select("cell_id", "id", "codes"))
     ParquetSink.bucketed(live, table, Seq("cell_id"), numBuckets,
       mode = org.apache.spark.sql.SaveMode.Overwrite)
     Checkpoints.release(live)

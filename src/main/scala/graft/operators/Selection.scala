@@ -49,11 +49,11 @@ object Selection {
   private def phasedCumsum(df: DataFrame, groupCols: Seq[String],
                            orderBy: Seq[Column], costCol: Column): DataFrame = {
     val grp = groupCols.map(col)
-    val ranged = df.withColumn("__cost", costCol.cast("long"))
-      .repartitionByRange(grp ++ orderBy: _*)
-      .sortWithinPartitions(grp ++ orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = Checkpoints.dataGrain(
+      df.withColumn("__cost", costCol.cast("long"))
+        .repartitionByRange(grp ++ orderBy: _*)
+        .sortWithinPartitions(grp ++ orderBy: _*)
+        .withColumn("__pid", spark_partition_id()))
     val keys = "__pid" +: groupCols
     val parts = ranged.groupBy(keys.map(col): _*)
       .agg(sum(col("__cost")).as("__psum"))
@@ -568,11 +568,11 @@ object Selection {
     import session.implicits._
     val batchCap = 64
     val seedCap = 4
-    val base = docs.select(col(idCol).cast("long").as("id"),
-        explode(graft.functions.Text.shingles(lower(col(textCol)),
-          shingleLen)).as("sh_s"))
-      .select(col("id"), xxhash64(col("sh_s")).as("sh"))
-      .localCheckpoint(true)
+    val base = Checkpoints.dataGrain(
+      docs.select(col(idCol).cast("long").as("id"),
+          explode(graft.functions.Text.shingles(lower(col(textCol)),
+            shingleLen)).as("sh_s"))
+        .select(col("id"), xxhash64(col("sh_s")).as("sh")))
     val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var covered: DataFrame = null
     var reevals = 0L

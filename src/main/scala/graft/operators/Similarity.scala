@@ -778,9 +778,9 @@ object Similarity {
       // each round from ONE new-center kernel — see the scaladoc
       var state: DataFrame = null
       for (_ <- 1 until k) {
-        val next = kCenterRound(if (state == null) base else state,
-            centers.last._2, first = state == null)
-          .localCheckpoint(true)
+        val next = Checkpoints.dataGrain(
+          kCenterRound(if (state == null) base else state,
+            centers.last._2, first = state == null))
         if (state != null) Checkpoints.release(state)
         state = next
         val cand = state
